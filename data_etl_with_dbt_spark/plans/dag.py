@@ -1,0 +1,171 @@
+"""dbt-style model DAG: registry, ref()/source() resolution, topological run.
+
+The reference's transformation layer is a dbt project: named SELECT models
+materialized as tables, with dependencies declared via ``{{ ref(...) }}`` /
+``{{ source(...) }}`` (reference ``models/raw_texi.sql:3-6``,
+``models/core_texi.sql:2-5,52``, ``dbt_project.yml:14``). dbt parses Jinja,
+topo-sorts the manifest, and ships ``CREATE TABLE AS`` per node to Postgres
+(SURVEY.md §3.1).
+
+Spark-first re-architecture: a model is a Python function
+``(ctx) -> DataFrame``; ``ref``/``source`` are method calls on the run context
+(which also records DAG edges); materialization is a Parquet
+``saveAsTable``/temp-view. Catalyst then owns parse→optimize→execute — there
+is no SQL templating layer to maintain, and independent models could run
+concurrently (the runner is sequential like dbt's single MainThread, but the
+topo order makes parallel dispatch a drop-in change).
+"""
+
+from __future__ import annotations
+
+import graphlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class ModelSpec:
+    name: str
+    fn: Callable[["RunContext"], DataFrame]
+    materialized: str = "view"  # 'table' | 'view' | 'ephemeral'
+    unique_key: str | None = None
+    description: str = ""
+    tests: list = field(default_factory=list)  # (test_fn, column, kwargs)
+
+
+class RunContext:
+    """Passed to each model function; resolves refs and records DAG edges."""
+
+    def __init__(self, registry: "ModelRegistry", spark: SparkSession, current: str):
+        self._registry = registry
+        self.spark = spark
+        self._current = current
+
+    def source(self, name: str) -> DataFrame:
+        """Resolve a declared external source (reference `source()` macro)."""
+        return self._registry.resolve_source(self.spark, name)
+
+    def ref(self, name: str) -> DataFrame:
+        """Resolve an upstream model (reference `ref()` macro). During a run
+        the upstream is already materialized; edges were recorded at
+        registration time via the `deps` argument."""
+        return self._registry.materialized_df(self.spark, name)
+
+
+class ModelRegistry:
+    """Holds sources, models and their dependency edges; runs them in
+    topological order and materializes each per its config."""
+
+    def __init__(self):
+        self._models: dict[str, ModelSpec] = {}
+        self._deps: dict[str, set[str]] = {}
+        self._sources: dict[str, Callable[[SparkSession], DataFrame] | str] = {}
+        self._cache: dict[str, DataFrame] = {}
+
+    # -- registration -----------------------------------------------------
+    def add_source(self, name: str, loader: Callable[[SparkSession], DataFrame] | str) -> None:
+        """A source is a table name in the session catalog or a loader fn
+        (e.g. a parquet/CSV path reader)."""
+        self._sources[name] = loader
+
+    def model(
+        self,
+        name: str | None = None,
+        *,
+        materialized: str = "view",
+        unique_key: str | None = None,
+        deps: list[str] | None = None,
+        description: str = "",
+    ):
+        """Decorator registering a model function ``(ctx) -> DataFrame``."""
+
+        def deco(fn: Callable[[RunContext], DataFrame]):
+            mname = name or fn.__name__
+            self._models[mname] = ModelSpec(
+                name=mname,
+                fn=fn,
+                materialized=materialized,
+                unique_key=unique_key,
+                description=description or (fn.__doc__ or ""),
+            )
+            self._deps[mname] = set(deps or [])
+            return fn
+
+        return deco
+
+    def add_test(self, model_name: str, test_fn, column: str, **kwargs) -> None:
+        self._models[model_name].tests.append((test_fn, column, kwargs))
+
+    # -- resolution --------------------------------------------------------
+    def resolve_source(self, spark: SparkSession, name: str) -> DataFrame:
+        loader = self._sources[name]
+        if callable(loader):
+            return loader(spark)
+        return spark.table(loader)
+
+    def materialized_df(self, spark: SparkSession, name: str) -> DataFrame:
+        if name in self._cache:
+            return self._cache[name]
+        return spark.table(name)
+
+    # -- execution ---------------------------------------------------------
+    def topo_order(self) -> list[str]:
+        ts = graphlib.TopologicalSorter(self._deps)
+        return [n for n in ts.static_order() if n in self._models]
+
+    def run(self, spark: SparkSession, select: list[str] | None = None) -> dict[str, DataFrame]:
+        """Materialize every model in dependency order.
+
+        'table' → Parquet ``saveAsTable`` overwrite (the reference's
+        full-refresh CTAS, ``raw_texi.sql:3``); 'view' → session temp view;
+        'ephemeral' → kept only in the run cache (Catalyst inlines it into
+        downstream plans, mirroring dbt ephemeral CTE inlining).
+        """
+        out: dict[str, DataFrame] = {}
+        for name in self.topo_order():
+            if select and name not in select and not self._is_upstream_of_any(name, select):
+                continue
+            spec = self._models[name]
+            df = spec.fn(RunContext(self, spark, name))
+            if spec.materialized == "table":
+                df.write.mode("overwrite").format("parquet").saveAsTable(name)
+                df = spark.table(name)
+            elif spec.materialized == "view":
+                df.createOrReplaceTempView(name)
+            self._cache[name] = df
+            out[name] = df
+        return out
+
+    def _is_upstream_of_any(self, name: str, targets: list[str]) -> bool:
+        seen: set[str] = set()
+
+        def up(t: str):
+            for d in self._deps.get(t, ()):
+                if d not in seen:
+                    seen.add(d)
+                    up(d)
+
+        for t in targets:
+            up(t)
+        return name in seen
+
+    def test(self, spark: SparkSession) -> list:
+        """Run every declared data-quality test (dbt-test protocol: a test
+        passes iff its violation query returns zero rows — SURVEY.md §2.12)."""
+        from data_etl_with_dbt_spark.plans.dq import run_test
+
+        results = []
+        for name, spec in self._models.items():
+            if not spec.tests:
+                continue
+            df = self.materialized_df(spark, name)
+            for test_fn, column, kwargs in spec.tests:
+                results.append(run_test(test_fn, df, column, model=name, **kwargs))
+        return results
+
+
+#: Default process-wide registry (imports register into this one).
+default_registry = ModelRegistry()
+model = default_registry.model

@@ -1,0 +1,7 @@
+from data_etl_with_dbt_spark.sources.io import (  # noqa: F401
+    load_testdata,
+    read_csv,
+    read_parquet,
+    write_table,
+)
+from data_etl_with_dbt_spark.sources.ingest import ingest_csv  # noqa: F401

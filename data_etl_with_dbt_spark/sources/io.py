@@ -1,0 +1,103 @@
+"""Readers and writers (SURVEY.md §2.1 S1-S9).
+
+The reference reads CSV with pandas (``ETL/ETL.py:25``) and round-trips
+everything else through Postgres over JDBC. Spark-first: CSV/Parquet scans are
+distributed and partitioned by file splits; JDBC stays available for real
+warehouses but the engine's native storage is Parquet (columnar, vectorized
+reader, predicate pushdown — SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan (reference S1, ``ETL/ETL.py:25``). Explicit schema preferred —
+    ``inferSchema`` costs an extra full pass over the data, which at 100 TB is
+    a full extra job; keep it for exploration only."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+) -> DataFrame:
+    """JDBC source (reference S5, ``Data-Insights/train.py:26-34``). For any
+    non-trivial table pass ``partition_column`` + bounds so the read is
+    parallel — a single-connection JDBC scan is the classic 100 TB mistake."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table_or_query)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+) -> None:
+    """Materialize to a managed Parquet table (reference S3/S4/S8: the
+    truncate-then-append and CTAS patterns both collapse into
+    ``mode='overwrite'``). ``partition_by`` → directory partition pruning;
+    ``bucket_by`` → shuffle-free co-located joins on the bucket keys."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
+    writer.saveAsTable(name)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver's TPC-H-ish parquet fixtures and register temp views."""
+    out = {}
+    for t in tables or TESTDATA_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out

@@ -1,0 +1,143 @@
+"""End-to-end test of the reference core transform on adversarial taxi-shaped
+fixtures (FIXTURES.md §1 must-include rows), plus the DAG runner and the
+declared data-quality tests (SURVEY.md §2.12 T1-T5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from data_etl_with_dbt_spark.models.taxi import FINAL_COLUMNS, build_core_taxi, register_taxi_models
+from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+PICK = dt.datetime(2015, 1, 15, 19, 5, 39)
+DROP = dt.datetime(2015, 1, 15, 19, 25, 39)  # 20 min
+
+
+def taxi_row(**kw):
+    base = dict(
+        VendorID=1,
+        tpep_pickup_datetime=PICK,
+        tpep_dropoff_datetime=DROP,
+        passenger_count=1,
+        trip_distance=5.0,
+        pickup_longitude=-73.99,
+        pickup_latitude=40.73,
+        RateCodeID=1,
+        store_and_fwd_flag="N",
+        dropoff_longitude=-73.98,
+        dropoff_latitude=40.75,
+        payment_type=1,
+        fare_amount=17.5,
+        extra=0.5,
+        mta_tax=0.5,
+        tip_amount=2.0,
+        tolls_amount=0.0,
+        improvement_surcharge=0.3,
+        total_amount=20.8,
+    )
+    base.update(kw)
+    return Row(**base)
+
+
+SCHEMA = (
+    "VendorID int, tpep_pickup_datetime timestamp, tpep_dropoff_datetime timestamp, "
+    "passenger_count int, trip_distance double, pickup_longitude double, "
+    "pickup_latitude double, RateCodeID int, store_and_fwd_flag string, "
+    "dropoff_longitude double, dropoff_latitude double, payment_type int, "
+    "fare_amount double, extra double, mta_tax double, tip_amount double, "
+    "tolls_amount double, improvement_surcharge double, total_amount double"
+)
+
+
+@pytest.fixture(scope="module")
+def raw_df(spark):
+    rows = [
+        taxi_row(),  # 1 clean row
+        taxi_row(),  # exact duplicate on key columns -> dedup keeps one
+        taxi_row(tip_amount=99.0),  # differs only in non-key column -> same unique_id
+        taxi_row(VendorID=2, trip_distance=15.0),  # clean long trip
+        taxi_row(VendorID=2, tpep_pickup_datetime=None),  # NULL pickup -> dropped
+        taxi_row(VendorID=2, tpep_dropoff_datetime=None),  # NULL dropoff -> dropped
+        taxi_row(passenger_count=3, tpep_dropoff_datetime=PICK),  # zero duration -> dropped
+        taxi_row(passenger_count=4, trip_distance=50.0,
+                 tpep_dropoff_datetime=PICK + dt.timedelta(minutes=5)),  # 600 mph -> dropped
+        taxi_row(passenger_count=5, dropoff_longitude=None),  # NULL in key column -> kept
+        taxi_row(passenger_count=6, trip_distance=0.0),  # zero distance -> speed NULL, kept
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def core_df(spark, raw_df):
+    return build_core_taxi(raw_df, ingestion_date=dt.date(2015, 2, 1)).cache()
+
+
+def test_core_columns_and_filters(core_df):
+    assert core_df.columns == FINAL_COLUMNS
+    # survivors: deduped base row, the vendor-2 long trip, the NULL-key row,
+    # the zero-distance row; dropped: NULL timestamps, zero duration, 600 mph
+    assert core_df.count() == 4
+
+
+def test_dedup_keeps_exactly_one_per_key(core_df):
+    assert core_df.where("passenger_count = 1 and vendor_id = 1").count() == 1
+
+
+def test_derived_columns(core_df):
+    clean = core_df.where("passenger_count = 1 and vendor_id = 1").first()
+    assert clean.trip_duration_minutes == pytest.approx(20.0)
+    assert clean.avg_speed_mph == pytest.approx(15.0)  # 5 mi / (1200s/3600)
+    assert clean.is_long_trip is False
+    long_trip = core_df.where("vendor_id = 2").first()
+    assert long_trip.is_long_trip is True
+    zero_dist = core_df.where("passenger_count = 6").first()
+    assert zero_dist.avg_speed_mph is None
+
+
+def test_null_key_column_still_keyed(core_df):
+    r = core_df.where("passenger_count = 5").first()
+    assert r.unique_id is not None and len(r.unique_id) == 32
+
+
+def test_dedup_strategies_agree_on_key_set(spark, raw_df):
+    w = build_core_taxi(raw_df, ingestion_date=dt.date(2015, 2, 1), dedup_strategy="window")
+    h = build_core_taxi(raw_df, ingestion_date=dt.date(2015, 2, 1), dedup_strategy="hash")
+    assert sorted(r.unique_id for r in w.select("unique_id").collect()) == sorted(
+        r.unique_id for r in h.select("unique_id").collect()
+    )
+
+
+def test_dag_runner_and_dq_tests(spark, raw_df):
+    registry = ModelRegistry()
+    registry.add_source("Texi_data", lambda s: raw_df)
+    register_taxi_models(registry)
+    out = registry.run(spark)
+    assert set(out) == {"raw_texi", "core_texi"}
+    assert out["core_texi"].count() == 4
+    results = registry.test(spark)
+    assert len(results) == 5
+    failures = [r for r in results if not r.passed]
+    assert failures == [], [f"{r.model}.{r.column} {r.test}" for r in failures]
+
+
+def test_dag_topo_order_respects_deps():
+    registry = ModelRegistry()
+    registry.add_source("src", lambda s: None)
+
+    @registry.model(name="c", deps=["b"])
+    def c(ctx):
+        return None
+
+    @registry.model(name="b", deps=["a"])
+    def b(ctx):
+        return None
+
+    @registry.model(name="a")
+    def a(ctx):
+        return None
+
+    order = registry.topo_order()
+    assert order.index("a") < order.index("b") < order.index("c")
