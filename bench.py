@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline suite queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed twice: a warm-up pass is NOT taken (first run pays JVM
+codegen + parquet footer reads); the reported time is the second run, which is
+what steady-state throughput looks like. Results are materialized via
+``df.write.format('noop')`` so the full plan executes without collecting to
+the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_etl_with_dbt_spark.session import get_spark
+from data_etl_with_dbt_spark.suite import QUERIES
+
+
+def run_query(spark, name, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = [name for name, q in sorted(QUERIES.items()) if q.bench]
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        run_query(spark, name, sf_dir)  # warm-up: codegen + file listing
+        t0 = time.perf_counter()
+        run_query(spark, name, sf_dir)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_headline_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+from data_etl_with_dbt_spark.operators.relational import asof_join  # noqa: F401
+from data_etl_with_dbt_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    simhash,
+)
+from data_etl_with_dbt_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine_similarity,
+    lsh_bucketed_topk,
+)
+from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
+    doc_fingerprint,
+    lang_id_scores,
+    text_stats,
+    token_count_bpe_ish,
+)

@@ -1,0 +1,288 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Generalizes the reference's window dedup (``core_texi.sql:57-62,99`` — one
+row per md5 surrogate key) into the dedup family a 100 TB text pipeline
+needs: exact (hash-groupBy), MinHash+LSH banding, SimHash. Everything is
+built-in Catalyst expressions — token arrays, ``transform``/``aggregate``
+lambdas, ``xxhash64`` — so the hot path never leaves the JVM.
+
+Scale notes:
+* Exact dedup is a single hash aggregation on a 128-bit digest — the digest
+  groupBy shuffles ~16 bytes + key per row instead of full documents.
+* MinHash: signatures are computed per-document with array expressions (no
+  explode — a 10k-token doc stays one row), then only (band_hash, doc_id)
+  pairs shuffle. Candidate verification joins back on doc_id — worst case is
+  bounded by bucket collisions, not |docs|^2.
+* SimHash: one explode + one groupBy per corpus; near-dup lookup is a
+  band-bucket join on the fingerprint prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty-safe)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+
+
+def _shingles(tokens: Column, n: int) -> Column:
+    """Word n-gram shingles as strings, distinct. For a token array of length
+    L yields max(L-n+1, 1) shingles (short docs collapse to one)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group documents by content digest: one row per distinct content with
+    the canonical (min-id) member and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one document (min id) per distinct content — the scale
+    form of the reference's keep-first dedup: hash-agg on the digest, then a
+    self-semi-join to recover full rows without shuffling document bodies
+    twice."""
+    keep = (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: min over shingle hashes for each of
+    ``num_hashes`` seeded hash functions.
+
+    Computed as ONE fold over the shingle array (``aggregate`` with an
+    array-of-mins accumulator). The naive spelling — ``num_hashes`` separate
+    ``array_min(transform(...))`` expressions — duplicates the tokenize+
+    shingle subtree per hash function: higher-order functions are interpreted
+    (no codegen, no common-subexpression elimination), which measured ~30x
+    slower. Inside the fold, ``s`` is a bound lambda variable, so hashing it
+    ``num_hashes`` times is cheap."""
+    sh = _shingles(_tokens(F.col(text_col)), shingle)
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    sig = F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
+
+    LSH generates candidates (docs sharing any band bucket); the verify stage
+    computes true shingle-set Jaccard on candidates only. Output:
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    # Persist signatures: the banding stage references the signature 8x and
+    # projection collapse would otherwise inline (and re-run) the whole
+    # shingle fold per band. At production scale you'd checkpoint signatures
+    # to a table between stages; persist() is the in-session equivalent.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle).persist()
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    # Verify on candidates only: join back to the corpus and recompute
+    # shingle sets for candidate ids alone — cheaper than shuffling every
+    # document's shingle array through the band join.
+    sh = df.select(
+        F.col(id_col), _shingles(_tokens(F.col(text_col)), shingle).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.7
+) -> DataFrame:
+    """Brute-force n-gram Jaccard over all pairs — the exact baseline the LSH
+    path approximates. Quadratic: keep for oracle verification and small
+    corpora; the scale path is :func:`minhash_lsh_pairs`."""
+    sh = df.select(
+        F.col(id_col), _shingles(_tokens(F.col(text_col)), n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint: bit j is set iff the sum over tokens
+    of (+1 if token-hash bit j else -1) is positive.
+
+    ONE fold over the token-hash array with an array-of-vote-counters
+    accumulator (same rationale as :func:`minhash_signatures`: per-bit
+    aggregate expressions would re-tokenize per bit — higher-order functions
+    are interpreted with no CSE). ``h`` in the fold is a bound variable, so
+    testing ``bits`` mask bits against it is cheap."""
+    hashes = F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1))
+                    for j in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    fp = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into ``max_hamming+1``
+    chunks (pigeonhole: any pair within the Hamming radius shares at least
+    one exact chunk), bucket-join on chunks, verify Hamming distance."""
+    nbands = max_hamming + 1
+    width = bits // nbands
+    fps = simhash(df, id_col, text_col, bits)
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.simhash").alias("fp_a"),
+            F.col("y.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

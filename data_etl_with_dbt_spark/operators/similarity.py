@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k with pure JVM array expressions
+(``zip_with`` + ``aggregate`` — sequential fold, deterministic bit-for-bit).
+Scale path: LSH-bucketed search via random-hyperplane signatures — candidates
+share a signature bucket, so the pair space shrinks from |q|x|n| to bucket
+collisions; recall is tunable with multi-probe (hamming-1 neighbors).
+
+At real scale you'd add an IVF variant (k-means coarse quantizer trained via
+``pyspark.ml.clustering.KMeans``, probe nearest cells); the bucketed-LSH
+implementation below has the same plan shape (broadcast centroids/planes,
+bucket join, within-bucket top-k) so swapping the quantizer is local.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order → reproducible fp)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` (small: a handful of probe vectors) is broadcast; the corpus
+    is scanned once — the classic embarrassingly-parallel exact-ANN baseline.
+    Output: (query_id, vec_id, cosine) — k rows per query, ties broken by id.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def signature_expr(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec . plane_i). Planes are
+    literal arrays (broadcast in the plan), fold stays JVM-side."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(vec_col, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets + within-bucket exact
+    cosine. ``multiprobe`` also probes all Hamming-1 buckets, trading compute
+    for recall. Same output shape as :func:`brute_force_topk` (approximate)."""
+    planes = _random_planes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        signature_expr(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        signature_expr(F.col(vec_col), planes).alias("__qsig"),
+    )
+    if multiprobe:
+        probes = F.array_union(
+            F.array(F.col("__qsig")),
+            F.array(
+                *[F.col("__qsig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+            ),
+        )
+        q = q.select(query_id_col, "__qvec", F.explode(probes).alias("__bucket"))
+    else:
+        q = q.select(query_id_col, "__qvec", F.col("__qsig").alias("__bucket"))
+
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket candidates, exact
+    cosine verify — the embedding analog of MinHash near-dup dedup."""
+    planes = _random_planes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        signature_expr(F.col(vec_col), planes).alias("__bucket"),
+    )
+    pairs = (
+        c.alias("x")
+        .join(
+            c.alias("y"),
+            (F.col("x.__bucket") == F.col("y.__bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs

@@ -1,0 +1,120 @@
+"""Text-analysis operators: language-ID heuristic, quality scoring, token
+counting, document fingerprinting. All built-in column expressions —
+per-document work stays inside whole-stage codegen; nothing shuffles until
+the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "en", "que", "est"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "ist"],
+    "zh": ["de", "le", "shi", "zai", "he", "you", "wo", "ta"],
+}
+
+#: Stopwords used by the quality score (English-biased, like most LLM-data
+#: quality filters' first pass).
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens_expr(text_col: Column) -> Column:
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document surface statistics + a composite quality score.
+
+    Quality score (0..1, higher = keep): mean of three signals —
+    length band (30..2000 chars), lexical diversity (distinct/total tokens),
+    stopword presence (ratio clamped to [0, 0.4] / 0.4). The exact recipe is
+    a standard heuristic-filter shape; each signal is exposed so callers can
+    re-weight.
+    """
+    toks = tokens_expr(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length(F.col(text_col))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in QUALITY_STOPWORDS]))
+    )
+    stopword_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    diversity = F.when(n_tokens > 0, n_distinct / n_tokens).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 30) & (n_chars <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_signal = F.least(stopword_ratio / F.lit(0.4), F.lit(1.0))
+    quality = (len_ok + diversity + stop_signal) / F.lit(3.0)
+    avg_token_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        diversity.alias("lexical_diversity"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language ID: score per language = fraction of tokens in
+    that language's stopword list; predicted = argmax (ties broken by
+    language code order, deterministic)."""
+    toks = tokens_expr(F.col(text_col))
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in words])))
+        / n_tokens
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    # argmax with deterministic tie-break: fold over sorted language codes.
+    langs = sorted(scores)
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, scores[lang])
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+#: BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
+#: the shape GPT-2-style byte-pair pre-tokenization produces.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count_bpe_ish(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex count
+    (the standard cheap proxy for LLM token budgets)."""
+    ws = F.size(tokens_expr(F.col(text_col)))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, prefix: int = 64) -> DataFrame:
+    """Content fingerprints: full-content digest over normalized text
+    (lowercased, whitespace-collapsed) plus a prefix digest — the cheap
+    rolling-hash-style key used for streaming/incremental dedup."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_fp"),
+        F.md5(F.substring(norm, 1, prefix)).alias("prefix_fp"),
+        F.length(norm).alias("norm_len"),
+    )

@@ -27,6 +27,10 @@ from pyspark.sql import SparkSession
 # spark.sql.shuffle.partitions=4000 and let AQE trim).
 _ENGINE_CONF: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
+    # Parquet TIMESTAMP(NANOS) columns (e.g. the events fixture) are illegal
+    # for Spark's reader; read them as long and convert in the loader
+    # (sources/io.py) — DuckDB truncates the same way, so semantics align.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -45,18 +49,23 @@ _ENGINE_CONF: dict[str, str] = {
 }
 
 
-def get_spark(app_name: str = "data-etl-with-dbt-spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "data-etl-with-dbt-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) a SparkSession with engine semantics pinned.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a cluster,
-    leave it None and let spark-submit decide.
+    leave it None and let spark-submit decide. ``extra_conf`` lets callers set
+    static configs (e.g. a temp ``spark.sql.warehouse.dir`` in tests).
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master is not None:
         builder = builder.master(master)
-    for k, v in _ENGINE_CONF.items():
+    for k, v in {**_ENGINE_CONF, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

@@ -10,6 +10,7 @@ reader, predicate pushdown — SURVEY.md §1.2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TESTDATA_TABLES = [
@@ -44,7 +45,35 @@ def read_csv(
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Parquet scan with nanosecond-timestamp normalization.
+
+    Spark's reader rejects INT64 TIMESTAMP(NANOS) columns outright; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they surface as BIGINT
+    nanoseconds. We sniff the footer with pyarrow and floor-divide those
+    columns back to microsecond timestamps — the same truncation DuckDB and
+    pyarrow apply, so cross-engine semantics agree."""
+    df = spark.read.parquet(path)
+    ns_cols = _nanos_timestamp_columns(path)
+    for c in ns_cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as timestamp[ns] in the parquet footer."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
 
 
 def read_jdbc(
@@ -97,7 +126,7 @@ def load_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = N
     """Load the driver's TPC-H-ish parquet fixtures and register temp views."""
     out = {}
     for t in tables or TESTDATA_TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df = read_parquet(spark, f"{sf_dir}/{t}.parquet")
         df.createOrReplaceTempView(t)
         out[t] = df
     return out

@@ -1,0 +1,321 @@
+"""LLM-training-data pipeline queries: dedup family, similarity search, text
+analysis, multimodal plumbing — over the ``documents`` and ``embeddings``
+fixtures. Exact/deterministic operators carry DuckDB oracles; the LSH-family
+approximations (recall < 1 by design) are rows-only checks, each paired with
+an exact oracle-checked baseline computing the same relation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.operators import dedup as D
+from data_etl_with_dbt_spark.operators import similarity as S
+from data_etl_with_dbt_spark.operators import textan as TA
+from data_etl_with_dbt_spark.operators.multimodal import extract_media_features, to_media_table
+from data_etl_with_dbt_spark.suite.registry import big, dec6, load, query
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    description="Exact dedup groups: content digest -> canonical doc + multiplicity (hash-agg, digest-only shuffle)",
+    bench=True,
+)
+def dedup_exact_groups(spark, sf_dir):
+    g = D.exact_duplicate_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return g.select("content_hash", big(F.col("canonical_id")).alias("canonical_id"), big(F.col("n_docs")).alias("n_docs"))
+
+
+_NGRAM_ORACLE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(toks[i:i+1], ' ')
+               )
+           ) AS grams
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_NGRAM_ORACLE,
+    description="Exact bigram-Jaccard near-dup pairs (brute force baseline for the LSH path)",
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    pairs = D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.5
+    )
+    return pairs.select(
+        big(F.col("id_a")).alias("id_a"),
+        big(F.col("id_b")).alias("id_b"),
+        F.col("jaccard"),
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # approximate (banding recall < 1): rows-only check; exact baseline is ngram_jaccard_pairs
+    description="MinHash(32)+LSH(8 bands) candidate pairs with exact Jaccard verify",
+    bench=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=32, bands=8, shingle=3, threshold=0.5,
+    )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=None,  # banding is approximate; fingerprints themselves are deterministic
+    description="SimHash(32-bit) near-dup pairs within Hamming distance 3 (pigeonhole banding)",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    return D.simhash_near_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", bits=32, max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+    FROM embeddings WHERE vec_id < 3
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+    FROM embeddings e, q
+)
+SELECT query_id, vec_id, CAST(CAST(cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 10
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=_ANN_ORACLE,
+    description="Brute-force cosine top-10 per probe vector (exact ANN baseline; JVM zip_with/aggregate fold)",
+    bench=True,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    topk = S.brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding", query_id_col="query_id", k=10)
+    return topk.select("query_id", "vec_id", dec6(F.col("cosine")).alias("cosine"))
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=None,  # LSH-bucketed: approximate recall; exact baseline is ann_cosine_topk
+    description="LSH-bucketed (random hyperplanes, multi-probe) top-10 — the scale path for ANN",
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return S.lsh_bucketed_topk(
+        emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=10, n_planes=8, seed=42,
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle=None,  # LSH candidate generation is approximate
+    description="Embedding-cosine near-duplicate pairs (LSH buckets + exact verify)",
+)
+def embedding_near_dup(spark, sf_dir):
+    return S.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
+        dim=64, threshold=0.9, n_planes=8, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = """
+WITH t AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+)
+SELECT
+    doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS avg_token_len,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS lexical_diversity,
+    (
+        (CASE WHEN length(text) >= 30 AND length(text) <= 2000 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END)
+        + least((CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END) / 0.4, 1.0)
+    ) / 3.0 AS quality_score
+FROM t
+"""
+
+
+@query(
+    "text_quality_stats",
+    oracle=_TEXT_STATS_ORACLE,
+    description="Per-document token/char stats + composite quality score (heuristic LLM-data filter)",
+    bench=True,
+)
+def text_quality_stats(spark, sf_dir):
+    return TA.text_stats(load(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id",
+        big(F.col("n_chars")).alias("n_chars"),
+        big(F.col("n_tokens")).alias("n_tokens"),
+        big(F.col("n_distinct_tokens")).alias("n_distinct_tokens"),
+        F.col("avg_token_len").cast("double").alias("avg_token_len"),
+        F.col("stopword_ratio").cast("double").alias("stopword_ratio"),
+        F.col("lexical_diversity").cast("double").alias("lexical_diversity"),
+        F.col("quality_score").cast("double").alias("quality_score"),
+    )
+
+
+_LANG_ORACLE_SCORE = (
+    "CAST(len(list_filter(toks, x -> list_contains({words}, x))) AS DOUBLE)"
+    " / greatest(len(toks), 1)"
+)
+
+
+def _lang_oracle() -> str:
+    langs = sorted(TA.LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = "[" + ",".join(f"'{w}'" for w in TA.LANG_STOPWORDS[lang]) + "]"
+        score_cols.append(
+            _LANG_ORACLE_SCORE.format(words=words) + f" AS score_{lang}"
+        )
+    # argmax with first-wins tie-break over sorted language codes, matching
+    # the Spark fold in textan.lang_id_scores.
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, score_{lang})"
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, {", ".join(score_cols)} FROM t
+    )
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+           {pred} AS predicted_lang
+    FROM scored
+    """
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=_lang_oracle(),
+    description="Stopword-hit language ID: per-language score + deterministic argmax",
+)
+def lang_id_heuristic(spark, sf_dir):
+    return TA.lang_id_scores(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "token_counting",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+    description="Whitespace + BPE-ish regex token counting (LLM token-budget proxy)",
+)
+def token_counting(spark, sf_dir):
+    t = TA.token_count_bpe_ish(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return t.select(
+        "doc_id",
+        big(F.col("ws_tokens")).alias("ws_tokens"),
+        big(F.col("bpe_ish_tokens")).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_fp,
+           md5(substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 64)) AS prefix_fp,
+           CAST(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+    description="Content + prefix fingerprints over normalized text (incremental-dedup keys)",
+)
+def doc_fingerprints(spark, sf_dir):
+    fp = TA.doc_fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text", prefix=64)
+    return fp.select("doc_id", "content_fp", "prefix_fp", big(F.col("norm_len")).alias("norm_len"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed — no codecs in container; byte-level
+# features are real and oracle-checked).
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_byte_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+    FROM documents
+    """,
+    description="Binary media columns via mapInPandas (Arrow batches): byte-level features; codec decode stubbed",
+)
+def multimodal_byte_features(spark, sf_dir):
+    media = to_media_table(
+        load(spark, sf_dir, "documents"), "doc_id", "text", mime="text/plain", source_col="source"
+    )
+    feats = extract_media_features(media, decoder=None)
+    return feats.select("media_id", big(F.col("n_bytes")).alias("n_bytes"), "head_hex")

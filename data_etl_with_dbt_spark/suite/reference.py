@@ -1,0 +1,214 @@
+"""Reference-parity queries: the core-transform pipeline shape
+(``core_texi.sql:8-101``) applied to the driver's fixtures, the dbt test
+surface (SURVEY.md §2.12), and the ML feature extraction (§2.2 P4/P8, §2.6
+O2) — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.plans import dq
+from data_etl_with_dbt_spark.suite.registry import big, epoch_diff_seconds, load, query
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference core transform re-targeted at the events table.
+# Same operator chain as core_texi.sql — md5 surrogate key over business
+# columns, window dedup (newest first, total tie-break for determinism),
+# epoch math with fractional seconds, guarded CASE derivations, sanity
+# filters. Key columns are int/string so the PG text rendering is trivially
+# identical in both engines; the double/timestamp rendering edge is covered
+# by unit tests (tests/test_pg_compat.py).
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+WITH transformed AS (
+    SELECT
+        md5(concat(user_id, '-', event_type)) AS unique_id,
+        event_id, user_id, event_type, ts AS event_ts, value,
+        json_extract_string(props, '$.k') AS prop_k
+    FROM events
+    WHERE ts IS NOT NULL
+), unique_records AS (
+    SELECT *,
+        row_number() OVER (
+            PARTITION BY unique_id ORDER BY event_ts DESC, event_id DESC
+        ) AS rn
+    FROM transformed
+)
+SELECT
+    unique_id, event_id, user_id, event_type, event_ts, value,
+    CAST(prop_k AS BIGINT) AS prop_k,
+    extract(epoch FROM event_ts - TIMESTAMP '2024-01-01') / 60 AS minutes_since_start,
+    CASE
+        WHEN value > 0 AND extract(epoch FROM event_ts - TIMESTAMP '2024-01-01') > 0
+        THEN value / (extract(epoch FROM event_ts - TIMESTAMP '2024-01-01') / 3600)
+        ELSE NULL
+    END AS value_per_hour,
+    value > 10 AS is_high_value
+FROM unique_records
+WHERE rn = 1
+  AND extract(epoch FROM event_ts - TIMESTAMP '2024-01-01') > 0
+"""
+
+
+@query(
+    "core_transform_events",
+    oracle=_FLAGSHIP_ORACLE,
+    description="Reference core_texi pipeline shape on events: md5 key, window dedup, epoch math, CASE, filters",
+    bench=True,
+)
+def core_transform_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    base = F.lit("2024-01-01").cast("timestamp")
+    transformed = ev.where(F.col("ts").isNotNull()).select(
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit("-"), F.col("event_type"))).alias("unique_id"),
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("ts").alias("event_ts"),
+        F.col("value"),
+        F.get_json_object("props", "$.k").alias("prop_k"),
+    )
+    w = Window.partitionBy("unique_id").orderBy(F.desc("event_ts"), F.desc("event_id"))
+    deduped = (
+        transformed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    secs = epoch_diff_seconds(F.col("event_ts"), base)
+    return (
+        deduped.where(secs > 0)
+        .select(
+            "unique_id",
+            "event_id",
+            "user_id",
+            "event_type",
+            "event_ts",
+            "value",
+            big(F.col("prop_k")).alias("prop_k"),
+            # Raw doubles, deliberately unquantized: with matching expression
+            # trees ((Δµs)/1e6, then /60) the bits are identical across
+            # engines, whereas Spark's double→decimal cast rounds the
+            # *shortest repr* (HALF_UP) and DuckDB rounds the binary value —
+            # quantizing would CREATE mismatches on the µs grid.
+            (secs / 60).alias("minutes_since_start"),
+            F.when((F.col("value") > 0) & (secs > 0), F.col("value") / (secs / 3600))
+            .otherwise(F.lit(None))
+            .alias("value_per_hour"),
+            (F.col("value") > 10).alias("is_high_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality test surface (T1-T5 protocol): each test's *violation query*
+# as a suite query — the dbt contract is "pass iff zero rows", and the
+# violation relation itself is what dbt materializes on failure.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dq_unique_violations",
+    oracle="""
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+    description="dbt `unique` test compiled form (A1) on a deliberately non-unique column",
+)
+def dq_unique_violations(spark, sf_dir):
+    df = dq.unique(load(spark, sf_dir, "lineitem"), "l_orderkey")
+    return df.select("l_orderkey", big(F.col("n")).alias("n"))
+
+
+@query(
+    "dq_not_null_violations",
+    oracle="SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderdate IS NULL",
+    description="dbt `not_null` test compiled form (A2)",
+)
+def dq_not_null_violations(spark, sf_dir):
+    return dq.not_null(load(spark, sf_dir, "orders"), "o_orderdate").select(
+        "o_orderkey", "o_orderdate"
+    )
+
+
+@query(
+    "dq_positive_violations",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal <= 0
+    """,
+    description="reference custom_positive_test macro (P9) — violation rows",
+)
+def dq_positive_violations(spark, sf_dir):
+    return dq.positive(load(spark, sf_dir, "customer"), "c_acctbal").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "dq_threshold_violations",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000",
+    description="reference custom_speed_limit macro shape (P9): threshold violation finder",
+)
+def dq_threshold_violations(spark, sf_dir):
+    return dq.speed_limit(load(spark, sf_dir, "orders"), "o_totalprice", max_speed=400000).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "dq_accepted_values_violations",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+    WHERE l_returnflag NOT IN ('A', 'N', 'R') OR l_returnflag IS NULL
+    """,
+    description="dbt `accepted_values` test compiled form",
+)
+def dq_accepted_values_violations(spark, sf_dir):
+    return dq.accepted_values(
+        load(spark, sf_dir, "lineitem"), "l_returnflag", ["A", "N", "R"]
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@query(
+    "dq_relationships_violations",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orphans
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    GROUP BY o_custkey
+    """,
+    description="dbt `relationships` (referential integrity) test — broadcast anti join",
+)
+def dq_relationships_violations(spark, sf_dir):
+    v = dq.relationships(
+        load(spark, sf_dir, "orders"), "o_custkey", load(spark, sf_dir, "customer"), "c_custkey"
+    )
+    return v.groupBy("o_custkey").agg(big(F.count(F.lit(1))).alias("n_orphans"))
+
+
+# ---------------------------------------------------------------------------
+# ML feature extraction (train.py:26-34): projection + positivity filters +
+# capped extraction, made deterministic with a total sort (SURVEY §2.6 O2).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_feature_extraction",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+    FROM lineitem
+    WHERE l_quantity > 0 AND l_extendedprice > 0
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 1000
+    """,
+    description="ML training extraction: project + filter + deterministic sorted LIMIT",
+)
+def ml_feature_extraction(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )

@@ -1,0 +1,271 @@
+"""Window functions, as-of joins, pivot, JSON extraction, and the
+batch-equivalents of the streaming operators (tumbling / sliding / session
+windows — the Structured Streaming versions live in
+``data_etl_with_dbt_spark/streaming`` and share these semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.operators.relational import asof_join
+from data_etl_with_dbt_spark.suite.registry import big, dec6, dsum, load, query
+
+# ---------------------------------------------------------------------------
+# Ranking / analytic window functions (SURVEY §2.5 generalized).
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_customer_orders",
+    oracle="""
+    SELECT * FROM (
+        SELECT
+            o_orderkey, o_custkey,
+            CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS totalprice,
+            CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+            CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS status_rank,
+            lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+            lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS DOUBLE) AS running_spend
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    description="row_number/rank/lag/lead + running frame sum, top-3 per customer",
+    bench=True,
+)
+def window_customer_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    by_status = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = by_date.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            dec6(F.col("o_totalprice")).alias("totalprice"),
+            big(F.row_number().over(by_price)).alias("rn"),
+            big(F.rank().over(by_status)).alias("status_rank"),
+            F.lag("o_orderkey").over(by_date).alias("prev_order"),
+            F.lead("o_orderkey").over(by_date).alias("next_order"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .over(running)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator — Spark has no ASOF primitive; DuckDB does,
+# which is exactly what makes it oracle-checkable).
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_error_to_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           c.click_event_id, c.click_ts, c.click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (
+        SELECT user_id AS cu, event_id AS click_event_id, ts AS click_ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+    ) c ON e.user_id = c.cu AND e.ts > c.click_ts
+    """,
+    description="As-of join: latest strictly-preceding click per error event (union + carry-forward, one shuffle)",
+    bench=True,
+)
+def asof_error_to_click(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("__ct"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="__ct",
+        right_payload=["click_event_id", "click_ts", "click_value"],
+        strict=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation) + JSON extraction.
+# ---------------------------------------------------------------------------
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT
+        user_id,
+        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+        CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup
+    FROM events
+    GROUP BY user_id
+    """,
+    description="Pivot event_type to columns per user (groupBy().pivot())",
+)
+def pivot_event_counts(spark, sf_dir):
+    types = ["click", "view", "error", "purchase", "signup"]
+    pivoted = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[big(F.coalesce(F.col(t), F.lit(0))).alias(f"n_{t}") for t in types],
+    )
+
+
+@query(
+    "json_props_aggregation",
+    oracle="""
+    SELECT
+        event_type,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    description="JSON field extraction (get_json_object) + integer aggregation",
+)
+def json_props_aggregation(spark, sf_dir):
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            big(F.count(F.lit(1))).alias("n"),
+            big(F.sum(k)).alias("sum_k"),
+            big(F.min(k)).alias("min_k"),
+            big(F.max(k)).alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped windows, batch equivalents. Identical semantics to the
+# Structured Streaming pipelines in data_etl_with_dbt_spark/streaming.
+# ---------------------------------------------------------------------------
+
+@query(
+    "tumbling_window_events",
+    oracle="""
+    SELECT
+        TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * INTERVAL 1 SECOND AS window_start,
+        event_type,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="10-minute tumbling event-time window aggregation (F.window)",
+    bench=True,
+)
+def tumbling_window_events(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            big(F.count(F.lit(1))).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_events",
+    oracle="""
+    WITH offsets AS (SELECT 0 AS off UNION ALL SELECT 300)
+    SELECT
+        TIMESTAMP '1970-01-01'
+            + (CAST(floor((epoch(ts) - off) / 600) * 600 AS BIGINT) + off) * INTERVAL 1 SECOND AS window_start,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events, offsets
+    WHERE epoch(ts) >= off
+    GROUP BY 1
+    """,
+    description="10-minute window sliding every 5 minutes (each event in 2 windows)",
+)
+def sliding_window_events(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            big(F.count(F.lit(1))).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "session_window_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    description="Session windows with 5-minute gap (F.session_window vs gaps-and-islands oracle)",
+    bench=True,
+)
+def session_window_events(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            big(F.count(F.lit(1))).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
