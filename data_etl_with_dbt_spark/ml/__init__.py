@@ -1,0 +1,7 @@
+from data_etl_with_dbt_spark.ml.pipeline import (  # noqa: F401
+    FEATURE_COLUMNS,
+    extract_training_frame,
+    predict_batch,
+    train_fare_model,
+)
+from data_etl_with_dbt_spark.ml.parse import parse_json_params, parse_nl_trip  # noqa: F401

@@ -1,0 +1,105 @@
+"""ML pipeline parity (reference ``Data-Insights/train.py`` + ``AI.py`` —
+SURVEY.md §3.3): feature extraction from the modeled table, RandomForest
+regression, evaluation, save/load, and batch scoring.
+
+Spark-first: the sklearn single-process fit becomes ``pyspark.ml`` (driver
+coordinates, executors build trees on partitioned data); scoring is
+``model.transform`` — no collect, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.regression import RandomForestRegressionModel, RandomForestRegressor
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Feature order is significant for inference parity (AI.py:13-16).
+FEATURE_COLUMNS = [
+    "trip_distance",
+    "passenger_count",
+    "trip_duration_minutes",
+    "avg_speed_mph",
+    "rate_code_id",
+    "payment_type",
+]
+LABEL_COLUMN = "fare_amount"
+
+
+def extract_training_frame(core: DataFrame, limit: int = 100_000) -> DataFrame:
+    """The reference's extraction query (train.py:26-34): narrow projection,
+    positivity filters, capped size. The LIMIT is an arbitrary subset in the
+    reference too (no ORDER BY) — callers needing determinism sort first."""
+    return (
+        core.where(
+            (F.col(LABEL_COLUMN) > 0)
+            & (F.col("trip_distance") > 0)
+            & (F.col("trip_duration_minutes") > 0)
+        )
+        .select(*FEATURE_COLUMNS, LABEL_COLUMN)
+        .limit(limit)
+    )
+
+
+def train_fare_model(
+    training: DataFrame,
+    num_trees: int = 200,
+    seed: int = 42,
+    test_fraction: float = 0.2,
+):
+    """Train the fare regressor (train.py:40-52): 80/20 split (row-level;
+    exact membership differs from sklearn's index split — assertions belong
+    on sizes/metrics, not row identity), RandomForest(200 trees, seed 42),
+    MSE on the held-out split (the reference computes MSE and mislabels it
+    RMSE — we keep the metric and fix the label).
+
+    Returns (fitted PipelineModel-like tuple, metrics dict).
+    """
+    assembler = VectorAssembler(
+        inputCols=FEATURE_COLUMNS, outputCol="features", handleInvalid="skip"
+    )
+    train_df, test_df = training.randomSplit(
+        [1.0 - test_fraction, test_fraction], seed=seed
+    )
+    rf = RandomForestRegressor(
+        featuresCol="features",
+        labelCol=LABEL_COLUMN,
+        predictionCol="prediction",
+        numTrees=num_trees,
+        seed=seed,
+    )
+    model = rf.fit(assembler.transform(train_df))
+    predictions = model.transform(assembler.transform(test_df))
+    evaluator = RegressionEvaluator(
+        labelCol=LABEL_COLUMN, predictionCol="prediction", metricName="mse"
+    )
+    metrics = {
+        "mse": evaluator.evaluate(predictions),
+        "rmse": evaluator.setMetricName("rmse").evaluate(predictions),
+        "n_train": train_df.count(),
+        "n_test": test_df.count(),
+    }
+    return model, metrics
+
+
+def save_model(model, path: str) -> None:
+    """Model artifact sink (reference S9: joblib.dump → ml writer)."""
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str):
+    return RandomForestRegressionModel.load(path)
+
+
+def predict_batch(model, df: DataFrame, round_to: int = 2) -> DataFrame:
+    """Batch scoring (reference U4/F8): assemble features, transform, round.
+    Distributed end to end — the loaded model ships to executors once."""
+    assembler = VectorAssembler(
+        inputCols=FEATURE_COLUMNS, outputCol="features", handleInvalid="skip"
+    )
+    return (
+        model.transform(assembler.transform(df))
+        .withColumn("predicted_fare", F.round(F.col("prediction"), round_to))
+        .drop("features", "prediction")
+    )

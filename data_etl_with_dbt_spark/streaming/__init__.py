@@ -1,0 +1,8 @@
+from data_etl_with_dbt_spark.streaming.pipeline import (  # noqa: F401
+    read_event_stream,
+    running_user_totals,
+    session_window_stream,
+    sliding_window_stream,
+    streaming_dedup,
+    tumbling_window_stream,
+)

@@ -1,0 +1,128 @@
+"""Structured Streaming pipelines (SURVEY.md §2.10 / §7 phase E).
+
+The reference has no streaming — its closest analogue is chunked batch ingest
+(``ETL/ETL.py:48-54``). These pipelines are the streaming form of the
+engine's batch operators, sharing semantics with the batch-equivalent suite
+queries in ``suite/windows.py`` (tumbling / sliding / session windows) and
+the reference's window dedup (streaming form: watermark-scoped
+``dropDuplicatesWithinWatermark`` — the unbounded-state answer to
+``core_texi``'s full-table dedup, SURVEY.md §7 hard-part #5).
+
+State-scale posture: every aggregation carries a watermark so state is
+bounded and evictable; dedup state is watermark-scoped; the custom stateful
+operator uses ``applyInPandasWithState`` with explicit timeouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """File-source stream over an events directory. New files are discovered
+    per micro-batch — the streaming form of S1/S2 ingestion."""
+    return spark.readStream.format(fmt).schema(EVENT_SCHEMA).load(path)
+
+
+def tumbling_window_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """10-minute tumbling counts/sums per event_type with late-data handling.
+    Batch-equivalent: suite query ``tumbling_window_events``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_window_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Session windows per user (dynamic-length state, closed by watermark).
+    Batch-equivalent: suite query ``session_window_events``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming form of the reference's surrogate-key dedup (W2): md5 key
+    over business columns, exactly-one-row-per-key *within the watermark
+    horizon*. Unbounded key state is the classic streaming-dedup trap —
+    ``dropDuplicatesWithinWatermark`` evicts state past the horizon."""
+    keyed = events.withColumn(
+        "unique_id",
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit("-"), F.col("event_type"))),
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["unique_id"])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total, emitted per micro-batch. The state
+    dict is one row per user — the Arrow-batched Python path, used only
+    because running totals across batches aren't expressible with built-in
+    streaming aggregations in append mode."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

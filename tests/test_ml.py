@@ -1,0 +1,113 @@
+"""ML pipeline tests (SURVEY.md §5.2 item 4): split sizes, finite positive
+predictions, save/load round-trip, metric computed; NL/JSON parsing fixtures
+from FIXTURES.md §4."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.ml.parse import nl_params_expr, parse_json_params, parse_nl_trip
+from data_etl_with_dbt_spark.ml.pipeline import (
+    FEATURE_COLUMNS,
+    extract_training_frame,
+    load_model,
+    predict_batch,
+    save_model,
+    train_fare_model,
+)
+
+
+@pytest.fixture(scope="module")
+def training(spark):
+    # Synthetic taxi-shaped features: fare correlates with distance+duration.
+    n = 2000
+    df = spark.range(n).select(
+        (F.rand(1) * 20 + 0.5).alias("trip_distance"),
+        (F.floor(F.rand(2) * 4) + 1).cast("int").alias("passenger_count"),
+        (F.rand(3) * 50 + 2).alias("trip_duration_minutes"),
+        (F.rand(4) * 30 + 5).alias("avg_speed_mph"),
+        (F.floor(F.rand(5) * 6) + 1).cast("int").alias("rate_code_id"),
+        (F.floor(F.rand(6) * 2) + 1).cast("int").alias("payment_type"),
+    )
+    return df.withColumn(
+        "fare_amount",
+        2.5 + F.col("trip_distance") * 2.0 + F.col("trip_duration_minutes") * 0.35,
+    )
+
+
+def test_extract_training_frame_filters_and_caps(spark, training):
+    bad = training.withColumn("fare_amount", F.lit(-1.0))
+    df = extract_training_frame(training.unionByName(bad), limit=1500)
+    assert df.count() == 1500
+    assert df.columns == FEATURE_COLUMNS + ["fare_amount"]
+    assert df.where("fare_amount <= 0").count() == 0
+
+
+def test_train_eval_save_load_predict(spark, training, tmp_path):
+    model, metrics = train_fare_model(training, num_trees=20, seed=42)
+    assert metrics["n_train"] + metrics["n_test"] == 2000
+    # 80/20 split within a tolerant band
+    assert 0.15 < metrics["n_test"] / 2000 < 0.25
+    assert metrics["mse"] >= 0 and math.isfinite(metrics["mse"])
+    assert metrics["rmse"] == pytest.approx(math.sqrt(metrics["mse"]), rel=1e-9)
+
+    path = str(tmp_path / "fare_model")
+    save_model(model, path)
+    reloaded = load_model(path)
+
+    scored = predict_batch(reloaded, training.limit(50))
+    rows = scored.select("predicted_fare").collect()
+    assert len(rows) == 50
+    assert all(r.predicted_fare > 0 and math.isfinite(r.predicted_fare) for r in rows)
+    # rounding applied (F8): two decimals
+    assert all(abs(r.predicted_fare * 100 - round(r.predicted_fare * 100)) < 1e-6 for r in rows)
+
+
+def test_parse_nl_trip_fixture():
+    p = parse_nl_trip("10 miles, 3 passengers, 20 minutes")
+    assert p["trip_distance"] == 10.0
+    assert p["passenger_count"] == 3
+    assert p["trip_duration_minutes"] == 20.0
+    assert p["avg_speed_mph"] == pytest.approx(30.0)
+
+
+def test_parse_nl_defaults():
+    p = parse_nl_trip("predict fare")
+    assert p["trip_distance"] == 5.0
+    assert p["passenger_count"] == 1
+    assert p["trip_duration_minutes"] == 15.0
+    assert p["avg_speed_mph"] == pytest.approx(20.0)
+
+
+def test_parse_json_and_partial():
+    p = parse_json_params(
+        '{"trip_distance": 10, "passenger_count": 3, "trip_duration_minutes": 20,'
+        ' "avg_speed_mph": 25, "rate_code_id": 1, "payment_type": 1}'
+    )
+    assert p["avg_speed_mph"] == 25
+    partial = parse_json_params('{"trip_distance": 8}')
+    assert partial["trip_distance"] == 8
+    assert partial["passenger_count"] == 1  # default
+
+
+def test_parse_json_rejects_invalid():
+    with pytest.raises(ValueError):
+        parse_json_params('{"trip_distance": -1}')
+
+
+def test_nl_params_expr_matches_python(spark):
+    texts = [
+        "10 miles, 3 passengers, 20 minutes",
+        "predict fare",
+        "2.5 1 5 12 2 2",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(nl_params_expr(F.col("text")).alias("p")).collect()
+    for t, r in zip(texts, rows):
+        expected = parse_nl_trip(t)
+        got = r.p.asDict()
+        for k, v in expected.items():
+            assert got[k] == pytest.approx(v), (t, k)

@@ -1,0 +1,108 @@
+"""Structured Streaming tests: file-source micro-batches into memory sinks,
+each pipeline's output compared against its batch equivalent on the same
+data (the suite's oracle-checked batch queries define the semantics)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.streaming.pipeline import (
+    read_event_stream,
+    running_user_totals,
+    session_window_stream,
+    streaming_dedup,
+    tumbling_window_stream,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # Copy the events fixture through the engine reader so nanos timestamps
+    # are normalized to micros (streaming file source can't read NANOS either).
+    src = tmp_path_factory.mktemp("stream_src")
+    from data_etl_with_dbt_spark.sources.io import read_parquet
+
+    read_parquet(spark, f"{SF_DIR}/events.parquet").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(src / "events"))
+    return str(src / "events")
+
+
+def run_to_memory(stream_df, name, mode="update"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = tumbling_window_stream(read_event_stream(spark, events_dir))
+    run_to_memory(stream, "tumbling", mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.table("tumbling").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "total_value")
+        .collect()
+    )
+    expected = {(r.ws, r.event_type): (r.n, r.total_value) for r in batch}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0]
+        assert got[k][1] == pytest.approx(expected[k][1])
+
+
+def test_session_stream_runs_and_bounds_state(spark, events_dir):
+    stream = session_window_stream(read_event_stream(spark, events_dir))
+    run_to_memory(stream, "sessions", mode="complete")
+    rows = spark.table("sessions").collect()
+    assert len(rows) > 0
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_streaming_dedup_matches_batch_key_set(spark, events_dir):
+    stream = streaming_dedup(read_event_stream(spark, events_dir))
+    run_to_memory(stream, "dedup", mode="append")
+    got = spark.table("dedup")
+    batch_keys = (
+        spark.read.parquet(events_dir)
+        .select(
+            F.md5(
+                F.concat(F.col("user_id").cast("string"), F.lit("-"), F.col("event_type"))
+            ).alias("unique_id")
+        )
+        .distinct()
+        .count()
+    )
+    # single availableNow pass: every distinct key appears exactly once
+    assert got.count() == batch_keys
+    assert got.groupBy("unique_id").count().where("count > 1").count() == 0
+
+
+def test_stateful_running_totals(spark, events_dir):
+    stream = running_user_totals(read_event_stream(spark, events_dir))
+    run_to_memory(stream, "running", mode="update")
+    got = {r.user_id: (r.n_events, r.total_value) for r in spark.table("running").collect()}
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    )
+    for r in batch:
+        n, t = got[r.user_id]
+        assert n == r.n
+        assert t == pytest.approx(r.t)
