@@ -1,0 +1,193 @@
+"""Unit tests for the custom operators on tiny hand-built frames — edge
+cases the suite's fixture queries don't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from data_etl_with_dbt_spark.operators.multimodal import (
+    default_decoder,
+    extract_media_features,
+    frame_sample_stub,
+    to_media_table,
+)
+from data_etl_with_dbt_spark.operators.relational import asof_join
+from data_etl_with_dbt_spark.operators.similarity import brute_force_topk, cosine_similarity
+
+
+TS = lambda m, s=0: dt.datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+
+
+class TestAsofJoin:
+    def make(self, spark):
+        left = spark.createDataFrame(
+            [(1, TS(10), "e1"), (1, TS(20), "e2"), (2, TS(5), "e3"), (3, TS(1), "e4")],
+            "k int, t timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, TS(9), 100.0), (1, TS(10), 110.0), (1, TS(15), 150.0), (2, TS(6), 200.0)],
+            "k int, rt timestamp, px double",
+        )
+        return left, right
+
+    def test_strict_picks_latest_strictly_before(self, spark):
+        left, right = self.make(spark)
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt", right_payload=["px"], strict=True
+        )
+        got = {r.tag: r.px for r in out.collect()}
+        # e1 @10: candidates 9,10 -> strict excludes 10 -> 100.0
+        # e2 @20: latest is 15 -> 150.0; e3 @5: right @6 is later -> None
+        assert got == {"e1": 100.0, "e2": 150.0, "e3": None, "e4": None}
+
+    def test_non_strict_includes_equal_time(self, spark):
+        left, right = self.make(spark)
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt", right_payload=["px"], strict=False
+        )
+        got = {r.tag: r.px for r in out.collect()}
+        assert got["e1"] == 110.0  # equal timestamp now matches
+
+    def test_all_left_rows_preserved(self, spark):
+        left, right = self.make(spark)
+        out = asof_join(left, right, "k", "t", "rt", ["px"])
+        assert out.count() == left.count()
+
+    def test_payload_name_collision_gets_suffix(self, spark):
+        left = spark.createDataFrame([(1, TS(10), 1.0)], "k int, t timestamp, px double")
+        right = spark.createDataFrame([(1, TS(5), 9.0)], "k int, rt timestamp, px double")
+        out = asof_join(left, right, "k", "t", "rt", ["px"])
+        assert set(out.columns) == {"k", "t", "px", "px_right"}
+        row = out.first()
+        assert row.px == 1.0 and row.px_right == 9.0
+
+
+class TestDedup:
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+                (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+                (4, "completely different content about spark engines"),
+                (5, ""),  # empty doc edge case
+            ],
+            "id long, text string",
+        )
+
+    def test_exact_groups_and_dedup(self, spark):
+        d = self.docs(spark)
+        groups = exact_duplicate_groups(d, "id", "text")
+        dup = groups.where("n_docs > 1").collect()
+        assert len(dup) == 1 and dup[0].canonical_id == 1 and dup[0].n_docs == 2
+        kept = dedup_exact(d, "id", "text")
+        assert sorted(r.id for r in kept.collect()) == [1, 3, 4, 5]
+
+    def test_content_hash_is_md5(self, spark):
+        d = self.docs(spark)
+        row = exact_duplicate_groups(d, "id", "text").where("canonical_id = 4").first()
+        expected = hashlib.md5(b"completely different content about spark engines").hexdigest()
+        assert row.content_hash == expected
+
+    def test_minhash_finds_exact_and_near_dup(self, spark):
+        pairs = minhash_lsh_pairs(self.docs(spark), "id", "text", 32, 8, 3, threshold=0.5)
+        got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+        assert got[(1, 2)] == pytest.approx(1.0)  # exact dup always survives
+        assert (1, 4) not in got and (2, 4) not in got
+
+    def test_ngram_jaccard_exact_values(self, spark):
+        pairs = ngram_jaccard_pairs(self.docs(spark), "id", "text", n=2, threshold=0.1)
+        got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+        assert got[(1, 2)] == pytest.approx(1.0)
+        # docs 1 and 3: 8 distinct bigrams each, 7 shared, union 9: J = 7/9
+        assert got[(1, 3)] == pytest.approx(7 / 9)
+
+    def test_simhash_identical_docs_equal_fingerprints(self, spark):
+        fps = {r.id: r.simhash for r in simhash(self.docs(spark), "id", "text").collect()}
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[4]
+
+    def test_simhash_near_pairs_contains_exact_dup(self, spark):
+        pairs = simhash_near_pairs(self.docs(spark), "id", "text", 32, max_hamming=3)
+        got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+        assert got[(1, 2)] == 0
+
+
+class TestSimilarity:
+    def test_cosine_known_values(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0]), ([1.0, 0.0], [-1.0, 0.0])],
+            "a array<double>, b array<double>",
+        )
+        vals = [r.c for r in df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()]
+        assert vals[0] == pytest.approx(0.0)
+        assert vals[1] == pytest.approx(1.0)
+        assert vals[2] == pytest.approx(-1.0)
+
+    def test_brute_force_topk_ranks_and_k(self, spark):
+        corpus = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<double>"
+        )
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+        )
+        out = brute_force_topk(corpus, queries, k=5).collect()
+        assert len(out) == 5
+        # cosine with [1,0] increases with i for [i, 1] vectors
+        assert [r.vec_id for r in out] == [19, 18, 17, 16, 15]
+
+
+class TestMultimodal:
+    def test_media_table_schema_and_features(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "hello world", "src0"), (2, "", "src1")], "doc_id long, text string, source string"
+        )
+        media = to_media_table(docs, "doc_id", "text", mime="text/plain", source_col="source")
+        assert [f.name for f in media.schema.fields] == ["media_id", "content", "meta"]
+        feats = {r.media_id: r for r in extract_media_features(media).collect()}
+        assert feats[1].n_bytes == 11
+        assert feats[1].head_hex == "hello wo".encode().hex()
+        assert feats[2].n_bytes == 0
+        assert feats[1].feature is None  # decode stubbed
+
+    def test_injected_decoder_runs_in_arrow_batches(self, spark):
+        docs = spark.createDataFrame([(1, "abc", "s")], "doc_id long, text string, source string")
+        media = to_media_table(docs, "doc_id", "text", "text/plain", "source")
+        fake = lambda content, mime: [float(len(content)), 1.0]  # noqa: E731
+        row = extract_media_features(media, decoder=fake).first()
+        assert row.feature == [3.0, 1.0]
+
+    def test_default_decoder_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            default_decoder(b"x", "image/png")
+
+    def test_frame_sampling_explodes_rows(self, spark):
+        docs = spark.createDataFrame([(1, "x" * 25, "s")], "doc_id long, text string, source string")
+        media = to_media_table(docs, "doc_id", "text", "video/mp4", "source")
+        frames = frame_sample_stub(media, every_n=10).collect()
+        assert [r.frame_no for r in frames] == [0, 1]
+
+
+class TestIngest:
+    def test_ingest_csv_row_cap_and_overwrite(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.ingest import ingest_csv
+
+        p = tmp_path / "in.csv"
+        p.write_text("a,b\n" + "\n".join(f"{i},{i*2}" for i in range(100)))
+        out = ingest_csv(spark, str(p), "ingest_test", row_cap=13)
+        assert out.count() == 13
+        out2 = ingest_csv(spark, str(p), "ingest_test")  # overwrite, no cap
+        assert out2.count() == 100
+        spark.sql("DROP TABLE ingest_test")

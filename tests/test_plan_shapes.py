@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the 100 TB posture is only real if the
+plans keep their shape — filters reaching the scan, dimensions broadcast,
+partial aggregation before the exchange, top-k without a global sort, and no
+Python evaluation in JVM-only pipelines. `.explain` output is asserted the
+same way the values are oracle-checked."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_etl_with_dbt_spark.suite import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_partial_aggregation_and_pushdown(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "l_shipdate" in plan.split("FileScan")[1]  # filter reached the scan
+    assert "Batched: true" in plan  # vectorized parquet reader
+    # column pruning: unread columns must not appear in the scan schema
+    scan = plan.split("FileScan parquet ")[1].split("]")[0]
+    assert "l_orderkey" not in scan and "l_suppkey" not in scan
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "c_mktsegment" in plan  # segment filter pushed into customer scan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global Sort
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort stage
+
+
+def test_ml_extraction_pushes_filters_and_prunes(spark):
+    plan = plan_of(spark, "ml_feature_extraction")
+    scan = plan.split("FileScan parquet ")[1]
+    assert "l_quantity" in scan.split("]")[0]
+    assert "l_returnflag" not in scan.split("]")[0]
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan or "l_quantity" in plan.split("DataFilters")[1]
+
+
+def test_relational_queries_have_no_python_eval(spark):
+    """Every relational/window/dq query must stay JVM-side — a Python UDF in
+    these paths would serialize every row through the worker."""
+    jvm_only = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "window_customer_orders", "asof_error_to_click", "core_transform_events",
+        "dedup_exact_groups", "text_quality_stats", "ann_cosine_topk",
+        "tumbling_window_events", "session_window_events",
+    ]
+    for name in jvm_only:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_dq_relationships_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "dq_relationships_violations")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    plan = plan_of(spark, "join_semi_anti")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
