@@ -1,13 +1,15 @@
 """Relational operators Spark lacks as single primitives.
 
 The reference has no joins at all (SURVEY.md §2.3) — this module exists for
-the extended surface: as-of joins for time-series enrichment, expressed the
-scale-friendly way.
+the extended surface: as-of joins for time-series enrichment and skew
+mitigation (salting), expressed the scale-friendly way.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -66,3 +68,63 @@ def asof_join(
     )
     out_payload = [f"{c}{suffix}" if c in lcols else c for c in right_payload]
     return carried.where(F.col("__side") == marker).select(*lcols, *out_payload)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_source: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-stage aggregation for skewed grouping keys.
+
+    A hot key concentrates its rows in one reducer; salting spreads them over
+    ``salt_buckets`` partial groups, then merges. Only algebraic aggregates
+    compose (sum→sum, count→sum, min→min, max→max), which ``aggs`` encodes as
+    ``{out_col: (agg_fn, in_col)}``.
+
+    The salt is deterministic (hash of ``salt_source`` or all columns), so
+    the operator stays replayable — ``F.rand()`` salts break retry/speculative
+    execution semantics.
+
+    AQE's skew-join handling covers *joins*; aggregation skew still needs
+    this pattern when a single group exceeds one task's memory.
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for name, (fn, _c) in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"{name}: '{fn}' is not algebraic; salting cannot merge it")
+
+    salt_col = F.pmod(F.xxhash64(*(salt_source or df.columns)), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("__salt", salt_col)
+        .groupBy(*keys, "__salt")
+        .agg(*[first_fn[fn](c).alias(name) for name, (fn, c) in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge_fn[fn](name).alias(name) for name, (fn, _c) in aggs.items()]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) left side with a
+    deterministic bucket and explode the (smaller) right side across all
+    buckets, so one hot key's rows land on ``salt_buckets`` reducers instead
+    of one. Prefer AQE's automatic skew handling; use this when a single key
+    is so hot that even split shuffle blocks overwhelm a task."""
+    salted_left = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt_buckets)).cast("int")
+    )
+    replicated_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_left.join(replicated_right, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

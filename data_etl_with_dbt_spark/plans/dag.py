@@ -121,7 +121,10 @@ class ModelRegistry:
         'table' → Parquet ``saveAsTable`` overwrite (the reference's
         full-refresh CTAS, ``raw_texi.sql:3``); 'view' → session temp view;
         'ephemeral' → kept only in the run cache (Catalyst inlines it into
-        downstream plans, mirroring dbt ephemeral CTE inlining).
+        downstream plans, mirroring dbt ephemeral CTE inlining);
+        'incremental' → append only rows whose ``unique_key`` isn't already
+        present (dbt incremental with the append+dedupe strategy) — first
+        run behaves like 'table'.
         """
         out: dict[str, DataFrame] = {}
         for name in self.topo_order():
@@ -132,11 +135,28 @@ class ModelRegistry:
             if spec.materialized == "table":
                 df.write.mode("overwrite").format("parquet").saveAsTable(name)
                 df = spark.table(name)
+            elif spec.materialized == "incremental":
+                df = self._materialize_incremental(spark, spec, df)
             elif spec.materialized == "view":
                 df.createOrReplaceTempView(name)
             self._cache[name] = df
             out[name] = df
         return out
+
+    def _materialize_incremental(self, spark: SparkSession, spec: ModelSpec, df: DataFrame) -> DataFrame:
+        """Append-new-keys incremental load: an anti join of the fresh build
+        against existing keys. The key projection (not full rows) is what
+        joins — at scale the existing side is a column-pruned scan of just
+        the unique_key, broadcast when small."""
+        if not spec.unique_key:
+            raise ValueError(f"incremental model {spec.name} requires unique_key")
+        if spark.catalog.tableExists(spec.name):
+            existing_keys = spark.table(spec.name).select(spec.unique_key)
+            fresh = df.join(existing_keys, on=spec.unique_key, how="left_anti")
+            fresh.write.mode("append").format("parquet").saveAsTable(spec.name)
+        else:
+            df.write.mode("overwrite").format("parquet").saveAsTable(spec.name)
+        return spark.table(spec.name)
 
     def _is_upstream_of_any(self, name: str, targets: list[str]) -> bool:
         seen: set[str] = set()
