@@ -133,7 +133,9 @@ class ModelRegistry:
             spec = self._models[name]
             df = spec.fn(RunContext(self, spark, name))
             if spec.materialized == "table":
-                df.write.mode("overwrite").format("parquet").saveAsTable(name)
+                from data_etl_with_dbt_spark.sources.io import write_table
+
+                write_table(df, name, mode="overwrite")
                 df = spark.table(name)
             elif spec.materialized == "incremental":
                 df = self._materialize_incremental(spark, spec, df)
@@ -150,12 +152,14 @@ class ModelRegistry:
         the unique_key, broadcast when small."""
         if not spec.unique_key:
             raise ValueError(f"incremental model {spec.name} requires unique_key")
+        from data_etl_with_dbt_spark.sources.io import write_table
+
         if spark.catalog.tableExists(spec.name):
             existing_keys = spark.table(spec.name).select(spec.unique_key)
             fresh = df.join(existing_keys, on=spec.unique_key, how="left_anti")
             fresh.write.mode("append").format("parquet").saveAsTable(spec.name)
         else:
-            df.write.mode("overwrite").format("parquet").saveAsTable(spec.name)
+            write_table(df, spec.name, mode="overwrite")
         return spark.table(spec.name)
 
     def _is_upstream_of_any(self, name: str, targets: list[str]) -> bool:

@@ -113,6 +113,12 @@ def write_table(
     truncate-then-append and CTAS patterns both collapse into
     ``mode='overwrite'``). ``partition_by`` → directory partition pruning;
     ``bucket_by`` → shuffle-free co-located joins on the bucket keys."""
+    if mode == "overwrite":
+        # An orphaned warehouse directory (table written by a previous
+        # session, absent from this session's in-memory catalog) makes
+        # saveAsTable fail with LOCATION_ALREADY_EXISTS — which would break
+        # the truncate-and-reload idempotency this writer promises. Clear it.
+        _drop_orphaned_location(df.sparkSession, name)
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -120,6 +126,23 @@ def write_table(
         n, cols = bucket_by
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(name)
+
+
+def _drop_orphaned_location(spark: SparkSession, name: str) -> None:
+    """Delete a managed-table directory that exists on disk but has no
+    catalog entry in this session (only then — a cataloged table is left for
+    the writer's own overwrite handling)."""
+    if spark.catalog.tableExists(name):
+        return
+    try:
+        jvm = spark._jvm
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(warehouse, name.lower())
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+    except Exception:
+        pass  # best effort; saveAsTable surfaces the real error if any
 
 
 def load_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:

@@ -200,3 +200,51 @@ def scalar_regexp_gallery(spark, sf_dir):
         big(F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0))).alias("n_numbers"),
         big(F.size(F.split(F.col("text"), " ", -1))).alias("n_space_parts"),
     )
+
+
+@query(
+    "explode_word_counts",
+    oracle="""
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+    description="Array explode (UNNEST) + aggregation over generated rows",
+)
+def explode_word_counts(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_type", " ", -1)).alias("word"))
+        .groupBy("word")
+        .agg(big(F.count(F.lit(1))).alias("n"))
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nk FROM supplier
+    )
+    """,
+    description="EXCEPT ALL multiset semantics (duplicates preserved by count difference)",
+)
+def set_except_all(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return cust.exceptAll(supp)
+
+
+@query(
+    "approx_aggregates",
+    oracle=None,  # sketch-based: HLL/quantile-digest internals differ across engines by design
+    description="approx_count_distinct (HyperLogLog++) + percentile_approx — the sketch family for 100 TB cardinality/quantile work",
+)
+def approx_aggregates(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        big(F.approx_count_distinct("l_partkey")).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_quantiles"),
+    )
