@@ -212,3 +212,33 @@ def ml_feature_extraction(spark, sf_dir):
         .orderBy("l_orderkey", "l_linenumber")
         .limit(1000)
     )
+
+
+@query(
+    "surrogate_keys_events",
+    oracle="""
+    SELECT
+        event_id,
+        md5(concat(
+            coalesce(CAST(user_id AS VARCHAR), ''), '-',
+            coalesce(CAST(ts AS VARCHAR), ''), '-',
+            coalesce(event_type, ''), '-',
+            coalesce(CASE WHEN value = trunc(value) AND abs(value) < 1e15
+                          THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+                          ELSE CAST(value AS VARCHAR) END, '')
+        )) AS unique_id
+    FROM events
+    """,
+    description="PG-compat md5 surrogate key over int/timestamp/string/double columns — the byte-exact rendering hazard (SURVEY §7 #1: NULL-as-empty concat, integral doubles render without fraction)",
+)
+def surrogate_keys_events(spark, sf_dir):
+    """Exercises functions/pg_compat.surrogate_key against an oracle that
+    spells out PostgreSQL's text renderings (cited hazards:
+    core_texi.sql:10-31 via SURVEY §2.9 F1/F2)."""
+    from data_etl_with_dbt_spark.functions.pg_compat import surrogate_key
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        surrogate_key(ev.schema, ["user_id", "ts", "event_type", "value"]).alias("unique_id"),
+    )
