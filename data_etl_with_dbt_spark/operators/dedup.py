@@ -192,25 +192,42 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.7
 ) -> DataFrame:
-    """Brute-force n-gram Jaccard over all pairs — the exact baseline the LSH
-    path approximates. Quadratic: keep for oracle verification and small
-    corpora; the scale path is :func:`minhash_lsh_pairs`."""
+    """EXACT n-gram-Jaccard pairs via an inverted-index similarity join
+    (the distributed all-pairs algorithm, not the |docs|^2 cross join):
+
+    1. explode (doc, gram) postings,
+    2. self-join on gram — only co-occurring pairs materialize — with the
+       size filter ``min(|A|,|B|) >= t*max(|A|,|B|)`` (J <= min/max, so
+       incompatible sizes prune before counting),
+    3. count shared grams per pair (codegen'd hash aggregation, no
+       interpreted array ops), then ``J = shared / (|A|+|B|-shared)``.
+
+    Same relation as the naive spelling (the DuckDB oracle computes it that
+    way), but the pair space is bounded by gram co-occurrence: the naive
+    cross join took >400 s at sf0.1 on interpreted array_intersect; this
+    shape is a hash join + count. Exact companion to the approximate
+    :func:`minhash_lsh_pairs`."""
     sh = df.select(
-        F.col(id_col), _shingles(_tokens(F.col(text_col)), n).alias("sh")
-    )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
+        F.col(id_col).alias("id"),
+        _shingles(_tokens(F.col(text_col)), n).alias("grams"),
+    ).select("id", "grams", F.size("grams").alias("sz"))
+
+    posts = sh.select("id", "sz", F.explode("grams").alias("g"))
+    a = posts.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+    b = posts.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+    shared = (
+        a.join(
+            b,
+            (a.g == b.g)
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b")),
         )
-        .where(F.col("jaccard") >= threshold)
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jaccard = F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    return shared.select("id_a", "id_b", jaccard.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
 
 
