@@ -269,3 +269,87 @@ def session_window_events(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "window_analytics_extended",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="Analytic window family: first/last/nth_value, ntile, percent_rank, cume_dist",
+)
+def window_analytics_extended(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+        big(F.ntile(4).over(w)).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "calendar_spine_gap_fill",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH
+        )) AS month_start
+    ), monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month_start,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT spine.month_start,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN monthly ON spine.month_start = monthly.month_start
+    """,
+    description="Calendar-spine gap filling: generated month series left-joined to monthly aggregates (time-series densification)",
+)
+def calendar_spine_gap_fill(spark, sf_dir):
+    spine = spark.sql(
+        """
+        SELECT explode(sequence(
+            TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH
+        )) AS month_start
+        """
+    )
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month_start"))
+        .agg(
+            big(F.count(F.lit(1))).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    return (
+        spine.join(monthly, "month_start", "left")
+        .select(
+            "month_start",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
