@@ -1,13 +1,20 @@
-from data_etl_with_dbt_spark.operators.relational import asof_join  # noqa: F401
+from data_etl_with_dbt_spark.operators.relational import (  # noqa: F401
+    asof_join,
+    salted_agg,
+    salted_join,
+)
 from data_etl_with_dbt_spark.operators.dedup import (  # noqa: F401
     dedup_exact,
     exact_duplicate_groups,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
 )
 from data_etl_with_dbt_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     cosine_similarity,
+    embedding_near_dup_pairs,
     lsh_bucketed_topk,
 )
 from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401

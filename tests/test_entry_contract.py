@@ -1,0 +1,60 @@
+"""Sanity checks on the driver contract adapter (__spark_entry__)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_oracles_are_subset_of_queries(entry_mod):
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 50
+    assert len(osql) >= 35
+
+
+def test_every_oracle_parses_in_duckdb(entry_mod):
+    """The driver registers the fixture tables as views; every oracle must at
+    least bind and plan against that catalog."""
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name, sql in entry_mod.oracle_sql().items():
+        con.execute(f"EXPLAIN {sql}")  # raises on syntax/binding errors
+
+
+def test_entry_runs(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) >= 5
+
+
+def test_rows_only_queries_are_the_approximate_family(entry_mod):
+    from data_etl_with_dbt_spark.suite import QUERIES
+
+    rows_only = {n for n, q in QUERIES.items() if not q.oracle}
+    assert rows_only == {
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "ann_lsh_topk",
+        "embedding_near_dup",
+        "approx_aggregates",
+    }

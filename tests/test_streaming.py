@@ -106,3 +106,32 @@ def test_stateful_running_totals(spark, events_dir):
         n, t = got[r.user_id]
         assert n == r.n
         assert t == pytest.approx(r.t)
+
+
+def test_stream_to_incremental_table(spark, events_dir, tmp_path):
+    """Two micro-batch passes over overlapping data: the incremental table
+    must contain each key exactly once (checkpoint + idempotent merge)."""
+    from data_etl_with_dbt_spark.streaming.ingest import stream_to_incremental_table
+
+    keyed = read_event_stream(spark, events_dir).withColumn(
+        "unique_id",
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit("-"), F.col("event_type"))),
+    )
+    try:
+        q = stream_to_incremental_table(
+            keyed, "events_inc", "unique_id", str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        n1 = spark.table("events_inc").count()
+
+        # second query instance, fresh checkpoint, same files → all replayed,
+        # merge must add nothing
+        q2 = stream_to_incremental_table(
+            keyed, "events_inc", "unique_id", str(tmp_path / "ckpt2")
+        )
+        q2.awaitTermination(120)
+        n2 = spark.table("events_inc").count()
+        assert n1 == n2
+        assert spark.table("events_inc").groupBy("unique_id").count().where("count > 1").count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_inc")
