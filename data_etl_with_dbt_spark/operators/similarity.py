@@ -19,6 +19,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -63,6 +64,71 @@ def brute_force_topk(
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Arrow-vectorized exact top-k: numpy matmul per partition via
+    ``mapInPandas``, followed by a global top-k merge.
+
+    This is the *scale* form of :func:`brute_force_topk`: the JVM
+    ``aggregate`` fold is sequential per row (bit-exact, oracle-friendly);
+    BLAS matmul does the same work orders of magnitude faster per batch and
+    is the right hot path when the corpus is billions of vectors. Each
+    partition emits only its local top-k per query (k rows, not |partition|),
+    so the merge shuffles k x partitions x queries rows.
+
+    Float note: BLAS accumulates in a different order than a sequential
+    fold — results agree to ~1e-12 relative, not bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()  # few probe vectors
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_norm.T  # (batch, n_queries)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                top = np.argsort(-col, kind="stable")[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {query_id_col: qid, id_col: ids[top], "cosine": col[top]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    local_topk = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        local_topk.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )

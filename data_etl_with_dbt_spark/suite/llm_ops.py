@@ -319,3 +319,18 @@ def multimodal_byte_features(spark, sf_dir):
     )
     feats = extract_media_features(media, decoder=None)
     return feats.select("media_id", big(F.col("n_bytes")).alias("n_bytes"), "head_hex")
+
+
+@query(
+    "ann_cosine_topk_arrow",
+    oracle=None,  # BLAS accumulation order != sequential fold: ~1e-12 agreement, not bit-exact
+    description="Arrow/numpy-vectorized exact top-10 (mapInPandas matmul, per-partition top-k merge) — the billion-vector hot path; agrees with ann_cosine_topk to 1e-9 (asserted in tests)",
+)
+def ann_cosine_topk_arrow(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return S.brute_force_topk_arrow(
+        emb, queries, id_col="vec_id", vec_col="embedding", query_id_col="query_id", k=10
+    )

@@ -191,3 +191,27 @@ class TestIngest:
         out2 = ingest_csv(spark, str(p), "ingest_test")  # overwrite, no cap
         assert out2.count() == 100
         spark.sql("DROP TABLE ingest_test")
+
+
+class TestArrowANN:
+    def test_arrow_topk_agrees_with_jvm_fold(self, spark):
+        from data_etl_with_dbt_spark.operators.similarity import (
+            brute_force_topk,
+            brute_force_topk_arrow,
+        )
+        from data_etl_with_dbt_spark.sources.io import read_parquet
+        from tests.conftest import SF_DIR
+
+        emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+        from pyspark.sql import functions as F
+
+        qs = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        jvm = brute_force_topk(emb, qs, k=10).collect()
+        arrow = brute_force_topk_arrow(emb, qs, k=10).collect()
+        jvm_m = {(r.query_id, r.vec_id): r.cosine for r in jvm}
+        arrow_m = {(r.query_id, r.vec_id): r.cosine for r in arrow}
+        assert set(jvm_m) == set(arrow_m)  # identical top-k membership
+        for key in jvm_m:
+            assert arrow_m[key] == pytest.approx(jvm_m[key], abs=1e-9)
