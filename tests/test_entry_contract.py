@@ -59,3 +59,23 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "embedding_near_dup",
         "approx_aggregates",
     }
+
+
+def test_queries_survive_hostile_session_conf(spark, duck, entry_mod):
+    """The driver owns the SparkSession; the adapter must repair semantics
+    at runtime. Simulate a hostile session (ANSI on, non-UTC timezone) and
+    check a timestamp- and cast-sensitive query still matches its oracle."""
+    from tests.test_oracle_parity import assert_frames_match
+
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        name = "core_transform_events"
+        got = entry_mod.queries()[name](spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")).toPandas()
+        want = duck.execute(entry_mod.oracle_sql()[name]).df()
+        assert_frames_match(got, want, name)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old_ansi)
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -69,3 +69,18 @@ def test_dq_relationships_is_broadcast_anti_join(spark):
 def test_semi_anti_join_strategies(spark):
     plan = plan_of(spark, "join_semi_anti")
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_bench_queries_single_shuffle(spark):
+    """Every headline query needs at most ONE shuffle exchange (dims
+    broadcast; aggregations partial+final around a single exchange). A
+    second shuffle appearing here is a plan regression that multiplies at
+    100 TB."""
+    import re
+
+    for name, q in QUERIES.items():
+        if not q.bench or name == "dedup_minhash_lsh":  # LSH: sig->band->verify stages
+            continue
+        plan = plan_of(spark, name)
+        n = len(re.findall(r"Exchange (hash|range)partitioning|Exchange SinglePartition", plan))
+        assert n <= 1, f"{name} has {n} shuffles"
