@@ -314,3 +314,53 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    similarity-pair graph, labeling every document with the minimum id of
+    its component (itself when isolated). This is the step after pair
+    generation in a real dedup pipeline — keep one canonical doc per
+    cluster, not per pair.
+
+    Iterative min-label propagation (Pregel-style, driver-coordinated
+    rounds): each round joins labels across edges and takes the min;
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow, so a handful. ``localCheckpoint`` truncates the lineage each
+    round (the classic iterative-algorithm trap: an uncheckpointed loop
+    builds an exponentially deep plan).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = docs.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.select(F.col("id").alias("dst"), F.col("label").alias("nlabel")), "dst")
+            .groupBy("src")
+            .agg(F.min("nlabel").alias("minn"))
+            .select(F.col("src").alias("id"), "minn")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("minn", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -334,3 +334,48 @@ def ann_cosine_topk_arrow(spark, sf_dir):
     return S.brute_force_topk_arrow(
         emb, queries, id_col="vec_id", vec_col="embedding", query_id_col="query_id", k=10
     )
+
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(t) - 1, 1) + 1),
+                   i -> array_to_string(t[i:i+1], ' ')
+               )
+           ) AS grams
+    FROM toks
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+), sym AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS d FROM pairs
+), reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id
+)
+SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+@query(
+    "dedup_cluster_assignment",
+    oracle=_CLUSTER_ORACLE,
+    description="Near-dup cluster assignment: connected components over the bigram-Jaccard>=0.5 graph (iterative min-label propagation vs recursive-CTE oracle) — the canonical-document step of a dedup pipeline",
+)
+def dedup_cluster_assignment(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+    clusters = D.dedup_clusters(docs, "doc_id", pairs)
+    return clusters.select(big(F.col("doc_id")).alias("doc_id"), big(F.col("cluster_id")).alias("cluster_id"))

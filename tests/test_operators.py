@@ -215,3 +215,27 @@ class TestArrowANN:
         assert set(jvm_m) == set(arrow_m)  # identical top-k membership
         for key in jvm_m:
             assert arrow_m[key] == pytest.approx(jvm_m[key], abs=1e-9)
+
+
+class TestDedupClusters:
+    def test_components_with_isolated_nodes(self, spark):
+        from data_etl_with_dbt_spark.operators.dedup import dedup_clusters
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+        # components: {1,2,3} (chain), {4,5}, isolated {6}, {7}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        got = {r.id: r.cluster_id for r in dedup_clusters(docs, "id", pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+    def test_long_chain_converges(self, spark):
+        from data_etl_with_dbt_spark.operators.dedup import dedup_clusters
+
+        n = 12  # diameter > a couple of rounds
+        docs = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        got = {r.id: r.cluster_id for r in dedup_clusters(docs, "id", pairs).collect()}
+        assert set(got.values()) == {0}
