@@ -353,3 +353,27 @@ def calendar_spine_gap_fill(spark, sf_dir):
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         )
     )
+
+
+@query(
+    "json_schema_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+    description="Typed JSON parsing (from_json with an explicit schema; missing keys null) — SURVEY §2.9 F10",
+)
+def json_schema_parse(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("missing", T.StringType())]
+    )
+    parsed = F.from_json("props", schema)
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", parsed.alias("p"))
+        .select("event_id", F.col("p.k").alias("k"), F.col("p.missing").alias("missing"))
+    )

@@ -80,3 +80,18 @@ def test_epoch_seconds_fractional(spark):
     )
     row = df.select(epoch_seconds("b", "a").alias("s")).first()
     assert row.s == 59.5  # unix_timestamp() would have truncated to 60-0=60... wrong
+
+
+def test_non_ansi_cast_nulls_malformed_input(spark):
+    """Engine semantics decision (SURVEY §1.3 / session.py): PG raises on
+    malformed casts, Spark non-ANSI nulls them — we pin null-on-error and
+    let data-quality tests catch the rows."""
+    df = spark.createDataFrame([("12", "oops", "3.5x")], "a string, b string, c string")
+    row = df.select(
+        F.col("a").cast("int").alias("a"),
+        F.col("b").cast("int").alias("b"),
+        F.col("c").cast("double").alias("c"),
+    ).first()
+    assert row.a == 12
+    assert row.b is None
+    assert row.c is None
