@@ -75,3 +75,20 @@ def test_rows_only_queries_run(spark, name):
     df = q.fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_harness_detects_value_mismatch(spark, duck):
+    """Meta-test: the comparator must actually fail on wrong values — guards
+    against a vacuous canonicalization."""
+    from tests.conftest import SF_DIR
+
+    q = QUERIES["q1_pricing_summary"]
+    spark_pdf = q.fn(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(q.oracle).df()
+    tampered = spark_pdf.copy()
+    tampered.loc[0, "sum_qty"] = tampered.loc[0, "sum_qty"] + 1.0
+    with pytest.raises(AssertionError):
+        assert_frames_match(tampered, duck_pdf, "tampered")
+    dropped = spark_pdf.iloc[1:].reset_index(drop=True)
+    with pytest.raises(AssertionError):
+        assert_frames_match(dropped, duck_pdf, "dropped-row")
