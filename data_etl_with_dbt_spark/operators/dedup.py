@@ -118,13 +118,23 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle: int = 3,
     threshold: float = 0.7,
+    shuffle_parallelism: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
     LSH generates candidates (docs sharing any band bucket); the verify stage
     computes true shingle-set Jaccard on candidates only. Output:
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    ``shuffle_parallelism``: repartition the corpus before the per-document
+    signature fold. A single-row-group parquet input is unsplittable (one
+    task does all the CPU-bound shingling no matter the conf); one small
+    shuffle of the text unlocks full parallelism. Leave None when the input
+    already has enough splits (any real-scale table does) — a full-corpus
+    shuffle at 100 TB is not a warm-up you want.
     """
+    if shuffle_parallelism:
+        df = df.repartition(shuffle_parallelism, F.col(id_col))
     rows_per_band = num_hashes // bands
     # Persist signatures: the banding stage references the signature 8x and
     # projection collapse would otherwise inline (and re-run) the whole

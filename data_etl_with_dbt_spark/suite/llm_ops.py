@@ -85,6 +85,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text",
         num_hashes=32, bands=8, shingle=3, threshold=0.5,
+        # the fixture is a single row group — unsplittable without this
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
