@@ -200,7 +200,12 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.7
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.7,
+    shuffle_parallelism: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard pairs via an inverted-index similarity join
     (the distributed all-pairs algorithm, not the |docs|^2 cross join):
@@ -216,7 +221,12 @@ def ngram_jaccard_pairs(
     way), but the pair space is bounded by gram co-occurrence: the naive
     cross join took >400 s at sf0.1 on interpreted array_intersect; this
     shape is a hash join + count. Exact companion to the approximate
-    :func:`minhash_lsh_pairs`."""
+    :func:`minhash_lsh_pairs`.
+
+    ``shuffle_parallelism``: as in :func:`minhash_lsh_pairs` — repartition
+    before shingling when the input is a single unsplittable row group."""
+    if shuffle_parallelism:
+        df = df.repartition(shuffle_parallelism, F.col(id_col))
     sh = df.select(
         F.col(id_col).alias("id"),
         _shingles(_tokens(F.col(text_col)), n).alias("grams"),

@@ -66,7 +66,8 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
     pairs = D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.5
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.5,
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
     )
     return pairs.select(
         big(F.col("id_a")).alias("id_a"),
@@ -378,6 +379,9 @@ FROM reach GROUP BY id
 )
 def dedup_cluster_assignment(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.5,
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
+    )
     clusters = D.dedup_clusters(docs, "doc_id", pairs)
     return clusters.select(big(F.col("doc_id")).alias("doc_id"), big(F.col("cluster_id")).alias("cluster_id"))
