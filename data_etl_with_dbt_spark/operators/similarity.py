@@ -236,3 +236,73 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: KMeans over the corpus embeddings; returns
+    (model, corpus-with-__cell). At production scale you'd train on a sample
+    and persist the assigned table partitioned by cell — probing then reads
+    only the probed cells' files (partition pruning on __cell)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn(
+        "__vec", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__vec", predictionCol="__cell"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("__vec")
+    return model, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to KMeans cells, probe each
+    query's ``n_probe`` nearest cells, exact cosine within the probed cells
+    only. Same plan shape as :func:`lsh_bucketed_topk` (broadcast probes,
+    bucket join, per-query top-k) with a *learned* quantizer — scan cost
+    drops to ~n_probe/n_cells of the corpus, recall governed by n_probe."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    model, assigned = ivf_index(corpus, id_col, vec_col, n_cells, seed)
+    centroids = np.asarray([c for c in model.clusterCenters()])
+
+    q_rows = queries.select(query_id_col, vec_col).collect()  # few probes
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((r[0], list(r[1]), int(cell)))
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, __qvec array<float>, __cell int"
+    )
+
+    scored = assigned.join(F.broadcast(probes), "__cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

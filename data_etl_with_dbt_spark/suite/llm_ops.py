@@ -385,3 +385,19 @@ def dedup_cluster_assignment(spark, sf_dir):
     )
     clusters = D.dedup_clusters(docs, "doc_id", pairs)
     return clusters.select(big(F.col("doc_id")).alias("doc_id"), big(F.col("cluster_id")).alias("cluster_id"))
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=None,  # approximate: probes n_probe/n_cells of the corpus by design
+    description="IVF ANN: KMeans coarse quantizer, probe 4/16 cells, exact cosine within probed cells — the learned-quantizer scale path (recall vs ann_cosine_topk asserted in tests)",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return S.ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=10, n_cells=16, n_probe=4, seed=42,
+    )

@@ -55,6 +55,7 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "ann_cosine_topk_arrow",  # BLAS accumulation: 1e-12 agreement, not bit-exact
         "embedding_near_dup",
         "approx_aggregates",

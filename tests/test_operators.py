@@ -239,3 +239,50 @@ class TestDedupClusters:
         )
         got = {r.id: r.cluster_id for r in dedup_clusters(docs, "id", pairs).collect()}
         assert set(got.values()) == {0}
+
+
+class TestIVF:
+    def test_ivf_topk_finds_self_and_bounds(self, spark):
+        from data_etl_with_dbt_spark.operators.similarity import ivf_topk
+        from data_etl_with_dbt_spark.sources.io import read_parquet
+        from tests.conftest import SF_DIR
+
+        emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        out = ivf_topk(emb, qs, k=5, n_cells=8, n_probe=2)
+        rows = out.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for qid, rs in by_q.items():
+            assert len(rs) <= 5
+            assert all(-1.0001 <= r.cosine <= 1.0001 for r in rs)
+            # the query vector is in the corpus; its own cell is always probed
+            top = max(rs, key=lambda r: r.cosine)
+            assert top.vec_id == qid and top.cosine == pytest.approx(1.0)
+
+    def test_ivf_recall_reasonable(self, spark):
+        from data_etl_with_dbt_spark.operators.similarity import brute_force_topk, ivf_topk
+        from data_etl_with_dbt_spark.sources.io import read_parquet
+        from tests.conftest import SF_DIR
+
+        emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        exact = brute_force_topk(emb, qs, k=10).collect()
+        approx = ivf_topk(emb, qs, k=10, n_cells=8, n_probe=4).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        recalls = [
+            len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        # probing half the cells of random-ish data: recall must beat random
+        assert sum(recalls) / len(recalls) >= 0.3
