@@ -126,3 +126,42 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def error_click_attribution_stream(
+    events: DataFrame, max_lag: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: attribute each error to click events by the
+    same user within the preceding ``max_lag`` window — the streaming form of
+    the batch as-of/attribution join.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both ends, so the state store can evict rows once the watermark passes —
+    the required shape for an unbounded stream-stream join (an unbounded
+    condition would grow state forever).
+    """
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return errors.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") < F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select("error_id", "user_id", "error_ts", "click_id", "click_ts")

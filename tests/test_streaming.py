@@ -135,3 +135,33 @@ def test_stream_to_incremental_table(spark, events_dir, tmp_path):
         assert spark.table("events_inc").groupBy("unique_id").count().where("count > 1").count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS events_inc")
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream join must produce exactly the batch join's
+    pairs on the same data."""
+    from data_etl_with_dbt_spark.streaming.pipeline import error_click_attribution_stream
+
+    stream = error_click_attribution_stream(read_event_stream(spark, events_dir))
+    run_to_memory(stream, "attrib", mode="append")
+    got = {(r.error_id, r.click_id) for r in spark.table("attrib").collect()}
+
+    ev = spark.read.parquet(events_dir)
+    errors = ev.where("event_type = 'error'").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = {
+        (r.error_id, r.click_id)
+        for r in errors.join(
+            clicks,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts") < F.col("error_ts"))
+            & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
