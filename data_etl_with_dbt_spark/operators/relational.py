@@ -22,10 +22,13 @@ def asof_join(
     right_payload: list[str],
     strict: bool = True,
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the payload of the latest right
     row with ``right_time <= left_time`` (``<`` when ``strict``) and the same
-    ``on`` key.
+    ``on`` key. ``tolerance`` (an INTERVAL string like ``'10 minutes'``)
+    additionally requires the match to lie within that lag — carried-forward
+    payloads older than the tolerance are nulled out.
 
     Implementation is the union-and-carry-forward pattern, NOT a range join:
     tag both inputs, sort within each key by time, and carry the last-seen
@@ -61,13 +64,24 @@ def asof_join(
     )
     carried = l_tagged.unionByName(r_tagged).select(
         "*",
+        F.last(F.when(F.col("__side") == 1 - marker, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__match_t"),
         *[
             F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}" if c in lcols else c)
             for c in right_payload
         ],
     )
-    out_payload = [f"{c}{suffix}" if c in lcols else c for c in right_payload]
-    return carried.where(F.col("__side") == marker).select(*lcols, *out_payload)
+    out_names = [f"{c}{suffix}" if c in lcols else c for c in right_payload]
+    out = carried.where(F.col("__side") == marker)
+    if tolerance is not None:
+        in_window = F.col("__match_t") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *lcols,
+            "__match_t",
+            *[F.when(in_window, F.col(c)).otherwise(F.lit(None)).alias(c) for c in out_names],
+        )
+    return out.select(*lcols, *out_names)
 
 
 def salted_agg(

@@ -286,3 +286,17 @@ class TestIVF:
         ]
         # probing half the cells of random-ish data: recall must beat random
         assert sum(recalls) / len(recalls) >= 0.3
+
+
+class TestAsofTolerance:
+    def test_tolerance_nulls_stale_matches(self, spark):
+        left = spark.createDataFrame(
+            [(1, TS(30), "recent"), (1, TS(59), "stale")], "k int, t timestamp, tag string"
+        )
+        right = spark.createDataFrame([(1, TS(25), 7.0)], "k int, rt timestamp, px double")
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            right_payload=["px"], tolerance="10 minutes",
+        )
+        got = {r.tag: r.px for r in out.collect()}
+        assert got == {"recent": 7.0, "stale": None}  # 34-min-old match exceeds tolerance
