@@ -206,6 +206,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.7,
     shuffle_parallelism: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard pairs via an inverted-index similarity join
     (the distributed all-pairs algorithm, not the |docs|^2 cross join):
@@ -217,11 +218,28 @@ def ngram_jaccard_pairs(
     3. count shared grams per pair (codegen'd hash aggregation, no
        interpreted array ops), then ``J = shared / (|A|+|B|-shared)``.
 
+    With ``prefix_filter`` (PPJoin-style) the join runs over each document's
+    *prefix postings* only: order every doc's grams globally by corpus
+    rarity; a pair with ``J >= t`` MUST share a gram among each side's first
+    ``|X| - ceil(t*|X|) + 1`` grams (pigeonhole — skipping all of them leaves
+    too few grams to reach the overlap J >= t requires), so the candidate
+    space shrinks to rare-gram collisions. Candidates are then verified by
+    exact shared-gram counting over full postings, restricted to the
+    candidate pairs — the result is IDENTICAL to the unfiltered join
+    (asserted in tests).
+
+    Default OFF after measurement: on the vocabulary-dense fixture (~900
+    distinct bigrams, every gram common) rarity ordering doesn't
+    discriminate, and the extra ranking window + candidate joins cost 10x
+    more than they save (59.6 s vs 5.5 s at sf0.1). Turn it on for zipfian
+    real-text corpora, where most grams are rare and prefixes prune hard —
+    the choice is data-dependent, which is why it's a flag and not a fixture
+    of the plan.
+
     Same relation as the naive spelling (the DuckDB oracle computes it that
-    way), but the pair space is bounded by gram co-occurrence: the naive
-    cross join took >400 s at sf0.1 on interpreted array_intersect; this
-    shape is a hash join + count. Exact companion to the approximate
-    :func:`minhash_lsh_pairs`.
+    way): the naive cross join took >400 s at sf0.1 on interpreted
+    array_intersect; the inverted-index form is a hash join + count. Exact
+    companion to the approximate :func:`minhash_lsh_pairs`.
 
     ``shuffle_parallelism``: as in :func:`minhash_lsh_pairs` — repartition
     before shingling when the input is a single unsplittable row group."""
@@ -233,18 +251,42 @@ def ngram_jaccard_pairs(
     ).select("id", "grams", F.size("grams").alias("sz"))
 
     posts = sh.select("id", "sz", F.explode("grams").alias("g"))
-    a = posts.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
-    b = posts.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
-    shared = (
-        a.join(
-            b,
-            (a.g == b.g)
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b")),
+    size_ok = F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+
+    if prefix_filter:
+        freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+        ranked = posts.join(freq, "g").withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df_g", "g")
+            ),
         )
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+        prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        prefix = ranked.where(F.col("pos") <= prefix_len).select("id", "sz", "g")
+        pa = prefix.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+        pb = prefix.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+        cand = (
+            pa.join(pb, (pa.g == pb.g) & (F.col("id_a") < F.col("id_b")) & size_ok)
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        a = posts.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+        b = posts.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+        shared = (
+            a.join(cand, "id_a")
+            .join(b, ["id_b", "g"])
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        a = posts.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+        b = posts.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+        shared = (
+            a.join(b, (a.g == b.g) & (F.col("id_a") < F.col("id_b")) & size_ok)
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+
     jaccard = F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
     return shared.select("id_a", "id_b", jaccard.alias("jaccard")).where(
         F.col("jaccard") >= threshold

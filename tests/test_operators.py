@@ -300,3 +300,22 @@ class TestAsofTolerance:
         )
         got = {r.tag: r.px for r in out.collect()}
         assert got == {"recent": 7.0, "stale": None}  # 34-min-old match exceeds tolerance
+
+
+class TestPrefixFilter:
+    def test_prefix_filter_identical_to_unfiltered(self, spark):
+        from data_etl_with_dbt_spark.operators.dedup import ngram_jaccard_pairs
+        from data_etl_with_dbt_spark.sources.io import read_parquet
+        from tests.conftest import SF_DIR
+
+        docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+        for t in (0.3, 0.5, 0.8):
+            with_pf = {
+                (r.id_a, r.id_b, round(r.jaccard, 12))
+                for r in ngram_jaccard_pairs(docs, "doc_id", "text", 2, t, prefix_filter=True).collect()
+            }
+            without = {
+                (r.id_a, r.id_b, round(r.jaccard, 12))
+                for r in ngram_jaccard_pairs(docs, "doc_id", "text", 2, t, prefix_filter=False).collect()
+            }
+            assert with_pf == without, f"threshold {t}"
