@@ -377,3 +377,90 @@ def json_schema_parse(spark, sf_dir):
         .select("event_id", parsed.alias("p"))
         .select("event_id", F.col("p.k").alias("k"), F.col("p.missing").alias("missing"))
     )
+
+
+@query(
+    "window_trailing_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(count(*) OVER w AS BIGINT) AS orders_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS spend_30d
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    description="Trailing 30-day RANGE frame per customer (time-based window aggregate)",
+)
+def window_trailing_range(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").withColumn(
+        "__epoch", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("__epoch")
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        big(F.count(F.lit(1)).over(w)).alias("orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="Explicit GROUPING SETS with grouping() indicators, via the engine's SQL surface",
+)
+def agg_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "histogram_totalprice",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+    description="Fixed-width 20-bucket histogram (scalar-subquery bounds, floor bucketing)",
+)
+def histogram_totalprice(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20)),
+        F.lit(19),
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(big(bucket).alias("bucket"))
+        .agg(big(F.count(F.lit(1))).alias("n"))
+    )
