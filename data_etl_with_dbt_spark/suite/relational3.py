@@ -1,0 +1,590 @@
+"""TPC-H q7-q22 family over the trimmed star schema (SURVEY.md §7 phase E).
+
+The driver's fixtures carry a reduced TPC-H: no partsupp, and lineitem lacks
+shipmode/commitdate/receiptdate, so the queries that need those columns are
+adapted to the available ones while keeping the *operator shape* that makes
+each TPC-H query interesting:
+
+* q7  — double-dimension join (supplier nation x customer nation) + year agg
+* q8  — market-share ratio (conditional sum / total sum, per group)
+* q9  — profit by supplier-nation x year with a LIKE part filter
+* q10 — returned-item top-k (join + agg + total-order limit)
+* q12 — CASE-sum priority counts (conditional aggregation)
+* q13 — distribution-of-counts (two-level aggregation over an outer join)
+* q14 — promo-revenue ratio over one month
+* q15 — top supplier via max-scalar subquery
+* q17 — correlated per-key average (small-quantity revenue)
+* q18 — HAVING over a grouped sum feeding a semi join
+* q19 — disjunctive multi-attribute predicates (OR-of-ANDs)
+* q22 — anti join + scalar subquery over a derived filter
+
+Cross-engine determinism follows registry rules: decimal-exact sums emitted
+as DOUBLE, ratios as divisions of those exact values (IEEE-identical per
+row), counts as BIGINT, every LIMIT under a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.suite.registry import big, davg, dsum, load, query
+
+# ---------------------------------------------------------------------------
+# q7: volume shipping between two nations, per direction and ship year.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT
+        n1.n_name AS supp_nation,
+        n2.n_name AS cust_nation,
+        CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+    description="TPC-H Q7: bidirectional nation-pair trade volume per ship year (two broadcast dims on different keys)",
+)
+def q7_volume_shipping(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7") | (
+        F.col("supp_nation") == "NATION_7"
+    ) & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", big(F.year("l_shipdate")).alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8: market share of one nation inside one region, per order year.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH all_sales AS (
+        SELECT
+            CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+            CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+            n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'REGION_1'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT
+        o_year,
+        CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM all_sales
+    GROUP BY o_year
+    """,
+    description="TPC-H Q8: conditional-sum market-share ratio per year (8-way join, exact-decimal numerator/denominator)",
+)
+def q8_market_share(spark, sf_dir):
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "REGION_1")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    sales = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            big(F.year("o_orderdate")).alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9: profit by supplier nation and year, parts matching a LIKE pattern.
+# (No partsupp in the fixtures -> profit = discounted revenue.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT
+        n_name AS nation,
+        CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, extract(year FROM o_orderdate)
+    """,
+    description="TPC-H Q9 (no partsupp): supplier-nation x year profit over LIKE-filtered parts",
+)
+def q9_product_type_profit(spark, sf_dir):
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), big(F.year("o_orderdate")).alias("o_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: returned-item reporting — top 20 customers by lost revenue.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT
+        c_custkey, c_name,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        CAST(CAST(c_acctbal AS DECIMAL(38,6)) AS DOUBLE) AS c_acctbal,
+        n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    description="TPC-H Q10: returned-item lost revenue, grouped on customer attrs, total-order top-20",
+)
+def q10_returned_items(spark, sf_dir):
+    from data_etl_with_dbt_spark.suite.registry import dec6
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", cust.c_acctbal, "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            dec6(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12: conditional priority counts (shipmode absent -> group by linestatus).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q12_priority_counts",
+    oracle="""
+    SELECT
+        l_linestatus,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    description="TPC-H Q12 shape: CASE-sum conditional counts per group (shipmode absent, linestatus stands in)",
+)
+def q12_priority_counts(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            big(F.sum(F.when(high, 1).otherwise(0))).alias("high_line_count"),
+            big(F.sum(F.when(~high, 1).otherwise(0))).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13: customer order-count distribution (two-level aggregation).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+    description="TPC-H Q13: distribution of per-customer order counts (outer join with join-level predicate, two-level agg)",
+)
+def q13_customer_distribution(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(big(F.count("o_orderkey")).alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(big(F.count(F.lit(1))).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q14: promo revenue share in one month.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT
+        CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS DOUBLE) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    description="TPC-H Q14: promo revenue percentage (conditional exact-decimal sums, scalar result)",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(volume).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier(s) by quarterly revenue via max-scalar subquery.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    description="TPC-H Q15: per-supplier revenue CTE reused for both the join and the max-scalar subquery",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("__max"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17: small-quantity revenue via correlated per-part average.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+    description="TPC-H Q17: correlated per-part AVG subquery (decorrelated to an aggregate-then-join in Spark)",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dsum(F.col("l_extendedprice")) / F.lit(7.0)).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18: large-volume customers (HAVING over grouped sum -> semi join).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT
+        c_name, c_custkey, o_orderkey, o_orderdate,
+        CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS o_totalprice,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    description="TPC-H Q18: HAVING-filtered keys feed a semi join; grouped totals under a total-order top-50",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    from data_etl_with_dbt_spark.suite.registry import dec6
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .where(F.col("__qty") > 250)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(big_orders, "o_orderkey", "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", orders.o_totalprice)
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            dec6(F.col("o_totalprice")).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19: disjunctive multi-attribute predicates (OR-of-ANDs join filter).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    description="TPC-H Q19: OR-of-ANDs predicate spanning both join sides (tests disjunct pushdown)",
+)
+def q19_discounted_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & (q >= 1)
+        & (q <= 11)
+        | (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & (q >= 10)
+        & (q <= 20)
+        | (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 50)
+        & (q >= 20)
+        & (q <= 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22: well-funded customers with no orders, per nation (anti join +
+# scalar subquery over a derived filter; c_phone absent -> nation key).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q22_inactive_customers",
+    oracle="""
+    WITH wealthy AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+          AND c_acctbal > (
+              SELECT avg(c_acctbal) FROM customer
+              WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11)
+          )
+    )
+    SELECT
+        CAST(c_nationkey AS BIGINT) AS cntrycode,
+        CAST(count(*) AS BIGINT) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM wealthy
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    description="TPC-H Q22: scalar-avg subquery filter + NOT EXISTS anti join, grouped totals",
+)
+def q22_inactive_customers(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nations = [1, 3, 5, 7, 9, 11]
+    pool = cust.where(F.col("c_nationkey").isin(nations))
+    avg_bal = pool.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    wealthy = (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    no_orders = wealthy.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return no_orders.groupBy(big(F.col("c_nationkey")).alias("cntrycode")).agg(
+        big(F.count(F.lit(1))).alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
