@@ -1,0 +1,144 @@
+"""Reshaping + range-join + exact-quantile surface.
+
+* unpivot (wide->long melt) — `DataFrame.unpivot` compiles to a Spark
+  Expand node (each input row fans out to one row per measure, no shuffle);
+  the oracle spells it as UNION ALL, which is what Expand computes.
+* banded range join — equi key (user_id) + time-band predicate. The equi
+  key keeps the join a hash/sort-merge join with the band as a post-filter
+  residual: at 100 TB this shuffles only on user_id and never goes
+  quadratic. A pure inequality join (no equi key) would be a broadcast
+  nested loop — deliberately avoided.
+* exact percentiles — Spark `percentile` and DuckDB `quantile_cont` both
+  use linear interpolation at rank p*(n-1); the interpolation arithmetic
+  is quantized on the DECIMAL(38,6) grid to absorb sub-1e-9 engine noise
+  (registry rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.suite.registry import big, dec6, dsum, load, query
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt.
+# ---------------------------------------------------------------------------
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM long
+    GROUP BY l_returnflag, measure
+    """,
+    description="Wide-to-long unpivot (Expand node, shuffle-free fan-out) then grouped totals per measure",
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "extendedprice")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        dsum(F.col("value")).alias("total"),
+        big(F.count(F.lit(1))).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Banded range join: clicks within 5 minutes before each error, per user.
+# ---------------------------------------------------------------------------
+
+@query(
+    "range_join_clicks_before_error",
+    oracle="""
+    SELECT
+        e.event_id AS error_id,
+        CAST(count(c.event_id) AS BIGINT) AS n_clicks,
+        CAST(coalesce(SUM(CAST(c.value AS DECIMAL(18,6))), 0) AS DOUBLE) AS click_value
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL 5 MINUTE
+     AND c.ts < e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    description="Banded range join: equi key (user_id) + 5-minute band as residual — never a nested loop",
+)
+def range_join_clicks_before_error(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    band = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTE"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    return (
+        errors.join(clicks, band, "left")
+        .groupBy("error_id")
+        .agg(
+            big(F.count("click_id")).alias("n_clicks"),
+            F.coalesce(dsum(F.col("c_value")), F.lit(0.0)).alias("click_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolating), grouped.
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT
+        l_returnflag,
+        CAST(CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(38,6)) AS DOUBLE) AS p25,
+        CAST(CAST(quantile_cont(l_extendedprice, 0.50) AS DECIMAL(38,6)) AS DOUBLE) AS p50,
+        CAST(CAST(quantile_cont(l_extendedprice, 0.90) AS DECIMAL(38,6)) AS DOUBLE) AS p90,
+        CAST(CAST(quantile_disc(l_extendedprice, 0.50) AS DECIMAL(38,6)) AS DOUBLE) AS p50_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Exact interpolating + discrete percentiles per group (sort-based agg; approx sketch is the 100 TB path)",
+)
+def agg_exact_percentiles(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dec6(F.expr("percentile(l_extendedprice, 0.25)")).alias("p25"),
+        dec6(F.expr("percentile(l_extendedprice, 0.50)")).alias("p50"),
+        dec6(F.expr("percentile(l_extendedprice, 0.90)")).alias("p90"),
+        dec6(
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)")
+        ).alias("p50_disc"),
+    )

@@ -84,3 +84,20 @@ def test_bench_queries_single_shuffle(spark):
         plan = plan_of(spark, name)
         n = len(re.findall(r"Exchange (hash|range)partitioning|Exchange SinglePartition", plan))
         assert n <= 1, f"{name} has {n} shuffles"
+
+
+def test_range_join_is_equi_join_with_band_residual(spark):
+    """The banded range join must hash/sort-merge on the user_id equi key
+    with the time band as a residual condition — never a nested loop, which
+    would be quadratic at scale."""
+    plan = plan_of(spark, "range_join_clicks_before_error")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_unpivot_is_expand_not_union_of_scans(spark):
+    """DataFrame.unpivot should compile to one scan + Expand, not N scans
+    UNION ALL'd together (which would read the table once per measure)."""
+    plan = plan_of(spark, "unpivot_lineitem_measures")
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
