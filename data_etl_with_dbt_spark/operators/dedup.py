@@ -110,6 +110,62 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("signature"))
 
 
+def minhash_signatures_arrow(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle: int = 3
+) -> DataFrame:
+    """Arrow/numpy MinHash signatures — the vectorized alternative to the
+    interpreted-HOF fold in :func:`minhash_signatures`.
+
+    Per Arrow batch: shingle in Python (same lowercase/whitespace/n-gram
+    semantics as the JVM path), hash each distinct shingle once with crc32
+    (zlib's C implementation), then compute all ``num_hashes`` permutations
+    for a document in ONE numpy broadcast ``min(a[:,None]*h[None,:]+b[:,None])``
+    over wrapping uint64 arithmetic.
+
+    The hash family differs from the JVM path (crc32-seeded vs xxhash64), so
+    raw signatures are NOT comparable across variants — but LSH candidates
+    feed an exact-Jaccard verification, so the *verified pair set* agrees
+    (asserted in tests). Use whichever stage is faster for the deployment:
+    the JVM fold keeps the no-Python-in-hot-path guarantee; this one trades
+    an Arrow hop for vectorized hashing."""
+    import numpy as np
+    import pandas as pd
+    import random
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("signature", ArrayType(LongType()), True),
+        ]
+    )
+    rng = random.Random(0x5EED)
+    a = np.array(
+        [rng.randrange(1, 1 << 61) * 2 + 1 for _ in range(num_hashes)], dtype=np.uint64
+    )
+    b = np.array([rng.randrange(1 << 61) for _ in range(num_hashes)], dtype=np.uint64)
+
+    def compute(batches):
+        from zlib import crc32
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                k = max(len(toks) - shingle, 0) + 1
+                grams = {" ".join(toks[i : i + shingle]) for i in range(k)}
+                h = np.fromiter(
+                    (crc32(g.encode()) for g in grams), dtype=np.uint64, count=len(grams)
+                )
+                with np.errstate(over="ignore"):
+                    perms = a[:, None] * h[None, :] + b[:, None]
+                sigs.append((perms.min(axis=1)).astype(np.int64).tolist())
+                ids.append(doc_id)
+            yield pd.DataFrame({id_col: ids, "signature": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(compute, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -119,6 +175,7 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     threshold: float = 0.7,
     shuffle_parallelism: int | None = None,
+    signature_impl: str = "jvm",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
@@ -132,6 +189,10 @@ def minhash_lsh_pairs(
     shuffle of the text unlocks full parallelism. Leave None when the input
     already has enough splits (any real-scale table does) — a full-corpus
     shuffle at 100 TB is not a warm-up you want.
+
+    ``signature_impl``: "jvm" (interpreted HOF fold, no Python in the plan)
+    or "arrow" (:func:`minhash_signatures_arrow`, vectorized numpy hashing
+    behind one Arrow exchange). Band hashing + verification are shared.
     """
     if shuffle_parallelism:
         df = df.repartition(shuffle_parallelism, F.col(id_col))
@@ -140,7 +201,8 @@ def minhash_lsh_pairs(
     # projection collapse would otherwise inline (and re-run) the whole
     # shingle fold per band. At production scale you'd checkpoint signatures
     # to a table between stages; persist() is the in-session equivalent.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle).persist()
+    sig_fn = minhash_signatures_arrow if signature_impl == "arrow" else minhash_signatures
+    sigs = sig_fn(df, id_col, text_col, num_hashes, shingle).persist()
 
     banded = sigs.select(
         F.col(id_col),

@@ -107,6 +107,18 @@ class TestDedup:
         assert got[(1, 2)] == pytest.approx(1.0)  # exact dup always survives
         assert (1, 4) not in got and (2, 4) not in got
 
+    def test_minhash_arrow_variant_agrees_with_jvm(self, spark):
+        """Raw signatures differ by design (crc32 vs xxhash64 families), but
+        exact-Jaccard verification makes the shipped pair set identical."""
+        kwargs = dict(num_hashes=32, bands=8, shingle=3, threshold=0.5)
+        jvm = minhash_lsh_pairs(self.docs(spark), "id", "text", **kwargs)
+        arrow = minhash_lsh_pairs(
+            self.docs(spark), "id", "text", signature_impl="arrow", **kwargs
+        )
+        pj = {(r.id_a, r.id_b): r.jaccard for r in jvm.collect()}
+        pa = {(r.id_a, r.id_b): r.jaccard for r in arrow.collect()}
+        assert pj == pa and (1, 2) in pj
+
     def test_ngram_jaccard_exact_values(self, spark):
         pairs = ngram_jaccard_pairs(self.docs(spark), "id", "text", n=2, threshold=0.1)
         got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
