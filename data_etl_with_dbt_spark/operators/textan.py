@@ -118,3 +118,48 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, prefix: int = 64)
         F.md5(F.substring(norm, 1, prefix)).alias("prefix_fp"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the corpus-statistics building block
+    for keyword extraction / quality filtering over an LLM training corpus.
+
+    Plan shape (all JVM-side): explode to (doc, term) postings → hash-agg tf
+    per (doc, term) → hash-agg df per term (broadcast back: the term
+    dictionary is tiny relative to postings) → window top-k per doc. Ranking
+    is on (tf DESC, term ASC) — integers + strings, so the cutoff is
+    deterministic cross-engine; the smoothed idf ``ln((N+1)/(df+1)) + 1``
+    is emitted as a value, not used for ordering (libm log differs by ulps
+    across engines).
+
+    At scale: postings shuffle once on (doc, term); the df side is a
+    map-side-combined agg over the same postings; N is one scalar broadcast.
+    """
+    from pyspark.sql import Window
+
+    postings = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    tf = postings.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
+    idf = F.log(
+        (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")
+    ) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("tf") * idf).cast("decimal(38,6)").cast("double").alias("tfidf"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -76,6 +76,51 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         return []
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan (one object per line — the splittable layout; pass
+    ``multiline=True`` only for whole-file documents, which makes each FILE
+    the split unit). Explicit schema preferred for the same reason as CSV:
+    inference is an extra full pass, and JSON inference additionally widens
+    to the least common type across 100 TB of drifting records."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", True)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar with predicate pushdown + vectorized reader, the
+    same scan properties as Parquet for engines standardized on ORC."""
+    return spark.read.orc(path)
+
+
+def write_files(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Path-based (external) write in any built-in format — the companion to
+    :func:`write_table` for data exchanged with other engines rather than
+    owned by this catalog. ``partition_by`` gives directory pruning to any
+    downstream reader."""
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.save(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

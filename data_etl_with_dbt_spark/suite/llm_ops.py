@@ -401,3 +401,32 @@ def ann_ivf_topk(spark, sf_dir):
         emb, queries, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", k=10, n_cells=16, n_probe=4, seed=42,
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH postings AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM postings GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(CAST(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0) AS DECIMAL(38,6)) AS DOUBLE) AS tfidf,
+               CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term ASC) AS BIGINT) AS rank
+        FROM tf, n
+        JOIN dfreq ON tf.term = dfreq.term
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5
+    """,
+    description="Top-5 TF-IDF terms per document: postings explode -> tf/df aggs -> window top-k (deterministic integer ordering; smoothed idf as value)",
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    return TA.tfidf_top_terms(load(spark, sf_dir, "documents"), "doc_id", "text", k=5)

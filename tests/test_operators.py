@@ -204,6 +204,40 @@ class TestIngest:
         assert out2.count() == 100
         spark.sql("DROP TABLE ingest_test")
 
+    def test_json_orc_roundtrip(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.io import (
+            read_json,
+            read_orc,
+            write_files,
+        )
+
+        src = spark.range(50).selectExpr(
+            "id", "cast(id * 1.5 as double) AS x", "concat('v', id) AS s"
+        )
+        write_files(src, str(tmp_path / "j"), fmt="json")
+        back_j = read_json(spark, str(tmp_path / "j"), schema=src.schema)
+        # JSON read-back marks everything nullable; compare names + types
+        assert back_j.count() == 50
+        assert [(f.name, f.dataType) for f in back_j.schema] == [
+            (f.name, f.dataType) for f in src.schema
+        ]
+        write_files(src, str(tmp_path / "o"), fmt="orc", compression="zstd")
+        back_o = read_orc(spark, str(tmp_path / "o"))
+        assert back_o.count() == 50 and set(back_o.columns) == {"id", "x", "s"}
+        assert back_o.agg({"x": "sum"}).first()[0] == src.agg({"x": "sum"}).first()[0]
+
+    def test_write_files_partitioned_layout_prunes(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.io import write_files
+
+        src = spark.range(100).selectExpr("id", "id % 4 AS bucket")
+        write_files(src, str(tmp_path / "p"), fmt="parquet", partition_by=["bucket"])
+        assert (tmp_path / "p" / "bucket=0").exists()
+        got = spark.read.parquet(str(tmp_path / "p")).where("bucket = 2")
+        # partition pruning: only the bucket=2 directory is scanned
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert got.count() == 25
+        assert "PartitionFilters: [isnotnull(bucket" in plan
+
 
 class TestArrowANN:
     def test_arrow_topk_agrees_with_jvm_fold(self, spark):
