@@ -1,0 +1,117 @@
+"""Feature-engineering surface for training-data pipelines: per-group
+winsorization (outlier clipping at data-valued percentiles), min-max
+normalization, and stratified sampling.
+
+Determinism notes:
+* winsorization bounds use ``percentile_disc`` — an ACTUAL data value, not
+  an interpolation, so both engines pick the identical double and the
+  clip results match bit-for-bit;
+* min-max normalization is per-row arithmetic over exact group min/max —
+  IEEE-identical when the expression trees match;
+* stratified sampling is seeded Bernoulli per stratum — deterministic
+  within Spark, engine-specific by nature, so it ships rows-only with a
+  property test on rate/stratum fidelity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.suite.registry import big, dsum, load, query
+
+# ---------------------------------------------------------------------------
+# Winsorization: clip a measure at per-group p05/p95 data values.
+# ---------------------------------------------------------------------------
+
+@query(
+    "winsorize_extendedprice",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag AS flag,
+               quantile_disc(l_extendedprice, 0.05) AS lo,
+               quantile_disc(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT
+        l_returnflag,
+        CAST(SUM(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,6))) AS DOUBLE) AS sum_clipped,
+        CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN bounds ON l_returnflag = flag
+    GROUP BY l_returnflag
+    """,
+    description="Per-group winsorization at p05/p95 data values (percentile_disc -> broadcast bounds -> clip)",
+)
+def winsorize_extendedprice(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(bounds), li.l_returnflag == F.col("flag"))
+        .groupBy("l_returnflag")
+        .agg(
+            dsum(clipped).alias("sum_clipped"),
+            big(F.sum(F.when(F.col("l_extendedprice") < F.col("lo"), 1).otherwise(0))).alias(
+                "n_clipped_low"
+            ),
+            big(F.sum(F.when(F.col("l_extendedprice") > F.col("hi"), 1).otherwise(0))).alias(
+                "n_clipped_high"
+            ),
+            big(F.count(F.lit(1))).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-max normalization per group.
+# ---------------------------------------------------------------------------
+
+@query(
+    "minmax_normalize_events",
+    oracle="""
+    WITH ranges AS (
+        SELECT user_id AS u, min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        event_id,
+        user_id,
+        CASE WHEN vmax = vmin THEN CAST(0.5 AS DOUBLE)
+             ELSE (value - vmin) / (vmax - vmin) END AS value_norm
+    FROM events
+    JOIN ranges ON user_id = u
+    """,
+    description="Per-user min-max normalization (exact group min/max broadcast back; constant groups pin to 0.5)",
+)
+def minmax_normalize_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ranges = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    norm = F.when(F.col("vmax") == F.col("vmin"), F.lit(0.5).cast("double")).otherwise(
+        (F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin"))
+    )
+    return (
+        ev.join(F.broadcast(ranges), ev.user_id == F.col("u"))
+        .select("event_id", "user_id", norm.alias("value_norm"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (rows-only: seeded Bernoulli is engine-specific).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stratified_sample_documents",
+    oracle=None,  # sampling is engine-specific; fidelity asserted in tests
+    description="Seeded stratified sample by language: per-stratum Bernoulli rates via sampleBy",
+)
+def stratified_sample_documents(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25, "zh": 0.1}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")

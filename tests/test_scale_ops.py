@@ -104,3 +104,25 @@ def test_incremental_model_appends_only_new_keys(spark):
         assert out2["inc_model"].groupBy("uk").count().where("count > 1").count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS inc_model")
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, spark):
+        from data_etl_with_dbt_spark.suite import QUERIES
+
+        fn = QUERIES["stratified_sample_documents"].fn
+        a = fn(spark, "/root/testdata/sf0.01").toPandas()
+        b = fn(spark, "/root/testdata/sf0.01").toPandas()
+        # seeded: identical membership across runs
+        assert sorted(a.doc_id) == sorted(b.doc_id)
+        # only requested strata appear, and 'en' (rate 0.5) dominates 'zh' (0.1)
+        rates = a.lang.value_counts(normalize=False)
+        assert set(rates.index) <= {"en", "es", "fr", "de", "zh"}
+        from data_etl_with_dbt_spark.sources.io import read_parquet
+
+        src = read_parquet(spark, "/root/testdata/sf0.01/documents.parquet").toPandas()
+        totals = src.lang.value_counts()
+        en_rate = rates.get("en", 0) / totals["en"]
+        zh_rate = rates.get("zh", 0) / max(totals.get("zh", 1), 1)
+        assert 0.35 < en_rate < 0.65
+        assert zh_rate < 0.25
