@@ -430,3 +430,62 @@ def ann_ivf_topk(spark, sf_dir):
 )
 def tfidf_top_terms_q(spark, sf_dir):
     return TA.tfidf_top_terms(load(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+@query(
+    "chunk_documents",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(generate_series(0, greatest(len(t) - 1, 0), 40)) AS start,
+               t
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(start / 40 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, start + 1, start + 50)) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(t, start + 1, start + 50), ' ')) AS chunk_hash
+    FROM chunks
+    """,
+    description="Sliding-window document chunking (50-token chunks, stride 40): sequence -> slice -> explode, all JVM-side",
+)
+def chunk_documents(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = TA.tokens_expr(F.col("text"))
+    starts = F.sequence(F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(40))
+    chunk = F.slice(F.col("t"), F.col("start") + 1, 50)
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .select("doc_id", "t", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            big(F.col("start") / 40).alias("chunk_idx"),
+            big(F.size(chunk)).alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+@query(
+    "redact_entities",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b(customer|order|supplier)\b')) AS BIGINT) AS n_redacted,
+           md5(regexp_replace(text, '\b(customer|order|supplier)\b', '<ENT>', 'g')) AS redacted_hash
+    FROM documents
+    """,
+    description="Entity scrubbing (PII-redaction plumbing): regexp count + masked-text digest",
+)
+def redact_entities(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pat = r"\b(customer|order|supplier)\b"
+    return docs.select(
+        "doc_id",
+        big(F.regexp_count("text", F.lit(pat))).alias("n_redacted"),
+        F.md5(F.regexp_replace("text", pat, "<ENT>")).alias("redacted_hash"),
+    )
