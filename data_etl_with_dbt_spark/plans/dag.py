@@ -29,10 +29,14 @@ from pyspark.sql import DataFrame, SparkSession
 class ModelSpec:
     name: str
     fn: Callable[["RunContext"], DataFrame]
-    materialized: str = "view"  # 'table' | 'view' | 'ephemeral'
+    materialized: str = "view"  # 'table' | 'view' | 'ephemeral' | 'incremental'
     unique_key: str | None = None
     description: str = ""
     tests: list = field(default_factory=list)  # (test_fn, column, kwargs)
+    # incremental only: 'append' (new keys only), 'merge' (key upsert),
+    # 'insert_overwrite' (replace touched partitions; needs partition_by)
+    incremental_strategy: str = "append"
+    partition_by: list[str] | None = None
 
 
 class RunContext:
@@ -78,6 +82,8 @@ class ModelRegistry:
         unique_key: str | None = None,
         deps: list[str] | None = None,
         description: str = "",
+        incremental_strategy: str = "append",
+        partition_by: list[str] | None = None,
     ):
         """Decorator registering a model function ``(ctx) -> DataFrame``."""
 
@@ -89,6 +95,8 @@ class ModelRegistry:
                 materialized=materialized,
                 unique_key=unique_key,
                 description=description or (fn.__doc__ or ""),
+                incremental_strategy=incremental_strategy,
+                partition_by=partition_by,
             )
             self._deps[mname] = set(deps or [])
             return fn
@@ -146,20 +154,63 @@ class ModelRegistry:
         return out
 
     def _materialize_incremental(self, spark: SparkSession, spec: ModelSpec, df: DataFrame) -> DataFrame:
-        """Append-new-keys incremental load: an anti join of the fresh build
-        against existing keys. The key projection (not full rows) is what
-        joins — at scale the existing side is a column-pruned scan of just
-        the unique_key, broadcast when small."""
-        if not spec.unique_key:
-            raise ValueError(f"incremental model {spec.name} requires unique_key")
+        """Incremental materialization, three dbt-shaped strategies:
+
+        * 'append' — anti-join the fresh build against existing keys and
+          append only new ones. The key projection (not full rows) is what
+          joins — at scale the existing side is a column-pruned scan of just
+          the unique_key, broadcast when small.
+        * 'merge' — key upsert: existing rows whose key reappears in the
+          fresh build are replaced. On plain Parquet (no transactional
+          format in this container) that is keep = existing ⟕̸ fresh-keys,
+          then overwrite with keep ∪ fresh. The union is localCheckpoint'd
+          before the overwrite (can't overwrite a table still being read).
+          A full rewrite is what merge costs on plain Parquet; at 100 TB
+          use 'insert_overwrite' with a partition key instead, or a
+          transactional table format.
+        * 'insert_overwrite' — dynamic partition overwrite: only the
+          partitions present in the fresh build are replaced. Needs
+          ``partition_by``; this is the scale-native strategy (rewrites
+          touched partitions, never the whole table).
+
+        First run always behaves like 'table'.
+        """
         from data_etl_with_dbt_spark.sources.io import write_table
 
-        if spark.catalog.tableExists(spec.name):
+        strategy = spec.incremental_strategy
+        if strategy in ("append", "merge") and not spec.unique_key:
+            raise ValueError(f"incremental model {spec.name} requires unique_key")
+        if strategy == "insert_overwrite" and not spec.partition_by:
+            raise ValueError(
+                f"insert_overwrite model {spec.name} requires partition_by"
+            )
+
+        if not spark.catalog.tableExists(spec.name):
+            write_table(df, spec.name, mode="overwrite", partition_by=spec.partition_by)
+            return spark.table(spec.name)
+
+        if strategy == "append":
             existing_keys = spark.table(spec.name).select(spec.unique_key)
             fresh = df.join(existing_keys, on=spec.unique_key, how="left_anti")
             fresh.write.mode("append").format("parquet").saveAsTable(spec.name)
+        elif strategy == "merge":
+            existing = spark.table(spec.name)
+            fresh_keys = df.select(spec.unique_key)
+            keep = existing.join(fresh_keys, on=spec.unique_key, how="left_anti")
+            merged = keep.unionByName(df).localCheckpoint(eager=True)
+            write_table(merged, spec.name, mode="overwrite", partition_by=spec.partition_by)
+        elif strategy == "insert_overwrite":
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+            try:
+                # insertInto matches by POSITION and wants partition columns
+                # last — align to the table's physical column order.
+                aligned = df.select(*spark.table(spec.name).columns)
+                aligned.write.mode("overwrite").insertInto(spec.name)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         else:
-            write_table(df, spec.name, mode="overwrite")
+            raise ValueError(f"unknown incremental_strategy {strategy!r}")
         return spark.table(spec.name)
 
     def _is_upstream_of_any(self, name: str, targets: list[str]) -> bool:

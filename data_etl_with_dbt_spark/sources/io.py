@@ -121,6 +121,32 @@ def write_files(
     writer.save(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    order_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Export a training corpus as ``num_shards`` globally-ordered shard
+    files: range-repartition on the sort key (shard i's keys all precede
+    shard i+1's — Spark samples the key distribution to pick balanced range
+    bounds), then sort within each shard. Downstream data loaders get
+    deterministic, resumable shard order without any single-node sort.
+
+    This is the ONLY correct distributed spelling: ``orderBy().write``
+    also range-partitions but leaves shard count to AQE, and
+    ``repartition(n).sortWithinPartitions`` hash-partitions — per-shard
+    order without global order."""
+    (
+        df.repartitionByRange(num_shards, *[F.col(c) for c in order_by])
+        .sortWithinPartitions(*order_by)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -226,6 +226,25 @@ class TestIngest:
         assert back_o.count() == 50 and set(back_o.columns) == {"id", "x", "s"}
         assert back_o.agg({"x": "sum"}).first()[0] == src.agg({"x": "sum"}).first()[0]
 
+    def test_training_shards_globally_ordered(self, spark, tmp_path):
+        import glob
+
+        from data_etl_with_dbt_spark.sources.io import write_training_shards
+
+        src = spark.range(1000).selectExpr("id", "concat('doc', id) AS text")
+        write_training_shards(src, str(tmp_path / "shards"), 4, ["id"])
+        parts = sorted(glob.glob(str(tmp_path / "shards" / "part-*")))
+        assert len(parts) == 4
+        import pyarrow.parquet as pq
+
+        seen = []
+        for p in parts:
+            ids = pq.read_table(p).column("id").to_pylist()
+            assert ids == sorted(ids)  # intra-shard order
+            seen.append(ids)
+        flat = [i for ids in seen for i in ids]
+        assert flat == sorted(flat) and len(flat) == 1000  # global order, no loss
+
     def test_write_files_partitioned_layout_prunes(self, spark, tmp_path):
         from data_etl_with_dbt_spark.sources.io import write_files
 

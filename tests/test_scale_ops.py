@@ -106,6 +106,75 @@ def test_incremental_model_appends_only_new_keys(spark):
         spark.sql("DROP TABLE IF EXISTS inc_model")
 
 
+def test_incremental_merge_upserts_changed_rows(spark):
+    from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+    state = {"payload": "v1", "n": 3}
+
+    def build_registry():
+        reg = ModelRegistry()
+        reg.add_source("src", lambda s: s.range(state["n"]).select(
+            F.col("id").alias("uk"), F.lit(state["payload"]).alias("payload")
+        ))
+
+        @reg.model(
+            name="merge_model",
+            materialized="incremental",
+            unique_key="uk",
+            incremental_strategy="merge",
+        )
+        def merge_model(ctx):
+            return ctx.source("src")
+
+        return reg
+
+    try:
+        build_registry().run(spark)
+        state.update(payload="v2", n=2)  # keys 0,1 change payload; key 2 untouched
+        out = build_registry().run(spark)["merge_model"]
+        got = {r.uk: r.payload for r in out.collect()}
+        assert got == {0: "v2", 1: "v2", 2: "v1"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS merge_model")
+
+
+def test_incremental_insert_overwrite_replaces_touched_partitions(spark):
+    from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+    state = {"days": [1, 2], "val": "old"}
+
+    def build_registry():
+        reg = ModelRegistry()
+
+        def src(s):
+            rows = [(d * 10 + i, state["val"], d) for d in state["days"] for i in range(2)]
+            return s.createDataFrame(rows, "id long, val string, day int")
+
+        reg.add_source("src", src)
+
+        @reg.model(
+            name="po_model",
+            materialized="incremental",
+            incremental_strategy="insert_overwrite",
+            partition_by=["day"],
+        )
+        def po_model(ctx):
+            return ctx.source("src")
+
+        return reg
+
+    try:
+        build_registry().run(spark)
+        state.update(days=[2], val="new")  # rebuild day 2 only
+        out = build_registry().run(spark)["po_model"]
+        got = {(r.day, r.val) for r in out.collect()}
+        # day 1 keeps old rows; day 2 fully replaced
+        assert got == {(1, "old"), (2, "new")}
+        assert out.count() == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS po_model")
+
+
 class TestStratifiedSample:
     def test_rates_and_determinism(self, spark):
         from data_etl_with_dbt_spark.suite import QUERIES
