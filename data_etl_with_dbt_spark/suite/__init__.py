@@ -11,5 +11,6 @@ from data_etl_with_dbt_spark.suite import relational2  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import relational3  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import relational4  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import featurize  # noqa: E402,F401
+from data_etl_with_dbt_spark.suite import analytics  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import llm_ops  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import windows  # noqa: E402,F401

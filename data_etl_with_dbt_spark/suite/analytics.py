@@ -1,0 +1,153 @@
+"""Product-analytics surface: ordered funnels, cohort retention, and
+regression-by-aggregates over the events fixture.
+
+Determinism: funnels and cohorts are counts over min-timestamps (exact in
+both engines); the regression coefficients are computed from decimal-exact
+component sums (Sx, Sy, Sxy, Sxx) with the closed-form slope/intercept
+evaluated in per-row double arithmetic — bit-identical cross-engine,
+unlike the built-in ``regr_*`` aggregates whose double accumulation is
+summation-order-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.suite.registry import big, load, query
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase, strictly increasing timestamps.
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT
+        CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+        CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+        CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+    description="Ordered 3-stage funnel (first view -> later click -> later purchase), stage-survivor counts",
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev, prev_t: str, out_t: str):
+        e = ev.where(F.col("event_type") == event_type).select("user_id", "ts")
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c.select("user_id", "t2"), "t2", "t3")
+    return (
+        v.agg(big(F.count(F.lit(1))).alias("n_view"))
+        .crossJoin(c.agg(big(F.count(F.lit(1))).alias("n_view_click")))
+        .crossJoin(p.agg(big(F.count(F.lit(1))).alias("n_view_click_purchase")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen week x weeks since.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        f.cohort_week,
+        CAST(datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT) AS weeks_since,
+        CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e
+    JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY f.cohort_week, weeks_since
+    """,
+    description="Cohort retention triangle: first-seen week x weeks-since, distinct active users",
+)
+def cohort_retention(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    weeks_since = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+    ).cast("bigint")
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .groupBy("cohort_week", weeks_since.alias("weeks_since"))
+        .agg(big(F.countDistinct("user_id")).alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regression by exact aggregates (slope/intercept of price on quantity).
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+    WITH comp AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+           CAST(n AS BIGINT) AS n_points
+    FROM comp
+    """,
+    description="OLS slope/intercept per group from decimal-exact component sums (deterministic alternative to regr_* aggregates)",
+)
+def agg_linear_regression(spark, sf_dir):
+    from data_etl_with_dbt_spark.suite.registry import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("l_quantity")).alias("sx"),
+        dsum(F.col("l_extendedprice")).alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return comp.select(
+        "l_returnflag",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        big(F.col("n")).alias("n_points"),
+    )
