@@ -151,3 +151,52 @@ def agg_linear_regression(spark, sf_dir):
         intercept.alias("intercept"),
         big(F.col("n")).alias("n_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value per user (TWAP) — each observation weighted
+# by its holding time until the next event.
+# ---------------------------------------------------------------------------
+
+@query(
+    "time_weighted_average",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(12,6)) * CAST(dt_us AS DECIMAL(25,0))) AS VARCHAR) AS DOUBLE)
+              / CAST(SUM(dt_us) AS DOUBLE) AS DOUBLE) AS twap
+    FROM seg
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    description="Per-user time-weighted average (TWAP): lead() holding intervals kept in INTEGER micros, weighted sum in exact decimal arithmetic",
+)
+def time_weighted_average(spark, sf_dir):
+    # Determinism: the holding interval stays integer microseconds, and the
+    # weight product happens in DECIMAL (value rounds like dsum; dt_us is
+    # exact) — multiplying in doubles first would create timestamp-derived
+    # doubles whose decimal cast rounds differently across engines
+    # (registry rules / BENCH_NOTES). The final decimal→double conversion
+    # goes through a STRING cast: direct conversion of decimals whose
+    # unscaled value exceeds ~2^53 (21 digits here) is off by 1 ulp between
+    # engines, while string→double is correctly rounded in both.
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    seg = ev.select("user_id", "value", dt_us.alias("dt_us")).where(
+        F.col("dt_us").isNotNull()
+    )
+    # DECIMAL(12,6) x DECIMAL(25,0) -> DECIMAL(38,6) exactly, in BOTH engines
+    # (wider operands overflow DuckDB's 38-digit product width).
+    weighted = F.col("value").cast("decimal(12,6)") * F.col("dt_us").cast("decimal(25,0)")
+    return seg.groupBy("user_id").agg(
+        (F.sum(weighted).cast("string").cast("double") / F.sum("dt_us").cast("double"))
+        .cast("double")
+        .alias("twap")
+    )

@@ -588,3 +588,40 @@ def q22_inactive_customers(spark, sf_dir):
         big(F.count(F.lit(1))).alias("numcust"),
         dsum(F.col("c_acctbal")).alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q16: supplier cardinality per part attributes with a NOT IN exclusion.
+# (No partsupp -> supply relationships come from lineitem.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q16_supplier_cardinality",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 7, 14, 23, 36, 45, 49, 9)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    description="TPC-H Q16 shape: NOT IN exclusion subquery (anti join on non-null keys) + distinct-count per attribute group",
+)
+def q16_supplier_cardinality(spark, sf_dir):
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 9)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad_supp, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(big(F.countDistinct("l_suppkey")).alias("supplier_cnt"))
+    )
