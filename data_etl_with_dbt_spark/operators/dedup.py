@@ -488,3 +488,51 @@ def dedup_clusters(
         if changed:
             break
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Test-set decontamination: for every training document, the fraction of
+    its distinct word ``n``-grams that appear anywhere in the ``benchmark``
+    corpus (the GPT-3/PaLM-style contamination check — drop or flag training
+    docs that overlap an eval set).
+
+    Plan shape: both sides shingle with the same :func:`_shingles` expression;
+    the benchmark collapses to a distinct gram dictionary that is
+    **broadcast** — eval sets are KBs-to-MBs against a 100 TB corpus, so the
+    training side never shuffles for the probe. Per-doc overlap is then one
+    hash agg over (doc, gram, hit): counts and the flag, no document text
+    in any exchange.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(_shingles(_tokens(F.col(text_col)), n)).alias("gram")
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(_shingles(_tokens(F.col(text_col)), n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    agg = (
+        grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.count("hit").alias("matched_grams"),
+        )
+    )
+    frac = F.col("matched_grams").cast("double") / F.col("total_grams").cast("double")
+    return agg.select(
+        F.col(id_col),
+        F.col("total_grams").cast("bigint").alias("total_grams"),
+        F.col("matched_grams").cast("bigint").alias("matched_grams"),
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(threshold)).alias("contaminated"),
+    )

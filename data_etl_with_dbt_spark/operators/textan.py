@@ -163,3 +163,48 @@ def tfidf_top_terms(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText repetition
+    filters' shape, cf. Rae et al. 2021 §A1.1): duplicate-token fraction and
+    the share of the single most frequent bigram. High values flag boilerplate
+    and keyboard-mash documents that exact/near dedup can't catch because the
+    repetition is *inside* one document.
+
+    Plan shape: one scan computes token counts from the array form (no
+    explode), a second path explodes bigrams (non-distinct — multiplicity is
+    the signal) into a two-level hash agg (bigram counts → per-doc max/total).
+    The join back is on ``id_col`` — both sides are one row per document, so
+    the shuffle carries only scalar stats, never text. At scale the exploded
+    (doc, bigram) stream is map-side combined before it shuffles.
+    """
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("t"))
+    tok_stats = base.select(
+        F.col(id_col),
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    # Non-distinct bigrams: slice(i, 2) over 0..max(L-2, 0); a 1-token doc
+    # degenerates to its single token (mirrored in the suite oracle).
+    idx = F.sequence(F.lit(0), F.greatest(F.size("t") - 2, F.lit(0)))
+    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(F.col("t"), i + 1, 2), " "))
+    bg = base.select(F.col(id_col), F.explode(bigrams).alias("g"))
+    per_doc = (
+        bg.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_cnt"), F.sum("c").alias("n_bigrams"))
+    )
+    dup_frac = F.lit(1.0) - (
+        F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    )
+    top_share = F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams").cast("double")
+    return tok_stats.join(per_doc, id_col).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        F.col("top_bigram_cnt").cast("bigint").alias("top_bigram_cnt"),
+        top_share.alias("top_bigram_share"),
+    )

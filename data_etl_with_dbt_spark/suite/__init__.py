@@ -13,4 +13,5 @@ from data_etl_with_dbt_spark.suite import relational4  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import featurize  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import analytics  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import llm_ops  # noqa: E402,F401
+from data_etl_with_dbt_spark.suite import corpus  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import windows  # noqa: E402,F401

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_etl_with_dbt_spark.suite.registry import big, load, query
+from data_etl_with_dbt_spark.suite.registry import big, dec6, load, query
 
 # ---------------------------------------------------------------------------
 # Ordered funnel: view -> click -> purchase, strictly increasing timestamps.
@@ -199,4 +199,69 @@ def time_weighted_average(spark, sf_dir):
         (F.sum(weighted).cast("string").cast("double") / F.sum("dt_us").cast("double"))
         .cast("double")
         .alias("twap")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median / MAD (median absolute deviation) per
+# group, then count points beyond the 3-sigma-equivalent robust band.
+# ---------------------------------------------------------------------------
+
+@query(
+    "mad_outliers_by_type",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(38,6)) AS DOUBLE) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, med,
+               CAST(CAST(quantile_cont(dev, 0.5) AS DECIMAL(38,6)) AS DOUBLE) AS mad
+        FROM dev GROUP BY event_type, med
+    )
+    SELECT d.event_type, m.med, m.mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN d.dev > m.mad * 4.4478 THEN 1 END) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+    description=(
+        "Robust per-group outliers: median + MAD (both DECIMAL(38,6)-quantized "
+        "so the robust band is bit-identical cross-engine), count beyond "
+        "3*1.4826*MAD"
+    ),
+)
+def mad_outliers_by_type(spark, sf_dir):
+    # Two sort-aggs + two broadcast joins back; the group cardinality is tiny
+    # (one row per event_type) so the median tables broadcast. The band
+    # threshold is a SINGLE multiply (mad * 4.4478) — spelling it 3*1.4826*mad
+    # would leave the association order to each engine's constant folder.
+    # The exact-percentile noise is absorbed by the dec6 grid (registry rules);
+    # dev = abs(x - med) is then one IEEE subtraction of identical bits.
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        dec6(F.expr("percentile(value, 0.5)")).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        dec6(F.expr("percentile(dev, 0.5)")).alias("mad")
+    )
+    return (
+        dev.select("event_type", "dev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            big(F.count(F.lit(1))).alias("n"),
+            big(
+                F.count(F.when(F.col("dev") > F.col("mad") * F.lit(4.4478), 1))
+            ).alias("n_outliers"),
+        )
     )

@@ -1,0 +1,161 @@
+"""Corpus-hygiene queries: test-set decontamination, within-document
+repetition filters, and deterministic hash-based train/val/test splitting —
+the remaining pillars of an LLM training-data pipeline after dedup/quality
+(suite.llm_ops) and chunking/sampling/export (suite.featurize).
+
+Determinism notes: every fraction here is a single IEEE division of two
+exact integers (bit-identical across engines); the split assignment compares
+md5 hex prefixes lexicographically (both engines render lowercase hex), so
+nothing floats through engine-specific rounding at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.operators import dedup as D
+from data_etl_with_dbt_spark.operators import textan as TA
+from data_etl_with_dbt_spark.suite.registry import big, load, query
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination: n-gram overlap against a benchmark corpus.
+# The fixture has no separate eval set, so a deterministic 1/97 slice of
+# documents plays the benchmark and the rest are "training" docs.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')
+               )
+           )) AS gram
+    FROM toks
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS total_grams,
+       CAST(count(b.gram) AS BIGINT) AS matched_grams,
+       CAST(count(b.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS overlap_frac,
+       (CAST(count(b.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.5
+           AS contaminated
+FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=_DECONTAM_ORACLE,
+    description=(
+        "Test-set decontamination: per-doc distinct trigram overlap against a "
+        "broadcast benchmark gram dictionary (GPT-3-style contamination check)"
+    ),
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return D.benchmark_contamination(
+        train, bench, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style filters).
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(t) - 1, 1) + 1),
+               i -> array_to_string(t[i:i+1], ' ')
+           )) AS g
+    FROM toks
+),
+per_bigram AS (
+    SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+),
+per_doc AS (
+    SELECT doc_id, max(c) AS top_bigram_cnt, sum(c) AS n_bigrams
+    FROM per_bigram GROUP BY doc_id
+),
+tok_stats AS (
+    SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+    FROM toks
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       1.0 - (CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
+           AS dup_token_frac,
+       CAST(p.top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+       CAST(p.top_bigram_cnt AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+           AS top_bigram_share
+FROM tok_stats s JOIN per_doc p ON s.doc_id = p.doc_id
+"""
+
+
+@query(
+    "repetition_stats",
+    oracle=_REPETITION_ORACLE,
+    description=(
+        "Gopher-style within-doc repetition: duplicate-token fraction + top "
+        "bigram share (map-side-combined bigram agg, stats-only join)"
+    ),
+)
+def repetition_stats_q(spark, sf_dir):
+    return TA.repetition_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split: train/val/test assignment that is stable across
+# runs, engines, and cluster sizes (no RNG, no row order dependence) —
+# lexicographic comparison on an md5 hex prefix. 0xcccc/0x10000 = 80%,
+# 0xe666/0x10000 = 90%.
+# ---------------------------------------------------------------------------
+
+@query(
+    "hash_split_assignment",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+           CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+               ELSE 'test'
+           END AS split,
+           lang, source
+    FROM documents
+    """,
+    description=(
+        "Deterministic 80/10/10 train/val/test split by md5 key-hash bucket — "
+        "stable under reruns, engine swaps, and repartitioning (no RNG)"
+    ),
+)
+def hash_split_assignment(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < "cccc", "train").when(bucket < "e666", "val").otherwise("test")
+    )
+    return docs.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        bucket.alias("bucket"),
+        split.alias("split"),
+        "lang",
+        "source",
+    )
