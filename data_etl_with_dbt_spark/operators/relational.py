@@ -142,3 +142,31 @@ def salted_join(
     )
     out = salted_left.join(replicated_right, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    rank_col: str = "quota_rank",
+) -> DataFrame:
+    """Per-key quota cap: keep the top ``n`` rows of every key group under
+    ``order_by`` (which must be a TOTAL order within a key — add a unique
+    tie-break column). The web-corpus curation primitive: "at most N pages
+    per domain", the C4/RefinedWeb-style guard against a handful of mega
+    sites dominating a training mix.
+
+    Plan shape: one shuffle on ``key_cols`` and a per-key sort feeding
+    ``row_number`` — rows never sort globally. ``WindowGroupLimit`` pushes
+    the ``<= n`` limit into the sort (Spark 3.5+), so each task keeps a
+    bounded heap instead of materializing whole groups. One mega-key still
+    lands on one task (window functions bypass AQE skew splitting); if a
+    single domain's rows exceed a task's memory, pre-filter with an
+    approximate per-key count and process outlier keys separately.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= F.lit(n))
+    )

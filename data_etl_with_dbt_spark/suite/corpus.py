@@ -11,9 +11,11 @@ nothing floats through engine-specific rounding at all.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_etl_with_dbt_spark.operators import dedup as D
+from data_etl_with_dbt_spark.operators import relational as R
 from data_etl_with_dbt_spark.operators import textan as TA
 from data_etl_with_dbt_spark.suite.registry import big, load, query
 
@@ -158,4 +160,103 @@ def hash_split_assignment(spark, sf_dir):
         split.alias("split"),
         "lang",
         "source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota caps: "at most N docs per source", the C4/RefinedWeb-style
+# guard against a few mega domains dominating the training mix.
+# ---------------------------------------------------------------------------
+
+@query(
+    "domain_quota_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars, quota_rank FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS BIGINT) AS quota_rank
+        FROM documents
+    ) WHERE quota_rank <= 50
+    """,
+    description=(
+        "Per-source quota cap (keep best 50 docs per domain by length, "
+        "deterministic tie-break) — single key-shuffle, WindowGroupLimit "
+        "bounds per-task state"
+    ),
+)
+def domain_quota_cap(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    capped = R.per_key_cap(
+        docs,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        n=50,
+    )
+    return capped.select(
+        "doc_id", "source", "n_chars", big(F.col("quota_rank")).alias("quota_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: global heavy-hitter terms plus the cumulative share of
+# total token mass they cover (the "how big must the vocab be" curve).
+# ---------------------------------------------------------------------------
+
+@query(
+    "vocab_coverage_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    terms AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    top AS (SELECT term, c FROM terms ORDER BY c DESC, term LIMIT 100),
+    tot AS (SELECT sum(c) AS t FROM terms)
+    SELECT CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT)
+               AS term_rank,
+           term,
+           CAST(c AS BIGINT) AS cnt,
+           CAST(sum(c) OVER (ORDER BY c DESC, term ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_cnt,
+           CAST(sum(c) OVER (ORDER BY c DESC, term ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / CAST(t.t AS DOUBLE) AS coverage
+    FROM top, tot t
+    """,
+    description=(
+        "Vocabulary coverage curve: top-100 terms by corpus frequency with "
+        "cumulative token-mass share (top-k before the window, so the "
+        "unpartitioned cumsum only ever sees 100 rows)"
+    ),
+)
+def vocab_coverage_topk(spark, sf_dir):
+    # Heavy-hitter selection is TakeOrderedAndProject over the map-side-
+    # combined term counts — no global sort. The unpartitioned running-sum
+    # window (a scale hazard on full tables) runs AFTER the limit, over
+    # exactly 100 rows; the corpus-total token count joins in as a broadcast
+    # scalar. coverage = one IEEE division of two exact BIGINTs.
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TA.tokens_expr(F.col("text"))).alias("term"))
+    terms = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = terms.orderBy(F.col("c").desc(), F.col("term")).limit(100)
+    tot = terms.agg(F.sum("c").alias("t"))
+    order = [F.col("c").desc(), F.col("term")]
+    cum_w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("cum_cnt", F.sum("c").over(cum_w))
+        .withColumn("term_rank", F.row_number().over(Window.orderBy(*order)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            big(F.col("term_rank")).alias("term_rank"),
+            "term",
+            big(F.col("c")).alias("cnt"),
+            big(F.col("cum_cnt")).alias("cum_cnt"),
+            (
+                F.col("cum_cnt").cast("double") / F.col("t").cast("double")
+            ).alias("coverage"),
+        )
     )
