@@ -625,3 +625,74 @@ def q16_supplier_cardinality(spark, sf_dir):
         .groupBy("p_brand", "p_type", "p_size")
         .agg(big(F.countDistinct("l_suppkey")).alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q21: suppliers who kept orders waiting — the only late supplier in a
+# multi-supplier order. Adapted lateness: shipped >60 days after the order
+# date (the trimmed lineitem has no commit/receipt dates).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH li AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM li l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM li l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name LIMIT 100
+    """,
+    description=(
+        "TPC-H q21 shape (EXISTS + NOT EXISTS self-join) rewritten as one "
+        "per-order aggregation — late-row counts join back on the order key, "
+        "so no lineitem self-join ever materializes"
+    ),
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    # The faithful plan self-joins lineitem twice (EXISTS / NOT EXISTS); at
+    # 100 TB that's two extra full-table exchanges. Equivalent rewrite: per
+    # (order, supplier) late-row counts, then per-order supplier/late-supplier
+    # tallies — a late row qualifies iff its order has >1 supplier and exactly
+    # 1 late supplier (itself). Every exchange after the first join carries
+    # only keys and counters. The oracle keeps the EXISTS form, so the parity
+    # check also proves the rewrite.
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = load(spark, sf_dir, "supplier")
+
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    per_os = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("late"), 1)).alias("n_late_rows")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("n_late_rows") > 0, 1)).alias("n_late_supp"),
+    )
+    qual = (
+        per_os.where(F.col("n_late_rows") > 0)
+        .join(per_o, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", big(F.col("numwait")).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
