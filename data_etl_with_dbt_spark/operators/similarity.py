@@ -306,3 +306,36 @@ def ivf_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column: scale =
+    max|v| / 127, q_i = round(v_i / scale) — the standard embedding-storage
+    compression (4x smaller than float32 before encoding; parquet
+    dictionary/RLE then bites much harder on 255 distinct values).
+
+    Emits exploded (id, dim_idx, qval, scale) rows so downstream ops (and the
+    cross-engine check) see scalars, not arrays. Determinism: max|v| is exact
+    (abs/max never round), the scale division and q = floor(x + 0.5) are
+    single IEEE ops on identical bits in any engine. All-zero vectors get
+    qval=0 rather than 0/0 NaNs.
+
+    Scale shape: pure per-row narrow ops — no shuffle, no UDF; whole-stage
+    codegen keeps the explode + arithmetic in one pass over the scan.
+    """
+    scale = (
+        F.array_max(F.transform(F.col(vec_col), lambda v: F.abs(v))).cast("double")
+        / F.lit(127.0)
+    )
+    ex = df.select(
+        F.col(id_col), scale.alias("scale"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    qval = F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("v").cast("double") / F.col("scale") + F.lit(0.5))
+    )
+    return ex.select(
+        F.col(id_col),
+        (F.col("pos") + 1).cast("bigint").alias("dim_idx"),
+        qval.cast("bigint").alias("qval"),
+        F.col("scale"),
+    )

@@ -489,3 +489,40 @@ def redact_entities(spark, sf_dir):
         big(F.regexp_count("text", F.lit(pat))).alias("n_redacted"),
         F.md5(F.regexp_replace("text", pat, "<ENT>")).alias("redacted_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: symmetric per-vector int8 quantization.
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                   / 127.0 AS scale
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, scale,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                                     i -> {'i': i, 'v': embedding[i]})) AS u
+        FROM base
+    )
+    SELECT vec_id,
+           CAST(u.i AS BIGINT) AS dim_idx,
+           CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE floor(CAST(u.v AS DOUBLE) / scale + 0.5) END AS BIGINT)
+               AS qval,
+           scale
+    FROM ex
+    """,
+    description=(
+        "Symmetric per-vector int8 embedding quantization (scale = max|v|/127) "
+        "— shuffle-free narrow pass, exploded scalar output checked bit-exact"
+    ),
+)
+def embedding_int8_quantize(spark, sf_dir):
+    return S.quantize_int8(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")
