@@ -25,6 +25,7 @@ row), counts as BIGINT, every LIMIT under a total order.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_etl_with_dbt_spark.suite.registry import big, davg, dsum, load, query
@@ -661,12 +662,15 @@ def q16_supplier_cardinality(spark, sf_dir):
 )
 def q21_suppliers_kept_waiting(spark, sf_dir):
     # The faithful plan self-joins lineitem twice (EXISTS / NOT EXISTS); at
-    # 100 TB that's two extra full-table exchanges. Equivalent rewrite: per
-    # (order, supplier) late-row counts, then per-order supplier/late-supplier
-    # tallies — a late row qualifies iff its order has >1 supplier and exactly
-    # 1 late supplier (itself). Every exchange after the first join carries
-    # only keys and counters. The oracle keeps the EXISTS form, so the parity
-    # check also proves the rewrite.
+    # 100 TB that's two extra full-table scans and exchanges. Equivalent
+    # rewrite: per-(order, supplier) late-row counts, then per-order
+    # supplier/late-supplier tallies as WINDOW aggregates over the order key
+    # — a late row qualifies iff its order has >1 supplier and exactly 1 late
+    # supplier (itself). The join on l_orderkey already hash-partitions by
+    # the order key, which satisfies both the (order, supplier) groupBy's
+    # clustering and the window's partitioning, so neither adds an exchange
+    # and lineitem is scanned ONCE (asserted in tests/test_plan_shapes.py).
+    # The oracle keeps the EXISTS form, so parity also proves the rewrite.
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     supp = load(spark, sf_dir, "supplier")
@@ -679,14 +683,18 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     per_os = flagged.groupBy("l_orderkey", "l_suppkey").agg(
         F.count(F.when(F.col("late"), 1)).alias("n_late_rows")
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.count(F.when(F.col("n_late_rows") > 0, 1)).alias("n_late_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     qual = (
-        per_os.where(F.col("n_late_rows") > 0)
-        .join(per_o, "l_orderkey")
-        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum(F.when(F.col("n_late_rows") > 0, 1).otherwise(0)).over(w),
+        )
+        .where(
+            (F.col("n_late_rows") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     return (
         qual.groupBy("l_suppkey")

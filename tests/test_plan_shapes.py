@@ -101,3 +101,35 @@ def test_unpivot_is_expand_not_union_of_scans(spark):
     plan = plan_of(spark, "unpivot_lineitem_measures")
     assert "Expand" in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_q21_rewrite_never_self_joins_lineitem(spark):
+    """q21's EXISTS/NOT-EXISTS shape is rewritten to per-order aggregation:
+    lineitem must be scanned ONCE (a self-join would scan it 2-3x and add
+    full-width exchanges), and the supplier dimension must broadcast."""
+    plan = plan_of(spark, "q21_suppliers_kept_waiting")
+    scans = plan.count("FileScan parquet")
+    assert plan.count("lineitem.parquet") <= 1
+    assert scans <= 3  # lineitem + orders + supplier, each once
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 without a global sort
+
+
+def test_domain_quota_cap_pushes_group_limit(spark):
+    """The per-key cap must run as a single key-shuffle with the rank limit
+    pushed into the window sort (WindowGroupLimit), so tasks keep a bounded
+    heap instead of materializing whole domains."""
+    import re
+
+    plan = plan_of(spark, "domain_quota_cap")
+    assert "WindowGroupLimit" in plan
+    n = len(re.findall(r"Exchange (hash|range)partitioning|Exchange SinglePartition", plan))
+    assert n == 1, f"expected exactly one shuffle, got {n}"
+
+
+def test_int8_quantization_is_shuffle_free_jvm_pass(spark):
+    """Quantization is a narrow per-row transform: no exchange, no Python
+    eval — one codegen'd pass over the scan."""
+    plan = plan_of(spark, "embedding_int8_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
