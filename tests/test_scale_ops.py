@@ -195,3 +195,76 @@ class TestStratifiedSample:
         zh_rate = rates.get("zh", 0) / max(totals.get("zh", 1), 1)
         assert 0.35 < en_rate < 0.65
         assert zh_rate < 0.25
+
+
+class TestZOrder:
+    def _file_ranges(self, path, col):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            out.append((min(los), max(his)))
+        return out
+
+    def _overlap_frac(self, ranges, lo, hi):
+        n = sum(1 for flo, fhi in ranges if not (fhi < lo or flo > hi))
+        return n / len(ranges)
+
+    def test_zorder_prunes_both_dimensions(self, spark, tmp_path):
+        """A Z-ordered layout must give file-level min/max pruning on BOTH
+        clustered columns; a plain sort by x gives it only on x. Footer stats
+        are read directly — the same stats Spark's parquet filter pushdown
+        skips with."""
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.sources.io import write_zordered
+
+        df = spark.range(20000).select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("y"),
+        )
+        zpath = str(tmp_path / "zorder")
+        spath = str(tmp_path / "xsort")
+        write_zordered(df, zpath, ["x", "y"], bits=10, num_files=16)
+        (
+            df.repartitionByRange(16, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(spath)
+        )
+
+        probes = [(100, 150), (420, 470), (800, 850)]
+        for col in ("x", "y"):
+            zr = self._file_ranges(zpath, col)
+            assert len(zr) > 8  # the range exchange actually spread files
+            zfrac = sum(self._overlap_frac(zr, lo, hi) for lo, hi in probes) / len(probes)
+            assert zfrac < 0.7, f"z-order failed to prune on {col}: {zfrac}"
+        # the single-sort layout cannot prune its non-sort dimension
+        sr = self._file_ranges(spath, "y")
+        sfrac = sum(self._overlap_frac(sr, lo, hi) for lo, hi in probes) / len(probes)
+        assert sfrac > 0.9, f"expected no y-pruning in x-sorted layout: {sfrac}"
+
+    def test_zorder_roundtrip_preserves_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.sources.io import write_zordered
+
+        df = spark.range(5000).select(
+            F.col("id"), (F.col("id") % 7).alias("x"), (F.col("id") % 11).alias("y")
+        )
+        path = str(tmp_path / "z2")
+        write_zordered(df, path, ["x", "y"], bits=8, num_files=4)
+        back = spark.read.parquet(path)
+        assert back.count() == 5000
+        assert back.agg(F.sum("id")).first()[0] == sum(range(5000))
