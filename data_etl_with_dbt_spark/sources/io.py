@@ -297,3 +297,37 @@ def write_zordered(
         .format(fmt)
         .save(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory of many small files into
+    ``ceil(total_bytes / target_mb)`` right-sized ones. Streaming sinks and
+    fine-grained incremental appends accrete thousands of tiny files; at
+    scan time every file costs a task launch plus a footer read, and at
+    100 TB the small-file tax dominates the actual IO. Returns the output
+    file count.
+
+    Plan: one narrow read → ``coalesce`` (no shuffle — coalescing only
+    merges input splits) → write to ``dst``. Callers swap directories
+    atomically (write-new / rename) — compacting in place over a lazy read
+    of the same path would race the scan.
+    """
+    import math
+
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(path)
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    )
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.format(fmt).load(src).coalesce(n).write.mode("overwrite").format(fmt).save(dst)
+    return n

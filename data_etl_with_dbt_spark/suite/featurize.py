@@ -115,3 +115,62 @@ def stratified_sample_documents(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25, "zh": 0.1}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-token-budget training sequences
+# by cumulative offset (greedy contiguous packing; straddling docs split at
+# the boundary downstream). Packing is per-source so the window is
+# partition-scoped — at corpus scale you pack within (source, shard) and no
+# global sort ever happens.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '')) AS n_tokens
+        FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS off
+        FROM toks
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(off // 2048 AS BIGINT) AS seq_id,
+           CAST(off % 2048 AS BIGINT) AS offset_in_seq
+    FROM offs
+    """,
+    description=(
+        "Greedy contiguous sequence packing into 2048-token training rows "
+        "(per-source cumulative offsets; pure integer math, one key-shuffle)"
+    ),
+)
+def sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from data_etl_with_dbt_spark.operators.textan import tokens_expr
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = toks.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return offs.select(
+        "doc_id",
+        "source",
+        big(F.col("n_tokens")).alias("n_tokens"),
+        big(F.expr("off DIV 2048")).alias("seq_id"),
+        big(F.col("off") % 2048).alias("offset_in_seq"),
+    )

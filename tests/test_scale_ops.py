@@ -268,3 +268,25 @@ class TestZOrder:
         back = spark.read.parquet(path)
         assert back.count() == 5000
         assert back.agg(F.sum("id")).first()[0] == sum(range(5000))
+
+
+class TestCompaction:
+    def test_compact_merges_small_files(self, spark, tmp_path):
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.sources.io import compact_files
+
+        src = str(tmp_path / "small")
+        dst = str(tmp_path / "compacted")
+        df = spark.range(50000).select("id", (F.col("id") % 13).alias("k"))
+        df.repartition(40).write.parquet(src)
+        assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+
+        n = compact_files(spark, src, dst, target_mb=128)
+        files = glob.glob(f"{dst}/part-*.parquet")
+        assert len(files) == n == 1  # ~200 KB of data -> one 128 MB-target file
+        back = spark.read.parquet(dst)
+        assert back.count() == 50000
+        assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
