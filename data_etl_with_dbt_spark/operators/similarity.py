@@ -339,3 +339,36 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         qval.cast("bigint").alias("qval"),
         F.col("scale"),
     )
+
+
+def exact_cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, computed EXACTLY: precomputed
+    norms, ordered-id self-join, one sequential-fold dot per pair.
+
+    This is the O(n^2) exact baseline for semantic dedup — correct at any
+    threshold, quadratic in corpus size. The scale paths that bound the
+    candidate set are :func:`embedding_near_dup_pairs` (LSH buckets) and
+    :func:`ivf_topk` (learned coarse quantizer); run THIS one per-shard or
+    on a sampled slice to measure their recall.
+    """
+    nc = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__norm")
+    )
+    return (
+        nc.alias("x")
+        .join(nc.alias("y"), F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            (
+                dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
+                / (F.col("x.__norm") * F.col("y.__norm"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

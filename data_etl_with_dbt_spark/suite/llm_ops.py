@@ -526,3 +526,57 @@ def redact_entities(spark, sf_dir):
 )
 def embedding_int8_quantize(spark, sf_dir):
     return S.quantize_int8(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape): exact-cosine pair graph -> connected
+# components -> canonical member per cluster. Threshold 0.35 is calibrated
+# to the random fixture (max pairwise cosine ~0.51); on a real corpus this
+# sits at 0.9+ and the pair stage runs LSH/IVF-bucketed instead of exact.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = """
+WITH RECURSIVE v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+), sym AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS d FROM pairs
+), reach(id, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id
+)
+SELECT id AS vec_id,
+       CAST(MIN(r) AS BIGINT) AS cluster_id,
+       (id = MIN(r)) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+@query(
+    "semantic_dedup_clusters",
+    oracle=_SEMDEDUP_ORACLE,
+    description=(
+        "Semantic dedup: exact-cosine pair graph (threshold fixture-"
+        "calibrated) -> min-label connected components -> canonical flag, "
+        "vs recursive-CTE oracle"
+    ),
+)
+def semantic_dedup_clusters(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.exact_cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35
+    )
+    clusters = D.dedup_clusters(emb, "vec_id", pairs)
+    return clusters.select(
+        big(F.col("vec_id")).alias("vec_id"),
+        big(F.col("cluster_id")).alias("cluster_id"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
