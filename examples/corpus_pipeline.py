@@ -1,0 +1,133 @@
+"""End-to-end LLM training-corpus pipeline — the engine's north-star
+workload, chaining the corpus operators the way a production data pipeline
+would run them nightly over a crawl increment:
+
+    1. quality filter     text_stats + repetition filters (Gopher-style)
+    2. exact dedup        content-digest keep-one
+    3. near dedup         MinHash + LSH banding, cluster to canonical docs
+    4. decontaminate      trigram overlap vs a benchmark set (broadcast)
+    5. domain quota       at most N docs per source (window group limit)
+    6. split              deterministic md5-bucket train/val/test
+    7. pack + export      2048-token sequence packing, sharded ordered write
+
+Run:  python examples/corpus_pipeline.py [sf_dir] [workdir]
+
+Prints per-stage wall-clock and the row funnel (docs surviving each stage).
+Every stage is a declarative DataFrame plan — at 100 TB the same code runs
+with more shuffle partitions; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark import get_spark
+from data_etl_with_dbt_spark.operators import dedup as D
+from data_etl_with_dbt_spark.operators import relational as R
+from data_etl_with_dbt_spark.operators import textan as TA
+from data_etl_with_dbt_spark.sources.io import read_parquet, write_training_shards
+
+
+def main(sf_dir: str, workdir: str) -> None:
+    spark = get_spark("corpus_pipeline", master=os.environ.get("SPARK_MASTER", "local[*]"))
+    stages: list[tuple[str, float, int]] = []
+
+    def mark(name: str, t0: float, df):
+        n = df.count()
+        stages.append((name, time.time() - t0, n))
+        print(f"{name:<22} {stages[-1][1]:6.1f} s   {n:>8,} docs")
+        return df
+
+    t0 = time.time()
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    mark("ingest", t0, docs)
+
+    # 1. quality: drop empty/degenerate and highly repetitive documents.
+    t0 = time.time()
+    stats = TA.text_stats(docs, "doc_id", "text")
+    rep = TA.repetition_stats(docs, "doc_id", "text")
+    keep = (
+        stats.where(F.col("n_tokens") >= 5)
+        .join(rep.where(F.col("top_bigram_share") <= 0.5), "doc_id")
+        .select("doc_id")
+    )
+    quality = mark("quality_filter", t0, docs.join(keep, "doc_id"))
+
+    # 2. exact dedup: one doc per content digest.
+    t0 = time.time()
+    exact = mark("exact_dedup", t0, D.dedup_exact(quality, "doc_id", "text"))
+
+    # 3. near dedup: MinHash/LSH pairs -> connected components -> canonical.
+    t0 = time.time()
+    pairs = D.minhash_lsh_pairs(
+        exact, "doc_id", "text",
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    clusters = D.dedup_clusters(exact, "doc_id", pairs)
+    canonical = exact.join(
+        clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+        "doc_id",
+    )
+    near = mark("near_dedup", t0, canonical)
+
+    # 4. decontaminate against a held-out benchmark slice.
+    t0 = time.time()
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    overlap = D.benchmark_contamination(near, bench, "doc_id", "text", n=3, threshold=0.5)
+    clean = near.join(
+        overlap.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    clean = mark("decontaminate", t0, clean)
+
+    # 5. per-domain quota: best 50 docs per source by length.
+    t0 = time.time()
+    capped = R.per_key_cap(
+        clean, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], n=50
+    ).drop("quota_rank")
+    capped = mark("domain_quota", t0, capped)
+
+    # 6. deterministic split.
+    t0 = time.time()
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < "cccc", "train").when(bucket < "e666", "val").otherwise("test")
+    )
+    assigned = capped.withColumn("split", split)
+    mark("hash_split", t0, assigned)
+
+    # 7. pack into 2048-token sequences and export ordered shards per split.
+    t0 = time.time()
+    toks = assigned.withColumn("n_tokens", F.size(TA.tokens_expr(F.col("text"))))
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        toks.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("seq_id", F.expr("off DIV 2048"))
+        .drop("off")
+    )
+    out = os.path.join(workdir, "corpus_shards")
+    write_training_shards(
+        packed.where(F.col("split") == "train"), out, order_by=["source", "doc_id"], num_shards=8
+    )
+    n = spark.read.parquet(out).count()
+    stages.append(("pack_export", time.time() - t0, n))
+    print(f"{'pack_export':<22} {stages[-1][1]:6.1f} s   {n:>8,} docs")
+
+    total = sum(t for _, t, _ in stages)
+    print(f"\nTOTAL {total:.1f} s over {len(stages)} stages")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    wd = sys.argv[2] if len(sys.argv) > 2 else "/tmp/corpus_pipeline"
+    main(sf, wd)
