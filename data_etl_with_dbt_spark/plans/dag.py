@@ -37,6 +37,11 @@ class ModelSpec:
     # 'insert_overwrite' (replace touched partitions; needs partition_by)
     incremental_strategy: str = "append"
     partition_by: list[str] | None = None
+    # incremental only: what to do when the fresh build's columns differ from
+    # the existing table's (dbt on_schema_change): 'ignore' (project onto the
+    # table schema, missing columns null), 'fail', 'append_new_columns',
+    # 'sync_all_columns'
+    on_schema_change: str = "ignore"
 
 
 class RunContext:
@@ -84,6 +89,7 @@ class ModelRegistry:
         description: str = "",
         incremental_strategy: str = "append",
         partition_by: list[str] | None = None,
+        on_schema_change: str = "ignore",
     ):
         """Decorator registering a model function ``(ctx) -> DataFrame``."""
 
@@ -97,6 +103,7 @@ class ModelRegistry:
                 description=description or (fn.__doc__ or ""),
                 incremental_strategy=incremental_strategy,
                 partition_by=partition_by,
+                on_schema_change=on_schema_change,
             )
             self._deps[mname] = set(deps or [])
             return fn
@@ -189,6 +196,8 @@ class ModelRegistry:
             write_table(df, spec.name, mode="overwrite", partition_by=spec.partition_by)
             return spark.table(spec.name)
 
+        df = self._reconcile_schema(spark, spec, df)
+
         if strategy == "append":
             existing_keys = spark.table(spec.name).select(spec.unique_key)
             fresh = df.join(existing_keys, on=spec.unique_key, how="left_anti")
@@ -212,6 +221,63 @@ class ModelRegistry:
         else:
             raise ValueError(f"unknown incremental_strategy {strategy!r}")
         return spark.table(spec.name)
+
+    def _reconcile_schema(self, spark: SparkSession, spec: ModelSpec, df: DataFrame) -> DataFrame:
+        """dbt ``on_schema_change`` for incremental models, on plain Parquet:
+
+        * 'ignore' — project the fresh build onto the existing table schema;
+          columns the fresh build lacks become typed nulls, extra ones drop.
+        * 'fail' — raise on any column-set difference.
+        * 'append_new_columns' — widen the table with the fresh build's new
+          columns (existing rows read back as nulls). Plain Parquet can't
+          evolve a catalog schema in place, so the widening is a one-time
+          rewrite; a transactional format makes it a metadata op.
+        * 'sync_all_columns' — the fresh build's schema wins: rewrite the
+          table projected onto it (adds AND removes columns).
+        """
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.sources.io import write_table
+
+        existing = spark.table(spec.name)
+        old_cols = existing.columns
+        new_cols = df.columns
+        if old_cols == new_cols:
+            return df
+        mode = spec.on_schema_change
+        added = [c for c in new_cols if c not in old_cols]
+        removed = [c for c in old_cols if c not in new_cols]
+        if mode == "fail":
+            raise ValueError(
+                f"incremental model {spec.name}: schema changed "
+                f"(added={added}, removed={removed}) and on_schema_change='fail'"
+            )
+
+        def project(frame: DataFrame, target: DataFrame) -> DataFrame:
+            cols = []
+            have = set(frame.columns)
+            for f in target.schema.fields:
+                if f.name in have:
+                    cols.append(F.col(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            return frame.select(*cols)
+
+        if mode == "ignore":
+            return project(df, existing)
+        if mode == "append_new_columns":
+            target = existing
+            for f in df.schema.fields:
+                if f.name in added:
+                    target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+            widened = target.localCheckpoint(eager=True)
+            write_table(widened, spec.name, mode="overwrite", partition_by=spec.partition_by)
+            return project(df, widened)
+        if mode == "sync_all_columns":
+            synced = project(existing, df).localCheckpoint(eager=True)
+            write_table(synced, spec.name, mode="overwrite", partition_by=spec.partition_by)
+            return df
+        raise ValueError(f"unknown on_schema_change {mode!r}")
 
     def _is_upstream_of_any(self, name: str, targets: list[str]) -> bool:
         seen: set[str] = set()

@@ -96,3 +96,108 @@ def test_register_custom_test(spark):
     registry.run(spark)
     results = registry.test(spark)
     assert results[0].passed
+
+
+class TestOnSchemaChange:
+    def _registry(self, strategy, on_schema_change, cols):
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+
+        @reg.model(
+            name="osc_target",
+            materialized="incremental",
+            unique_key="id",
+            incremental_strategy=strategy,
+            on_schema_change=on_schema_change,
+        )
+        def osc_target(ctx):
+            df = ctx.spark.range(self.n0, self.n1).select(F.col("id"))
+            for name, expr in cols:
+                df = df.withColumn(name, expr)
+            return df
+
+        return reg
+
+    def test_append_new_columns_widens_table(self, spark):
+        from pyspark.sql import functions as F
+
+        spark.sql("DROP TABLE IF EXISTS osc_target")
+        self.n0, self.n1 = 0, 5
+        r1 = self._registry("append", "append_new_columns", [("a", F.lit(1))])
+        r1.run(spark, select=["osc_target"])
+        self.n0, self.n1 = 5, 10
+        r2 = self._registry(
+            "append", "append_new_columns", [("a", F.lit(2)), ("b", F.lit("x"))]
+        )
+        r2.run(spark, select=["osc_target"])
+        out = spark.table("osc_target")
+        assert set(out.columns) == {"id", "a", "b"}
+        assert out.count() == 10
+        # pre-existing rows read the new column as null
+        assert out.where(F.col("id") < 5).where(F.col("b").isNull()).count() == 5
+        assert out.where(F.col("id") >= 5).where(F.col("b") == "x").count() == 5
+
+    def test_ignore_projects_onto_table_schema(self, spark):
+        from pyspark.sql import functions as F
+
+        spark.sql("DROP TABLE IF EXISTS osc_target")
+        self.n0, self.n1 = 0, 5
+        self._registry("append", "ignore", [("a", F.lit(1))]).run(spark, select=["osc_target"])
+        self.n0, self.n1 = 5, 10
+        self._registry("append", "ignore", [("b", F.lit(9))]).run(spark, select=["osc_target"])
+        out = spark.table("osc_target")
+        assert set(out.columns) == {"id", "a"}  # extra column dropped
+        assert out.where(F.col("id") >= 5).where(F.col("a").isNull()).count() == 5
+
+    def test_fail_raises_on_difference(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        spark.sql("DROP TABLE IF EXISTS osc_target")
+        self.n0, self.n1 = 0, 5
+        self._registry("append", "fail", [("a", F.lit(1))]).run(spark, select=["osc_target"])
+        self.n0, self.n1 = 5, 10
+        with pytest.raises(ValueError, match="on_schema_change"):
+            self._registry("append", "fail", [("c", F.lit(2))]).run(spark, select=["osc_target"])
+
+    def test_sync_all_columns_adopts_fresh_schema(self, spark):
+        from pyspark.sql import functions as F
+
+        spark.sql("DROP TABLE IF EXISTS osc_target")
+        self.n0, self.n1 = 0, 5
+        self._registry("merge", "sync_all_columns", [("a", F.lit(1))]).run(spark, select=["osc_target"])
+        self.n0, self.n1 = 5, 10
+        self._registry("merge", "sync_all_columns", [("b", F.lit(7))]).run(spark, select=["osc_target"])
+        out = spark.table("osc_target")
+        assert set(out.columns) == {"id", "b"}  # 'a' removed, 'b' added
+        assert out.count() == 10
+
+
+class TestQuarantineIngest:
+    def test_bad_rows_quarantined_not_nulled(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from data_etl_with_dbt_spark.sources.ingest import ingest_csv_quarantine
+
+        csv = tmp_path / "in.csv"
+        csv.write_text(
+            "id,qty,price\n"
+            "1,2,3.5\n"
+            "2,notanint,9.9\n"   # corrupt: qty fails IntegerType
+            "3,4,oops\n"          # corrupt: price fails DoubleType
+            "4,5,6.25\n"
+        )
+        schema = T.StructType([
+            T.StructField("id", T.IntegerType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("price", T.DoubleType()),
+        ])
+        spark.sql("DROP TABLE IF EXISTS q_clean")
+        spark.sql("DROP TABLE IF EXISTS q_clean_quarantine")
+        clean, bad = ingest_csv_quarantine(spark, str(csv), "q_clean", schema)
+        assert sorted(r.id for r in clean.collect()) == [1, 4]
+        raws = sorted(r.raw_line for r in bad.collect())
+        assert len(raws) == 2 and any("notanint" in r for r in raws)
