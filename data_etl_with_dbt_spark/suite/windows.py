@@ -464,3 +464,88 @@ def histogram_totalprice(spark, sf_dir):
         .groupBy(big(bucket).alias("bucket"))
         .agg(big(F.count(F.lit(1))).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks per user (the classic
+# anchor trick: day - row_number() is constant within a streak).
+# ---------------------------------------------------------------------------
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    anchored AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS INTEGER) AS anchor
+        FROM days
+    )
+    SELECT user_id,
+           strftime(min(d), '%Y-%m-%d') AS streak_start,
+           strftime(max(d), '%Y-%m-%d') AS streak_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM anchored
+    GROUP BY user_id, anchor
+    """,
+    description=(
+        "Gaps-and-islands consecutive-day streaks per user (day minus "
+        "row_number anchor; one key-shuffle, integer/date math only)"
+    ),
+)
+def activity_streaks(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return anchored.groupBy("user_id", "anchor").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+        big(F.count(F.lit(1))).alias("n_days"),
+    ).drop("anchor")
+
+
+# ---------------------------------------------------------------------------
+# LOCF imputation: carry the last non-null observation forward per user —
+# the standard time-series gap repair before feature extraction.
+# ---------------------------------------------------------------------------
+
+@query(
+    "locf_imputation",
+    oracle="""
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_locf
+    FROM events
+    """,
+    description=(
+        "Last-observation-carried-forward imputation per user (error rows "
+        "masked to null, filled from the running window; raw doubles pass "
+        "through untouched so bits match cross-engine)"
+    ),
+)
+def locf_imputation(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(w).alias("v_locf"),
+    )
