@@ -1,0 +1,132 @@
+"""Cross-run data-quality monitoring (the dbt-elementary / anomaly-test
+capability): persist a few scalar health metrics per model run, then flag
+runs whose metrics sit far outside their own history.
+
+The reference's DQ surface (T1-T5, `plans/dq.py`) asserts point-in-time
+invariants; this module catches the failures those can't — a feed that
+silently halves, a null fraction creeping up, a mean drifting after an
+upstream schema change.
+
+Scale posture: metrics are computed in ONE distributed aggregation per run
+(count + per-column null/mean folded into a single row), and the history
+table grows by `n_metrics` rows per run — bytes, not data. Detection reads
+only the history table; it never rescans the monitored data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STATS_TABLE = "dq_run_stats"
+
+
+def collect_stats(
+    df: DataFrame,
+    table: str,
+    run_id: int,
+    numeric_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per metric for this run: row_count, plus null_frac_<c> and
+    mean_<c> for each requested numeric column — all from a single
+    aggregation pass over ``df``."""
+    aggs = [F.count(F.lit(1)).cast("double").alias("row_count")]
+    for c in numeric_cols or []:
+        n = F.count(F.lit(1))
+        aggs.append(
+            (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) / n)
+            .cast("double")
+            .alias(f"null_frac_{c}")
+        )
+        aggs.append(F.avg(c).cast("double").alias(f"mean_{c}"))
+    wide = df.agg(*aggs)
+    metrics = wide.unpivot([], wide.columns, "metric", "value")
+    return metrics.select(
+        F.lit(table).alias("table"),
+        F.lit(run_id).cast("bigint").alias("run_id"),
+        "metric",
+        "value",
+    )
+
+
+def record_stats(
+    df: DataFrame,
+    table: str,
+    run_id: int,
+    numeric_cols: list[str] | None = None,
+    stats_table: str = STATS_TABLE,
+) -> None:
+    """Append this run's metrics to the history table. A history directory
+    left by a previous session (on disk but absent from this session's
+    in-memory catalog — the nightly-job-restart case) is re-registered, not
+    clobbered: monitoring history must survive session boundaries."""
+    spark = df.sparkSession
+    _ensure_registered(spark, stats_table)
+    stats = collect_stats(df, table, run_id, numeric_cols)
+    stats.write.mode("append").format("parquet").saveAsTable(stats_table)
+
+
+def _ensure_registered(spark: SparkSession, name: str) -> None:
+    if spark.catalog.tableExists(name):
+        return
+    try:
+        jvm = spark._jvm
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(warehouse, name.lower())
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            spark.catalog.createTable(name, path=str(path), source="parquet")
+    except Exception:
+        pass  # best effort; saveAsTable surfaces the real error if any
+
+
+def detect_anomalies(
+    spark: SparkSession,
+    table: str,
+    z_threshold: float = 3.0,
+    min_history: int = 3,
+    stats_table: str = STATS_TABLE,
+) -> DataFrame:
+    """Flag (run_id, metric) points that deviate more than ``z_threshold``
+    sample standard deviations from the mean of all PRIOR runs of the same
+    metric. Each run is judged only against its past — a genuine regime
+    change flags once, then becomes the new baseline as history accrues.
+
+    Returns (run_id, metric, value, hist_mean, hist_std, z) for flagged
+    points; metrics with fewer than ``min_history`` prior runs never flag
+    (cold start). A metric whose history is perfectly CONSTANT flags on any
+    change at all (z reported as null) — a null fraction that has been 0.0
+    for every run and jumps is the most common real break, and a z-score
+    can't see it (zero variance).
+    """
+    hist = spark.table(stats_table).where(F.col("table") == table)
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("run_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = (
+        hist.withColumn("hist_mean", F.avg("value").over(w))
+        .withColumn("hist_std", F.stddev_samp("value").over(w))
+        .withColumn("n_hist", F.count("value").over(w))
+    )
+    z = F.abs(F.col("value") - F.col("hist_mean")) / F.col("hist_std")
+    varying = (F.col("hist_std") > 0) & (z > z_threshold)
+    constant_break = (F.col("hist_std") == 0) & (
+        F.col("value") != F.col("hist_mean")
+    )
+    return (
+        scored.where(
+            (F.col("n_hist") >= min_history)
+            & F.col("hist_std").isNotNull()
+            & (varying | constant_break)
+        )
+        .select(
+            "run_id",
+            "metric",
+            "value",
+            "hist_mean",
+            "hist_std",
+            F.when(F.col("hist_std") > 0, z).alias("z"),
+        )
+    )

@@ -201,3 +201,63 @@ class TestQuarantineIngest:
         assert sorted(r.id for r in clean.collect()) == [1, 4]
         raws = sorted(r.raw_line for r in bad.collect())
         assert len(raws) == 2 and any("notanint" in r for r in raws)
+
+
+class TestRunStatsMonitor:
+    def test_anomalous_run_flagged_against_history(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.plans import monitor
+
+        spark.sql("DROP TABLE IF EXISTS dq_run_stats")
+        # five healthy runs: ~1000 rows, ~1% nulls; run 6 collapses to 100
+        # rows with 50% nulls
+        for run in range(1, 6):
+            df = spark.range(1000 + run).select(
+                "id",
+                F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id") * 1.0).alias("v"),
+            )
+            monitor.record_stats(df, "feed", run, numeric_cols=["v"])
+        bad = spark.range(100).select(
+            "id", F.when(F.col("id") % 2 == 0, None).otherwise(F.col("id") * 1.0).alias("v")
+        )
+        monitor.record_stats(bad, "feed", 6, numeric_cols=["v"])
+
+        flagged = monitor.detect_anomalies(spark, "feed", z_threshold=3.0).collect()
+        assert flagged, "the collapsed run must be flagged"
+        assert {r.run_id for r in flagged} == {6}
+        flagged_metrics = {r.metric for r in flagged}
+        assert "row_count" in flagged_metrics and "null_frac_v" in flagged_metrics
+        # healthy runs never flag
+        assert all(r.run_id == 6 for r in flagged)
+
+    def test_constant_history_break_flags(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.plans import monitor
+
+        spark.sql("DROP TABLE IF EXISTS dq_run_stats")
+        # null_frac is EXACTLY 0.0 for every healthy run (zero variance),
+        # then jumps — must flag even though a z-score is undefined
+        for run in range(1, 5):
+            monitor.record_stats(
+                spark.range(500).select("id", (F.col("id") * 1.0).alias("v")),
+                "feed2", run, numeric_cols=["v"],
+            )
+        bad = spark.range(500).select(
+            "id", F.when(F.col("id") % 2 == 0, None).otherwise(F.col("id") * 1.0).alias("v")
+        )
+        monitor.record_stats(bad, "feed2", 5, numeric_cols=["v"])
+        fl = monitor.detect_anomalies(spark, "feed2").collect()
+        assert any(r.metric == "null_frac_v" and r.run_id == 5 and r.z is None for r in fl)
+        assert all(r.run_id == 5 for r in fl)
+
+    def test_cold_start_never_flags(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.plans import monitor
+
+        spark.sql("DROP TABLE IF EXISTS dq_run_stats")
+        monitor.record_stats(spark.range(10).select("id"), "tiny", 1)
+        monitor.record_stats(spark.range(99999).select("id"), "tiny", 2)
+        assert monitor.detect_anomalies(spark, "tiny").isEmpty()
