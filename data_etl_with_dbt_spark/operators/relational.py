@@ -170,3 +170,36 @@ def per_key_cap(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= F.lit(n))
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Record-linkage pair generation: within each blocking key, all row
+    pairs whose ``text_col`` values are within ``max_dist`` edit operations
+    (Levenshtein). The blocking key is what makes this scale — the quadratic
+    candidate space is per-block, so a 100 TB table with well-chosen blocks
+    (brand, zip prefix, soundex, LSH bucket) never materializes a global
+    cross product; the join is a plain equi-join on the block with the
+    distance as a residual filter, all JVM-side.
+    """
+    a = df.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+    )
+    b = df.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+    )
+    return (
+        a.join(b, on=block_col)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .where(F.col("dist") <= F.lit(max_dist))
+    )

@@ -260,3 +260,38 @@ def vocab_coverage_topk(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage: bounded-edit-distance pairs within a blocking key.
+# ---------------------------------------------------------------------------
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.p_brand AS p_brand,
+           a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS text_a, b.p_name AS text_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    description=(
+        "Fuzzy record linkage: Levenshtein<=2 name pairs blocked by brand "
+        "(equi-join on the block, distance as residual — no global cross "
+        "product)"
+    ),
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    pairs = R.fuzzy_pairs(
+        load(spark, sf_dir, "part"), "p_brand", "p_partkey", "p_name", max_dist=2
+    )
+    return pairs.select(
+        "p_brand",
+        big(F.col("id_a")).alias("id_a"),
+        big(F.col("id_b")).alias("id_b"),
+        "text_a",
+        "text_b",
+        big(F.col("dist")).alias("dist"),
+    )
