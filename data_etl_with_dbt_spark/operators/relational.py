@@ -197,6 +197,10 @@ def fuzzy_pairs(
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
     )
+    # Note: a |len(a)-len(b)| <= max_dist prefilter (necessary condition)
+    # was measured at sf0.1 and LOST ~30% — these candidate strings are
+    # short and length-uniform, so the extra per-pair compare outweighs the
+    # few skipped DPs. Worth re-adding for long, length-diverse text.
     return (
         a.join(b, on=block_col)
         .where(F.col("id_a") < F.col("id_b"))

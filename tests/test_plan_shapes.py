@@ -133,3 +133,17 @@ def test_int8_quantization_is_shuffle_free_jvm_pass(spark):
     plan = plan_of(spark, "embedding_int8_quantize")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The benchmark gram dictionary must broadcast — the training side of a
+    decontamination probe never shuffles on the gram key."""
+    plan = plan_of(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_pairs_is_blocked_equi_join(spark):
+    """Record-linkage pairs must hash-join on the blocking key with the
+    distance as a residual — never a cross product."""
+    plan = plan_of(spark, "fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
