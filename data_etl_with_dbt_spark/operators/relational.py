@@ -207,3 +207,35 @@ def fuzzy_pairs(
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .where(F.col("dist") <= F.lit(max_dist))
     )
+
+
+def apply_cdc(
+    existing: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture batch (ops 'insert'/'update'/'delete',
+    ordered per key by ``seq_col``) to a snapshot: the warehouse-side half
+    of log replication. Exactly one surviving row per changed key — the one
+    with the highest sequence — decides the outcome; earlier ops in the same
+    batch are superseded (a key inserted then deleted nets to absent).
+
+    Plan: per-key latest-change selection is one window over the change
+    batch (changes are deltas — tiny next to the snapshot), then the
+    snapshot is touched ONCE with an anti-join + union. The snapshot never
+    shuffles on anything but the key, and at 100 TB with a transactional
+    format the same logic is a MERGE; this is the plain-Parquet shape.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = latest.where(F.col(op_col) != "delete").drop(op_col, seq_col)
+    untouched = existing.join(
+        latest.select(key), on=key, how="left_anti"
+    )
+    return untouched.unionByName(survivors)

@@ -279,6 +279,32 @@ class ModelRegistry:
             return df
         raise ValueError(f"unknown on_schema_change {mode!r}")
 
+    def docs(self) -> dict:
+        """dbt-docs-shaped manifest of the registered DAG: per model, its
+        materialization, strategy, declared tests, dependencies, and
+        docstring-derived description. Serializable as JSON for catalog /
+        lineage tooling (the reference ships dbt's generated docs site; this
+        is the data behind it)."""
+        out = {}
+        for name, spec in self._models.items():
+            out[name] = {
+                "materialized": spec.materialized,
+                "incremental_strategy": (
+                    spec.incremental_strategy
+                    if spec.materialized == "incremental"
+                    else None
+                ),
+                "unique_key": spec.unique_key,
+                "partition_by": spec.partition_by,
+                "description": (spec.description or "").strip(),
+                "depends_on": sorted(self._deps.get(name, ())),
+                "tests": [
+                    {"test": getattr(t[0], "__name__", str(t[0])), "column": t[1]}
+                    for t in spec.tests
+                ],
+            }
+        return out
+
     def _is_upstream_of_any(self, name: str, targets: list[str]) -> bool:
         seen: set[str] = set()
 

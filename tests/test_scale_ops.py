@@ -290,3 +290,40 @@ class TestCompaction:
         back = spark.read.parquet(dst)
         assert back.count() == 50000
         assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+
+
+class TestApplyCdc:
+    def test_cdc_insert_update_delete_net_effect(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.operators.relational import apply_cdc
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+        )
+        changes = spark.createDataFrame(
+            [
+                (2, "b2", 21.0, 1, "update"),    # update key 2
+                (3, "c", 30.0, 1, "delete"),     # delete key 3
+                (4, "d", 40.0, 1, "insert"),     # new key 4
+                (5, "e", 50.0, 1, "insert"),     # insert then delete -> absent
+                (5, "e", 50.0, 2, "delete"),
+                (6, "f", 60.0, 1, "insert"),     # insert then update -> updated
+                (6, "f2", 61.0, 2, "update"),
+            ],
+            "id long, name string, v double, seq long, op string",
+        )
+        out = apply_cdc(base, changes, key="id", seq_col="seq")
+        got = {r.id: (r.name, r.v) for r in out.collect()}
+        assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 4: ("d", 40.0), 6: ("f2", 61.0)}
+
+    def test_cdc_idempotent_replay(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import apply_cdc
+
+        base = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        changes = spark.createDataFrame(
+            [(1, 2.0, 7, "update")], "id long, v double, seq long, op string"
+        )
+        once = apply_cdc(base, changes, key="id", seq_col="seq")
+        twice = apply_cdc(once, changes, key="id", seq_col="seq")
+        assert [tuple(r) for r in once.collect()] == [tuple(r) for r in twice.collect()]

@@ -141,3 +141,22 @@ def test_dag_topo_order_respects_deps():
 
     order = registry.topo_order()
     assert order.index("a") < order.index("b") < order.index("c")
+
+
+def test_registry_docs_manifest(spark):
+    """docs() must expose the dbt-docs-shaped manifest: materialization,
+    dependencies, and declared tests per model."""
+    from data_etl_with_dbt_spark.models.taxi import register_taxi_models
+    from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+    reg = ModelRegistry()
+    register_taxi_models(reg)
+    docs = reg.docs()
+    assert "core_texi" in docs and "raw_texi" in docs
+    core = docs["core_texi"]
+    assert core["depends_on"] == ["raw_texi"]
+    assert core["tests"], "core model must declare DQ tests"
+    assert {t["test"] for t in core["tests"]} & {"unique", "not_null", "positive"}
+    import json
+
+    json.dumps(docs)  # must be JSON-serializable as-is
