@@ -279,6 +279,39 @@ class ModelRegistry:
             return df
         raise ValueError(f"unknown on_schema_change {mode!r}")
 
+    def sql_model(self, name: str, sql: str, *, deps: list[str] | None = None, **overrides):
+        """Register a SQL-text model (the dbt authoring surface): macros
+        ``config/ref/source/this/is_incremental`` are supported, DAG edges
+        come from the ``ref()``/``source()`` calls in the text, and the
+        materialization spec comes from ``{{ config(...) }}`` (keyword
+        ``overrides`` win). See ``plans/sql.py`` for the exact dialect."""
+        from data_etl_with_dbt_spark.plans import sql as sqlmod
+
+        cfg, body = sqlmod.parse_config(sql)
+        cfg.update(overrides)
+        refs, _sources = sqlmod.parse_deps(body)
+
+        def fn(ctx, _body=body, _name=name):
+            incremental_run = (
+                cfg.get("materialized") == "incremental"
+                and ctx.spark.catalog.tableExists(_name)
+            )
+            rendered = sqlmod.render(_body, ctx, _name, incremental_run)
+            return ctx.spark.sql(rendered)
+
+        spec_kwargs = {
+            k: v
+            for k, v in cfg.items()
+            if k in ("materialized", "unique_key", "incremental_strategy",
+                     "partition_by", "on_schema_change", "description")
+        }
+        unknown = set(cfg) - set(spec_kwargs)
+        if unknown:
+            raise ValueError(f"sql model {name}: unsupported config keys {sorted(unknown)}")
+        self._models[name] = ModelSpec(name=name, fn=fn, **spec_kwargs)
+        self._deps[name] = set(deps if deps is not None else refs)
+        return fn
+
     def docs(self) -> dict:
         """dbt-docs-shaped manifest of the registered DAG: per model, its
         materialization, strategy, declared tests, dependencies, and

@@ -160,3 +160,75 @@ def test_registry_docs_manifest(spark):
     import json
 
     json.dumps(docs)  # must be JSON-serializable as-is
+
+
+class TestSqlModels:
+    def test_sql_dag_with_incremental_this_macro(self, spark, tmp_path):
+        """A two-model DAG authored entirely in SQL: a staging view and an
+        incremental model whose second run filters on {{ this }} via
+        is_incremental() — the reference's dbt authoring shape end-to-end."""
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        src_path = str(tmp_path / "events_src")
+        spark.range(0, 100).select(
+            "id", (F.col("id") % 10).alias("k"), (F.col("id") * 1.0).alias("v")
+        ).write.mode("overwrite").parquet(src_path)
+
+        def build_registry():
+            reg = ModelRegistry()
+            reg.add_source("events_src", lambda s: s.read.parquet(src_path))
+            reg.sql_model(
+                "stg_events",
+                "SELECT id, k, v FROM {{ source('events_src') }} WHERE v >= 0",
+                materialized="ephemeral",
+            )
+            reg.sql_model(
+                "fct_events",
+                """
+                {{ config(materialized='incremental', unique_key='id') }}
+                SELECT id, k, v FROM {{ ref('stg_events') }}
+                {% if is_incremental() %}
+                  WHERE id > (SELECT max(id) FROM {{ this }})
+                {% endif %}
+                """,
+            )
+            return reg
+
+        spark.sql("DROP TABLE IF EXISTS fct_events")
+        reg = build_registry()
+        assert sorted(reg._deps["fct_events"]) == ["stg_events"]
+        reg.run(spark, select=["fct_events"])
+        assert spark.table("fct_events").count() == 100
+
+        # second batch: 50 new rows appear in the source
+        spark.range(100, 150).select(
+            "id", (F.col("id") % 10).alias("k"), (F.col("id") * 1.0).alias("v")
+        ).write.mode("append").parquet(src_path)
+        build_registry().run(spark, select=["fct_events"])
+        out = spark.table("fct_events")
+        assert out.count() == 150
+        assert out.agg(F.max("id")).first()[0] == 149
+
+    def test_unknown_jinja_rejected(self, spark):
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+        reg.add_source("s", lambda s: s.range(3))
+        reg.sql_model("bad_model", "SELECT {{ mystery_macro() }} FROM {{ source('s') }}")
+        import pytest
+
+        with pytest.raises(ValueError, match="unsupported template"):
+            reg.run(spark, select=["bad_model"])
+
+    def test_unknown_config_key_rejected(self, spark):
+        import pytest
+
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+        with pytest.raises(ValueError, match="unsupported config"):
+            reg.sql_model(
+                "m", "{{ config(materialized='table', cluster_by='x') }} SELECT 1"
+            )
