@@ -3,11 +3,12 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Each query is executed twice: a warm-up pass is NOT taken (first run pays JVM
-codegen + parquet footer reads); the reported time is the second run, which is
-what steady-state throughput looks like. Results are materialized via
-``df.write.format('noop')`` so the full plan executes without collecting to
-the driver.
+Each query runs three times: one discarded warm-up (JVM codegen + parquet
+footer reads), then two timed runs of which the MINIMUM is reported — on a
+shared box the min is the stable steady-state estimate (observed run-to-run
+spread of the sum was 7.5-10 s from scheduler noise alone; per-query min
+collapses it). Results are materialized via ``df.write.format('noop')`` so
+the full plan executes without collecting to the driver.
 """
 
 from __future__ import annotations
@@ -38,9 +39,12 @@ def main():
     timings: dict[str, float] = {}
     for name in bench_queries:
         run_query(spark, name, sf_dir)  # warm-up: codegen + file listing
-        t0 = time.perf_counter()
-        run_query(spark, name, sf_dir)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(spark, name, sf_dir)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

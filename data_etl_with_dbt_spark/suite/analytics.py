@@ -265,3 +265,49 @@ def mad_outliers_by_type(spark, sf_dir):
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode: most frequent prop_k per event_type (argmax
+# with a total-order tie-break — max_by/arg_max tie behavior is engine-
+# defined, so the window form is the only cross-engine-safe spelling).
+# ---------------------------------------------------------------------------
+
+@query(
+    "mode_per_event_type",
+    oracle="""
+    SELECT event_type, prop_k AS mode_prop_k, CAST(c AS BIGINT) AS n
+    FROM (
+        SELECT event_type, prop_k, c,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY c DESC, prop_k
+               ) AS rn
+        FROM (
+            SELECT event_type, json_extract_string(props, '$.k') AS prop_k,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        )
+    ) WHERE rn = 1
+    """,
+    description=(
+        "Per-group mode of a JSON-extracted property (two-level agg + "
+        "WindowGroupLimit argmax; ties broken by value for determinism)"
+    ),
+)
+def mode_per_event_type(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type", F.get_json_object("props", "$.k").alias("prop_k")
+        )
+        .groupBy("event_type", "prop_k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "prop_k")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("prop_k").alias("mode_prop_k"), big(F.col("c")).alias("n"))
+    )
