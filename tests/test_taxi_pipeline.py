@@ -232,3 +232,27 @@ class TestSqlModels:
             reg.sql_model(
                 "m", "{{ config(materialized='table', cluster_by='x') }} SELECT 1"
             )
+
+
+def test_corpus_pipeline_example_runs(spark, tmp_path, monkeypatch, capsys):
+    """The corpus-pipeline example must run end to end at the smallest scale
+    and produce a non-empty packed train export."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "corpus_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setenv("SPARK_MASTER", "local[4]")
+    monkeypatch.chdir(tmp_path)
+    from tests.conftest import SF_DIR
+
+    mod.main(SF_DIR, str(tmp_path))
+    out = capsys.readouterr().out
+    assert "pack_export" in out and "TOTAL" in out
+    packed = spark.read.parquet(str(tmp_path / "corpus_shards"))
+    assert packed.count() > 0
+    assert "seq_id" in packed.columns
