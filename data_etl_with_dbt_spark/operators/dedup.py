@@ -497,6 +497,7 @@ def benchmark_contamination(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    shuffle_parallelism: int | None = None,
 ) -> DataFrame:
     """Test-set decontamination: for every training document, the fraction of
     its distinct word ``n``-grams that appear anywhere in the ``benchmark``
@@ -510,6 +511,10 @@ def benchmark_contamination(
     hash agg over (doc, gram, hit): counts and the flag, no document text
     in any exchange.
     """
+    if shuffle_parallelism:
+        # Single-row-group inputs are unsplittable: without a repartition the
+        # whole shingling pass runs in one task (same trap as MinHash).
+        docs = docs.repartition(shuffle_parallelism, F.col(id_col))
     grams = docs.select(
         F.col(id_col), F.explode(_shingles(_tokens(F.col(text_col)), n)).alias("gram")
     )

@@ -67,7 +67,8 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return D.benchmark_contamination(
-        train, bench, "doc_id", "text", n=3, threshold=0.5
+        train, bench, "doc_id", "text", n=3, threshold=0.5,
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
