@@ -150,6 +150,7 @@ def per_key_cap(
     order_by: Sequence[Column],
     n: int,
     rank_col: str = "quota_rank",
+    two_phase: bool = False,
 ) -> DataFrame:
     """Per-key quota cap: keep the top ``n`` rows of every key group under
     ``order_by`` (which must be a TOTAL order within a key — add a unique
@@ -160,11 +161,25 @@ def per_key_cap(
     Plan shape: one shuffle on ``key_cols`` and a per-key sort feeding
     ``row_number`` — rows never sort globally. ``WindowGroupLimit`` pushes
     the ``<= n`` limit into the sort (Spark 3.5+), so each task keeps a
-    bounded heap instead of materializing whole groups. One mega-key still
-    lands on one task (window functions bypass AQE skew splitting); if a
-    single domain's rows exceed a task's memory, pre-filter with an
-    approximate per-key count and process outlier keys separately.
+    bounded heap instead of materializing whole groups.
+
+    ``two_phase`` handles the mega-key case (window functions bypass AQE
+    skew splitting, so one huge domain lands on one reducer): phase 1 caps
+    per (input-partition-id, key) — the partition id acts as a deterministic
+    salt, so this exchange hashes on a skew-free composite and every reducer
+    holds at most ``n`` rows per (salt, key). Exact, because any row in a
+    key's global top ``n`` is necessarily in its salted group's top ``n``.
+    Phase 2 then shuffles at most ``n x num_partitions`` rows per key — a
+    billion-page domain sends thousands of rows, not a billion. Costs one
+    extra full-data (but skew-free) exchange; worth it only under real skew.
     """
+    if two_phase:
+        pre = Window.partitionBy(F.spark_partition_id(), *key_cols).orderBy(*order_by)
+        df = (
+            df.withColumn("__pre", F.row_number().over(pre))
+            .where(F.col("__pre") <= F.lit(n))
+            .drop("__pre")
+        )
     w = Window.partitionBy(*key_cols).orderBy(*order_by)
     return (
         df.withColumn(rank_col, F.row_number().over(w))

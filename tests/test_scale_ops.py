@@ -327,3 +327,22 @@ class TestApplyCdc:
         once = apply_cdc(base, changes, key="id", seq_col="seq")
         twice = apply_cdc(once, changes, key="id", seq_col="seq")
         assert [tuple(r) for r in once.collect()] == [tuple(r) for r in twice.collect()]
+
+
+class TestPerKeyCapTwoPhase:
+    def test_two_phase_equals_single_phase(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.operators.relational import per_key_cap
+
+        df = spark.range(20000).repartition(16).select(
+            (F.col("id") % 5).alias("key"),
+            F.col("id"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("score"),
+        )
+        order = [F.col("score").desc(), F.col("id")]
+        one = per_key_cap(df, ["key"], order, n=25)
+        two = per_key_cap(df, ["key"], order, n=25, two_phase=True)
+        a = sorted((r.key, r.id, r.quota_rank) for r in one.collect())
+        b = sorted((r.key, r.id, r.quota_rank) for r in two.collect())
+        assert a == b and len(a) == 5 * 25
