@@ -142,3 +142,55 @@ def agg_exact_percentiles(spark, sf_dir):
             F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)")
         ).alias("p50_disc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC application: a deterministic change batch (deletes for odd keys < 100,
+# zero-price updates for even keys < 100) applied to the orders snapshot.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_apply_orders",
+    oracle="""
+    WITH latest AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 1 THEN 'delete' ELSE 'update' END AS op,
+               o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0.0 END
+                   AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey < 100
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM latest WHERE op <> 'delete'
+    """,
+    description=(
+        "CDC batch application to the orders snapshot (latest-op-per-key, "
+        "delete/update net effect; one anti-join + union, snapshot touched "
+        "once)"
+    ),
+)
+def cdc_apply_orders(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.relational import apply_cdc
+
+    orders = load(spark, sf_dir, "orders")
+    sub = orders.where(F.col("o_orderkey") < 100)
+    changes = (
+        sub.withColumn("seq", F.lit(1))
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 2 == 1, "delete").otherwise("update"),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("op") == "update", F.lit(0.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    return apply_cdc(orders, changes, key="o_orderkey", seq_col="seq")
