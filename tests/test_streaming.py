@@ -165,3 +165,68 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_watermark_evicts_dedup_state(spark, tmp_path):
+    """The streaming-dedup scale guarantee is BOUNDED STATE: once the
+    watermark passes a key's horizon its dedup state is evicted, so a
+    duplicate arriving much later is treated as new (the documented
+    dropDuplicatesWithinWatermark contract — dedup is exact only within the
+    horizon). Three single-file micro-batches: the key's state is dropped
+    between batch 0 and batch 2, so the late duplicate produces a SECOND
+    row. (Note: the one-directional watermark guarantee means genuinely
+    late rows may still be aggregated — Spark promises never to drop
+    on-time data, not to always drop late data.)"""
+    import datetime as dt
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.streaming.pipeline import streaming_dedup
+
+    src = tmp_path / "evict_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1)
+
+    # batch 0: key (1, click) plus an in-batch duplicate -> dedup keeps one
+    mk([(t0, 1, "click"), (t0 + dt.timedelta(minutes=1), 1, "click")]).write.parquet(str(src / "f0"))
+    # batch 1: unrelated key 3h later -> watermark advances past key 1's state
+    mk([(t0 + dt.timedelta(hours=3), 2, "view")]).write.parquet(str(src / "f1"))
+    # batch 2: spacer — eviction happens at the END of the batch that runs
+    # with the advanced watermark, so the state drop lands here
+    mk([(t0 + dt.timedelta(hours=3, minutes=1), 3, "view")]).write.parquet(str(src / "f2"))
+    # batch 3: key (1, click) again, on-time w.r.t. the new watermark
+    mk([(t0 + dt.timedelta(hours=3, minutes=2), 1, "click")]).write.parquet(str(src / "f3"))
+
+    now = _time.time()
+    for i, d in enumerate(("f0", "f1", "f2", "f3")):
+        for f in _glob.glob(str(src / d / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    stream = streaming_dedup(
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*")),
+        watermark="30 minutes",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("evict").collect()
+    key1 = [r for r in rows if r.user_id == 1]
+    # in-batch duplicate suppressed; post-eviction duplicate re-admitted
+    assert len(key1) == 2, f"expected state eviction between batches: {rows}"
+    assert len([r for r in rows if r.user_id == 2]) == 1
