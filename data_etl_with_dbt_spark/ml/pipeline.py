@@ -62,6 +62,10 @@ def train_fare_model(
     train_df, test_df = training.randomSplit(
         [1.0 - test_fraction, test_fraction], seed=seed
     )
+    # Each half feeds two actions (fit/score + count); cache so the split
+    # scan runs once per half instead of twice.
+    train_df = train_df.cache()
+    test_df = test_df.cache()
     rf = RandomForestRegressor(
         featuresCol="features",
         labelCol=LABEL_COLUMN,
@@ -74,12 +78,17 @@ def train_fare_model(
     evaluator = RegressionEvaluator(
         labelCol=LABEL_COLUMN, predictionCol="prediction", metricName="mse"
     )
+    mse = evaluator.evaluate(predictions)
     metrics = {
-        "mse": evaluator.evaluate(predictions),
-        "rmse": evaluator.setMetricName("rmse").evaluate(predictions),
+        "mse": mse,
+        # sqrt of the evaluated MSE — identical to a second rmse evaluation
+        # pass without re-scanning the predictions.
+        "rmse": mse**0.5,
         "n_train": train_df.count(),
         "n_test": test_df.count(),
     }
+    train_df.unpersist()
+    test_df.unpersist()
     return model, metrics
 
 

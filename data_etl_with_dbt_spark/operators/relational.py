@@ -133,7 +133,17 @@ def salted_join(
     deterministic bucket and explode the (smaller) right side across all
     buckets, so one hot key's rows land on ``salt_buckets`` reducers instead
     of one. Prefer AQE's automatic skew handling; use this when a single key
-    is so hot that even split shuffle blocks overwhelm a task."""
+    is so hot that even split shuffle blocks overwhelm a task.
+
+    Only left-preserving modes are valid: the right side is replicated
+    across all salt buckets, so under ``right``/``full`` outer joins an
+    unmatched right row would surface once per bucket. Those modes raise."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right side is replicated "
+            f"per salt bucket, so only left-preserving modes are exact: {sorted(allowed)}"
+        )
     salted_left = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt_buckets)).cast("int")
     )
@@ -242,8 +252,17 @@ def apply_cdc(
     snapshot is touched ONCE with an anti-join + union. The snapshot never
     shuffles on anything but the key, and at 100 TB with a transactional
     format the same logic is a MERGE; this is the plain-Parquet shape.
+
+    Ties on ``seq_col`` (logs that stamp coarse sequence numbers) are broken
+    deterministically — by ``op_col``, then a hash of the whole change row —
+    so the surviving change is stable across runs and partitionings instead
+    of silently flipping an upsert vs a delete.
     """
-    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(),
+        F.col(op_col).desc(),
+        F.xxhash64(*changes.columns).desc(),
+    )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

@@ -244,7 +244,17 @@ def set_except_all(spark, sf_dir):
 )
 def approx_aggregates(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # One sketch pass; the quantile array is unpacked to scalar columns in the
+    # final projection (array columns break the driver's canonicalizer — same
+    # reason quantize_int8 emits exploded scalars, operators/similarity.py).
+    agg = li.groupBy("l_returnflag").agg(
         big(F.approx_count_distinct("l_partkey")).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("q"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "approx_parts",
+        F.element_at("q", 1).alias("price_p50"),
+        F.element_at("q", 2).alias("price_p90"),
+        F.element_at("q", 3).alias("price_p99"),
     )

@@ -53,6 +53,15 @@ def test_salted_join_matches_plain(spark, skewed):
     assert {(r.k, r["count"]) for r in plain} == {(r.k, r["count"]) for r in salted}
 
 
+def test_salted_join_rejects_right_preserving_modes(spark, skewed):
+    """Right/full outer would duplicate unmatched right rows once per salt
+    bucket — the operator must refuse rather than return wrong multiplicity."""
+    dim = spark.createDataFrame([(1, "x")], "k long, name string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(skewed, dim, "k", salt_buckets=4, how=how)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """Bucketed tables co-locate join keys at write time: the sort-merge join
     reads both sides bucket-by-bucket with NO exchange — the recipe for
@@ -327,6 +336,25 @@ class TestApplyCdc:
         once = apply_cdc(base, changes, key="id", seq_col="seq")
         twice = apply_cdc(once, changes, key="id", seq_col="seq")
         assert [tuple(r) for r in once.collect()] == [tuple(r) for r in twice.collect()]
+
+    def test_cdc_seq_tie_is_deterministic(self, spark):
+        """Two changes sharing (key, seq) must pick the same winner on every
+        run and partitioning — ordered by op then row hash, never by
+        partition arrival order."""
+        from data_etl_with_dbt_spark.operators.relational import apply_cdc
+
+        base = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+        changes = spark.createDataFrame(
+            [(1, "upd", 2.0, 5, "update"), (1, "del", 0.0, 5, "delete")],
+            "id long, name string, v double, seq long, op string",
+        )
+        results = []
+        for parts in (1, 2, 7):
+            out = apply_cdc(base, changes.repartition(parts), key="id", seq_col="seq")
+            results.append(sorted(tuple(r) for r in out.collect()))
+        assert results[0] == results[1] == results[2]
+        # 'update' > 'delete' in the op tie-break: the update survives.
+        assert results[0] == [(1, "upd", 2.0)]
 
 
 class TestPerKeyCapTwoPhase:
