@@ -212,30 +212,58 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket candidates, exact
-    cosine verify — the embedding analog of MinHash near-dup dedup."""
-    planes = _random_planes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        signature_expr(F.col(vec_col), planes).alias("__bucket"),
+    cosine verify — the embedding analog of MinHash near-dup dedup.
+
+    ``n_bands`` > 1 turns the single signature into banded LSH (MinHash-style
+    OR-of-ANDs): ``n_bands`` independent ``n_planes``-bit signatures, a pair
+    is a candidate if it collides in ANY band, candidates are deduped before
+    the exact verify. Random-hyperplane collision probability per plane is
+    ``1 - acos(cos θ)/π``, so a single wide signature only has usable recall
+    near cosine 1.0; low thresholds (the semantic-dedup regime, e.g. 0.35 →
+    p≈0.61/plane) need many short bands: b=16, r=4 gives recall ≈0.92 at
+    0.35 while the candidate space stays bucket-bounded, never all-pairs."""
+    planes = _random_planes(dim, n_planes * n_bands, seed)
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                signature_expr(
+                    F.col(vec_col), planes[b * n_planes : (b + 1) * n_planes]
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    pairs = (
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), F.explode(band_sigs).alias("__bb")
+    ).select(id_col, vec_col, "__bb.band", "__bb.bucket")
+    candidates = (
         c.alias("x")
         .join(
             c.alias("y"),
-            (F.col("x.__bucket") == F.col("y.__bucket"))
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")).alias("cosine"),
+            F.col(f"x.{vec_col}").alias("__va"),
+            F.col(f"y.{vec_col}").alias("__vb"),
+        )
+        # A pair colliding in several bands must be verified once, not per band.
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn(
+            "cosine", cosine_similarity(F.col("__va"), F.col("__vb"))
         )
         .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
-    return pairs
 
 
 def ivf_index(

@@ -159,12 +159,17 @@ def ann_lsh_topk(spark, sf_dir):
 @query(
     "embedding_near_dup",
     oracle=None,  # LSH candidate generation is approximate
-    description="Embedding-cosine near-duplicate pairs (LSH buckets + exact verify)",
+    description=(
+        "Embedding-cosine near-duplicate pairs (banded LSH + exact verify); "
+        "threshold fixture-calibrated to 0.35 (the noise fixture's max "
+        "pairwise cosine is ~0.51, so the operator default 0.95 returns "
+        "zero rows and would make this check vacuous)"
+    ),
 )
 def embedding_near_dup(spark, sf_dir):
     return S.embedding_near_dup_pairs(
         load(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
-        dim=64, threshold=0.9, n_planes=8, seed=42,
+        dim=64, threshold=0.35, n_planes=4, n_bands=16, seed=42,
     )
 
 
@@ -574,6 +579,31 @@ def semantic_dedup_clusters(spark, sf_dir):
     pairs = S.exact_cosine_pairs(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.35
     )
+    clusters = D.dedup_clusters(emb, "vec_id", pairs)
+    return clusters.select(
+        big(F.col("vec_id")).alias("vec_id"),
+        big(F.col("cluster_id")).alias("cluster_id"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+@query(
+    "semantic_dedup_clusters_lsh",
+    oracle=None,  # banded-LSH candidate generation is approximate by design
+    description=(
+        "Semantic dedup, scale path: banded-LSH candidate pairs (never "
+        "all-pairs) -> exact-cosine verify on candidates only -> min-label "
+        "connected components. The exact O(n^2) twin "
+        "(semantic_dedup_clusters) is the oracle-checked recall baseline; "
+        "tests assert pair recall of this path against it."
+    ),
+)
+def semantic_dedup_clusters_lsh(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        dim=64, threshold=0.35, n_planes=4, n_bands=16, seed=42,
+    ).select("id_a", "id_b")
     clusters = D.dedup_clusters(emb, "vec_id", pairs)
     return clusters.select(
         big(F.col("vec_id")).alias("vec_id"),

@@ -58,6 +58,7 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "ann_ivf_topk",
         "ann_cosine_topk_arrow",  # BLAS accumulation: 1e-12 agreement, not bit-exact
         "embedding_near_dup",
+        "semantic_dedup_clusters_lsh",
         "approx_aggregates",
         "stratified_sample_documents",  # seeded Bernoulli sample: rate/determinism property-tested instead
     }

@@ -282,6 +282,64 @@ class TestArrowANN:
             assert arrow_m[key] == pytest.approx(jvm_m[key], abs=1e-9)
 
 
+class TestBandedEmbeddingNearDup:
+    def _exact_and_lsh(self, spark, threshold=0.35):
+        from data_etl_with_dbt_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+            exact_cosine_pairs,
+        )
+        from data_etl_with_dbt_spark.sources.io import read_parquet
+        from tests.conftest import SF_DIR
+
+        emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in exact_cosine_pairs(emb, threshold=threshold).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_pairs(
+                emb, dim=64, threshold=threshold, n_planes=4, n_bands=16, seed=42
+            ).collect()
+        }
+        return exact, lsh
+
+    def test_banded_lsh_recall_floor_at_calibrated_threshold(self, spark):
+        """b=16 bands x r=4 planes has theoretical recall ~0.92 at cosine
+        0.35 (p/plane ~0.61); assert a 0.75 floor over the fixture plus the
+        non-vacuity the suite entry depends on (nonzero pairs)."""
+        exact, lsh = self._exact_and_lsh(spark)
+        assert len(exact) > 0 and len(lsh) > 0
+        assert len(exact & lsh) / len(exact) >= 0.75
+
+    def test_banded_lsh_verify_is_exact(self, spark):
+        """Candidates are verified with exact cosine, so LSH output is a
+        SUBSET of the exact pair set — banding loses pairs, never invents."""
+        exact, lsh = self._exact_and_lsh(spark)
+        assert lsh <= exact
+
+    def test_semantic_dedup_lsh_clusters_cover_exact_clusters(self, spark):
+        """The scale-path suite entry: every LSH-derived cluster merge must
+        also hold in the exact clustering (edges are a subset, so LSH
+        components refine the exact components)."""
+        from data_etl_with_dbt_spark.suite import QUERIES
+        from tests.conftest import SF_DIR
+
+        exact = {
+            r.vec_id: r.cluster_id
+            for r in QUERIES["semantic_dedup_clusters"].fn(spark, SF_DIR).collect()
+        }
+        approx = {
+            r.vec_id: r.cluster_id
+            for r in QUERIES["semantic_dedup_clusters_lsh"].fn(spark, SF_DIR).collect()
+        }
+        assert set(exact) == set(approx)  # every vector assigned in both
+        for a in approx:
+            for b in approx:
+                if a < b and approx[a] == approx[b]:
+                    assert exact[a] == exact[b]
+
+
 class TestDedupClusters:
     def test_components_with_isolated_nodes(self, spark):
         from data_etl_with_dbt_spark.operators.dedup import dedup_clusters
