@@ -17,6 +17,9 @@ each TPC-H query interesting:
 * q18 — HAVING over a grouped sum feeding a semi join
 * q19 — disjunctive multi-attribute predicates (OR-of-ANDs)
 * q22 — anti join + scalar subquery over a derived filter
+* q2  — correlated per-part MIN over a derived supply relation (window MIN)
+* q11 — grouped value with HAVING against a whole-result scalar subquery
+* q20 — double-nested IN with a correlated scalar aggregate (semi joins)
 
 Cross-engine determinism follows registry rules: decimal-exact sums emitted
 as DOUBLE, ratios as divisions of those exact values (IEEE-identical per
@@ -703,4 +706,263 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
         .select("s_name", big(F.col("numwait")).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2: minimum-cost supplier per part. (No partsupp -> the supply relation is
+# derived from lineitem: one row per (part, supplier) pair that ever shipped,
+# with supply cost = min observed unit price. Per-row division is IEEE-
+# identical across engines, MIN picks from identical candidate sets, and the
+# per-part minimum is a window MIN — so raw doubles are safe to compare and
+# emit.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p.p_partkey, p.p_brand, eu.s_name, eu.s_acctbal, eu.n_name,
+               sp.supplycost,
+               MIN(sp.supplycost) OVER (PARTITION BY p.p_partkey) AS min_cost
+        FROM supply sp
+        JOIN eu ON sp.l_suppkey = eu.s_suppkey
+        JOIN part p ON sp.l_partkey = p.p_partkey
+        WHERE p.p_type = 'STANDARD' AND p.p_size <= 25
+    )
+    SELECT s_acctbal, s_name, n_name,
+           CAST(p_partkey AS BIGINT) AS p_partkey, p_brand, supplycost
+    FROM cand WHERE supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    description=(
+        "TPC-H Q2 shape: correlated MIN subquery (per-part minimum supply "
+        "cost) spelled as a window MIN over the derived supply relation; "
+        "all-ties-kept semantics preserved"
+    ),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    # The faithful plan re-aggregates the supply relation in a correlated
+    # subquery; the window MIN computes it in the same pass that already
+    # holds the rows. Dimension sides (supplier+nation+region, filtered
+    # part) broadcast; the only shuffles are the supply groupBy on
+    # (partkey, suppkey) and the window's repartition on partkey — both over
+    # the already-aggregated pair table, never raw lineitem twice.
+    li = load(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    )
+    cand = (
+        supply.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("supplycost").over(w))
+        .where(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            big(F.col("p_partkey")).alias("p_partkey"),
+            "p_brand",
+            "supplycost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11: important parts by supplied value with a HAVING against a scalar
+# subquery over the whole result. (No partsupp/availqty -> part value =
+# revenue supplied by the region's suppliers; the TPC-H fraction threshold
+# becomes 1.2x the mean part value so the predicate self-scales with SF.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH eu_supp AS (
+        SELECT s_suppkey
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    vals AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+        FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey
+        GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+               CAST(COUNT(*) AS DOUBLE) AS n_parts
+        FROM vals
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS p_partkey, part_value
+    FROM vals, tot
+    WHERE part_value > (total_value / n_parts) * 1.2
+    ORDER BY part_value DESC, p_partkey LIMIT 100
+    """,
+    description=(
+        "TPC-H Q11 shape: grouped value per part filtered by a scalar "
+        "subquery over the aggregate itself (HAVING vs global threshold)"
+    ),
+)
+def q11_important_parts(spark, sf_dir):
+    # The scalar subquery is a 1-row broadcast cross join, so the part-value
+    # aggregate is computed once and scanned once; the threshold arithmetic
+    # mirrors the oracle's parenthesization exactly ((total/n) * 1.2 on
+    # decimal-exact doubles) for a deterministic comparison.
+    eu_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    vals = (
+        li.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
+    )
+    tot = vals.agg(
+        dsum(F.col("part_value")).alias("total_value"),
+        F.count(F.lit(1)).cast("double").alias("n_parts"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .where(F.col("part_value") > (F.col("total_value") / F.col("n_parts")) * F.lit(1.2))
+        .select(big(F.col("l_partkey")).alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20: suppliers with excess supply of a part family — double-nested
+# IN/EXISTS. (No partsupp availqty -> a (supplier, part) pair qualifies when
+# its 1997 shipped quantity exceeds 20% of the part's total 1997 quantity:
+# the same correlated-scalar-aggregate-inside-IN shape as availqty >
+# 0.5 * sum(l_quantity).)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_excess_supply",
+    oracle="""
+    WITH pair AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS pair_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey, l_partkey
+    ),
+    qual AS (
+        SELECT DISTINCT l_suppkey FROM (
+            SELECT l_suppkey,
+                   CAST(pair_qty AS DOUBLE) AS pq,
+                   CAST(SUM(pair_qty) OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_qty
+            FROM pair
+        ) WHERE pq > 0.2 * part_qty
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+    ORDER BY s_name
+    """,
+    description=(
+        "TPC-H Q20 shape: IN over an IN-filtered, correlated-aggregate "
+        "derived set (nested subqueries as semi joins; the correlated "
+        "per-part total is a window over the pair aggregate's own keys)"
+    ),
+)
+def q20_excess_supply(spark, sf_dir):
+    # Nested-IN chain compiled to two broadcast semi joins + one pair-level
+    # aggregation: lineitem is scanned once (part-family filter pushed as a
+    # semi join), the correlated per-part total is a window over the tiny
+    # pair aggregate, and suppliers resolve with a final semi join.
+    small_parts = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        li.join(
+            F.broadcast(small_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("pair_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = (
+        pair.withColumn("pq", F.col("pair_qty").cast("double"))
+        .withColumn("part_qty", F.sum("pair_qty").over(w).cast("double"))
+        .where(F.col("pq") > F.lit(0.2) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )

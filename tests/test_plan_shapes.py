@@ -115,6 +115,26 @@ def test_q21_rewrite_never_self_joins_lineitem(spark):
     assert "TakeOrderedAndProject" in plan  # top-100 without a global sort
 
 
+def test_q2_single_lineitem_scan_with_broadcast_dims(spark):
+    """q2's correlated-MIN is a window over the derived supply relation:
+    lineitem is scanned once, every dimension side broadcasts, and the
+    top-100 never sorts globally."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_nested_in_compiles_to_semi_joins(spark):
+    """q20's double-nested IN must become semi joins (no cartesian/nested
+    loop) over a single lineitem scan; the correlated per-part total is a
+    window over the pair aggregate, not a second scan."""
+    plan = plan_of(spark, "q20_excess_supply")
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
 def test_domain_quota_cap_pushes_group_limit(spark):
     """The per-key cap must run as a single key-shuffle with the rank limit
     pushed into the window sort (WindowGroupLimit), so tasks keep a bounded
