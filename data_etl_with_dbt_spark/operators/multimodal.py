@@ -54,12 +54,126 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str, mime: str, sour
     )
 
 
+def decode_bmp(content: bytes):
+    """Dependency-free BMP decode (numpy): uncompressed 24-bpp Windows BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER), 4-byte-padded bottom-up or
+    top-down rows, BGR storage. Returns an (H, W, 3) uint8 RGB array."""
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pixel_offset = int.from_bytes(content[10:14], "little")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bpp BMP supported (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    h, w = abs(height), width
+    stride = (w * 3 + 3) // 4 * 4
+    data = np.frombuffer(content, np.uint8, count=stride * h, offset=pixel_offset)
+    bgr = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if bottom_up else rgb
+
+
+def encode_bmp(rgb) -> bytes:
+    """Inverse of :func:`decode_bmp` (24-bpp bottom-up): test round-trips and
+    deterministic media fixtures without codec libraries."""
+    import numpy as np
+
+    arr = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    pixels = rows.tobytes()
+    info = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little") + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    header = b"BM" + (14 + 40 + len(pixels)).to_bytes(4, "little") + b"\0\0\0\0" + (54).to_bytes(4, "little")
+    return header + info + pixels
+
+
+def decode_ppm(content: bytes):
+    """Dependency-free binary PPM (P6, maxval ≤ 255) decode with
+    whitespace/comment-tolerant header parsing. Returns (H, W, 3) uint8."""
+    import numpy as np
+
+    if content[:2] != b"P6":
+        raise ValueError("not a binary PPM payload (missing 'P6' magic)")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    data = np.frombuffer(content, np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_ppm(rgb) -> bytes:
+    import numpy as np
+
+    arr = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def image_features(rgb) -> list[float]:
+    """Fixed-shape image stats: [width, height, channels, mean_r, mean_g,
+    mean_b, mean_gray]. Integer pixel sums are exact, so the derived doubles
+    are deterministic across runs and engines."""
+    h, w, c = rgb.shape
+    n = float(h * w)
+    sums = rgb.astype("int64").sum(axis=(0, 1))
+    means = [float(s) / n for s in sums]
+    return [float(w), float(h), float(c), *means, sum(means) / 3.0]
+
+
+def text_byte_features(content: bytes) -> list[float]:
+    """Byte stats for text media: [n_bytes, mean_byte, printable_ratio].
+    Exact integer sums → deterministic doubles (the SQL oracle mirrors the
+    same sum/ratio arithmetic over ASCII code points)."""
+    import numpy as np
+
+    n = len(content)
+    if n == 0:
+        return [0.0, 0.0, 0.0]
+    arr = np.frombuffer(content, np.uint8)
+    printable = int(((arr >= 32) & (arr <= 126)).sum())
+    return [float(n), float(int(arr.sum(dtype="int64"))) / n, float(printable) / n]
+
+
 def default_decoder(content: bytes, mime: str):
-    """Placeholder for a real codec (PIL/librosa/av). Not available in this
-    environment — inject a fake via ``decoder=`` in tests."""
+    """Real dependency-free codecs: uncompressed 24-bpp BMP and binary PPM
+    (numpy header+pixel parse) → image stats; ``text/*`` media → byte stats.
+    Exotic codecs (PNG/JPEG/audio/video need libraries absent from this
+    environment) still raise — inject a decoder for those."""
+    content = bytes(content)
+    if content[:2] == b"BM":
+        return image_features(decode_bmp(content))
+    if content[:2] == b"P6":
+        return image_features(decode_ppm(content))
+    if mime.startswith("text/"):
+        return text_byte_features(content)
     raise NotImplementedError(
-        "media decoding requires codec libraries not present in this container; "
-        "pass an explicit decoder"
+        f"no built-in codec for mime={mime!r}; PNG/JPEG/audio/video need "
+        "libraries not present in this container — pass an explicit decoder"
     )
 
 
@@ -84,6 +198,16 @@ def extract_media_features(
     With no decoder, emits byte-level features only (n_bytes, head_hex) and a
     NULL feature vector — the plumbing runs end-to-end without codecs.
     """
+    if decoder is not None and getattr(decoder, "__module__", None) == __name__:
+        # Module-level decoders pickle by reference; executor Python workers
+        # can't import this package unless the driver's cwd happens to be the
+        # repo root. Ship the whole module by value so the closure is
+        # self-contained wherever the session was launched from.
+        import sys
+
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        register_pickle_by_value(sys.modules[__name__])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

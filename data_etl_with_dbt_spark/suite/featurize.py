@@ -103,18 +103,50 @@ def minmax_normalize_events(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Stratified sampling (rows-only: seeded Bernoulli is engine-specific).
+# Stratified sampling. Per-stratum rates via key-hash thresholding (the
+# hash_split_assignment convention) instead of seeded Bernoulli: md5 of
+# (lang, doc_id) is uniform and identical in every engine, so membership is
+# stable under reruns, repartitioning, AND engine swaps — which also makes
+# the sample itself oracle-checkable, not just its rate. Thresholds are on
+# the first 4 hex chars (uniform over 2^16): en 0.5 → '8000', 0.25 → '4000',
+# zh 0.1 → '1999'.
 # ---------------------------------------------------------------------------
 
 @query(
     "stratified_sample_documents",
-    oracle=None,  # sampling is engine-specific; fidelity asserted in tests
-    description="Seeded stratified sample by language: per-stratum Bernoulli rates via sampleBy",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang
+              WHEN 'en' THEN '8000'
+              WHEN 'es' THEN '4000'
+              WHEN 'fr' THEN '4000'
+              WHEN 'de' THEN '4000'
+              WHEN 'zh' THEN '1999'
+              ELSE '0000'
+          END
+    """,
+    description=(
+        "Deterministic stratified sample by language: per-stratum rates as "
+        "md5 key-hash thresholds (no RNG) — exact membership reproducible "
+        "across engines and oracle-checked"
+    ),
 )
 def stratified_sample_documents(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25, "zh": 0.1}
-    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    threshold = (
+        F.when(F.col("lang") == "en", "8000")
+        .when(F.col("lang").isin("es", "fr", "de"), "4000")
+        .when(F.col("lang") == "zh", "1999")
+        .otherwise("0000")
+    )
+    return docs.where(bucket < threshold).select(
+        big(F.col("doc_id")).alias("doc_id"), "lang", "source"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 from data_etl_with_dbt_spark.operators import dedup as D
 from data_etl_with_dbt_spark.operators import similarity as S
 from data_etl_with_dbt_spark.operators import textan as TA
-from data_etl_with_dbt_spark.operators.multimodal import extract_media_features, to_media_table
+from data_etl_with_dbt_spark.operators.multimodal import (
+    default_decoder,
+    extract_media_features,
+    to_media_table,
+)
 from data_etl_with_dbt_spark.suite.registry import big, dec6, load, query
 
 # ---------------------------------------------------------------------------
@@ -314,19 +318,40 @@ def doc_fingerprints(spark, sf_dir):
 @query(
     "multimodal_byte_features",
     oracle="""
+    WITH codes AS (
+        SELECT doc_id, text,
+               list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs
+        FROM documents
+    )
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           lower(hex(encode(substring(text, 1, 8)))) AS head_hex
-    FROM documents
+           lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(list_sum(cs) AS DOUBLE) / length(text) END AS mean_byte,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(cs, c -> c >= 32 AND c <= 126)) AS DOUBLE) / length(text)
+           END AS printable_ratio
+    FROM codes
     """,
-    description="Binary media columns via mapInPandas (Arrow batches): byte-level features; codec decode stubbed",
+    description=(
+        "Binary media columns via mapInPandas (Arrow batches): built-in "
+        "decoder (BMP/PPM numpy codecs; byte stats for text media) runs for "
+        "real — decoded stats oracle-checked over the ASCII fixture "
+        "(integer byte sums are exact, so the derived doubles match)"
+    ),
 )
 def multimodal_byte_features(spark, sf_dir):
     media = to_media_table(
         load(spark, sf_dir, "documents"), "doc_id", "text", mime="text/plain", source_col="source"
     )
-    feats = extract_media_features(media, decoder=None)
-    return feats.select("media_id", big(F.col("n_bytes")).alias("n_bytes"), "head_hex")
+    feats = extract_media_features(media, decoder=default_decoder)
+    return feats.select(
+        "media_id",
+        big(F.col("n_bytes")).alias("n_bytes"),
+        "head_hex",
+        F.element_at("feature", 2).alias("mean_byte"),
+        F.element_at("feature", 3).alias("printable_ratio"),
+    )
 
 
 @query(

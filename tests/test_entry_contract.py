@@ -60,7 +60,6 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "embedding_near_dup",
         "semantic_dedup_clusters_lsh",
         "approx_aggregates",
-        "stratified_sample_documents",  # seeded Bernoulli sample: rate/determinism property-tested instead
     }
 
 
@@ -75,7 +74,7 @@ def test_queries_survive_hostile_session_conf(spark, duck, entry_mod):
     try:
         spark.conf.set("spark.sql.ansi.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        name = "core_transform_events"
+        name = entry_mod.exposed_name("core_transform_events")
         got = entry_mod.queries()[name](spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")).toPandas()
         want = duck.execute(entry_mod.oracle_sql()[name]).df()
         assert_frames_match(got, want, name)
