@@ -173,6 +173,38 @@ def read_jdbc(
     return reader.load()
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    truncate: bool = False,
+    batch_size: int = 10_000,
+    **options,
+) -> None:
+    """JDBC sink (reference S3/S4 over a database: ``ETL/ETL.py:52``'s
+    chunked ``to_sql`` appends and the truncate-before-load pattern).
+
+    Executors write their partitions concurrently over separate connections
+    — the row-at-a-time single-connection INSERT loop the reference runs is
+    replaced by ``batch_size``-row JDBC batches per partition. For
+    truncate-and-reload semantics pass ``mode='overwrite', truncate=True``
+    (TRUNCATE keeps the table's DDL/grants/indexes; plain overwrite
+    drops and recreates from the DataFrame schema)."""
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batch_size)
+    )
+    if truncate:
+        writer = writer.option("truncate", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def write_table(
     df: DataFrame,
     name: str,
