@@ -462,7 +462,15 @@ def dedup_clusters(
     builds an exponentially deep plan).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Materialize the edge list ONCE: every propagation round joins against
+    # it, and without this the whole upstream pair-generation pipeline
+    # (LSH band join + cosine verify, or a MinHash verify) re-executes per
+    # round — measured 78 s -> ~8 s on the LSH semantic-dedup entry at sf0.1.
+    # At production scale this is the checkpoint-to-table between pipeline
+    # stages that BENCH_NOTES prescribes.
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
     labels = docs.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
 
     for _ in range(max_iter):

@@ -173,7 +173,7 @@ def ann_lsh_topk(spark, sf_dir):
 def embedding_near_dup(spark, sf_dir):
     return S.embedding_near_dup_pairs(
         load(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
-        dim=64, threshold=0.35, n_planes=4, n_bands=16, seed=42,
+        dim=64, threshold=0.35, n_planes=4, n_bands=16, seed=42, verify="arrow",
     )
 
 
@@ -627,7 +627,7 @@ def semantic_dedup_clusters_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     pairs = S.embedding_near_dup_pairs(
         emb, id_col="vec_id", vec_col="embedding",
-        dim=64, threshold=0.35, n_planes=4, n_bands=16, seed=42,
+        dim=64, threshold=0.35, n_planes=4, n_bands=16, seed=42, verify="arrow",
     ).select("id_a", "id_b")
     clusters = D.dedup_clusters(emb, "vec_id", pairs)
     return clusters.select(
