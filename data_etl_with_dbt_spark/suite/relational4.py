@@ -134,13 +134,28 @@ def range_join_clicks_before_error(spark, sf_dir):
 )
 def agg_exact_percentiles(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        dec6(F.expr("percentile(l_extendedprice, 0.25)")).alias("p25"),
-        dec6(F.expr("percentile(l_extendedprice, 0.50)")).alias("p50"),
-        dec6(F.expr("percentile(l_extendedprice, 0.90)")).alias("p90"),
-        dec6(
-            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)")
-        ).alias("p50_disc"),
+    # One array-argument percentile = ONE per-group value accumulation for
+    # all three interpolating quantiles (three scalar calls would each build
+    # their own counts map over the same 600k values — measured ~2x slower).
+    # percentile_disc is a distinct aggregate function, so it accumulates
+    # separately either way.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.90D))"
+            ).alias("__ps"),
+            F.expr(
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("__p50d"),
+        )
+        .select(
+            "l_returnflag",
+            dec6(F.col("__ps")[0]).alias("p25"),
+            dec6(F.col("__ps")[1]).alias("p50"),
+            dec6(F.col("__ps")[2]).alias("p90"),
+            dec6(F.col("__p50d")).alias("p50_disc"),
+        )
     )
 
 
