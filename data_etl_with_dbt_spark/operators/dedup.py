@@ -166,6 +166,172 @@ def minhash_signatures_arrow(
     return df.select(id_col, text_col).mapInPandas(compute, out_schema)
 
 
+def _band_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """LSH banding of MinHash signatures: one ``(id, band, bucket)`` row per
+    band, where the bucket is a hash of that band's signature slice. Only
+    these narrow rows ride the candidate-join shuffle — never the signature
+    arrays, never document text."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash-estimated Jaccard: the fraction of agreeing signature
+    components — an unbiased estimator with std ``sqrt(J(1-J)/k)`` for k
+    hashes. This is the verification the incremental path uses against the
+    signature store: exact Jaccard would need the EXISTING corpus's shingle
+    sets, i.e. re-reading 100 TB of text per daily batch; the estimate needs
+    only the k-long signatures already in the index."""
+    matches = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    )
+    return matches.cast("double") / F.size(sig_a).cast("double")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.7,
+    shuffle_parallelism: int | None = None,
+    signature_impl: str = "jvm",
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted signature ``index`` — the
+    production shape at 100 TB: the existing corpus is never re-read or
+    re-shingled; only its ``(id, signature)`` store (k longs per doc) is
+    banded and joined.
+
+    ``index`` holds ``(id_col, signature)`` rows from prior batches (built
+    with :func:`minhash_signatures` / returned by this function; typically a
+    persisted table — if computed inline, persist it: it is banded AND joined
+    for scoring, two consumers). Ids must be unique across index and batch.
+
+    Verdict per new document, keep-first semantics:
+    ``dup_of`` = the best duplicate among index docs and SMALLER-ID batch
+    docs (estimated Jaccard >= threshold; ties broken index-first then
+    min-id), NULL for survivors. Dropping every flagged doc keeps exactly
+    one representative per duplicate chain (a doc flagged against an
+    already-flagged doc resolves transitively to that doc's survivor, the
+    same greedy keep-first the reference's window dedup implements —
+    ``core_texi.sql:57-62``). Full transitive clusters: feed the flagged
+    pairs to :func:`dedup_clusters` instead.
+
+    Output: ``(id_col, signature, dup_of, est_jaccard, dup_source)`` with
+    ``dup_source`` in {'index','batch'}. The signature column makes the
+    index update a projection — :func:`minhash_index_append` — instead of a
+    second signature pass over the batch.
+    """
+    if shuffle_parallelism:
+        new_docs = new_docs.repartition(shuffle_parallelism, F.col(id_col))
+    sig_fn = minhash_signatures_arrow if signature_impl == "arrow" else minhash_signatures
+    new_sigs = sig_fn(new_docs, id_col, text_col, num_hashes, shingle).persist()
+
+    nb = _band_buckets(new_sigs, id_col, num_hashes, bands)
+    ib = _band_buckets(index, id_col, num_hashes, bands)
+    # Batch-vs-index: every band collision is a candidate (no id ordering —
+    # index docs always outrank batch docs). Batch-vs-batch: keep-first, so
+    # only smaller-id partners count.
+    cand_ix = (
+        nb.alias("x")
+        .join(ib.alias("y"), (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket")))
+        .select(
+            F.col(f"x.{id_col}").alias("__new_id"),
+            F.col(f"y.{id_col}").alias("dup_of"),
+            F.lit("index").alias("dup_source"),
+        )
+    )
+    cand_nn = (
+        nb.alias("x")
+        .join(
+            nb.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") > F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("__new_id"),
+            F.col(f"y.{id_col}").alias("dup_of"),
+            F.lit("batch").alias("dup_source"),
+        )
+    )
+    cand = cand_ix.unionByName(cand_nn).dropDuplicates(["__new_id", "dup_of"])
+
+    all_sigs = index.select(F.col(id_col), F.col("signature")).unionByName(
+        new_sigs.select(F.col(id_col), F.col("signature"))
+    )
+    scored = (
+        cand.join(
+            new_sigs.select(F.col(id_col).alias("__new_id"), F.col("signature").alias("__sig_n")),
+            "__new_id",
+        )
+        .join(
+            all_sigs.select(F.col(id_col).alias("dup_of"), F.col("signature").alias("__sig_d")),
+            "dup_of",
+        )
+        .withColumn("est_jaccard", estimated_jaccard(F.col("__sig_n"), F.col("__sig_d")))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    best = (
+        scored.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__new_id").orderBy(
+                    F.desc("est_jaccard"),
+                    F.when(F.col("dup_source") == "index", 0).otherwise(1),
+                    F.asc("dup_of"),
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select("__new_id", "dup_of", "est_jaccard", "dup_source")
+    )
+    return new_sigs.join(
+        best, new_sigs[id_col] == best["__new_id"], "left"
+    ).select(
+        F.col(id_col), F.col("signature"), "dup_of", "est_jaccard", "dup_source"
+    )
+
+
+def minhash_index_append(
+    index: DataFrame, verdicts: DataFrame, id_col: str
+) -> DataFrame:
+    """Updated signature store after a batch: the existing index plus the
+    signatures of the batch's SURVIVORS (flagged duplicates are dropped, so
+    the store holds one signature per retained doc — its size tracks the
+    deduped corpus, not the raw intake)."""
+    survivors = verdicts.where(F.col("dup_of").isNull()).select(
+        F.col(id_col), F.col("signature")
+    )
+    return index.select(F.col(id_col), F.col("signature")).unionByName(survivors)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -196,7 +362,6 @@ def minhash_lsh_pairs(
     """
     if shuffle_parallelism:
         df = df.repartition(shuffle_parallelism, F.col(id_col))
-    rows_per_band = num_hashes // bands
     # Persist signatures: the banding stage references the signature 8x and
     # projection collapse would otherwise inline (and re-run) the whole
     # shingle fold per band. At production scale you'd checkpoint signatures
@@ -204,28 +369,7 @@ def minhash_lsh_pairs(
     sig_fn = minhash_signatures_arrow if signature_impl == "arrow" else minhash_signatures
     sigs = sig_fn(df, id_col, text_col, num_hashes, shingle).persist()
 
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _band_buckets(sigs, id_col, num_hashes, bands)
 
     cand = (
         banded.alias("x")

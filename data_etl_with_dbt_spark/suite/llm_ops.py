@@ -96,6 +96,40 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "dedup_incremental_minhash",
+    oracle=None,  # MinHash estimation has no SQL oracle; semantics pytest-asserted
+    description=(
+        "Incremental batch-vs-index MinHash dedup: verdicts for a new batch "
+        "against a persisted signature store (existing corpus never re-read)"
+    ),
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    # Deterministic 80/20 split of documents into 'already-indexed corpus'
+    # and 'today's batch' — the daily-intake shape. The index is built inline
+    # here (the fixture has no persisted store); in production it is a table
+    # carried across runs via minhash_index_append.
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    is_batch = F.crc32(F.col("doc_id").cast("string")) % 5 == 0
+    existing = docs.where(~is_batch).repartition(par, "doc_id")
+    index = D.minhash_signatures(existing, "doc_id", "text", 32, 3).persist()
+    verdicts = D.incremental_minhash_dedup(
+        docs.where(is_batch), index, id_col="doc_id", text_col="text",
+        num_hashes=32, bands=8, shingle=3, threshold=0.5,
+        shuffle_parallelism=par,
+    )
+    # Drop the signature array (driver canonicalizers choke on array columns
+    # — the approx_aggregates lesson); est_jaccard is an IEEE ratio of two
+    # small ints, deterministic.
+    return verdicts.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        big(F.col("dup_of")).alias("dup_of"),
+        F.col("est_jaccard"),
+        F.col("dup_source"),
+    )
+
+
+@query(
     "dedup_simhash_pairs",
     oracle=None,  # banding is approximate; fingerprints themselves are deterministic
     description="SimHash(32-bit) near-dup pairs within Hamming distance 3 (pigeonhole banding)",

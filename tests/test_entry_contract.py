@@ -53,6 +53,7 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
     rows_only = {n for n, q in QUERIES.items() if not q.oracle}
     assert rows_only == {
         "dedup_minhash_lsh",
+        "dedup_incremental_minhash",  # MinHash-estimated Jaccard: no SQL oracle
         "dedup_simhash_pairs",
         "ann_lsh_topk",
         "ann_ivf_topk",

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 from data_etl_with_dbt_spark.operators.dedup import (
     dedup_exact,
     exact_duplicate_groups,
+    incremental_minhash_dedup,
+    minhash_index_append,
     minhash_lsh_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
@@ -399,6 +402,99 @@ class TestBandedEmbeddingNearDup:
             for b in approx:
                 if a < b and approx[a] == approx[b]:
                     assert exact[a] == exact[b]
+
+
+class TestIncrementalMinhash:
+    """Batch-vs-signature-store dedup: the daily-intake shape where the
+    existing corpus is only ever touched through its (id, signature) index."""
+
+    KW = dict(num_hashes=32, bands=8, shingle=3, threshold=0.5)
+
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "an entirely unrelated document about spark engines"),
+            ],
+            "id long, text string",
+        )
+
+    def batch(self, spark):
+        return spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog"),  # dup of index 1
+                (11, "fresh unique content nothing resembles this sentence"),
+                (12, "fresh unique content nothing resembles this sentence"),  # dup of 11
+            ],
+            "id long, text string",
+        )
+
+    def verdicts(self, spark):
+        index = minhash_signatures(self.corpus(spark), "id", "text", 32, 3).persist()
+        return {
+            r.id: r
+            for r in incremental_minhash_dedup(
+                self.batch(spark), index, "id", "text", **self.KW
+            ).collect()
+        }
+
+    def test_index_dup_flagged_batch_keep_first(self, spark):
+        v = self.verdicts(spark)
+        assert v[10].dup_of == 1 and v[10].dup_source == "index"
+        assert v[10].est_jaccard == pytest.approx(1.0)  # identical text, identical sigs
+        assert v[11].dup_of is None  # smaller-id survivor of the in-batch pair
+        assert v[12].dup_of == 11 and v[12].dup_source == "batch"
+
+    def test_empty_index_in_batch_only(self, spark):
+        empty = self.corpus(spark).limit(0)
+        index = minhash_signatures(empty, "id", "text", 32, 3)
+        v = {
+            r.id: r.dup_of
+            for r in incremental_minhash_dedup(
+                self.batch(spark), index, "id", "text", **self.KW
+            ).collect()
+        }
+        assert v == {10: None, 11: None, 12: 11}
+
+    def test_index_append_keeps_survivors_only(self, spark):
+        index = minhash_signatures(self.corpus(spark), "id", "text", 32, 3).persist()
+        verdicts = incremental_minhash_dedup(
+            self.batch(spark), index, "id", "text", **self.KW
+        )
+        updated = minhash_index_append(index, verdicts, "id")
+        assert sorted(r.id for r in updated.collect()) == [1, 2, 11]
+        # a second, identical batch now dedups fully against the updated store
+        v2 = {
+            r.id: r
+            for r in incremental_minhash_dedup(
+                self.batch(spark).withColumn("id", F.col("id") + 100),
+                updated, "id", "text", **self.KW,
+            ).collect()
+        }
+        assert v2[110].dup_of == 1 and v2[110].dup_source == "index"
+        assert v2[111].dup_of == 11 and v2[111].dup_source == "index"
+        assert v2[112].dup_of == 11 and v2[112].dup_source == "index"
+
+    def test_index_priority_over_batch_on_tie(self, spark):
+        # doc 10 duplicates BOTH index doc 1 and nothing else; build a batch
+        # where a doc ties between an index doc and a smaller batch doc —
+        # the index attribution must win at equal estimated Jaccard.
+        batch = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog"),
+                (20, "the quick brown fox jumps over the lazy dog"),
+            ],
+            "id long, text string",
+        )
+        index = minhash_signatures(self.corpus(spark), "id", "text", 32, 3).persist()
+        v = {
+            r.id: r
+            for r in incremental_minhash_dedup(
+                batch, index, "id", "text", **self.KW
+            ).collect()
+        }
+        assert v[10].dup_of == 1 and v[10].dup_source == "index"
+        assert v[20].dup_of == 1 and v[20].dup_source == "index"
 
 
 class TestDedupClusters:
