@@ -54,6 +54,43 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str, mime: str, sour
     )
 
 
+_EXT_MIME = {
+    "bmp": "image/bmp",
+    "ppm": "image/x-portable-pixmap",
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "gif": "image/gif",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+    "txt": "text/plain",
+    "md": "text/markdown",
+    "html": "text/html",
+}
+
+
+def media_from_binary_files(files: DataFrame) -> DataFrame:
+    """Bridge a ``binaryFile`` scan (``sources.io.read_binary_files``:
+    path/modificationTime/length/content) to the engine's media shape —
+    ``media_id`` is the path hash, mime inferred from the file extension
+    (octet-stream when unknown), source keeps the full path for lineage.
+    Pure Catalyst projection; the bytes column passes through untouched."""
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in sorted(_EXT_MIME.items()) for x in kv]
+    )
+    return files.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("content"),
+        F.struct(
+            F.coalesce(mime_map[ext], F.lit("application/octet-stream")).alias("mime"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.col("path").alias("source"),
+        ).alias("meta"),
+    )
+
+
 def decode_bmp(content: bytes):
     """Dependency-free BMP decode (numpy): uncompressed 24-bpp Windows BMP
     (BITMAPFILEHEADER + BITMAPINFOHEADER), 4-byte-padded bottom-up or

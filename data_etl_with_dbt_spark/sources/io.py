@@ -101,6 +101,44 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Plain-text source: one ``value`` string row per line — or per FILE
+    with ``wholetext`` (raw-document intake before any parsing). Line mode
+    splits large files across tasks; wholetext is one row per file, so
+    partition count follows file count."""
+    return spark.read.text(path, wholetext=wholetext)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML source (built into Spark 4): one row per repeated ``row_tag``
+    element, attributes surfaced as ``_attr`` columns. Without an explicit
+    schema the reader runs an inference scan over the input first — always
+    pass ``schema`` at scale to keep it single-pass."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """``binaryFile`` source: ``(path, modificationTime, length, content)``
+    with whole-file bytes per row — the raw media-intake scan (pair with
+    ``operators.multimodal.media_from_binary_files``). Files never split, so
+    parallelism follows file count; pushable filters on path/length/
+    modificationTime prune without reading content."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def write_files(
     df: DataFrame,
     path: str,

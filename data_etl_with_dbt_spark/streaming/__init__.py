@@ -1,3 +1,6 @@
+from data_etl_with_dbt_spark.streaming.intake import (  # noqa: F401
+    minhash_intake_sink,
+)
 from data_etl_with_dbt_spark.streaming.pipeline import (  # noqa: F401
     read_event_stream,
     running_user_totals,

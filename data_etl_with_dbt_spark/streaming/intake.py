@@ -1,0 +1,124 @@
+"""Streaming corpus intake with cross-batch near-duplicate suppression.
+
+The continuous-ingestion shape for a 100 TB training corpus: documents
+arrive as a stream, each micro-batch is deduped against a PERSISTED MinHash
+signature index — never against the raw corpus, whose text is never re-read
+or re-shingled — survivors are appended to the corpus sink, and the
+survivors' signatures are appended to the index. Per retained document the
+index holds ``num_hashes`` longs (~256 bytes at k=32), roughly 1e-4 of
+corpus bytes, and the per-batch cost is O(|batch| + band collisions),
+independent of corpus text size.
+
+Built on :func:`~data_etl_with_dbt_spark.operators.dedup.incremental_minhash_dedup`
+(see that docstring for the verdict semantics) via ``foreachBatch`` — the
+dedup decision needs a batch-vs-index join against a mutable store, which
+is exactly the micro-batch escape hatch ``foreachBatch`` exists for; the
+windowed/stateful operators in :mod:`.pipeline` stay pure ``writeStream``.
+
+Exactly-once caveat: ``foreachBatch`` is at-least-once under retries. The
+corpus/index appends here are idempotent-per-content (a replayed batch
+re-flags the same duplicates against the same index state only if the
+index append did not land); production deployments put the two appends in
+one transactional commit (a lakehouse table format) keyed by ``batch_id``.
+The plain-parquet form keeps the engine dependency-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import incremental_minhash_dedup
+
+
+def _read_index(spark, index_path: str, id_type: T.DataType) -> DataFrame:
+    """The signature store, or a typed empty frame before the first batch
+    commits (a file-listing miss, not an error, on a fresh checkpoint)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+    try:
+        return spark.read.schema(schema).parquet(index_path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def minhash_intake_sink(
+    index_path: str,
+    corpus_path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.7,
+    dup_ledger_path: str | None = None,
+    shuffle_parallelism: int | None = None,
+    signature_impl: str = "jvm",
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function: per micro-batch, dedup against the
+    signature index at ``index_path``, append surviving documents (full
+    rows) to ``corpus_path``, append their signatures to the index, and
+    optionally append flagged duplicates' attributions
+    ``(id, dup_of, est_jaccard, dup_source, batch_id)`` to
+    ``dup_ledger_path`` for audit.
+
+    Usage::
+
+        sink = minhash_intake_sink(index, corpus, "doc_id", "text")
+        docs_stream.writeStream.foreachBatch(sink) \\
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+
+    Ordering: documents in earlier batches always outrank later arrivals
+    (index hits win), and within a batch smaller ids win — arrival-order
+    keep-first, the streaming analogue of the reference's window dedup
+    (``core_texi.sql:57-62``).
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        id_type = batch.schema[id_col].dataType
+        index = _read_index(spark, index_path, id_type).withColumnRenamed(
+            "doc_id", id_col
+        )
+        verdicts = incremental_minhash_dedup(
+            batch,
+            index,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle=shingle,
+            threshold=threshold,
+            shuffle_parallelism=shuffle_parallelism,
+            signature_impl=signature_impl,
+        ).persist()
+        # Materialize the verdicts BEFORE appending to the index directory:
+        # the lineage reads index_path, and Spark must not see the files this
+        # batch is about to add.
+        verdicts.count()
+
+        survivors = verdicts.where(F.col("dup_of").isNull())
+        batch.join(survivors.select(id_col), on=id_col, how="left_semi").write.mode(
+            "append"
+        ).parquet(corpus_path)
+        survivors.select(
+            F.col(id_col).alias("doc_id"), F.col("signature")
+        ).write.mode("append").parquet(index_path)
+        if dup_ledger_path is not None:
+            verdicts.where(F.col("dup_of").isNotNull()).select(
+                F.col(id_col),
+                F.col("dup_of"),
+                F.col("est_jaccard"),
+                F.col("dup_source"),
+                F.lit(batch_id).alias("batch_id"),
+            ).write.mode("append").parquet(dup_ledger_path)
+        verdicts.unpersist()
+
+    return process

@@ -230,3 +230,68 @@ def test_watermark_evicts_dedup_state(spark, tmp_path):
     # in-batch duplicate suppressed; post-eviction duplicate re-admitted
     assert len(key1) == 2, f"expected state eviction between batches: {rows}"
     assert len([r for r in rows if r.user_id == 2]) == 1
+
+
+def test_minhash_intake_dedups_across_batches(spark, tmp_path):
+    """Streaming corpus intake: three single-file micro-batches through the
+    foreachBatch MinHash sink. Cross-batch duplicates must be flagged
+    against the PERSISTED index (the earlier batch's text is never re-read),
+    in-batch duplicates keep-first, and the index must end holding exactly
+    one signature per surviving corpus doc."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.streaming.intake import minhash_intake_sink
+
+    A = "the quick brown fox jumps over the lazy dog again and again"
+    B = "an entirely unrelated document describing spark execution engines"
+    C = "fresh unique content nothing else resembles this sentence at all"
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+
+    mk([(1, A), (2, B), (3, A)]).write.parquet(str(src / "f0"))  # 3 dups 1 in-batch
+    mk([(10, A), (11, C)]).write.parquet(str(src / "f1"))  # 10 dups index doc 1
+    mk([(20, C), (21, B)]).write.parquet(str(src / "f2"))  # both dup the index
+
+    now = _time.time()
+    for i, d in enumerate(("f0", "f1", "f2")):
+        for f in _glob.glob(str(src / d / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    sink = minhash_intake_sink(
+        index_path=str(tmp_path / "index"),
+        corpus_path=str(tmp_path / "corpus"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+        dup_ledger_path=str(tmp_path / "dups"),
+    )
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 11]
+    index = spark.read.parquet(str(tmp_path / "index")).collect()
+    assert sorted(r.doc_id for r in index) == [1, 2, 11]
+    assert all(len(r.signature) == 32 for r in index)
+    dups = {
+        r.doc_id: (r.dup_of, r.dup_source, r.batch_id)
+        for r in spark.read.parquet(str(tmp_path / "dups")).collect()
+    }
+    assert dups[3] == (1, "batch", 0)
+    assert dups[10] == (1, "index", 1)
+    assert dups[20] == (11, "index", 2)
+    assert dups[21] == (2, "index", 2)
