@@ -2,12 +2,15 @@
 metadata, with decode / feature-extract stages as Arrow-batched pandas
 transforms over ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is STUBBED: the
-default decoder raises ``NotImplementedError`` and tests inject a
-deterministic fake. The Spark-side plumbing — schema, partition-preserving
-``mapInPandas``, Arrow batch shape — is real and is what matters at scale:
-each batch is a pandas DataFrame of (id, bytes, meta), features come back as
-typed columns, and nothing ever collects to the driver.
+Dependency-free codecs cover one real format per modality — uncompressed
+24-bpp BMP and binary PPM (image), 16-bit PCM WAV (audio), byte stats
+(text) — all numpy header+raster parses, no libraries. Compressed formats
+(PNG/JPEG/MP3/MP4) need codec libraries absent from this container, so the
+default decoder raises ``NotImplementedError`` for those; callers inject a
+decoder. The Spark-side plumbing — schema, partition-preserving
+``mapInPandas``, Arrow batch shape — is identical either way: each batch is
+a pandas DataFrame of (id, bytes, meta), features come back as typed
+columns, and nothing ever collects to the driver.
 """
 
 from __future__ import annotations
@@ -171,6 +174,82 @@ def encode_ppm(rgb) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+def decode_wav(content: bytes):
+    """Dependency-free WAV decode (numpy): RIFF/WAVE chunk walk, PCM
+    (format 1) 16-bit samples. Returns ``(samples, sample_rate)`` with
+    samples shaped (n_frames, n_channels) int16. Chunks are length-prefixed
+    and word-aligned, so unknown chunks (LIST, fact, cue) skip cleanly."""
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})"
+        )
+    frames = np.frombuffer(data, "<i2", count=len(data) // 2)
+    return frames.reshape(-1, n_channels), sample_rate
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Inverse of :func:`decode_wav` (16-bit PCM): deterministic audio
+    fixtures without codec libraries. ``samples`` is (n_frames, n_channels)
+    int16 (a 1-D array is treated as mono)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_channels = arr.shape[1]
+    data = arr.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def audio_features(samples, sample_rate: int) -> list[float]:
+    """Fixed-shape audio stats: [n_frames, n_channels, sample_rate,
+    duration_s, rms, peak, zero_crossing_rate] over the channel-mean signal.
+    All aggregates are exact int64 sums; the derived doubles are one IEEE
+    division (plus one exactly-rounded sqrt), so they're deterministic."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, c = arr.shape
+    if n == 0:
+        return [0.0, float(c), float(sample_rate), 0.0, 0.0, 0.0, 0.0]
+    mono_scaled = arr.sum(axis=1)  # c * mean signal, exact ints
+    rms = float(int((mono_scaled**2).sum())) ** 0.5 / (c * float(n) ** 0.5)
+    peak = float(int(np.abs(arr).max()))
+    signs = mono_scaled > 0
+    zcr = float(int((signs[1:] != signs[:-1]).sum())) / n
+    return [float(n), float(c), float(sample_rate), n / float(sample_rate), rms, peak, zcr]
+
+
 def image_features(rgb) -> list[float]:
     """Fixed-shape image stats: [width, height, channels, mean_r, mean_g,
     mean_b, mean_gray]. Integer pixel sums are exact, so the derived doubles
@@ -206,11 +285,14 @@ def default_decoder(content: bytes, mime: str):
         return image_features(decode_bmp(content))
     if content[:2] == b"P6":
         return image_features(decode_ppm(content))
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return audio_features(*decode_wav(content))
     if mime.startswith("text/"):
         return text_byte_features(content)
     raise NotImplementedError(
-        f"no built-in codec for mime={mime!r}; PNG/JPEG/audio/video need "
-        "libraries not present in this container — pass an explicit decoder"
+        f"no built-in codec for mime={mime!r}; PNG/JPEG/compressed audio/"
+        "video need libraries not present in this container — pass an "
+        "explicit decoder"
     )
 
 

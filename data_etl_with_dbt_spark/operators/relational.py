@@ -273,3 +273,53 @@ def apply_cdc(
         latest.select(key), on=key, how="left_anti"
     )
     return untouched.unionByName(survivors)
+
+
+def global_row_index(
+    df: DataFrame,
+    order_by: Sequence[str],
+    index_col: str = "idx",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Contiguous global row numbers 0..n-1 in ``order_by`` order WITHOUT a
+    single-partition sort — the scale answer to ``row_number() OVER (ORDER BY
+    ...)``, whose plan (Exchange SinglePartition -> one-task Sort) is the
+    classic 100 TB driver-shaped bottleneck. Training pipelines need this
+    for example ids, shard-stable sample ordering, and resumable offsets.
+
+    Plan: (1) sample ``num_buckets - 1`` cut points of the leading (numeric)
+    sort column with ``approxQuantile`` — the same sampling a range
+    partitioner does, a driver collect of B-1 doubles, never data; (2) map
+    each row to a bucket by cut-point comparison (pure expression — bucket
+    choice depends only on the KEY, so ties can't straddle buckets and the
+    output is independent of the sampled cuts); (3) count rows per bucket
+    (map-side-combined agg over B rows) and broadcast cumulative offsets
+    back; (4) ``row_number`` within each bucket + offset. One full shuffle
+    of the data (the per-bucket window), fully parallel, deterministic given
+    a total order — pass tie-breaking columns; the window orders by ALL of
+    ``order_by``.
+
+    Buckets inherit the key distribution: heavily-skewed leading keys
+    concentrate in one bucket (same caveat as any range partitioning);
+    quantile cuts keep balanced keys balanced.
+    """
+    lead = order_by[0]
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = sorted(set(df.stat.approxQuantile(lead, probs, 0.001)))
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(lead) > F.lit(c), 1).otherwise(0)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset")
+    )
+
+    w = Window.partitionBy("__bucket").orderBy(*[F.col(c) for c in order_by])
+    return (
+        bucketed.join(F.broadcast(offsets), on="__bucket")
+        .withColumn(index_col, F.col("__offset") + F.row_number().over(w) - 1)
+        .drop("__bucket", "__offset")
+    )

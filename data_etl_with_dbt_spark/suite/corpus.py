@@ -296,3 +296,35 @@ def fuzzy_name_pairs(spark, sf_dir):
         "text_b",
         big(F.col("dist")).alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global contiguous example ids. The oracle is the single-threaded spelling
+# (row_number over a global ORDER BY); the Spark side must produce the exact
+# same assignment from the bucketed distributed plan — which also proves the
+# bucket/offset arithmetic, not just the shape.
+# New-entry naming: bare (sorts into the driver window; see __spark_entry__).
+# ---------------------------------------------------------------------------
+
+@query(
+    "global_row_index",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_totalprice
+    FROM orders
+    """,
+    description=(
+        "Contiguous global row numbers without a single-partition sort: "
+        "quantile-cut buckets + per-bucket offsets + within-bucket "
+        "row_number (training example ids at corpus scale)"
+    ),
+)
+def global_row_index(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = R.global_row_index(orders, order_by=["o_orderkey"], index_col="idx")
+    return out.select(
+        big(F.col("idx")).alias("idx"),
+        big(F.col("o_orderkey")).alias("o_orderkey"),
+        "o_totalprice",
+    )

@@ -210,6 +210,55 @@ class TestMultimodal:
         commented = b"P6 # a comment\n# another\n 5\t3\n255\n" + img.tobytes()
         assert (decode_ppm(commented) == img).all()
 
+    def test_wav_codec_round_trip(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import decode_wav, encode_wav
+
+        rng = np.random.default_rng(13)
+        for channels in (1, 2):
+            pcm = rng.integers(-(2**15), 2**15, (441, channels), dtype=np.int16)
+            got, rate = decode_wav(encode_wav(pcm, 44100))
+            assert rate == 44100
+            assert (got == pcm).all()
+        mono = np.array([0, 100, -100], dtype=np.int16)  # 1-D treated as mono
+        got, _ = decode_wav(encode_wav(mono, 8000))
+        assert (got[:, 0] == mono).all()
+
+    def test_wav_decode_skips_unknown_chunks(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import decode_wav, encode_wav
+
+        pcm = np.array([[1], [2], [3]], dtype=np.int16)
+        wav = encode_wav(pcm, 16000)
+        # splice a LIST chunk (odd size — exercises word alignment) after WAVE
+        extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\0"
+        spliced = wav[:12] + extra + wav[12:]
+        got, rate = decode_wav(spliced)
+        assert rate == 16000
+        assert (got == pcm).all()
+
+    def test_audio_features_deterministic_stats(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import audio_features, encode_wav
+
+        # full-scale square wave: rms == peak == 1000, one sign flip per cycle
+        pcm = np.tile(np.array([1000] * 4 + [-1000] * 4, dtype=np.int16), 100)
+        n, c, rate, dur, rms, peak, zcr = audio_features(pcm, 8000)
+        assert (n, c, rate) == (800.0, 1.0, 8000.0)
+        assert dur == pytest.approx(0.1)
+        assert rms == pytest.approx(1000.0)
+        assert peak == 1000.0
+        assert zcr == pytest.approx(199 / 800)
+        # stereo: channel-mean of (x, -x) is flat zero → rms 0, zcr 0
+        stereo = np.stack([pcm, -pcm], axis=1)
+        _, c2, _, _, rms2, peak2, zcr2 = audio_features(stereo, 8000)
+        assert (c2, rms2, peak2, zcr2) == (2.0, 0.0, 1000.0, 0.0)
+        # default_decoder routes RIFF payloads here
+        assert default_decoder(encode_wav(pcm, 8000), "audio/wav")[4] == pytest.approx(1000.0)
+
     def test_default_decoder_decodes_images_and_text(self):
         import numpy as np
 

@@ -374,3 +374,45 @@ class TestPerKeyCapTwoPhase:
         a = sorted((r.key, r.id, r.quota_rank) for r in one.collect())
         b = sorted((r.key, r.id, r.quota_rank) for r in two.collect())
         assert a == b and len(a) == 5 * 25
+
+
+class TestGlobalRowIndex:
+    def test_matches_single_partition_row_number(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import global_row_index
+
+        df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate([5.0, 1.0, 3.0, 3.0, 3.0, 2.0, 9.0, 0.5] * 50)],
+            "key double, tie int",
+        ).repartition(7)
+        out = global_row_index(df, order_by=["key", "tie"], num_buckets=4)
+        got = [(r.key, r.tie) for r in sorted(out.collect(), key=lambda r: r.idx)]
+        want = sorted(((r.key, r.tie) for r in df.collect()))
+        assert got == want
+        idxs = sorted(r.idx for r in out.collect())
+        assert idxs == list(range(400))  # contiguous, zero-based, no gaps
+
+    def test_skewed_key_ties_stay_in_one_bucket(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import global_row_index
+
+        # 90% of rows share one key value: ties must not straddle buckets,
+        # and the index must still be a permutation of 0..n-1
+        rows = [(7.0, i) for i in range(180)] + [(float(i), 1000 + i) for i in range(20)]
+        df = spark.createDataFrame(rows, "key double, tie int").repartition(5)
+        out = global_row_index(df, order_by=["key", "tie"], num_buckets=8).collect()
+        assert sorted(r.idx for r in out) == list(range(200))
+        by_idx = {r.idx: (r.key, r.tie) for r in out}
+        assert [by_idx[i] for i in range(200)] == sorted((r[0], r[1]) for r in rows)
+
+    def test_no_single_partition_exchange_on_data_path(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import global_row_index
+
+        df = spark.range(0, 10_000, 1, 8).select(
+            (F.col("id") % 997).cast("double").alias("key"), F.col("id").alias("tie")
+        )
+        out = global_row_index(df, order_by=["key", "tie"], num_buckets=16)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the offsets frame (<= num_buckets rows) may legally single-partition;
+        # the DATA side must shuffle by bucket, never collapse to one task
+        data_side = plan.split("BroadcastExchange")[0]
+        assert "SinglePartition" not in data_side
+        assert "hashpartitioning(__bucket" in data_side
