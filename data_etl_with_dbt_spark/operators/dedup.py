@@ -693,3 +693,62 @@ def benchmark_contamination(
         frac.alias("overlap_frac"),
         (frac >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-level exact SPAN dedup (the C4 three-sentence-span /
+    RefinedWeb line-dedup shape): split every document into consecutive
+    ``span_tokens``-token spans, keep only the FIRST occurrence of each
+    exact span across the whole corpus (ordered by ``(id, position)``), and
+    reassemble each document from its surviving spans.
+
+    Returns one row per document that has at least one token:
+    ``(id, n_spans, n_spans_kept, kept_hash)`` — the md5 of the surviving
+    text stands in for the (possibly large) cleaned body, matching the
+    suite's hash-not-payload convention for long strings.
+
+    Plan: two shuffles, both unavoidable for this semantics — one window
+    exchange keyed on the span text (keep-first needs all copies of a span
+    together; span bytes ride the shuffle exactly once), then the
+    per-document regroup. Span explosion multiplies rows but not bytes
+    (each token lands in exactly one span), so the shuffle volume is ~1x
+    corpus size — same posture as exact doc dedup, finer granularity.
+    """
+    from data_etl_with_dbt_spark.operators.textan import tokens_expr
+
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(span_tokens)
+    )
+    span = F.array_join(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens), " ")
+    spans = (
+        docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__t"))
+        .select(id_col, F.explode(starts).alias("__s"), "__t")
+        .where(F.size(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens)) > 0)
+        .select(
+            id_col,
+            (F.col("__s") / span_tokens).cast("bigint").alias("__pos"),
+            span.alias("__span"),
+        )
+    )
+    w = Window.partitionBy("__span").orderBy(id_col, "__pos")
+    ranked = spans.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("__pos"), F.col("__span"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum((F.col("__rn") == 1).cast("bigint")).cast("bigint").alias("n_spans_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["__span"]
+                ),
+                " ",
+            )
+        ).alias("kept_hash"),
+    )

@@ -208,3 +208,63 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("top_bigram_cnt").cast("bigint").alias("top_bigram_cnt"),
         top_share.alias("top_bigram_share"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    id_col: str,
+    domain_col: str,
+    text_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Token-budgeted corpus mixture composition (the Pile/RedPajama recipe
+    step): per domain ``d`` with a token budget, sample documents at rate
+    ``min(1, budget_d / tokens_d)``; domains without a budget keep every
+    row. Returns the sampled ``(id, domain, n_tokens)`` rows.
+
+    Sampling is md5-key-hash thresholding on ``domain:id`` (the
+    ``stratified_sample_documents`` convention) — no RNG, so membership is
+    stable under reruns, repartitioning, and engine swaps, and the SAMPLE
+    itself is oracle-checkable, not just its rate. Rates come from one
+    token-count aggregation over the corpus (map-side combined, one row per
+    domain) broadcast back; nothing wide ever shuffles. The expected token
+    total per budgeted domain is ``≈ budget_d`` (hash uniformity), the
+    standard contract for mixture weights at corpus scale.
+
+    Threshold arithmetic is engine-deterministic: rate is one IEEE division
+    of exact integers, scaled to the 2^16 hex grid and floored; the oracle
+    mirrors the exact expression shape (divide, then scale, then floor).
+    """
+    toks = tokens_expr(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    totals = base.groupBy(domain_col).agg(
+        F.sum("n_tokens").alias("__domain_tokens")
+    )
+    budget = F.create_map(
+        *[F.lit(x) for kv in sorted(budgets.items()) for x in kv]
+    )[F.col(domain_col)]
+    rates = totals.select(
+        domain_col,
+        F.when(budget.isNull(), F.lit(65536).cast("bigint"))
+        .otherwise(
+            F.floor(
+                budget.cast("double") / F.col("__domain_tokens") * F.lit(65536)
+            ).cast("bigint")
+        )
+        .alias("__thresh"),
+    )
+    keyhash = F.substring(
+        F.md5(F.concat_ws(":", F.col(domain_col), F.col(id_col).cast("string"))), 1, 4
+    )
+    return (
+        base.join(F.broadcast(rates), on=domain_col)
+        .where(
+            (F.col("__thresh") >= 65536)
+            | (keyhash < F.format_string("%04x", F.col("__thresh")))
+        )
+        .select(id_col, domain_col, "n_tokens")
+    )

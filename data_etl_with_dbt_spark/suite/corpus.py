@@ -328,3 +328,95 @@ def global_row_index(spark, sf_dir):
         big(F.col("o_orderkey")).alias("o_orderkey"),
         "o_totalprice",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level exact span dedup (C4 / RefinedWeb line-dedup shape).
+# Fixture-calibrated: at 10-token spans the sf0.01 documents table has ~151
+# duplicate spans across ~57 docs (exact-duplicate docs lose every span —
+# the md5('') reassembly edge is exercised, and both engines must agree on
+# it via COALESCE in the oracle).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_spans_keep_first",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(start / 10 AS BIGINT) AS pos,
+               array_to_string(list_slice(t, start + 1, start + 10), ' ') AS span
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(0, greatest(len(t) - 1, 0), 10)) AS start
+              FROM toks) s
+        WHERE len(list_slice(t, start + 1, start + 10)) > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), ''))
+               AS kept_hash
+    FROM ranked GROUP BY doc_id
+    """,
+    description=(
+        "Corpus-level exact span dedup (C4-style): 10-token spans, global "
+        "keep-first by (doc, position), documents reassembled from surviving "
+        "spans (hash emitted)"
+    ),
+)
+def dedup_spans_keep_first(spark, sf_dir):
+    return D.span_dedup(
+        load(spark, sf_dir, "documents"), "doc_id", "text", span_tokens=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budgeted mixture sampling. Budgets exercise every branch on the
+# fixture: src0 ~half-rate, src2 ~fifth-rate, src1's budget exceeds its
+# tokens (min(1, rate) path), and the 17 unlisted domains keep all rows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_mixture_sample",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    totals AS (SELECT source, sum(n_tokens) AS domain_tokens FROM base GROUP BY source),
+    budgets(source, budget) AS (VALUES ('src0', 700), ('src1', 5000), ('src2', 300)),
+    rates AS (
+        SELECT t.source,
+               CASE WHEN b.budget IS NULL THEN 65536
+                    ELSE CAST(floor(CAST(b.budget AS DOUBLE) / t.domain_tokens * 65536)
+                              AS BIGINT) END AS thresh
+        FROM totals t LEFT JOIN budgets b ON t.source = b.source
+    )
+    SELECT base.doc_id, base.source, base.n_tokens
+    FROM base JOIN rates ON base.source = rates.source
+    WHERE thresh >= 65536
+       OR substr(md5(base.source || ':' || CAST(base.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', thresh)
+    """,
+    description=(
+        "Token-budgeted corpus mixture sampling: per-domain rates "
+        "min(1, budget/tokens) via md5 key-hash thresholds — deterministic "
+        "membership, oracle-checked sample"
+    ),
+)
+def corpus_mixture_sample(spark, sf_dir):
+    out = TA.mixture_sample(
+        load(spark, sf_dir, "documents"),
+        "doc_id", "source", "text",
+        budgets={"src0": 700, "src1": 5000, "src2": 300},
+    )
+    return out.select(big(F.col("doc_id")).alias("doc_id"), "source", "n_tokens")

@@ -139,6 +139,29 @@ class TestDedup:
         got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
         assert got[(1, 2)] == 0
 
+    def test_span_dedup_keep_first_and_reassembly(self, spark):
+        import hashlib as _h
+
+        from data_etl_with_dbt_spark.operators.dedup import span_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),          # spans: "a b c", "d e f"
+                (2, "a b c x y z"),          # first span duplicates doc 1's
+                (3, "a b c d e f"),          # exact dup: loses every span
+                (4, "q r"),                  # short tail span survives
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r for r in span_dedup(docs, "id", "text", span_tokens=3).collect()}
+        assert (out[1].n_spans, out[1].n_spans_kept) == (2, 2)
+        assert (out[2].n_spans, out[2].n_spans_kept) == (2, 1)
+        assert (out[3].n_spans, out[3].n_spans_kept) == (2, 0)
+        assert (out[4].n_spans, out[4].n_spans_kept) == (1, 1)
+        assert out[2].kept_hash == _h.md5(b"x y z").hexdigest()
+        assert out[3].kept_hash == _h.md5(b"").hexdigest()
+        assert out[1].kept_hash == _h.md5(b"a b c d e f").hexdigest()
+
 
 class TestSimilarity:
     def test_cosine_known_values(self, spark):

@@ -416,3 +416,39 @@ class TestGlobalRowIndex:
         data_side = plan.split("BroadcastExchange")[0]
         assert "SinglePartition" not in data_side
         assert "hashpartitioning(__bucket" in data_side
+
+
+class TestMixtureSample:
+    def test_budget_semantics_and_broadcast_plan(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import mixture_sample
+
+        # 200 docs x 10 tokens per domain -> 2000 tokens each
+        rows = [
+            (d * 1000 + i, f"dom{d}", "tok " * 10)
+            for d in range(3)
+            for i in range(200)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = mixture_sample(
+            docs, "doc_id", "source", "text",
+            budgets={"dom0": 1000, "dom1": 999_999},  # dom2 unlisted
+        )
+        picked = out.collect()
+        by_dom = {}
+        for r in picked:
+            by_dom.setdefault(r.source, []).append(r)
+        # rate-1 paths keep everything
+        assert len(by_dom["dom1"]) == 200 and len(by_dom["dom2"]) == 200
+        # budgeted domain: expected 1000 of 2000 tokens; md5 uniformity at
+        # n=200 keeps the realized total within a loose band
+        tok_total = sum(r.n_tokens for r in by_dom["dom0"])
+        assert 700 <= tok_total <= 1300
+        # determinism: same membership on rerun
+        again = {r.doc_id for r in mixture_sample(
+            docs, "doc_id", "source", "text",
+            budgets={"dom0": 1000, "dom1": 999_999},
+        ).collect()}
+        assert again == {r.doc_id for r in picked}
+        # rates frame must broadcast; the corpus never shuffles for the join
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
