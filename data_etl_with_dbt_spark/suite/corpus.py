@@ -286,7 +286,8 @@ def vocab_coverage_topk(spark, sf_dir):
 )
 def fuzzy_name_pairs(spark, sf_dir):
     pairs = R.fuzzy_pairs(
-        load(spark, sf_dir, "part"), "p_brand", "p_partkey", "p_name", max_dist=2
+        load(spark, sf_dir, "part"), "p_brand", "p_partkey", "p_name", max_dist=2,
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
     )
     return pairs.select(
         "p_brand",
