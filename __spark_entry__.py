@@ -77,6 +77,9 @@ ZQ_DEFERRED = {
     "mode_per_event_type", "pivot_event_counts", "scalar_date_gallery",
     "scalar_string_gallery", "sliding_window_events", "time_weighted_average",
     "topk_orders", "window_trailing_range",
+    # session-4 additions: deferred so round 2's planned window (TPC-H
+    # family, windows, surrogate keys, set ops) keeps its 50 slots intact
+    "corpus_mixture_sample", "dedup_spans_keep_first", "global_row_index",
 }
 
 # Rows-only entries (no SQL oracle exists) parked behind the window: a
