@@ -840,10 +840,13 @@ def q2_min_cost_supplier(spark, sf_dir):
     ),
 )
 def q11_important_parts(spark, sf_dir):
-    # The scalar subquery is a 1-row broadcast cross join, so the part-value
-    # aggregate is computed once and scanned once; the threshold arithmetic
-    # mirrors the oracle's parenthesization exactly ((total/n) * 1.2 on
-    # decimal-exact doubles) for a deterministic comparison.
+    # The scalar subquery is a 1-row broadcast cross join. Catalyst does NOT
+    # CSE the part-value aggregate across its two consumers (the broadcast
+    # subtree re-ran the whole lineitem join+agg — measured, same trap as
+    # q21), so the aggregate is localCheckpoint'd: computed once, both the
+    # scalar total and the threshold filter read the materialized rows. The
+    # threshold arithmetic mirrors the oracle's parenthesization exactly
+    # ((total/n) * 1.2 on decimal-exact doubles).
     eu_supp = (
         load(spark, sf_dir, "supplier")
         .join(
@@ -863,7 +866,7 @@ def q11_important_parts(spark, sf_dir):
         li.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
-    )
+    ).localCheckpoint(eager=False)
     tot = vals.agg(
         dsum(F.col("part_value")).alias("total_value"),
         F.count(F.lit(1)).cast("double").alias("n_parts"),
