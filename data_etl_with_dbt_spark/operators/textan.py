@@ -143,6 +143,9 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
     )
     tf = postings.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # dfreq and the ranked main path both consume tf: checkpoint so the
+    # postings explode+agg runs once (no cross-consumer CSE)
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))

@@ -240,6 +240,9 @@ def vocab_coverage_topk(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TA.tokens_expr(F.col("text"))).alias("term"))
     terms = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # top-k AND the scalar total both consume terms: checkpoint the
+    # vocab-sized count table so the corpus explode+agg runs once
+    terms = terms.localCheckpoint(eager=False)
     top = terms.orderBy(F.col("c").desc(), F.col("term")).limit(100)
     tot = terms.agg(F.sum("c").alias("t"))
     order = [F.col("c").desc(), F.col("term")]

@@ -319,7 +319,9 @@ def cte_above_average_customers(spark, sf_dir):
             dsum(F.col("o_totalprice")).alias("rev"),
             big(F.count(F.lit(1))).alias("n"),
         )
-    )
+        # scalar-subquery consumer below: checkpoint so the orders agg runs
+        # once (no cross-consumer CSE — measured on q11/q21)
+    ).localCheckpoint(eager=False)
     avg_rev = cust_rev.agg(F.avg(F.col("rev").cast("double")).alias("__avg"))
     return (
         cust_rev.crossJoin(F.broadcast(avg_rev))

@@ -405,7 +405,7 @@ def q15_top_supplier(spark, sf_dir):
     supp = load(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
-    )
+    ).localCheckpoint(eager=False)  # max_rev + filter both read it: agg once
     max_rev = revenue.agg(F.max("total_revenue").alias("__max"))
     return (
         revenue.crossJoin(F.broadcast(max_rev))
