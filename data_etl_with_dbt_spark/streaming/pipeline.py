@@ -128,6 +128,36 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_stream_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    payload: list[str] | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    streaming event — the streaming form of the batch star join (q3/q5's
+    dimension side).
+
+    Semantics worth knowing (measured on 4.1, asserted in tests): the
+    static side re-EXECUTES per micro-batch, but a path-backed parquet
+    dimension pins its FILE LISTING at plan time — files appended between
+    batches are NOT picked up (batch N+1 still joins the old snapshot).
+    Slowly-changing dimensions therefore need either a re-read inside
+    ``foreachBatch`` (the pattern ``streaming.intake`` uses for its
+    signature index) or a table format with transactional file discovery.
+    The static side is stateless (no watermark needed; state never grows),
+    and with ``broadcast`` the stream never shuffles for the join — the
+    same posture as the batch plan. Left join keeps events whose key
+    hasn't reached the dimension yet (nulls, to be patched by a later
+    batch or a reconciliation pass).
+    """
+    right = dim.select(on, *payload) if payload is not None else dim
+    if broadcast:
+        right = F.broadcast(right)
+    return events.join(right, on=on, how="left")
+
+
 def error_click_attribution_stream(
     events: DataFrame, max_lag: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -295,3 +295,62 @@ def test_minhash_intake_dedups_across_batches(spark, tmp_path):
     assert dups[10] == (1, "index", 1)
     assert dups[20] == (11, "index", 2)
     assert dups[21] == (2, "index", 2)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static left join enriches events batch by batch, and the
+    path-backed static side is a PINNED snapshot: a dimension file appended
+    between micro-batches is NOT seen by later batches (measured on 4.1 —
+    the docstring's refresh caveat; per-batch refresh needs a foreachBatch
+    re-read, as streaming.intake does)."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.streaming.pipeline import enrich_stream_with_dimension
+
+    src, dimdir = tmp_path / "src", str(tmp_path / "dim")
+
+    def mk(rows, schema):
+        return spark.createDataFrame(rows, schema).coalesce(1)
+
+    mk([(1, 10)], "event_id long, user_id long").write.parquet(str(src / "f0"))
+    mk([(2, 20), (3, 99)], "event_id long, user_id long").write.parquet(str(src / "f1"))
+    now = _time.time()
+    for i, d in enumerate(("f0", "f1")):
+        for f in _glob.glob(str(src / d / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+    mk([(10, "alice"), (20, "carol")], "user_id long, name string").write.mode(
+        "append"
+    ).parquet(dimdir)
+
+    events = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    joined = enrich_stream_with_dimension(
+        events, spark.read.parquet(dimdir), on="user_id", payload=["name"]
+    )
+
+    seen = {}
+
+    def sink(batch, bid):
+        seen[bid] = sorted((r.event_id, r.name) for r in batch.collect())
+        if bid == 0:  # lands between batches; later batches must NOT see it
+            mk([(99, "mallory")], "user_id long, name string").write.mode(
+                "append"
+            ).parquet(dimdir)
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert seen[0] == [(1, "alice")]
+    # enrichment from the original snapshot works; the between-batch file
+    # is invisible (pinned listing), and unmatched keys survive as nulls
+    assert seen[1] == [(2, "carol"), (3, None)]
