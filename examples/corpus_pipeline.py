@@ -94,7 +94,7 @@ def main(sf_dir: str, workdir: str) -> None:
     )
     near = mark("near_dedup", t0, canonical)
 
-    # 4. decontaminate against a held-out benchmark slice.
+    # 5. decontaminate against a held-out benchmark slice.
     t0 = time.time()
     bench = docs.where(F.col("doc_id") % 97 == 0)
     overlap = D.benchmark_contamination(near, bench, "doc_id", "text", n=3, threshold=0.5)
