@@ -1,5 +1,9 @@
 from data_etl_with_dbt_spark.operators.relational import (  # noqa: F401
+    apply_cdc,
     asof_join,
+    fuzzy_pairs,
+    global_row_index,
+    per_key_cap,
     salted_agg,
     salted_join,
 )
@@ -10,6 +14,7 @@ from data_etl_with_dbt_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
+    span_dedup,
 )
 from data_etl_with_dbt_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
@@ -20,6 +25,7 @@ from data_etl_with_dbt_spark.operators.similarity import (  # noqa: F401
 from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
     doc_fingerprint,
     lang_id_scores,
+    mixture_sample,
     text_stats,
     token_count_bpe_ish,
 )
