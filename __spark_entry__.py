@@ -80,6 +80,9 @@ ZQ_DEFERRED = {
     # session-4 additions: deferred so round 2's planned window (TPC-H
     # family, windows, surrogate keys, set ops) keeps its 50 slots intact
     "corpus_mixture_sample", "dedup_spans_keep_first", "global_row_index",
+    # session-5: bpe_pair_merge_step takes the window's one free slot;
+    # doc_oov_rate queues to keep the round-2 window at exactly 50
+    "doc_oov_rate",
 }
 
 # Rows-only entries (no SQL oracle exists) parked behind the window: a

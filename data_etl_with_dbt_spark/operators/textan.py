@@ -213,6 +213,84 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, min_word_len: int = 2
+) -> DataFrame:
+    """One BPE-tokenizer-training merge step at corpus scale: weighted
+    adjacent-symbol-pair counts, the argmax of which is the next merge rule
+    (Sennrich et al. 2016). Returns ``(pair, cnt, n_words)``.
+
+    The scale trick is the same one SentencePiece/HF-tokenizers training
+    uses: collapse the corpus to the DISTINCT word table with frequencies
+    first, then enumerate pairs over words weighted by frequency — pair
+    work is ∝ vocabulary size (thousands), not corpus size (trillions of
+    tokens). The corpus contributes exactly one map-side-combined count
+    aggregation; everything downstream of it is vocab-sized.
+
+    Plan shape: explode tokens → hash-agg word counts (the only
+    corpus-sized shuffle) → per-word position explode (``sequence(1,
+    len-1)``, guarded by ``min_word_len`` so the sequence is never
+    descending) → hash-agg pair counts. All integer arithmetic — exact
+    cross-engine.
+    """
+    words = df.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    positions = wc.where(F.length("word") >= min_word_len).select(
+        "word",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    )
+    pairs = positions.select(
+        F.substring(F.col("word"), F.col("i"), F.lit(2)).alias("pair"), "c", "word"
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("c").alias("cnt"), F.count_distinct("word").alias("n_words")
+    )
+
+
+def oov_stats(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 20
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own top-k
+    vocabulary — the closed-vocab coverage signal quality filters use as an
+    integer-exact stand-in for LM perplexity (rare-token-heavy documents
+    score high). Cross-engine-deterministic by construction: counts are
+    exact integers and ``oov_rate`` is one IEEE division of them, unlike a
+    log-prob perplexity whose libm/JVM ``ln`` differs by ulps.
+
+    Plan shape: two passes over the corpus postings (vocabulary build, then
+    scoring) — inherent to any corpus-relative score. The vocabulary is
+    top-k under a total order (count DESC, word ASC) via
+    TakeOrderedAndProject, broadcast to the scoring join; the per-doc agg is
+    map-side combined. Nothing vocab-sized ever shuffles the text.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("word")
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        wc.orderBy(F.col("c").desc(), F.col("word"))
+        .limit(vocab_size)
+        .select("word", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            (
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     id_col: str,

@@ -27,10 +27,17 @@ from pyspark.sql import SparkSession
 # spark.sql.shuffle.partitions=4000 and let AQE trim).
 _ENGINE_CONF: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
-    # Parquet TIMESTAMP(NANOS) columns (e.g. the events fixture) are illegal
-    # for Spark's reader; read them as long and convert in the loader
+    # Parquet TIMESTAMP(NANOS) columns (e.g. the round-1 events fixture) are
+    # illegal for Spark's reader; read them as long and convert in the loader
     # (sources/io.py) — DuckDB truncates the same way, so semantics align.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (isAdjustedToUTC=false) parquet timestamps — the round-2 events
+    # fixture is TIMESTAMP(MICROS, naive) — default to TIMESTAMP_NTZ on
+    # Spark 4, which unix_micros/window-range arithmetic rejects. Read them
+    # as session-local TIMESTAMP instead: with the UTC session timezone the
+    # wall-clock values are identical to DuckDB's naive semantics (how round
+    # 1's nanos→timestamp_micros path already behaved).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -57,6 +57,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     for c in ns_cols:
         if c in df.columns:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Naive micro/milli timestamps surface as TIMESTAMP_NTZ when the session
+    # wasn't built by get_spark (inferTimestampNTZ default-on in Spark 4);
+    # normalize to session-local TIMESTAMP — identical wall-clock under the
+    # engine's pinned UTC timezone, and what timestamp arithmetic expects.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -424,3 +424,76 @@ def corpus_mixture_sample(spark, sf_dir):
         budgets={"src0": 700, "src1": 5000, "src2": 300},
     )
     return out.select(big(F.col("doc_id")).alias("doc_id"), "source", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training merge step: weighted adjacent-symbol-pair counts
+# over the distinct-word table. Pair work scales with vocabulary, not corpus.
+# ---------------------------------------------------------------------------
+
+@query(
+    "bpe_pair_merge_step",
+    oracle=r"""
+    WITH w AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+    ids AS (
+        SELECT word, c, unnest(generate_series(1, len(word) - 1)) AS i
+        FROM wc WHERE len(word) >= 2
+    )
+    SELECT substr(word, i, 2) AS pair,
+           CAST(sum(c) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM ids GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+    """,
+    description=(
+        "One distributed BPE merge step: adjacent char-pair counts weighted "
+        "by word frequency over the DISTINCT word table (work ∝ vocab, not "
+        "corpus); top-50 merge candidates under a total order"
+    ),
+)
+def bpe_pair_merge_step(spark, sf_dir):
+    out = TA.bpe_pair_counts(load(spark, sf_dir, "documents"), "text")
+    return (
+        out.orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(50)
+        .select("pair", big(F.col("cnt")).alias("cnt"),
+                big(F.col("n_words")).alias("n_words"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document OOV rate vs the corpus's own top-k vocabulary: the
+# integer-exact perplexity stand-in (rare-token-heavy docs score high).
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_oov_rate",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+    vocab AS (SELECT word FROM wc ORDER BY c DESC, word LIMIT 20)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (WHERE v.word IS NULL) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.word = v.word
+    GROUP BY t.doc_id
+    """,
+    description=(
+        "Per-doc out-of-vocabulary rate against the corpus top-20 vocab — "
+        "closed-vocab quality signal; integer-exact (no float-log "
+        "perplexity determinism risk)"
+    ),
+)
+def doc_oov_rate(spark, sf_dir):
+    return TA.oov_stats(load(spark, sf_dir, "documents"), "doc_id", "text")

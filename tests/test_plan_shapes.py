@@ -167,3 +167,27 @@ def test_fuzzy_pairs_is_blocked_equi_join(spark):
     distance as a residual — never a cross product."""
     plan = plan_of(spark, "fuzzy_name_pairs")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pair_step_vocab_sized_and_jvm_only(spark):
+    """BPE merge step: corpus contributes ONE shuffle (word-count agg,
+    map-side combined); the pair explode + agg runs over the vocab-sized
+    side. Top-50 must be TakeOrderedAndProject (never a global sort), all
+    JVM-side."""
+    import re
+
+    plan = plan_of(spark, "bpe_pair_merge_step")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    n = len(re.findall(r"Exchange (hash|range)partitioning|Exchange SinglePartition", plan))
+    assert n <= 2, f"bpe_pair_merge_step has {n} shuffles"
+
+
+def test_doc_oov_rate_broadcasts_vocab(spark):
+    """OOV scoring joins corpus postings against the top-k vocabulary: the
+    vocab side must broadcast (it is k rows); the postings must never
+    shuffle for the join."""
+    plan = plan_of(spark, "doc_oov_rate")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
