@@ -1,0 +1,117 @@
+"""Model-based document quality filtering — the classifier pillar of an LLM
+data pipeline (the CCNet / fastText-filter recipe: train a cheap linear
+classifier on weak labels, score the corpus, keep high-probability docs).
+
+Spark-first: the whole path is JVM-side ``pyspark.ml`` stages —
+RegexTokenizer → HashingTF (hashed bag-of-words, no vocabulary broadcast) →
+LogisticRegression — so scoring a 100 TB corpus is one distributed
+``model.transform`` with no Python in the row path and no driver-side
+vocabulary. Hashed features are the scale trick: the feature space is fixed
+(``2**18``) regardless of corpus vocabulary, so there is no fit-time
+dictionary shuffle and the model broadcast is a few MB of coefficients.
+
+Weak labels come from the caller (heuristic rules, a known-good reference
+corpus vs crawl sample, etc.) — the standard bootstrap, cf. Wenzek et al.
+2020 (CCNet) and Touvron et al. 2023 (LLaMA's Wikipedia-reference filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer, VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed hashed-feature width: no vocabulary, no fit-time dictionary.
+DEFAULT_NUM_FEATURES = 1 << 18
+
+
+def build_quality_pipeline(
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = DEFAULT_NUM_FEATURES,
+    use_bigrams: bool = True,
+    max_iter: int = 50,
+    reg_param: float = 1e-4,
+) -> Pipeline:
+    """fastText-shaped classifier: hashed unigram (+bigram) counts into a
+    logistic regression. Every stage is a JVM transformer — nothing leaves
+    the executors during fit or transform."""
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="__words", pattern=r"\s+", toLowercase=True
+    )
+    stages = [tok]
+    feat_cols = []
+    tf_uni = HashingTF(
+        inputCol="__words", outputCol="__tf_uni", numFeatures=num_features
+    )
+    stages.append(tf_uni)
+    feat_cols.append("__tf_uni")
+    if use_bigrams:
+        ng = NGram(n=2, inputCol="__words", outputCol="__bigrams")
+        tf_bi = HashingTF(
+            inputCol="__bigrams", outputCol="__tf_bi", numFeatures=num_features
+        )
+        stages += [ng, tf_bi]
+        feat_cols.append("__tf_bi")
+    asm = VectorAssembler(inputCols=feat_cols, outputCol="__features")
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        family="binomial",
+    )
+    return Pipeline(stages=[*stages, asm, lr])
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    **pipeline_kwargs,
+) -> PipelineModel:
+    """Fit the classifier on weakly-labeled documents (label ∈ {0.0, 1.0}).
+    LBFGS over hashed features — the fit aggregates gradients via
+    treeAggregate (map-side combined), never collecting rows."""
+    return build_quality_pipeline(
+        text_col=text_col, label_col=label_col, **pipeline_kwargs
+    ).fit(labeled)
+
+
+def score_quality(
+    model: PipelineModel,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents: ``(id, quality_prob, quality_pred)`` where
+    ``quality_prob`` is P(label=1). One distributed transform; the
+    vector-element extraction stays JVM-side (``vector_to_array``)."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(docs)
+    return scored.select(
+        F.col(id_col),
+        vector_to_array(F.col("probability"))[1].alias("quality_prob"),
+        F.col("prediction").cast("bigint").alias("quality_pred"),
+    )
+
+
+def filter_by_quality(
+    model: PipelineModel,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Keep documents with P(quality) ≥ threshold — the corpus-filter step.
+    Joins survivors back by id (a semi join on the narrow scored frame) so
+    the full document rows pass through untouched."""
+    keep = (
+        score_quality(model, docs, id_col, text_col)
+        .where(F.col("quality_prob") >= threshold)
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")

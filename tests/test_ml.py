@@ -111,3 +111,84 @@ def test_nl_params_expr_matches_python(spark):
         got = r.p.asDict()
         for k, v in expected.items():
             assert got[k] == pytest.approx(v), (t, k)
+
+
+# --- model-based quality filtering (ml/quality.py) --------------------------
+
+@pytest.fixture(scope="module")
+def weak_labeled_docs(spark):
+    """Separable weak-label corpus: 'quality' docs reuse a coherent
+    vocabulary; 'junk' docs are keyboard-mash tokens. 40 train + 20 eval."""
+    import random
+
+    rng = random.Random(7)
+    good_vocab = "the model trains on clean prose with varied common words".split()
+    # junk shares a (fixed) mash vocabulary so held-out junk has learnable
+    # features — unseen-token junk would leave only the intercept to fire
+    junk_vocab = [
+        "".join(rng.choice("qxzjvk") for _ in range(8)) for _ in range(20)
+    ]
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            words = [rng.choice(good_vocab) for _ in range(30)]
+            label = 1.0
+        else:
+            words = [rng.choice(junk_vocab) for _ in range(30)]
+            label = 0.0
+        rows.append((i, " ".join(words), label))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_quality_classifier_separates_and_filters(spark, weak_labeled_docs):
+    from data_etl_with_dbt_spark.ml.quality import (
+        filter_by_quality,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    train = weak_labeled_docs.where(F.col("doc_id") < 40)
+    heldout = weak_labeled_docs.where(F.col("doc_id") >= 40)
+    model = train_quality_classifier(train, num_features=1 << 12, max_iter=20)
+    scored = score_quality(model, heldout).join(
+        heldout.select("doc_id", "label"), "doc_id"
+    )
+    agree = scored.where(
+        F.col("quality_pred") == F.col("label").cast("bigint")
+    ).count()
+    total = scored.count()
+    assert total == 20 and agree >= 18  # separable by construction
+
+    kept = filter_by_quality(model, heldout, threshold=0.5)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    good_ids = {r.doc_id for r in heldout.where("label = 1.0").collect()}
+    assert len(kept_ids.symmetric_difference(good_ids)) <= 2
+    # full doc rows survive the filter untouched
+    assert kept.columns == weak_labeled_docs.columns
+
+
+def test_quality_scoring_is_jvm_side(spark, weak_labeled_docs):
+    """Corpus scoring must stay inside the JVM: no Python eval in the
+    transform plan (HashingTF/LR are JVM transformers; probability
+    extraction is vector_to_array, not a UDF)."""
+    from data_etl_with_dbt_spark.ml.quality import score_quality, train_quality_classifier
+
+    model = train_quality_classifier(
+        weak_labeled_docs.where(F.col("doc_id") < 40), num_features=1 << 12, max_iter=20
+    )
+    scored = score_quality(model, weak_labeled_docs)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_model_round_trip(spark, weak_labeled_docs, tmp_path):
+    from data_etl_with_dbt_spark.ml.quality import score_quality, train_quality_classifier
+    from pyspark.ml import PipelineModel
+
+    model = train_quality_classifier(weak_labeled_docs, num_features=1 << 12, max_iter=20)
+    path = str(tmp_path / "quality_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    a = score_quality(model, weak_labeled_docs).orderBy("doc_id").collect()
+    b = score_quality(reloaded, weak_labeled_docs).orderBy("doc_id").collect()
+    assert [r.quality_pred for r in a] == [r.quality_pred for r in b]
