@@ -3,14 +3,16 @@ workload, chaining the corpus operators the way a production data pipeline
 would run them nightly over a crawl increment:
 
     1. quality filter     text_stats + repetition filters (Gopher-style)
-    2. exact dedup        content-digest keep-one
-    3. span dedup         C4-style 10-token-span keep-first across corpus
-    4. near dedup         MinHash + LSH banding, cluster to canonical docs
-    5. decontaminate      trigram overlap vs a benchmark set (broadcast)
-    6. domain quota       at most N docs per source (window group limit)
-    7. mixture budget     per-domain token budgets (md5-hash sampling)
-    8. split              deterministic md5-bucket train/val/test
-    9. pack + export      2048-token packing, global example ids, sharded
+    2. model filter       hashed-feature logistic classifier, weak-labeled
+                          from the heuristic score's extremes (CCNet recipe)
+    3. exact dedup        content-digest keep-one
+    4. span dedup         C4-style 10-token-span keep-first across corpus
+    5. near dedup         MinHash + LSH banding, cluster to canonical docs
+    6. decontaminate      trigram overlap vs a benchmark set (broadcast)
+    7. domain quota       at most N docs per source (window group limit)
+    8. mixture budget     per-domain token budgets (md5-hash sampling)
+    9. split              deterministic md5-bucket train/val/test
+   10. pack + export      2048-token packing, global example ids, sharded
                           ordered write
 
 Run:  python examples/corpus_pipeline.py [sf_dir] [workdir]
@@ -32,6 +34,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_etl_with_dbt_spark import get_spark
+from data_etl_with_dbt_spark import ml as ML
 from data_etl_with_dbt_spark.operators import dedup as D
 from data_etl_with_dbt_spark.operators import relational as R
 from data_etl_with_dbt_spark.operators import textan as TA
@@ -67,11 +70,32 @@ def main(sf_dir: str, workdir: str) -> None:
     )
     quality = mark("quality_filter", t0, docs.join(keep, "doc_id"))
 
-    # 2. exact dedup: one doc per content digest.
+    # 2. model filter: bootstrap weak labels from the heuristic score's
+    # extremes (top cohort = 1, bottom cohort = 0 — the CCNet recipe), train
+    # the hashed-feature classifier, keep docs scoring >= 0.5. approxQuantile
+    # collects exactly two scalars; training aggregates gradients
+    # distributed; scoring is one JVM transform.
+    t0 = time.time()
+    lo, hi = stats.approxQuantile("quality_score", [0.3, 0.7], 0.01)
+    weak = docs.join(stats.select("doc_id", "quality_score"), "doc_id").withColumn(
+        "label",
+        F.when(F.col("quality_score") >= hi, 1.0)
+        .when(F.col("quality_score") <= lo, 0.0),
+    )
+    model = ML.train_quality_classifier(
+        weak.where(F.col("label").isNotNull()),
+        num_features=1 << 15, max_iter=20,
+    )
+    quality = mark(
+        "model_filter", t0,
+        ML.filter_by_quality(model, quality, threshold=0.5),
+    )
+
+    # 3. exact dedup: one doc per content digest.
     t0 = time.time()
     exact = mark("exact_dedup", t0, D.dedup_exact(quality, "doc_id", "text"))
 
-    # 3. span dedup: drop docs whose every 10-token span already appeared
+    # 4. span dedup: drop docs whose every 10-token span already appeared
     # earlier in the corpus (C4-style; partial overlaps keep the doc — a
     # production pipeline would also swap in the reassembled text).
     t0 = time.time()
@@ -81,7 +105,7 @@ def main(sf_dir: str, workdir: str) -> None:
         exact.join(spans.where(F.col("n_spans_kept") > 0).select("doc_id"), "doc_id"),
     )
 
-    # 4. near dedup: MinHash/LSH pairs -> connected components -> canonical.
+    # 5. near dedup: MinHash/LSH pairs -> connected components -> canonical.
     t0 = time.time()
     pairs = D.minhash_lsh_pairs(
         exact, "doc_id", "text",
@@ -94,7 +118,7 @@ def main(sf_dir: str, workdir: str) -> None:
     )
     near = mark("near_dedup", t0, canonical)
 
-    # 5. decontaminate against a held-out benchmark slice.
+    # 6. decontaminate against a held-out benchmark slice.
     t0 = time.time()
     bench = docs.where(F.col("doc_id") % 97 == 0)
     overlap = D.benchmark_contamination(near, bench, "doc_id", "text", n=3, threshold=0.5)
@@ -103,21 +127,21 @@ def main(sf_dir: str, workdir: str) -> None:
     )
     clean = mark("decontaminate", t0, clean)
 
-    # 6. per-domain quota: best 50 docs per source by length.
+    # 7. per-domain quota: best 50 docs per source by length.
     t0 = time.time()
     capped = R.per_key_cap(
         clean, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], n=50
     ).drop("quota_rank")
     capped = mark("domain_quota", t0, capped)
 
-    # 7. mixture budget: downsample over-represented domains to a token
+    # 8. mixture budget: downsample over-represented domains to a token
     # budget (deterministic md5-hash membership, rates broadcast).
     t0 = time.time()
     budgets = {"src0": 800, "src1": 800, "src2": 800}
     picked = TA.mixture_sample(capped, "doc_id", "source", "text", budgets)
     capped = mark("mixture_budget", t0, capped.join(picked.select("doc_id"), "doc_id"))
 
-    # 8. deterministic split.
+    # 9. deterministic split.
     t0 = time.time()
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     split = (
@@ -126,7 +150,7 @@ def main(sf_dir: str, workdir: str) -> None:
     assigned = capped.withColumn("split", split)
     mark("hash_split", t0, assigned)
 
-    # 9. pack into 2048-token sequences, assign contiguous global example
+    # 10. pack into 2048-token sequences, assign contiguous global example
     # ids (no single-partition sort), export ordered shards per split.
     t0 = time.time()
     toks = assigned.withColumn("n_tokens", F.size(TA.tokens_expr(F.col("text"))))
