@@ -29,3 +29,9 @@ from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
     text_stats,
     token_count_bpe_ish,
 )
+from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401
+    bloom_build,
+    bloom_decontaminate,
+    bloom_parameters,
+    bloom_probe,
+)

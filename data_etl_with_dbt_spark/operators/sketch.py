@@ -1,0 +1,132 @@
+"""Distributed probabilistic-membership sketches (Bloom filter).
+
+Why this exists: `dedup.benchmark_contamination` broadcasts the EXACT
+benchmark gram set — the right call when the reference set is KB–MB. But
+membership tests against a *large* reference relation (a historical corpus
+of billions of fingerprints, a blocklist of URLs, last month's dedup keys)
+can't broadcast exactly. A Bloom filter at ~10 bits/key gives 1% false
+positives with a bitmap ~1000× smaller than the key set.
+
+Spark-first design — the bitmap is a DATAFRAME, not a driver object:
+
+* **build**: each key explodes to its k hash positions (`xxhash64(i, key)
+  mod m` — k cheap JVM hashes, no Python); positions group into 64-bit
+  words via `bit_or` aggregation. The result is one row per *set* word
+  (sparse: ≤ m/64 rows), map-side combined before the one tiny shuffle.
+* **probe**: corpus keys explode to the same k positions and join the word
+  table (broadcast — the bitmap is m/64 rows regardless of key count);
+  a key "might be contained" iff ALL k probed bits are set. No driver
+  collect, no UDF, no per-row Python anywhere.
+
+Spark's own runtime bloom-join injection (`spark.sql.optimizer.runtime.
+bloomFilter.enabled`, on by default) covers the *optimizer's* use of blooms
+inside shuffle joins; this operator is the *user-level* surface the
+pipeline composes (e.g. decontaminate a crawl against billions of
+benchmark fingerprints).
+
+Guarantee: NO false negatives (every inserted key probes true — asserted
+in tests); false-positive rate ≈ (1 - e^(-k·n/m))^k.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_parameters(expected_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (num_bits, num_hashes) for a target false-positive rate:
+    m = -n·ln(p)/ln(2)², k = (m/n)·ln(2) — the standard sizing formulas."""
+    n = max(1, expected_keys)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _positions(key, num_bits: int, num_hashes: int):
+    """k bit positions for a key: pmod(xxhash64(i, key), m) per hash index.
+    Seeding via the extra hashed column keeps it one JVM xxhash64 call."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Build the bitmap word table ``(word_index: long, bits: long)`` from a
+    key relation. Output is sparse (only set words appear) and bounded by
+    ceil(num_bits/64) rows however many keys go in; the bit_or aggregation
+    is map-side combined so the only shuffle carries ≤ that many rows."""
+    pos = (
+        keys.select(F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos"))
+    )
+    return (
+        pos.select(
+            F.expr("pos DIV 64").alias("word_index"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("mask"),
+        )
+        .groupBy("word_index")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    result_col: str = "might_contain",
+) -> DataFrame:
+    """Probe: adds ``result_col`` (boolean) to ``df`` — true iff every one
+    of the key's k bits is set (possible member; false = definitely not).
+
+    Plan: distinct keys explode to k probe rows, broadcast-join the word
+    table (bitmap rows ≤ m/64 — broadcastable at any corpus size), check
+    ``bits & mask``, and a key is a candidate iff its min bit-test is true;
+    the verdict semi-joins back onto the full rows by key. Probing work is
+    k rows per DISTINCT key, not per input row."""
+    keys = df.select(key_col).distinct()
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos"),
+    ).select(
+        key_col,
+        F.expr("pos DIV 64").alias("word_index"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("mask"),
+    )
+    tested = probes.join(F.broadcast(bloom), "word_index", "left").select(
+        key_col,
+        (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) != 0)).alias(
+            "__bit_set"
+        ),
+    )
+    verdicts = tested.groupBy(key_col).agg(F.min("__bit_set").alias(result_col))
+    return df.join(verdicts, key_col, "left")
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    reference_keys: DataFrame,
+    doc_key_col: str,
+    ref_key_col: str,
+    expected_keys: int,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Membership filter against a large reference relation: keep only rows
+    whose key DEFINITELY does not appear in the reference (bloom "no" is
+    exact; bloom "maybe" drops the row — for decontamination a false
+    positive only costs a clean doc, never leaks a contaminated one)."""
+    m, k = bloom_parameters(expected_keys, fpp)
+    bloom = bloom_build(reference_keys, ref_key_col, m, k)
+    probed = bloom_probe(docs, doc_key_col, bloom, m, k)
+    return probed.where(~F.col("might_contain")).drop("might_contain")

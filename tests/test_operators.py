@@ -740,3 +740,66 @@ class TestFileConnectors:
         bmp_feat = next(v for k, v in feats.items() if k.startswith("424d"))
         # [w, h, channels, mean_r, mean_g, mean_b, ...] for solid-red 4x6
         assert bmp_feat[:6] == [6.0, 4.0, 3.0, 200.0, 0.0, 0.0]
+
+
+class TestBloomSketch:
+    """Bloom filter as a DataFrame: no false negatives ever, FPR near the
+    design target, bitmap bounded by m/64 rows, JVM-only plans."""
+
+    def test_no_false_negatives_and_fpr(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import (
+            bloom_build,
+            bloom_parameters,
+            bloom_probe,
+        )
+
+        n = 2000
+        m, k = bloom_parameters(n, fpp=0.01)
+        members = spark.range(n).select(
+            F.concat(F.lit("key-"), F.col("id")).alias("key")
+        )
+        bloom = bloom_build(members, "key", m, k)
+        assert bloom.count() <= (m + 63) // 64
+
+        # every inserted key must probe true
+        probed = bloom_probe(members, "key", bloom, m, k)
+        assert probed.where(~F.col("might_contain")).count() == 0
+
+        # non-members: FPR within 3x of the 1% design point
+        others = spark.range(n, 3 * n).select(
+            F.concat(F.lit("key-"), F.col("id")).alias("key")
+        )
+        fp = bloom_probe(others, "key", bloom, m, k).where("might_contain").count()
+        assert fp / (2 * n) <= 0.03, f"FPR {fp / (2 * n):.4f}"
+
+    def test_probe_is_jvm_only_broadcast_join(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import bloom_build, bloom_probe
+
+        members = spark.range(100).select(F.col("id").cast("string").alias("key"))
+        bloom = bloom_build(members, "key", 4096, 5)
+        probed = bloom_probe(members, "key", bloom, 4096, 5)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_bloom_decontaminate_superset_of_exact(self, spark):
+        """Bloom 'maybe' must cover every EXACT member (no false negatives):
+        the bloom-filtered survivor set is a subset of the exact-filtered
+        one, and survivors are never exact members."""
+        from data_etl_with_dbt_spark.operators.sketch import bloom_decontaminate
+        from data_etl_with_dbt_spark.sources.io import read_parquet
+        from tests.conftest import SF_DIR
+
+        docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+            "doc_id", F.md5(F.lower(F.col("text"))).alias("fp")
+        )
+        ref = docs.where(F.col("doc_id") % 7 == 0).select(F.col("fp").alias("ref_fp"))
+        survivors = bloom_decontaminate(docs, ref, "fp", "ref_fp", expected_keys=200)
+        # no survivor may be an exact member of the reference set
+        leaked = survivors.join(
+            ref, survivors["fp"] == ref["ref_fp"], "left_semi"
+        ).count()
+        assert leaked == 0
+        # and the filter keeps a sane majority (FPR small)
+        n_docs, n_ref = docs.count(), docs.where(F.col("doc_id") % 7 == 0).count()
+        assert survivors.count() >= (n_docs - n_ref) * 0.95
