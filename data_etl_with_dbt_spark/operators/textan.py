@@ -349,3 +349,73 @@ def mixture_sample(
         )
         .select(id_col, domain_col, "n_tokens")
     )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    id_col: str,
+    domain_col: str,
+    text_col: str,
+    target_tokens: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual/domain
+    alpha-sampling recipe, cf. XLM-R / mT5): domain weights ∝ tokens^alpha,
+    normalized, then materialized as per-domain keep-rates against a total
+    token target — flattening the domain distribution (alpha < 1 boosts
+    tails) instead of hard per-domain budgets (``mixture_sample``).
+
+    Membership is md5-key-hash thresholding (no RNG — the sample itself is
+    deterministic and, at alpha=0.5, oracle-checkable: sqrt is
+    IEEE-correctly-rounded so the whole rate expression is bit-identical
+    cross-engine; the weight sum crosses rows, so it runs in exact
+    DECIMAL(18,6) per the engine's dsum rule). For other alphas the rates
+    use ``pow``, which libm/JVM round differently in the last ulp — fine in
+    production, but only alpha=0.5 is wired to a hash-matched oracle.
+
+    Plan: one token-count agg over the corpus (map-side combined, one row
+    per domain), rates derived on that tiny relation and broadcast back —
+    nothing wide shuffles.
+    """
+    toks = tokens_expr(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    totals = base.groupBy(domain_col).agg(
+        F.sum("n_tokens").alias("__t")
+    )
+    t_dbl = F.col("__t").cast("double")
+    if alpha == 0.5:
+        w = F.sqrt(t_dbl)
+    else:
+        w = F.pow(t_dbl, F.lit(alpha))
+    totals = totals.withColumn("__w", w)
+    # cross-row sum of doubles -> exact decimal accumulation (dsum rule)
+    wsum = totals.agg(
+        F.sum(F.col("__w").cast("decimal(18,6)")).cast("double").alias("__wsum")
+    )
+    rates = totals.crossJoin(F.broadcast(wsum)).select(
+        domain_col,
+        F.least(
+            F.lit(65536).cast("bigint"),
+            F.floor(
+                (F.col("__w") / F.col("__wsum"))
+                * F.lit(float(target_tokens))
+                / t_dbl
+                * F.lit(65536)
+            ).cast("bigint"),
+        ).alias("__thresh"),
+    )
+    keyhash = F.substring(
+        F.md5(F.concat_ws(":", F.col(domain_col), F.col(id_col).cast("string"))), 1, 4
+    )
+    return (
+        base.join(F.broadcast(rates), on=domain_col)
+        .where(
+            (F.col("__thresh") >= 65536)
+            | (keyhash < F.format_string("%04x", F.col("__thresh")))
+        )
+        .select(id_col, domain_col, "n_tokens")
+    )

@@ -311,3 +311,41 @@ def mode_per_event_type(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("event_type", F.col("prop_k").alias("mode_prop_k"), big(F.col("c")).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL cardinality sketches (Apache DataSketches via Spark 3.5+
+# hll_sketch_agg/hll_union_agg): the 100 TB distinct-count workflow — build
+# per-group sketch partials once, merge them for any rollup WITHOUT
+# re-scanning the fact table. Rows-only (the sketch estimate has no
+# cross-engine oracle; DuckDB's approx_count_distinct is a different
+# algorithm); accuracy vs exact distinct is asserted in pytest.
+# ---------------------------------------------------------------------------
+
+@query(
+    "hll_user_cardinality",
+    oracle=None,
+    description=(
+        "Per-event-type distinct-user estimates from HLL sketches plus an "
+        "ALL row merged from the per-type sketches (hll_union_agg) — the "
+        "mergeable-partials pattern: rollups come from sketch merges, not "
+        "fact-table re-scans"
+    ),
+)
+def hll_user_cardinality(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    # one sketch per type (5 rows): checkpoint so the merged ALL row reuses
+    # the per-type partials instead of re-aggregating the fact table
+    per_type = per_type.localCheckpoint(eager=False)
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    return typed.unionByName(merged).orderBy("event_type")

@@ -497,3 +497,56 @@ def bpe_pair_merge_step(spark, sf_dir):
 )
 def doc_oov_rate(spark, sf_dir):
     return TA.oov_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Temperature (alpha=0.5) mixture sampling: domain weights ∝ sqrt(tokens),
+# flattening the domain distribution instead of hard budgets. sqrt is
+# IEEE-correctly-rounded, so the whole rate expression — and therefore the
+# sampled MEMBERSHIP — is bit-identical cross-engine; the one cross-row sum
+# (Σ sqrt weights) runs in exact DECIMAL(18,6) per the dsum rule.
+# ---------------------------------------------------------------------------
+
+@query(
+    "mixture_temperature_sample",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    totals AS (SELECT source, sum(n_tokens) AS t FROM base GROUP BY source),
+    wsum AS (
+        SELECT CAST(sum(CAST(sqrt(CAST(t AS DOUBLE)) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS W
+        FROM totals
+    ),
+    rates AS (
+        SELECT source,
+               least(CAST(65536 AS BIGINT),
+                     CAST(floor(sqrt(CAST(t AS DOUBLE)) / W
+                                * CAST(8000 AS DOUBLE)
+                                / CAST(t AS DOUBLE) * 65536)
+                          AS BIGINT)) AS thresh
+        FROM totals, wsum
+    )
+    SELECT base.doc_id, base.source, base.n_tokens
+    FROM base JOIN rates ON base.source = rates.source
+    WHERE thresh >= 65536
+       OR substr(md5(base.source || ':' || CAST(base.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', thresh)
+    """,
+    description=(
+        "Temperature mixture sampling (alpha=0.5): per-domain keep-rates "
+        "∝ sqrt(tokens) normalized to an 8000-token target, md5-hash "
+        "membership — deterministic sample, oracle-checked end to end"
+    ),
+)
+def mixture_temperature_sample(spark, sf_dir):
+    out = TA.temperature_mixture_sample(
+        load(spark, sf_dir, "documents"),
+        "doc_id", "source", "text",
+        target_tokens=8000, alpha=0.5,
+    )
+    return out.select(big(F.col("doc_id")).alias("doc_id"), "source", "n_tokens")

@@ -803,3 +803,41 @@ class TestBloomSketch:
         # and the filter keeps a sane majority (FPR small)
         n_docs, n_ref = docs.count(), docs.where(F.col("doc_id") % 7 == 0).count()
         assert survivors.count() >= (n_docs - n_ref) * 0.95
+
+
+class TestHllSketch:
+    """Mergeable HLL cardinality: estimates near exact, and merging
+    per-group sketch partials must agree with sketching the whole column
+    directly (the property that makes partials reusable across rollups)."""
+
+    def test_estimate_accuracy_and_merge_consistency(self, spark):
+        n = 20_000
+        df = spark.range(n * 3).select(
+            (F.col("id") % 4).cast("string").alias("grp"),
+            # ~20k distinct values spread across groups
+            F.md5((F.col("id") % n).cast("string")).alias("key"),
+        )
+        exact = df.select(F.count_distinct("key")).first()[0]
+        per_grp = df.groupBy("grp").agg(F.hll_sketch_agg("key").alias("sk"))
+        merged = (
+            per_grp.agg(F.hll_union_agg("sk").alias("sk"))
+            .select(F.hll_sketch_estimate("sk").alias("est"))
+            .first()[0]
+        )
+        direct = (
+            df.agg(F.hll_sketch_agg("key").alias("sk"))
+            .select(F.hll_sketch_estimate("sk").alias("est"))
+            .first()[0]
+        )
+        assert abs(merged - exact) / exact <= 0.05
+        # merging partials == sketching directly (same registers)
+        assert int(merged) == int(direct)
+
+    def test_suite_entry_all_row_bounds_types(self, spark):
+        from data_etl_with_dbt_spark.suite import QUERIES
+        from tests.conftest import SF_DIR
+
+        rows = QUERIES["hll_user_cardinality"].fn(spark, SF_DIR).collect()
+        by_type = {r.event_type: r.approx_users for r in rows}
+        assert "ALL" in by_type
+        assert by_type["ALL"] >= max(v for k, v in by_type.items() if k != "ALL")
