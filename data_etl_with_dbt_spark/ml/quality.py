@@ -74,10 +74,26 @@ def train_quality_classifier(
 ) -> PipelineModel:
     """Fit the classifier on weakly-labeled documents (label ∈ {0.0, 1.0}).
     LBFGS over hashed features — the fit aggregates gradients via
-    treeAggregate (map-side combined), never collecting rows."""
-    return build_quality_pipeline(
+    treeAggregate (map-side combined), never collecting rows.
+
+    The fitted LR's training summary is dropped: it pins the training
+    DataFrame (and through it the SparkSession) inside the model, so any
+    later RDD-serializing op on a transform of this model — e.g.
+    ``localCheckpoint`` — tries to serialize the session and dies on its
+    non-serializable state (observed empirically via ObservationManager
+    once any ``df.observe`` ran in the session). Callers needing training
+    metrics should evaluate on a held-out frame instead."""
+    model = build_quality_pipeline(
         text_col=text_col, label_col=label_col, **pipeline_kwargs
     ).fit(labeled)
+    for stage in model.stages:
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is not None and getattr(stage, "hasSummary", False):
+            try:
+                jobj.setSummary(labeled.sparkSession._jvm.scala.Option.empty())
+            except Exception:
+                pass  # summary retention is cosmetic; never fail the fit
+    return model
 
 
 def score_quality(

@@ -72,6 +72,9 @@ class ModelRegistry:
         self._deps: dict[str, set[str]] = {}
         self._sources: dict[str, Callable[[SparkSession], DataFrame] | str] = {}
         self._cache: dict[str, DataFrame] = {}
+        #: per-model one-pass write metrics from the latest run() —
+        #: n_rows + nulls_<col>, observed on the write job itself
+        self.run_metrics: dict[str, dict] = {}
 
     # -- registration -----------------------------------------------------
     def add_source(self, name: str, loader: Callable[[SparkSession], DataFrame] | str) -> None:
@@ -140,6 +143,11 @@ class ModelRegistry:
         'incremental' → append only rows whose ``unique_key`` isn't already
         present (dbt incremental with the append+dedupe strategy) — first
         run behaves like 'table'.
+
+        Every 'table' materialization observes its own write
+        (``plans/observe.observed_write``): row count + per-column null
+        tallies ride the write job — free at 100 TB — and land in
+        ``self.run_metrics[name]`` for the monitor / DQ triage.
         """
         out: dict[str, DataFrame] = {}
         for name in self.topo_order():
@@ -148,9 +156,12 @@ class ModelRegistry:
             spec = self._models[name]
             df = spec.fn(RunContext(self, spark, name))
             if spec.materialized == "table":
+                from data_etl_with_dbt_spark.plans.observe import observed_write
                 from data_etl_with_dbt_spark.sources.io import write_table
 
-                write_table(df, name, mode="overwrite")
+                self.run_metrics[name] = observed_write(
+                    df, lambda d: write_table(d, name, mode="overwrite")
+                )
                 df = spark.table(name)
             elif spec.materialized == "incremental":
                 df = self._materialize_incremental(spark, spec, df)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_etl_with_dbt_spark.plans.config import apply_schema_config, register_test
 from data_etl_with_dbt_spark.plans.dag import ModelRegistry
@@ -261,3 +262,48 @@ class TestRunStatsMonitor:
         monitor.record_stats(spark.range(10).select("id"), "tiny", 1)
         monitor.record_stats(spark.range(99999).select("id"), "tiny", 2)
         assert monitor.detect_anomalies(spark, "tiny").isEmpty()
+
+
+class TestObservedWrite:
+    """One-pass DQ: metrics ride the write job itself (df.observe) — values
+    must equal separately-computed counts, measured over exactly the rows
+    the write consumed."""
+
+    def test_metrics_match_separate_counts(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.plans.observe import (
+            observed_write,
+            standard_metrics,
+            violation_metrics,
+        )
+
+        df = spark.range(1000).select(
+            F.col("id"),
+            F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+            (F.col("id") - 500).alias("signed"),
+        )
+        out = str(tmp_path / "observed")
+        metrics = standard_metrics(df, ["v"]) + violation_metrics(
+            {"nonpositive_signed": F.col("signed") <= 0}
+        )
+        got = observed_write(
+            df, lambda d: d.write.mode("overwrite").parquet(out), metrics=metrics
+        )
+        assert got["n_rows"] == 1000
+        assert got["nulls_v"] == df.where(F.col("v").isNull()).count() == 100
+        assert got["violations_nonpositive_signed"] == 501
+        # the write actually happened, with all rows
+        assert spark.read.parquet(out).count() == 1000
+
+    def test_default_metrics_cover_all_columns(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.plans.observe import observed_write
+
+        df = spark.range(50).select(
+            F.col("id"), F.lit(None).cast("string").alias("always_null")
+        )
+        got = observed_write(
+            df,
+            lambda d: d.write.mode("overwrite").parquet(str(tmp_path / "o2")),
+        )
+        assert got["n_rows"] == 50
+        assert got["nulls_id"] == 0
+        assert got["nulls_always_null"] == 50
