@@ -349,3 +349,49 @@ def hll_user_cardinality(spark, sf_dir):
         F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
     )
     return typed.unionByName(merged).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT path for semi-structured data: parse the JSON column ONCE
+# into a variant and extract typed fields — the engine-native replacement
+# for repeated get_json_object string re-parses (each get_json_object call
+# re-parses the whole document; variant parses once and extraction is a
+# binary-encoded path walk). Integer extraction keeps it oracle-exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+    description=(
+        "Typed stats over a VARIANT-parsed JSON property per event type — "
+        "parse once (parse_json), extract typed (variant_get), aggregate "
+        "exact integers"
+    ),
+)
+def variant_props_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            big(F.count(F.lit(1))).alias("n"),
+            big(F.sum("k")).alias("sum_k"),
+            big(F.min("k")).alias("min_k"),
+            big(F.max("k")).alias("max_k"),
+            big(F.count_distinct("k")).alias("distinct_k"),
+        )
+    )
