@@ -61,6 +61,9 @@ def minhash_intake_sink(
     dup_ledger_path: str | None = None,
     shuffle_parallelism: int | None = None,
     signature_impl: str = "jvm",
+    quality_model=None,
+    quality_threshold: float = 0.5,
+    reject_ledger_path: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function: per micro-batch, dedup against the
     signature index at ``index_path``, append surviving documents (full
@@ -79,10 +82,35 @@ def minhash_intake_sink(
     (index hits win), and within a batch smaller ids win — arrival-order
     keep-first, the streaming analogue of the reference's window dedup
     (``core_texi.sql:57-62``).
+
+    ``quality_model`` (a fitted ``ml.quality`` PipelineModel) gates each
+    batch BEFORE dedup — streaming model inference, one JVM transform per
+    micro-batch; junk never gets shingled, never pollutes the signature
+    index, and optionally lands in ``reject_ledger_path`` with its score.
     """
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if quality_model is not None:
+            from ..ml.quality import score_quality
+
+            scored = score_quality(
+                quality_model, batch, id_col=id_col, text_col=text_col
+            ).persist()
+            scored.count()  # one scoring pass, reused by both branches
+            if reject_ledger_path is not None:
+                scored.where(
+                    F.col("quality_prob") < quality_threshold
+                ).select(
+                    F.col(id_col),
+                    F.col("quality_prob"),
+                    F.lit(batch_id).alias("batch_id"),
+                ).write.mode("append").parquet(reject_ledger_path)
+            keep = scored.where(
+                F.col("quality_prob") >= quality_threshold
+            ).select(id_col)
+            batch = batch.join(keep, on=id_col, how="left_semi")
+            scored.unpersist()
         id_type = batch.schema[id_col].dataType
         index = _read_index(spark, index_path, id_type).withColumnRenamed(
             "doc_id", id_col

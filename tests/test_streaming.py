@@ -354,3 +354,77 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     # enrichment from the original snapshot works; the between-batch file
     # is invisible (pinned listing), and unmatched keys survive as nulls
     assert seen[1] == [(2, "carol"), (3, None)]
+
+
+def test_quality_gated_intake(spark, tmp_path):
+    """Streaming model inference in the intake sink: a fitted quality
+    classifier gates each micro-batch BEFORE dedup — junk docs land in the
+    reject ledger with scores, never reach the corpus, and never enter the
+    signature index."""
+    import glob as _glob
+    import os as _os
+    import random
+    import time as _time
+
+    from data_etl_with_dbt_spark.ml.quality import train_quality_classifier
+    from data_etl_with_dbt_spark.streaming.intake import minhash_intake_sink
+
+    rng = random.Random(11)
+    good_vocab = "clear prose written with common ordinary words and meaning".split()
+    junk_vocab = ["".join(rng.choice("zqxkvj") for _ in range(8)) for _ in range(15)]
+
+    def good(): return " ".join(rng.choice(good_vocab) for _ in range(25))
+    def junk(): return " ".join(rng.choice(junk_vocab) for _ in range(25))
+
+    train = spark.createDataFrame(
+        [(i, good() if i % 2 == 0 else junk(), float(1 - i % 2)) for i in range(40)],
+        "doc_id long, text string, label double",
+    )
+    model = train_quality_classifier(train, num_features=1 << 12, max_iter=20)
+
+    src = tmp_path / "qsrc"
+    src.mkdir()
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+
+    g1, g2, g3 = good(), good(), good()
+    mk([(100, g1), (101, junk())]).write.parquet(str(src / "f0"))
+    mk([(200, g2), (201, junk()), (202, g1)]).write.parquet(str(src / "f1"))
+    now = _time.time()
+    for i, d in enumerate(("f0", "f1")):
+        for f in _glob.glob(str(src / d / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    sink = minhash_intake_sink(
+        index_path=str(tmp_path / "qindex"),
+        corpus_path=str(tmp_path / "qcorpus"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+        quality_model=model,
+        reject_ledger_path=str(tmp_path / "qrejects"),
+    )
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    corpus_ids = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "qcorpus")).collect()
+    )
+    # junk (101, 201) rejected by the model; 202 deduped against index doc 100
+    assert corpus_ids == [100, 200]
+    index_ids = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "qindex")).collect()
+    )
+    assert index_ids == [100, 200]
+    rejects = spark.read.parquet(str(tmp_path / "qrejects")).collect()
+    assert sorted(r.doc_id for r in rejects) == [101, 201]
+    assert all(r.quality_prob < 0.5 for r in rejects)
