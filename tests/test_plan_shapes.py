@@ -191,3 +191,65 @@ def test_doc_oov_rate_broadcasts_vocab(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lint_clean_on_headline_query(spark):
+    """The plan linter must pass the engine's own headline plans."""
+    from data_etl_with_dbt_spark.plans import lint
+    from data_etl_with_dbt_spark.suite import QUERIES
+
+    df = QUERIES["q1_pricing_summary"].fn(spark, SF_DIR)
+    assert lint.lint_plan(df, max_shuffles=1) == []
+
+
+def test_lint_flags_each_antipattern(spark):
+    """Deliberately bad plans must trip the matching findings."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import udf
+    from data_etl_with_dbt_spark.plans import lint
+
+    a = spark.range(100).select(F.col("id").alias("x"))
+    b = spark.range(100).select(F.col("id").alias("y"))
+
+    cart = a.crossJoin(b)
+    assert {f.code for f in lint.lint_plan(cart)} >= {"cartesian"}
+    # acknowledged cartesian is suppressed
+    assert lint.lint_plan(cart, allow=("cartesian",)) == []
+
+    py = a.select(udf(lambda v: v + 1, "long")(F.col("x")).alias("p"))
+    assert {f.code for f in lint.lint_plan(py)} >= {"python-eval"}
+
+    from pyspark.sql import Window
+
+    unpart_window = a.withColumn(
+        "rn", F.row_number().over(Window.orderBy("x"))
+    )
+    assert {f.code for f in lint.lint_plan(unpart_window)} >= {"single-partition"}
+
+    many = (
+        a.repartition(8, "x")
+        .groupBy("x").count()
+        .repartition(4, "count")
+        .groupBy("count").count()
+    )
+    assert any(f.code == "shuffle-budget" for f in lint.lint_plan(many, max_shuffles=1))
+
+    import pytest
+    with pytest.raises(AssertionError):
+        lint.assert_clean(cart)
+
+
+def test_lint_flags_unpushed_parquet_filter(spark):
+    """A predicate the reader can't push (e.g. over an expression of the
+    column) must be reported against the scan."""
+    import pyspark.sql.functions as F
+    from data_etl_with_dbt_spark.plans import lint
+    from data_etl_with_dbt_spark.sources.io import read_parquet
+
+    li = read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    # pmod over the key defeats pushdown -> PushedFilters: []
+    bad = li.where((F.pmod(F.col("l_orderkey"), F.lit(97)) == 0))
+    codes = {f.code for f in lint.lint_plan(bad)}
+    assert "unpushed-filter" in codes
+    good = li.where(F.col("l_orderkey") > 100)
+    assert "unpushed-filter" not in {f.code for f in lint.lint_plan(good)}
