@@ -115,6 +115,9 @@ def main():
     print(f"rows ingested:      {n_ingested:,}")
     print(f"core_texi rows:     {n_core:,}")
     print("dq tests:          ", ", ".join(f"{r.test}={'PASS' if r.passed else 'FAIL'}" for r in results))
+    for model, m in registry.run_metrics.items():
+        nulls = sum(v for k, v in m.items() if k.startswith("nulls_"))
+        print(f"observed[{model}]:   rows={m['n_rows']:,} null_cells={nulls:,} (one-pass, on the write job)")
     print(f"ml mse/rmse:        {metrics['mse']:.3f} / {metrics['rmse']:.3f}")
     print(f"nl request fare:    {fare}")
     for k, v in timings.items():
