@@ -6,6 +6,7 @@ from data_etl_with_dbt_spark.operators.relational import (  # noqa: F401
     per_key_cap,
     salted_agg,
     salted_join,
+    skew_stats,
 )
 from data_etl_with_dbt_spark.operators.dedup import (  # noqa: F401
     dedup_exact,

@@ -335,3 +335,48 @@ def global_row_index(
         .withColumn(index_col, F.col("__offset") + F.row_number().over(w) - 1)
         .drop("__bucket", "__offset")
     )
+
+
+def skew_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Key-skew diagnosis before a join/aggregation: the top-k heaviest keys
+    with their share of total rows and a suggested salt-bucket count per key
+    — the measurement step that decides between a plain shuffle,
+    ``salted_join``/``salted_agg``, or AQE skew splitting.
+
+    ``suggested_salt`` = ceil(key_share × parallelism): enough buckets that
+    the heaviest key's largest salted slice is ~one average partition (1 for
+    keys that don't dominate a partition — no salting needed).
+
+    Plan: one map-side-combined count aggregation + TakeOrderedAndProject
+    over the key-count relation, then the scalar total broadcast back —
+    never a global sort, never a collect. At 100 TB this costs one pass over
+    the key columns only (project-pruned scan).
+    """
+    if parallelism is None:
+        parallelism = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    # top-k and the scalar total both consume counts: checkpoint so the
+    # key agg runs once (no cross-consumer CSE)
+    counts = counts.localCheckpoint(eager=False)
+    total = counts.agg(F.sum("key_rows").alias("__total"))
+    top = counts.orderBy(F.col("key_rows").desc(), *key_cols).limit(top_k)
+    share = F.col("key_rows").cast("double") / F.col("__total").cast("double")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            F.col("key_rows").cast("bigint").alias("key_rows"),
+            share.alias("key_share"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(share * F.lit(parallelism)).cast("bigint"),
+            ).alias("suggested_salt"),
+        )
+    )

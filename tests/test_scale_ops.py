@@ -452,3 +452,31 @@ class TestMixtureSample:
         # rates frame must broadcast; the corpus never shuffles for the join
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestSkewStats:
+    def test_detects_heavy_key_and_suggests_salt(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import skew_stats
+
+        # 10k rows: key 0 holds 50%, keys 1..100 share the rest
+        df = spark.range(10_000).select(
+            F.when(F.col("id") < 5_000, 0)
+            .otherwise((F.col("id") % 100) + 1)
+            .alias("k")
+        )
+        out = skew_stats(df, ["k"], top_k=3, parallelism=32).collect()
+        assert out[0].k == 0 and out[0].key_rows == 5_000
+        assert abs(out[0].key_share - 0.5) < 1e-9
+        assert out[0].suggested_salt == 16  # ceil(0.5 * 32)
+        # non-dominating keys need no salt
+        assert all(r.suggested_salt == 1 for r in out[1:])
+
+    def test_plan_is_topk_not_global_sort(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import skew_stats
+
+        df = spark.range(1_000).select((F.col("id") % 7).alias("k"))
+        plan = (
+            skew_stats(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan
