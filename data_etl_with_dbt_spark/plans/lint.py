@@ -80,17 +80,33 @@ def lint_plan(
                 "Arrow-batched mapInPandas on a narrow projection",
             )
         )
-    if "Exchange SinglePartition" in plan:
+    # Exchange SinglePartition is FINE when it merges a global aggregate's
+    # partials (one pre-aggregated row per upstream partition rides the
+    # wire, not the dataset — the partial/final pattern). It is a data-path
+    # hazard when the FULL stream funnels through one task: an
+    # unpartitioned window, a global sort, a repartition(1).
+    _agg = re.compile(r"HashAggregate|SortAggregate|ObjectHashAggregate")
+    plan_lines = plan.splitlines()
+    for i, line in enumerate(plan_lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        producer = next(
+            (l for l in plan_lines[i + 1 : i + 3] if l.strip()), ""
+        )
+        consumers = plan_lines[max(0, i - 3) : i]
+        if _agg.search(producer) and any(_agg.search(l) for l in consumers):
+            continue  # partial+final global aggregate: partials-only wire
         findings.append(
             Finding(
                 "single-partition",
-                "single-partition exchange (global sort / unpartitioned "
-                "window / non-broadcast scalar agg): the whole input flows "
-                "through ONE task — partition the window, use "
-                "TakeOrderedAndProject-shaped top-k, or keep it to "
-                "metadata-sized frames",
+                "single-partition exchange on a data path (global sort / "
+                "unpartitioned window / repartition(1)): the whole input "
+                "flows through ONE task — partition the window, use "
+                "TakeOrderedAndProject-shaped top-k, or pre-aggregate "
+                "before the merge",
             )
         )
+        break
     # a Filter with a REAL predicate (not just null guards) sitting directly
     # on a parquet scan (only Project/ColumnarToRow between) where nothing
     # selective was pushed: the scan decodes every row group and the

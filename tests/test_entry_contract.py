@@ -61,6 +61,7 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "embedding_near_dup",
         "semantic_dedup_clusters_lsh",
         "approx_aggregates",
+        "hll_user_cardinality",  # DataSketches HLL estimate: no SQL oracle
     }
 
 
