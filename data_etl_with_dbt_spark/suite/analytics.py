@@ -395,3 +395,49 @@ def variant_props_stats(spark, sf_dir):
             big(F.count_distinct("k")).alias("distinct_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnosis over orders.o_custkey: deterministic end to end (integer
+# counts, one IEEE share division, ceil on the 32-partition grid), so the
+# operator's whole output — including the salt suggestions — oracle-checks.
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_stats_orders",
+    oracle="""
+    WITH counts AS (
+        SELECT o_custkey, count(*) AS key_rows FROM orders GROUP BY o_custkey
+    ),
+    total AS (SELECT sum(key_rows) AS t FROM counts),
+    top AS (
+        SELECT o_custkey, key_rows FROM counts
+        ORDER BY key_rows DESC, o_custkey LIMIT 10
+    )
+    SELECT o_custkey,
+           CAST(key_rows AS BIGINT) AS key_rows,
+           CAST(key_rows AS DOUBLE) / CAST(t AS DOUBLE) AS key_share,
+           greatest(CAST(1 AS BIGINT),
+                    CAST(ceil(CAST(key_rows AS DOUBLE) / CAST(t AS DOUBLE)
+                              * 32) AS BIGINT)) AS suggested_salt
+    FROM top, total
+    """,
+    description=(
+        "Key-skew diagnosis on orders.o_custkey: top-10 heaviest keys, row "
+        "shares, salt-bucket suggestions at parallelism 32 — "
+        "TakeOrderedAndProject + broadcast scalar total, fully "
+        "oracle-checked"
+    ),
+)
+def skew_stats_orders(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.relational import skew_stats
+
+    out = skew_stats(
+        load(spark, sf_dir, "orders"), ["o_custkey"], top_k=10, parallelism=32
+    )
+    return out.select(
+        "o_custkey",
+        big(F.col("key_rows")).alias("key_rows"),
+        F.col("key_share"),
+        big(F.col("suggested_salt")).alias("suggested_salt"),
+    )
