@@ -451,3 +451,47 @@ def exact_cosine_pairs(
         )
         .where(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Embedding sanity pass: squared L2 distance of every vector to its
+    label-group centroid, top-k most distant flagged — the cheap corrupt/
+    mislabeled-embedding detector that runs before any ANN index build.
+
+    Plan: posexplode to (id, label, dim, x) — D×N rows, embarrassingly
+    parallel; per-(label, dim) centroid via map-side-combined avg (D×labels
+    rows, broadcast back); per-vector distance re-aggregates on the id. Two
+    shuffles total, both map-side combined; the centroid table is KB-scale
+    at any corpus size.
+
+    Cross-engine determinism: centroids are DECIMAL(38,6)-quantized
+    averages (davg rule); each per-dim squared deviation is cast to
+    DECIMAL(28,12) per-row and SUMMED EXACTLY — so the distance, and
+    therefore the outlier ranking, is bit-identical across engines; the
+    top-k order has the id tie-break.
+    """
+    pos = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(vec_col).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = pos.groupBy(label_col, "dim").agg(
+        F.avg("x").cast("decimal(38,6)").cast("double").alias("c")
+    )
+    dev = pos.join(F.broadcast(cent), [label_col, "dim"])
+    dist = dev.groupBy(id_col, label_col).agg(
+        F.sum(
+            ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("dist2")
+    )
+    return dist.orderBy(F.col("dist2").desc(), F.col(id_col)).limit(top_k)

@@ -669,3 +669,49 @@ def semantic_dedup_clusters_lsh(spark, sf_dir):
         big(F.col("cluster_id")).alias("cluster_id"),
         (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding sanity: distance-to-centroid outliers per label group. Exact
+# decimal accumulation makes the ranking itself cross-engine deterministic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_centroid_outliers",
+    oracle="""
+    WITH pos AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS dim
+        FROM embeddings
+    ),
+    vals AS (
+        SELECT p.vec_id, p.label, p.dim,
+               CAST(e.embedding[p.dim] AS DOUBLE) AS x
+        FROM pos p JOIN embeddings e ON p.vec_id = e.vec_id
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(CAST(avg(x) AS DECIMAL(38,6)) AS DOUBLE) AS c
+        FROM vals GROUP BY label, dim
+    )
+    SELECT v.vec_id,
+           CAST(v.label AS BIGINT) AS label,
+           CAST(sum(CAST((v.x - c.c) * (v.x - c.c) AS DECIMAL(28,12)))
+                AS DOUBLE) AS dist2
+    FROM vals v JOIN cent c ON v.label = c.label AND v.dim = c.dim
+    GROUP BY v.vec_id, v.label
+    ORDER BY dist2 DESC, v.vec_id LIMIT 20
+    """,
+    description=(
+        "Top-20 embedding outliers by exact-decimal squared distance to the "
+        "per-label centroid — the corrupt-embedding detector before ANN "
+        "index builds; ranking is bit-identical cross-engine"
+    ),
+)
+def embedding_centroid_outliers(spark, sf_dir):
+    out = S.centroid_outliers(
+        load(spark, sf_dir, "embeddings"), "vec_id", "label", "embedding"
+    )
+    return out.select(
+        "vec_id", big(F.col("label")).alias("label"), "dist2"
+    )
