@@ -82,7 +82,7 @@ ZQ_DEFERRED = {
     "corpus_mixture_sample", "dedup_spans_keep_first", "global_row_index",
     # session-5: bpe_pair_merge_step takes the window's one free slot;
     # doc_oov_rate queues to keep the round-2 window at exactly 50
-    "doc_oov_rate", "mixture_temperature_sample", "variant_props_stats", "skew_stats_orders", "embedding_centroid_outliers",
+    "doc_oov_rate", "mixture_temperature_sample", "variant_props_stats", "skew_stats_orders", "embedding_centroid_outliers", "join_null_safe",
 }
 
 # Rows-only entries (no SQL oracle exists) parked behind the window: a

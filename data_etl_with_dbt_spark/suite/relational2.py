@@ -258,3 +258,53 @@ def approx_aggregates(spark, sf_dir):
         F.element_at("q", 2).alias("price_p90"),
         F.element_at("q", 3).alias("price_p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join semantics: <=> (IS NOT DISTINCT FROM). NULL keys match each
+# other — the grouping-key reconciliation shape that a plain equi-join
+# silently drops. Fixture columns are null-free, so NULLIF manufactures a
+# null bucket on each side deterministically.
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (
+        SELECT nullif(o_custkey % 50, 7) AS k, count(*) AS order_cnt
+        FROM orders GROUP BY nullif(o_custkey % 50, 7)
+    ),
+    c AS (
+        SELECT nullif(c_custkey % 50, 7) AS k, count(*) AS cust_cnt
+        FROM customer GROUP BY nullif(c_custkey % 50, 7)
+    )
+    SELECT coalesce(CAST(o.k AS VARCHAR), '<null>') AS bucket,
+           CAST(coalesce(order_cnt, 0) AS BIGINT) AS order_cnt,
+           CAST(coalesce(cust_cnt, 0) AS BIGINT) AS cust_cnt
+    FROM o FULL JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    """,
+    description=(
+        "Null-safe FULL join (<=> / IS NOT DISTINCT FROM) reconciling two "
+        "aggregates whose keys include a manufactured NULL bucket — the "
+        "shape a plain equi-join silently drops"
+    ),
+)
+def join_null_safe(spark, sf_dir):
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.nullif(F.col("o_custkey") % 50, F.lit(7)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_custkey") % 50, F.lit(7)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    joined = o.join(c, o["k"].eqNullSafe(c["k"]), "full")
+    return joined.select(
+        F.coalesce(
+            F.coalesce(o["k"], c["k"]).cast("string"), F.lit("<null>")
+        ).alias("bucket"),
+        big(F.coalesce(F.col("order_cnt"), F.lit(0))).alias("order_cnt"),
+        big(F.coalesce(F.col("cust_cnt"), F.lit(0))).alias("cust_cnt"),
+    )
