@@ -408,3 +408,60 @@ def compact_files(
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     spark.read.format(fmt).load(src).coalesce(n).write.mode("overwrite").format(fmt).save(dst)
     return n
+
+
+def read_parquet_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    quarantine_report: bool = True,
+) -> tuple[DataFrame, list[str]]:
+    """Parquet scan that survives corrupt files in the directory — the
+    nightly-crawl reality at 100 TB: one truncated upload must not kill the
+    whole job. Returns ``(df, corrupt_paths)``.
+
+    Mechanics: corrupt FILES are detected up front by footer-sniffing every
+    file with pyarrow (metadata-only reads — bytes read ∝ file count, not
+    data size) so the report is explicit; the scan itself then reads only
+    the good files. This beats `spark.sql.files.ignoreCorruptFiles`, which
+    skips corrupt files SILENTLY mid-scan — at scale you want the
+    quarantine list in the run report, not a row count that quietly shrank.
+    Footer sniffing happens on the driver: at millions of files, move the
+    same pyarrow check into a ``mapPartitions`` over the file list; the
+    per-file logic is unchanged.
+
+    An explicit ``schema`` keeps scans schema-stable even when the FIRST
+    file is the corrupt one (schema inference would fail before any data
+    read)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if _os.path.isdir(path):
+        candidates = sorted(
+            _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        ) or sorted(
+            p for p in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
+            if _os.path.isfile(p) and not _os.path.basename(p).startswith(("_", "."))
+        )
+    else:
+        candidates = sorted(_glob.glob(path))
+    good, corrupt = [], []
+    for p in candidates:
+        try:
+            _pq.read_schema(p)
+            good.append(p)
+        except Exception:
+            corrupt.append(p)
+    if not good:
+        empty = spark.createDataFrame([], schema or T.StructType([]))
+        return empty, corrupt
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*good)
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df, corrupt

@@ -841,3 +841,35 @@ class TestHllSketch:
         by_type = {r.event_type: r.approx_users for r in rows}
         assert "ALL" in by_type
         assert by_type["ALL"] >= max(v for k, v in by_type.items() if k != "ALL")
+
+
+class TestTolerantParquet:
+    """Corrupt-file-tolerant directory scans: good files read, corrupt ones
+    reported explicitly (never silently skipped)."""
+
+    def test_reads_good_reports_corrupt(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.io import read_parquet_tolerant
+
+        d = tmp_path / "mixed"
+        spark.range(100).coalesce(1).write.parquet(str(d))
+        # drop two garbage files into the directory
+        (d / "upload_truncated.parquet").write_bytes(b"PAR1garbage")
+        (d / "zeros.parquet").write_bytes(b"\x00" * 64)
+
+        df, corrupt = read_parquet_tolerant(spark, str(d))
+        assert df.count() == 100
+        assert sorted(p.split("/")[-1] for p in corrupt) == [
+            "upload_truncated.parquet", "zeros.parquet",
+        ]
+
+    def test_all_corrupt_returns_empty_with_schema(self, spark, tmp_path):
+        from pyspark.sql import types as T
+        from data_etl_with_dbt_spark.sources.io import read_parquet_tolerant
+
+        d = tmp_path / "allbad"
+        d.mkdir()
+        (d / "bad.parquet").write_bytes(b"not parquet")
+        schema = T.StructType([T.StructField("id", T.LongType())])
+        df, corrupt = read_parquet_tolerant(spark, str(d), schema=schema)
+        assert df.count() == 0 and df.schema == schema
+        assert len(corrupt) == 1
