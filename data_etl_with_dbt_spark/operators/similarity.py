@@ -495,3 +495,98 @@ def centroid_outliers(
         .alias("dist2")
     )
     return dist.orderBy(F.col("dist2").desc(), F.col(id_col)).limit(top_k)
+
+
+def whitening_stats(
+    df: DataFrame, label_col: str, vec_col: str, eps: float = 1e-6
+) -> DataFrame:
+    """Per-label ZCA whitening parameters via ``groupBy().applyInPandas`` —
+    the batch-Pandas counterpart to the engine's streaming
+    ``applyInPandasWithState``: each label group arrives as ONE Arrow batch,
+    numpy fits mean + whitening matrix ``W = V diag(1/sqrt(λ+eps)) V^T``,
+    and one row per label returns. Whitening decorrelates embedding dims so
+    cosine/L2 behave isotropically — the standard pre-ANN normalization.
+
+    Scale note: per-group state is O(d²), independent of group row count,
+    but each group's ROWS must fit one executor's Arrow batch stream —
+    right for per-label/per-shard fits (the intended use), wrong for a
+    single global fit over 100 TB; fit that from a sampled slice or by
+    merging per-shard moment matrices (sum, sum-outer) instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{label_col} long, n bigint, mean array<double>, "
+        "whiten array<array<double>>, top_eig double"
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        mu = X.mean(axis=0)
+        Xc = X - mu
+        cov = (Xc.T @ Xc) / max(1, len(X) - 1)
+        w, V = np.linalg.eigh(cov)
+        W = (V * (1.0 / np.sqrt(w + eps))) @ V.T
+        return pd.DataFrame(
+            {
+                label_col: [int(pdf[label_col].iloc[0])],
+                "n": [len(X)],
+                "mean": [mu.tolist()],
+                "whiten": [[row.tolist() for row in W]],
+                "top_eig": [float(w[-1])],
+            }
+        )
+
+    return df.groupBy(label_col).applyInPandas(fit, schema=out_schema)
+
+
+def apply_whitening(
+    df: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Whiten vectors with previously-fitted per-label parameters: the
+    (tiny: labels × d²) stats table collects to a broadcast dict and a
+    ``mapInPandas`` pass applies ``(x - mean) @ W`` with one BLAS matmul
+    per Arrow batch — vectors never shuffle, Python sees Arrow batches
+    only. Output schema matches the input with ``vec_col`` replaced."""
+    import numpy as np
+    import pandas as pd
+
+    params = {
+        r[label_col]: (
+            np.array(r["mean"], dtype=np.float64),
+            np.array(r["whiten"], dtype=np.float64),
+        )
+        for r in stats.collect()
+    }
+    bc = df.sparkSession.sparkContext.broadcast(params)
+    schema = df.schema[id_col].simpleString().split(":")[1]
+    out_schema = (
+        f"{id_col} {schema}, {label_col} long, {vec_col} array<double>"
+    )
+
+    def transform(batches):
+        for pdf in batches:
+            outs = []
+            for lbl, grp in pdf.groupby(label_col):
+                mu, W = bc.value[lbl]
+                X = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                Y = (X - mu) @ W
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            id_col: grp[id_col].to_numpy(),
+                            label_col: lbl,
+                            vec_col: [row.tolist() for row in Y],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.select(id_col, label_col, vec_col).mapInPandas(
+        transform, schema=out_schema
+    )

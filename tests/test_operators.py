@@ -873,3 +873,62 @@ class TestTolerantParquet:
         df, corrupt = read_parquet_tolerant(spark, str(d), schema=schema)
         assert df.count() == 0 and df.schema == schema
         assert len(corrupt) == 1
+
+
+class TestWhitening:
+    """Per-label ZCA whitening: fitted parameters must actually whiten —
+    near-zero mean and near-identity covariance per label after transform."""
+
+    def test_whitened_covariance_is_identity(self, spark):
+        import numpy as np
+        from data_etl_with_dbt_spark.operators.similarity import (
+            apply_whitening,
+            whitening_stats,
+        )
+
+        # synthetic correlated data: 3 labels x 300 rows x 16 dims so every
+        # group has full-rank covariance (fixture groups are too small)
+        rng = np.random.default_rng(3)
+        rows = []
+        for lbl in range(3):
+            A = rng.normal(size=(16, 16))
+            X = rng.normal(size=(300, 16)) @ A + lbl * 5.0
+            rows += [
+                (lbl * 1000 + i, lbl, [float(v) for v in X[i]])
+                for i in range(300)
+            ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+        stats = whitening_stats(emb, "label", "embedding")
+        srows = {r.label: r for r in stats.collect()}
+        assert set(srows) == {0, 1, 2}
+        assert all(len(r.mean) == 16 and len(r.whiten) == 16 for r in srows.values())
+        assert all(r.n == 300 for r in srows.values())
+
+        out = apply_whitening(emb, stats, "vec_id", "label", "embedding")
+        pdf = out.toPandas()
+        assert len(pdf) == 900
+        for lbl, grp in pdf.groupby("label"):
+            X = np.stack(grp["embedding"].to_numpy())
+            assert np.abs(X.mean(axis=0)).max() < 1e-9
+            cov = np.cov(X, rowvar=False)
+            assert np.abs(cov - np.eye(16)).max() < 0.05, f"label {lbl}"
+
+    def test_plan_is_arrow_batched(self, spark):
+        from data_etl_with_dbt_spark.operators.similarity import (
+            apply_whitening,
+            whitening_stats,
+        )
+        from data_etl_with_dbt_spark.sources.io import read_parquet
+        from tests.conftest import SF_DIR
+
+        emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+        out = apply_whitening(
+            emb, whitening_stats(emb, "label", "embedding"),
+            "vec_id", "label", "embedding",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # Arrow-batched python (mapInPandas), never row-at-a-time udf
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
