@@ -419,3 +419,44 @@ def temperature_mixture_sample(
         )
         .select(id_col, domain_col, "n_tokens")
     )
+
+
+def sentences_jvm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Sentence segmentation, JVM path: split on [.!?]+ runs and posexplode
+    — whole-stage-codegen, no Python. The hot-path spelling; the UDTF below
+    exists for logic a regex can't express."""
+    parts = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(parts).alias("sentence_idx", "sentence")
+    )
+
+
+def make_sentence_udtf():
+    """Python UDTF (Spark 4 table function, Arrow-optimized): one input row
+    → N (sentence_idx, sentence) rows. The ESCAPE-HATCH form for
+    segmentation logic beyond regex (abbreviation handling, quote
+    balancing); for plain punctuation splitting use :func:`sentences_jvm`,
+    which stays in codegen. Registered per-call so importing this module
+    never requires a live session."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for raw in _re.split(r"[.!?]+", text):
+                s = raw.strip()
+                if s:
+                    yield idx, s
+                    idx += 1
+
+    return SentenceSplit

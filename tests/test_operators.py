@@ -932,3 +932,38 @@ class TestWhitening:
         # Arrow-batched python (mapInPandas), never row-at-a-time udf
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestSentenceSegmentation:
+    """JVM split+posexplode vs the Python UDTF escape hatch: identical
+    output on the same input; the JVM path must stay Python-free."""
+
+    def test_jvm_and_udtf_agree(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import (
+            make_sentence_udtf,
+            sentences_jvm,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "First sentence. Second one! Third?"),
+                (2, "No terminator at all"),
+                (3, "Dots... everywhere.. right?"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        jvm = sentences_jvm(docs, "doc_id", "text").orderBy("doc_id", "sentence_idx")
+        SentenceSplit = make_sentence_udtf()
+        spark.udtf.register("sentence_split", SentenceSplit)
+        docs.createOrReplaceTempView("seg_docs")
+        via_udtf = spark.sql(
+            """SELECT d.doc_id, s.sentence_idx, s.sentence
+               FROM seg_docs d, LATERAL sentence_split(d.text) s
+               ORDER BY d.doc_id, s.sentence_idx"""
+        )
+        assert [tuple(r) for r in jvm.collect()] == [
+            tuple(r) for r in via_udtf.collect()
+        ]
+        plan = jvm._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
