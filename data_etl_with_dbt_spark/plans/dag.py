@@ -34,9 +34,12 @@ class ModelSpec:
     description: str = ""
     tests: list = field(default_factory=list)  # (test_fn, column, kwargs)
     # incremental only: 'append' (new keys only), 'merge' (key upsert),
-    # 'insert_overwrite' (replace touched partitions; needs partition_by)
+    # 'insert_overwrite' (replace touched partitions; needs partition_by),
+    # 'additive' (rollup maintenance: sum measure columns per key)
     incremental_strategy: str = "append"
     partition_by: list[str] | None = None
+    # additive only: measure columns summed during the merge
+    additive_cols: list[str] | None = None
     # incremental only: what to do when the fresh build's columns differ from
     # the existing table's (dbt on_schema_change): 'ignore' (project onto the
     # table schema, missing columns null), 'fail', 'append_new_columns',
@@ -93,6 +96,7 @@ class ModelRegistry:
         incremental_strategy: str = "append",
         partition_by: list[str] | None = None,
         on_schema_change: str = "ignore",
+        additive_cols: list[str] | None = None,
     ):
         """Decorator registering a model function ``(ctx) -> DataFrame``."""
 
@@ -107,6 +111,7 @@ class ModelRegistry:
                 incremental_strategy=incremental_strategy,
                 partition_by=partition_by,
                 on_schema_change=on_schema_change,
+                additive_cols=additive_cols,
             )
             self._deps[mname] = set(deps or [])
             return fn
@@ -190,14 +195,23 @@ class ModelRegistry:
           partitions present in the fresh build are replaced. Needs
           ``partition_by``; this is the scale-native strategy (rewrites
           touched partitions, never the whole table).
+        * 'additive' — rollup-table maintenance: the delta's measure
+          columns (``additive_cols``) SUM into the snapshot per
+          ``unique_key`` (union → one map-side-combined groupBy). The
+          incremental form of maintaining sums/counts metric tables —
+          dbt has no native analogue; at 100 TB this is the batch kernel
+          of streaming metric maintenance (partial aggregates merge, the
+          fact table is never rescanned).
 
         First run always behaves like 'table'.
         """
         from data_etl_with_dbt_spark.sources.io import write_table
 
         strategy = spec.incremental_strategy
-        if strategy in ("append", "merge") and not spec.unique_key:
+        if strategy in ("append", "merge", "additive") and not spec.unique_key:
             raise ValueError(f"incremental model {spec.name} requires unique_key")
+        if strategy == "additive" and not spec.additive_cols:
+            raise ValueError(f"additive model {spec.name} requires additive_cols")
         if strategy == "insert_overwrite" and not spec.partition_by:
             raise ValueError(
                 f"insert_overwrite model {spec.name} requires partition_by"
@@ -218,6 +232,28 @@ class ModelRegistry:
             fresh_keys = df.select(spec.unique_key)
             keep = existing.join(fresh_keys, on=spec.unique_key, how="left_anti")
             merged = keep.unionByName(df).localCheckpoint(eager=True)
+            write_table(merged, spec.name, mode="overwrite", partition_by=spec.partition_by)
+        elif strategy == "additive":
+            from pyspark.sql import functions as F
+
+            existing = spark.table(spec.name)
+            keys = [spec.unique_key] if isinstance(spec.unique_key, str) else list(spec.unique_key)
+            passthrough = [
+                c for c in existing.columns
+                if c not in keys and c not in spec.additive_cols
+            ]
+            merged = (
+                existing.unionByName(df.select(*existing.columns))
+                .groupBy(*keys)
+                .agg(
+                    *[F.sum(c).alias(c) for c in spec.additive_cols],
+                    # non-measure attributes: latest build wins via max —
+                    # deterministic for stable attributes, documented
+                    *[F.max(c).alias(c) for c in passthrough],
+                )
+                .select(*existing.columns)
+                .localCheckpoint(eager=True)
+            )
             write_table(merged, spec.name, mode="overwrite", partition_by=spec.partition_by)
         elif strategy == "insert_overwrite":
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")

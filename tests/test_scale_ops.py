@@ -480,3 +480,65 @@ class TestSkewStats:
         )
         assert "TakeOrderedAndProject" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestAdditiveIncremental:
+    """'additive' incremental strategy: delta measure columns SUM into the
+    snapshot per key — rollup-table maintenance without fact rescans."""
+
+    def test_measures_accumulate_across_runs(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        batches = [
+            [("a", 10, 1, "x"), ("b", 5, 2, "y")],
+            [("a", 7, 3, "x2"), ("c", 1, 1, "z")],
+        ]
+        state = {"i": 0}
+        reg = ModelRegistry()
+        reg.add_source(
+            "delta",
+            lambda s: s.createDataFrame(
+                batches[state["i"]], "k string, amount long, cnt long, note string"
+            ),
+        )
+
+        @reg.model(
+            name="metrics_rollup",
+            materialized="incremental",
+            incremental_strategy="additive",
+            unique_key="k",
+            additive_cols=["amount", "cnt"],
+        )
+        def metrics_rollup(ctx):
+            return ctx.source("delta")
+
+        reg.run(spark)
+        state["i"] = 1
+        reg.run(spark)
+
+        rows = {r.k: r for r in spark.table("metrics_rollup").collect()}
+        assert rows["a"].amount == 17 and rows["a"].cnt == 4
+        assert rows["b"].amount == 5 and rows["b"].cnt == 2
+        assert rows["c"].amount == 1 and rows["c"].cnt == 1
+        # passthrough attribute: deterministic max wins
+        assert rows["a"].note == "x2"
+        spark.sql("DROP TABLE IF EXISTS metrics_rollup")
+
+    def test_additive_requires_cols(self, spark):
+        import pytest
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+        reg.add_source("d", lambda s: s.range(3).select(F.col("id").alias("k"), F.lit(1).alias("v")))
+
+        @reg.model(
+            name="bad_additive",
+            materialized="incremental",
+            incremental_strategy="additive",
+            unique_key="k",
+        )
+        def bad_additive(ctx):
+            return ctx.source("d")
+
+        with pytest.raises(ValueError, match="additive_cols"):
+            reg.run(spark)  # validated eagerly, before any materialization
