@@ -48,12 +48,27 @@ class ModelSpec:
 
 
 class RunContext:
-    """Passed to each model function; resolves refs and records DAG edges."""
+    """Passed to each model function; resolves refs and records DAG edges.
 
-    def __init__(self, registry: "ModelRegistry", spark: SparkSession, current: str):
+    During a microbatch run (``ModelRegistry.run_microbatch``)
+    ``batch_start``/``batch_end`` carry the current event-time window —
+    the model filters its sources to ``[batch_start, batch_end)`` (the
+    explicit form of dbt microbatch's automatic event_time filtering).
+    Outside microbatch runs both are None."""
+
+    def __init__(
+        self,
+        registry: "ModelRegistry",
+        spark: SparkSession,
+        current: str,
+        batch_start=None,
+        batch_end=None,
+    ):
         self._registry = registry
         self.spark = spark
         self._current = current
+        self.batch_start = batch_start
+        self.batch_end = batch_end
 
     def source(self, name: str) -> DataFrame:
         """Resolve a declared external source (reference `source()` macro)."""
@@ -174,6 +189,68 @@ class ModelRegistry:
                 df.createOrReplaceTempView(name)
             self._cache[name] = df
             out[name] = df
+        return out
+
+    def run_microbatch(
+        self,
+        spark: SparkSession,
+        name: str,
+        start,
+        end,
+        batch_days: int = 1,
+    ) -> DataFrame:
+        """dbt-1.9-style microbatch incremental run: split ``[start, end)``
+        into ``batch_days`` windows, build the model once per window with
+        ``ctx.batch_start``/``ctx.batch_end`` set, and replace exactly that
+        window's partitions via dynamic partition overwrite.
+
+        Why it scales: each window's build reads only its slice (the model
+        filters sources on the event-time bounds → partition-pruned scans),
+        writes only its partitions, and is IDEMPOTENT — re-running a window
+        (late data, code fix) replaces it without touching neighbors. A
+        backfill is just a wider [start, end); no state beyond the table.
+
+        The model must be ``materialized='incremental'`` with
+        ``incremental_strategy='insert_overwrite'`` and a ``partition_by``
+        that derives from the event time (the window↔partition contract).
+        """
+        import datetime as _dt
+
+        spec = self._models[name]
+        if spec.incremental_strategy != "insert_overwrite" or not spec.partition_by:
+            raise ValueError(
+                f"microbatch model {name} requires "
+                "incremental_strategy='insert_overwrite' with partition_by"
+            )
+        step = _dt.timedelta(days=batch_days)
+        cur = start
+        out = None
+        while cur < end:
+            nxt = min(cur + step, end)
+            ctx = RunContext(self, spark, name, batch_start=cur, batch_end=nxt)
+            df = spec.fn(ctx)
+            if not spark.catalog.tableExists(name):
+                from data_etl_with_dbt_spark.sources.io import write_table
+
+                write_table(df, name, mode="overwrite", partition_by=spec.partition_by)
+            else:
+                df = self._reconcile_schema(spark, spec, df)
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "STATIC"
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "DYNAMIC"
+                )
+                try:
+                    aligned = df.select(*spark.table(name).columns)
+                    aligned.write.mode("overwrite").insertInto(name)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
+            cur = nxt
+        out = spark.table(name)
+        self._cache[name] = out
         return out
 
     def _materialize_incremental(self, spark: SparkSession, spec: ModelSpec, df: DataFrame) -> DataFrame:

@@ -542,3 +542,81 @@ class TestAdditiveIncremental:
 
         with pytest.raises(ValueError, match="additive_cols"):
             reg.run(spark)  # validated eagerly, before any materialization
+
+
+class TestMicrobatch:
+    """dbt-1.9-style microbatch: per-window builds replace exactly their
+    partitions; reruns are idempotent; late data lands via window rerun."""
+
+    def _registry(self, spark, rows_holder):
+        import datetime as dt
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+        reg.add_source(
+            "raw_ev",
+            lambda s: s.createDataFrame(
+                rows_holder["rows"], "ev_id long, ev_ts timestamp, amount long"
+            ),
+        )
+
+        @reg.model(
+            name="daily_events",
+            materialized="incremental",
+            incremental_strategy="insert_overwrite",
+            partition_by=["ev_date"],
+        )
+        def daily_events(ctx):
+            src = ctx.source("raw_ev")
+            if ctx.batch_start is not None:
+                src = src.where(
+                    (F.col("ev_ts") >= F.lit(ctx.batch_start))
+                    & (F.col("ev_ts") < F.lit(ctx.batch_end))
+                )
+            return src.withColumn("ev_date", F.to_date("ev_ts"))
+
+        return reg
+
+    def test_windows_build_and_rerun_idempotently(self, spark):
+        import datetime as dt
+
+        d = lambda day, h: dt.datetime(2024, 3, day, h)
+        rows = {
+            "rows": [
+                (1, d(1, 9), 10), (2, d(1, 15), 20),
+                (3, d(2, 9), 30), (4, d(3, 9), 40),
+            ]
+        }
+        reg = self._registry(spark, rows)
+        reg.run_microbatch(
+            spark, "daily_events", dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 4)
+        )
+        got = {r.ev_id for r in spark.table("daily_events").collect()}
+        assert got == {1, 2, 3, 4}
+
+        # late event for day 2 arrives; rerun ONLY that window
+        rows["rows"] = rows["rows"] + [(5, d(2, 23), 50)]
+        reg.run_microbatch(
+            spark, "daily_events", dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 3)
+        )
+        after = {r.ev_id for r in spark.table("daily_events").collect()}
+        assert after == {1, 2, 3, 4, 5}
+        # day-1/day-3 partitions untouched, day-2 replaced not duplicated
+        assert spark.table("daily_events").where("ev_date = '2024-03-02'").count() == 2
+        spark.sql("DROP TABLE IF EXISTS daily_events")
+
+    def test_microbatch_requires_insert_overwrite(self, spark):
+        import datetime as dt
+        import pytest
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+
+        @reg.model(name="not_mb", materialized="incremental", unique_key="k")
+        def not_mb(ctx):
+            return ctx.spark.range(1).select(F.col("id").alias("k"))
+
+        with pytest.raises(ValueError, match="insert_overwrite"):
+            reg.run_microbatch(
+                spark, "not_mb", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+            )
