@@ -75,8 +75,12 @@ def apply_schema_config(registry: ModelRegistry, config: dict) -> int:
                     raise KeyError(
                         f"unknown test {test_name!r}; register it with register_test()"
                     )
+                params = dict(params or {})
+                # dbt nests severity/store_failures under config:; flatten
+                # so they reach run_test alongside the test's own params
+                params.update(params.pop("config", {}))
                 registry.add_test(
-                    model["name"], TEST_REGISTRY[test_name], column["name"], **(params or {})
+                    model["name"], TEST_REGISTRY[test_name], column["name"], **params
                 )
                 n += 1
     return n

@@ -28,6 +28,16 @@ class TestResult:
     test: str
     passed: bool
     violations: DataFrame  # lazy; .count() it only if you need the number
+    #: dbt severity: a failing 'warn' test reports but does not gate the run
+    severity: str = "error"
+    #: set when store_failures persisted the violation rows
+    failures_table: str | None = None
+
+    @property
+    def blocking(self) -> bool:
+        """True only for a FAILING test at severity 'error' — the dbt gate:
+        warn-severity failures surface in reports but never stop a run."""
+        return (not self.passed) and self.severity == "error"
 
 
 def not_null(df: DataFrame, column: str) -> DataFrame:
@@ -70,12 +80,72 @@ def relationships(df: DataFrame, column: str, to: DataFrame, field: str) -> Data
     )
 
 
-def run_test(test_fn, df: DataFrame, column: str, model: str = "", **kwargs) -> TestResult:
+def run_test(
+    test_fn,
+    df: DataFrame,
+    column: str,
+    model: str = "",
+    severity: str = "error",
+    store_failures: bool = False,
+    **kwargs,
+) -> TestResult:
+    """Run one test. dbt-parity knobs:
+
+    * ``severity='warn'`` — a failure reports (``passed=False``) but
+      ``blocking`` stays False, so orchestration continues (dbt severity).
+    * ``store_failures=True`` — persist the violation rows to an audit
+      table ``dq_failures__<model>__<test>__<column>`` (dbt
+      store_failures); written ONLY when the test fails, so the passing
+      path still costs one ``limit(1)`` probe.
+    """
+    if severity not in ("error", "warn"):
+        raise ValueError(f"severity must be 'error' or 'warn', got {severity!r}")
     violations = test_fn(df, column, **kwargs)
+    passed = violations.limit(1).isEmpty()
+    failures_table = None
+    if store_failures and not passed:
+        from data_etl_with_dbt_spark.sources.io import write_table
+
+        safe = lambda x: "".join(ch if ch.isalnum() else "_" for ch in x)
+        failures_table = (
+            f"dq_failures__{safe(model or 'adhoc')}__"
+            f"{safe(test_fn.__name__)}__{safe(column)}"
+        )
+        write_table(violations, failures_table, mode="overwrite")
     return TestResult(
         model=model,
         column=column,
         test=test_fn.__name__,
-        passed=violations.limit(1).isEmpty(),
+        passed=passed,
         violations=violations,
+        severity=severity,
+        failures_table=failures_table,
     )
+
+
+def check_source_freshness(
+    df: DataFrame,
+    loaded_at_col: str,
+    warn_after_minutes: float,
+    error_after_minutes: float,
+    now=None,
+) -> dict:
+    """dbt source-freshness check: age of ``max(loaded_at)`` against
+    warn/error thresholds → status 'pass' | 'warn' | 'error' (an empty
+    source is 'error' — no data is the stalest possible state). The scan is
+    a single MAX aggregate — at scale parquet footer stats answer it
+    without reading data pages. ``now`` is injectable for determinism."""
+    import datetime as _dt
+
+    row = df.agg(F.max(loaded_at_col).alias("m")).first()
+    max_loaded = row["m"]
+    ref = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    if max_loaded is None:
+        return {"status": "error", "max_loaded_at": None, "age_minutes": None}
+    age = (ref - max_loaded).total_seconds() / 60.0
+    status = (
+        "error" if age >= error_after_minutes
+        else "warn" if age >= warn_after_minutes
+        else "pass"
+    )
+    return {"status": status, "max_loaded_at": max_loaded, "age_minutes": age}

@@ -307,3 +307,96 @@ class TestObservedWrite:
         assert got["n_rows"] == 50
         assert got["nulls_id"] == 0
         assert got["nulls_always_null"] == 50
+
+
+class TestSeverityAndFailures:
+    """dbt test-protocol completeness: warn severity never blocks,
+    store_failures persists violation rows, freshness grades source age."""
+
+    def test_warn_severity_reports_but_does_not_block(self, spark):
+        from data_etl_with_dbt_spark.plans import dq
+
+        df = spark.createDataFrame([(1,), (None,), (3,)], "v int")
+        err = dq.run_test(dq.not_null, df, "v")
+        warn = dq.run_test(dq.not_null, df, "v", severity="warn")
+        assert not err.passed and err.blocking
+        assert not warn.passed and not warn.blocking
+        clean = dq.run_test(dq.not_null, df.where("v IS NOT NULL"), "v")
+        assert clean.passed and not clean.blocking
+        import pytest
+        with pytest.raises(ValueError, match="severity"):
+            dq.run_test(dq.not_null, df, "v", severity="fatal")
+
+    def test_store_failures_persists_violations(self, spark):
+        from data_etl_with_dbt_spark.plans import dq
+
+        df = spark.createDataFrame([(1,), (-5,), (-7,)], "amount int")
+        r = dq.run_test(dq.positive, df, "amount", model="m1", store_failures=True)
+        assert not r.passed
+        assert r.failures_table == "dq_failures__m1__positive__amount"
+        stored = spark.table(r.failures_table)
+        assert sorted(x.amount for x in stored.collect()) == [-7, -5]
+        # passing test never writes a table
+        ok = dq.run_test(
+            dq.positive, df.where("amount > 0"), "amount",
+            model="m1", store_failures=True,
+        )
+        assert ok.passed and ok.failures_table is None
+        spark.sql(f"DROP TABLE IF EXISTS {r.failures_table}")
+
+    def test_schema_config_flattens_dbt_config_block(self, spark):
+        from data_etl_with_dbt_spark.plans.config import apply_schema_config
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+
+        @reg.model(name="cfg_model")
+        def cfg_model(ctx):
+            return ctx.spark.createDataFrame([(None,)], "v int")
+
+        apply_schema_config(
+            reg,
+            {
+                "models": [
+                    {
+                        "name": "cfg_model",
+                        "columns": [
+                            {
+                                "name": "v",
+                                "tests": [
+                                    {"not_null": {"config": {"severity": "warn"}}}
+                                ],
+                            }
+                        ],
+                    }
+                ]
+            },
+        )
+        reg.run(spark)
+        results = reg.test(spark)
+        assert len(results) == 1
+        assert not results[0].passed and results[0].severity == "warn"
+        assert not results[0].blocking
+
+    def test_source_freshness_statuses(self, spark):
+        import datetime as dt
+        from data_etl_with_dbt_spark.plans.dq import check_source_freshness
+
+        now = dt.datetime(2024, 6, 1, 12, 0, 0)
+        mk = lambda ts: spark.createDataFrame([(ts,)], "loaded_at timestamp")
+        fresh = check_source_freshness(
+            mk(now - dt.timedelta(minutes=5)), "loaded_at", 30, 120, now=now
+        )
+        assert fresh["status"] == "pass"
+        stale = check_source_freshness(
+            mk(now - dt.timedelta(minutes=45)), "loaded_at", 30, 120, now=now
+        )
+        assert stale["status"] == "warn" and abs(stale["age_minutes"] - 45) < 1e-6
+        dead = check_source_freshness(
+            mk(now - dt.timedelta(hours=3)), "loaded_at", 30, 120, now=now
+        )
+        assert dead["status"] == "error"
+        empty = check_source_freshness(
+            mk(now).where("1=0"), "loaded_at", 30, 120, now=now
+        )
+        assert empty["status"] == "error" and empty["max_loaded_at"] is None
