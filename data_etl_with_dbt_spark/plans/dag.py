@@ -89,6 +89,7 @@ class ModelRegistry:
         self._models: dict[str, ModelSpec] = {}
         self._deps: dict[str, set[str]] = {}
         self._sources: dict[str, Callable[[SparkSession], DataFrame] | str] = {}
+        self._seeds: dict[str, tuple[str, object]] = {}
         self._cache: dict[str, DataFrame] = {}
         #: per-model one-pass write metrics from the latest run() —
         #: n_rows + nulls_<col>, observed on the write job itself
@@ -133,6 +134,13 @@ class ModelRegistry:
 
         return deco
 
+    def add_seed(self, name: str, csv_path: str, schema=None) -> None:
+        """Register a dbt-style seed: a small CSV materialized as a table at
+        the START of every run (reference lookup data — mappings, rates,
+        enum tables). Seeds load before any model, so models ref() them
+        like any table; pass ``schema`` to skip the inference pass."""
+        self._seeds[name] = (csv_path, schema)
+
     def add_test(self, model_name: str, test_fn, column: str, **kwargs) -> None:
         self._models[model_name].tests.append((test_fn, column, kwargs))
 
@@ -170,6 +178,13 @@ class ModelRegistry:
         ``self.run_metrics[name]`` for the monitor / DQ triage.
         """
         out: dict[str, DataFrame] = {}
+        for seed_name, (csv_path, schema) in self._seeds.items():
+            from data_etl_with_dbt_spark.sources.io import read_csv, write_table
+
+            seed_df = read_csv(spark, csv_path, schema=schema)
+            write_table(seed_df, seed_name, mode="overwrite")
+            self._cache[seed_name] = spark.table(seed_name)
+            out[seed_name] = self._cache[seed_name]
         for name in self.topo_order():
             if select and name not in select and not self._is_upstream_of_any(name, select):
                 continue

@@ -8,6 +8,7 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from data_etl_with_dbt_spark.models.taxi import FINAL_COLUMNS, build_core_taxi, register_taxi_models
 from data_etl_with_dbt_spark.plans.dag import ModelRegistry
@@ -256,3 +257,25 @@ def test_corpus_pipeline_example_runs(spark, tmp_path, monkeypatch, capsys):
     packed = spark.read.parquet(str(tmp_path / "corpus_shards"))
     assert packed.count() > 0
     assert "seq_id" in packed.columns
+
+
+def test_seeds_materialize_before_models(spark, tmp_path):
+    """dbt seeds: a registered CSV materializes as a table at run start and
+    is ref()-able from models like any other relation."""
+    from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+    seed_csv = tmp_path / "rate_codes.csv"
+    seed_csv.write_text("rate_code_id,description\n1,standard\n2,jfk\n3,newark\n")
+
+    reg = ModelRegistry()
+    reg.add_seed("rate_codes", str(seed_csv))
+
+    @reg.model(name="rates_used", deps=["rate_codes"])
+    def rates_used(ctx):
+        return ctx.ref("rate_codes").where(F.col("rate_code_id") >= 2)
+
+    out = reg.run(spark)
+    assert set(out) >= {"rate_codes", "rates_used"}
+    assert spark.table("rate_codes").count() == 3
+    assert {r.description for r in out["rates_used"].collect()} == {"jfk", "newark"}
+    spark.sql("DROP TABLE IF EXISTS rate_codes")
