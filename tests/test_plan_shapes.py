@@ -253,3 +253,47 @@ def test_lint_flags_unpushed_parquet_filter(spark):
     assert "unpushed-filter" in codes
     good = li.where(F.col("l_orderkey") > 100)
     assert "unpushed-filter" not in {f.code for f in lint.lint_plan(good)}
+
+
+def test_registry_wide_lint_sweep_matches_triage(spark):
+    """Regression net: lint EVERY registry query plan; the only findings
+    allowed are the triaged, intended ones (BENCH_NOTES session-5 sweep).
+    A new query or a plan regression that introduces a cartesian join,
+    Python eval, a data-path single-partition exchange, or an unpushed
+    filter fails here with its name and finding."""
+    from data_etl_with_dbt_spark.plans import lint
+    from data_etl_with_dbt_spark.suite import QUERIES
+
+    TRIAGED = {
+        # crossJoin(broadcast(<1-row scalar agg>)) — the sanctioned pattern
+        "ann_cosine_topk": {"cartesian"},
+        "cte_above_average_customers": {"cartesian"},
+        "funnel_view_click_purchase": {"cartesian"},
+        "histogram_totalprice": {"cartesian"},
+        "mixture_temperature_sample": {"cartesian"},
+        "q11_important_parts": {"cartesian"},
+        "q22_inactive_customers": {"cartesian"},
+        "skew_stats_orders": {"cartesian"},
+        "tfidf_top_terms": {"cartesian"},
+        "vocab_coverage_topk": {"cartesian"},
+        # filters over derived expressions — nothing pushable exists
+        "decontaminate_ngram_overlap": {"unpushed-filter"},
+        "dedup_incremental_minhash": {"unpushed-filter"},
+        "dedup_simhash_pairs": {"unpushed-filter"},
+        "embedding_centroid_outliers": {"unpushed-filter"},
+        "embedding_int8_quantize": {"unpushed-filter"},
+        "ngram_jaccard_pairs": {"unpushed-filter"},
+        "stratified_sample_documents": {"unpushed-filter"},
+        # the one sanctioned Arrow-batched Python stage
+        "embedding_near_dup": {"python-eval"},
+        # 32-row bucket-offsets metadata frame (data path proven elsewhere)
+        "global_row_index": {"single-partition"},
+    }
+    unexpected = {}
+    for name, q in sorted(QUERIES.items()):
+        findings = {f.code for f in lint.lint_plan(q.fn(spark, SF_DIR))}
+        allowed = TRIAGED.get(name, set())
+        extra = findings - allowed
+        if extra:
+            unexpected[name] = sorted(extra)
+    assert not unexpected, f"untriaged lint findings: {unexpected}"
