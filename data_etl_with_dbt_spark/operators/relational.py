@@ -380,3 +380,27 @@ def skew_stats(
             ).alias("suggested_salt"),
         )
     )
+
+
+def additive_merge(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Rollup-merge kernel: sum ``sum_cols`` per ``keys`` across the
+    existing snapshot and a delta; non-measure attributes resolve by
+    deterministic max. One union + one map-side-combined groupBy — the
+    fact table behind the snapshot is never rescanned. Shared by the DAG's
+    'additive' incremental strategy and the streaming rollup sink."""
+    cols = existing.columns
+    passthrough = [c for c in cols if c not in keys and c not in sum_cols]
+    return (
+        existing.unionByName(delta.select(*cols))
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            *[F.max(c).alias(c) for c in passthrough],
+        )
+        .select(*cols)
+    )

@@ -326,26 +326,13 @@ class ModelRegistry:
             merged = keep.unionByName(df).localCheckpoint(eager=True)
             write_table(merged, spec.name, mode="overwrite", partition_by=spec.partition_by)
         elif strategy == "additive":
-            from pyspark.sql import functions as F
+            from data_etl_with_dbt_spark.operators.relational import additive_merge
 
             existing = spark.table(spec.name)
             keys = [spec.unique_key] if isinstance(spec.unique_key, str) else list(spec.unique_key)
-            passthrough = [
-                c for c in existing.columns
-                if c not in keys and c not in spec.additive_cols
-            ]
-            merged = (
-                existing.unionByName(df.select(*existing.columns))
-                .groupBy(*keys)
-                .agg(
-                    *[F.sum(c).alias(c) for c in spec.additive_cols],
-                    # non-measure attributes: latest build wins via max —
-                    # deterministic for stable attributes, documented
-                    *[F.max(c).alias(c) for c in passthrough],
-                )
-                .select(*existing.columns)
-                .localCheckpoint(eager=True)
-            )
+            merged = additive_merge(
+                existing, df, keys, spec.additive_cols
+            ).localCheckpoint(eager=True)
             write_table(merged, spec.name, mode="overwrite", partition_by=spec.partition_by)
         elif strategy == "insert_overwrite":
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")

@@ -150,3 +150,48 @@ def minhash_intake_sink(
         verdicts.unpersist()
 
     return process
+
+
+def additive_rollup_sink(
+    rollup_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    pre_aggregate=None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining an additive rollup table: each
+    micro-batch pre-aggregates (map-side, batch-sized) and merges into the
+    persisted snapshot via :func:`operators.relational.additive_merge` —
+    streaming metric maintenance where state lives in the TABLE, not in
+    stream state (no watermark bound on key cardinality, restarts are free,
+    and the table is queryable mid-stream).
+
+    ``pre_aggregate`` maps a raw batch to delta rows ``keys + sum_cols``;
+    default groups the batch by ``keys`` summing ``sum_cols``. The rewrite
+    cost per batch is the rollup size (keys), never the stream history —
+    at warehouse scale back it with a transactional table + partition_by
+    so the overwrite is atomic; the plain-parquet form mirrors the
+    engine's other foreachBatch sinks.
+    """
+    from ..operators.relational import additive_merge
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if pre_aggregate is not None:
+            delta = pre_aggregate(batch)
+        else:
+            delta = batch.groupBy(*keys).agg(
+                *[F.sum(c).alias(c) for c in sum_cols]
+            )
+        try:
+            existing = spark.read.parquet(rollup_path)
+        except Exception:
+            existing = None
+        if existing is None:
+            merged = delta.select(*keys, *sum_cols)
+        else:
+            merged = additive_merge(existing, delta, keys, sum_cols)
+        # materialize before overwriting the path the lineage reads
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(rollup_path)
+
+    return process

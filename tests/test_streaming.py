@@ -428,3 +428,48 @@ def test_quality_gated_intake(spark, tmp_path):
     rejects = spark.read.parquet(str(tmp_path / "qrejects")).collect()
     assert sorted(r.doc_id for r in rejects) == [101, 201]
     assert all(r.quality_prob < 0.5 for r in rejects)
+
+
+def test_additive_rollup_sink_matches_batch_aggregate(spark, tmp_path):
+    """Streaming rollup maintenance: after N micro-batches the rollup table
+    equals one batch aggregate over all input — state lives in the table,
+    so restarts/readers need no stream state."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.streaming.intake import additive_rollup_sink
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "region string, amount long").coalesce(1)
+
+    mk([("us", 10), ("eu", 5), ("us", 1)]).write.parquet(str(src / "f0"))
+    mk([("us", 2), ("ap", 7)]).write.parquet(str(src / "f1"))
+    mk([("eu", 3), ("ap", 1), ("us", 4)]).write.parquet(str(src / "f2"))
+    now = _time.time()
+    for i, d in enumerate(("f0", "f1", "f2")):
+        for f in _glob.glob(str(src / d / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    sink = additive_rollup_sink(
+        str(tmp_path / "rollup"), keys=["region"], sum_cols=["amount"]
+    )
+    q = (
+        spark.readStream.schema("region string, amount long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "roll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.region: r.amount
+        for r in spark.read.parquet(str(tmp_path / "rollup")).collect()
+    }
+    assert got == {"us": 17, "eu": 8, "ap": 8}
