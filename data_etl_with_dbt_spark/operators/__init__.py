@@ -1,4 +1,5 @@
 from data_etl_with_dbt_spark.operators.relational import (  # noqa: F401
+    additive_merge,
     apply_cdc,
     asof_join,
     fuzzy_pairs,

@@ -429,7 +429,8 @@ class ModelRegistry:
             k: v
             for k, v in cfg.items()
             if k in ("materialized", "unique_key", "incremental_strategy",
-                     "partition_by", "on_schema_change", "description")
+                     "partition_by", "on_schema_change", "description",
+                     "additive_cols")
         }
         unknown = set(cfg) - set(spec_kwargs)
         if unknown:

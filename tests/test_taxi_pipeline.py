@@ -279,3 +279,28 @@ def test_seeds_materialize_before_models(spark, tmp_path):
     assert spark.table("rate_codes").count() == 3
     assert {r.description for r in out["rates_used"].collect()} == {"jfk", "newark"}
     spark.sql("DROP TABLE IF EXISTS rate_codes")
+
+
+def test_sql_model_additive_config(spark):
+    """SQL-text models accept the additive strategy through config()."""
+    from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+    reg = ModelRegistry()
+    state = {"i": 0}
+    batches = [[("a", 10)], [("a", 5), ("b", 2)]]
+    reg.add_source(
+        "delta_src",
+        lambda s: s.createDataFrame(batches[state["i"]], "k string, v long"),
+    )
+    reg.sql_model(
+        "sql_rollup",
+        """{{ config(materialized='incremental', incremental_strategy='additive',
+                     unique_key='k', additive_cols=['v']) }}
+           SELECT k, v FROM {{ source('delta_src') }}""",
+    )
+    reg.run(spark)
+    state["i"] = 1
+    reg.run(spark)
+    rows = {r.k: r.v for r in spark.table("sql_rollup").collect()}
+    assert rows == {"a": 15, "b": 2}
+    spark.sql("DROP TABLE IF EXISTS sql_rollup")
