@@ -126,11 +126,13 @@ def minhash_intake_sink(
             threshold=threshold,
             shuffle_parallelism=shuffle_parallelism,
             signature_impl=signature_impl,
-        ).persist()
-        # Materialize the verdicts BEFORE appending to the index directory:
-        # the lineage reads index_path, and Spark must not see the files this
-        # batch is about to add.
-        verdicts.count()
+        )
+        # Cut the lineage BEFORE appending to the index directory: the plan
+        # reads index_path, and ANY recompute after the append (task retry,
+        # cache eviction — persist().count() is not enough, it caches but
+        # keeps the lineage) would see the batch's own just-written
+        # signatures and flag every survivor as its own duplicate.
+        verdicts = verdicts.localCheckpoint(eager=True)
 
         survivors = verdicts.where(F.col("dup_of").isNull())
         batch.join(survivors.select(id_col), on=id_col, how="left_semi").write.mode(
@@ -147,7 +149,6 @@ def minhash_intake_sink(
                 F.col("dup_source"),
                 F.lit(batch_id).alias("batch_id"),
             ).write.mode("append").parquet(dup_ledger_path)
-        verdicts.unpersist()
 
     return process
 

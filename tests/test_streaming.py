@@ -473,3 +473,23 @@ def test_additive_rollup_sink_matches_batch_aggregate(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "rollup")).collect()
     }
     assert got == {"us": 17, "eu": 8, "ap": 8}
+
+
+def test_streaming_intake_example_runs(spark, tmp_path, monkeypatch, capsys):
+    """The streaming-intake example runs end to end and its funnel balances:
+    corpus + quality rejects + distinct dup docs == streamed input."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "streaming_intake",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "streaming_intake.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.chdir(tmp_path)
+    mod.main(str(tmp_path / "wd"))  # asserts the funnel internally
+    out = capsys.readouterr().out
+    assert "kept in corpus" in out and "per-source intake rollup" in out
