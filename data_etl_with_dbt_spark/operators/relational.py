@@ -404,3 +404,31 @@ def additive_merge(
         )
         .select(*cols)
     )
+
+
+def auto_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    top_k: int = 5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Self-tuning skew join: measure the left side's key skew
+    (:func:`skew_stats` — one map-side-combined count over the join key)
+    and pick the salt from the measurement — max suggested_salt across the
+    heavy hitters. No skew (every suggestion = 1) → a plain join, zero
+    overhead beyond the key-count pass; skew → :func:`salted_join` sized so
+    the hottest key's largest salted slice is ~one average partition.
+
+    The measurement collects ``top_k`` rows (a few hundred bytes); the
+    decision is driver-side but the data path stays fully distributed. At
+    100 TB the key-count pass reads ONE column and combines before the
+    shuffle — cheap insurance compared to a stalled hot-key reducer; skip
+    it and call salted_join directly when the skew is already known.
+    """
+    stats = skew_stats(left.select(on), [on], top_k=top_k, parallelism=parallelism)
+    salt = max((r["suggested_salt"] for r in stats.collect()), default=1)
+    if salt <= 1:
+        return left.join(right, on=on, how=how)
+    return salted_join(left, right, on=on, salt_buckets=int(salt), how=how)

@@ -620,3 +620,31 @@ class TestMicrobatch:
             reg.run_microbatch(
                 spark, "not_mb", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
             )
+
+
+class TestAutoSaltedJoin:
+    def test_skewed_input_salts_and_matches_plain_join(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import auto_salted_join
+
+        # key 0 holds 60% of 6000 rows -> salting kicks in
+        left = spark.range(6000).select(
+            F.when(F.col("id") < 3600, 0).otherwise(F.col("id") % 50).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        out = auto_salted_join(left, right, "k", parallelism=32)
+        expected = left.join(right, "k")
+        assert out.count() == expected.count()
+        assert out.orderBy("v").collect() == expected.orderBy("v").collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" not in out.columns and "xxhash64" in plan  # salted path
+
+    def test_uniform_input_takes_plain_join(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import auto_salted_join
+
+        left = spark.range(5000).select((F.col("id") % 1000).alias("k"), F.col("id").alias("v"))
+        right = spark.range(1000).select(F.col("id").alias("k"))
+        out = auto_salted_join(left, right, "k", parallelism=32)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" not in plan  # no salting machinery on uniform keys
+        assert out.count() == 5000
