@@ -1,0 +1,86 @@
+"""Audit the driver-window rotation (see __spark_entry__.py tier comments).
+
+The rotation is only defensible if (a) the tiers partition the registry
+exactly, (b) nothing is ever rotated OUT of the window without a green
+driver row in some CORRECTNESS_r*.json, and (c) the window holds exactly 50
+oracle-bearing entries inserted first. These tests pin all three, so any
+future re-tiering that hides an unverified or failing query breaks CI.
+"""
+
+from __future__ import annotations
+
+import importlib
+import itertools
+
+import __spark_entry__ as entry_mod
+from data_etl_with_dbt_spark.suite import QUERIES
+from tools.rotate_window import verified_from_correctness
+
+
+def test_tiers_partition_registry():
+    tiers = [
+        entry_mod.WINDOW,
+        entry_mod.ZQ_QUEUED,
+        entry_mod.ZV_VERIFIED,
+        entry_mod.ZR_ROWS_ONLY,
+    ]
+    names = list(itertools.chain.from_iterable(tiers))
+    assert len(names) == len(set(names)), "a query appears in two tiers"
+    assert set(names) == set(QUERIES), (
+        "tiers must cover the registry exactly; untiered: "
+        f"{sorted(set(QUERIES) - set(names))}, stale: "
+        f"{sorted(set(names) - set(QUERIES))}"
+    )
+
+
+def test_rotated_out_only_while_green():
+    """Every ZV_VERIFIED name has a hash_match=true driver row on record."""
+    green = verified_from_correctness()
+    not_green = sorted(set(entry_mod.ZV_VERIFIED) - green)
+    assert not not_green, (
+        f"rotated out of the window without a green driver row: {not_green}"
+    )
+
+
+def test_window_is_full_and_oracle_bearing():
+    assert len(entry_mod.WINDOW) == 50
+    missing_oracle = [n for n in entry_mod.WINDOW if not QUERIES[n].oracle]
+    assert not missing_oracle, (
+        f"window slots wasted on rows-only entries: {missing_oracle}"
+    )
+
+
+def test_rows_only_tier_matches_registry():
+    expected = {n for n, q in QUERIES.items() if not q.oracle}
+    assert set(entry_mod.ZR_ROWS_ONLY) == expected
+
+
+def test_insertion_order_window_first():
+    """queries() must yield the window in positions 1-50, rows-only last."""
+    names = [entry_mod.exposed_name(n) for n in entry_mod.ordered_names()]
+    q = entry_mod.queries()
+    assert list(q) == names
+    assert [n for n in list(q)[:50]] == entry_mod.WINDOW  # bare names, no prefix
+    n_rows_only = len(entry_mod.ZR_ROWS_ONLY)
+    assert all(n.startswith("zr_") for n in list(q)[-n_rows_only:])
+
+
+def test_exposed_prefix_agrees_with_insertion_order():
+    """Belt-and-braces: if the driver sorted by exposed name instead, the
+    window SET would be unchanged (bare < zq_ < zr_ < zv_)."""
+    q = entry_mod.queries()
+    by_name = sorted(q)
+    assert set(by_name[:50]) == set(list(q)[:50])
+
+
+def test_oracle_sql_keys_subset_of_queries():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    # every window entry must carry an oracle — that's the whole point
+    assert all(n in o for n in list(q)[:50])
+
+
+def test_reimport_stable():
+    importlib.reload(entry_mod)
+    assert len(entry_mod.queries()) == len(QUERIES)
