@@ -2,6 +2,7 @@ from data_etl_with_dbt_spark.operators.relational import (  # noqa: F401
     additive_merge,
     apply_cdc,
     asof_join,
+    auto_salted_join,
     fuzzy_pairs,
     global_row_index,
     per_key_cap,

@@ -466,9 +466,15 @@ def centroid_outliers(
 
     Plan: posexplode to (id, label, dim, x) — D×N rows, embarrassingly
     parallel; per-(label, dim) centroid via map-side-combined avg (D×labels
-    rows, broadcast back); per-vector distance re-aggregates on the id. Two
-    shuffles total, both map-side combined; the centroid table is KB-scale
-    at any corpus size.
+    rows, checkpointed then broadcast back); per-vector distance
+    re-aggregates on the id. Two shuffles total, both map-side combined;
+    the centroid table is KB-scale at any corpus size. The exploded
+    relation is scanned twice (once per aggregation granularity) — the
+    deliberate trade: a windowed single-scan formulation would shuffle the
+    FULL D×N relation instead of two map-side-combined partials, which is
+    far worse at corpus scale. Checkpointing the centroid table keeps the
+    second pass from re-running the centroid agg inside the broadcast
+    build (no cross-consumer CSE in Catalyst).
 
     Cross-engine determinism: centroids are DECIMAL(38,6)-quantized
     averages (davg rule); each per-dim squared deviation is cast to
@@ -483,7 +489,7 @@ def centroid_outliers(
     ).withColumn("x", F.col("x").cast("double"))
     cent = pos.groupBy(label_col, "dim").agg(
         F.avg("x").cast("decimal(38,6)").cast("double").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     dev = pos.join(F.broadcast(cent), [label_col, "dim"])
     dist = dev.groupBy(id_col, label_col).agg(
         F.sum(

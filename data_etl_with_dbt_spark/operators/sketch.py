@@ -111,7 +111,14 @@ def bloom_probe(
         ),
     )
     verdicts = tested.groupBy(key_col).agg(F.min("__bit_set").alias(result_col))
-    return df.join(verdicts, key_col, "left")
+    # NULL-keyed rows produce no probe row AND can't equi-join back, so the
+    # left join leaves their verdict NULL; a NULL key is definitely not a
+    # member of the reference set, so the verdict is firmly false — without
+    # this, bloom_decontaminate's where(~might_contain) would silently drop
+    # every NULL-keyed row.
+    return df.join(verdicts, key_col, "left").withColumn(
+        result_col, F.coalesce(F.col(result_col), F.lit(False))
+    )
 
 
 def bloom_decontaminate(

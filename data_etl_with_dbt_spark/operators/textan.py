@@ -391,7 +391,11 @@ def temperature_mixture_sample(
         w = F.sqrt(t_dbl)
     else:
         w = F.pow(t_dbl, F.lit(alpha))
-    totals = totals.withColumn("__w", w)
+    # totals is consumed twice (the __wsum agg and the rates join); Catalyst
+    # does not CSE shared subtrees across consumers, so without truncation
+    # the corpus-sized token-count agg would execute twice. It's one row per
+    # domain — checkpoint it (lazy: materializes on first use).
+    totals = totals.withColumn("__w", w).localCheckpoint(eager=False)
     # cross-row sum of doubles -> exact decimal accumulation (dsum rule)
     wsum = totals.agg(
         F.sum(F.col("__w").cast("decimal(18,6)")).cast("double").alias("__wsum")

@@ -135,14 +135,31 @@ def check_source_freshness(
     source is 'error' — no data is the stalest possible state). The scan is
     a single MAX aggregate — at scale parquet footer stats answer it
     without reading data pages. ``now`` is injectable for determinism."""
-    import datetime as _dt
-
-    row = df.agg(F.max(loaded_at_col).alias("m")).first()
-    max_loaded = row["m"]
-    ref = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-    if max_loaded is None:
-        return {"status": "error", "max_loaded_at": None, "age_minutes": None}
-    age = (ref - max_loaded).total_seconds() / 60.0
+    if now is None:
+        # Both clocks must come from the same engine: PySpark collects
+        # timestamps as naive datetimes in the DRIVER's local timezone, so
+        # comparing them against a Python-side UTC "now" skews the age by
+        # the UTC offset on any non-UTC driver. Compute the age entirely
+        # inside Spark instead (same session timezone on both operands).
+        row = df.agg(
+            F.max(loaded_at_col).alias("m"),
+            (
+                (
+                    F.unix_micros(F.current_timestamp())
+                    - F.unix_micros(F.max(loaded_at_col).cast("timestamp"))
+                )
+                / 60_000_000.0
+            ).alias("age"),
+        ).first()
+        max_loaded, age = row["m"], row["age"]
+        if max_loaded is None:
+            return {"status": "error", "max_loaded_at": None, "age_minutes": None}
+    else:
+        row = df.agg(F.max(loaded_at_col).alias("m")).first()
+        max_loaded = row["m"]
+        if max_loaded is None:
+            return {"status": "error", "max_loaded_at": None, "age_minutes": None}
+        age = (now - max_loaded).total_seconds() / 60.0
     status = (
         "error" if age >= error_after_minutes
         else "warn" if age >= warn_after_minutes

@@ -31,22 +31,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark.errors import AnalysisException
+
 from ..operators.dedup import incremental_minhash_dedup
+
+
+def _parquet_or_none(spark, path: str, schema: T.StructType | None = None):
+    """Read parquet at ``path``, or ``None`` if the path does not exist yet.
+
+    ONLY the path-missing condition means "first batch" — any other read
+    failure (IO error, permissions, corrupt footer) propagates so the
+    streaming micro-batch fails and retries. Swallowing those here is
+    destructive: a sink that treats a transient read error as "no prior
+    state" rebuilds its table from a single batch's delta.
+    """
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    try:
+        # parquet() lists files eagerly, so a missing path raises here
+        return reader.parquet(path)
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
 
 
 def _read_index(spark, index_path: str, id_type: T.DataType) -> DataFrame:
     """The signature store, or a typed empty frame before the first batch
-    commits (a file-listing miss, not an error, on a fresh checkpoint)."""
+    commits (a path-not-found miss, not an error, on a fresh checkpoint)."""
     schema = T.StructType(
         [
             T.StructField("doc_id", id_type),
             T.StructField("signature", T.ArrayType(T.LongType())),
         ]
     )
-    try:
-        return spark.read.schema(schema).parquet(index_path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+    existing = _parquet_or_none(spark, index_path, schema)
+    return existing if existing is not None else spark.createDataFrame([], schema)
 
 
 def minhash_intake_sink(
@@ -91,6 +111,7 @@ def minhash_intake_sink(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        scored = None
         if quality_model is not None:
             from ..ml.quality import score_quality
 
@@ -110,7 +131,9 @@ def minhash_intake_sink(
                 F.col("quality_prob") >= quality_threshold
             ).select(id_col)
             batch = batch.join(keep, on=id_col, how="left_semi")
-            scored.unpersist()
+            # scored stays cached until every downstream consumer of `batch`
+            # (corpus append, index append, dup ledger) has run — unpersisting
+            # here would re-execute the model transform per action.
         id_type = batch.schema[id_col].dataType
         index = _read_index(spark, index_path, id_type).withColumnRenamed(
             "doc_id", id_col
@@ -149,6 +172,8 @@ def minhash_intake_sink(
                 F.col("dup_source"),
                 F.lit(batch_id).alias("batch_id"),
             ).write.mode("append").parquet(dup_ledger_path)
+        if scored is not None:
+            scored.unpersist()
 
     return process
 
@@ -183,10 +208,11 @@ def additive_rollup_sink(
             delta = batch.groupBy(*keys).agg(
                 *[F.sum(c).alias(c) for c in sum_cols]
             )
-        try:
-            existing = spark.read.parquet(rollup_path)
-        except Exception:
-            existing = None
+        # first-batch detection must be precise: only path-not-found means
+        # "no snapshot yet"; any other failure propagates and the batch
+        # retries, because falling through would mode('overwrite') the
+        # accumulated rollup with just this batch's delta.
+        existing = _parquet_or_none(spark, rollup_path)
         if existing is None:
             merged = delta.select(*keys, *sum_cols)
         else:

@@ -48,3 +48,25 @@ def test_randomized_fpr_order_of_magnitude(spark):
     )
     fp = bloom_probe(others, "key", bloom, m, k).where("might_contain").count()
     assert fp / (3 * n) <= 5 * fpp, f"FPR {fp / (3 * n):.4f} vs design {fpp}"
+
+
+def test_null_keys_probe_false_and_survive_decontamination(spark):
+    """A NULL key can't be a member of the reference set: the probe must say
+    might_contain=false (not NULL), and decontamination must KEEP the row —
+    an equi-join verdict would leave it NULL and where(~NULL) drops it."""
+    from data_etl_with_dbt_spark.operators.sketch import bloom_decontaminate
+
+    ref = spark.createDataFrame([("bad-1",), ("bad-2",)], "k string")
+    docs = spark.createDataFrame(
+        [("bad-1",), ("clean-1",), (None,), (None,)], "k string"
+    )
+    m, k = bloom_parameters(16, 0.01)
+    probed = bloom_probe(docs, "k", bloom_build(ref, "k", m, k), m, k)
+    by_key = {}
+    for r in probed.collect():
+        by_key.setdefault(r["k"], []).append(r["might_contain"])
+    assert by_key[None] == [False, False]  # firm false, never NULL
+    assert by_key["bad-1"] == [True]
+    kept = {r["k"] for r in
+            bloom_decontaminate(docs, ref, "k", "k", 16).collect()}
+    assert None in kept and "clean-1" in kept and "bad-1" not in kept

@@ -400,3 +400,24 @@ class TestSeverityAndFailures:
             mk(now).where("1=0"), "loaded_at", 30, 120, now=now
         )
         assert empty["status"] == "error" and empty["max_loaded_at"] is None
+
+
+class TestFreshnessDefaultClock:
+    def test_default_now_computes_age_in_spark(self, spark):
+        """Without now=, the age must come from Spark's own clock pair
+        (current_timestamp vs max(loaded_at) in one agg) — a Python-side
+        UTC now vs a driver-local-tz collected timestamp skews the age by
+        the UTC offset on non-UTC drivers."""
+        from data_etl_with_dbt_spark.plans.dq import check_source_freshness
+
+        just_loaded = spark.range(3).select(
+            F.current_timestamp().alias("loaded_at")
+        )
+        out = check_source_freshness(just_loaded, "loaded_at", 30, 120)
+        assert out["status"] == "pass"
+        # freshly stamped rows: any tz-offset bug shows up as hours
+        assert 0 <= out["age_minutes"] < 5
+        empty = check_source_freshness(
+            just_loaded.where("1=0"), "loaded_at", 30, 120
+        )
+        assert empty["status"] == "error" and empty["age_minutes"] is None

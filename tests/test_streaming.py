@@ -493,3 +493,24 @@ def test_streaming_intake_example_runs(spark, tmp_path, monkeypatch, capsys):
     mod.main(str(tmp_path / "wd"))  # asserts the funnel internally
     out = capsys.readouterr().out
     assert "kept in corpus" in out and "per-source intake rollup" in out
+
+
+def test_parquet_or_none_distinguishes_missing_from_broken(spark, tmp_path):
+    """Only path-not-found means 'first batch'. A broken store must RAISE —
+    treating it as first-batch would let additive_rollup_sink overwrite the
+    accumulated snapshot with a single batch's delta."""
+    import pytest as _pytest
+
+    from data_etl_with_dbt_spark.streaming.intake import _parquet_or_none
+
+    missing = str(tmp_path / "never-written")
+    assert _parquet_or_none(spark, missing) is None
+
+    broken = tmp_path / "broken-store"
+    broken.mkdir()
+    (broken / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception):
+        df = _parquet_or_none(spark, str(broken))
+        # footer errors may surface at plan or execute time; force both
+        if df is not None:
+            df.collect()
