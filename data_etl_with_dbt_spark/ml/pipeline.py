@@ -79,13 +79,23 @@ def train_fare_model(
         labelCol=LABEL_COLUMN, predictionCol="prediction", metricName="mse"
     )
     mse = evaluator.evaluate(predictions)
+    # Both split sizes in ONE job: tag each cached half and count the union,
+    # instead of two separate count() actions.
+    side_counts = {
+        r["side"]: r["count"]
+        for r in train_df.select(F.lit("train").alias("side"))
+        .unionAll(test_df.select(F.lit("test").alias("side")))
+        .groupBy("side")
+        .count()
+        .collect()
+    }
     metrics = {
         "mse": mse,
         # sqrt of the evaluated MSE — identical to a second rmse evaluation
         # pass without re-scanning the predictions.
         "rmse": mse**0.5,
-        "n_train": train_df.count(),
-        "n_test": test_df.count(),
+        "n_train": side_counts.get("train", 0),
+        "n_test": side_counts.get("test", 0),
     }
     train_df.unpersist()
     test_df.unpersist()
