@@ -195,3 +195,66 @@ def error_click_attribution_stream(
         & (F.col("click_ts") >= F.col("error_ts") - F.expr(f"INTERVAL {max_lag}")),
         "inner",
     ).select("error_id", "user_id", "error_ts", "click_id", "click_ts")
+
+
+def core_transform_sink(state_path: str):
+    """``foreachBatch`` sink: the streaming form of the flagship
+    ``core_transform_events`` (reference ``core_texi.sql`` as an INCREMENTAL
+    materialization — new event files arrive, the transformed table stays
+    current).
+
+    Semantics — identical to the batch query at every point in time: the
+    sink maintains, per md5 surrogate key, the PROJECTED row with the
+    maximum ``(event_ts, event_id)`` seen across all batches (newest-wins
+    upsert). Per batch that is: project (shared expressions,
+    ``models/events.py``) → per-batch keep-newest → argmax-merge with the
+    persisted state → overwrite. The merge is associative and commutative,
+    so arrival order across micro-batches cannot change the result — a
+    strictly stronger guarantee than watermark-scoped keep-first dedup
+    (``dropDuplicatesWithinWatermark`` would keep the FIRST arrival per
+    key, which diverges from the batch query's newest-wins whenever an
+    older event arrives late; that is why this path does not use it).
+
+    State posture: like ``additive_rollup_sink``, state lives in the TABLE,
+    not in stream state — no watermark bound on key cardinality, restarts
+    are free, and the table is queryable mid-stream via
+    :func:`read_core_transform`. The per-batch rewrite cost is the state
+    table size (distinct keys), never the stream history; at warehouse
+    scale back it with a transactional table format whose MERGE touches
+    only changed key partitions.
+
+    The state table stores stage-1 PROJECTED rows, not finalized ones:
+    the batch query dedups BEFORE the positivity filter, so a key whose
+    newest record fails the filter must suppress older passing records —
+    only the pre-filter state preserves that. ``read_core_transform``
+    applies the shared finalize stage on read.
+    """
+    from ..models.events import dedup_newest, project_events
+    from .intake import _parquet_or_none
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch_best = dedup_newest(project_events(batch))
+        existing = _parquet_or_none(spark, state_path)
+        merged = (
+            dedup_newest(batch_best.unionByName(existing))
+            if existing is not None
+            else batch_best
+        )
+        # The plan reads state_path and then overwrites it: truncate the
+        # lineage first or a task retry after the delete recomputes from
+        # missing files (the engine's 4x-sighted read-then-write trap).
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    return process
+
+
+def read_core_transform(spark: SparkSession, state_path: str) -> DataFrame:
+    """The queryable flagship result at the stream's current state: shared
+    finalize stage (epoch math, CASE derivation, positivity filter) over
+    the newest-per-key projected state."""
+    from ..models.events import finalize_events
+
+    return finalize_events(spark.read.parquet(state_path))

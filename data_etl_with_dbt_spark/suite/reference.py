@@ -60,46 +60,12 @@ WHERE rn = 1
     bench=True,
 )
 def core_transform_events(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    base = F.lit("2024-01-01").cast("timestamp")
-    transformed = ev.where(F.col("ts").isNotNull()).select(
-        F.md5(F.concat(F.col("user_id").cast("string"), F.lit("-"), F.col("event_type"))).alias("unique_id"),
-        F.col("event_id"),
-        F.col("user_id"),
-        F.col("event_type"),
-        F.col("ts").alias("event_ts"),
-        F.col("value"),
-        F.get_json_object("props", "$.k").alias("prop_k"),
-    )
-    w = Window.partitionBy("unique_id").orderBy(F.desc("event_ts"), F.desc("event_id"))
-    deduped = (
-        transformed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    secs = epoch_diff_seconds(F.col("event_ts"), base)
-    return (
-        deduped.where(secs > 0)
-        .select(
-            "unique_id",
-            "event_id",
-            "user_id",
-            "event_type",
-            "event_ts",
-            "value",
-            big(F.col("prop_k")).alias("prop_k"),
-            # Raw doubles, deliberately unquantized: with matching expression
-            # trees ((Δµs)/1e6, then /60) the bits are identical across
-            # engines, whereas Spark's double→decimal cast rounds the
-            # *shortest repr* (HALF_UP) and DuckDB rounds the binary value —
-            # quantizing would CREATE mismatches on the µs grid.
-            (secs / 60).alias("minutes_since_start"),
-            F.when((F.col("value") > 0) & (secs > 0), F.col("value") / (secs / 3600))
-            .otherwise(F.lit(None))
-            .alias("value_per_hour"),
-            (F.col("value") > 10).alias("is_high_value"),
-        )
-    )
+    # Expression trees live in models/events.py, shared verbatim with the
+    # streaming upsert sink (streaming/pipeline.core_transform_sink) so the
+    # stream-vs-batch equivalence test runs the same columns.
+    from data_etl_with_dbt_spark.models.events import transform_events
+
+    return transform_events(load(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

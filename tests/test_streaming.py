@@ -514,3 +514,51 @@ def test_parquet_or_none_distinguishes_missing_from_broken(spark, tmp_path):
         # footer errors may surface at plan or execute time; force both
         if df is not None:
             df.collect()
+
+
+def test_core_transform_stream_matches_batch(spark, tmp_path):
+    """The flagship as an incremental streaming materialization: three
+    micro-batches through the newest-wins upsert sink must yield EXACTLY
+    the batch query's rows. Batches split by event_id % 3, so most
+    surrogate keys have records scattered across batches in arbitrary
+    event-time order — a keep-first-arrival dedup would diverge; only
+    newest-wins argmax matches the batch window dedup."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.models.events import transform_events
+    from data_etl_with_dbt_spark.sources.io import read_parquet
+    from data_etl_with_dbt_spark.streaming.pipeline import (
+        core_transform_sink,
+        read_core_transform,
+    )
+
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    now = _time.time()
+    for i in range(3):
+        for f in _glob.glob(str(src / f"b{i}" / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    state = str(tmp_path / "core_state")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+        .writeStream.foreachBatch(core_transform_sink(state))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in read_core_transform(spark, state).collect())
+    want = sorted(tuple(r) for r in transform_events(ev).collect())
+    assert len(want) > 0
+    assert got == want
