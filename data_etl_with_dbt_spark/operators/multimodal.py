@@ -174,6 +174,128 @@ def encode_ppm(rgb) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def decode_png(content: bytes):
+    """Dependency-free PNG decode (stdlib zlib + numpy): non-interlaced
+    8-bit gray / RGB / gray+alpha / RGBA, all five scanline filters
+    (None/Sub/Up/Average/Paeth). Returns an (H, W, C) uint8 array.
+
+    Palette (color type 3), 16-bit depth, and Adam7 interlace still raise
+    ``NotImplementedError`` — rare in training corpora and each would
+    triple the decoder for formats a real deployment handles with an
+    injected codec library anyway.
+    """
+    import zlib
+
+    import numpy as np
+
+    if content[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(content):
+        size = int.from_bytes(content[pos : pos + 4], "big")
+        ctype = content[pos + 4 : pos + 8]
+        if ctype == b"IHDR":
+            ihdr = content[pos + 8 : pos + 8 + size]
+        elif ctype == b"IDAT":
+            idat.append(content[pos + 8 : pos + 8 + size])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    channels = _PNG_CHANNELS.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB/GA/RGBA PNG supported "
+            f"(depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (1 + stride):
+        raise ValueError("PNG IDAT truncated")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)  # row above row 0 is implicit zeros
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        base = y * (1 + stride)
+        ft = raw[base]
+        cur = np.frombuffer(raw, np.uint8, stride, base + 1).copy()
+        if ft == 0:  # None
+            pass
+        elif ft == 2:  # Up — vectorized, uint8 addition wraps mod 256
+            cur += prev
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth are sequential in x
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + int(prev[x])) >> 1
+                else:
+                    b, c = int(prev[x]), int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, channels)
+
+
+def encode_png(img) -> bytes:
+    """Inverse of :func:`decode_png` (filter 0 scanlines, one zlib stream):
+    deterministic image fixtures without codec libraries. ``img`` is
+    (H, W) or (H, W, C) uint8 with C in {1, 2, 3, 4}."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    scanlines = b"".join(
+        b"\x00" + arr[y].tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _to_rgb3(arr):
+    """Normalize a decoded (H, W, C) image to 3 RGB channels for
+    ``image_features``: gray repeats, alpha drops."""
+    import numpy as np
+
+    if arr.shape[2] == 3:
+        return arr
+    if arr.shape[2] == 4:
+        return arr[:, :, :3]
+    return np.repeat(arr[:, :, :1], 3, axis=2)
+
+
 def decode_wav(content: bytes):
     """Dependency-free WAV decode (numpy): RIFF/WAVE chunk walk, PCM
     (format 1) 16-bit samples. Returns ``(samples, sample_rate)`` with
@@ -276,11 +398,14 @@ def text_byte_features(content: bytes) -> list[float]:
 
 
 def default_decoder(content: bytes, mime: str):
-    """Real dependency-free codecs: uncompressed 24-bpp BMP and binary PPM
-    (numpy header+pixel parse) → image stats; ``text/*`` media → byte stats.
-    Exotic codecs (PNG/JPEG/audio/video need libraries absent from this
-    environment) still raise — inject a decoder for those."""
+    """Real dependency-free codecs: non-interlaced 8-bit PNG (stdlib zlib
+    inflate + unfilter), uncompressed 24-bpp BMP, and binary PPM → image
+    stats; 16-bit PCM WAV → audio stats; ``text/*`` media → byte stats.
+    Formats needing external libraries (JPEG/MP3/video, palette or
+    interlaced PNG) still raise — inject a decoder for those."""
     content = bytes(content)
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        return image_features(_to_rgb3(decode_png(content)))
     if content[:2] == b"BM":
         return image_features(decode_bmp(content))
     if content[:2] == b"P6":
@@ -290,9 +415,9 @@ def default_decoder(content: bytes, mime: str):
     if mime.startswith("text/"):
         return text_byte_features(content)
     raise NotImplementedError(
-        f"no built-in codec for mime={mime!r}; PNG/JPEG/compressed audio/"
-        "video need libraries not present in this container — pass an "
-        "explicit decoder"
+        f"no built-in codec for mime={mime!r}; JPEG/compressed audio/video "
+        "need libraries not present in this container — pass an explicit "
+        "decoder"
     )
 
 

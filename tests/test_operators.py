@@ -967,3 +967,150 @@ class TestSentenceSegmentation:
         ]
         plan = jvm._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPngCodec:
+    def _round_trip(self, shape, seed):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        img = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+        got = decode_png(encode_png(img))
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert got.shape == want.shape and (got == want).all()
+
+    def test_round_trip_all_color_types(self):
+        self._round_trip((4, 5), 3)        # gray
+        self._round_trip((3, 4, 2), 5)     # gray+alpha
+        self._round_trip((5, 3, 3), 7)     # RGB
+        self._round_trip((2, 6, 4), 11)    # RGBA
+
+    def test_decode_all_five_filters(self):
+        """Hand-build a PNG whose five scanlines use filter types 0-4
+        (forward-filtered here against the spec), and check the decoder
+        reconstructs the original pixels — encode_png only emits filter 0,
+        so round-trips alone never exercise Sub/Up/Average/Paeth."""
+        import zlib
+
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(13)
+        h, w, c = 5, 4, 3
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        flat = img.reshape(h, w * c).astype(int)
+        stride, bpp = w * c, c
+        raw = b""
+        for y, ft in enumerate([0, 1, 2, 3, 4]):
+            row = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros(stride, int)
+            filt = np.zeros(stride, int)
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else cc
+                filt[x] = (row[x] - pred) & 0xFF
+            raw += bytes([ft]) + bytes(filt.tolist())
+
+        def chunk(ctype, body):
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return (
+                len(body).to_bytes(4, "big") + ctype + body
+                + crc.to_bytes(4, "big")
+            )
+
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        png = (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png(png) == img).all()
+
+    def test_unsupported_variants_raise(self):
+        import numpy as np
+        import zlib
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+            encode_png,
+        )
+
+        with pytest.raises(ValueError):
+            decode_png(b"\x89PNG\r\n")  # truncated signature
+        # flip a valid PNG's IHDR to interlaced: must refuse, not garble
+        img = np.zeros((2, 2, 3), np.uint8)
+        buf = bytearray(encode_png(img))
+        ihdr_off = len(_PNG_SIG) + 8
+        buf[ihdr_off + 12] = 1  # interlace flag inside IHDR body
+        with pytest.raises(NotImplementedError):
+            decode_png(bytes(buf))
+
+    def test_default_decoder_png_features_match_bmp(self, spark):
+        """The same pixels through PNG and BMP must featurize identically —
+        the decoders share image_features, and PNG alpha drops."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+        rgba = np.dstack([img, np.full((6, 4), 128, np.uint8)])
+        f_png = default_decoder(encode_png(img), "image/png")
+        f_rgba = default_decoder(encode_png(rgba), "image/png")
+        f_bmp = default_decoder(encode_bmp(img), "image/bmp")
+        assert f_png == f_bmp == f_rgba
+        assert f_png[:3] == [4.0, 6.0, 3.0]  # w, h, channels
+
+    def test_png_through_spark_media_pipeline(self, spark, tmp_path):
+        """End to end on the Spark side: binaryFile-shaped rows → media
+        table → mapInPandas featurize with the default codecs."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            encode_png,
+            image_features,
+        )
+
+        rng = np.random.default_rng(19)
+        imgs = {f"/m/img{i}.png": rng.integers(0, 256, (3 + i, 4, 3), np.uint8) for i in range(3)}
+        files = spark.createDataFrame(
+            [(p, bytearray(encode_png(a)), len(encode_png(a))) for p, a in imgs.items()],
+            "path string, content binary, length long",
+        )
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            media_from_binary_files,
+        )
+
+        media = media_from_binary_files(files)
+        rows = extract_media_features(media, decoder=default_decoder).collect()
+        assert len(rows) == 3
+        by_id = {r.media_id: r.feature for r in rows}
+        ids = {p: r.media_id for r in media.select("media_id", "meta.source").collect() for p in [r.source]}
+        for p, arr in imgs.items():
+            assert by_id[ids[p]] == image_features(arr)
