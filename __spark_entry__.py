@@ -90,6 +90,8 @@ ZQ_QUEUED = [
     "variant_props_stats", "vocab_coverage_topk",
     "window_analytics_extended", "window_trailing_range",
     "winsorize_extendedprice",
+    # round-3 additions (window already holds 50 older unverified entries)
+    "gopher_quality_flags", "corpus_quality_report",
 ]
 
 ZV_VERIFIED = [

@@ -27,6 +27,7 @@ from data_etl_with_dbt_spark.operators.similarity import (  # noqa: F401
 )
 from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
     doc_fingerprint,
+    gopher_quality_flags,
     lang_id_scores,
     mixture_sample,
     text_stats,

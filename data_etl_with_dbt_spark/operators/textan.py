@@ -464,3 +464,79 @@ def make_sentence_udtf():
                     idx += 1
 
     return SentenceSplit
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_token_frac: float = 0.6,
+    min_distinct_stopwords: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Per-document Gopher/MassiveText-style quality rules (Rae et al. 2021
+    §A1.1), token-level subset: word-count band, mean-word-length band,
+    duplicate-token fraction cap, and a distinct-stopword floor — each rule
+    exposed as its own boolean plus the conjunction, so a pipeline can
+    re-weight or drop individual rules (the way real corpus filters are
+    tuned per source).
+
+    The line/paragraph-shaped Gopher rules (bullet-start ratio, ellipsis
+    endings, duplicate-line fraction) are deliberately absent here: they
+    need line structure, which the span/sentence operators cover
+    (``span_dedup``, ``sentences_jvm``).
+
+    Pure Catalyst projection — one scan, zero shuffles, zero Python; every
+    emitted double is a per-row IEEE division of exact integer counts, so
+    cross-engine hashes match bit-for-bit. Defaults are the published
+    Gopher bands; the suite query passes fixture-calibrated bands instead
+    (the synthetic docs are shorter than web pages).
+    """
+    sw = stopwords if stopwords is not None else QUALITY_STOPWORDS
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    n = F.size("__t")
+    n_distinct = F.size(F.array_distinct("__t"))
+    # one fold, not transform-then-sum: higher-order fns are interpreted
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            "__t", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n > 0,
+        F.lit(1.0) - n_distinct.cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.filter(
+            F.array_distinct("__t"),
+            lambda t: t.isin(*[F.lit(s) for s in sw]),
+        )
+    )
+    out = base.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        dup_frac.alias("dup_token_frac"),
+        n_stop.cast("bigint").alias("n_stopwords_distinct"),
+        ((n >= min_words) & (n <= max_words)).alias("word_count_ok"),
+        (
+            (mean_len >= F.lit(float(min_mean_word_len)))
+            & (mean_len <= F.lit(float(max_mean_word_len)))
+        ).alias("mean_len_ok"),
+        (dup_frac <= F.lit(float(max_dup_token_frac))).alias("dup_ok"),
+        (n_stop >= F.lit(min_distinct_stopwords)).alias("stopword_ok"),
+    )
+    return out.withColumn(
+        "passes_gopher",
+        F.col("word_count_ok")
+        & F.col("mean_len_ok")
+        & F.col("dup_ok")
+        & F.col("stopword_ok"),
+    )

@@ -550,3 +550,140 @@ def mixture_temperature_sample(spark, sf_dir):
         target_tokens=8000, alpha=0.5,
     )
     return out.select(big(F.col("doc_id")).alias("doc_id"), "source", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter + the corpus quality dashboard rollup.
+# Thresholds are fixture-calibrated (synthetic docs run 10-99 tokens with
+# mean word length 3.7-5.3) so every rule splits the corpus non-vacuously;
+# the operator's defaults are the published Gopher bands.
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(toks) > 0
+             THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS dup_token_frac,
+        CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['the','a','of','and','to','in'], x))) AS BIGINT)
+            AS n_stopwords_distinct
+    FROM t
+)
+SELECT doc_id, n_words, mean_word_len, dup_token_frac, n_stopwords_distinct,
+    (n_words >= 30 AND n_words <= 90) AS word_count_ok,
+    (mean_word_len >= 3.0 AND mean_word_len <= 4.5) AS mean_len_ok,
+    (dup_token_frac <= 0.6) AS dup_ok,
+    (n_stopwords_distinct >= 2) AS stopword_ok,
+    ((n_words >= 30 AND n_words <= 90)
+     AND (mean_word_len >= 3.0 AND mean_word_len <= 4.5)
+     AND dup_token_frac <= 0.6
+     AND n_stopwords_distinct >= 2) AS passes_gopher
+FROM s
+"""
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=_GOPHER_ORACLE,
+    description="Gopher/MassiveText token-level quality rules, each flag exposed + conjunction (fixture-calibrated bands)",
+)
+def gopher_quality_flags_q(spark, sf_dir):
+    return TA.gopher_quality_flags(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_words=30,
+        max_words=90,
+        min_mean_word_len=3.0,
+        max_mean_word_len=4.5,
+        max_dup_token_frac=0.6,
+        min_distinct_stopwords=2,
+    )
+
+
+_QUALITY_REPORT_ORACLE = """
+WITH t AS (
+    SELECT lang, source,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), s AS (
+    SELECT lang, source,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS diversity
+    FROM t
+)
+SELECT lang,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+    CAST(sum(n_words) AS BIGINT) AS total_words,
+    CAST(CAST(avg(mean_word_len) AS DECIMAL(38,6)) AS DOUBLE) AS avg_word_len,
+    CAST(CAST(avg(diversity) AS DECIMAL(38,6)) AS DOUBLE) AS avg_diversity,
+    CAST(sum(CASE WHEN n_words >= 30 AND n_words <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_in_word_band
+FROM s
+GROUP BY lang
+"""
+
+
+@query(
+    "corpus_quality_report",
+    oracle=_QUALITY_REPORT_ORACLE,
+    description="Per-language corpus quality dashboard: doc/source counts, exact word totals, davg word-length/diversity, band counts",
+)
+def corpus_quality_report(spark, sf_dir):
+    from data_etl_with_dbt_spark.suite.registry import davg
+
+    docs = load(spark, sf_dir, "documents")
+    toks = TA.tokens_expr(F.col("text"))
+    n = F.size("__t")
+    per_doc = docs.select(
+        F.col("lang"),
+        F.col("source"),
+        toks.alias("__t"),
+    ).select(
+        "lang",
+        "source",
+        n.cast("bigint").alias("n_words"),
+        F.when(
+            n > 0,
+            F.aggregate(
+                "__t", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / n.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.when(
+            n > 0, F.size(F.array_distinct("__t")).cast("double") / n.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("diversity"),
+    )
+    return per_doc.groupBy("lang").agg(
+        big(F.count(F.lit(1))).alias("n_docs"),
+        big(F.countDistinct("source")).alias("n_sources"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        davg(F.col("mean_word_len")).alias("avg_word_len"),
+        davg(F.col("diversity")).alias("avg_diversity"),
+        big(
+            F.sum(
+                F.when(
+                    (F.col("n_words") >= 30) & (F.col("n_words") <= 90), 1
+                ).otherwise(0)
+            )
+        ).alias("n_in_word_band"),
+    )

@@ -1114,3 +1114,37 @@ class TestPngCodec:
         ids = {p: r.media_id for r in media.select("media_id", "meta.source").collect() for p in [r.source]}
         for p, arr in imgs.items():
             assert by_id[ids[p]] == image_features(arr)
+
+
+class TestGopherFlags:
+    def test_edge_docs_and_rule_independence(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import gopher_quality_flags
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat and the dog ran to the house of cards in town"),
+                (2, ""),                       # empty: everything fails
+                (3, "spam spam spam spam spam spam spam spam spam spam"),
+                (4, "a b c d e f g h i j"),    # tiny words: mean_len fails
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in gopher_quality_flags(
+                docs, "doc_id", "text", min_words=5, max_words=100,
+                min_mean_word_len=2.0, max_mean_word_len=8.0,
+                max_dup_token_frac=0.5, min_distinct_stopwords=2,
+            ).collect()
+        }
+        assert out[1].passes_gopher
+        assert out[1].n_stopwords_distinct >= 4  # the, and, to, of, in
+        assert out[2].n_words == 0 and not out[2].passes_gopher
+        assert not out[2].word_count_ok and out[2].mean_word_len == 0.0
+        # doc 3: repetition trips the dup rule; count/length bands still pass
+        assert out[3].dup_token_frac == 0.9 and not out[3].dup_ok
+        assert out[3].word_count_ok and out[3].mean_len_ok
+        assert not out[3].passes_gopher
+        # doc 4: mean word length 1.0 is the only failing band
+        assert out[4].mean_word_len == 1.0 and not out[4].mean_len_ok
+        assert out[4].dup_ok and out[4].word_count_ok
