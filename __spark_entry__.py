@@ -91,7 +91,7 @@ ZQ_QUEUED = [
     "window_analytics_extended", "window_trailing_range",
     "winsorize_extendedprice",
     # round-3 additions (window already holds 50 older unverified entries)
-    "gopher_quality_flags", "corpus_quality_report",
+    "gopher_quality_flags", "corpus_quality_report", "perplexity_proxy_score",
 ]
 
 ZV_VERIFIED = [

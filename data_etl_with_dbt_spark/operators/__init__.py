@@ -32,6 +32,7 @@ from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
     mixture_sample,
     text_stats,
     token_count_bpe_ish,
+    unigram_logprob_score,
 )
 from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401
     bloom_build,

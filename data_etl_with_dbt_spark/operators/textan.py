@@ -540,3 +540,69 @@ def gopher_quality_flags(
         & F.col("dup_ok")
         & F.col("stopword_ok"),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity-proxy scoring (Wenzek et al. 2020 shape): fit
+    a unigram LM on the corpus itself, score each document by its mean
+    negative log-probability. Low scores = stereotypical in-distribution
+    text, high scores = gibberish/outliers — the standard third leg of LLM
+    corpus filtering next to rule filters (``gopher_quality_flags``) and a
+    trained classifier (``ml.quality``). Callers wanting true perplexity
+    take ``exp(avg_neg_logprob)``; the monotone score is emitted raw so no
+    extra libm call enters the hash-checked surface.
+
+    Cross-engine determinism: each token's log-probability is quantized on
+    the DECIMAL(38,6) grid ONCE in the vocabulary table (dec6 rule — the
+    one ulp of libm ln noise is absorbed there, the tfidf precedent), and
+    per-document means are exact DECIMAL(18,6) sums of those quantized
+    values divided by exact counts (dsum rule) — no float summation order
+    anywhere.
+
+    Plan: postings explode → map-side-combined vocab agg (tiny,
+    checkpointed — no cross-consumer CSE) → scalar total via broadcast →
+    postings join the broadcast vocab → per-doc agg. Two corpus passes
+    (vocab fit + scoring), which is also how production CCNet runs — fit
+    once, score everywhere; pass ``broadcast_vocab=False`` when the
+    vocabulary outgrows the broadcast threshold (web-scale multilingual
+    text) and the join becomes a shuffle join on the token."""
+    postings = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("__tok")
+    )
+    vocab = (
+        postings.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    logp = (
+        F.log(F.col("__c").cast("double") / F.col("__n").cast("double"))
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "__tok", logp.alias("__logp")
+    )
+    if broadcast_vocab:
+        scored_vocab = F.broadcast(scored_vocab)
+    return (
+        postings.join(scored_vocab, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            # exact decimal sum → double, one IEEE division by an exact
+            # count: bit-identical cross-engine WITHOUT re-quantizing (a
+            # final dec6 cast here trips the double→decimal midpoint-
+            # rounding divergence — Spark rounds the shortest repr, DuckDB
+            # the binary value).
+            (
+                F.sum((-F.col("__logp")).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_neg_logprob"),
+        )
+    )

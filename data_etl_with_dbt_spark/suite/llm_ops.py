@@ -715,3 +715,31 @@ def embedding_centroid_outliers(spark, sf_dir):
     return out.select(
         "vec_id", big(F.col("label")).alias("label"), "dist2"
     )
+
+
+@query(
+    "perplexity_proxy_score",
+    oracle=r"""
+    WITH postings AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM postings GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+    scored AS (
+        SELECT tok,
+               CAST(CAST(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) AS logp
+        FROM vocab, tot
+    )
+    SELECT p.doc_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CAST(-s.logp AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS avg_neg_logprob
+    FROM postings p JOIN scored s ON p.tok = s.tok
+    GROUP BY p.doc_id
+    """,
+    description="CCNet-shape perplexity proxy: corpus-fit unigram LM, per-doc mean negative log-prob (dec6-quantized logp, exact decimal doc sums)",
+)
+def perplexity_proxy_score(spark, sf_dir):
+    return TA.unigram_logprob_score(load(spark, sf_dir, "documents"), "doc_id", "text")

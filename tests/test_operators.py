@@ -1148,3 +1148,40 @@ class TestGopherFlags:
         # doc 4: mean word length 1.0 is the only failing band
         assert out[4].mean_word_len == 1.0 and not out[4].mean_len_ok
         assert out[4].dup_ok and out[4].word_count_ok
+
+
+class TestPerplexityProxy:
+    def test_gibberish_scores_higher_and_plan_is_jvm_only(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import unigram_logprob_score
+
+        common = "the data table holds the data rows and the data columns"
+        docs = spark.createDataFrame(
+            [
+                (1, common),
+                (2, "the data rows and the data table"),   # in-distribution
+                (3, "zxqv wkjh pfft zxqv qqrm"),            # out-of-distribution
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in unigram_logprob_score(docs, "doc_id", "text").collect()}
+        assert out[3].avg_neg_logprob > out[2].avg_neg_logprob
+        assert out[2].n_tokens == 7
+        # hot path must stay JVM-side
+        plan = unigram_logprob_score(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_shuffle_join_variant_matches_broadcast(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import unigram_logprob_score
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 3} tok{i % 5} shared") for i in range(20)],
+            "doc_id long, text string",
+        )
+        a = sorted(tuple(r) for r in unigram_logprob_score(docs, "doc_id", "text").collect())
+        b = sorted(
+            tuple(r)
+            for r in unigram_logprob_score(
+                docs, "doc_id", "text", broadcast_vocab=False
+            ).collect()
+        )
+        assert a == b
