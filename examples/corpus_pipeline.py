@@ -59,13 +59,26 @@ def main(sf_dir: str, workdir: str) -> None:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     mark("ingest", t0, docs)
 
-    # 1. quality: drop empty/degenerate and highly repetitive documents.
+    # 1. quality: Gopher-style rule flags (word-count / mean-word-length
+    # bands, duplicate-token cap, stopword floor — bands calibrated to the
+    # synthetic fixture), plus the repetition bigram filter, plus a
+    # perplexity-proxy cut (corpus-fit unigram LM; drop the most surprising
+    # decile — the CCNet third leg). approxQuantile collects one scalar.
     t0 = time.time()
     stats = TA.text_stats(docs, "doc_id", "text")
+    rules = TA.gopher_quality_flags(
+        docs, "doc_id", "text",
+        min_words=10, max_words=100_000,
+        min_mean_word_len=3.0, max_mean_word_len=6.0,
+        max_dup_token_frac=0.8, min_distinct_stopwords=1,
+    )
     rep = TA.repetition_stats(docs, "doc_id", "text")
+    ppl = TA.unigram_logprob_score(docs, "doc_id", "text")
+    ppl_cut = ppl.approxQuantile("avg_neg_logprob", [0.9], 0.01)[0]
     keep = (
-        stats.where(F.col("n_tokens") >= 5)
+        rules.where(F.col("passes_gopher"))
         .join(rep.where(F.col("top_bigram_share") <= 0.5), "doc_id")
+        .join(ppl.where(F.col("avg_neg_logprob") <= ppl_cut), "doc_id")
         .select("doc_id")
     )
     quality = mark("quality_filter", t0, docs.join(keep, "doc_id"))
