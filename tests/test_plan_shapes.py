@@ -297,3 +297,36 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         if extra:
             unexpected[name] = sorted(extra)
     assert not unexpected, f"untriaged lint findings: {unexpected}"
+
+
+def test_gopher_flags_single_scan_no_shuffle(spark):
+    """The rule filter is a pure projection: one parquet scan, zero
+    exchanges, zero Python — the cheapest possible corpus pass."""
+    import re
+
+    plan = plan_of(spark, "gopher_quality_flags")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1
+    assert not re.findall(r"Exchange (hash|range)partitioning|Exchange SinglePartition", plan)
+
+
+def test_perplexity_proxy_broadcasts_vocab_and_combines(spark):
+    """The unigram LM join must broadcast the vocab (tiny next to
+    postings) and the vocab fit must map-side combine; no cartesian
+    beyond the single-row total broadcast."""
+    plan = plan_of(spark, "perplexity_proxy_score")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_report_map_side_combines(spark):
+    """Per-language rollup: partial aggregation before its one exchange."""
+    import re
+
+    plan = plan_of(spark, "corpus_quality_report")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_" in plan
+    n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n <= 2, f"corpus_quality_report has {n} shuffles"
