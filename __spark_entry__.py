@@ -92,6 +92,7 @@ ZQ_QUEUED = [
     "winsorize_extendedprice",
     # round-3 additions (window already holds 50 older unverified entries)
     "gopher_quality_flags", "corpus_quality_report", "perplexity_proxy_score",
+    "boilerplate_ngram_prune",
 ]
 
 ZV_VERIFIED = [

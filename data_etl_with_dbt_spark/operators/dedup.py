@@ -752,3 +752,79 @@ def span_dedup(
             )
         ).alias("kept_hash"),
     )
+
+
+def ngram_df_prune(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 5,
+    min_df: int = 3,
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate pruning by n-gram DOCUMENT FREQUENCY (the
+    RefinedWeb/CCNet boilerplate-removal shape): any ``span_tokens``-token
+    span that occurs in >= ``min_df`` DISTINCT documents is boilerplate
+    (nav bars, cookie banners, license headers) and is dropped from EVERY
+    document — including the first occurrence, which is what distinguishes
+    this from ``span_dedup``'s keep-first semantics.
+
+    Returns one row per document with >= 1 token:
+    ``(id, n_spans, n_spans_dropped, boilerplate_frac, kept_hash)`` —
+    ``boilerplate_frac`` is one IEEE division of exact integer counts
+    (cross-engine safe) and ``kept_hash`` is the md5 of the document
+    reassembled from surviving spans in position order (the suite's
+    hash-not-payload convention for long strings).
+
+    Plan: ONE corpus-sized shuffle (the span->document-frequency hash agg,
+    map-side combined). The boilerplate dictionary it produces is tiny by
+    construction — spans repeated across >= min_df documents are the df
+    distribution's head, not its tail — so the mark-and-drop join back
+    onto the span stream broadcasts it (``broadcast_dict=False`` degrades
+    to a shuffle join for dictionaries too large to broadcast); the final
+    per-document regroup is the second, also corpus-sized, exchange.
+    Span explosion multiplies rows, not bytes (each token lands in exactly
+    one span), same as ``span_dedup``.
+    """
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(span_tokens)
+    )
+    span = F.array_join(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens), " ")
+    spans = (
+        docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+        .select(id_col, F.explode(starts).alias("__s"), "__t")
+        .where(F.size(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens)) > 0)
+        .select(
+            id_col,
+            (F.col("__s") / span_tokens).cast("bigint").alias("__pos"),
+            span.alias("__span"),
+        )
+    )
+    bp = (
+        spans.groupBy("__span")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__span", F.lit(True).alias("__bp"))
+    )
+    dict_side = F.broadcast(bp) if broadcast_dict else bp
+    marked = spans.join(dict_side, "__span", "left")
+    kept_struct = F.when(
+        F.col("__bp").isNull(), F.struct(F.col("__pos"), F.col("__span"))
+    )
+    n_spans = F.count(F.lit(1)).cast("bigint")
+    n_dropped = F.sum(F.col("__bp").isNotNull().cast("bigint")).cast("bigint")
+    return marked.groupBy(id_col).agg(
+        n_spans.alias("n_spans"),
+        n_dropped.alias("n_spans_dropped"),
+        (n_dropped.cast("double") / n_spans.cast("double")).alias(
+            "boilerplate_frac"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["__span"]
+                ),
+                " ",
+            )
+        ).alias("kept_hash"),
+    )

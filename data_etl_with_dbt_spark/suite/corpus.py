@@ -687,3 +687,58 @@ def corpus_quality_report(spark, sf_dir):
             )
         ).alias("n_in_word_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate pruning by n-gram document frequency (the
+# RefinedWeb/CCNet boilerplate-removal shape — drop ALL occurrences,
+# including the first, unlike dedup_spans_keep_first). Fixture-calibrated:
+# at 5-token spans and min_df=3 the documents table has 35-41 boilerplate
+# spans at sf0.01/sf0.001 — non-vacuous at both driver scales.
+# ---------------------------------------------------------------------------
+
+@query(
+    "boilerplate_ngram_prune",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(start / 5 AS BIGINT) AS pos,
+               array_to_string(list_slice(t, start + 1, start + 5), ' ') AS span
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(0, greatest(len(t) - 1, 0), 5)) AS start
+              FROM toks) s
+        WHERE len(list_slice(t, start + 1, start + 5)) > 0
+    ),
+    bp AS (SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 3),
+    marked AS (
+        SELECT s.doc_id, s.pos, s.span, b.span IS NOT NULL AS is_bp
+        FROM spans s LEFT JOIN bp b ON s.span = b.span
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_dropped,
+           CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS boilerplate_frac,
+           md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN span END, ' ' ORDER BY pos), ''))
+               AS kept_hash
+    FROM marked GROUP BY doc_id
+    """,
+    description=(
+        "Boilerplate pruning by n-gram document frequency (RefinedWeb "
+        "shape): 5-token spans seen in >=3 distinct docs are dropped from "
+        "ALL docs (first occurrence included), documents reassembled"
+    ),
+)
+def boilerplate_ngram_prune(spark, sf_dir):
+    out = D.ngram_df_prune(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        span_tokens=5, min_df=3,
+    )
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_spans", "n_spans_dropped", "boilerplate_frac", "kept_hash",
+    )

@@ -162,6 +162,53 @@ class TestDedup:
         assert out[3].kept_hash == _h.md5(b"").hexdigest()
         assert out[1].kept_hash == _h.md5(b"a b c d e f").hexdigest()
 
+    def test_ngram_df_prune_drops_all_occurrences(self, spark):
+        import hashlib as _h
+
+        from data_etl_with_dbt_spark.operators.dedup import ngram_df_prune
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),  # "a b c" appears in docs 1,2,3 -> df=3
+                (2, "a b c x y z"),
+                (3, "a b c q r s"),
+                (4, "u v w"),        # unique span, df=1 -> kept
+            ],
+            "id long, text string",
+        )
+        out = {
+            r.id: r
+            for r in ngram_df_prune(
+                docs, "id", "text", span_tokens=3, min_df=3
+            ).collect()
+        }
+        # Unlike keep-first span dedup, the FIRST occurrence is dropped too.
+        assert (out[1].n_spans, out[1].n_spans_dropped) == (2, 1)
+        assert (out[2].n_spans, out[2].n_spans_dropped) == (2, 1)
+        assert (out[3].n_spans, out[3].n_spans_dropped) == (2, 1)
+        assert (out[4].n_spans, out[4].n_spans_dropped) == (1, 0)
+        assert out[1].kept_hash == _h.md5(b"d e f").hexdigest()
+        assert out[4].kept_hash == _h.md5(b"u v w").hexdigest()
+        assert out[1].boilerplate_frac == pytest.approx(0.5)
+        # df=2 stays below the threshold: nothing dropped at min_df=3 when
+        # only two docs share the span
+        out2 = {
+            r.id: r
+            for r in ngram_df_prune(
+                docs.where(F.col("id") <= 2), "id", "text", span_tokens=3, min_df=3
+            ).collect()
+        }
+        assert out2[1].n_spans_dropped == 0
+
+    def test_ngram_df_prune_broadcasts_dictionary(self, spark):
+        from data_etl_with_dbt_spark.operators.dedup import ngram_df_prune
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c x y z")], "id long, text string"
+        )
+        plan = ngram_df_prune(docs, "id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
 
 class TestSimilarity:
     def test_cosine_known_values(self, spark):
