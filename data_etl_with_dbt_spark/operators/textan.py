@@ -606,3 +606,135 @@ def unigram_logprob_score(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE training (the full loop; bpe_pair_counts is one step)
+# ---------------------------------------------------------------------------
+
+def _merge_pair_expr(sym: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping application of ONE merge rule to
+    a symbol array, as a single Catalyst fold: append each symbol unless the
+    accumulator ends with ``left`` and the symbol is ``right``, in which case
+    the tail is replaced by the merged symbol. Because ``left+right`` is
+    strictly longer than ``left``, a symbol just produced by the merge can
+    never re-match as ``left`` — the fold is exactly the greedy scan."""
+    def step(acc: Column, s: Column) -> Column:
+        tail_is_left = (F.size(acc) > 0) & (
+            F.element_at(acc, -1) == F.lit(left)
+        ) & (s == F.lit(right))
+        return F.when(
+            tail_is_left,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    empty = F.array().cast("array<string>")
+    return F.aggregate(sym, empty, step)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 8,
+    min_word_len: int = 2,
+) -> list[dict]:
+    """Full BPE tokenizer training loop at corpus scale (Sennrich et al.
+    2016), the iterative extension of :func:`bpe_pair_counts`: K rounds of
+    (weighted adjacent-pair count → argmax → apply merge), returning the
+    learned merge table ``[{step, left, right, merged, cnt}, ...]``.
+
+    Determinism: the argmax tie-break is total (count DESC, left ASC,
+    right ASC), so the merge sequence is a pure function of the corpus.
+
+    Scale shape — the same SentencePiece/HF-tokenizers trick as the single
+    step: the corpus contributes EXACTLY ONE scan (the map-side-combined
+    word-frequency aggregation); every iteration after that runs over the
+    DISTINCT word table (vocabulary-sized — thousands of rows at 100 TB,
+    not trillions). Per iteration: one vocab-sized pair aggregation whose
+    argmax is a single driver row (TakeOrderedAndProject, not a sort), and
+    one fold rewriting the symbol arrays. The word table is
+    ``localCheckpoint``ed each round — the standard iterative-algorithm
+    lineage cut (same as the connected-components operator); without it the
+    plan tree doubles per merge.
+
+    Driver-side state is K merge rules + a loop counter — the idiomatic
+    Spark iterative shape (KMeans/PageRank), not a collect of data rows.
+    """
+    words = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
+        .where(F.length("word") >= min_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "word",
+            "c",
+            F.filter(F.split("word", ""), lambda ch: ch != "").alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[dict] = []
+    for step_i in range(num_merges):
+        pair_idx = F.sequence(F.lit(1), F.size("sym") - 1)
+        pairs = (
+            words.where(F.size("sym") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("sym", i).alias("l"),
+                            F.element_at("sym", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        merges.append(
+            {
+                "step": step_i,
+                "left": best.l,
+                "right": best.r,
+                "merged": best.l + best.r,
+                "cnt": int(best.cnt),
+            }
+        )
+        words = words.withColumn(
+            "sym", _merge_pair_expr(F.col("sym"), best.l, best.r)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(
+    words: DataFrame,
+    word_col: str,
+    merges: list[dict],
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a learned merge table to a (vocabulary-sized) word table:
+    adds ``sym`` — the BPE segmentation of each word under ``merges``,
+    applied in training order. Folds are chained as column rewrites with a
+    lineage cut every ``checkpoint_every`` rules so the expression tree
+    stays bounded for long merge lists. Encoding a CORPUS is a broadcast
+    join of this vocabulary table back onto the token stream — the word
+    table is the unit of work, exactly as in training."""
+    out = words.withColumn(
+        "sym", F.filter(F.split(F.col(word_col), ""), lambda ch: ch != "")
+    )
+    for i, m in enumerate(merges, start=1):
+        out = out.withColumn(
+            "sym", _merge_pair_expr(F.col("sym"), m["left"], m["right"])
+        )
+        if i % checkpoint_every == 0:
+            out = out.localCheckpoint(eager=False)
+    return out

@@ -742,3 +742,29 @@ def boilerplate_ngram_prune(spark, sf_dir):
         big(F.col("doc_id")).alias("doc_id"),
         "n_spans", "n_spans_dropped", "boilerplate_frac", "kept_hash",
     )
+
+
+# ---------------------------------------------------------------------------
+# Full iterative BPE training. No SQL oracle — the merge loop is an
+# iterative algorithm (driver records a rows-only check); the strong check
+# is tests/test_operators.py's pure-Python reference BPE, which must agree
+# merge-for-merge on the same corpus.
+# ---------------------------------------------------------------------------
+
+@query(
+    "bpe_train_merges",
+    oracle=None,  # iterative algorithm: K driver-coordinated merge rounds
+    description=(
+        "Iterative BPE tokenizer training (8 merges): weighted pair count "
+        "-> total-order argmax -> greedy merge fold, corpus scanned once, "
+        "every round vocabulary-sized"
+    ),
+)
+def bpe_train_merges(spark, sf_dir):
+    merges = TA.train_bpe(
+        load(spark, sf_dir, "documents"), "text", num_merges=8
+    )
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["merged"], m["cnt"]) for m in merges],
+        "step bigint, left string, right string, merged string, cnt bigint",
+    )

@@ -62,6 +62,7 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "semantic_dedup_clusters_lsh",
         "approx_aggregates",
         "hll_user_cardinality",  # DataSketches HLL estimate: no SQL oracle
+        "bpe_train_merges",  # iterative merge loop: reference-impl-tested instead
     }
 
 

@@ -1232,3 +1232,79 @@ class TestPerplexityProxy:
             ).collect()
         )
         assert a == b
+
+
+class TestTrainBpe:
+    corpus = [
+        "low lower lowest low low",
+        "newer newest new low wider wide",
+        "low lower new newer",
+    ]
+
+    @staticmethod
+    def _reference_bpe(texts, num_merges, min_word_len=2):
+        """Pure-Python Sennrich-style BPE with the operator's exact
+        tie-break (count DESC, left ASC, right ASC) — the agreement oracle
+        for the distributed trainer."""
+        from collections import Counter
+
+        wc = Counter(
+            w for t in texts for w in t.lower().split() if len(w) >= min_word_len
+        )
+        syms = {w: list(w) for w in wc}
+        merges = []
+        for step in range(num_merges):
+            pc = Counter()
+            for w, c in wc.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += c
+            if not pc:
+                break
+            (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, l, r, l + r, cnt))
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges, syms
+
+    def test_matches_reference_implementation(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import train_bpe
+
+        df = spark.createDataFrame([(t,) for t in self.corpus], "text string")
+        got = train_bpe(df, "text", num_merges=6)
+        want, _ = self._reference_bpe(self.corpus, 6)
+        assert [
+            (m["step"], m["left"], m["right"], m["merged"], m["cnt"]) for m in got
+        ] == want
+
+    def test_segment_agrees_with_reference(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import bpe_segment, train_bpe
+
+        df = spark.createDataFrame([(t,) for t in self.corpus], "text string")
+        merges = train_bpe(df, "text", num_merges=6)
+        _, ref_syms = self._reference_bpe(self.corpus, 6)
+        words = spark.createDataFrame([(w,) for w in ref_syms], "word string")
+        got = {
+            r.word: list(r.sym)
+            for r in bpe_segment(words, "word", merges, checkpoint_every=3).collect()
+        }
+        assert got == ref_syms
+
+    def test_greedy_overlap_semantics(self, spark):
+        # (a,a) on "aaaa" must merge non-overlapping left-to-right: [aa, aa];
+        # on "aaa": [aa, a]
+        from data_etl_with_dbt_spark.operators.textan import bpe_segment
+
+        words = spark.createDataFrame([("aaaa",), ("aaa",)], "word string")
+        merges = [{"step": 0, "left": "a", "right": "a", "merged": "aa", "cnt": 1}]
+        got = {r.word: list(r.sym) for r in bpe_segment(words, "word", merges).collect()}
+        assert got["aaaa"] == ["aa", "aa"]
+        assert got["aaa"] == ["aa", "a"]
