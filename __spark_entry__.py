@@ -92,7 +92,7 @@ ZQ_QUEUED = [
     "winsorize_extendedprice",
     # round-3 additions (window already holds 50 older unverified entries)
     "gopher_quality_flags", "corpus_quality_report", "perplexity_proxy_score",
-    "boilerplate_ngram_prune",
+    "boilerplate_ngram_prune", "scalar_array_gallery",
 ]
 
 ZV_VERIFIED = [

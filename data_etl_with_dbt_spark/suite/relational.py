@@ -435,6 +435,76 @@ def scalar_string_gallery(spark, sf_dir):
 
 
 @query(
+    "scalar_array_gallery",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           array_to_string(list_sort(list_distinct(t)), ' ') AS distinct_sorted,
+           array_to_string(list_slice(t, 1, 3), ' ') AS first3,
+           array_to_string(list_reverse(list_slice(t, greatest(len(t) - 1, 1), len(t))), ' ')
+               AS last2_rev,
+           list_contains(t, 'the') AS has_the,
+           CAST(coalesce(list_position(t, 'spark'), 0) AS BIGINT) AS spark_pos,
+           CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT)
+               AS total_chars,
+           list_aggregate(t, 'max') AS tok_max,
+           list_aggregate(t, 'min') AS tok_min,
+           array_to_string(list_sort(list_distinct(list_concat(t, ['zzz']))), ' ')
+               AS union_z,
+           coalesce(array_to_string(list_sort(list_intersect(t, ['the', 'a', 'spark'])), ' '), '')
+               AS isect,
+           array_to_string(list_transform(list_slice(t, 1, 3),
+                                          x -> CAST(len(x) AS VARCHAR)), ',') AS lens3
+    FROM toks
+    """,
+    description=(
+        "Array/higher-order scalar family over token arrays: sort/distinct/"
+        "slice/reverse/contains/position/aggregate-fold/max/min/union/"
+        "intersect/transform — emitted as strings and scalars (the driver "
+        "hash can't take list columns)"
+    ),
+)
+def scalar_array_gallery(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    base = d.select("doc_id", t.alias("t"))
+    tc = F.col("t")
+    return base.select(
+        "doc_id",
+        big(F.size(tc)).alias("n_tokens"),
+        F.array_join(F.array_sort(F.array_distinct(tc)), " ").alias("distinct_sorted"),
+        F.array_join(F.slice(tc, 1, 3), " ").alias("first3"),
+        F.array_join(
+            F.reverse(F.slice(tc, F.greatest(F.size(tc) - 1, F.lit(1)), 2)), " "
+        ).alias("last2_rev"),
+        F.array_contains(tc, "the").alias("has_the"),
+        big(F.array_position(tc, "spark")).alias("spark_pos"),
+        big(
+            F.aggregate(tc, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        ).alias("total_chars"),
+        F.array_max(tc).alias("tok_max"),
+        F.array_min(tc).alias("tok_min"),
+        F.array_join(
+            F.array_sort(F.array_union(tc, F.array(F.lit("zzz")))), " "
+        ).alias("union_z"),
+        F.array_join(
+            F.array_sort(
+                F.array_intersect(tc, F.array(F.lit("the"), F.lit("a"), F.lit("spark")))
+            ),
+            " ",
+        ).alias("isect"),
+        F.array_join(
+            F.transform(F.slice(tc, 1, 3), lambda x: F.length(x).cast("string")), ","
+        ).alias("lens3"),
+    )
+
+
+@query(
     "scalar_date_gallery",
     oracle="""
     SELECT

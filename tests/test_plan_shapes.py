@@ -271,6 +271,7 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "funnel_view_click_purchase": {"cartesian"},
         "histogram_totalprice": {"cartesian"},
         "mixture_temperature_sample": {"cartesian"},
+        "perplexity_proxy_score": {"cartesian"},
         "q11_important_parts": {"cartesian"},
         "q22_inactive_customers": {"cartesian"},
         "skew_stats_orders": {"cartesian"},
