@@ -130,3 +130,46 @@ def detect_anomalies(
             F.when(F.col("hist_std") > 0, z).alias("z"),
         )
     )
+
+
+def profile_frame(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Schema-generic column profile: one output row per column with
+    ``(col_name, n_null, n_distinct)`` — the dbt-docs/profiling surface
+    (which columns are keys, which are sparse) computed in ONE pass.
+
+    ``exact=True`` uses ``count(DISTINCT ...)`` — Catalyst plans the
+    multi-distinct aggregation with a single scan plus an Expand (rows are
+    multiplied by the column count before the hash agg). That is the right
+    trade for profiling runs at reference scale; at 100 TB flip
+    ``exact=False`` to ``approx_count_distinct`` (HyperLogLog++ partials,
+    no Expand, mergeable) — profiling tolerates ~2% cardinality error.
+
+    The wide single-row aggregate is reshaped to long form with ``stack``
+    (a projection of the 1-row frame — no second scan, no shuffle).
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        distinct = (
+            F.countDistinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(F.col(c))
+        )
+        aggs.append(distinct.alias(f"__nd_{i}"))
+    wide = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', __n - __nn_{i}, __nd_{i}" for i, c in enumerate(cols)
+    )
+    stacked = wide.selectExpr(
+        f"stack({len(cols)}, {parts}) AS (col_name, n_null, n_distinct)"
+    )
+    return stacked.select(
+        "col_name",
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )

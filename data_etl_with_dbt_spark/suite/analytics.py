@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_etl_with_dbt_spark.suite.registry import big, dec6, load, query
+from data_etl_with_dbt_spark.suite.registry import big, dec6, dsum, load, query
 
 # ---------------------------------------------------------------------------
 # Ordered funnel: view -> click -> purchase, strictly increasing timestamps.
@@ -441,3 +441,85 @@ def skew_stats_orders(spark, sf_dir):
         F.col("key_share"),
         big(F.col("suggested_salt")).alias("suggested_salt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Half-life time-decayed aggregation (recency-weighted engagement score).
+# Cross-engine determinism without a transcendental in the hash path: the
+# decay exponent is an INTEGER (age bucketed by the half-life), so the
+# weight is an exact power of two — pow(0.5, k) is exactly representable
+# and multiplying a double by it only shifts the exponent (lossless). The
+# weighted values are then summed under the dsum decimal rule.
+# ---------------------------------------------------------------------------
+
+@query(
+    "half_life_decay_value",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, value,
+               date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') AS age
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CAST(value * pow(0.5, floor(age / 7)) AS DECIMAL(18,6))) AS DOUBLE)
+               AS decayed_value,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(age) AS BIGINT) AS min_age_days
+    FROM base GROUP BY user_id
+    """,
+    description=(
+        "Per-user half-life decayed value sum (7-day half-life, integer "
+        "age buckets -> exact power-of-two weights, no libm in the hash "
+        "path)"
+    ),
+)
+def half_life_decay_value(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    age = F.datediff(F.lit("2024-02-01").cast("date"), F.to_date("ts"))
+    w = F.pow(F.lit(0.5), F.floor(age / F.lit(7)))
+    return (
+        ev.select("user_id", (F.col("value") * w).alias("__c"), age.alias("__age"))
+        .groupBy("user_id")
+        .agg(
+            dsum(F.col("__c")).alias("decayed_value"),
+            big(F.count(F.lit(1))).alias("n_events"),
+            big(F.min("__age")).alias("min_age_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-generic column profiling in one pass (the dbt-docs / warehouse
+# profiling surface). Exact distinct counts here (oracle-comparable); the
+# operator's exact=False flag switches to HLL partials for 100 TB runs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "profile_orders",
+    oracle="""
+    WITH a AS (
+        SELECT count(*) AS n,
+               count(o_orderkey) AS nn0, count(DISTINCT o_orderkey) AS nd0,
+               count(o_custkey) AS nn1, count(DISTINCT o_custkey) AS nd1,
+               count(o_orderstatus) AS nn2, count(DISTINCT o_orderstatus) AS nd2,
+               count(o_totalprice) AS nn3, count(DISTINCT o_totalprice) AS nd3,
+               count(o_orderdate) AS nn4, count(DISTINCT o_orderdate) AS nd4,
+               count(o_orderpriority) AS nn5, count(DISTINCT o_orderpriority) AS nd5
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, CAST(n - nn0 AS BIGINT) AS n_null, CAST(nd0 AS BIGINT) AS n_distinct FROM a
+    UNION ALL SELECT 'o_custkey', CAST(n - nn1 AS BIGINT), CAST(nd1 AS BIGINT) FROM a
+    UNION ALL SELECT 'o_orderstatus', CAST(n - nn2 AS BIGINT), CAST(nd2 AS BIGINT) FROM a
+    UNION ALL SELECT 'o_totalprice', CAST(n - nn3 AS BIGINT), CAST(nd3 AS BIGINT) FROM a
+    UNION ALL SELECT 'o_orderdate', CAST(n - nn4 AS BIGINT), CAST(nd4 AS BIGINT) FROM a
+    UNION ALL SELECT 'o_orderpriority', CAST(n - nn5 AS BIGINT), CAST(nd5 AS BIGINT) FROM a
+    """,
+    description=(
+        "One-pass schema-generic column profile of orders: per-column null "
+        "count + exact distinct count, reshaped long with stack()"
+    ),
+)
+def profile_orders(spark, sf_dir):
+    from data_etl_with_dbt_spark.plans.monitor import profile_frame
+
+    return profile_frame(load(spark, sf_dir, "orders"))

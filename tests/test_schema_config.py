@@ -421,3 +421,30 @@ class TestFreshnessDefaultClock:
             just_loaded.where("1=0"), "loaded_at", 30, 120
         )
         assert empty["status"] == "error" and empty["age_minutes"] is None
+
+
+class TestProfileFrame:
+    def test_nulls_and_distincts(self, spark):
+        from data_etl_with_dbt_spark.plans.monitor import profile_frame
+
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "a", 1.0), (3, None, 1.0), (3, "b", None)],
+            "k int, s string, v double",
+        )
+        got = {r.col_name: (r.n_null, r.n_distinct) for r in profile_frame(df).collect()}
+        assert got == {"k": (0, 3), "s": (1, 2), "v": (2, 1)}
+
+    def test_single_scan_and_approx_variant(self, spark):
+        from data_etl_with_dbt_spark.plans.monitor import profile_frame
+
+        df = spark.createDataFrame([(i, i % 3) for i in range(100)], "a int, b int")
+        exact = profile_frame(df)
+        plan = exact._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ") <= 1  # one pass over the input
+        approx = profile_frame(df, exact=False)
+        aplan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in aplan  # HLL partials need no multi-distinct Expand
+        got = {r.col_name: r.n_distinct for r in approx.collect()}
+        # HLL estimates carry a small relative error even at low cardinality
+        assert got["b"] == 3
+        assert abs(got["a"] - 100) <= 5
