@@ -14,6 +14,7 @@ from data_etl_with_dbt_spark.operators.dedup import (  # noqa: F401
     dedup_exact,
     exact_duplicate_groups,
     minhash_lsh_pairs,
+    ngram_df_prune,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
@@ -27,11 +28,13 @@ from data_etl_with_dbt_spark.operators.similarity import (  # noqa: F401
 )
 from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
     doc_fingerprint,
+    bpe_segment,
     gopher_quality_flags,
     lang_id_scores,
     mixture_sample,
     text_stats,
     token_count_bpe_ish,
+    train_bpe,
     unigram_logprob_score,
 )
 from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401

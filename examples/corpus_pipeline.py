@@ -6,13 +6,14 @@ would run them nightly over a crawl increment:
     2. model filter       hashed-feature logistic classifier, weak-labeled
                           from the heuristic score's extremes (CCNet recipe)
     3. exact dedup        content-digest keep-one
-    4. span dedup         C4-style 10-token-span keep-first across corpus
-    5. near dedup         MinHash + LSH banding, cluster to canonical docs
-    6. decontaminate      trigram overlap vs a benchmark set (broadcast)
-    7. domain quota       at most N docs per source (window group limit)
-    8. mixture budget     per-domain token budgets (md5-hash sampling)
-    9. split              deterministic md5-bucket train/val/test
-   10. pack + export      2048-token packing, global example ids, sharded
+    4. boilerplate prune  n-gram document-frequency cut (RefinedWeb shape)
+    5. span dedup         C4-style 10-token-span keep-first across corpus
+    6. near dedup         MinHash + LSH banding, cluster to canonical docs
+    7. decontaminate      trigram overlap vs a benchmark set (broadcast)
+    8. domain quota       at most N docs per source (window group limit)
+    9. mixture budget     per-domain token budgets (md5-hash sampling)
+   10. split              deterministic md5-bucket train/val/test
+   11. pack + export      2048-token packing, global example ids, sharded
                           ordered write
 
 Run:  python examples/corpus_pipeline.py [sf_dir] [workdir]
@@ -108,9 +109,20 @@ def main(sf_dir: str, workdir: str) -> None:
     t0 = time.time()
     exact = mark("exact_dedup", t0, D.dedup_exact(quality, "doc_id", "text"))
 
-    # 4. span dedup: drop docs whose every 10-token span already appeared
-    # earlier in the corpus (C4-style; partial overlaps keep the doc — a
-    # production pipeline would also swap in the reassembled text).
+    # 4. boilerplate prune: drop docs that are MOSTLY cross-document
+    # boilerplate (5-token spans seen in >= 3 distinct docs — RefinedWeb
+    # shape; a production pipeline would also swap in the reassembled text).
+    t0 = time.time()
+    bp = D.ngram_df_prune(exact, "doc_id", "text", span_tokens=5, min_df=3)
+    exact = mark(
+        "boilerplate_prune", t0,
+        exact.join(
+            bp.where(F.col("boilerplate_frac") < 0.5).select("doc_id"), "doc_id"
+        ),
+    )
+
+    # 5. span dedup: drop docs whose every 10-token span already appeared
+    # earlier in the corpus (C4-style).
     t0 = time.time()
     spans = D.span_dedup(exact, "doc_id", "text", span_tokens=10)
     exact = mark(
@@ -118,7 +130,7 @@ def main(sf_dir: str, workdir: str) -> None:
         exact.join(spans.where(F.col("n_spans_kept") > 0).select("doc_id"), "doc_id"),
     )
 
-    # 5. near dedup: MinHash/LSH pairs -> connected components -> canonical.
+    # 6. near dedup: MinHash/LSH pairs -> connected components -> canonical.
     t0 = time.time()
     pairs = D.minhash_lsh_pairs(
         exact, "doc_id", "text",
@@ -131,7 +143,7 @@ def main(sf_dir: str, workdir: str) -> None:
     )
     near = mark("near_dedup", t0, canonical)
 
-    # 6. decontaminate against a held-out benchmark slice.
+    # 7. decontaminate against a held-out benchmark slice.
     t0 = time.time()
     bench = docs.where(F.col("doc_id") % 97 == 0)
     overlap = D.benchmark_contamination(near, bench, "doc_id", "text", n=3, threshold=0.5)
@@ -140,21 +152,21 @@ def main(sf_dir: str, workdir: str) -> None:
     )
     clean = mark("decontaminate", t0, clean)
 
-    # 7. per-domain quota: best 50 docs per source by length.
+    # 8. per-domain quota: best 50 docs per source by length.
     t0 = time.time()
     capped = R.per_key_cap(
         clean, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], n=50
     ).drop("quota_rank")
     capped = mark("domain_quota", t0, capped)
 
-    # 8. mixture budget: downsample over-represented domains to a token
+    # 9. mixture budget: downsample over-represented domains to a token
     # budget (deterministic md5-hash membership, rates broadcast).
     t0 = time.time()
     budgets = {"src0": 800, "src1": 800, "src2": 800}
     picked = TA.mixture_sample(capped, "doc_id", "source", "text", budgets)
     capped = mark("mixture_budget", t0, capped.join(picked.select("doc_id"), "doc_id"))
 
-    # 9. deterministic split.
+    # 10. deterministic split.
     t0 = time.time()
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     split = (
@@ -163,7 +175,7 @@ def main(sf_dir: str, workdir: str) -> None:
     assigned = capped.withColumn("split", split)
     mark("hash_split", t0, assigned)
 
-    # 10. pack into 2048-token sequences, assign contiguous global example
+    # 11. pack into 2048-token sequences, assign contiguous global example
     # ids (no single-partition sort), export ordered shards per split.
     t0 = time.time()
     toks = assigned.withColumn("n_tokens", F.size(TA.tokens_expr(F.col("text"))))
