@@ -43,3 +43,10 @@ from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401
     bloom_parameters,
     bloom_probe,
 )
+from data_etl_with_dbt_spark.operators.multimodal import (  # noqa: F401
+    extract_media_features,
+    media_from_binary_files,
+    resize_image,
+    resize_media,
+    to_media_table,
+)

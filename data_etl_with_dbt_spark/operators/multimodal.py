@@ -485,3 +485,95 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_no"),
     )
+
+
+def resize_image(rgb, out_h: int, out_w: int):
+    """Dependency-free nearest-neighbor resize of an (H, W, 3) uint8 array —
+    pure numpy index striding, deterministic (pixel-center sampling, the
+    classic NN formula), no interpolation libraries needed."""
+    import numpy as np
+
+    h, w = rgb.shape[0], rgb.shape[1]
+    rows = np.clip(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), 0, h - 1)
+    cols = np.clip(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), 0, w - 1)
+    return rgb[rows[:, None], cols[None, :]]
+
+
+def _decode_image(content: bytes):
+    """Magic-sniffed image decode to (H, W, 3) uint8 RGB, or None when the
+    payload is not one of the built-in image formats."""
+    content = bytes(content)
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        return _to_rgb3(decode_png(content))
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:2] == b"P6":
+        return decode_ppm(content)
+    return None
+
+
+_IMAGE_ENCODERS = {
+    "bmp": ("image/bmp", encode_bmp),
+    "ppm": ("image/x-portable-pixmap", encode_ppm),
+    "png": ("image/png", encode_png),
+}
+
+
+def resize_media(
+    media: DataFrame,
+    height: int,
+    width: int,
+    output_format: str = "bmp",
+) -> DataFrame:
+    """Distributed image resize over the media table: decode each image
+    payload (built-in BMP/PPM/PNG codecs), nearest-neighbor resize to
+    ``height x width``, re-encode in ``output_format``, and emit the SAME
+    media shape (media_id, content, meta) so resize stages compose with
+    every other media operator. Non-image rows (audio, text, unknown
+    formats) pass through byte-identical — a pipeline can run one resize
+    over a mixed-modality table.
+
+    Same execution posture as :func:`extract_media_features`: Arrow-batched
+    ``mapInPandas``, partition-preserving, nothing collects to the driver.
+    The decode→numpy→encode round trip is per-row Python by necessity
+    (codec work), batched by Arrow so the per-row overhead is amortized.
+    """
+    if output_format not in _IMAGE_ENCODERS:
+        raise ValueError(
+            f"output_format must be one of {sorted(_IMAGE_ENCODERS)}, got "
+            f"{output_format!r}"
+        )
+    import sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(sys.modules[__name__])
+    out_mime, encode = _IMAGE_ENCODERS[output_format]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, metas = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                rgb = _decode_image(bytes(content))
+                if rgb is None:
+                    contents.append(bytes(content))
+                    metas.append(meta)
+                else:
+                    payload = encode(resize_image(rgb, height, width))
+                    metas.append(
+                        {
+                            "mime": out_mime,
+                            "n_bytes": len(payload),
+                            "source": meta["source"],
+                        }
+                    )
+                    contents.append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)

@@ -368,6 +368,83 @@ class TestMultimodal:
         assert row.feature[:3] == [3.0, 4.0, 3.0]
         assert row.feature[3:] == [200.0] * 4
 
+    def test_resize_image_nearest_neighbor_exact(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import resize_image
+
+        # 4x4 with distinct values: NN at pixel centers picks rows/cols 1,3
+        img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        out = resize_image(img, 2, 2)
+        assert out.shape == (2, 2, 3)
+        assert (out == img[[1, 3]][:, [1, 3]]).all()
+        # upsample replicates: every source pixel appears in a 2x2 block
+        up = resize_image(img, 8, 8)
+        assert (up[0:2, 0:2] == img[0, 0]).all()
+
+    def test_resize_media_roundtrip_and_passthrough(self, spark):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+            encode_wav,
+            resize_media,
+        )
+
+        img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        wav = encode_wav([0, 1000, -1000], 8000)
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_bmp(img)), "image/bmp"),
+             (2, bytearray(wav), "audio/wav")],
+            "media_id long, content binary, mime string",
+        ).select(
+            "media_id",
+            "content",
+            F.struct(
+                F.col("mime").alias("mime"),
+                F.octet_length("content").cast("long").alias("n_bytes"),
+                F.lit("test").alias("source"),
+            ).alias("meta"),
+        )
+        out = {r.media_id: r for r in resize_media(media, 2, 2).collect()}
+        resized = decode_bmp(bytes(out[1].content))
+        assert resized.shape == (2, 2, 3)
+        assert (resized == img[[1, 3]][:, [1, 3]]).all()
+        assert out[1].meta.mime == "image/bmp"
+        assert out[1].meta.n_bytes == len(bytes(out[1].content))
+        # the audio row passes through byte-identical
+        assert bytes(out[2].content) == wav
+        assert out[2].meta.mime == "audio/wav"
+
+    def test_resize_media_png_output_format(self, spark):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            decode_png,
+            encode_ppm,
+            resize_media,
+            _to_rgb3,
+        )
+
+        img = np.arange(6 * 6 * 3, dtype=np.uint8).reshape(6, 6, 3)
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_ppm(img)))], "media_id long, content binary"
+        ).select(
+            "media_id",
+            "content",
+            F.struct(
+                F.lit("image/x-portable-pixmap").alias("mime"),
+                F.octet_length("content").cast("long").alias("n_bytes"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        row = resize_media(media, 3, 3, output_format="png").first()
+        assert row.meta.mime == "image/png"
+        got = _to_rgb3(decode_png(bytes(row.content)))
+        assert got.shape == (3, 3, 3)
+        assert (got == img[[1, 3, 5]][:, [1, 3, 5]]).all()
+
     def test_frame_sampling_explodes_rows(self, spark):
         docs = spark.createDataFrame([(1, "x" * 25, "s")], "doc_id long, text string, source string")
         media = to_media_table(docs, "doc_id", "text", "video/mp4", "source")
