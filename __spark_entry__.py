@@ -93,7 +93,7 @@ ZQ_QUEUED = [
     # round-3 additions (window already holds 50 older unverified entries)
     "gopher_quality_flags", "corpus_quality_report", "perplexity_proxy_score",
     "boilerplate_ngram_prune", "scalar_array_gallery",
-    "half_life_decay_value", "profile_orders",
+    "half_life_decay_value", "profile_orders", "lateral_top_orders",
 ]
 
 ZV_VERIFIED = [

@@ -209,3 +209,43 @@ def cdc_apply_orders(spark, sf_dir):
         )
     )
     return apply_cdc(orders, changes, key="o_orderkey", seq_col="seq")
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL join (top-N-per-group as the SQL standard spells it).
+# Catalyst decorrelates the per-customer ORDER BY ... LIMIT 2 subquery into
+# WindowGroupLimit (partial before the exchange, final after) + one
+# broadcast join — no nested loop, no per-row subquery execution; the plan
+# is asserted in tests/test_plan_shapes.py. DuckDB spells the same join
+# with the comma-LATERAL form.
+# ---------------------------------------------------------------------------
+
+@query(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    """,
+    description=(
+        "Correlated LATERAL subquery join: each customer's top-2 orders by "
+        "price (total order), decorrelated by Catalyst to WindowGroupLimit "
+        "+ broadcast join"
+    ),
+)
+def lateral_top_orders(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        """
+    )

@@ -331,3 +331,13 @@ def test_quality_report_map_side_combines(spark):
     assert "partial_" in plan
     n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     assert n <= 2, f"corpus_quality_report has {n} shuffles"
+
+
+def test_lateral_join_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL ... ORDER BY ... LIMIT subquery must compile
+    to WindowGroupLimit (partial+final top-N) + a hash join — never a
+    nested loop re-executing the subquery per outer row."""
+    plan = plan_of(spark, "lateral_top_orders")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
