@@ -1,0 +1,86 @@
+"""Operator scaling probe over the synthetic corpus source.
+
+The fixtures cap out at sf0.1; this tool load-tests individual operators at
+arbitrary corpus sizes using the ``synthetic_docs`` generator source (rows
+are computed, not stored — the input scales to whatever fits the probe
+budget). For each (operator, rows) cell it runs the operator to a count and
+reports wall time and throughput, so scaling curves (rows vs time) land in
+BENCH_NOTES with measured numbers instead of assertions.
+
+Usage:
+    python tools/scale_probe.py                    # default ops, 3 sizes
+    python tools/scale_probe.py exact,gopher 100000,400000
+
+Run from a non-repo cwd (engine convention: warehouse dirs land under cwd).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _ops():
+    from data_etl_with_dbt_spark.operators import (
+        dedup as D,
+        relational as R,
+        textan as TA,
+    )
+
+    return {
+        "exact": lambda df: D.dedup_exact(df, "doc_id", "text"),
+        "minhash": lambda df: D.minhash_lsh_pairs(df, "doc_id", "text"),
+        "boilerplate": lambda df: D.ngram_df_prune(df, "doc_id", "text"),
+        "spans": lambda df: D.span_dedup(df, "doc_id", "text"),
+        "gopher": lambda df: TA.gopher_quality_flags(df, "doc_id", "text"),
+        "perplexity": lambda df: TA.unigram_logprob_score(df, "doc_id", "text"),
+        "bpe_step": lambda df: TA.bpe_pair_counts(df, "text"),
+        "quota": lambda df: R.per_key_cap(
+            df, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], n=1000
+        ),
+    }
+
+
+def main() -> None:
+    from data_etl_with_dbt_spark.session import get_spark
+    from data_etl_with_dbt_spark.sources import register_synthetic_source
+
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+    sizes = (
+        [int(s) for s in sys.argv[2].split(",")]
+        if len(sys.argv) > 2
+        else [100_000, 400_000]
+    )
+    spark = get_spark(
+        "scale_probe", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    register_synthetic_source(spark)
+    ops = _ops()
+    chosen = {k: v for k, v in ops.items() if names is None or k in names}
+
+    print(f"{'op':<12} {'rows':>9} {'sec':>7} {'rows/s':>10}")
+    for name, fn in chosen.items():
+        for rows in sizes:
+            df = (
+                spark.read.format("synthetic_docs")
+                .option("rows", rows)
+                .option("partitions", 64)
+                .option("seed", 13)
+                .load()
+            )
+            fn(df).count()  # warm (codegen + JIT); generation cost included
+            t0 = time.time()
+            fn(df).count()
+            dt = time.time() - t0
+            print(f"{name:<12} {rows:>9,} {dt:>7.2f} {rows / dt:>10,.0f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
