@@ -159,17 +159,33 @@ def enrich_stream_with_dimension(
 
 
 def error_click_attribution_stream(
-    events: DataFrame, max_lag: str = "30 minutes", watermark: str = "1 hour"
+    events: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: attribute each error to click events by the
-    same user within the preceding ``max_lag`` window — the streaming form of
+    """Stream-stream join: attribute each error to click events by the same
+    user within the preceding ``max_lag`` window — the streaming form of
     the batch as-of/attribution join.
 
     Both sides carry watermarks and the join condition bounds event time on
     both ends, so the state store can evict rows once the watermark passes —
     the required shape for an unbounded stream-stream join (an unbounded
     condition would grow state forever).
+
+    ``how="left_outer"`` additionally emits each UNMATCHED error with a
+    null click, but only once the error's join window has fully matured
+    past the watermark (Spark cannot know no click is coming until then).
+    Two operational consequences, both pinned in tests: output mode must
+    be append, and null rows land in the first batch that RUNS with the
+    advanced watermark — a finite stream needs trailing input (or a
+    sentinel) after the watermark advance, or trailing unmatched errors
+    stay pending forever. The global watermark is the MIN of both sides
+    (spark.sql.streaming.multipleWatermarkPolicy), so BOTH streams must
+    advance for maturation.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     errors = (
         events.where(F.col("event_type") == "error")
         .select(
@@ -193,7 +209,7 @@ def error_click_attribution_stream(
         (F.col("user_id") == F.col("click_user"))
         & (F.col("click_ts") < F.col("error_ts"))
         & (F.col("click_ts") >= F.col("error_ts") - F.expr(f"INTERVAL {max_lag}")),
-        "inner",
+        how,
     ).select("error_id", "user_id", "error_ts", "click_id", "click_ts")
 
 

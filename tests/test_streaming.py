@@ -562,3 +562,86 @@ def test_core_transform_stream_matches_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in transform_events(ev).collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_stream_left_outer_emits_matured_nulls(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched errors must emit with a
+    null click once their join window matures past the watermark. Null
+    emission lands in a batch that RUNS with the advanced watermark, so the
+    input ends with two sentinel files (the first advances event time on
+    BOTH sides — the global watermark is the min — and the second triggers
+    the batch that flushes the matured state)."""
+    import datetime as dt
+
+    from data_etl_with_dbt_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        error_click_attribution_stream,
+    )
+
+    import glob
+    import shutil
+
+    d = tmp_path / "events"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(name, rows):
+        # flat FILES, not subdirectories: the file stream source ignores
+        # nested non-partition dirs without recursiveFileLookup
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(d / f"{name}.parquet"))
+
+    # file 1: user 1 click then error (match); user 2 error, no click ever
+    write("f1", [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 1, "error", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=5), 2, "error", 1.0, "{}"),
+    ])
+    # sentinels: advance both sides' event time twice so the final batch
+    # runs with a watermark far past the 2024-01-01 rows
+    far1 = t0 + dt.timedelta(days=10)
+    far2 = t0 + dt.timedelta(days=20)
+    write("f2", [(100, far1, 900, "click", 0.0, "{}"),
+                 (101, far1, 901, "error", 0.0, "{}")])
+    write("f3", [(102, far2, 902, "click", 0.0, "{}"),
+                 (103, far2, 903, "error", 0.0, "{}")])
+
+    stream = spark.readStream.format("parquet").schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).load(str(d))
+    out = error_click_attribution_stream(stream, how="left_outer")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("louter")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r.error_id: r for r in spark.table("louter").collect()}
+    # the matched error carries its click
+    assert rows[2].click_id == 1
+    # the unmatched error matured and emitted with a null click
+    assert 3 in rows and rows[3].click_id is None
+    # inner variant on the same data never emits error 3
+    inner = error_click_attribution_stream(
+        spark.readStream.format("parquet").schema(EVENT_SCHEMA).load(str(d))
+    )
+    q2 = (
+        inner.writeStream.format("memory")
+        .queryName("linner")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    inner_ids = {r.error_id for r in spark.table("linner").collect()}
+    assert 2 in inner_ids and 3 not in inner_ids
+
+    with pytest.raises(ValueError):
+        error_click_attribution_stream(stream, how="full_outer")
