@@ -238,6 +238,23 @@ def set_except_all(spark, sf_dir):
 
 
 @query(
+    "set_intersect_all",
+    oracle="""
+    SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nk FROM supplier
+    )
+    """,
+    description="INTERSECT ALL multiset semantics (min of per-side duplicate counts)",
+)
+def set_intersect_all(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return cust.intersectAll(supp)
+
+
+@query(
     "approx_aggregates",
     oracle=None,  # sketch-based: HLL/quantile-digest internals differ across engines by design
     description="approx_count_distinct (HyperLogLog++) + percentile_approx — the sketch family for 100 TB cardinality/quantile work",
