@@ -505,6 +505,58 @@ def scalar_array_gallery(spark, sf_dir):
 
 
 @query(
+    "scalar_map_gallery",
+    oracle="""
+    SELECT
+        p_partkey,
+        'brand type' AS keys_sorted,
+        p_brand AS brand_val,
+        CASE WHEN lower(p_brand) < lower(p_type)
+             THEN lower(p_brand) || '|' || lower(p_type)
+             ELSE lower(p_type) || '|' || lower(p_brand) END AS lower_vals,
+        p_brand AS brand_only,
+        CAST(3 AS INT) AS n_after_concat,
+        'brand=' || p_brand || ',type=' || p_type AS entries,
+        '2' AS parsed_b
+    FROM part
+    """,
+    description=(
+        "Map scalar family: map_keys/map_values/element_at/"
+        "transform_values/map_filter/map_concat/map_entries/str_to_map — "
+        "the Spark side computes through real MapType expressions; the "
+        "oracle derives the same scalars directly (DuckDB MAP extraction "
+        "semantics differ, values don't)"
+    ),
+)
+def scalar_map_gallery(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    lowered = F.transform_values(m, lambda k, v: F.lower(v))
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.map_keys(m)), " ").alias("keys_sorted"),
+        F.element_at(m, F.lit("brand")).alias("brand_val"),
+        F.array_join(F.array_sort(F.map_values(lowered)), "|").alias("lower_vals"),
+        F.array_join(
+            F.map_values(F.map_filter(m, lambda k, v: k == F.lit("brand"))), ","
+        ).alias("brand_only"),
+        F.size(
+            F.map_concat(m, F.create_map(F.lit("sz"), F.col("p_size").cast("string")))
+        ).alias("n_after_concat"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(m)),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ",",
+        ).alias("entries"),
+        F.element_at(F.str_to_map(F.lit("a:1,b:2"), F.lit(","), F.lit(":")), F.lit("b")).alias("parsed_b"),
+    )
+
+
+@query(
     "scalar_date_gallery",
     oracle="""
     SELECT
