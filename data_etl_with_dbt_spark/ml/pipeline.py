@@ -122,3 +122,16 @@ def predict_batch(model, df: DataFrame, round_to: int = 2) -> DataFrame:
         .withColumn("predicted_fare", F.round(F.col("prediction"), round_to))
         .drop("features", "prediction")
     )
+
+
+def feature_importances(model, feature_cols: list[str] | None = None) -> list[dict]:
+    """Impurity-based feature importances from a fitted tree-ensemble
+    regressor, named against the assembler's input columns — the model-
+    debugging surface the reference's sklearn flow gets from
+    ``feature_importances_``. Returns ``[{feature, importance}, ...]``
+    sorted by importance descending (driver-side: one tiny dense vector,
+    no data pass)."""
+    cols = feature_cols if feature_cols is not None else FEATURE_COLUMNS
+    imps = model.featureImportances.toArray().tolist()
+    ranked = sorted(zip(cols, imps), key=lambda kv: (-kv[1], kv[0]))
+    return [{"feature": f, "importance": float(v)} for f, v in ranked]

@@ -65,6 +65,15 @@ def test_train_eval_save_load_predict(spark, training, tmp_path):
     # rounding applied (F8): two decimals
     assert all(abs(r.predicted_fare * 100 - round(r.predicted_fare * 100)) < 1e-6 for r in rows)
 
+    from data_etl_with_dbt_spark.ml.pipeline import feature_importances
+
+    ranked = feature_importances(model)
+    assert [r["feature"] for r in ranked] and len(ranked) == len(FEATURE_COLUMNS)
+    assert set(r["feature"] for r in ranked) == set(FEATURE_COLUMNS)
+    imps = [r["importance"] for r in ranked]
+    assert imps == sorted(imps, reverse=True)
+    assert sum(imps) == pytest.approx(1.0, abs=1e-6)
+
 
 def test_parse_nl_trip_fixture():
     p = parse_nl_trip("10 miles, 3 passengers, 20 minutes")
