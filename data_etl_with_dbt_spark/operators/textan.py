@@ -738,3 +738,55 @@ def bpe_segment(
         if i % checkpoint_every == 0:
             out = out.localCheckpoint(eager=False)
     return out
+
+
+def packed_token_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 2048,
+    eos: str = "<eos>",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """GPT-style pretraining layout: concatenate the whole corpus into one
+    token stream (documents in ``id_col`` order, ``eos`` appended to each),
+    then slice it into fixed ``window_tokens`` windows — training examples
+    CROSS document boundaries, unlike :func:`suite.corpus.sequence_packing`
+    which bins whole documents into budgets. Returns one row per window:
+    ``(window_id, n_tokens, n_docs, first_doc, window_hash)`` with the hash
+    standing in for the packed text (hash-not-payload convention).
+
+    Scale shape: the global token index — the part that is trivially a
+    ``row_number() OVER (ORDER BY ...)`` single-task bottleneck at corpus
+    scale — reuses :func:`relational.global_row_index`'s quantile-bucketed
+    plan: the TOKEN STREAM (trillions of rows at 100 TB) gets contiguous
+    indices from a fully parallel bucket/offset computation, never a
+    single-partition sort. One explode (rows multiply, bytes don't), the
+    index machinery's one full shuffle, then a map-side-combined window
+    aggregation keyed on ``window_id``.
+    """
+    from data_etl_with_dbt_spark.operators.relational import global_row_index
+
+    toks = F.concat(tokens_expr(F.col(text_col)), F.array(F.lit(eos)))
+    stream = df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
+    indexed = global_row_index(
+        stream, order_by=[id_col, "__pos"], index_col="__idx",
+        num_buckets=num_buckets,
+    )
+    win = (F.col("__idx") / window_tokens).cast("bigint")
+    kept = F.struct(F.col("__idx"), F.col("__tok"))
+    return (
+        indexed.withColumn("window_id", win)
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs"),
+            F.min(id_col).cast("bigint").alias("first_doc"),
+            F.md5(
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["__tok"]),
+                    " ",
+                )
+            ).alias("window_hash"),
+        )
+    )

@@ -768,3 +768,46 @@ def bpe_train_merges(spark, sf_dir):
         [(m["step"], m["left"], m["right"], m["merged"], m["cnt"]) for m in merges],
         "step bigint, left string, right string, merged string, cnt bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# GPT-style packed pretraining windows: the corpus as ONE token stream
+# (EOS-separated, doc_id order), sliced into fixed windows that cross
+# document boundaries. The oracle is the single-threaded row_number
+# spelling; the Spark side must reproduce the exact assignment from the
+# bucketed distributed index — proving the offset arithmetic over the
+# EXPLODED token stream, the true corpus-scale use of global_row_index.
+# ---------------------------------------------------------------------------
+
+@query(
+    "packed_token_windows",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_append(
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                   '<eos>') AS t
+        FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, i, t[i] AS tok,
+               row_number() OVER (ORDER BY doc_id, i) - 1 AS idx
+        FROM toks, unnest(generate_series(1, len(t))) AS s(i)
+    )
+    SELECT CAST(idx // 64 AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           md5(string_agg(tok, ' ' ORDER BY idx)) AS window_hash
+    FROM flat GROUP BY 1
+    """,
+    description=(
+        "GPT-style packed pretraining windows: EOS-joined corpus token "
+        "stream sliced into fixed 64-token examples crossing doc "
+        "boundaries; global token index via the bucketed distributed plan"
+    ),
+)
+def packed_token_windows(spark, sf_dir):
+    return TA.packed_token_windows(
+        load(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=64
+    )

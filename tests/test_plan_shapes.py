@@ -289,6 +289,7 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "embedding_near_dup": {"python-eval"},
         # 32-row bucket-offsets metadata frame (data path proven elsewhere)
         "global_row_index": {"single-partition"},
+        "packed_token_windows": {"single-partition"},  # same index machinery
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):
