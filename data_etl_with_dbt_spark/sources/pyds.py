@@ -36,11 +36,15 @@ from __future__ import annotations
 import random
 from collections.abc import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -151,3 +155,83 @@ def register_synthetic_source(spark) -> None:
 
     register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(SyntheticCorpusDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Task-side JSONL shard writer with a driver-side commit manifest.
+
+    The two-phase contract the Python Data Source write API exists for:
+    each task writes a UNIQUELY-NAMED temp shard and returns a commit
+    message; only the driver's ``commit`` publishes the manifest naming the
+    shards that belong to the table (task retries/speculative duplicates
+    write orphan files but are never referenced — the same
+    publish-by-manifest idea transactional table formats use). ``abort``
+    removes every written shard.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires a path option")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _ShardCommit:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        # attempt-unique name: a retried task never clobbers another attempt
+        shard = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(shard, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _ShardCommit(path=shard, rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        shards = [
+            {"path": os.path.basename(m.path), "rows": m.rows}
+            for m in messages
+            if m is not None
+        ]
+        manifest = {
+            "shards": sorted(shards, key=lambda s: s["path"]),
+            "total_rows": sum(s["rows"] for s in shards),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """Batch write target: ``df.write.format("jsonl_sink").option("path",
+    d).mode("append").save()`` — JSONL shards + a commit manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options, overwrite)
