@@ -549,3 +549,48 @@ def locf_imputation(spark, sf_dir):
         v.alias("v"),
         F.last(v, ignorenulls=True).over(w).alias("v_locf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-level sessionization: gap-based session ids (the gaps-and-islands
+# pattern at event granularity — session_window_events aggregates sessions,
+# this ASSIGNS each event its session id, which downstream joins need).
+# ---------------------------------------------------------------------------
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts)
+                         - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         > 30 * 60 * 1000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_no
+    FROM marked
+    """,
+    description=(
+        "Event-level sessionization: 30-minute-gap session numbers per "
+        "user (gaps-and-islands; one window exchange keyed on user_id)"
+    ),
+)
+def sessionize_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(run).cast("bigint").alias("session_no"),
+    )
