@@ -828,3 +828,90 @@ def ngram_df_prune(
             )
         ).alias("kept_hash"),
     )
+
+
+def incremental_ngram_df_prune(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 5,
+    min_df: int = 3,
+    broadcast_dict: bool = True,
+):
+    """Cross-batch boilerplate pruning — the continuous-intake form of
+    :func:`ngram_df_prune`: document frequencies accumulate in a persisted
+    ``(span, df)`` index across batches, so a span that only becomes
+    boilerplate after several crawl increments (df reaches ``min_df``
+    spread over batches) is caught the moment it crosses the threshold.
+
+    ``index`` holds the prior batches' span document frequencies (empty
+    frame with schema ``span string, df bigint`` for the first batch).
+    Returns ``(pruned, updated_index)`` — ``pruned`` has the same schema
+    as :func:`ngram_df_prune`, judged against the UPDATED frequencies
+    (prior + this batch); ``updated_index`` replaces the store.
+
+    Ingestion semantics are as-of-arrival, like the incremental MinHash
+    dedup: documents emitted in earlier batches are not retroactively
+    re-pruned when a later batch pushes a span over the threshold — a
+    periodic full-corpus :func:`ngram_df_prune` reconciles if needed.
+
+    Scale: the batch contributes one span-DF aggregation (map-side
+    combined); the index merge is an additive groupBy-sum keyed on span —
+    never a rescan of prior text. The updated index feeds two consumers
+    (the boilerplate dictionary and the returned store), so it is lazily
+    ``localCheckpoint``ed against Catalyst's no-cross-consumer-CSE
+    re-execution; callers persisting the index to a path it was also read
+    from this batch must still checkpoint BEFORE the write (the
+    read-then-overwrite lineage trap, see ``streaming/intake.py``).
+    """
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(span_tokens)
+    )
+    span = F.array_join(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens), " ")
+    spans = (
+        new_docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+        .select(id_col, F.explode(starts).alias("__s"), "__t")
+        .where(F.size(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens)) > 0)
+        .select(
+            id_col,
+            (F.col("__s") / span_tokens).cast("bigint").alias("__pos"),
+            span.alias("__span"),
+        )
+    )
+    batch_df = spans.groupBy("__span").agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("df")
+    )
+    updated = (
+        index.select(F.col("span").alias("__span"), F.col("df").cast("bigint"))
+        .unionByName(batch_df)
+        .groupBy("__span")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .localCheckpoint(eager=False)
+    )
+    bp = updated.where(F.col("df") >= min_df).select(
+        "__span", F.lit(True).alias("__bp")
+    )
+    dict_side = F.broadcast(bp) if broadcast_dict else bp
+    marked = spans.join(dict_side, "__span", "left")
+    kept_struct = F.when(
+        F.col("__bp").isNull(), F.struct(F.col("__pos"), F.col("__span"))
+    )
+    n_spans = F.count(F.lit(1)).cast("bigint")
+    n_dropped = F.sum(F.col("__bp").isNotNull().cast("bigint")).cast("bigint")
+    pruned = marked.groupBy(id_col).agg(
+        n_spans.alias("n_spans"),
+        n_dropped.alias("n_spans_dropped"),
+        (n_dropped.cast("double") / n_spans.cast("double")).alias(
+            "boilerplate_frac"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["__span"]
+                ),
+                " ",
+            )
+        ).alias("kept_hash"),
+    )
+    return pruned, updated.select(F.col("__span").alias("span"), "df")

@@ -1385,3 +1385,47 @@ class TestTrainBpe:
         got = {r.word: list(r.sym) for r in bpe_segment(words, "word", merges).collect()}
         assert got["aaaa"] == ["aa", "aa"]
         assert got["aaa"] == ["aa", "a"]
+
+
+class TestIncrementalNgramDf:
+    def test_cross_batch_threshold_detection(self, spark):
+        from data_etl_with_dbt_spark.operators.dedup import incremental_ngram_df_prune
+
+        empty = spark.createDataFrame([], "span string, df bigint")
+        batches = [
+            [(1, "a b c x y z")],   # "a b c" df=1 -> kept
+            [(2, "a b c q r s")],   # df=2 -> still kept
+            [(3, "a b c u v w")],   # df=3 -> DROPPED in this batch only
+        ]
+        index = empty
+        results = []
+        for rows in batches:
+            docs = spark.createDataFrame(rows, "id long, text string")
+            pruned, index = incremental_ngram_df_prune(
+                docs, index, "id", "text", span_tokens=3, min_df=3
+            )
+            results.append({r.id: r for r in pruned.collect()})
+        assert results[0][1].n_spans_dropped == 0
+        assert results[1][2].n_spans_dropped == 0
+        assert results[2][3].n_spans_dropped == 1  # crossed min_df=3 here
+        # the index accumulated the span's document frequency across batches
+        dfs = {r.span: r.df for r in index.collect()}
+        assert dfs["a b c"] == 3 and dfs["x y z"] == 1
+
+    def test_matches_batch_prune_when_single_batch(self, spark):
+        from data_etl_with_dbt_spark.operators.dedup import (
+            incremental_ngram_df_prune,
+            ngram_df_prune,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c x y z"), (3, "a b c q r s")],
+            "id long, text string",
+        )
+        empty = spark.createDataFrame([], "span string, df bigint")
+        inc, _ = incremental_ngram_df_prune(docs, empty, "id", "text", 3, 3)
+        batch = ngram_df_prune(docs, "id", "text", 3, 3)
+        cols = sorted(batch.columns)
+        assert sorted(map(tuple, inc.select(cols).collect())) == sorted(
+            map(tuple, batch.select(cols).collect())
+        )
