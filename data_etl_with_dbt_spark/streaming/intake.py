@@ -222,3 +222,72 @@ def additive_rollup_sink(
         merged.write.mode("overwrite").parquet(rollup_path)
 
     return process
+
+
+def boilerplate_intake_sink(
+    df_index_path: str,
+    corpus_path: str,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 5,
+    min_df: int = 3,
+    max_boilerplate_frac: float = 0.5,
+    report_path: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink for cross-batch boilerplate suppression — the
+    streaming form of :func:`~data_etl_with_dbt_spark.operators.dedup.
+    ngram_df_prune`, composing with :func:`minhash_intake_sink` the way the
+    batch corpus pipeline chains dedup stages.
+
+    Per micro-batch: accumulate span document frequencies into the
+    persisted ``(span, df)`` store at ``df_index_path`` (an additive
+    vocab-keyed table, never a rescan of prior text), judge the batch
+    against the UPDATED frequencies, drop documents that are mostly
+    boilerplate (``boilerplate_frac > max_boilerplate_frac``), append
+    survivors' full rows to ``corpus_path``, and optionally append the
+    per-doc prune report (+ ``batch_id``) to ``report_path``.
+
+    Lineage discipline (the read-then-overwrite trap): both the verdicts
+    and the updated index derive from a plan that READ ``df_index_path``,
+    and the index is REWRITTEN the same batch — everything is eagerly
+    ``localCheckpoint``ed before the overwrite, or a task retry would
+    recompute against the half-written store.
+    """
+    from ..operators.dedup import incremental_ngram_df_prune
+
+    index_schema = T.StructType(
+        [
+            T.StructField("span", T.StringType()),
+            T.StructField("df", T.LongType()),
+        ]
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        existing = _parquet_or_none(spark, df_index_path, index_schema)
+        if existing is None:
+            existing = spark.createDataFrame([], index_schema)
+        pruned, updated = incremental_ngram_df_prune(
+            batch,
+            existing,
+            id_col,
+            text_col,
+            span_tokens=span_tokens,
+            min_df=min_df,
+        )
+        pruned = pruned.localCheckpoint(eager=True)
+        updated = updated.localCheckpoint(eager=True)
+
+        keep = pruned.where(
+            F.col("boilerplate_frac") <= max_boilerplate_frac
+        ).select(id_col)
+        batch.join(keep, on=id_col, how="left_semi").write.mode("append").parquet(
+            corpus_path
+        )
+        updated.write.mode("overwrite").parquet(df_index_path)
+        if report_path is not None:
+            pruned.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(report_path)
+
+    return process

@@ -645,3 +645,73 @@ def test_stream_stream_left_outer_emits_matured_nulls(spark, tmp_path):
 
     with pytest.raises(ValueError):
         error_click_attribution_stream(stream, how="full_outer")
+
+
+def test_boilerplate_intake_accumulates_df_across_batches(spark, tmp_path):
+    """Streaming boilerplate suppression: the span-DF store accumulates
+    across micro-batches, so a banner that only reaches min_df on the third
+    batch starts dropping documents exactly then — and a doc that is MOSTLY
+    that banner is excluded from the corpus."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.streaming.intake import boilerplate_intake_sink
+
+    BANNER = "accept all cookies"
+    src = tmp_path / "docs_src"
+    src.mkdir()
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+
+    # one banner occurrence per batch; doc 30 is banner-only
+    mk([(1, BANNER + " unique alpha text"), (2, "other beta words")]).write.parquet(
+        str(src / "f0")
+    )
+    mk([(10, BANNER + " unique gamma text")]).write.parquet(str(src / "f1"))
+    mk([(20, BANNER + " unique delta text"), (30, BANNER)]).write.parquet(
+        str(src / "f2")
+    )
+    now = _time.time()
+    for i, d in enumerate(("f0", "f1", "f2")):
+        for f in _glob.glob(str(src / d / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    sink = boilerplate_intake_sink(
+        df_index_path=str(tmp_path / "dfindex"),
+        corpus_path=str(tmp_path / "corpus"),
+        id_col="doc_id",
+        text_col="text",
+        span_tokens=3,
+        min_df=3,
+        max_boilerplate_frac=0.5,
+        report_path=str(tmp_path / "report"),
+    )
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # doc 30 (100% boilerplate once df hit 3) is excluded; all others kept
+    corpus = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert corpus == [1, 2, 10, 20]
+    # the store accumulated the banner's df across batches
+    dfs = {r.span: r.df for r in spark.read.parquet(str(tmp_path / "dfindex")).collect()}
+    assert dfs[BANNER.lower()] == 4
+    report = {
+        (r.doc_id): (r.n_spans_dropped, r.batch_id)
+        for r in spark.read.parquet(str(tmp_path / "report")).collect()
+    }
+    # batches 0-1: below threshold, nothing dropped; batch 2: banner drops
+    assert report[1] == (0, 0) and report[10] == (0, 1)
+    assert report[20][0] >= 1 and report[20][1] == 2
+    assert report[30] == (1, 2)
