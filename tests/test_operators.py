@@ -1429,3 +1429,32 @@ class TestIncrementalNgramDf:
         assert sorted(map(tuple, inc.select(cols).collect())) == sorted(
             map(tuple, batch.select(cols).collect())
         )
+
+
+class TestTrainBpeRandomized:
+    def test_random_corpora_match_reference(self, spark):
+        """Property check: on randomized corpora the distributed trainer
+        must agree merge-for-merge (pair, order, count) with the pure-Python
+        reference, including count-tie rounds where only the lexicographic
+        tie-break decides."""
+        import random
+
+        from data_etl_with_dbt_spark.operators.textan import train_bpe
+
+        alphabet = "abcd"
+        for seed in (3, 5, 8):
+            rng = random.Random(seed)
+            texts = [
+                " ".join(
+                    "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 6)))
+                    for _ in range(rng.randint(3, 10))
+                )
+                for _ in range(12)
+            ]
+            df = spark.createDataFrame([(t,) for t in texts], "text string")
+            got = train_bpe(df, "text", num_merges=5)
+            want, _ = TestTrainBpe._reference_bpe(texts, 5)
+            assert [
+                (m["step"], m["left"], m["right"], m["merged"], m["cnt"])
+                for m in got
+            ] == want, seed
