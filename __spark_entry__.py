@@ -94,7 +94,7 @@ ZQ_QUEUED = [
     "gopher_quality_flags", "corpus_quality_report", "perplexity_proxy_score",
     "boilerplate_ngram_prune", "scalar_array_gallery",
     "half_life_decay_value", "profile_orders", "lateral_top_orders",
-    "set_intersect_all", "scalar_map_gallery", "packed_token_windows", "sessionize_events",
+    "set_intersect_all", "scalar_map_gallery", "packed_token_windows", "sessionize_events", "dedup_soft_weights",
 ]
 
 ZV_VERIFIED = [

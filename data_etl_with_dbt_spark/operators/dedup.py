@@ -915,3 +915,37 @@ def incremental_ngram_df_prune(
         ).alias("kept_hash"),
     )
     return pruned, updated.select(F.col("__span").alias("span"), "df")
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """SoftDedup-style sampling weights: instead of DROPPING near
+    duplicates, every document in a near-dup cluster gets weight
+    ``1 / cluster_size`` (isolated docs weigh 1), so a training sampler
+    sees each piece of content with total mass ~1 however many copies
+    exist — the downweight-don't-delete alternative the soft-dedup line
+    of work argues preserves distributional coverage.
+
+    Returns ``(id, cluster_id, cluster_size, weight)``. The weight is one
+    IEEE division of exact integers — deterministic cross-engine.
+
+    Plan: :func:`dedup_clusters` label propagation, then one window count
+    over the cluster key (a single exchange on ``cluster_id``); composes
+    with the same pair generators as hard dedup (exact, MinHash/LSH,
+    SimHash), so the hard/soft choice is a post-pairing policy, not a
+    different pipeline.
+    """
+    clusters = dedup_clusters(docs, id_col, pairs, id_a=id_a, id_b=id_b)
+    w = Window.partitionBy("cluster_id")
+    size = F.count(F.lit(1)).over(w).cast("bigint")
+    return clusters.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        size.alias("cluster_size"),
+        (F.lit(1.0) / size.cast("double")).alias("weight"),
+    )

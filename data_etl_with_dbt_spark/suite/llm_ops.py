@@ -743,3 +743,38 @@ def embedding_centroid_outliers(spark, sf_dir):
 )
 def perplexity_proxy_score(spark, sf_dir):
     return TA.unigram_logprob_score(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SOFT_WEIGHTS_ORACLE = """
+WITH clusters AS (""" + _CLUSTER_ORACLE.strip() + """
+)
+SELECT doc_id,
+       cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       1.0 / count(*) OVER (PARTITION BY cluster_id) AS weight
+FROM clusters
+"""
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=_SOFT_WEIGHTS_ORACLE,
+    description=(
+        "SoftDedup sampling weights: 1/cluster_size over the near-dup "
+        "component graph (downweight, don't delete) — same pair "
+        "generators as hard dedup, policy applied after clustering"
+    ),
+)
+def dedup_soft_weights(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.5,
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    out = D.soft_dedup_weights(docs, "doc_id", pairs)
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        big(F.col("cluster_id")).alias("cluster_id"),
+        "cluster_size",
+        "weight",
+    )
