@@ -40,6 +40,9 @@ def _ops():
         "gopher": lambda df: TA.gopher_quality_flags(df, "doc_id", "text"),
         "perplexity": lambda df: TA.unigram_logprob_score(df, "doc_id", "text"),
         "bpe_step": lambda df: TA.bpe_pair_counts(df, "text"),
+        "packed": lambda df: TA.packed_token_windows(
+            df, "doc_id", "text", window_tokens=2048
+        ),
         "quota": lambda df: R.per_key_cap(
             df, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], n=1000
         ),
