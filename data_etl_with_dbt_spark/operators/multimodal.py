@@ -412,12 +412,29 @@ def default_decoder(content: bytes, mime: str):
         return image_features(decode_ppm(content))
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return audio_features(*decode_wav(content))
+    if content[4:8] == b"ftyp":
+        m = parse_mp4_meta(content)
+        return [
+            float(m["duration_seconds"] or 0.0),
+            float(m["timescale"] or 0),
+            float(m["n_tracks"]),
+        ]
+    if content[:3] == b"ID3" or (
+        len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0
+    ):
+        m = parse_mp3_meta(content)
+        return [
+            m["est_duration_seconds"],
+            float(m["sample_rate"]),
+            float(m["bitrate_kbps"]),
+        ]
     if mime.startswith("text/"):
         return text_byte_features(content)
     raise NotImplementedError(
-        f"no built-in codec for mime={mime!r}; JPEG/compressed audio/video "
-        "need libraries not present in this container — pass an explicit "
-        "decoder"
+        f"no built-in codec for mime={mime!r}; JPEG decode and compressed "
+        "audio/video SAMPLE decode need libraries not present in this "
+        "container (container METADATA for MP4/MP3 is parsed above) — "
+        "pass an explicit decoder"
     )
 
 
@@ -577,3 +594,85 @@ def resize_media(
             )
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def parse_mp4_meta(content: bytes) -> dict:
+    """Dependency-free MP4/ISO-BMFF metadata: walk the top-level box
+    structure (size + fourcc), read ``ftyp``'s major brand and ``moov/
+    mvhd``'s timescale + duration (version 0 and 1 layouts), count
+    ``trak`` boxes. This is what real pipelines extract WITHOUT a codec —
+    frame decode still needs libraries and still raises."""
+    import struct
+
+    content = bytes(content)
+
+    def walk(buf, offset, end):
+        while offset + 8 <= end:
+            size, = struct.unpack(">I", buf[offset : offset + 4])
+            ctype = buf[offset + 4 : offset + 8]
+            body_off = offset + 8
+            if size == 1:  # 64-bit largesize
+                size, = struct.unpack(">Q", buf[offset + 8 : offset + 16])
+                body_off = offset + 16
+            if size == 0:
+                size = end - offset
+            yield ctype, body_off, offset + size
+            offset += size
+
+    meta = {"major_brand": None, "timescale": None, "duration_seconds": None, "n_tracks": 0}
+    for ctype, body, box_end in walk(content, 0, len(content)):
+        if ctype == b"ftyp":
+            meta["major_brand"] = content[body : body + 4].decode("ascii", "replace")
+        elif ctype == b"moov":
+            for sub, sbody, send in walk(content, body, box_end):
+                if sub == b"mvhd":
+                    version = content[sbody]
+                    if version == 1:
+                        ts, = struct.unpack(">I", content[sbody + 20 : sbody + 24])
+                        dur, = struct.unpack(">Q", content[sbody + 24 : sbody + 32])
+                    else:
+                        ts, = struct.unpack(">I", content[sbody + 12 : sbody + 16])
+                        dur, = struct.unpack(">I", content[sbody + 16 : sbody + 20])
+                    meta["timescale"] = ts
+                    meta["duration_seconds"] = dur / ts if ts else None
+                elif sub == b"trak":
+                    meta["n_tracks"] += 1
+    if meta["timescale"] is None:
+        raise ValueError("no moov/mvhd box: not an MP4 movie or truncated")
+    return meta
+
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def parse_mp3_meta(content: bytes) -> dict:
+    """Dependency-free MP3 stream metadata: skip an ID3v2 tag (syncsafe
+    size), find the first frame sync, parse the header's bitrate/sample
+    rate (MPEG-1 Layer III tables), and estimate duration from the audio
+    byte count at that bitrate (exact for CBR, the common case). Sample
+    DECODE still needs a codec and still raises."""
+    content = bytes(content)
+    off = 0
+    if content[:3] == b"ID3":
+        sz = (
+            (content[6] << 21) | (content[7] << 14) | (content[8] << 7) | content[9]
+        )
+        off = 10 + sz
+    while off + 4 <= len(content):
+        if content[off] == 0xFF and (content[off + 1] & 0xE0) == 0xE0:
+            hdr = content[off : off + 4]
+            version = (hdr[1] >> 3) & 0x3  # 3 = MPEG-1
+            layer = (hdr[1] >> 1) & 0x3  # 1 = Layer III
+            if version == 3 and layer == 1:
+                bitrate = _MP3_BITRATES[(hdr[2] >> 4) & 0xF]
+                rate_idx = (hdr[2] >> 2) & 0x3
+                if bitrate and rate_idx < 3:
+                    audio_bytes = len(content) - off
+                    return {
+                        "bitrate_kbps": bitrate,
+                        "sample_rate": _MP3_RATES[rate_idx],
+                        "est_duration_seconds": audio_bytes * 8 / (bitrate * 1000),
+                    }
+        off += 1
+    raise ValueError("no MPEG-1 Layer III frame sync found")

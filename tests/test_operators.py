@@ -1458,3 +1458,82 @@ class TestTrainBpeRandomized:
                 (m["step"], m["left"], m["right"], m["merged"], m["cnt"])
                 for m in got
             ] == want, seed
+
+
+class TestContainerMetadata:
+    @staticmethod
+    def _mini_mp4(duration=90, timescale=30, tracks=2, brand=b"isom"):
+        import struct
+
+        def box(fourcc, body):
+            return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+        ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + b"mp41")
+        mvhd_body = (
+            b"\x00\x00\x00\x00"           # version 0 + flags
+            + struct.pack(">II", 0, 0)     # creation/modification
+            + struct.pack(">I", timescale)
+            + struct.pack(">I", duration * timescale)
+        )
+        moov = box(
+            b"moov",
+            box(b"mvhd", mvhd_body) + box(b"trak", b"") * tracks,
+        )
+        return ftyp + moov
+
+    @staticmethod
+    def _mini_mp3(n_frames=10, with_id3=True):
+        # MPEG-1 Layer III, 128 kbps, 44100 Hz: frame size 417 bytes
+        frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
+        id3 = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 if with_id3 else b""
+        return id3 + frame * n_frames
+
+    def test_mp4_metadata_parse(self):
+        from data_etl_with_dbt_spark.operators.multimodal import parse_mp4_meta
+
+        m = parse_mp4_meta(self._mini_mp4(duration=90, timescale=30, tracks=2))
+        assert m["major_brand"] == "isom"
+        assert m["timescale"] == 30
+        assert m["duration_seconds"] == pytest.approx(90.0)
+        assert m["n_tracks"] == 2
+
+    def test_mp4_truncated_raises(self):
+        from data_etl_with_dbt_spark.operators.multimodal import parse_mp4_meta
+
+        with pytest.raises(ValueError, match="mvhd"):
+            parse_mp4_meta(self._mini_mp4()[:16])
+
+    def test_mp3_metadata_parse_skips_id3(self):
+        from data_etl_with_dbt_spark.operators.multimodal import parse_mp3_meta
+
+        payload = self._mini_mp3(n_frames=10)
+        m = parse_mp3_meta(payload)
+        assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+        # 10 frames x 417 bytes at 128 kbps ~= 0.26 s
+        assert m["est_duration_seconds"] == pytest.approx(4170 * 8 / 128000)
+        # no-ID3 variant parses the same header
+        m2 = parse_mp3_meta(self._mini_mp3(n_frames=10, with_id3=False))
+        assert m2["bitrate_kbps"] == 128
+
+    def test_default_decoder_extracts_container_features(self, spark):
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(self._mini_mp4(duration=90, timescale=30, tracks=2)), "video/mp4"),
+                (2, bytearray(self._mini_mp3()), "audio/mpeg"),
+            ],
+            "media_id long, content binary, mime string",
+        ).select(
+            "media_id",
+            "content",
+            F.struct(
+                F.col("mime").alias("mime"),
+                F.octet_length("content").cast("long").alias("n_bytes"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        feats = {
+            r.media_id: r.feature
+            for r in extract_media_features(media, decoder=default_decoder).collect()
+        }
+        assert feats[1] == [90.0, 30.0, 2.0]
+        assert feats[2][1:] == [44100.0, 128.0]
