@@ -46,7 +46,10 @@ from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401
 from data_etl_with_dbt_spark.operators.multimodal import (  # noqa: F401
     extract_media_features,
     media_from_binary_files,
+    parse_mp3_meta,
+    parse_mp4_meta,
     resize_image,
     resize_media,
+    sample_frame_times,
     to_media_table,
 )

@@ -2,15 +2,17 @@
 metadata, with decode / feature-extract stages as Arrow-batched pandas
 transforms over ``mapInPandas``.
 
-Dependency-free codecs cover one real format per modality — uncompressed
-24-bpp BMP and binary PPM (image), 16-bit PCM WAV (audio), byte stats
-(text) — all numpy header+raster parses, no libraries. Compressed formats
-(PNG/JPEG/MP3/MP4) need codec libraries absent from this container, so the
-default decoder raises ``NotImplementedError`` for those; callers inject a
-decoder. The Spark-side plumbing — schema, partition-preserving
-``mapInPandas``, Arrow batch shape — is identical either way: each batch is
-a pandas DataFrame of (id, bytes, meta), features come back as typed
-columns, and nothing ever collects to the driver.
+Dependency-free codecs and parsers, no libraries: BMP/PPM raster decode +
+PNG decode (stdlib zlib inflate + unfilter) for images, 16-bit PCM WAV
+decode for audio, ISO-BMFF box-walk metadata for MP4 (``parse_mp4_meta``)
+and frame-header metadata for MP3 (``parse_mp3_meta``), byte stats for
+text. Only SAMPLE/FRAME decode of compressed audio/video and JPEG decode
+still raise ``NotImplementedError`` — those genuinely need codec
+libraries absent from this container; callers inject a decoder. The
+Spark-side plumbing — schema, partition-preserving ``mapInPandas``, Arrow
+batch shape — is identical either way: each batch is a pandas DataFrame
+of (id, bytes, meta), features come back as typed columns, and nothing
+ever collects to the driver.
 """
 
 from __future__ import annotations
@@ -676,3 +678,50 @@ def parse_mp3_meta(content: bytes) -> dict:
                     }
         off += 1
     raise ValueError("no MPEG-1 Layer III frame sync found")
+
+
+FRAME_TIME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("t_seconds", T.DoubleType()),
+    ]
+)
+
+
+def sample_frame_times(media: DataFrame, fps: float = 1.0) -> DataFrame:
+    """Video frame-sample PLAN from real container metadata: parse each
+    MP4's ``moov/mvhd`` duration (:func:`parse_mp4_meta` — no codec
+    needed), then emit one row per sample instant at ``fps`` —
+    ``(media_id, frame_no, t_seconds)``. This is the seek table a frame
+    EXTRACTOR consumes; pixel decode is the only step left to a codec
+    library. Non-MP4 rows are skipped.
+
+    Arrow-batched ``mapInPandas`` for the parse (bytes stay executor-
+    side), output rows explode per sample — the one-media-row-to-many-
+    frame-rows shape downstream samplers expect. Replaces the byte-count
+    heuristic of the earlier stub wherever real MP4 payloads exist."""
+    import sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(sys.modules[__name__])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, times = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                if raw[4:8] != b"ftyp":
+                    continue
+                dur = parse_mp4_meta(raw)["duration_seconds"] or 0.0
+                n = int(dur * fps)
+                for i in range(n):
+                    ids.append(media_id)
+                    frames.append(i)
+                    times.append(i / fps)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frames, "t_seconds": times}
+            )
+
+    return media.mapInPandas(run, FRAME_TIME_SCHEMA)

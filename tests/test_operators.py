@@ -1537,3 +1537,26 @@ class TestContainerMetadata:
         }
         assert feats[1] == [90.0, 30.0, 2.0]
         assert feats[2][1:] == [44100.0, 128.0]
+
+
+class TestFrameSampleTimes:
+    def test_sample_times_from_real_mp4_duration(self, spark):
+        from data_etl_with_dbt_spark.operators.multimodal import sample_frame_times
+
+        mp4 = TestContainerMetadata._mini_mp4(duration=5, timescale=1000, tracks=1)
+        media = spark.createDataFrame(
+            [(1, bytearray(mp4), "video/mp4"), (2, bytearray(b"not video"), "text/plain")],
+            "media_id long, content binary, mime string",
+        ).select(
+            "media_id",
+            "content",
+            F.struct(
+                F.col("mime").alias("mime"),
+                F.octet_length("content").cast("long").alias("n_bytes"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        rows = sample_frame_times(media, fps=2.0).collect()
+        got = [(r.media_id, r.frame_no, r.t_seconds) for r in rows]
+        # 5 s at 2 fps -> 10 sample instants; the text row contributes none
+        assert got == [(1, i, i / 2.0) for i in range(10)]
