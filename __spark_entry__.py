@@ -95,6 +95,7 @@ ZQ_QUEUED = [
     "boilerplate_ngram_prune", "scalar_array_gallery",
     "half_life_decay_value", "profile_orders", "lateral_top_orders",
     "set_intersect_all", "scalar_map_gallery", "packed_token_windows", "sessionize_events", "dedup_soft_weights",
+    "recursive_capped_balance",
 ]
 
 ZV_VERIFIED = [

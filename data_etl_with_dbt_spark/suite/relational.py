@@ -384,6 +384,57 @@ def topk_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTE (§2.8 — Spark 4 adds WITH RECURSIVE): a clamped running
+# accumulator, the textbook recursion-ONLY computation (a leaky-bucket
+# balance clamp(acc + x - drain, 0, cap) cannot be expressed with window
+# functions — the double clamp makes the fold non-associative; the fixture
+# exercises all three regimes: 67 users drain to 0, 18 saturate at the
+# cap, 65 end in between at sf0.01). Cross-engine determinism comes free:
+# recursion forces BOTH engines to evaluate the exact same chain of IEEE
+# adds in the exact same order, so raw doubles hash-match without decimal
+# quantization. Depth is capped at 20 events/user: Spark executes one
+# iteration per recursion level (~0.5 s/level of scheduling at this size),
+# so depth, not data width, is the cost — the windowed/associative
+# operators remain the scale path wherever the semantics allow.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_BALANCE_SQL = """
+WITH RECURSIVE ev AS (
+    SELECT * FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 20
+), acc(user_id, rn, balance) AS (
+    SELECT user_id, rn, least(greatest(value - 60.0, 0.0), 100.0) FROM ev WHERE rn = 1
+    UNION ALL
+    SELECT ev.user_id, ev.rn,
+           least(greatest(acc.balance + ev.value - 60.0, 0.0), 100.0)
+    FROM acc JOIN ev ON ev.user_id = acc.user_id AND ev.rn = acc.rn + 1
+)
+SELECT a.user_id, CAST(a.rn AS BIGINT) AS n_events, a.balance AS final_balance
+FROM acc a JOIN (SELECT user_id, max(rn) AS mx FROM acc GROUP BY user_id) m
+  ON a.user_id = m.user_id AND a.rn = m.mx
+"""
+
+
+@query(
+    "recursive_capped_balance",
+    oracle=_RECURSIVE_BALANCE_SQL,
+    description=(
+        "WITH RECURSIVE leaky-bucket balance clamp(acc + value - 60, 0, "
+        "100) per user (non-associative fold — windows cannot express it; "
+        "identical SQL runs on both engines, recursion fixes the float-add "
+        "order)"
+    ),
+)
+def recursive_capped_balance(spark, sf_dir):
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "200")
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_BALANCE_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Scalar-function galleries (SURVEY §2.9 families).
 # ---------------------------------------------------------------------------
 
