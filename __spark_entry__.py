@@ -95,7 +95,7 @@ ZQ_QUEUED = [
     "boilerplate_ngram_prune", "scalar_array_gallery",
     "half_life_decay_value", "profile_orders", "lateral_top_orders",
     "set_intersect_all", "scalar_map_gallery", "packed_token_windows", "sessionize_events", "dedup_soft_weights",
-    "recursive_capped_balance",
+    "recursive_capped_balance", "scalar_collation_gallery",
 ]
 
 ZV_VERIFIED = [

@@ -556,6 +556,35 @@ def scalar_array_gallery(spark, sf_dir):
 
 
 @query(
+    "scalar_collation_gallery",
+    oracle="""
+    SELECT p_partkey,
+           contains(lower(p_type), 'econ') AS has_econ_ci,
+           lower(p_type) = 'economy' AS is_economy_ci,
+           lower(p_brand) < 'brand#30' AS brand_lt_ci,
+           starts_with(lower(p_name), 'small') AS small_name_ci
+    FROM part
+    """,
+    description=(
+        "String collations (Spark 4): UTF8_LCASE comparisons/contains/"
+        "startswith evaluated through COLLATED expressions — the oracle "
+        "computes the same truths via lower() since DuckDB's collation "
+        "surface differs (fixture has real case diversity: types upper, "
+        "names lower, brands mixed)"
+    ),
+)
+def scalar_collation_gallery(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "contains(p_type COLLATE UTF8_LCASE, 'ECON') AS has_econ_ci",
+        "(p_type COLLATE UTF8_LCASE) = 'Economy' AS is_economy_ci",
+        "(p_brand COLLATE UTF8_LCASE) < 'BRAND#30' AS brand_lt_ci",
+        "startswith(p_name COLLATE UTF8_LCASE, 'SMALL') AS small_name_ci",
+    )
+
+
+@query(
     "scalar_map_gallery",
     oracle="""
     SELECT
