@@ -173,3 +173,55 @@ def profile_frame(
         F.col("n_null").cast("bigint").alias("n_null"),
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
     )
+
+
+def psi_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    n_buckets: int = 10,
+    epsilon: float = 1e-4,
+) -> float:
+    """Population Stability Index between a column's distribution in
+    ``current`` vs ``baseline`` — the standard drift score for feature and
+    score distributions (rule of thumb: <0.1 stable, 0.1–0.25 shifting,
+    >0.25 drifted), complementing :func:`detect_anomalies`'s scalar-metric
+    z-scores with a full-distribution check.
+
+    Numeric columns are bucketed on the BASELINE's equi-probable quantile
+    cuts (``approxQuantile`` — B-1 doubles to the driver, never data) so
+    the expected share per bucket is ~1/B; string columns bucket by value.
+    Both sides then contribute ONE map-side-combined count aggregation;
+    the PSI fold runs over ≤ B+1 collected bucket rows. Empty buckets are
+    floored at ``epsilon`` (the conventional guard — PSI's log blows up on
+    zero shares).
+    """
+    import math
+
+    dtype = dict(current.dtypes)[column]
+    if dtype in ("string", "boolean"):
+        bucket = F.col(column).cast("string")
+        cur_b = current.select(bucket.alias("__b"))
+        base_b = baseline.select(bucket.alias("__b"))
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = sorted(set(baseline.stat.approxQuantile(column, probs, 0.001)))
+        expr = F.lit(0)
+        for c in cuts:
+            expr = expr + F.when(F.col(column) > F.lit(c), 1).otherwise(0)
+        cur_b = current.select(expr.alias("__b"))
+        base_b = baseline.select(expr.alias("__b"))
+
+    def shares(df):
+        rows = df.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+        total = sum(r["n"] for r in rows) or 1
+        # index access: Row.__b attribute lookup rejects dunder names
+        return {r["__b"]: r["n"] / total for r in rows}
+
+    cur, base = shares(cur_b), shares(base_b)
+    psi = 0.0
+    for b in set(cur) | set(base):
+        a = max(cur.get(b, 0.0), epsilon)
+        e = max(base.get(b, 0.0), epsilon)
+        psi += (a - e) * math.log(a / e)
+    return psi

@@ -448,3 +448,30 @@ class TestProfileFrame:
         # HLL estimates carry a small relative error even at low cardinality
         assert got["b"] == 3
         assert abs(got["a"] - 100) <= 5
+
+
+class TestPsiDrift:
+    def test_identical_distributions_score_zero(self, spark):
+        from data_etl_with_dbt_spark.plans.monitor import psi_drift
+
+        df = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+        assert psi_drift(df, df, "v") == pytest.approx(0.0, abs=1e-9)
+
+    def test_shifted_distribution_flags(self, spark):
+        from data_etl_with_dbt_spark.plans.monitor import psi_drift
+
+        base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+        shifted = spark.range(2000).select(
+            ((F.col("id") % 100) + 80).cast("double").alias("v")
+        )
+        psi = psi_drift(shifted, base, "v")
+        assert psi > 0.25  # "drifted" band
+
+    def test_categorical_column_new_category(self, spark):
+        from data_etl_with_dbt_spark.plans.monitor import psi_drift
+
+        base = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "c string")
+        same = psi_drift(base, base, "c")
+        moved = spark.createDataFrame([("a",)] * 10 + [("z",)] * 90, "c string")
+        assert same == pytest.approx(0.0, abs=1e-9)
+        assert psi_drift(moved, base, "c") > 0.25
