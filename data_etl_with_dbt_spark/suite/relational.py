@@ -556,6 +556,66 @@ def scalar_array_gallery(spark, sf_dir):
 
 
 @query(
+    "scalar_bitwise_gallery",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey & 255 AS BIGINT) AS low_byte,
+           CAST(p_partkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(p_partkey, 21845) AS BIGINT) AS xored,
+           CAST(1 << (p_size % 16) AS BIGINT) AS size_bit,
+           CAST(bit_count(CAST(p_partkey AS BIGINT)) AS INT) AS popcount,
+           hex(p_partkey) AS hex_key,
+           to_base64(encode(p_name)) AS name_b64
+    FROM part
+    """,
+    description=(
+        "Bitwise + binary-codec scalar family: and/or/xor/shift/popcount "
+        "on keys, hex and base64 renderings — integer/byte-exact "
+        "cross-engine"
+    ),
+)
+def scalar_bitwise_gallery(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "CAST(p_partkey & 255 AS BIGINT) AS low_byte",
+        "CAST(p_partkey | 4096 AS BIGINT) AS with_flag",
+        "CAST(p_partkey ^ 21845 AS BIGINT) AS xored",
+        "CAST(shiftleft(1, p_size % 16) AS BIGINT) AS size_bit",
+        "bit_count(CAST(p_partkey AS BIGINT)) AS popcount",
+        "hex(p_partkey) AS hex_key",
+        "base64(encode(p_name, 'utf-8')) AS name_b64",
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT CAST(p_size % 5 AS BIGINT) AS size_band,
+           CAST(bit_and(p_partkey) AS BIGINT) AS key_and,
+           CAST(bit_or(p_partkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(p_partkey) AS BIGINT) AS key_xor,
+           CAST(count(*) AS BIGINT) AS n
+    FROM part GROUP BY 1
+    """,
+    description=(
+        "Bitwise aggregate family: bit_and/bit_or/bit_xor per group "
+        "(integer-exact, commutative partials)"
+    ),
+)
+def agg_bitwise(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.groupBy(
+        (F.col("p_size") % 5).cast("bigint").alias("size_band")
+    ).agg(
+        F.bit_and("p_partkey").cast("bigint").alias("key_and"),
+        F.bit_or("p_partkey").cast("bigint").alias("key_or"),
+        F.bit_xor("p_partkey").cast("bigint").alias("key_xor"),
+        big(F.count(F.lit(1))).alias("n"),
+    )
+
+
+@query(
     "scalar_collation_gallery",
     oracle="""
     SELECT p_partkey,
