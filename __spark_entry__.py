@@ -123,6 +123,7 @@ ZV_VERIFIED = [
 ZR_ROWS_ONLY = [
     "ann_cosine_topk_arrow", "ann_ivf_topk", "ann_lsh_topk",
     "approx_aggregates", "bpe_train_merges", "dedup_incremental_minhash",
+    "pagerank_similarity_graph",
     "dedup_minhash_lsh", "dedup_simhash_pairs", "embedding_near_dup",
     "hll_user_cardinality", "semantic_dedup_clusters_lsh",
 ]

@@ -53,3 +53,4 @@ from data_etl_with_dbt_spark.operators.multimodal import (  # noqa: F401
     sample_frame_times,
     to_media_table,
 )
+from data_etl_with_dbt_spark.operators.graph import pagerank  # noqa: F401

@@ -778,3 +778,24 @@ def dedup_soft_weights(spark, sf_dir):
         "cluster_size",
         "weight",
     )
+
+
+@query(
+    "pagerank_similarity_graph",
+    oracle=None,  # iterative float fixpoint: reference-impl-tested instead
+    description=(
+        "PageRank centrality over the near-dup similarity graph "
+        "(undirected, dangling-corrected power iteration) — the "
+        "representative-document selector; 1e-9 agreement with a dense "
+        "reference asserted in tests"
+    ),
+)
+def pagerank_similarity_graph(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.5,
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return pagerank(pairs, src="id_a", dst="id_b", undirected=True, num_iter=10)

@@ -1560,3 +1560,53 @@ class TestFrameSampleTimes:
         got = [(r.media_id, r.frame_no, r.t_seconds) for r in rows]
         # 5 s at 2 fps -> 10 sample instants; the text row contributes none
         assert got == [(1, i, i / 2.0) for i in range(10)]
+
+
+class TestPageRank:
+    @staticmethod
+    def _reference_pagerank(edges, num_iter, damping=0.85):
+        """Dense power iteration with uniform dangling redistribution —
+        the agreement oracle for the distributed operator."""
+        nodes = sorted({u for ed in edges for u in ed})
+        idx = {u: i for i, u in enumerate(nodes)}
+        n = len(nodes)
+        out = {u: [] for u in nodes}
+        for s, d in edges:
+            out[s].append(d)
+        rank = [1.0 / n] * n
+        for _ in range(num_iter):
+            dangling = sum(rank[idx[u]] for u in nodes if not out[u])
+            new = [(1.0 - damping) / n + damping * dangling / n] * n
+            for u in nodes:
+                if out[u]:
+                    share = rank[idx[u]] / len(out[u])
+                    for d in out[u]:
+                        new[idx[d]] += damping * share
+            rank = new
+        return {u: rank[idx[u]] for u in nodes}
+
+    def test_directed_matches_reference_with_dangling(self, spark):
+        from data_etl_with_dbt_spark.operators.graph import pagerank
+
+        # 4 is dangling (no out-edges); 1->2->3->1 cycle feeds it
+        edges = [(1, 2), (2, 3), (3, 1), (1, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.rank for r in pagerank(df, num_iter=20).collect()}
+        want = self._reference_pagerank(edges, 20)
+        assert set(got) == set(want)
+        for u in want:
+            assert got[u] == pytest.approx(want[u], abs=1e-9), u
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_undirected_star_center_dominates(self, spark):
+        from data_etl_with_dbt_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], "src long, dst long"
+        )
+        got = {r.id: r.rank for r in pagerank(df, undirected=True, num_iter=25).collect()}
+        sym = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+        want = self._reference_pagerank(sym, 25)
+        for u in want:
+            assert got[u] == pytest.approx(want[u], abs=1e-9)
+        assert got[0] > max(got[i] for i in range(1, 5))
