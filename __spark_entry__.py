@@ -96,7 +96,7 @@ ZQ_QUEUED = [
     "half_life_decay_value", "profile_orders", "lateral_top_orders",
     "set_intersect_all", "scalar_map_gallery", "packed_token_windows", "sessionize_events", "dedup_soft_weights",
     "recursive_capped_balance", "scalar_collation_gallery",
-    "scalar_bitwise_gallery", "agg_bitwise",
+    "scalar_bitwise_gallery", "agg_bitwise", "scalar_try_gallery",
 ]
 
 ZV_VERIFIED = [

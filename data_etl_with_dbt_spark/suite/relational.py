@@ -730,3 +730,31 @@ def scalar_date_gallery(spark, sf_dir):
             F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         ).alias("days_to_y2k"),
     )
+
+
+@query(
+    "scalar_try_gallery",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_name AS INTEGER) AS name_as_int,
+           TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
+           p_retailprice / nullif(p_size % 7, 0) AS price_per_band,
+           TRY_CAST(substr(p_brand, 7) AS BIGINT) AS brand_num
+    FROM part
+    """,
+    description=(
+        "try_* / NULL-on-failure scalar family (the ANSI-mode-safe path: "
+        "the engine pins ANSI off for PG-compat casts, try_cast/"
+        "try_divide are how ANSI-on pipelines get the same NULLing "
+        "semantics; DuckDB spells try_divide as /nullif)"
+    ),
+)
+def scalar_try_gallery(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "try_cast(p_name AS INT) AS name_as_int",
+        "try_cast(CAST(p_size AS STRING) AS INT) AS size_roundtrip",
+        "try_divide(p_retailprice, nullif(p_size % 7, 0)) AS price_per_band",
+        "try_cast(substr(p_brand, 7) AS BIGINT) AS brand_num",
+    )
