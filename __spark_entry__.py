@@ -97,6 +97,7 @@ ZQ_QUEUED = [
     "set_intersect_all", "scalar_map_gallery", "packed_token_windows", "sessionize_events", "dedup_soft_weights",
     "recursive_capped_balance", "scalar_collation_gallery",
     "scalar_bitwise_gallery", "agg_bitwise", "scalar_try_gallery",
+    "set_union_by_name",
 ]
 
 ZV_VERIFIED = [

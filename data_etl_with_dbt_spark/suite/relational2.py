@@ -325,3 +325,36 @@ def join_null_safe(spark, sf_dir):
         big(F.coalesce(F.col("order_cnt"), F.lit(0))).alias("order_cnt"),
         big(F.coalesce(F.col("cust_cnt"), F.lit(0))).alias("cust_cnt"),
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT nk, CAST(acct AS DOUBLE) AS acct, kind
+    FROM (
+        SELECT c_nationkey AS nk, c_acctbal AS acct, 'customer' AS kind
+        FROM customer
+        UNION ALL BY NAME
+        SELECT 'supplier' AS kind, s_nationkey AS nk
+        FROM supplier
+    )
+    """,
+    description=(
+        "UNION by column NAME with missing columns null-filled "
+        "(unionByName(allowMissingColumns=True) vs DuckDB UNION ALL BY "
+        "NAME) — schema-evolution-tolerant set union"
+    ),
+)
+def set_union_by_name(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("acct"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True).select(
+        "nk", F.col("acct").cast("double").alias("acct"), "kind"
+    )
