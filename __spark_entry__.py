@@ -98,6 +98,9 @@ ZQ_QUEUED = [
     "recursive_capped_balance", "scalar_collation_gallery",
     "scalar_bitwise_gallery", "agg_bitwise", "scalar_try_gallery",
     "set_union_by_name",
+    # session-3 additions
+    "weighted_sample_documents", "two_sample_drift_events",
+    "scalar_url_gallery", "ngram_containment_pairs",
 ]
 
 ZV_VERIFIED = [

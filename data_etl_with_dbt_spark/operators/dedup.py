@@ -499,6 +499,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.8,
+    shuffle_parallelism: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs — the asymmetric near-dup metric
+    ``C(A→B) = |A∩B| / |A|`` that catches "document A is mostly a substring
+    of document B" (quote-heavy pages, boilerplate wrappers, partial crawls),
+    which symmetric Jaccard misses whenever the sizes differ a lot
+    (J = 0.1 while C = 1.0 for a 10:1 size ratio).
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` — explode
+    (doc, gram) postings, self-join on gram so only co-occurring pairs
+    materialize, codegen'd hash-agg of shared-gram counts — but WITHOUT the
+    min/max size prune: containment has no size-ratio bound (a tiny doc can
+    sit entirely inside a huge one), so every co-occurring pair is scored.
+    Emits both directions per unordered pair; keeps pairs where the larger
+    direction clears ``threshold``.
+
+    At 100 TB the plan shuffles postings on gram and pairs on (id_a, id_b):
+    no cross join, work ∝ co-occurrence, the same bound as the Jaccard
+    twin. For web-scale corpora route candidates through MinHash-LSH first
+    and score containment only on candidates."""
+    if shuffle_parallelism:
+        df = df.repartition(shuffle_parallelism, F.col(id_col))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        _shingles(_tokens(F.col(text_col)), n).alias("grams"),
+    ).select("id", "grams", F.size("grams").alias("sz"))
+    posts = sh.select("id", "sz", F.explode("grams").alias("g"))
+    a = posts.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+    b = posts.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+    shared = (
+        a.join(b, (a.g == b.g) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    c_a = F.col("shared") / F.col("sz_a")
+    c_b = F.col("shared") / F.col("sz_b")
+    return shared.select(
+        "id_a",
+        "id_b",
+        c_a.alias("containment_a"),
+        c_b.alias("containment_b"),
+    ).where(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

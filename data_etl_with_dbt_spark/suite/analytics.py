@@ -523,3 +523,129 @@ def profile_orders(spark, sf_dir):
     from data_etl_with_dbt_spark.plans.monitor import profile_frame
 
     return profile_frame(load(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample distribution drift: chi-square homogeneity statistic + the
+# (binned) Kolmogorov-Smirnov statistic between two cohorts of one column,
+# here even- vs odd-user events. Complements plans/monitor.psi_drift (PSI is
+# scored driver-side over collected bucket rows; this one is end-to-end
+# inside the engine and oracle-checked). Shape at 100 TB: one min/max agg
+# (broadcast back as a 1-row frame), one map-side-combined count per bin —
+# the windows and the chi-square/KS fold run over the N_BINS-row bucket
+# frame, which is METADATA, not data (the single-partition window is over
+# 20 rows by construction).
+#
+# Determinism: bin ids are floor((v - vmin)/step) with explicit floor on
+# both sides (DuckDB's double->int CAST rounds, Spark's truncates — the
+# repo's cast-rounding rule); per-bin chi-square terms and CDF diffs are
+# identical IEEE trees; the cross-bin sum goes through the DECIMAL grid
+# (dsum); max() of identical doubles needs no quantization.
+# ---------------------------------------------------------------------------
+
+@query(
+    "two_sample_drift_events",
+    oracle="""
+    WITH stats AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    b AS (
+        SELECT least(CAST(floor((value - vmin) / ((vmax - vmin) / 20.0)) AS BIGINT), 19) AS bin,
+               (user_id % 2 = 0) AS is_a
+        FROM events CROSS JOIN stats
+    ),
+    c AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM b GROUP BY bin
+    ),
+    t AS (
+        SELECT bin, n_a, n_b,
+               SUM(n_a) OVER () AS ta,
+               SUM(n_b) OVER () AS tb,
+               SUM(n_a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
+               SUM(n_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb
+        FROM c
+    ),
+    d AS (
+        SELECT CAST(n_a AS DOUBLE) AS da, CAST(n_b AS DOUBLE) AS db,
+               CAST(ta AS DOUBLE) AS tad, CAST(tb AS DOUBLE) AS tbd,
+               CAST(ca AS DOUBLE) AS cad, CAST(cb AS DOUBLE) AS cbd,
+               ta, tb
+        FROM t
+    ),
+    e AS (
+        SELECT da, db, tad, tbd, cad, cbd, ta, tb,
+               tad * (da + db) / (tad + tbd) AS ea,
+               tbd * (da + db) / (tad + tbd) AS eb
+        FROM d
+    )
+    SELECT
+        CAST(SUM(CAST((da - ea) * (da - ea) / ea + (db - eb) * (db - eb) / eb
+                      AS DECIMAL(18,6))) AS DOUBLE) AS chi_square,
+        MAX(abs(cad / tad - cbd / tbd)) AS ks_stat,
+        CAST(MAX(ta) AS BIGINT) AS n_a,
+        CAST(MAX(tb) AS BIGINT) AS n_b,
+        CAST(count(*) AS BIGINT) AS n_bins
+    FROM e
+    """,
+    description=(
+        "Two-sample drift between even/odd-user cohorts of events.value: "
+        "chi-square homogeneity + binned KS over 20 equal-width bins, "
+        "computed end-to-end in the engine"
+    ),
+)
+def two_sample_drift_events(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    stats = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    step = (F.col("vmax") - F.col("vmin")) / F.lit(20.0)
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / step),
+            F.lit(19).cast("long"),
+        ).alias("bin"),
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    t = counts.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w_all).alias("ta"),
+        F.sum("n_b").over(w_all).alias("tb"),
+        F.sum("n_a").over(w_cum).alias("ca"),
+        F.sum("n_b").over(w_cum).alias("cb"),
+    )
+    d = t.select(
+        F.col("n_a").cast("double").alias("da"),
+        F.col("n_b").cast("double").alias("db"),
+        F.col("ta").cast("double").alias("tad"),
+        F.col("tb").cast("double").alias("tbd"),
+        F.col("ca").cast("double").alias("cad"),
+        F.col("cb").cast("double").alias("cbd"),
+        "ta",
+        "tb",
+    )
+    e = d.select(
+        "*",
+        (F.col("tad") * (F.col("da") + F.col("db")) / (F.col("tad") + F.col("tbd"))).alias("ea"),
+        (F.col("tbd") * (F.col("da") + F.col("db")) / (F.col("tad") + F.col("tbd"))).alias("eb"),
+    )
+    term = (
+        (F.col("da") - F.col("ea")) * (F.col("da") - F.col("ea")) / F.col("ea")
+        + (F.col("db") - F.col("eb")) * (F.col("db") - F.col("eb")) / F.col("eb")
+    )
+    diff = F.abs(F.col("cad") / F.col("tad") - F.col("cbd") / F.col("tbd"))
+    return e.agg(
+        dsum(term).alias("chi_square"),
+        F.max(diff).alias("ks_stat"),
+        big(F.max("ta")).alias("n_a"),
+        big(F.max("tb")).alias("n_b"),
+        big(F.count(F.lit(1))).alias("n_bins"),
+    )

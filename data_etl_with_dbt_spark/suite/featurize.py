@@ -150,6 +150,59 @@ def stratified_sample_documents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Weighted sampling without replacement: sequential Poisson sampling
+# (Ohlsson 1998's order-sampling scheme, the πps workhorse in official
+# statistics). Each row draws a uniform u and is ranked by key = u / w;
+# the k smallest keys form a sample whose inclusion probability is
+# approximately proportional to w. u comes from md5 (first 6 hex digits /
+# 2^24) instead of an RNG, so the draw is a pure per-row expression:
+# reproducible across reruns, repartitioning, and ENGINES — key = u / w is
+# one exact hex-int expansion followed by two IEEE divisions, bit-identical
+# in Spark and DuckDB, which makes the sample membership itself
+# oracle-checkable. At 100 TB this is a scan + TakeOrderedAndProject
+# (per-partition top-k, k rows to the driver) — no global sort, no RNG
+# state, no second pass.
+# ---------------------------------------------------------------------------
+
+@query(
+    "weighted_sample_documents",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE)
+               / 16777216.0 / CAST(n_chars AS DOUBLE) AS sample_key
+    FROM documents
+    ORDER BY sample_key, doc_id
+    LIMIT 100
+    """,
+    description=(
+        "Length-weighted sample of 100 docs via sequential Poisson sampling "
+        "(key = md5-uniform / weight, top-k smallest): deterministic "
+        "probability-proportional-to-size sampling with no RNG state"
+    ),
+)
+def weighted_sample_documents(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("bigint")
+    key = u.cast("double") / F.lit(16777216.0) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            big(F.col("doc_id")).alias("doc_id"),
+            "lang",
+            big(F.col("n_chars")).alias("n_chars"),
+            key.alias("sample_key"),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing: assign documents to fixed-token-budget training sequences
 # by cumulative offset (greedy contiguous packing; straddling docs split at
 # the boundary downstream). Packing is per-source so the window is

@@ -80,6 +80,54 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     )
 
 
+_CONTAINMENT_ORACLE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(toks[i:i+1], ' ')
+               )
+           ) AS grams
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) AS containment_a,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(b.grams) AS containment_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE greatest(
+          CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams),
+          CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(b.grams)
+      ) >= 0.8
+"""
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=_CONTAINMENT_ORACLE,
+    description=(
+        "Exact bigram CONTAINMENT pairs (|A∩B|/|A|, both directions): the "
+        "asymmetric near-dup metric for 'doc mostly inside another doc' "
+        "that size-mismatched Jaccard misses"
+    ),
+)
+def ngram_containment_pairs_q(spark, sf_dir):
+    pairs = D.ngram_containment_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.8,
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return pairs.select(
+        big(F.col("id_a")).alias("id_a"),
+        big(F.col("id_b")).alias("id_b"),
+        F.col("containment_a"),
+        F.col("containment_b"),
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=None,  # approximate (banding recall < 1): rows-only check; exact baseline is ngram_jaccard_pairs

@@ -249,3 +249,68 @@ def lateral_top_orders(spark, sf_dir):
         ) o
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# URL scalar gallery: synthesize a well-formed URL per document, then take it
+# apart with Spark's parse_url (a JVM codegen expression, the Spark-first
+# spelling) — scheme, host, path, a named query parameter, the registrable
+# domain label, and the numeric last path segment. The DuckDB oracle parses
+# the same URLs with anchored regexes; on well-formed input the two
+# decompositions agree byte-for-byte, which is the point of the gallery:
+# URL normalization for crawl-corpus dedup/quota keys is pure per-row
+# string work — scan-parallel, shuffle-free at any scale.
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_url_gallery",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+                   || '?lang=' || lang || '&ref=corpus' AS url
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang,
+           split_part(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.', 1) AS domain_label,
+           CAST(split_part(regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1), '/', 3) AS BIGINT) AS path_id
+    FROM u
+    ORDER BY doc_id
+    """,
+    description=(
+        "URL scalar gallery: build per-doc URLs, decompose with parse_url "
+        "(scheme/host/path/query-param) + domain label + numeric path id — "
+        "the normalization toolkit for crawl-corpus URL keys"
+    ),
+)
+def scalar_url_gallery(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    u = docs.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&ref=corpus"),
+        ).alias("url"),
+    )
+    host = F.expr("parse_url(url, 'HOST')")
+    path = F.expr("parse_url(url, 'PATH')")
+    return u.select(
+        "doc_id",
+        "url",
+        F.expr("parse_url(url, 'PROTOCOL')").alias("scheme"),
+        host.alias("host"),
+        path.alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'lang')").alias("q_lang"),
+        F.substring_index(host, ".", 1).alias("domain_label"),
+        F.substring_index(path, "/", -1).cast("bigint").alias("path_id"),
+    ).orderBy("doc_id")

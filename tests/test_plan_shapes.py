@@ -277,6 +277,8 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "skew_stats_orders": {"cartesian"},
         "tfidf_top_terms": {"cartesian"},
         "vocab_coverage_topk": {"cartesian"},
+        # crossJoin(broadcast(1-row min/max)) + the 20-bin metadata window
+        "two_sample_drift_events": {"cartesian", "single-partition"},
         # filters over derived expressions — nothing pushable exists
         "decontaminate_ngram_overlap": {"unpushed-filter"},
         "dedup_incremental_minhash": {"unpushed-filter"},
@@ -284,6 +286,7 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "embedding_centroid_outliers": {"unpushed-filter"},
         "embedding_int8_quantize": {"unpushed-filter"},
         "ngram_jaccard_pairs": {"unpushed-filter"},
+        "ngram_containment_pairs": {"unpushed-filter"},
         "stratified_sample_documents": {"unpushed-filter"},
         # the one sanctioned Arrow-batched Python stage
         "embedding_near_dup": {"python-eval"},
