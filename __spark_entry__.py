@@ -101,6 +101,7 @@ ZQ_QUEUED = [
     # session-3 additions
     "weighted_sample_documents", "two_sample_drift_events",
     "scalar_url_gallery", "ngram_containment_pairs",
+    "zorder_cluster_events",
 ]
 
 ZV_VERIFIED = [
@@ -130,6 +131,7 @@ ZR_ROWS_ONLY = [
     "pagerank_similarity_graph",
     "dedup_minhash_lsh", "dedup_simhash_pairs", "embedding_near_dup",
     "hll_user_cardinality", "semantic_dedup_clusters_lsh",
+    "bpe_encode_documents", "cms_token_counts",
 ]
 
 _PREFIX = dict.fromkeys(WINDOW, "")

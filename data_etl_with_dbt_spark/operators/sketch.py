@@ -137,3 +137,84 @@ def bloom_decontaminate(
     bloom = bloom_build(reference_keys, ref_key_col, m, k)
     probed = bloom_probe(docs, doc_key_col, bloom, m, k)
     return probed.where(~F.col("might_contain")).drop("might_contain")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — frequency estimation in sublinear space, completing the
+# sketch trio (Bloom: membership, HLL: cardinality, CMS: frequency).
+# ---------------------------------------------------------------------------
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 4096,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) as a
+    DATAFRAME of ``(r, pos, cnt)`` cells — same design stance as
+    :func:`bloom_build`: the sketch is a relation, not a driver object, so
+    it merges by union+re-aggregation, persists as a table, and rolls up
+    across shards/days without touching raw data again.
+
+    Each key contributes its weight to one cell per row ``r``:
+    ``pos = xxhash64(r, key) mod width`` — ``depth`` cheap JVM hashes, no
+    Python. The build is one map-side-combined aggregation; the result has
+    at most ``depth * width`` rows (sketch-sized — KBs), REGARDLESS of
+    input cardinality. Guarantee: estimates never undercount, and
+    overcount ≤ e·N/width with probability 1 - e^-depth (property-tested).
+
+    Why not Spark's built-in ``count_min_sketch`` aggregate (a binary
+    blob)? The cell relation composes with the engine: broadcast-joinable
+    for estimation, mergeable with ``cms_merge``, inspectable with SQL.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    rows = df.select(F.col(key_col).alias("__k"), w.alias("__w"))
+    cells = rows.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+        "__k",
+        "__w",
+    ).select(
+        "r",
+        F.pmod(F.xxhash64(F.col("r"), F.col("__k")), F.lit(width)).alias("pos"),
+        "__w",
+    )
+    return cells.groupBy("r", "pos").agg(F.sum("__w").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 4096,
+    result_col: str = "est_count",
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys``: probe each key's ``depth``
+    cells (broadcast join — the sketch is sketch-sized) and take the MIN
+    over rows; absent cells count 0. The input key relation is returned
+    with ``result_col`` appended."""
+    probes = keys.select(F.col(key_col)).distinct().select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).select(
+        key_col,
+        "r",
+        F.pmod(F.xxhash64(F.col("r"), F.col(key_col)), F.lit(width)).alias("pos"),
+    )
+    probed = probes.join(F.broadcast(cms), ["r", "pos"], "left").select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("__c")
+    )
+    est = probed.groupBy(key_col).agg(F.min("__c").alias(result_col))
+    return keys.join(est, key_col, "left")
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): cell-wise sum.
+    CMS is a linear sketch, so merge-then-estimate equals
+    build-on-the-union exactly (asserted in tests) — the property that
+    makes per-shard/per-day sketch rollups sound."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "pos").agg(F.sum("cnt").alias("cnt"))

@@ -740,6 +740,74 @@ def bpe_segment(
     return out
 
 
+def bpe_vocab(segmented: DataFrame) -> DataFrame:
+    """Token-id table from a segmented word table (``sym`` arrays):
+    ``(token, token_id)`` with dense ids assigned by corpus frequency
+    (weighted by word count ``c`` when present) with a total alphabetical
+    tie-break — a pure function of the corpus, no RNG, no driver state
+    beyond the vocabulary itself."""
+    from pyspark.sql import Window
+
+    w = F.col("c") if "c" in segmented.columns else F.lit(1).cast("long")
+    freq = (
+        segmented.select(w.alias("__w"), F.explode("sym").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("__w").alias("__f"))
+    )
+    win = Window.orderBy(F.col("__f").desc(), F.col("token"))
+    # vocabulary-sized single-partition window: metadata, not data (same
+    # posture as the bucket-offset frames elsewhere)
+    return freq.select(
+        "token", (F.row_number().over(win) - 1).cast("long").alias("token_id")
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[dict],
+    min_word_len: int = 1,
+) -> DataFrame:
+    """Encode a CORPUS into BPE token ids under a learned merge table —
+    the deployment half of :func:`train_bpe` (which learns ``merges``):
+    one row per (doc, word position) with the word's id sequence,
+    ``(id_col, pos, word, ids: array<long>)``.
+
+    Scale shape (the SentencePiece trick, third appearance): the expensive
+    part — applying K merge folds — runs on the DISTINCT word table
+    (vocabulary-sized), never the corpus. The corpus contributes one
+    tokenize+posexplode scan and one broadcast join from word → ids; both
+    are embarrassingly parallel, and no stage's work grows with corpus
+    size except the final stitched projection. The symbol→id map rides in
+    as a 1-row ``map_from_entries`` frame (vocabulary-sized metadata,
+    broadcast)."""
+    stream = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "word"),
+    ).where(F.length("word") >= min_word_len)
+    words = stream.select("word").distinct()
+    segmented = bpe_segment(words, "word", merges)
+    vocab = bpe_vocab(segmented)
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("token"), F.col("token_id")))
+        ).alias("__vmap")
+    )
+    word_ids = (
+        segmented.crossJoin(F.broadcast(vmap))
+        .select(
+            "word",
+            F.transform(
+                F.col("sym"), lambda s: F.element_at(F.col("__vmap"), s)
+            ).alias("ids"),
+        )
+    )
+    return stream.join(F.broadcast(word_ids), "word").select(
+        id_col, "pos", "word", "ids"
+    )
+
+
 def packed_token_windows(
     df: DataFrame,
     id_col: str,

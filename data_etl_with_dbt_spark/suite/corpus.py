@@ -811,3 +811,80 @@ def packed_token_windows(spark, sf_dir):
     return TA.packed_token_windows(
         load(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=64
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE corpus ENCODING — the deployment half of bpe_train_merges: apply the
+# learned merge table to every document and emit per-doc token statistics
+# plus an order-sensitive fingerprint of the id sequence (hash-not-payload
+# convention). Rows-only by design (the merge table is the output of an
+# iterative driver-coordinated loop); encode agreement against a reference
+# Python BPE is pytest-asserted, and the heavy stage runs on the DISTINCT
+# word table with the corpus contributing one scan + one broadcast join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "bpe_encode_documents",
+    oracle=None,  # merges come from the iterative trainer; agreement pytest-checked
+    description=(
+        "Encode documents into BPE token ids under 8 trained merges: "
+        "per-doc word/token counts + md5 fingerprint of the id sequence "
+        "(vocabulary-sized merge work, corpus joins by broadcast)"
+    ),
+)
+def bpe_encode_documents(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    merges = TA.train_bpe(docs, "text", num_merges=8)
+    enc = TA.bpe_encode(docs, "doc_id", "text", merges)
+    per_doc = enc.groupBy("doc_id").agg(
+        big(F.count(F.lit(1))).alias("n_words"),
+        big(F.sum(F.size("ids"))).alias("n_bpe_tokens"),
+        F.md5(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                        lambda s: s["ids"],
+                    )
+                ).cast("array<string>"),
+                " ",
+            )
+        ).alias("ids_fingerprint"),
+    )
+    return per_doc.select(
+        big(F.col("doc_id")).alias("doc_id"), "n_words", "n_bpe_tokens", "ids_fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters over the corpus token stream — frequency
+# estimation from a depth*width cell relation (KBs) instead of a
+# vocabulary-sized exact count. Rows-only by design (cell hashing is
+# xxhash64, Spark-specific); the exact companions are explode_word_counts /
+# vocab_coverage_topk, and the no-undercount + merge-linearity guarantees
+# are property-tested in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cms_token_counts",
+    oracle=None,  # sketch cells hash with xxhash64 (engine-specific); exact companion: explode_word_counts
+    description=(
+        "Count-min sketch (4x4096 cells) over document tokens: top-20 "
+        "estimated heavy hitters — sublinear-space frequency, mergeable "
+        "across shards by cell-wise sum"
+    ),
+)
+def cms_token_counts(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.sketch import cms_build, cms_estimate
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(TA.tokens_expr(F.col("text"))).alias("token")
+    )
+    cms = cms_build(toks, "token", depth=4, width=4096)
+    distinct = toks.distinct()
+    est = cms_estimate(cms, distinct, "token", depth=4, width=4096)
+    return (
+        est.select("token", big(F.col("est_count")).alias("est_count"))
+        .orderBy(F.col("est_count").desc(), "token")
+        .limit(20)
+    )

@@ -314,3 +314,59 @@ def scalar_url_gallery(spark, sf_dir):
         F.substring_index(host, ".", 1).alias("domain_label"),
         F.substring_index(path, "/", -1).cast("bigint").alias("path_id"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key — the multi-dimensional data-layout
+# operator behind lakehouse OPTIMIZE ... ZORDER BY. Rank both columns onto
+# a 16-bit grid, interleave the bits into one key, and range-partitioning
+# on that key gives every output file a small bounding box in BOTH
+# dimensions, so parquet min/max skipping prunes files for selective
+# filters on either column (operators/layout.py has the layout writer +
+# skipping-quality metric; tests prove the off-axis pruning win). The key
+# itself is pure per-row integer bit math — unrolled shift/mask/add, fully
+# inside whole-stage codegen, oracle-checked bit-for-bit here.
+# ---------------------------------------------------------------------------
+
+def _zorder_oracle() -> str:
+    from data_etl_with_dbt_spark.operators.layout import interleave_sql
+
+    return f"""
+    WITH stats AS (
+        SELECT CAST(min(user_id) AS DOUBLE) AS amin, CAST(max(user_id) AS DOUBLE) AS amax,
+               CAST(min(value) AS DOUBLE) AS bmin, CAST(max(value) AS DOUBLE) AS bmax
+        FROM events
+    ),
+    r AS (
+        SELECT event_id,
+               least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - amin) / (amax - amin) * 65535.0) AS BIGINT), 0), 65535) AS ra,
+               least(greatest(CAST(floor((CAST(value AS DOUBLE) - bmin) / (bmax - bmin) * 65535.0) AS BIGINT), 0), 65535) AS rb
+        FROM events CROSS JOIN stats
+    ),
+    z AS (SELECT event_id, {interleave_sql('ra', 'rb', 16)} AS zkey FROM r)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(zkey AS BIGINT) AS zkey,
+           CAST(zkey // 67108864 AS BIGINT) AS zbucket
+    FROM z
+    """
+
+
+@query(
+    "zorder_cluster_events",
+    oracle=_zorder_oracle(),
+    description=(
+        "Z-order (Morton) clustering key over (user_id, value): 16-bit rank "
+        "codes bit-interleaved into the layout key lakehouse OPTIMIZE "
+        "ZORDER uses, plus the 64-way file bucket assignment"
+    ),
+)
+def zorder_cluster_events(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.layout import zorder_key
+
+    ev = load(spark, sf_dir, "events")
+    keyed = zorder_key(ev, "user_id", "value", bits=16)
+    return keyed.select(
+        big(F.col("event_id")).alias("event_id"),
+        big(F.col("zkey")).alias("zkey"),
+        big(F.expr("zkey DIV 67108864")).alias("zbucket"),
+    )

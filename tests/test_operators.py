@@ -1610,3 +1610,203 @@ class TestPageRank:
         for u in want:
             assert got[u] == pytest.approx(want[u], abs=1e-9)
         assert got[0] > max(got[i] for i in range(1, 5))
+
+
+class TestCountMinSketch:
+    def _toks(self, spark):
+        rows = (
+            [("apple",)] * 50 + [("banana",)] * 20 + [("cherry",)] * 5 + [("date",)] * 1
+        )
+        return spark.createDataFrame(rows, "token string")
+
+    def test_never_undercounts_and_exact_on_sparse_fixture(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import cms_build, cms_estimate
+
+        toks = self._toks(spark)
+        cms = cms_build(toks, "token", depth=4, width=4096)
+        exact = {r.token: r.c for r in toks.groupBy("token").agg(F.count("*").alias("c")).collect()}
+        keys = toks.distinct()
+        est = {
+            r.token: r.est_count
+            for r in cms_estimate(cms, keys, "token", depth=4, width=4096).collect()
+        }
+        for k, c in exact.items():
+            assert est[k] >= c, k  # CMS guarantee: no undercount
+        # 4 distinct keys in 4x4096 cells: deterministic hashes collide in no
+        # row, so the min-estimate is exact
+        assert est == exact
+
+    def test_merge_equals_build_on_union(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import cms_build, cms_merge
+
+        toks = self._toks(spark)
+        h1 = toks.limit(40)
+        h2 = toks.exceptAll(h1)
+        merged = cms_merge(
+            cms_build(h1, "token", depth=4, width=512),
+            cms_build(h2, "token", depth=4, width=512),
+        )
+        whole = cms_build(toks, "token", depth=4, width=512)
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    def test_sketch_size_bounded_by_cells(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import cms_build
+
+        toks = self._toks(spark)
+        cms = cms_build(toks, "token", depth=3, width=16)
+        assert cms.count() <= 3 * 16
+
+    def test_unseen_key_estimates_zero_on_empty_rows(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import cms_build, cms_estimate
+
+        cms = cms_build(self._toks(spark), "token", depth=4, width=4096)
+        probe = spark.createDataFrame([("zzz-unseen",)], "token string")
+        [row] = cms_estimate(cms, probe, "token", depth=4, width=4096).collect()
+        assert row.est_count == 0
+
+
+class TestBpeEncode:
+    corpus = TestTrainBpe.corpus
+
+    def test_ids_reproduce_reference_segmentation(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import (
+            bpe_encode,
+            bpe_segment,
+            bpe_vocab,
+            train_bpe,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.corpus)], "doc_id long, text string"
+        )
+        merges = train_bpe(df, "text", num_merges=5)
+        _, ref_syms = TestTrainBpe._reference_bpe(self.corpus, 5)
+
+        words = spark.createDataFrame([(w,) for w in ref_syms], "word string")
+        vocab = {
+            r.token: r.token_id
+            for r in bpe_vocab(bpe_segment(words, "word", merges)).collect()
+        }
+        # dense ids 0..V-1
+        assert sorted(vocab.values()) == list(range(len(vocab)))
+
+        enc = bpe_encode(df, "doc_id", "text", merges, min_word_len=2).collect()
+        id2tok = {v: k for k, v in vocab.items()}
+        for r in enc:
+            assert [id2tok[i] for i in r.ids] == ref_syms[r.word], r.word
+
+    def test_stream_order_and_counts(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import bpe_encode, train_bpe
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.corpus)], "doc_id long, text string"
+        )
+        merges = train_bpe(df, "text", num_merges=3)
+        enc = bpe_encode(df, "doc_id", "text", merges, min_word_len=1)
+        got = {
+            (r.doc_id, r.pos): r.word for r in enc.collect()
+        }
+        for i, t in enumerate(self.corpus):
+            toks = t.lower().split()
+            assert [got[(i, p)] for p in range(len(toks))] == toks
+
+
+class TestZorderLayout:
+    def test_interleave_known_bits(self, spark):
+        from data_etl_with_dbt_spark.operators.layout import interleave_bits
+
+        df = spark.createDataFrame([(0b1011, 0b0001)], "a long, b long")
+        [row] = df.select(interleave_bits(F.col("a"), F.col("b"), 16).alias("z")).collect()
+        # a bits at even positions, b bits at odd: a=1011 -> 1,1,0,1 at 0,2,4,6
+        # b=0001 -> 1 at position 1
+        want = (1 << 0) | (1 << 2) | (1 << 6) | (1 << 1)
+        assert row.z == want
+
+    def test_sql_spelling_matches_column_spelling(self, spark):
+        import duckdb
+
+        from data_etl_with_dbt_spark.operators.layout import interleave_bits, interleave_sql
+
+        rows = [(i * 37 % 65536, i * 101 % 65536) for i in range(64)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = [
+            r.z for r in df.select(interleave_bits(F.col("a"), F.col("b"), 16).alias("z"))
+            .orderBy("z").collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {interleave_sql('a', 'b', 16)} AS z FROM t ORDER BY z"
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_zorder_beats_single_column_layout_off_axis(self, spark):
+        from data_etl_with_dbt_spark.operators.layout import skipping_stats, zorder_key
+
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, rng.uniform(0.0, 1000.0), float(rng.randrange(0, 5000))) for i in range(4000)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+
+        n_buckets = 16
+        zdf = zorder_key(df, "x", "y", bits=16)
+        # bucket = contiguous z-range (what repartitionByRange produces)
+        zb = zdf.withColumn("bucket", F.expr(f"zkey DIV {(1 << 32) // n_buckets}"))
+        z_stats = skipping_stats(zb, "x", "y", "bucket").agg(
+            F.avg("a_frac").alias("af"), F.avg("b_frac").alias("bf")
+        ).collect()[0]
+
+        # single-column sort layout on x: rank by x into equal buckets
+        from pyspark.sql import Window
+
+        xb = df.withColumn(
+            "bucket",
+            F.floor((F.row_number().over(Window.orderBy("x")) - 1) / (4000 / n_buckets)),
+        )
+        x_stats = skipping_stats(xb, "x", "y", "bucket").agg(
+            F.avg("a_frac").alias("af"), F.avg("b_frac").alias("bf")
+        ).collect()[0]
+
+        # x-sort: y spans stay ~full width; z-order: both dims bounded
+        assert x_stats.bf > 0.9
+        assert z_stats.bf < 0.6
+        assert z_stats.af < 0.6
+
+    def test_layout_write_produces_zsorted_partitions(self, spark):
+        from data_etl_with_dbt_spark.operators.layout import zorder_layout
+
+        rows = [(i, float(i % 97), float((i * 31) % 89)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        out = zorder_layout(df, "x", "y", num_files=8)
+        per_part = out.select(
+            "zkey", F.spark_partition_id().alias("pid")
+        ).groupBy("pid").agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        spans = sorted((r.lo, r.hi) for r in per_part.collect())
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2  # contiguous, non-overlapping z-ranges
+
+
+class TestCompactParquet:
+    def test_compacts_and_preserves_rows(self, spark, tmp_path):
+        import os
+
+        from data_etl_with_dbt_spark.operators.layout import compact_parquet
+
+        path = str(tmp_path / "frag")
+        df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+        df.repartition(37).write.parquet(path)
+        n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+        assert n_before == 37
+
+        stats = compact_parquet(spark, path, target_bytes=1 << 30)
+        assert stats["files_before"] == 37
+        assert stats["files_after"] == 1
+
+        back = spark.read.parquet(path)
+        assert back.count() == 10000
+        assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10000))

@@ -279,6 +279,10 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "vocab_coverage_topk": {"cartesian"},
         # crossJoin(broadcast(1-row min/max)) + the 20-bin metadata window
         "two_sample_drift_events": {"cartesian", "single-partition"},
+        # crossJoin(broadcast(1-row min/max stats)) for the rank grid
+        "zorder_cluster_events": {"cartesian"},
+        # broadcast 1-row vocab map + vocabulary-sized id-assignment window
+        "bpe_encode_documents": {"cartesian", "single-partition"},
         # filters over derived expressions — nothing pushable exists
         "decontaminate_ngram_overlap": {"unpushed-filter"},
         "dedup_incremental_minhash": {"unpushed-filter"},
