@@ -131,7 +131,7 @@ ZR_ROWS_ONLY = [
     "pagerank_similarity_graph",
     "dedup_minhash_lsh", "dedup_simhash_pairs", "embedding_near_dup",
     "hll_user_cardinality", "semantic_dedup_clusters_lsh",
-    "bpe_encode_documents", "cms_token_counts",
+    "bpe_encode_documents", "cms_token_counts", "ann_pq_topk",
 ]
 
 _PREFIX = dict.fromkeys(WINDOW, "")

@@ -516,6 +516,28 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "ann_pq_topk",
+    oracle=None,  # approximate by construction (codebook quantization error)
+    description=(
+        "Product-quantization ANN (8 blocks x 16 codes = 64x compression): "
+        "ADC scan over (id, block, code) rows, query distance tables "
+        "broadcast — the corpus never materializes floats (recall + "
+        "self-hit asserted in tests)"
+    ),
+)
+def ann_pq_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    books = S.pq_train(emb, vec_col="embedding", m=8, k=16, seed=42)
+    return S.pq_topk(
+        emb, queries, books, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=10,
+    )
+
+
+@query(
     "tfidf_top_terms",
     oracle=r"""
     WITH postings AS (

@@ -1810,3 +1810,57 @@ class TestCompactParquet:
         back = spark.read.parquet(path)
         assert back.count() == 10000
         assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10000))
+
+
+class TestProductQuantization:
+    def _emb(self, spark):
+        from data_etl_with_dbt_spark.sources.io import read_parquet
+        from tests.conftest import SF_DIR
+
+        return read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+
+    def test_encode_complete_and_in_range(self, spark):
+        from data_etl_with_dbt_spark.operators.similarity import pq_encode, pq_train
+
+        emb = self._emb(spark).limit(100)
+        books = pq_train(emb, m=8, k=16, seed=42)
+        codes = pq_encode(emb, books).collect()
+        assert len(codes) == 100 * 8  # one code per (vector, block)
+        assert all(0 <= r.code < 16 for r in codes)
+        per_vec = {}
+        for r in codes:
+            per_vec.setdefault(r.vec_id, set()).add(r.block)
+        assert all(blocks == set(range(8)) for blocks in per_vec.values())
+
+    def test_self_hit_and_recall_vs_exact_l2(self, spark):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.similarity import pq_topk, pq_train
+
+        emb = self._emb(spark)
+        qs = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        books = pq_train(emb, m=8, k=16, seed=42)
+        approx = pq_topk(emb, qs, books, k=10).collect()
+
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.asarray([r.vec_id for r in rows])
+        mat = np.asarray([r.embedding for r in rows], dtype=np.float64)
+        by_q = {}
+        for r in approx:
+            by_q.setdefault(r.query_id, []).append(r)
+        recalls = []
+        for qid, rs in by_q.items():
+            assert len(rs) <= 10
+            qv = mat[ids == qid][0]
+            exact = set(
+                ids[np.argsort(((mat - qv) ** 2).sum(axis=1), kind="stable")[:10]]
+            )
+            got = {r.vec_id for r in rs}
+            # the query is in the corpus: its ADC distance is its own
+            # quantization error, far below other random vectors
+            assert qid in got, qid
+            recalls.append(len(exact & got) / 10)
+        # random baseline would be 10/500; PQ must do far better
+        assert sum(recalls) / len(recalls) >= 0.3
