@@ -715,3 +715,60 @@ def test_boilerplate_intake_accumulates_df_across_batches(spark, tmp_path):
     assert report[1] == (0, 0) and report[10] == (0, 1)
     assert report[20][0] >= 1 and report[20][1] == 2
     assert report[30] == (1, 2)
+
+
+def test_streaming_cms_sketch_rollup_matches_batch_build(spark, tmp_path):
+    """CMS is a linear sketch, so the additive rollup sink maintains it
+    incrementally: per micro-batch cms_build is the pre-aggregate, the
+    persisted cell table merges by cell-wise sum, and after the stream
+    drains the table EQUALS the sketch built in one batch over all input —
+    streaming frequency monitoring with sketch-sized state in the TABLE."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.operators.sketch import cms_build
+    from data_etl_with_dbt_spark.streaming.intake import additive_rollup_sink
+
+    src = tmp_path / "cms_src"
+    src.mkdir()
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "token string").coalesce(1)
+
+    batches = [
+        [("apple",)] * 5 + [("banana",)] * 2,
+        [("apple",)] * 3 + [("cherry",)] * 4,
+        [("banana",)] * 1 + [("date",)] * 6,
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        mk(rows).write.parquet(str(src / f"f{i}"))
+        for f in _glob.glob(str(src / f"f{i}" / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    sink = additive_rollup_sink(
+        str(tmp_path / "cms_table"),
+        keys=["r", "pos"],
+        sum_cols=["cnt"],
+        pre_aggregate=lambda batch: cms_build(batch, "token", depth=4, width=256),
+    )
+    q = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "cms_table")).collect())
+    )
+    whole = spark.createDataFrame(
+        [r for b in batches for r in b], "token string"
+    )
+    direct = sorted(map(tuple, cms_build(whole, "token", depth=4, width=256).collect()))
+    assert streamed == direct
