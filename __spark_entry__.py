@@ -101,7 +101,7 @@ ZQ_QUEUED = [
     # session-3 additions
     "weighted_sample_documents", "two_sample_drift_events",
     "scalar_url_gallery", "ngram_containment_pairs",
-    "zorder_cluster_events",
+    "zorder_cluster_events", "robust_scale_events", "url_dedup_documents",
 ]
 
 ZV_VERIFIED = [

@@ -218,3 +218,67 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("r", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog as a register RELATION — mergeable cardinality, rounding out
+# the sketch family (Bloom: membership, CMS: frequency, HLL: cardinality).
+# Spark's approx_count_distinct answers one query; this surface persists
+# the registers so cardinalities roll up across shards/days by MAX-merge
+# without re-reading data.
+# ---------------------------------------------------------------------------
+
+def hll_build(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) as a DataFrame of
+    ``(bucket, rho)`` rows: bucket = low ``p`` bits of ``xxhash64(key)``,
+    rho = leading-zero count of the remaining 64-p bits + 1, MAX-aggregated
+    per bucket. At most ``2^p`` rows regardless of input size; absent
+    buckets mean register 0.
+
+    The leading-zero count stays exact and JVM-side via ``bin()``:
+    ``floor(log2(w)) + 1 == length(bin(w))`` on the integer path — no
+    floating log whose boundary rounding could corrupt registers."""
+    h = F.xxhash64(F.col(key_col))
+    bucket = h.bitwiseAND(F.lit((1 << p) - 1))
+    w = F.shiftrightunsigned(h, p)  # 64-p significant bits
+    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(64 - p) - (F.length(F.bin(w)) - F.lit(1))
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge register tables built with the same ``p``: per-bucket MAX.
+    Exactly equals building on the unioned input (asserted in tests) —
+    the property that makes per-shard cardinality rollups sound."""
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> float:
+    """Cardinality estimate from a register table, with the standard
+    small-range correction (linear counting while empty buckets remain).
+    The aggregation runs in the engine; the driver reads ONE row."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    row = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("z_present"),
+    ).collect()[0]
+    present = row.present or 0
+    s = (row.s or 0.0) + (m - present) * 1.0  # absent buckets: 2^-0 = 1
+    zeros = (row.z_present or 0) + (m - present)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est

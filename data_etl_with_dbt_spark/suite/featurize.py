@@ -259,3 +259,49 @@ def sequence_packing(spark, sf_dir):
         big(F.expr("off DIV 2048")).alias("seq_id"),
         big(F.col("off") % 2048).alias("offset_in_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust scaling: (value - median) / IQR per group — the outlier-resistant
+# normalization (sklearn's RobustScaler) complementing min-max. All three
+# anchors are percentile_disc DATA VALUES, so both engines pick identical
+# doubles and the per-row arithmetic is IEEE-identical; constant-IQR groups
+# pin to 0.0 rather than dividing by zero.
+# ---------------------------------------------------------------------------
+
+@query(
+    "robust_scale_events",
+    oracle="""
+    WITH anchors AS (
+        SELECT event_type AS et,
+               quantile_disc(value, 0.25) AS p25,
+               quantile_disc(value, 0.50) AS med,
+               quantile_disc(value, 0.75) AS p75
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id,
+           event_type,
+           CASE WHEN p75 = p25 THEN CAST(0.0 AS DOUBLE)
+                ELSE (value - med) / (p75 - p25) END AS value_scaled
+    FROM events
+    JOIN anchors ON event_type = et
+    """,
+    description=(
+        "Per-type robust scaling (value - median) / IQR from "
+        "percentile_disc data values — outlier-resistant normalization, "
+        "anchors broadcast back, one key shuffle total"
+    ),
+)
+def robust_scale_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    anchors = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias("med"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("p75"),
+    )
+    scaled = F.when(F.col("p75") == F.col("p25"), F.lit(0.0).cast("double")).otherwise(
+        (F.col("value") - F.col("med")) / (F.col("p75") - F.col("p25"))
+    )
+    return ev.join(F.broadcast(anchors), ev.event_type == F.col("et")).select(
+        "event_id", "event_type", scaled.alias("value_scaled")
+    )

@@ -869,3 +869,56 @@ def pagerank_similarity_graph(spark, sf_dir):
         shuffle_parallelism=spark.sparkContext.defaultParallelism,
     )
     return pagerank(pairs, src="id_a", dst="id_b", undirected=True, num_iter=10)
+
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup — the cheapest and highest-yield dedup pass in
+# a crawl pipeline (run it BEFORE any content hashing: same page re-crawled
+# under tracking-parameter variants collapses on the canonical URL alone).
+# URLs are synthesized with colliding path identities and varying query
+# noise; canonical = scheme+host+path, lowercased, query/fragment dropped.
+# Pure per-row string work + one hash aggregation on the canonical key.
+# ---------------------------------------------------------------------------
+
+@query(
+    "url_dedup_documents",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+                   || '?utm_source=' || lang || '&session=' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    )
+    SELECT lower(regexp_replace(url, '[?#].*$', '')) AS canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM u
+    GROUP BY lower(regexp_replace(url, '[?#].*$', ''))
+    """,
+    description=(
+        "URL-canonicalization dedup: strip query/fragment, lowercase, "
+        "keep-first per canonical URL — the zero-content-IO first pass of "
+        "crawl dedup"
+    ),
+)
+def url_dedup_documents(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source="),
+        F.col("lang"),
+        F.lit("&session="),
+        F.col("doc_id").cast("string"),
+    )
+    canonical = F.lower(F.regexp_replace(url, r"[?#].*$", ""))
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            big(F.min("doc_id")).alias("canonical_id"),
+            big(F.count(F.lit(1))).alias("n_docs"),
+        )
+    )

@@ -1864,3 +1864,38 @@ class TestProductQuantization:
             recalls.append(len(exact & got) / 10)
         # random baseline would be 10/500; PQ must do far better
         assert sum(recalls) / len(recalls) >= 0.3
+
+
+class TestHllRegisters:
+    def test_estimate_within_error_bound(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import hll_build, hll_estimate
+
+        n = 5000
+        df = spark.range(n).select(F.concat(F.lit("user-"), F.col("id")).alias("k"))
+        est = hll_estimate(hll_build(df, "k", p=12), p=12)
+        assert abs(est - n) / n < 0.05  # sigma ~1.04/sqrt(4096) = 1.6%
+
+    def test_small_range_linear_counting(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import hll_build, hll_estimate
+
+        df = spark.range(30).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        est = hll_estimate(hll_build(df, "k", p=12), p=12)
+        assert abs(est - 30) < 2  # linear counting is near-exact here
+
+    def test_merge_equals_build_on_union(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import hll_build, hll_merge
+
+        a = spark.range(0, 800).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        b = spark.range(500, 1500).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        merged = sorted(map(tuple, hll_merge(hll_build(a, "k"), hll_build(b, "k")).collect()))
+        whole = sorted(map(tuple, hll_build(a.unionByName(b), "k").collect()))
+        assert merged == whole
+
+    def test_registers_bounded_and_duplicates_free(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import hll_build, hll_estimate
+
+        dup = spark.range(2000).select((F.col("id") % 50).cast("string").alias("k"))
+        regs = hll_build(dup, "k", p=10)
+        assert regs.count() <= 1 << 10
+        est = hll_estimate(regs, p=10)
+        assert abs(est - 50) < 5  # duplicates don't inflate the estimate
