@@ -102,6 +102,7 @@ ZQ_QUEUED = [
     "weighted_sample_documents", "two_sample_drift_events",
     "scalar_url_gallery", "ngram_containment_pairs",
     "zorder_cluster_events", "robust_scale_events", "url_dedup_documents",
+    "scalar_math_gallery", "agg_correlation_matrix",
 ]
 
 ZV_VERIFIED = [

@@ -649,3 +649,138 @@ def two_sample_drift_events(spark, sf_dir):
         big(F.max("tb")).alias("n_b"),
         big(F.count(F.lit(1))).alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transcendental scalar gallery — ln/exp/sqrt/cbrt/log10/pow/sin/atan per
+# row. libm implementations differ by ~1 ulp between engines, so every
+# transcendental output is quantized on the DECIMAL(38,6) grid (the dec6
+# rule — the same treatment tfidf's ln already ships with); sqrt is
+# IEEE-754 correctly rounded and could go raw, but stays on the grid for a
+# uniform contract. All codegen'd JVM expressions, scan-parallel.
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_math_gallery",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(ln(abs(value) + 1.0) AS DECIMAL(38,6)) AS DOUBLE) AS ln1p_abs,
+           CAST(CAST(exp(value / 1000.0) AS DECIMAL(38,6)) AS DOUBLE) AS exp_scaled,
+           CAST(CAST(sqrt(abs(value)) AS DECIMAL(38,6)) AS DOUBLE) AS sqrt_abs,
+           CAST(CAST(cbrt(value) AS DECIMAL(38,6)) AS DOUBLE) AS cbrt_v,
+           CAST(CAST(log10(abs(value) + 1.0) AS DECIMAL(38,6)) AS DOUBLE) AS log10_1p,
+           CAST(CAST(pow(abs(value) + 1.0, 1.5) AS DECIMAL(38,6)) AS DOUBLE) AS pow_15,
+           CAST(CAST(sin(value) AS DECIMAL(38,6)) AS DOUBLE) AS sin_v,
+           CAST(CAST(atan(value) AS DECIMAL(38,6)) AS DOUBLE) AS atan_v,
+           CAST(sign(value) AS DOUBLE) AS sign_v
+    FROM events
+    ORDER BY event_id
+    """,
+    description=(
+        "Transcendental scalar gallery (ln/exp/sqrt/cbrt/log10/pow/sin/"
+        "atan/sign) with DECIMAL(38,6) quantization absorbing cross-engine "
+        "libm ulp noise"
+    ),
+)
+def scalar_math_gallery(spark, sf_dir):
+    from data_etl_with_dbt_spark.suite.registry import dec6
+
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        dec6(F.log(F.abs(v) + F.lit(1.0))).alias("ln1p_abs"),
+        dec6(F.exp(v / F.lit(1000.0))).alias("exp_scaled"),
+        dec6(F.sqrt(F.abs(v))).alias("sqrt_abs"),
+        dec6(F.cbrt(v)).alias("cbrt_v"),
+        dec6(F.log10(F.abs(v) + F.lit(1.0))).alias("log10_1p"),
+        dec6(F.pow(F.abs(v) + F.lit(1.0), F.lit(1.5))).alias("pow_15"),
+        dec6(F.sin(v)).alias("sin_v"),
+        dec6(F.atan(v)).alias("atan_v"),
+        F.signum(v).cast("double").alias("sign_v"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix over lineitem's three measures, long form —
+# ONE pass computes every component sum (count + 3 sums + 3 squares + 3
+# cross-products, all map-side combined through the DECIMAL grid); the
+# closed-form r evaluates per pair in identical IEEE trees (sqrt is
+# correctly rounded per IEEE-754, so even the normalization is exact).
+# The deterministic alternative to corr()'s order-dependent accumulation,
+# extending agg_linear_regression to the full matrix.
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_correlation_matrix",
+    oracle="""
+    WITH comp AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s33,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s13,
+               CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s23
+        FROM lineitem
+    )
+    SELECT 'quantity' AS var_a, 'extendedprice' AS var_b,
+           (n * s12 - s1 * s2) / (sqrt(n * s11 - s1 * s1) * sqrt(n * s22 - s2 * s2)) AS r,
+           CAST(n AS BIGINT) AS n_points
+    FROM comp
+    UNION ALL
+    SELECT 'quantity', 'discount',
+           (n * s13 - s1 * s3) / (sqrt(n * s11 - s1 * s1) * sqrt(n * s33 - s3 * s3)),
+           CAST(n AS BIGINT)
+    FROM comp
+    UNION ALL
+    SELECT 'extendedprice', 'discount',
+           (n * s23 - s2 * s3) / (sqrt(n * s22 - s2 * s2) * sqrt(n * s33 - s3 * s3)),
+           CAST(n AS BIGINT)
+    FROM comp
+    """,
+    description=(
+        "Pairwise Pearson correlation matrix (quantity/extendedprice/"
+        "discount) from one pass of decimal-exact component sums — "
+        "deterministic alternative to corr()"
+    ),
+)
+def agg_correlation_matrix(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    comp = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("s1"),
+        dsum(p).alias("s2"),
+        dsum(d).alias("s3"),
+        dsum(q * q).alias("s11"),
+        dsum(p * p).alias("s22"),
+        dsum(d * d).alias("s33"),
+        dsum(q * p).alias("s12"),
+        dsum(q * d).alias("s13"),
+        dsum(p * d).alias("s23"),
+    )
+
+    def r(sab, saa, sbb, sa, sb):
+        return (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)) / (
+            F.sqrt(F.col("n") * F.col(saa) - F.col(sa) * F.col(sa))
+            * F.sqrt(F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+
+    wide = comp.select(
+        r("s12", "s11", "s22", "s1", "s2").alias("r12"),
+        r("s13", "s11", "s33", "s1", "s3").alias("r13"),
+        r("s23", "s22", "s33", "s2", "s3").alias("r23"),
+        big(F.col("n")).alias("n_points"),
+    )
+    return wide.selectExpr(
+        "stack(3, "
+        "'quantity', 'extendedprice', r12, "
+        "'quantity', 'discount', r13, "
+        "'extendedprice', 'discount', r23"
+        ") AS (var_a, var_b, r)",
+        "n_points",
+    )
