@@ -393,6 +393,8 @@ def pq_train(
     m: int = 8,
     k: int = 16,
     seed: int = 42,
+    train_limit: int = 4096,
+    max_iter: int = 10,
 ):
     """Train a product quantizer (Jégou et al. 2011): split the D-dim space
     into ``m`` contiguous sub-blocks and run KMeans(``k``) independently in
@@ -411,6 +413,11 @@ def pq_train(
 
     dim = len(corpus.select(vec_col).first()[0])
     d_sub = dim // m
+    if train_limit:
+        # codebooks converge on a bounded sample — training cost must not
+        # grow with the corpus (limit, not sample(): deterministic and one
+        # early-terminating scan)
+        corpus = corpus.limit(train_limit)
     sliced = corpus.select(
         *[
             array_to_vector(
@@ -420,12 +427,21 @@ def pq_train(
         ]
     ).persist()
     sliced.count()
-    codebooks = []
-    for i in range(m):
+    def fit_block(i: int):
         model = KMeans(
-            k=k, seed=seed + i, featuresCol=f"__b{i}", predictionCol="__c"
+            k=k, seed=seed + i, maxIter=max_iter,
+            featuresCol=f"__b{i}", predictionCol="__c",
         ).fit(sliced)
-        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # the m fits are independent jobs over the same cached frame — submit
+    # them concurrently (Spark's scheduler interleaves them); on the tiny
+    # per-iteration jobs KMeans runs, wall time is per-job overhead, and
+    # sequential fits would pay it m times over
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        codebooks = list(pool.map(fit_block, range(m)))
     sliced.unpersist()
     return codebooks
 
