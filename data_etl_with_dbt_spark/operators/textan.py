@@ -740,6 +740,27 @@ def bpe_segment(
     return out
 
 
+def save_merges(spark, merges: list[dict], path: str) -> None:
+    """Persist a trained BPE merge table as a parquet artifact (ordered by
+    ``step``) — the tokenizer-as-table convention: the artifact is engine
+    data, loadable by any reader, diffable, and versionable alongside the
+    corpus it was trained on (mirrors ml/pipeline's model artifacts)."""
+    df = spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["merged"], int(m["cnt"])) for m in merges],
+        "step bigint, left string, right string, merged string, cnt bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[dict]:
+    """Load a merge table saved by :func:`save_merges`, in training order."""
+    rows = spark.read.parquet(path).orderBy("step").collect()
+    return [
+        {"step": r.step, "left": r.left, "right": r.right, "merged": r.merged, "cnt": r.cnt}
+        for r in rows
+    ]
+
+
 def bpe_vocab(segmented: DataFrame) -> DataFrame:
     """Token-id table from a segmented word table (``sym`` arrays):
     ``(token, token_id)`` with dense ids assigned by corpus frequency

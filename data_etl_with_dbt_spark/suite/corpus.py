@@ -888,3 +888,79 @@ def cms_token_counts(spark, sf_dir):
         .orderBy(F.col("est_count").desc(), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for contrastive training: each document
+# draws k pseudo-random negatives from the corpus via md5 of (doc_id, draw
+# index) — a pure per-row expression, so the pairing is reproducible across
+# reruns, repartitioning, and engines (oracle-checked membership, the
+# stratified-sample convention). The candidate id joins back to documents
+# (semi join) so only real docs survive, and accidental self-pairs drop.
+# At 100 TB: one explode (k rows per doc) + one key join, no RNG state.
+# ---------------------------------------------------------------------------
+
+@query(
+    "negative_samples_documents",
+    oracle="""
+    WITH draws AS (
+        SELECT d.doc_id,
+               CAST(t.j AS BIGINT) AS neg_rank,
+               CAST(CAST('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR)
+                    || ':' || CAST(t.j AS VARCHAR)), 1, 6) AS BIGINT) % n.n AS BIGINT) AS neg_doc_id
+        FROM documents d
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) n
+        CROSS JOIN range(4) t(j)
+    )
+    SELECT draws.doc_id, neg_rank, neg_doc_id
+    FROM draws
+    JOIN documents neg ON neg.doc_id = draws.neg_doc_id
+    WHERE draws.neg_doc_id <> draws.doc_id
+    """,
+    description=(
+        "Deterministic contrastive negative sampling: 4 md5-drawn negatives "
+        "per doc, membership oracle-checked — no RNG state, reproducible "
+        "pairing at any scale"
+    ),
+)
+def negative_samples_documents(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    draws = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+            "n",
+        )
+        .select(
+            "doc_id",
+            F.col("j").cast("bigint").alias("neg_rank"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg:"),
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+            ).alias("neg_doc_id"),
+        )
+    )
+    real = docs.select(F.col("doc_id").alias("neg_doc_id"))
+    return (
+        draws.join(real, "neg_doc_id", "semi")
+        .where(F.col("neg_doc_id") != F.col("doc_id"))
+        .select(big(F.col("doc_id")).alias("doc_id"), "neg_rank", "neg_doc_id")
+    )

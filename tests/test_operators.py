@@ -1944,3 +1944,46 @@ class TestZorderDataSkipping:
         assert z_hit <= 8  # z-order: most files' y-range misses the filter
         # and the on-axis dim still prunes under z-order
         assert overlapping(zpath, "x", 100.0, 160.0) <= 8
+
+
+def test_table_maintenance_example_runs(spark, tmp_path, capsys):
+    """The table-maintenance example runs end to end: compaction preserves
+    rows, and the z-ordered layout prunes the off-axis filter better than
+    the single-column sort (asserted inside the example)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "table_maintenance",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "table_maintenance.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(str(tmp_path / "wd"))
+    out = capsys.readouterr().out
+    assert "compaction: 40 files -> 1" in out
+    assert "z-ordered layout" in out and "table maintenance complete" in out
+
+
+def test_bpe_merge_artifact_round_trip(spark, tmp_path):
+    """Tokenizer-as-artifact: a trained merge table saved to parquet loads
+    back identical and segments identically."""
+    from data_etl_with_dbt_spark.operators.textan import (
+        bpe_segment,
+        load_merges,
+        save_merges,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(t,) for t in TestTrainBpe.corpus], "text string"
+    )
+    merges = train_bpe(df, "text", num_merges=5)
+    save_merges(spark, merges, str(tmp_path / "merges"))
+    loaded = load_merges(spark, str(tmp_path / "merges"))
+    assert loaded == merges
+
+    words = spark.createDataFrame([("lowest",), ("newer",)], "word string")
+    a = {r.word: list(r.sym) for r in bpe_segment(words, "word", merges).collect()}
+    b = {r.word: list(r.sym) for r in bpe_segment(words, "word", loaded).collect()}
+    assert a == b

@@ -281,6 +281,8 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "two_sample_drift_events": {"cartesian", "single-partition"},
         # crossJoin(broadcast(1-row min/max stats)) for the rank grid
         "zorder_cluster_events": {"cartesian"},
+        # crossJoin(broadcast(1-row corpus count)) for the negative ring
+        "negative_samples_documents": {"cartesian"},
         # broadcast 1-row vocab map + vocabulary-sized id-assignment window
         "bpe_encode_documents": {"cartesian", "single-partition"},
         # filters over derived expressions — nothing pushable exists
