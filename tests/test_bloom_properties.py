@@ -70,3 +70,70 @@ def test_null_keys_probe_false_and_survive_decontamination(spark):
     kept = {r["k"] for r in
             bloom_decontaminate(docs, ref, "k", "k", 16).collect()}
     assert None in kept and "clean-1" in kept and "bad-1" not in kept
+
+
+# ---------------------------------------------------------------------------
+# CMS / HLL / Morton-key randomized properties (same style: the contract,
+# not one example).
+# ---------------------------------------------------------------------------
+
+def test_cms_randomized_never_undercounts(spark):
+    import random
+
+    from data_etl_with_dbt_spark.operators.sketch import cms_build, cms_estimate
+
+    rng = random.Random(31)
+    for trial in range(3):
+        universe = rng.randint(20, 200)
+        rows = [
+            (f"k{rng.randint(0, universe)}",) for _ in range(rng.randint(200, 2000))
+        ]
+        df = spark.createDataFrame(rows, "token string")
+        width = rng.choice([64, 256, 1024])
+        cms = cms_build(df, "token", depth=4, width=width)
+        exact = {
+            r.token: r.c
+            for r in df.groupBy("token").agg(F.count("*").alias("c")).collect()
+        }
+        est = {
+            r.token: r.est_count
+            for r in cms_estimate(
+                cms, df.distinct(), "token", depth=4, width=width
+            ).collect()
+        }
+        for tok, c in exact.items():
+            assert est[tok] >= c, (trial, tok, width)
+
+
+def test_hll_randomized_error_within_bound(spark):
+    import random
+
+    from data_etl_with_dbt_spark.operators.sketch import hll_build, hll_estimate
+
+    rng = random.Random(37)
+    for trial in range(3):
+        n = rng.randint(100, 20000)
+        offset = rng.randrange(1_000_000)
+        df = spark.range(offset, offset + n).select(
+            F.md5(F.col("id").cast("string")).alias("k")
+        )
+        est = hll_estimate(hll_build(df, "k", p=12), p=12)
+        # 3 sigma at p=12 is ~5%; leave headroom for small-n granularity
+        assert abs(est - n) / n < 0.08, (trial, n, est)
+
+
+def test_morton_key_randomized_round_trip(spark):
+    """Interleave is a bijection: deinterleaving the Spark-computed key
+    recovers both rank codes exactly, for random 16-bit inputs."""
+    import random
+
+    from data_etl_with_dbt_spark.operators.layout import interleave_bits
+
+    rng = random.Random(41)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", interleave_bits(F.col("a"), F.col("b"), 16).alias("z")).collect()
+    for r in got:
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)

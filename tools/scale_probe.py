@@ -46,7 +46,60 @@ def _ops():
         "quota": lambda df: R.per_key_cap(
             df, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], n=1000
         ),
+        "cms": _cms,
+        "hll": _hll,
+        "zorder": _zorder,
+        "weighted_sample": _weighted_sample,
+        "bpe_encode": _bpe_encode,
     }
+
+
+def _cms(df):
+    from data_etl_with_dbt_spark.operators.sketch import cms_build
+    from data_etl_with_dbt_spark.operators.textan import tokens_expr
+
+    toks = df.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+    return cms_build(toks, "token", depth=4, width=4096)
+
+
+def _hll(df):
+    from data_etl_with_dbt_spark.operators.sketch import hll_build
+    from data_etl_with_dbt_spark.operators.textan import tokens_expr
+
+    toks = df.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+    return hll_build(toks, "token", p=12)
+
+
+def _zorder(df):
+    from data_etl_with_dbt_spark.operators.layout import zorder_key
+
+    return zorder_key(df, "doc_id", "n_chars", bits=16)
+
+
+def _weighted_sample(df):
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("bigint")
+    key = u.cast("double") / F.lit(16777216.0) / F.col("n_chars").cast("double")
+    return df.select("doc_id", key.alias("k")).orderBy("k", "doc_id").limit(1000)
+
+
+# canned merge rules over the generator's vocabulary — the probe measures
+# ENCODING (distinct-word folds + broadcast join), not training
+_PROBE_MERGES = [
+    {"step": i, "left": l, "right": r, "merged": l + r, "cnt": 1}
+    for i, (l, r) in enumerate(
+        [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"), ("e", "r"), ("s", "t"), ("an", "d")]
+    )
+]
+
+
+def _bpe_encode(df):
+    from data_etl_with_dbt_spark.operators import textan as TA
+
+    return TA.bpe_encode(df, "doc_id", "text", _PROBE_MERGES)
 
 
 def main() -> None:
