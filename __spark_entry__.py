@@ -103,7 +103,8 @@ ZQ_QUEUED = [
     "scalar_url_gallery", "ngram_containment_pairs",
     "zorder_cluster_events", "robust_scale_events", "url_dedup_documents",
     "scalar_math_gallery", "agg_correlation_matrix",
-    "negative_samples_documents",
+    "negative_samples_documents", "user_gap_stats", "rfm_customer_segments",
+    "dedup_keep_longest",
 ]
 
 ZV_VERIFIED = [

@@ -922,3 +922,51 @@ def url_dedup_documents(spark, sf_dir):
             big(F.count(F.lit(1))).alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Keep-LONGEST dedup — the canonical-selection variant real corpus
+# pipelines use (C4 keeps first; RefinedWeb-style pipelines keep the most
+# complete capture): per exact-content group, the representative is the
+# longest document (tie-break lowest id), spelled max_by/arg_max in both
+# engines. Same digest-only shuffle as dedup_exact_groups.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_keep_longest",
+    oracle="""
+    WITH g AS (
+        SELECT md5(text) AS content_hash, doc_id,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY md5(text)) AS n_docs,
+               max(n_chars) OVER (PARTITION BY md5(text)) AS keep_n_chars
+        FROM documents
+    )
+    SELECT content_hash,
+           CAST(doc_id AS BIGINT) AS keep_id,
+           CAST(keep_n_chars AS BIGINT) AS keep_n_chars,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM g WHERE rn = 1
+    """,
+    description=(
+        "Exact-content dedup keeping the LONGEST capture per group "
+        "(max_by on (n_chars, -doc_id)) — the most-complete-capture "
+        "canonical-selection policy"
+    ),
+)
+def dedup_keep_longest(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            big(
+                F.max_by(
+                    F.col("doc_id"), F.struct(F.col("n_chars"), (-F.col("doc_id")))
+                )
+            ).alias("keep_id"),
+            big(F.max("n_chars")).alias("keep_n_chars"),
+            big(F.count(F.lit(1))).alias("n_docs"),
+        )
+    )

@@ -594,3 +594,116 @@ def sessionize_events(spark, sf_dir):
         "event_id",
         F.sum(is_new).over(run).cast("bigint").alias("session_no"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics per user — the event-cadence profile (bot
+# detection, engagement scoring, session-gap calibration). Gaps come from
+# lag() as EXACT microsecond integers; only the per-user aggregates divide
+# to seconds, and the mean goes through the decimal grid. One key shuffle,
+# window and aggregation share the user_id partitioning (no second
+# exchange).
+# ---------------------------------------------------------------------------
+
+@query(
+    "user_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS DOUBLE) / 1e6 AS min_gap_s,
+           CAST(max(gap_us) AS DOUBLE) / 1e6 AS max_gap_s,
+           CAST(CAST(CAST(SUM(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE) / 1e6
+                AS DECIMAL(38,6)) AS DOUBLE) AS mean_gap_s
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    description=(
+        "Per-user inter-arrival gap stats (min/max/mean seconds) from "
+        "exact microsecond lag() diffs — the event-cadence profile"
+    ),
+)
+def user_gap_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gaps = ev.select("user_id", gap_us.alias("gap_us")).where(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        big(F.count("gap_us")).alias("n_gaps"),
+        (F.min("gap_us").cast("double") / F.lit(1e6)).alias("min_gap_s"),
+        (F.max("gap_us").cast("double") / F.lit(1e6)).alias("max_gap_s"),
+        dec6(
+            F.sum("gap_us").cast("double") / F.count("gap_us").cast("double") / F.lit(1e6)
+        ).alias("mean_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — the classic warehouse scoring query: recency
+# (days since last order, anchored at the corpus max date so the query is
+# a pure function of the data), frequency (order count), monetary (decimal
+# sum), each quartiled with ntile(4) under a TOTAL order (tie-break on
+# custkey — ntile is positional, so a non-total order would be
+# nondeterministic). The three single-partition ntile windows run over the
+# per-customer aggregate (customer-cardinality metadata, not order rows).
+# ---------------------------------------------------------------------------
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               CAST(datediff('day', max(o_orderdate), (SELECT maxd FROM anchor)) AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS BIGINT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+    FROM per_cust
+    """,
+    description=(
+        "RFM segmentation: per-customer recency/frequency/monetary with "
+        "ntile(4) quartile scores under total orders — the classic "
+        "warehouse scoring query"
+    ),
+)
+def rfm_customer_segments(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            big(F.datediff(F.max("maxd"), F.max("o_orderdate"))).alias("recency_days"),
+            big(F.count(F.lit(1))).alias("frequency"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+    )
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        big(
+            F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        ).alias("r_score"),
+        big(
+            F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        ).alias("f_score"),
+        big(
+            F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        ).alias("m_score"),
+    )

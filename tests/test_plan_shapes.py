@@ -283,6 +283,9 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "zorder_cluster_events": {"cartesian"},
         # crossJoin(broadcast(1-row corpus count)) for the negative ring
         "negative_samples_documents": {"cartesian"},
+        # crossJoin(broadcast(1-row date anchor)) + customer-cardinality
+        # ntile windows (per-customer aggregate frame, not order rows)
+        "rfm_customer_segments": {"cartesian", "single-partition"},
         # broadcast 1-row vocab map + vocabulary-sized id-assignment window
         "bpe_encode_documents": {"cartesian", "single-partition"},
         # filters over derived expressions — nothing pushable exists
