@@ -45,6 +45,33 @@ class ModelSpec:
     # table schema, missing columns null), 'fail', 'append_new_columns',
     # 'sync_all_columns'
     on_schema_change: str = "ignore"
+    # dbt model contract (contract: enforced): {column: spark type string}.
+    # Enforced BEFORE materialization — a drifting model fails the build,
+    # never the downstream consumers.
+    contract: dict | None = None
+
+
+def _enforce_contract(df: DataFrame, spec: "ModelSpec") -> None:
+    """dbt model contract (``contract: enforced``): the built frame must
+    carry EXACTLY the declared columns with the declared Spark types.
+    Checked on the unexecuted plan's schema — no data moves — and BEFORE
+    materialization, so a drifting model fails its own build instead of
+    breaking every downstream consumer at read time. Raises with the full
+    diff (missing / unexpected / mistyped)."""
+    declared = {k: v.lower().strip() for k, v in spec.contract.items()}
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = sorted(set(declared) - set(actual))
+    unexpected = sorted(set(actual) - set(declared))
+    mistyped = sorted(
+        f"{c}: declared {declared[c]}, got {actual[c]}"
+        for c in set(declared) & set(actual)
+        if declared[c] != actual[c]
+    )
+    if missing or unexpected or mistyped:
+        raise ValueError(
+            f"model '{spec.name}' violates its contract: "
+            f"missing={missing} unexpected={unexpected} mistyped={mistyped}"
+        )
 
 
 class RunContext:
@@ -113,6 +140,7 @@ class ModelRegistry:
         partition_by: list[str] | None = None,
         on_schema_change: str = "ignore",
         additive_cols: list[str] | None = None,
+        contract: dict | None = None,
     ):
         """Decorator registering a model function ``(ctx) -> DataFrame``."""
 
@@ -128,6 +156,7 @@ class ModelRegistry:
                 partition_by=partition_by,
                 on_schema_change=on_schema_change,
                 additive_cols=additive_cols,
+                contract=contract,
             )
             self._deps[mname] = set(deps or [])
             return fn
@@ -190,6 +219,8 @@ class ModelRegistry:
                 continue
             spec = self._models[name]
             df = spec.fn(RunContext(self, spark, name))
+            if spec.contract:
+                _enforce_contract(df, spec)
             if spec.materialized == "table":
                 from data_etl_with_dbt_spark.plans.observe import observed_write
                 from data_etl_with_dbt_spark.sources.io import write_table

@@ -166,3 +166,26 @@ def check_source_freshness(
         else "pass"
     )
     return {"status": status, "max_loaded_at": max_loaded, "age_minutes": age}
+
+
+def quarantine(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Annotate every row with which DQ rules it FAILS: adds ``dq_reasons``
+    (comma-joined failed-rule names in declaration order, '' when clean)
+    and ``dq_ok``. The ETL quarantine pattern — instead of silently
+    filtering bad rows, route them to a reject table with machine-readable
+    reasons so upstream producers get actionable feedback.
+
+    One projection, no shuffle, scan-parallel at any scale. Rules are
+    (name, predicate-that-GOOD-rows-satisfy); NULL predicate results count
+    as failures (a rule that cannot evaluate did not pass). Split with
+    ``where(dq_ok)`` / ``where(~dq_ok)`` — two consumers of one scan, which
+    parquet re-reads per consumer with each side's filter pushed down."""
+    reason_cols = [
+        F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)) for name, pred in rules
+    ]
+    reasons = F.concat_ws(
+        ",", F.filter(F.array(*reason_cols), lambda r: r.isNotNull())
+    )
+    return df.withColumn("dq_reasons", reasons).withColumn(
+        "dq_ok", F.col("dq_reasons") == F.lit("")
+    )

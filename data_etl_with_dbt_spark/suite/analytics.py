@@ -784,3 +784,51 @@ def agg_correlation_matrix(spark, sf_dir):
         ") AS (var_a, var_b, r)",
         "n_points",
     )
+
+
+# ---------------------------------------------------------------------------
+# Quarantine annotation — plans/dq.quarantine over events with three rules.
+# Reasons surface as a comma-joined STRING (never an array column: the
+# driver's canonicalizer chokes on arrays — the approx_aggregates lesson).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dq_quarantine_events",
+    oracle="""
+    SELECT event_id,
+           concat_ws(',',
+               CASE WHEN NOT coalesce(value > 0, FALSE) THEN 'positive_value' END,
+               CASE WHEN NOT coalesce(user_id IS NOT NULL, FALSE) THEN 'user_present' END,
+               CASE WHEN NOT coalesce(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE)
+                    THEN 'known_type' END
+           ) AS dq_reasons,
+           (concat_ws(',',
+               CASE WHEN NOT coalesce(value > 0, FALSE) THEN 'positive_value' END,
+               CASE WHEN NOT coalesce(user_id IS NOT NULL, FALSE) THEN 'user_present' END,
+               CASE WHEN NOT coalesce(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE)
+                    THEN 'known_type' END
+           ) = '') AS dq_ok
+    FROM events
+    """,
+    description=(
+        "Row-level quarantine annotation: failed-rule reasons per event "
+        "(positive value / user present / known type) — the reject-table "
+        "ETL pattern, one scan-parallel projection"
+    ),
+)
+def dq_quarantine_events(spark, sf_dir):
+    from data_etl_with_dbt_spark.plans.dq import quarantine
+
+    ev = load(spark, sf_dir, "events")
+    q = quarantine(
+        ev,
+        [
+            ("positive_value", F.col("value") > 0),
+            ("user_present", F.col("user_id").isNotNull()),
+            (
+                "known_type",
+                F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+            ),
+        ],
+    )
+    return q.select("event_id", "dq_reasons", "dq_ok")

@@ -64,6 +64,9 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "hll_user_cardinality",  # DataSketches HLL estimate: no SQL oracle
         "bpe_train_merges",  # iterative merge loop: reference-impl-tested instead
         "pagerank_similarity_graph",  # float fixpoint: reference-impl-tested
+        "bpe_encode_documents",  # encodes under the iterative trainer's merges
+        "cms_token_counts",  # sketch cells hash with xxhash64 (engine-specific)
+        "ann_pq_topk",  # codebook quantization: approximate by construction
     }
 
 

@@ -1,0 +1,138 @@
+"""Metrics layer + model contracts + quarantine: the dbt-semantic-parity
+surface added in round 3."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.plans.metrics import MetricRegistry
+
+
+@pytest.fixture()
+def reg(spark):
+    r = MetricRegistry()
+    orders = lambda s: s.createDataFrame(  # noqa: E731
+        [
+            ("us", "open", 10.0),
+            ("us", "done", 20.0),
+            ("eu", "done", 5.0),
+            ("eu", "open", 7.0),
+            ("us", "done", 3.0),
+        ],
+        "region string, status string, amount double",
+    )
+    r.define(
+        "revenue",
+        orders,
+        lambda: F.sum("amount"),
+        dimensions=["region", "status"],
+        description="total order amount",
+    )
+    r.define(
+        "order_count",
+        orders,
+        lambda: F.count(F.lit(1)).cast("long"),
+        dimensions=["region", "status"],
+    )
+    r.define(
+        "done_revenue",
+        orders,
+        lambda: F.sum("amount"),
+        dimensions=["region"],
+        filter=lambda: F.col("status") == "done",
+    )
+    return r
+
+
+class TestMetricRegistry:
+    def test_single_metric_grand_total(self, spark, reg):
+        [row] = reg.query(spark, ["revenue"]).collect()
+        assert row.revenue == 45.0
+
+    def test_two_metrics_one_scan_one_groupby(self, spark, reg):
+        df = reg.query(spark, ["revenue", "order_count"], ["region"])
+        got = {r.region: (r.revenue, r.order_count) for r in df.collect()}
+        assert got == {"us": (33.0, 3), "eu": (12.0, 2)}
+        # same loader+filter -> ONE aggregate node, not a join of two
+        assert "Join" not in df._jdf.queryExecution().optimizedPlan().toString()
+
+    def test_filtered_metric_joins_on_dims(self, spark, reg):
+        df = reg.query(spark, ["revenue", "done_revenue"], ["region"])
+        got = {r.region: (r.revenue, r.done_revenue) for r in df.collect()}
+        assert got == {"us": (33.0, 23.0), "eu": (12.0, 5.0)}
+
+    def test_disallowed_dimension_rejected(self, spark, reg):
+        with pytest.raises(ValueError, match="cannot slice by"):
+            reg.query(spark, ["done_revenue"], ["status"])
+
+    def test_unknown_metric_rejected(self, spark, reg):
+        with pytest.raises(KeyError, match="unknown metric"):
+            reg.query(spark, ["nope"])
+
+
+class TestModelContract:
+    def _registry(self, contract):
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+
+        @reg.model(name="m_contract", materialized="ephemeral", contract=contract)
+        def m_contract(ctx):
+            return ctx.spark.range(3).select(
+                F.col("id").alias("k"), F.lit("x").alias("v")
+            )
+
+        return reg
+
+    def test_conforming_model_builds(self, spark):
+        reg = self._registry({"k": "bigint", "v": "string"})
+        out = reg.run(spark)
+        assert out["m_contract"].count() == 3
+
+    def test_missing_and_unexpected_and_mistyped_fail(self, spark):
+        reg = self._registry({"k": "int", "w": "string"})
+        with pytest.raises(ValueError) as e:
+            reg.run(spark)
+        msg = str(e.value)
+        assert "missing=['w']" in msg
+        assert "unexpected=['v']" in msg
+        assert "k: declared int, got bigint" in msg
+
+    def test_contract_checks_before_materialization(self, spark, tmp_path):
+        """A violating 'table' model must fail WITHOUT writing anything."""
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+
+        @reg.model(name="m_bad_table", materialized="table", contract={"z": "string"})
+        def m_bad_table(ctx):
+            return ctx.spark.range(1)
+
+        with pytest.raises(ValueError, match="violates its contract"):
+            reg.run(spark)
+        assert not spark.catalog.tableExists("m_bad_table")
+
+
+class TestQuarantine:
+    def test_reasons_and_split(self, spark):
+        from data_etl_with_dbt_spark.plans.dq import quarantine
+
+        df = spark.createDataFrame(
+            [(1, 5.0, "view"), (2, -1.0, "view"), (3, 4.0, "bogus"), (4, None, None)],
+            "id long, v double, t string",
+        )
+        q = quarantine(
+            df,
+            [
+                ("positive", F.col("v") > 0),
+                ("known", F.col("t").isin("view", "click")),
+            ],
+        )
+        got = {r.id: (r.dq_reasons, r.dq_ok) for r in q.collect()}
+        assert got[1] == ("", True)
+        assert got[2] == ("positive", False)
+        assert got[3] == ("known", False)
+        # NULL predicate results are failures, both rules, declaration order
+        assert got[4] == ("positive,known", False)
+        assert q.where("dq_ok").count() == 1
