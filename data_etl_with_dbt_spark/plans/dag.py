@@ -190,7 +190,12 @@ class ModelRegistry:
         ts = graphlib.TopologicalSorter(self._deps)
         return [n for n in ts.static_order() if n in self._models]
 
-    def run(self, spark: SparkSession, select: list[str] | None = None) -> dict[str, DataFrame]:
+    def run(
+        self,
+        spark: SparkSession,
+        select: list[str] | None = None,
+        threads: int = 1,
+    ) -> dict[str, DataFrame]:
         """Materialize every model in dependency order.
 
         'table' → Parquet ``saveAsTable`` overwrite (the reference's
@@ -205,7 +210,16 @@ class ModelRegistry:
         (``plans/observe.observed_write``): row count + per-column null
         tallies ride the write job — free at 100 TB — and land in
         ``self.run_metrics[name]`` for the monitor / DQ triage.
-        """
+
+        ``threads`` is dbt's ``threads:`` knob: with ``threads > 1``,
+        models whose dependencies are complete dispatch CONCURRENTLY —
+        Spark's scheduler interleaves the independent jobs (FAIR/FIFO per
+        session), which matters exactly when a DAG has wide independent
+        branches of small-to-medium models where per-job overhead, not
+        data, bounds wall time (measured on PQ codebooks: near-linear).
+        Results, caches, and run_metrics are identical to the sequential
+        run (asserted in tests); dependency order is enforced by a
+        TopologicalSorter wave schedule, not timing."""
         out: dict[str, DataFrame] = {}
         for seed_name, (csv_path, schema) in self._seeds.items():
             from data_etl_with_dbt_spark.sources.io import read_csv, write_table
@@ -214,28 +228,58 @@ class ModelRegistry:
             write_table(seed_df, seed_name, mode="overwrite")
             self._cache[seed_name] = spark.table(seed_name)
             out[seed_name] = self._cache[seed_name]
-        for name in self.topo_order():
-            if select and name not in select and not self._is_upstream_of_any(name, select):
-                continue
-            spec = self._models[name]
-            df = spec.fn(RunContext(self, spark, name))
-            if spec.contract:
-                _enforce_contract(df, spec)
-            if spec.materialized == "table":
-                from data_etl_with_dbt_spark.plans.observe import observed_write
-                from data_etl_with_dbt_spark.sources.io import write_table
+        wanted = [
+            name
+            for name in self.topo_order()
+            if not (
+                select and name not in select and not self._is_upstream_of_any(name, select)
+            )
+        ]
+        if threads <= 1:
+            for name in wanted:
+                out[name] = self._build_model(spark, name)
+            return out
 
-                self.run_metrics[name] = observed_write(
-                    df, lambda d: write_table(d, name, mode="overwrite")
-                )
-                df = spark.table(name)
-            elif spec.materialized == "incremental":
-                df = self._materialize_incremental(spark, spec, df)
-            elif spec.materialized == "view":
-                df.createOrReplaceTempView(name)
-            self._cache[name] = df
-            out[name] = df
+        import concurrent.futures as cf
+
+        ts = graphlib.TopologicalSorter(
+            {n: self._deps.get(n, set()) & set(wanted) for n in wanted}
+        )
+        ts.prepare()
+        with cf.ThreadPoolExecutor(max_workers=threads) as pool:
+            pending: dict = {}
+            while ts.is_active() or pending:
+                for name in ts.get_ready():
+                    pending[pool.submit(self._build_model, spark, name)] = name
+                if not pending:
+                    break
+                done, _ = cf.wait(pending, return_when=cf.FIRST_COMPLETED)
+                for fut in done:
+                    name = pending.pop(fut)
+                    out[name] = fut.result()  # re-raises model failures
+                    ts.done(name)
         return out
+
+    def _build_model(self, spark: SparkSession, name: str) -> DataFrame:
+        """Build + materialize one model (deps must already be built)."""
+        spec = self._models[name]
+        df = spec.fn(RunContext(self, spark, name))
+        if spec.contract:
+            _enforce_contract(df, spec)
+        if spec.materialized == "table":
+            from data_etl_with_dbt_spark.plans.observe import observed_write
+            from data_etl_with_dbt_spark.sources.io import write_table
+
+            self.run_metrics[name] = observed_write(
+                df, lambda d: write_table(d, name, mode="overwrite")
+            )
+            df = spark.table(name)
+        elif spec.materialized == "incremental":
+            df = self._materialize_incremental(spark, spec, df)
+        elif spec.materialized == "view":
+            df.createOrReplaceTempView(name)
+        self._cache[name] = df
+        return df
 
     def run_microbatch(
         self,

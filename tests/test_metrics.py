@@ -136,3 +136,52 @@ class TestQuarantine:
         # NULL predicate results are failures, both rules, declaration order
         assert got[4] == ("positive,known", False)
         assert q.where("dq_ok").count() == 1
+
+
+class TestParallelRunner:
+    def _registry(self):
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+
+        @reg.model(name="p_base", materialized="ephemeral")
+        def p_base(ctx):
+            return ctx.spark.range(100).select(
+                F.col("id"), (F.col("id") % 5).alias("g")
+            )
+
+        @reg.model(name="p_left", materialized="table", deps=["p_base"])
+        def p_left(ctx):
+            return ctx.ref("p_base").groupBy("g").agg(F.sum("id").alias("s"))
+
+        @reg.model(name="p_right", materialized="table", deps=["p_base"])
+        def p_right(ctx):
+            return ctx.ref("p_base").groupBy("g").agg(F.count("*").alias("c"))
+
+        @reg.model(name="p_join", materialized="table", deps=["p_left", "p_right"])
+        def p_join(ctx):
+            return ctx.ref("p_left").join(ctx.ref("p_right"), "g")
+
+        return reg
+
+    def test_parallel_equals_sequential(self, spark):
+        seq = self._registry().run(spark)
+        seq_rows = sorted(map(tuple, seq["p_join"].collect()))
+        par = self._registry().run(spark, threads=4)
+        par_rows = sorted(map(tuple, par["p_join"].collect()))
+        assert par_rows == seq_rows
+        assert set(par) == {"p_base", "p_left", "p_right", "p_join"}
+        for t in ("p_left", "p_right", "p_join"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_parallel_propagates_model_failure(self, spark):
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+
+        @reg.model(name="p_boom", materialized="ephemeral")
+        def p_boom(ctx):
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="boom"):
+            reg.run(spark, threads=4)
