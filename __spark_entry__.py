@@ -104,7 +104,7 @@ ZQ_QUEUED = [
     "zorder_cluster_events", "robust_scale_events", "url_dedup_documents",
     "scalar_math_gallery", "agg_correlation_matrix",
     "negative_samples_documents", "user_gap_stats", "rfm_customer_segments",
-    "dedup_keep_longest", "dq_quarantine_events",
+    "dedup_keep_longest", "dq_quarantine_events", "quantile_normalize_events",
 ]
 
 ZV_VERIFIED = [

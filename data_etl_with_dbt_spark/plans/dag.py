@@ -540,6 +540,29 @@ class ModelRegistry:
             }
         return out
 
+    def manifest(self) -> list[dict]:
+        """The project manifest (dbt ``manifest.json`` shape, trimmed to
+        what this runner tracks): one dict per model with materialization,
+        declared dependencies, strategy, contract, and test count, in
+        topological order — the docs/lineage surface tools build on."""
+        return [
+            {
+                "name": n,
+                "materialized": self._models[n].materialized,
+                "depends_on": sorted(self._deps.get(n, ())),
+                "unique_key": self._models[n].unique_key,
+                "incremental_strategy": (
+                    self._models[n].incremental_strategy
+                    if self._models[n].materialized == "incremental"
+                    else None
+                ),
+                "contract": self._models[n].contract,
+                "n_tests": len(self._models[n].tests),
+                "description": self._models[n].description.strip(),
+            }
+            for n in self.topo_order()
+        ]
+
     def _is_upstream_of_any(self, name: str, targets: list[str]) -> bool:
         seen: set[str] = set()
 

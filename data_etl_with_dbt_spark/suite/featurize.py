@@ -305,3 +305,34 @@ def robust_scale_events(spark, sf_dir):
     return ev.join(F.broadcast(anchors), ev.event_type == F.col("et")).select(
         "event_id", "event_type", scaled.alias("value_scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization: map each value to its percent_rank within its
+# group — the rank-based transform that makes any two distributions
+# comparable (batch-effect correction, cross-source score calibration).
+# percent_rank = (rank - 1) / (n - 1) has identical positional semantics in
+# both engines under a total order; ties share a rank in both.
+# ---------------------------------------------------------------------------
+
+@query(
+    "quantile_normalize_events",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS value_qn
+    FROM events
+    """,
+    description=(
+        "Per-type quantile normalization via percent_rank — rank-based "
+        "cross-distribution calibration, one key shuffle"
+    ),
+)
+def quantile_normalize_events(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id", "event_type", F.percent_rank().over(w).alias("value_qn")
+    )

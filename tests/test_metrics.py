@@ -185,3 +185,33 @@ class TestParallelRunner:
 
         with pytest.raises(RuntimeError, match="boom"):
             reg.run(spark, threads=4)
+
+
+def test_manifest_shape_and_topo_order(spark):
+    from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+    reg = ModelRegistry()
+
+    @reg.model(name="mf_a", materialized="ephemeral", description="base")
+    def mf_a(ctx):
+        return ctx.spark.range(1)
+
+    @reg.model(
+        name="mf_b",
+        materialized="incremental",
+        unique_key="id",
+        deps=["mf_a"],
+        contract={"id": "bigint"},
+    )
+    def mf_b(ctx):
+        return ctx.ref("mf_a")
+
+    man = reg.manifest()
+    names = [m["name"] for m in man]
+    assert names.index("mf_a") < names.index("mf_b")
+    b = next(m for m in man if m["name"] == "mf_b")
+    assert b["depends_on"] == ["mf_a"]
+    assert b["incremental_strategy"] == "append"
+    assert b["contract"] == {"id": "bigint"}
+    a = next(m for m in man if m["name"] == "mf_a")
+    assert a["description"] == "base" and a["incremental_strategy"] is None
