@@ -105,6 +105,7 @@ ZQ_QUEUED = [
     "scalar_math_gallery", "agg_correlation_matrix",
     "negative_samples_documents", "user_gap_stats", "rfm_customer_segments",
     "dedup_keep_longest", "dq_quarantine_events", "quantile_normalize_events",
+    "corpus_epoch_upsample", "length_bucketed_batches",
 ]
 
 ZV_VERIFIED = [

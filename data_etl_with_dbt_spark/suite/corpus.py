@@ -964,3 +964,146 @@ def negative_samples_documents(spark, sf_dir):
         .where(F.col("neg_doc_id") != F.col("doc_id"))
         .select(big(F.col("doc_id")).alias("doc_id"), "neg_rank", "neg_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch UPSAMPLING for dataset mixtures — the other half of mixture_sample
+# (which only downsamples): a source weighted "2.3 epochs" repeats every
+# doc twice and a deterministic md5-chosen 30% a third time, so the
+# realized mixture hits the fractional target with zero RNG state. The
+# repeat fanout is explode(sequence(1, reps)) — row-local, scan-parallel;
+# at 100 TB the copies never materialize as storage, they are plan-time
+# fanout feeding the shuffle/packing stage downstream.
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_epoch_upsample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2 ELSE 1 END
+                   + CASE WHEN substr(md5('ep:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+                               CASE WHEN source IN ('src0', 'src1', 'src2') THEN '4ccc'
+                                    WHEN source IN ('src3', 'src4') THEN '8000'
+                                    ELSE '0000' END
+                          THEN 1 ELSE 0 END AS reps
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(r.i + 1 AS BIGINT) AS copy_id
+    FROM w CROSS JOIN range(4) r(i)
+    WHERE r.i < reps
+    """,
+    description=(
+        "Fractional-epoch upsampling (src0-2 at 2.3x, src3-4 at 1.5x, rest "
+        "1x): deterministic md5-chosen extra copies hit the fractional "
+        "target with no RNG — the mixture-weights half mixture_sample "
+        "can't do"
+    ),
+)
+def corpus_epoch_upsample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    whole = F.when(F.col("source").isin("src0", "src1", "src2"), 2).otherwise(1)
+    frac_threshold = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), "4ccc")  # 2.3 epochs
+        .when(F.col("source").isin("src3", "src4"), "8000")           # 1.5 epochs
+        .otherwise("0000")                                            # 1 epoch
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("ep:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    reps = whole + F.when(bucket < frac_threshold, 1).otherwise(0)
+    return docs.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "source",
+        F.explode(F.sequence(F.lit(1), reps)).alias("copy_id"),
+    ).select("doc_id", "source", big(F.col("copy_id")).alias("copy_id"))
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching — group similar-length docs into fixed-size
+# batches so per-batch padding waste is bounded (the dynamic-batching
+# trick in every serious training/inference loader). Buckets come from
+# percentile_disc decile BOUNDARIES (one aggregation, broadcast back as a
+# 1-row frame, bucket = counting boundaries below you) — NOT a global
+# ntile window, which would be a corpus-sized single-partition sort at
+# scale. Batch numbering within a bucket is a 10-way-parallel window; at
+# extreme per-bucket cardinality the bucketed global-index machinery
+# (global_row_index) replaces it — same trade documented there.
+# ---------------------------------------------------------------------------
+
+@query(
+    "length_bucketed_batches",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cuts AS (
+        SELECT quantile_disc(n_tokens, 0.1) AS c1, quantile_disc(n_tokens, 0.2) AS c2,
+               quantile_disc(n_tokens, 0.3) AS c3, quantile_disc(n_tokens, 0.4) AS c4,
+               quantile_disc(n_tokens, 0.5) AS c5, quantile_disc(n_tokens, 0.6) AS c6,
+               quantile_disc(n_tokens, 0.7) AS c7, quantile_disc(n_tokens, 0.8) AS c8,
+               quantile_disc(n_tokens, 0.9) AS c9
+        FROM toks
+    ),
+    b AS (
+        SELECT doc_id, n_tokens,
+               CAST(1 + CASE WHEN n_tokens > c1 THEN 1 ELSE 0 END
+                      + CASE WHEN n_tokens > c2 THEN 1 ELSE 0 END
+                      + CASE WHEN n_tokens > c3 THEN 1 ELSE 0 END
+                      + CASE WHEN n_tokens > c4 THEN 1 ELSE 0 END
+                      + CASE WHEN n_tokens > c5 THEN 1 ELSE 0 END
+                      + CASE WHEN n_tokens > c6 THEN 1 ELSE 0 END
+                      + CASE WHEN n_tokens > c7 THEN 1 ELSE 0 END
+                      + CASE WHEN n_tokens > c8 THEN 1 ELSE 0 END
+                      + CASE WHEN n_tokens > c9 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        FROM toks CROSS JOIN cuts
+    ),
+    r AS (
+        SELECT doc_id, n_tokens, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn
+        FROM b
+    )
+    SELECT doc_id, n_tokens, bucket, CAST((rn - 1) // 16 AS BIGINT) AS batch_id
+    FROM r
+    """,
+    description=(
+        "Length-bucketed batching: decile buckets from percentile_disc "
+        "boundaries (broadcast compare, no global sort), contiguous "
+        "batches of 16 within each bucket — bounded padding waste for "
+        "training/inference loaders"
+    ),
+)
+def length_bucketed_batches(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(TA.tokens_expr(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    cuts = toks.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY n_tokens)"
+            ).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + F.when(F.col("n_tokens") > F.col(f"c{i}"), 1).otherwise(0)
+    b = toks.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_tokens", bucket.cast("bigint").alias("bucket")
+    )
+    wr = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    # integer division spelled DIV (the cast-rounding rule: a double->int
+    # cast would round in DuckDB and truncate in Spark)
+    return b.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_tokens",
+        "bucket",
+        F.row_number().over(wr).alias("__rn"),
+    ).select(
+        "doc_id", "n_tokens", "bucket", big(F.expr("(__rn - 1) DIV 16")).alias("batch_id")
+    )

@@ -286,6 +286,8 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # crossJoin(broadcast(1-row date anchor)) + customer-cardinality
         # ntile windows (per-customer aggregate frame, not order rows)
         "rfm_customer_segments": {"cartesian", "single-partition"},
+        # crossJoin(broadcast(1-row decile boundaries))
+        "length_bucketed_batches": {"cartesian"},
         # broadcast 1-row vocab map + vocabulary-sized id-assignment window
         "bpe_encode_documents": {"cartesian", "single-partition"},
         # filters over derived expressions — nothing pushable exists
