@@ -23,24 +23,42 @@ def asof_join(
     strict: bool = True,
     suffix: str = "_right",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, attach the payload of the latest right
-    row with ``right_time <= left_time`` (``<`` when ``strict``) and the same
-    ``on`` key. ``tolerance`` (an INTERVAL string like ``'10 minutes'``)
-    additionally requires the match to lie within that lag — carried-forward
-    payloads older than the tolerance are nulled out.
+    """As-of join: for each left row, attach the payload of the matching
+    right row with the same ``on`` key, where the match is the latest right
+    row at-or-before (``direction='backward'``, the default), the earliest
+    at-or-after (``'forward'``), or whichever of the two is closer in time
+    (``'nearest'``, ties to backward) — the full pandas ``merge_asof``
+    direction surface. ``strict`` excludes equal-timestamp matches
+    (ignored for ``'nearest'``, which matches pandas in allowing exact
+    hits). ``tolerance`` (an INTERVAL string like ``'10 minutes'``)
+    additionally requires the match to lie within that distance.
 
-    Implementation is the union-and-carry-forward pattern, NOT a range join:
-    tag both inputs, sort within each key by time, and carry the last-seen
-    right payload forward with ``last(..., ignorenulls=True)``. One shuffle on
-    the key, no pair explosion — at 100 TB a naive inequality join explodes to
-    |left|x|right| per key while this stays O(|left| + |right|) rows.
+    Implementation is the union-and-carry pattern, NOT a range join: tag
+    both inputs, sort within each key by time, and carry the adjacent
+    right payload with ``last(..., ignorenulls=True)`` over the preceding
+    frame (backward) / ``first(...)`` over the following frame (forward).
+    One shuffle on the key, no pair explosion — at 100 TB a naive
+    inequality join explodes to |left|x|right| per key while this stays
+    O(|left| + |right|) rows. 'nearest' runs BOTH carries over the same
+    partitioning — windows keyed on the same partitioning add no second
+    exchange — then picks per row by gap.
 
-    Equal-timestamp semantics: with ``strict`` the right row sorts *after* a
-    left row at the same instant (so it doesn't match); otherwise before.
+    Equal-timestamp semantics: the ``__side`` sort marker places the right
+    row inside or outside the frame so ``strict`` is exact, not a filter.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest":
+        strict = False  # pandas merge_asof: nearest allows exact matches
     lcols = left.columns
-    marker = 0 if strict else 1  # left's sort position vs right at equal time
+    # left's sort position vs right at equal time, per direction (see
+    # equal-timestamp note): chosen so the frame itself encodes `strict`
+    if direction == "forward":
+        marker = 1 if strict else 0
+    else:
+        marker = 0 if strict else 1
 
     l_tagged = left.select(
         F.col(on).alias("__k"),
@@ -57,25 +75,88 @@ def asof_join(
         *[F.col(c).alias(f"__p_{c}") for c in right_payload],
     )
 
-    w = (
+    union = l_tagged.unionByName(r_tagged)
+    out_names = [f"{c}{suffix}" if c in lcols else c for c in right_payload]
+    is_right = F.col("__side") == 1 - marker
+
+    w_back = (
         Window.partitionBy("__k")
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        F.last(F.when(F.col("__side") == 1 - marker, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__match_t"),
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}" if c in lcols else c)
-            for c in right_payload
-        ],
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    out_names = [f"{c}{suffix}" if c in lcols else c for c in right_payload]
+
+    if direction == "backward":
+        carried = union.select(
+            "*",
+            F.last(F.when(is_right, F.col("__t")), ignorenulls=True)
+            .over(w_back)
+            .alias("__match_t"),
+            *[
+                F.last(f"__p_{c}", ignorenulls=True).over(w_back).alias(o)
+                for c, o in zip(right_payload, out_names)
+            ],
+        )
+    elif direction == "forward":
+        carried = union.select(
+            "*",
+            F.first(F.when(is_right, F.col("__t")), ignorenulls=True)
+            .over(w_fwd)
+            .alias("__match_t"),
+            *[
+                F.first(f"__p_{c}", ignorenulls=True).over(w_fwd).alias(o)
+                for c, o in zip(right_payload, out_names)
+            ],
+        )
+    else:  # nearest: both carries, one shuffle, per-row pick by gap
+        both = union.select(
+            "*",
+            F.last(F.when(is_right, F.col("__t")), ignorenulls=True)
+            .over(w_back)
+            .alias("__bt"),
+            F.first(F.when(is_right, F.col("__t")), ignorenulls=True)
+            .over(w_fwd)
+            .alias("__ft"),
+            *[
+                F.last(f"__p_{c}", ignorenulls=True).over(w_back).alias(f"__b_{c}")
+                for c in right_payload
+            ],
+            *[
+                F.first(f"__p_{c}", ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
+                for c in right_payload
+            ],
+        )
+        back_gap = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__bt"))
+        fwd_gap = F.unix_micros(F.col("__ft")) - F.unix_micros(F.col("__t"))
+        choose_back = F.col("__ft").isNull() | (
+            F.col("__bt").isNotNull() & (back_gap <= fwd_gap)
+        )
+        carried = both.select(
+            "*",
+            F.when(choose_back, F.col("__bt")).otherwise(F.col("__ft")).alias("__match_t"),
+            *[
+                F.when(choose_back, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(o)
+                for c, o in zip(right_payload, out_names)
+            ],
+        )
+
     out = carried.where(F.col("__side") == marker)
     if tolerance is not None:
-        in_window = F.col("__match_t") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        lag = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            in_window = F.col("__match_t") >= F.col("__t") - lag
+        elif direction == "forward":
+            in_window = F.col("__match_t") <= F.col("__t") + lag
+        else:
+            in_window = (F.col("__match_t") >= F.col("__t") - lag) & (
+                F.col("__match_t") <= F.col("__t") + lag
+            )
         out = out.select(
             *lcols,
             "__match_t",

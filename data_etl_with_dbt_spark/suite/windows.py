@@ -100,6 +100,47 @@ def asof_error_to_click(spark, sf_dir):
     )
 
 
+@query(
+    "asof_forward_error_to_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           c.click_event_id, c.click_ts, c.click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (
+        SELECT user_id AS cu, event_id AS click_event_id, ts AS click_ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+    ) c ON e.user_id = c.cu AND e.ts < c.click_ts
+    """,
+    description=(
+        "FORWARD as-of join: earliest strictly-following click per error "
+        "event (first-over-following carry, one shuffle) — the "
+        "what-happened-next direction completing the merge_asof surface"
+    ),
+)
+def asof_forward_error_to_click(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("__ct"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="__ct",
+        right_payload=["click_event_id", "click_ts", "click_value"],
+        strict=True,
+        direction="forward",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pivot (conditional aggregation) + JSON extraction.
 # ---------------------------------------------------------------------------

@@ -1987,3 +1987,110 @@ def test_bpe_merge_artifact_round_trip(spark, tmp_path):
     a = {r.word: list(r.sym) for r in bpe_segment(words, "word", merges).collect()}
     b = {r.word: list(r.sym) for r in bpe_segment(words, "word", loaded).collect()}
     assert a == b
+
+
+class TestAsofDirections:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, TS(10), "e1"), (1, TS(20), "e2"), (2, TS(5), "e3"), (3, TS(7), "e4")],
+            "k int, t timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, TS(10), 100.0), (1, TS(25), 250.0), (2, TS(4), 40.0), (2, TS(6), 60.0)],
+            "k int, t timestamp, v double",
+        )
+        return left, right
+
+    def test_forward_strict_and_inclusive(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import asof_join
+
+        left, right = self._frames(spark)
+        inc = {
+            r.tag: r.v
+            for r in asof_join(
+                left, right, "k", "t", "t", ["v"], strict=False, direction="forward"
+            ).collect()
+        }
+        # e1@10: right@10 matches inclusively; e2@20 -> right@25
+        assert inc == {"e1": 100.0, "e2": 250.0, "e3": 60.0, "e4": None}
+        st = {
+            r.tag: r.v
+            for r in asof_join(
+                left, right, "k", "t", "t", ["v"], strict=True, direction="forward"
+            ).collect()
+        }
+        # strict: e1@10 skips right@10, takes right@25
+        assert st == {"e1": 250.0, "e2": 250.0, "e3": 60.0, "e4": None}
+
+    def test_nearest_picks_closer_and_ties_backward(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r.tag: r.v
+            for r in asof_join(
+                left, right, "k", "t", "t", ["v"], direction="nearest"
+            ).collect()
+        }
+        # e2@20: backward@10 gap 10, forward@25 gap 5 -> forward
+        # e3@5: backward@4 gap 1, forward@6 gap 1 -> tie -> backward
+        assert got == {"e1": 100.0, "e2": 250.0, "e3": 40.0, "e4": None}
+
+    def test_agrees_with_pandas_merge_asof(self, spark):
+        import pandas as pd
+        import random
+
+        from data_etl_with_dbt_spark.operators.relational import asof_join
+
+        rng = random.Random(5)
+        lrows = sorted(
+            [(rng.randint(1, 3), TS(rng.randint(0, 59), rng.randint(0, 59)), i)
+             for i in range(60)],
+            key=lambda r: r[1],
+        )
+        rrows = sorted(
+            [(rng.randint(1, 3), TS(rng.randint(0, 59), rng.randint(0, 59)), float(i))
+             for i in range(40)],
+            key=lambda r: r[1],
+        )
+        # dedupe identical (k, t) pairs: at equal times pandas keeps the LAST
+        # right row while the carry pattern keeps the last by union order —
+        # same only when (k, t) is unique, which real event streams ensure
+        # via a tie-break column
+        seen = set()
+        rrows = [r for r in rrows if not ((r[0], r[1]) in seen or seen.add((r[0], r[1])))]
+        left = spark.createDataFrame(lrows, "k int, t timestamp, lid int")
+        right = spark.createDataFrame(rrows, "k int, t timestamp, v double")
+        lp = pd.DataFrame(lrows, columns=["k", "t", "lid"])
+        rp = pd.DataFrame(rrows, columns=["k", "t", "v"])
+        for direction in ("backward", "forward", "nearest"):
+            got = {
+                r.lid: r.v
+                for r in asof_join(
+                    left, right, "k", "t", "t", ["v"],
+                    strict=False, direction=direction,
+                ).collect()
+            }
+            want_df = pd.merge_asof(
+                lp.sort_values("t"), rp.sort_values("t"),
+                on="t", by="k", direction=direction,
+            )
+            want = {
+                int(r.lid): (None if pd.isna(r.v) else float(r.v))
+                for r in want_df.itertuples()
+            }
+            assert got == want, direction
+
+    def test_forward_tolerance(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r.tag: r.v
+            for r in asof_join(
+                left, right, "k", "t", "t", ["v"],
+                strict=False, direction="forward", tolerance="3 minutes",
+            ).collect()
+        }
+        # e2@20 -> right@25 is 5 min away: outside tolerance
+        assert got == {"e1": 100.0, "e2": None, "e3": 60.0, "e4": None}
