@@ -106,7 +106,7 @@ ZQ_QUEUED = [
     "negative_samples_documents", "user_gap_stats", "rfm_customer_segments",
     "dedup_keep_longest", "dq_quarantine_events", "quantile_normalize_events",
     "corpus_epoch_upsample", "length_bucketed_batches",
-    "asof_forward_error_to_click",
+    "asof_forward_error_to_click", "scalar_conditional_gallery",
 ]
 
 ZV_VERIFIED = [

@@ -370,3 +370,55 @@ def zorder_cluster_events(spark, sf_dir):
         big(F.col("zkey")).alias("zkey"),
         big(F.expr("zkey DIV 67108864")).alias("zbucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional / NULL-semantics gallery: coalesce, nullif, nvl2-shaped CASE,
+# null-skipping greatest/least (both engines skip NULLs), and SQL
+# three-valued logic (NULL OR TRUE = TRUE, NULL AND FALSE = FALSE, NULL
+# comparisons stay NULL) — the branch-free conditional toolkit, all
+# whole-stage-codegen per-row expressions.
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_conditional_gallery",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'view'), 'was_view') AS c_coalesce,
+           CAST(nullif(user_id % 10, 0) AS BIGINT) AS c_nullif,
+           CASE WHEN nullif(user_id % 10, 0) IS NOT NULL THEN 'present' ELSE 'absent' END AS c_nvl2,
+           greatest(value, 50.0) AS c_greatest,
+           least(value, 50.0) AS c_least,
+           (nullif(value, value) > 0.0 OR value > 50.0) AS c_3vl_or,
+           (nullif(value, value) > 0.0 AND value > 50.0) AS c_3vl_and,
+           CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END AS c_if,
+           CASE WHEN user_id % 7 = 0 THEN NULL ELSE event_type END AS c_masked
+    FROM events
+    ORDER BY event_id
+    """,
+    description=(
+        "Conditional/NULL gallery: coalesce, nullif, nvl2 shape, "
+        "null-skipping greatest/least, three-valued AND/OR — branch-free "
+        "conditionals, codegen end to end"
+    ),
+)
+def scalar_conditional_gallery(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    masked_id = F.nullif(F.col("user_id") % 10, F.lit(0))
+    null_probe = F.nullif(F.col("value"), F.col("value")) > F.lit(0.0)
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("view")), F.lit("was_view")).alias(
+            "c_coalesce"
+        ),
+        big(masked_id).alias("c_nullif"),
+        F.when(masked_id.isNotNull(), "present").otherwise("absent").alias("c_nvl2"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("c_greatest"),
+        F.least(F.col("value"), F.lit(50.0)).alias("c_least"),
+        (null_probe | (F.col("value") > 50.0)).alias("c_3vl_or"),
+        (null_probe & (F.col("value") > 50.0)).alias("c_3vl_and"),
+        F.when(F.col("value") > 50.0, "hi").otherwise("lo").alias("c_if"),
+        F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("c_masked"),
+    ).orderBy("event_id")
