@@ -1,0 +1,178 @@
+"""Versioned parquet tables: snapshot isolation + time travel via an atomic
+manifest commit — the minimal transactional-table mechanics (what Delta's
+`_delta_log` / Iceberg's snapshot list do) on plain files.
+
+Why plain `spark.read.parquet(dir)` is not enough at scale:
+
+* a writer appending part-files is VISIBLE mid-write — readers see partial
+  data (and `_SUCCESS` only helps single-writer full overwrites);
+* overwrite deletes files out from under running readers;
+* there is no history: yesterday's corrupted load cannot be diffed against
+  or rolled back.
+
+The fix is the lakehouse trick: data files are immutable and anonymous;
+what a "table" means is a MANIFEST (a JSON list of files), and a commit is
+one atomic `os.rename` of the next manifest version. Readers resolve a
+manifest first, then read exactly those files — they can never observe a
+half-commit, because the manifest only appears after its files are fully
+written. Old versions stay readable (time travel) until `vacuum`.
+
+Layout:
+    table/
+      data/<commit-uuid>/part-*.parquet     (immutable once committed)
+      _versions/v00000001.json              {"files": [...], "mode": ...}
+
+Concurrency: version numbers are claimed by `os.rename` onto a name that
+must not exist — the filesystem arbitrates racing writers (one wins, the
+other retries onto the next number). On object stores this maps to
+put-if-absent; the semantics here are the same.
+
+Scope note: this is deliberately the MECHANICS demo for the engine (atomic
+visibility, time travel, rollback, vacuum) — schema evolution, row-level
+deletes, and compaction-with-history live in the real table formats; see
+operators/layout.compact_parquet for the size-targeted rewrite this
+composes with.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, "_versions")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_versions_dir(path), f"v{version:08d}.json")
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed versions, ascending; [] for a table that never committed."""
+    return sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(_versions_dir(path), "v*.json"))
+    )
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def commit(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Write ``df`` as a new table version; returns the committed version.
+
+    Steps: stage the part files into an immutable per-commit directory,
+    build the new file list (previous version's files + staged for
+    ``append``; staged only for ``overwrite``), then atomically publish the
+    manifest. A reader that raced the commit keeps resolving the previous
+    version; a crash before the rename leaves only unreferenced staged
+    files (cleaned by :func:`vacuum`), never a corrupt table."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_versions_dir(path), exist_ok=True)
+    stage = os.path.join(path, "data", uuid.uuid4().hex)
+    df.write.parquet(stage)
+    staged = sorted(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+
+    while True:
+        versions = list_versions(path)
+        next_v = (versions[-1] + 1) if versions else 1
+        files = staged
+        if mode == "append" and versions:
+            files = _read_manifest(path, versions[-1])["files"] + staged
+        tmp = os.path.join(_versions_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"files": files, "mode": mode, "version": next_v}, f)
+        target = _manifest_path(path, next_v)
+        try:
+            # claim the version: rename onto a name that must not exist —
+            # the filesystem arbitrates racing writers (put-if-absent on
+            # object stores)
+            if os.path.exists(target):
+                raise FileExistsError(target)
+            os.link(tmp, target)  # link+unlink = fail-if-exists rename
+            os.unlink(tmp)
+            return next_v
+        except FileExistsError:
+            os.unlink(tmp)
+            # another writer claimed next_v: recompute base and retry
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: resolve a manifest (latest by default), then scan
+    exactly its files — immune to concurrent commits and half-writes.
+    An empty file list yields an empty frame only if the manifest says so;
+    a table with no versions is an error (distinguish 'no table' from
+    'empty table' — the parquet_or_none lesson)."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    files = _read_manifest(path, v)["files"]
+    return spark.read.parquet(*files)
+
+
+def rollback(path: str, to_version: int) -> int:
+    """Commit a NEW version whose file list equals ``to_version``'s —
+    history is append-only (the audit trail survives the rollback),
+    exactly like Delta's RESTORE."""
+    manifest = _read_manifest(path, to_version)
+    while True:
+        versions = list_versions(path)
+        next_v = versions[-1] + 1
+        tmp = os.path.join(_versions_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"files": manifest["files"], "mode": "rollback", "version": next_v},
+                f,
+            )
+        target = _manifest_path(path, next_v)
+        try:
+            if os.path.exists(target):
+                raise FileExistsError(target)
+            os.link(tmp, target)
+            os.unlink(tmp)
+            return next_v
+        except FileExistsError:
+            os.unlink(tmp)
+
+
+def vacuum(path: str, keep_versions: int = 1) -> dict:
+    """Delete data files unreferenced by the ``keep_versions`` newest
+    manifests, and the expired manifests themselves. Time travel works
+    within the retained window; a crashed commit's orphaned stage files
+    are collected here too. Returns ``{files_deleted, versions_dropped}``."""
+    versions = list_versions(path)
+    keep = set(versions[-keep_versions:]) if versions else set()
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(path, v)["files"])
+    deleted = 0
+    for f in glob.glob(os.path.join(path, "data", "*", "*.parquet")):
+        if f not in referenced:
+            os.unlink(f)
+            deleted += 1
+    for d in glob.glob(os.path.join(path, "data", "*")):
+        if os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+    dropped = 0
+    for v in versions:
+        if v not in keep:
+            os.unlink(_manifest_path(path, v))
+            dropped += 1
+    return {"files_deleted": deleted, "versions_dropped": dropped}
