@@ -84,3 +84,26 @@ class TestVersionedTable:
             va, vb = pool.map(lambda d: commit(d, t, mode="append"), [a, b])
         assert sorted([va, vb]) == [2, 3]
         assert _vals(spark, t) == [0, 10, 11, 20, 21]
+
+
+class TestLineageTrapStructurallyGone:
+    def test_read_then_append_recompute_sees_pinned_snapshot(self, spark, tmp_path):
+        """The repo's 4x-sighted lineage trap: a plan that reads a directory
+        the same batch later appends to will, on task retry or cache
+        eviction, recompute against the NEW files (self-dup flags in the
+        incremental dedup index) unless localCheckpoint truncates lineage.
+        A versioned read pins a manifest's exact file list, so the same
+        recompute re-reads the OLD snapshot by construction — no lineage
+        cut needed. Asserted by appending AFTER building the plan and
+        forcing a full re-execution of it."""
+        t = str(tmp_path / "tbl")
+        commit(spark.range(0, 3), t)
+
+        snapshot = read_version(spark, t)  # plan pins v1's files
+        commit(spark.range(100, 103), t, mode="append")  # v2 lands
+
+        # execute the OLD plan twice (no persist anywhere): both runs see v1
+        assert sorted(r.id for r in snapshot.collect()) == [0, 1, 2]
+        assert snapshot.count() == 3
+        # a fresh resolve sees v2, as it should
+        assert _vals(spark, t) == [0, 1, 2, 100, 101, 102]
