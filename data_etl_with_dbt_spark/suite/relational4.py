@@ -422,3 +422,35 @@ def scalar_conditional_gallery(spark, sf_dir):
         .otherwise(F.col("event_type"))
         .alias("c_masked"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Boolean aggregate family: count_if / bool_and / bool_or (SQL:2023's
+# standardized ANY/EVERY) per group — predicate rollups without CASE
+# scaffolding, all map-side combined.
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT event_type,
+           CAST(count_if(value > 50.0) AS BIGINT) AS n_high,
+           bool_and(value > 0.0) AS all_positive,
+           bool_or(value > 95.0) AS any_extreme,
+           bool_and(user_id IS NOT NULL) AS all_attributed
+    FROM events
+    GROUP BY event_type
+    """,
+    description=(
+        "Boolean aggregates per event type: count_if / bool_and / bool_or "
+        "(ANY/EVERY) — predicate rollups without CASE scaffolding"
+    ),
+)
+def agg_boolean(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        big(F.count_if(F.col("value") > 50.0)).alias("n_high"),
+        F.bool_and(F.col("value") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("value") > 95.0).alias("any_extreme"),
+        F.bool_and(F.col("user_id").isNotNull()).alias("all_attributed"),
+    )
