@@ -291,3 +291,20 @@ def boilerplate_intake_sink(
             ).parquet(report_path)
 
     return process
+
+
+def versioned_sink(table_path: str) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink committing each micro-batch as one ATOMIC
+    version of a :mod:`sources.versioned` table: a concurrent reader
+    resolves whole batches or nothing — never the partial part-file state
+    a plain ``mode('append')`` parquet sink exposes mid-write. Combined
+    with the stream's checkpoint (replayed batches recommit idempotently
+    only if the batch id is re-delivered BEFORE its commit landed — the
+    standard foreachBatch at-least-once caveat), and the version history
+    doubles as a per-batch audit trail with time travel."""
+    from ..sources.versioned import commit
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        commit(batch, table_path, mode="append")
+
+    return process

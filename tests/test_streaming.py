@@ -819,3 +819,48 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     drain()  # restart from the same checkpoint
     # f0/f1 NOT reprocessed; f2 processed exactly once
     assert sorted(r.k for r in spark.read.parquet(sink).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_versioned_sink_commits_whole_batches(spark, tmp_path):
+    """Streaming into a versioned table: after the drain, one committed
+    version per non-empty micro-batch, every version boundary is a batch
+    boundary, and the final snapshot equals all streamed input."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.sources.versioned import (
+        list_versions,
+        read_version,
+    )
+    from data_etl_with_dbt_spark.streaming.intake import versioned_sink
+
+    src = tmp_path / "vs_src"
+    src.mkdir()
+    table = str(tmp_path / "vs_table")
+    batches = [[(1,), (2,)], [(3,)], [(4,), (5,)]]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k long").coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+        for f in _glob.glob(str(src / f"f{i}" / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    q = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(versioned_sink(table))
+        .option("checkpointLocation", str(tmp_path / "vs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    versions = list_versions(table)
+    assert len(versions) == 3  # one atomic commit per micro-batch
+    assert sorted(r.k for r in read_version(spark, table).collect()) == [1, 2, 3, 4, 5]
+    # each version is a prefix-closed batch boundary: row counts only grow
+    counts = [read_version(spark, table, v).count() for v in versions]
+    assert counts == sorted(counts) and counts[-1] == 5
