@@ -176,3 +176,36 @@ def vacuum(path: str, keep_versions: int = 1) -> dict:
             os.unlink(_manifest_path(path, v))
             dropped += 1
     return {"files_deleted": deleted, "versions_dropped": dropped}
+
+
+def merge_commit(
+    df: DataFrame,
+    path: str,
+    key: str,
+    delete_col: str | None = None,
+) -> int:
+    """Upsert commit (MERGE INTO semantics on the versioned table): rows in
+    ``df`` replace same-``key`` rows of the latest snapshot, new keys
+    append, and rows flagged true in ``delete_col`` delete their key. The
+    rewritten state lands as ONE atomic overwrite commit, so readers jump
+    from the old snapshot straight to the merged one.
+
+    Copy-on-write: the whole table is rewritten (fine for dimension-sized
+    tables; fact-scale MERGE wants partition-scoped rewrites — pair with
+    the DAG's insert_overwrite strategy). The read side pins the previous
+    manifest, so the read-merge-commit cycle is retry-safe by
+    construction (no lineage cut needed)."""
+    from pyspark.sql import functions as F
+
+    if list_versions(path):
+        current = read_version(spark := df.sparkSession, path)
+        kept = current.join(df.select(key).distinct(), key, "left_anti")
+    else:
+        kept = None
+    upserts = df
+    if delete_col is not None:
+        upserts = df.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    merged = kept.unionByName(upserts) if kept is not None else upserts
+    return commit(merged, path, mode="overwrite")

@@ -107,3 +107,35 @@ class TestLineageTrapStructurallyGone:
         assert snapshot.count() == 3
         # a fresh resolve sees v2, as it should
         assert _vals(spark, t) == [0, 1, 2, 100, 101, 102]
+
+
+class TestMergeCommit:
+    def test_upsert_insert_delete_in_one_commit(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.versioned import merge_commit
+
+        t = str(tmp_path / "tbl")
+        commit(
+            spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+            t,
+        )
+        changes = spark.createDataFrame(
+            [(2, "B", False), (4, "d", False), (3, None, True)],
+            "k long, v string, is_delete boolean",
+        )
+        v = merge_commit(changes, t, key="k", delete_col="is_delete")
+        assert v == 2
+        got = {r.k: r.v for r in read_version(spark, t).collect()}
+        assert got == {1: "a", 2: "B", 4: "d"}  # update, keep, insert; 3 deleted
+        # time travel still shows the pre-merge state
+        pre = {r.k: r.v for r in read_version(spark, t, 1).collect()}
+        assert pre == {1: "a", 2: "b", 3: "c"}
+
+    def test_merge_into_empty_table_is_insert(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.versioned import merge_commit
+
+        t = str(tmp_path / "tbl")
+        v = merge_commit(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t, key="k"
+        )
+        assert v == 1
+        assert {r.k: r.v for r in read_version(spark, t).collect()} == {1: "a"}
