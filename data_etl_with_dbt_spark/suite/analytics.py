@@ -832,3 +832,71 @@ def dq_quarantine_events(spark, sf_dir):
         ],
     )
     return q.select("event_id", "dq_reasons", "dq_ok")
+
+
+# ---------------------------------------------------------------------------
+# Pareto / cumulative revenue share — "which customers are 80% of revenue".
+# The running sum is over DECIMAL(18,6)-cast values: window aggregates are
+# order-of-accumulation-dependent for doubles (DuckDB's segment-tree window
+# sums group differently than Spark's running accumulation — only exact
+# decimal arithmetic is safe), and the share divisions then run on
+# identical exact numerators. Windows run over the per-customer AGGREGATE
+# (customer cardinality), not order rows; at extreme customer counts the
+# bucketed global-index machinery replaces the single-partition cumsum.
+# ---------------------------------------------------------------------------
+
+@query(
+    "pareto_customer_revenue",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(rev) OVER () AS total,
+               CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS rnk
+        FROM per_cust
+    )
+    SELECT o_custkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           rnk,
+           (CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8) AS in_top80
+    FROM ranked
+    """,
+    description=(
+        "Pareto analysis: per-customer revenue, decimal-exact cumulative "
+        "share under a total order, top-80% contributor flag"
+    ),
+)
+def pareto_customer_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_all).alias("total"),
+        big(F.row_number().over(w_rank)).alias("rnk"),
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    return ranked.select(
+        "o_custkey",
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        "rnk",
+        (share <= 0.8).alias("in_top80"),
+    )
