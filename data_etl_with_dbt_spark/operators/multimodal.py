@@ -182,10 +182,12 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
 def decode_png(content: bytes):
     """Dependency-free PNG decode (stdlib zlib + numpy): non-interlaced
-    8-bit gray / RGB / gray+alpha / RGBA, all five scanline filters
-    (None/Sub/Up/Average/Paeth). Returns an (H, W, C) uint8 array.
+    8-bit gray / RGB / gray+alpha / RGBA / palette (PLTE, with optional
+    tRNS transparency), all five scanline filters
+    (None/Sub/Up/Average/Paeth). Returns an (H, W, C) uint8 array —
+    palette images expand to RGB (or RGBA when tRNS is present).
 
-    Palette (color type 3), 16-bit depth, and Adam7 interlace still raise
+    Sub-8-bit depths, 16-bit depth, and Adam7 interlace still raise
     ``NotImplementedError`` — rare in training corpora and each would
     triple the decoder for formats a real deployment handles with an
     injected codec library anyway.
@@ -196,7 +198,7 @@ def decode_png(content: bytes):
 
     if content[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload (missing signature)")
-    pos, ihdr, idat = len(_PNG_SIG), None, []
+    pos, ihdr, idat, plte, trns = len(_PNG_SIG), None, [], None, None
     while pos + 8 <= len(content):
         size = int.from_bytes(content[pos : pos + 4], "big")
         ctype = content[pos + 4 : pos + 8]
@@ -204,6 +206,10 @@ def decode_png(content: bytes):
             ihdr = content[pos + 8 : pos + 8 + size]
         elif ctype == b"IDAT":
             idat.append(content[pos + 8 : pos + 8 + size])
+        elif ctype == b"PLTE":
+            plte = content[pos + 8 : pos + 8 + size]
+        elif ctype == b"tRNS":
+            trns = content[pos + 8 : pos + 8 + size]
         elif ctype == b"IEND":
             break
         pos += 12 + size  # length + type + data + crc
@@ -212,10 +218,15 @@ def decode_png(content: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
-    channels = _PNG_CHANNELS.get(color_type)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        channels = 1  # one palette index per pixel on the wire
+    else:
+        channels = _PNG_CHANNELS.get(color_type)
     if bit_depth != 8 or channels is None or interlace != 0:
         raise NotImplementedError(
-            f"only non-interlaced 8-bit gray/RGB/GA/RGBA PNG supported "
+            f"only non-interlaced 8-bit gray/RGB/GA/RGBA/palette PNG supported "
             f"(depth={bit_depth}, color_type={color_type}, interlace={interlace})"
         )
     raw = zlib.decompress(b"".join(idat))
@@ -250,6 +261,15 @@ def decode_png(content: bytes):
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = cur
         prev = cur
+    if color_type == 3:
+        palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        rgb = palette[idx]  # (H, W, 3) gather
+        if trns is not None:
+            alpha_lut = np.full(palette.shape[0], 255, np.uint8)
+            alpha_lut[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha_lut[idx]])
+        return rgb
     return out.reshape(h, w, channels)
 
 

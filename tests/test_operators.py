@@ -2094,3 +2094,65 @@ class TestAsofDirections:
         }
         # e2@20 -> right@25 is 5 min away: outside tolerance
         assert got == {"e1": 100.0, "e2": None, "e3": 60.0, "e4": None}
+
+
+class TestPalettePng:
+    @staticmethod
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib
+
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    def _palette_png(self, idx_rows, palette, trns=None):
+        import zlib
+
+        h, w = len(idx_rows), len(idx_rows[0])
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 0])  # depth 8, palette, no interlace
+        )
+        plte = b"".join(bytes(c) for c in palette)
+        raw = b"".join(b"\x00" + bytes(r) for r in idx_rows)  # filter 0
+        png = b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+        png += self._chunk(b"PLTE", plte)
+        if trns is not None:
+            png += self._chunk(b"tRNS", bytes(trns))
+        png += self._chunk(b"IDAT", zlib.compress(raw))
+        png += self._chunk(b"IEND", b"")
+        return png
+
+    def test_palette_expands_to_rgb(self):
+        from data_etl_with_dbt_spark.operators.multimodal import decode_png
+
+        pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        img = decode_png(self._palette_png([[0, 1], [2, 0]], pal))
+        assert img.shape == (2, 2, 3)
+        assert img[0, 0].tolist() == [255, 0, 0]
+        assert img[0, 1].tolist() == [0, 255, 0]
+        assert img[1, 0].tolist() == [0, 0, 255]
+
+    def test_trns_adds_alpha_with_255_default(self):
+        from data_etl_with_dbt_spark.operators.multimodal import decode_png
+
+        pal = [(10, 20, 30), (40, 50, 60)]
+        img = decode_png(self._palette_png([[0, 1]], pal, trns=[128]))
+        assert img.shape == (1, 2, 4)
+        assert img[0, 0].tolist() == [10, 20, 30, 128]  # tRNS entry
+        assert img[0, 1].tolist() == [40, 50, 60, 255]  # default opaque
+
+    def test_missing_plte_is_an_error(self):
+        import pytest as _pytest
+
+        from data_etl_with_dbt_spark.operators.multimodal import decode_png
+
+        pal_png = bytearray(self._palette_png([[0]], [(1, 2, 3)]))
+        # strip the PLTE chunk (12 + 3 bytes after the 8+25-byte sig+IHDR)
+        start = 8 + 25
+        del pal_png[start : start + 12 + 3]
+        with _pytest.raises(ValueError, match="PLTE"):
+            decode_png(bytes(pal_png))
