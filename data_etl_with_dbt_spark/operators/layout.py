@@ -167,3 +167,63 @@ def compact_parquet(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
     return {"files_before": len(parts), "files_after": after, "bytes": total}
+
+
+def stats_index(path: str, columns: list[str]) -> list[dict]:
+    """File-level min/max index from parquet FOOTERS (no data pages read):
+    one entry per file with per-column bounds and row count — the same
+    statistics a lakehouse keeps in its manifest/metadata layer. Driver
+    cost is one footer read per file; at real scale this index is itself a
+    table maintained at commit time, but its CONTENT is exactly this."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for f in sorted(
+        os.path.join(path, n) for n in os.listdir(path) if n.endswith(".parquet")
+    ):
+        md = pq.read_metadata(f)
+        schema = md.schema.to_arrow_schema()
+        entry = {"file": f, "n_rows": md.num_rows}
+        for c in columns:
+            idx = schema.get_field_index(c)
+            stats = [
+                md.row_group(g).column(idx).statistics
+                for g in range(md.num_row_groups)
+            ]
+            entry[f"{c}_min"] = min(s.min for s in stats)
+            entry[f"{c}_max"] = max(s.max for s in stats)
+        entries.append(entry)
+    return entries
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, dict]:
+    """Range-filtered read that PRUNES non-overlapping files before the
+    scan ever starts: resolve the footer index, keep only files whose
+    ``[min, max]`` intersects ``[lo, hi]``, scan exactly those, and apply
+    the row-level filter on top (file bounds admit false positives, never
+    false negatives). Returns ``(df, {files_read, files_total})``.
+
+    This is what a Z-ordered layout buys at 100 TB: the same filter that
+    reads every file of a mono-sorted table reads a handful here — the
+    skipping the engine's own parquet reader does per row group, lifted to
+    whole files so task SCHEDULING is saved too, not just IO."""
+    idx = stats_index(path, [column])
+    keep = [
+        e["file"]
+        for e in idx
+        if e[f"{column}_max"] >= lo and e[f"{column}_min"] <= hi
+    ]
+    stats = {"files_read": len(keep), "files_total": len(idx)}
+    if not keep:
+        empty = spark.read.parquet(path).where(F.lit(False))
+        return empty, stats
+    df = spark.read.parquet(*keep).where(
+        (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    )
+    return df, stats

@@ -2156,3 +2156,33 @@ class TestPalettePng:
         del pal_png[start : start + 12 + 3]
         with _pytest.raises(ValueError, match="PLTE"):
             decode_png(bytes(pal_png))
+
+
+class TestPrunedRead:
+    def test_zorder_prunes_files_and_result_is_exact(self, spark, tmp_path):
+        import random
+
+        from data_etl_with_dbt_spark.operators.layout import pruned_read, zorder_layout
+
+        rng = random.Random(19)
+        rows = [(i, rng.uniform(0, 1000.0), rng.uniform(0, 1000.0)) for i in range(20000)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        zpath = str(tmp_path / "z")
+        zorder_layout(df, "x", "y", num_files=16).write.parquet(zpath)
+
+        got, stats = pruned_read(spark, zpath, "y", 100.0, 160.0)
+        want = sorted(i for i, _x, y in rows if 100.0 <= y <= 160.0)
+        assert sorted(r.id for r in got.collect()) == want  # never loses rows
+        assert stats["files_total"] == 16
+        assert stats["files_read"] <= 8  # off-axis pruning actually bites
+
+    def test_empty_range_reads_zero_files(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.operators.layout import pruned_read
+
+        path = str(tmp_path / "t")
+        spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v").coalesce(
+            4
+        ).write.parquet(path)
+        got, stats = pruned_read(spark, path, "v", 5000.0, 6000.0)
+        assert stats["files_read"] == 0
+        assert got.count() == 0
