@@ -107,7 +107,7 @@ ZQ_QUEUED = [
     "dedup_keep_longest", "dq_quarantine_events", "quantile_normalize_events",
     "corpus_epoch_upsample", "length_bucketed_batches",
     "asof_forward_error_to_click", "scalar_conditional_gallery",
-    "agg_boolean", "pareto_customer_revenue",
+    "agg_boolean", "pareto_customer_revenue", "zipf_exponent_vocab",
 ]
 
 ZV_VERIFIED = [

@@ -1107,3 +1107,76 @@ def length_bucketed_batches(spark, sf_dir):
     ).select(
         "doc_id", "n_tokens", "bucket", big(F.expr("(__rn - 1) DIV 16")).alias("batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent of the corpus vocabulary — fit ln(freq) ~ a + s*ln(rank)
+# by OLS; natural text sits near s = -1, and a corpus drifting away from
+# its usual exponent is a cheap distribution-shift alarm (template spam
+# pushes it shallower, dedup of head terms steeper). Rank assignment is a
+# vocabulary-sized window (metadata, not corpus); the logs are dec6-
+# quantized per value (libm rule) and the OLS runs on decimal-exact
+# component sums, the agg_linear_regression machinery.
+# ---------------------------------------------------------------------------
+
+@query(
+    "zipf_exponent_vocab",
+    oracle=r"""
+    WITH freq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS f
+        FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+            FROM documents
+        )
+        GROUP BY term
+    ),
+    ranked AS (
+        SELECT CAST(CAST(ln(CAST(row_number() OVER (ORDER BY f DESC, term) AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) AS lx,
+               CAST(CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) AS ly
+        FROM freq
+    ),
+    comp AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(lx * ly AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(lx * lx AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        FROM ranked
+    )
+    SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_exponent,
+           CAST(n AS BIGINT) AS n_vocab
+    FROM comp
+    """,
+    description=(
+        "Zipf exponent of the vocabulary (OLS of ln freq on ln rank, "
+        "decimal-exact components): natural text ~ -1; drift is a cheap "
+        "corpus-shift alarm"
+    ),
+)
+def zipf_exponent_vocab(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from data_etl_with_dbt_spark.suite.registry import dec6, dsum
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(TA.tokens_expr(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("term"))
+    ranked = freq.select(
+        dec6(F.log(F.row_number().over(w).cast("double"))).alias("lx"),
+        dec6(F.log(F.col("f").cast("double"))).alias("ly"),
+    )
+    comp = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("lx")).alias("sx"),
+        dsum(F.col("ly")).alias("sy"),
+        dsum(F.col("lx") * F.col("ly")).alias("sxy"),
+        dsum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return comp.select(slope.alias("zipf_exponent"), big(F.col("n")).alias("n_vocab"))

@@ -290,6 +290,8 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "length_bucketed_batches": {"cartesian"},
         # customer-cardinality cumsum windows (aggregate frame, not orders)
         "pareto_customer_revenue": {"single-partition"},
+        # vocabulary-sized rank window (metadata frame, not the corpus)
+        "zipf_exponent_vocab": {"single-partition"},
         # broadcast 1-row vocab map + vocabulary-sized id-assignment window
         "bpe_encode_documents": {"cartesian", "single-partition"},
         # filters over derived expressions — nothing pushable exists
