@@ -970,3 +970,46 @@ def dedup_keep_longest(spark, sf_dir):
             big(F.count(F.lit(1))).alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm statistics per label — the first sanity check on any
+# embedding table (collapsed vectors, un-normalized mixes, scale drift
+# between shards all show up here before any ANN result looks wrong).
+# Norms are sequential-fold dot products (identical fp order in both
+# engines) under IEEE-correctly-rounded sqrt, so per-row values are
+# bit-exact; the cross-row mean goes through the decimal grid.
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           min(nrm) AS min_norm,
+           max(nrm) AS max_norm,
+           CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
+    FROM n GROUP BY label
+    """,
+    description=(
+        "Per-label embedding norm stats (count/min/max/decimal-exact sum) "
+        "— the collapsed-vector / scale-drift sanity check run before any "
+        "similarity work"
+    ),
+)
+def embedding_norm_stats(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = S.norm(F.col("embedding"))
+    n = emb.select("label", nrm.alias("nrm"))
+    return n.groupBy("label").agg(
+        big(F.count(F.lit(1))).alias("n_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+    )
