@@ -54,3 +54,34 @@ from data_etl_with_dbt_spark.operators.multimodal import (  # noqa: F401
     to_media_table,
 )
 from data_etl_with_dbt_spark.operators.graph import pagerank  # noqa: F401
+from data_etl_with_dbt_spark.operators.dedup import (  # noqa: F401
+    ngram_containment_pairs,
+)
+from data_etl_with_dbt_spark.operators.similarity import (  # noqa: F401
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
+    bpe_encode,
+    bpe_vocab,
+    load_merges,
+    save_merges,
+)
+from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+from data_etl_with_dbt_spark.operators.layout import (  # noqa: F401
+    compact_parquet,
+    interleave_bits,
+    pruned_read,
+    skipping_stats,
+    stats_index,
+    zorder_key,
+    zorder_layout,
+)

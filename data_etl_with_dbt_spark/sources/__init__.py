@@ -9,3 +9,11 @@ from data_etl_with_dbt_spark.sources.pyds import (  # noqa: F401
     SyntheticCorpusDataSource,
     register_synthetic_source,
 )
+from data_etl_with_dbt_spark.sources.versioned import (  # noqa: F401
+    commit as versioned_commit,
+    list_versions,
+    merge_commit,
+    read_version,
+    rollback,
+    vacuum,
+)
