@@ -85,15 +85,25 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
         if f.endswith(".parquet")
     )
 
+    schema_str = df.schema.simpleString()
     while True:
         versions = list_versions(path)
         next_v = (versions[-1] + 1) if versions else 1
-        files = staged
+        files, schemas = staged, [schema_str]
         if mode == "append" and versions:
-            files = _read_manifest(path, versions[-1])["files"] + staged
+            prev = _read_manifest(path, versions[-1])
+            files = prev["files"] + staged
+            # track the distinct schemas contributing to this snapshot so
+            # readers know when a merged-schema scan is needed (schema
+            # evolution across appends) and when the cheap single-schema
+            # path suffices
+            schemas = sorted(set(prev.get("schemas", [])) | {schema_str})
         tmp = os.path.join(_versions_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            json.dump({"files": files, "mode": mode, "version": next_v}, f)
+            json.dump(
+                {"files": files, "mode": mode, "version": next_v, "schemas": schemas},
+                f,
+            )
         target = _manifest_path(path, next_v)
         try:
             # claim the version: rename onto a name that must not exist —
@@ -123,8 +133,14 @@ def read_version(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
-    files = _read_manifest(path, v)["files"]
-    return spark.read.parquet(*files)
+    manifest = _read_manifest(path, v)
+    reader = spark.read
+    if len(manifest.get("schemas", [""])) > 1:
+        # appends evolved the schema: union the footer schemas so columns
+        # absent from older files surface as NULL (paid only when the
+        # manifest says it is needed)
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*manifest["files"])
 
 
 def rollback(path: str, to_version: int) -> int:

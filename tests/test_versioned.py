@@ -139,3 +139,24 @@ class TestMergeCommit:
         )
         assert v == 1
         assert {r.k: r.v for r in read_version(spark, t).collect()} == {1: "a"}
+
+
+class TestSchemaEvolution:
+    def test_appended_column_surfaces_with_nulls(self, spark, tmp_path):
+        """Appending a frame with an extra column evolves the snapshot:
+        reads merge the footer schemas (only when the manifest records
+        more than one), old rows show NULL for the new column, and
+        time travel to the pre-evolution version keeps the old schema."""
+        t = str(tmp_path / "tbl")
+        commit(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        commit(
+            spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"),
+            t,
+            mode="append",
+        )
+        cur = read_version(spark, t)
+        assert set(cur.columns) == {"k", "v", "score"}
+        got = {r.k: r.score for r in cur.collect()}
+        assert got == {1: None, 2: 9.5}
+        # pre-evolution snapshot: single schema, no merge, no score column
+        assert set(read_version(spark, t, 1).columns) == {"k", "v"}
