@@ -46,6 +46,7 @@ from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401
 from data_etl_with_dbt_spark.operators.multimodal import (  # noqa: F401
     extract_media_features,
     media_from_binary_files,
+    parse_gif_meta,
     parse_mp3_meta,
     parse_mp4_meta,
     resize_image,

@@ -450,6 +450,13 @@ def default_decoder(content: bytes, mime: str):
             float(m["sample_rate"]),
             float(m["bitrate_kbps"]),
         ]
+    if content[:3] == b"GIF":
+        m = parse_gif_meta(content)
+        return [
+            float(m["width"] * m["height"]),
+            float(m["n_frames"]),
+            m["animation_seconds"],
+        ]
     if mime.startswith("text/"):
         return text_byte_features(content)
     raise NotImplementedError(
@@ -745,3 +752,53 @@ def sample_frame_times(media: DataFrame, fps: float = 1.0) -> DataFrame:
             )
 
     return media.mapInPandas(run, FRAME_TIME_SCHEMA)
+
+
+def parse_gif_meta(content: bytes) -> dict:
+    """Dependency-free GIF container metadata: header version, logical
+    screen dimensions, global-palette size, frame count, and total
+    animation delay — by WALKING the block structure (extensions and LZW
+    data ride in length-prefixed sub-blocks, so skipping needs no
+    decompression). Frame DECODE needs an LZW implementation and raises
+    through :func:`default_decoder` like the other compressed formats."""
+    content = bytes(content)
+    if content[:3] != b"GIF" or content[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/GIF89a header)")
+    version = content[3:6].decode()
+    w = int.from_bytes(content[6:8], "little")
+    h = int.from_bytes(content[8:10], "little")
+    packed = content[10]
+    gct_size = (2 ** ((packed & 0x7) + 1)) if packed & 0x80 else 0
+    pos = 13 + 3 * gct_size  # header + LSD + global color table
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(content) and content[p] != 0:
+            p += 1 + content[p]
+        return p + 1  # past the 0 terminator
+
+    frames, delay_cs = 0, 0
+    while pos < len(content):
+        marker = content[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-blocks
+            label = content[pos + 1]
+            if label == 0xF9 and content[pos + 2] >= 4:  # graphic control
+                delay_cs += int.from_bytes(content[pos + 4 : pos + 6], "little")
+            pos = skip_subblocks(pos + 2)
+        elif marker == 0x2C:  # image descriptor
+            frames += 1
+            lpacked = content[pos + 9]
+            lct_size = (2 ** ((lpacked & 0x7) + 1)) if lpacked & 0x80 else 0
+            pos += 10 + 3 * lct_size + 1  # descriptor + local table + LZW min code size
+            pos = skip_subblocks(pos)
+        else:
+            raise ValueError(f"unknown GIF block marker 0x{marker:02x} at {pos}")
+    return {
+        "version": version,
+        "width": w,
+        "height": h,
+        "global_palette_size": gct_size,
+        "n_frames": frames,
+        "animation_seconds": delay_cs / 100.0,
+    }

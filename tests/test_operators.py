@@ -2186,3 +2186,49 @@ class TestPrunedRead:
         got, stats = pruned_read(spark, path, "v", 5000.0, 6000.0)
         assert stats["files_read"] == 0
         assert got.count() == 0
+
+
+class TestGifMeta:
+    def _gif(self, frames=2, delay_cs=10, w=3, h=2):
+        # GIF89a, 4-color global palette, N frames with graphic-control
+        # extensions; LZW payload is opaque bytes (the walker never decodes)
+        out = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x81, 0, 0])  # GCT flag, 2-bit table -> 4 entries
+        out += bytes(12)  # 4 RGB palette entries
+        for _ in range(frames):
+            out += bytes([0x21, 0xF9, 4, 0]) + delay_cs.to_bytes(2, "little")
+            out += bytes([0, 0])  # transparent idx + terminator
+            out += bytes([0x2C]) + bytes(4) + w.to_bytes(2, "little")
+            out += h.to_bytes(2, "little") + bytes([0])  # no local table
+            out += bytes([2])  # LZW min code size
+            out += bytes([3, 0xAA, 0xBB, 0xCC, 0])  # one sub-block + end
+        return out + bytes([0x3B])
+
+    def test_frames_dims_palette_delay(self):
+        from data_etl_with_dbt_spark.operators.multimodal import parse_gif_meta
+
+        meta = parse_gif_meta(self._gif(frames=3, delay_cs=25, w=7, h=5))
+        assert meta == {
+            "version": "89a",
+            "width": 7,
+            "height": 5,
+            "global_palette_size": 4,
+            "n_frames": 3,
+            "animation_seconds": 0.75,
+        }
+
+    def test_rejects_non_gif(self):
+        import pytest as _pytest
+
+        from data_etl_with_dbt_spark.operators.multimodal import parse_gif_meta
+
+        with _pytest.raises(ValueError, match="GIF87a/GIF89a"):
+            parse_gif_meta(b"\x89PNG\r\n\x1a\nnope")
+
+
+def test_default_decoder_gif_features():
+    from data_etl_with_dbt_spark.operators.multimodal import default_decoder
+
+    gif = TestGifMeta()._gif(frames=2, delay_cs=50, w=4, h=4)
+    feats = default_decoder(gif, "image/gif")
+    assert feats == [16.0, 2.0, 1.0]  # pixels, frames, seconds
