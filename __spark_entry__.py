@@ -108,7 +108,7 @@ ZQ_QUEUED = [
     "corpus_epoch_upsample", "length_bucketed_batches",
     "asof_forward_error_to_click", "scalar_conditional_gallery",
     "agg_boolean", "pareto_customer_revenue", "zipf_exponent_vocab",
-    "embedding_norm_stats",
+    "embedding_norm_stats", "event_transition_matrix",
 ]
 
 ZV_VERIFIED = [

@@ -748,3 +748,63 @@ def rfm_customer_segments(spark, sf_dir):
             F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
         ).alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix — first-order Markov estimate of user
+# behavior: lead() pairs each event with its successor inside the user's
+# timeline (one key shuffle; the window and the pair count share the
+# user_id partitioning), then P(next | current) divides exact pair counts
+# by exact row totals. The sequence-mining complement to the funnel and
+# sessionization entries.
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    totals AS (
+        SELECT cur AS c2, CAST(SUM(n) AS BIGINT) AS total FROM pairs GROUP BY cur
+    )
+    SELECT cur, nxt, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS p_transition
+    FROM pairs JOIN totals ON cur = c2
+    """,
+    description=(
+        "First-order Markov transition matrix of event types per user "
+        "timeline: exact pair counts, P(next|current) as one IEEE division"
+    ),
+)
+def event_transition_matrix(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(big(F.count(F.lit(1))).alias("n"))
+    )
+    totals = pairs.groupBy(F.col("cur").alias("c2")).agg(
+        big(F.sum("n")).alias("total")
+    )
+    return pairs.join(F.broadcast(totals), pairs.cur == F.col("c2")).select(
+        "cur",
+        "nxt",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "p_transition"
+        ),
+    )
