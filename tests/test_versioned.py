@@ -160,3 +160,41 @@ class TestSchemaEvolution:
         assert got == {1: None, 2: 9.5}
         # pre-evolution snapshot: single schema, no merge, no score column
         assert set(read_version(spark, t, 1).columns) == {"k", "v"}
+
+
+class TestVersionedFuzz:
+    def test_random_commit_sequences_match_model(self, spark, tmp_path):
+        """Model-based fuzz: a random interleaving of append / overwrite /
+        rollback commits must always agree with a pure-Python model of
+        what every version contains — including reads of historical
+        versions after later writes."""
+        import random
+
+        rng = random.Random(61)
+        t = str(tmp_path / "fuzz")
+        model = {}  # version -> sorted row ids
+        latest = []
+        next_id = 0
+        for _step in range(12):
+            op = rng.choice(["append", "append", "overwrite", "rollback"])
+            if op == "rollback" and model:
+                target = rng.choice(sorted(model))
+                v = rollback(t, target)
+                latest = list(model[target])
+            elif op in ("append", "overwrite"):
+                n = rng.randint(1, 4)
+                rows = list(range(next_id, next_id + n))
+                next_id += n
+                v = commit(
+                    spark.createDataFrame([(i,) for i in rows], "id long"),
+                    t,
+                    mode="overwrite" if op == "overwrite" else "append",
+                )
+                latest = rows if op == "overwrite" else latest + rows
+            else:
+                continue
+            model[v] = sorted(latest)
+
+        for v, want in model.items():
+            got = sorted(r.id for r in read_version(spark, t, v).collect())
+            assert got == want, (v, got, want)
