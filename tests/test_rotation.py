@@ -84,3 +84,33 @@ def test_oracle_sql_keys_subset_of_queries():
 def test_reimport_stable():
     importlib.reload(entry_mod)
     assert len(entry_mod.queries()) == len(QUERIES)
+
+
+def test_write_entry_file_round_trips(tmp_path):
+    """--write rewrites only the four tier lists: the regenerated file
+    still imports, exposes the same registry, keeps WINDOW at 50
+    oracle-bearing entries first, and leaves the module docstring and
+    functions untouched."""
+    import os
+    import shutil
+
+    from tools.rotate_window import plan_rotation, write_entry_file
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    target = tmp_path / "__spark_entry__.py"
+    shutil.copy(os.path.join(repo, "__spark_entry__.py"), target)
+
+    plan = plan_rotation()
+    write_entry_file(plan, str(target))
+
+    src = target.read_text()
+    assert src.count("WINDOW = [") == 1
+    assert src.count("ZR_ROWS_ONLY = [") == 1
+    assert "def queries()" in src and "def oracle_sql()" in src
+
+    scope = {"__file__": str(target)}
+    exec(compile(src, str(target), "exec"), scope)
+    names = list(scope["queries"]().keys())
+    assert len(names) == len(set(names))
+    assert names[:50] == scope["WINDOW"]
+    assert len(scope["WINDOW"]) == 50

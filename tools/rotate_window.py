@@ -96,6 +96,22 @@ def render_sets(plan: dict) -> str:
     )
 
 
+def write_entry_file(plan: dict, path: str | None = None) -> str:
+    """Rewrite the four tier lists inside ``__spark_entry__.py`` in place
+    (``--write``): replaces the span from ``WINDOW = [`` through the end of
+    the ``ZR_ROWS_ONLY`` list with freshly rendered tiers, leaving every
+    other line untouched. Returns the path written."""
+    path = path or os.path.join(REPO, "__spark_entry__.py")
+    src = open(path).read()
+    start = src.index("WINDOW = [")
+    end_marker = "ZR_ROWS_ONLY = ["
+    end = src.index("]", src.index(end_marker)) + 1
+    new = src[:start] + render_sets(plan).rstrip() + src[end:]
+    with open(path, "w") as f:
+        f.write(new)
+    return path
+
+
 def main() -> None:
     plan = plan_rotation()
     print(
@@ -111,7 +127,11 @@ def main() -> None:
         print("\nstill queued:")
         for n in plan["queued"]:
             print(f"  {n}")
-    if "--apply" in sys.argv:
+    if "--write" in sys.argv:
+        path = write_entry_file(plan)
+        print(f"\nwrote tier lists into {path}")
+        print("re-run pytest tests/test_rotation.py tests/test_entry_contract.py")
+    elif "--apply" in sys.argv:
         print("\n-- paste into __spark_entry__.py --\n")
         print(render_sets(plan))
 
