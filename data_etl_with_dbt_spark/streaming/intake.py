@@ -308,3 +308,72 @@ def versioned_sink(table_path: str) -> Callable[[DataFrame, int], None]:
         commit(batch, table_path, mode="append")
 
     return process
+
+
+def drift_monitor_sink(
+    baseline: DataFrame,
+    column: str,
+    ledger_path: str,
+    n_bins: int = 20,
+    chi2_alarm: float = 40.0,
+):
+    """``foreachBatch`` drift monitor: freeze the BASELINE distribution of
+    one column (bin grid from its min/max + per-bin proportions — computed
+    once, bin-count-sized driver state), then score every micro-batch's
+    chi-square goodness-of-fit against it and append one verdict row
+    ``(batch_id, n_rows, chi_square, max_bin_dev, alarm)`` to a ledger
+    table. The production-side twin of the batch two_sample_drift query:
+    data never leaves the engine except the ≤ n_bins count rows per batch
+    (the psi_drift convention), and the ledger is the queryable alarm
+    history.
+
+    ``chi2_alarm`` is the alarm threshold on the statistic (for reference,
+    chi-square .999 quantile at 19 dof ≈ 43.8); batches smaller than the
+    bin count score but never alarm (too little evidence)."""
+    row = baseline.agg(
+        F.min(column).alias("vmin"), F.max(column).alias("vmax")
+    ).first()
+    vmin, vmax = float(row.vmin), float(row.vmax)
+    step = (vmax - vmin) / float(n_bins)
+
+    def bin_counts(df: DataFrame) -> dict[int, int]:
+        binned = df.select(
+            F.least(
+                F.greatest(
+                    F.floor((F.col(column) - F.lit(vmin)) / F.lit(step)), F.lit(0)
+                ),
+                F.lit(n_bins - 1),
+            ).alias("bin")
+        )
+        return {
+            r.bin: r.n
+            for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    base = bin_counts(baseline)
+    base_total = sum(base.values())
+    base_prop = {b: c / base_total for b, c in base.items()}
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        got = bin_counts(batch)
+        n = sum(got.values())
+        chi2 = 0.0
+        max_dev = 0.0
+        for b in range(n_bins):
+            p = base_prop.get(b, 0.0)
+            e = n * p
+            o = got.get(b, 0)
+            if e > 0:
+                chi2 += (o - e) * (o - e) / e
+            elif o:
+                chi2 = float("inf")  # mass where the baseline had none
+            if n:
+                max_dev = max(max_dev, abs(o / n - p))
+        alarm = bool(n >= n_bins and chi2 > chi2_alarm)
+        spark.createDataFrame(
+            [(int(batch_id), int(n), float(chi2), float(max_dev), alarm)],
+            "batch_id long, n_rows long, chi_square double, max_bin_dev double, alarm boolean",
+        ).coalesce(1).write.mode("append").parquet(ledger_path)
+
+    return process

@@ -864,3 +864,55 @@ def test_versioned_sink_commits_whole_batches(spark, tmp_path):
     # each version is a prefix-closed batch boundary: row counts only grow
     counts = [read_version(spark, table, v).count() for v in versions]
     assert counts == sorted(counts) and counts[-1] == 5
+
+
+def test_drift_monitor_sink_alarms_on_shift_only(spark, tmp_path):
+    """Streaming drift monitor: batches drawn from the baseline
+    distribution pass; a shifted batch trips the alarm; the ledger keeps
+    one verdict row per batch."""
+    import glob as _glob
+    import os as _os
+    import random
+    import time as _time
+
+    from data_etl_with_dbt_spark.streaming.intake import drift_monitor_sink
+
+    rng = random.Random(9)
+    baseline_rows = [(rng.gauss(50.0, 10.0),) for _ in range(4000)]
+    baseline = spark.createDataFrame(baseline_rows, "v double")
+
+    src = tmp_path / "dm_src"
+    src.mkdir()
+    batches = [
+        [(rng.gauss(50.0, 10.0),) for _ in range(800)],   # in-distribution
+        [(rng.gauss(50.0, 10.0),) for _ in range(800)],   # in-distribution
+        [(rng.gauss(80.0, 3.0),) for _ in range(800)],    # shifted
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "v double").coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+        for f in _glob.glob(str(src / f"f{i}" / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    ledger = str(tmp_path / "dm_ledger")
+    q = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(
+            drift_monitor_sink(baseline, "v", ledger, n_bins=20)
+        )
+        .option("checkpointLocation", str(tmp_path / "dm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = sorted(
+        spark.read.parquet(ledger).collect(), key=lambda r: r.batch_id
+    )
+    assert len(rows) == 3
+    assert [r.alarm for r in rows] == [False, False, True]
+    assert rows[2].chi_square > rows[0].chi_square * 5
