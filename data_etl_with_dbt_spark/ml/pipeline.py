@@ -47,12 +47,20 @@ def train_fare_model(
     num_trees: int = 200,
     seed: int = 42,
     test_fraction: float = 0.2,
+    algorithm: str = "rf",
 ):
     """Train the fare regressor (train.py:40-52): 80/20 split (row-level;
     exact membership differs from sklearn's index split — assertions belong
     on sizes/metrics, not row identity), RandomForest(200 trees, seed 42),
     MSE on the held-out split (the reference computes MSE and mislabels it
     RMSE — we keep the metric and fix the label).
+
+    ``algorithm='gbt'`` swaps in gradient-boosted trees (``num_trees``
+    becomes the boosting iteration count) — the usual accuracy upgrade
+    over a forest on tabular regression, at the cost of SEQUENTIAL
+    boosting rounds: each iteration is a distributed job, so wall time
+    grows with iterations however large the cluster; the forest's trees
+    train in parallel. Same split, evaluator, and metrics either way.
 
     Returns (fitted PipelineModel-like tuple, metrics dict).
     """
@@ -66,14 +74,27 @@ def train_fare_model(
     # scan runs once per half instead of twice.
     train_df = train_df.cache()
     test_df = test_df.cache()
-    rf = RandomForestRegressor(
-        featuresCol="features",
-        labelCol=LABEL_COLUMN,
-        predictionCol="prediction",
-        numTrees=num_trees,
-        seed=seed,
-    )
-    model = rf.fit(assembler.transform(train_df))
+    if algorithm == "gbt":
+        from pyspark.ml.regression import GBTRegressor
+
+        est = GBTRegressor(
+            featuresCol="features",
+            labelCol=LABEL_COLUMN,
+            predictionCol="prediction",
+            maxIter=min(num_trees, 50),
+            seed=seed,
+        )
+    elif algorithm == "rf":
+        est = RandomForestRegressor(
+            featuresCol="features",
+            labelCol=LABEL_COLUMN,
+            predictionCol="prediction",
+            numTrees=num_trees,
+            seed=seed,
+        )
+    else:
+        raise ValueError(f"algorithm must be rf|gbt, got {algorithm!r}")
+    model = est.fit(assembler.transform(train_df))
     predictions = model.transform(assembler.transform(test_df))
     evaluator = RegressionEvaluator(
         labelCol=LABEL_COLUMN, predictionCol="prediction", metricName="mse"
@@ -108,7 +129,15 @@ def save_model(model, path: str) -> None:
 
 
 def load_model(path: str):
-    return RandomForestRegressionModel.load(path)
+    """Load a saved fare model: the artifact's metadata names its class, so
+    dispatch on it rather than assuming the forest (the GBT variant saves
+    through the same path)."""
+    try:
+        return RandomForestRegressionModel.load(path)
+    except Exception:
+        from pyspark.ml.regression import GBTRegressionModel
+
+        return GBTRegressionModel.load(path)
 
 
 def predict_batch(model, df: DataFrame, round_to: int = 2) -> DataFrame:

@@ -201,3 +201,38 @@ def test_quality_model_round_trip(spark, weak_labeled_docs, tmp_path):
     a = score_quality(model, weak_labeled_docs).orderBy("doc_id").collect()
     b = score_quality(reloaded, weak_labeled_docs).orderBy("doc_id").collect()
     assert [r.quality_pred for r in a] == [r.quality_pred for r in b]
+
+
+def test_gbt_variant_trains_saves_loads_and_fits_better_or_close(spark, training, tmp_path):
+    """The GBT algorithm option: same split/metrics contract, artifact
+    round-trips through the shared save/load path, and on this linear-ish
+    synthetic target boosting matches or beats the forest's MSE."""
+    from data_etl_with_dbt_spark.ml.pipeline import (
+        load_model,
+        predict_batch,
+        save_model,
+        train_fare_model,
+    )
+
+    rf_model, rf_metrics = train_fare_model(training, num_trees=20)
+    gbt_model, gbt_metrics = train_fare_model(
+        training, num_trees=20, algorithm="gbt"
+    )
+    assert gbt_metrics["n_train"] == rf_metrics["n_train"]
+    assert gbt_metrics["mse"] <= rf_metrics["mse"] * 1.1
+
+    path = str(tmp_path / "gbt_model")
+    save_model(gbt_model, path)
+    back = load_model(path)
+    scored = predict_batch(back, training.limit(50))
+    assert scored.count() == 50
+    assert "predicted_fare" in scored.columns
+
+
+def test_unknown_algorithm_rejected(spark, training):
+    import pytest as _pytest
+
+    from data_etl_with_dbt_spark.ml.pipeline import train_fare_model
+
+    with _pytest.raises(ValueError, match="rf|gbt"):
+        train_fare_model(training, algorithm="xgboost")
