@@ -131,3 +131,65 @@ def filter_by_quality(
         .select(id_col)
     )
     return docs.join(keep, id_col, "left_semi")
+
+
+def tune_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    reg_params: tuple = (0.0, 0.01, 0.1),
+    num_folds: int = 3,
+    parallelism: int = 2,
+    seed: int = 42,
+    **pipeline_kwargs,
+):
+    """Cross-validated regularization selection for the quality classifier:
+    K-fold CV over ``regParam`` with areaUnderROC as the selector,
+    ``parallelism`` concurrent fold fits (independent Spark jobs — the
+    same scheduler-interleaving win as the PQ codebook training).
+
+    Returns ``(best PipelineModel with summary stripped, report dict)``
+    where the report maps each regParam to its CV-average AUC. Folds are
+    seeded, so selection is reproducible. At 100 TB you tune on a SAMPLE:
+    CV multiplies the fit cost by folds x grid, and regularization chosen
+    on 1e6 rows transfers to the full corpus (linear model, hashed
+    features)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    pipeline = build_quality_pipeline(
+        text_col=text_col, label_col=label_col, **pipeline_kwargs
+    )
+    lr = pipeline.getStages()[-1]
+    grid = ParamGridBuilder().addGrid(lr.regParam, list(reg_params)).build()
+    evaluator = BinaryClassificationEvaluator(
+        labelCol=label_col, metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    fitted = cv.fit(labeled)
+    best = fitted.bestModel
+    # same summary-stripping rationale as train_quality_classifier
+    for stage in best.stages:
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is not None and getattr(stage, "hasSummary", False):
+            try:
+                jobj.setSummary(labeled.sparkSession._jvm.scala.Option.empty())
+            except Exception:
+                pass
+    report = {
+        "avg_auc_by_reg": {
+            float(rp): float(m)
+            for rp, m in zip(reg_params, fitted.avgMetrics)
+        },
+        "best_reg": float(
+            best.stages[-1].getOrDefault(best.stages[-1].regParam)
+        ),
+    }
+    return best, report

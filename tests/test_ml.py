@@ -236,3 +236,32 @@ def test_unknown_algorithm_rejected(spark, training):
 
     with _pytest.raises(ValueError, match="rf|gbt"):
         train_fare_model(training, algorithm="xgboost")
+
+
+def test_tune_quality_classifier_selects_and_reports(spark, weak_labeled_docs):
+    """CV tuning: the report covers the whole grid, the chosen regParam is
+    one of the candidates, and the tuned model still separates the weak
+    classes when scoring."""
+    from data_etl_with_dbt_spark.ml.quality import (
+        score_quality,
+        tune_quality_classifier,
+    )
+
+    best, report = tune_quality_classifier(
+        weak_labeled_docs, reg_params=(0.0, 0.1), num_folds=2, parallelism=2,
+        num_features=1 << 12, max_iter=20,
+    )
+    assert set(report["avg_auc_by_reg"]) == {0.0, 0.1}
+    assert report["best_reg"] in (0.0, 0.1)
+    assert max(report["avg_auc_by_reg"].values()) > 0.9  # separable classes
+
+    scored = score_quality(best, weak_labeled_docs).join(
+        weak_labeled_docs.select("doc_id", "label"), "doc_id"
+    )
+    means = {
+        r.label: r.m
+        for r in scored.groupBy("label")
+        .agg(F.avg("quality_prob").alias("m"))
+        .collect()
+    }
+    assert means[1.0] > means[0.0]
