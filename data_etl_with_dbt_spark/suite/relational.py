@@ -758,3 +758,35 @@ def scalar_try_gallery(spark, sf_dir):
         "try_divide(p_retailprice, nullif(p_size % 7, 0)) AS price_per_band",
         "try_cast(substr(p_brand, 7) AS BIGINT) AS brand_num",
     )
+
+
+_SUBQUERY_GALLERY_SQL = """
+SELECT c.c_custkey,
+       c.c_acctbal,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@query(
+    "subquery_exists_gallery",
+    oracle=_SUBQUERY_GALLERY_SQL,
+    description=(
+        "Correlated subquery gallery: EXISTS (semi join), NOT EXISTS "
+        "(anti join), and a correlated scalar COUNT — Catalyst decorrelates "
+        "all three into joins, completing the §2.8 subquery surface"
+    ),
+)
+def subquery_exists_gallery(spark, sf_dir):
+    # SQL-text form on purpose: the point of this entry is Spark's
+    # DECORRELATION — EXISTS/NOT EXISTS become semi/anti joins, the
+    # correlated scalar count becomes an aggregate + left join — which the
+    # DataFrame API can only spell post-decorrelated.
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SUBQUERY_GALLERY_SQL)
