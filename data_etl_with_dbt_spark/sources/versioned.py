@@ -65,7 +65,42 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit(df: DataFrame, path: str, mode: str = "append") -> int:
+def _collect_file_stats(files: list[str], stats_columns: list[str]) -> dict:
+    """Per-file min/max for ``stats_columns`` from parquet FOOTERS — the
+    Iceberg/Delta trick of keeping data-skipping statistics in the table
+    METADATA so pruned reads never touch even the footers. Driver cost:
+    one footer read per newly staged file, once, at commit time."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in files:
+        md = pq.read_metadata(f)
+        schema = md.schema.to_arrow_schema()
+        entry = {}
+        for c in stats_columns:
+            idx = schema.get_field_index(c)
+            if idx < 0:
+                continue
+            stats = [
+                md.row_group(g).column(idx).statistics
+                for g in range(md.num_row_groups)
+            ]
+            if any(s is None for s in stats):
+                continue
+            entry[c] = {
+                "min": min(s.min for s in stats),
+                "max": max(s.max for s in stats),
+            }
+        out[f] = entry
+    return out
+
+
+def commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stats_columns: list[str] | None = None,
+) -> int:
     """Write ``df`` as a new table version; returns the committed version.
 
     Steps: stage the part files into an immutable per-commit directory,
@@ -86,10 +121,13 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
     )
 
     schema_str = df.schema.simpleString()
+    staged_stats = (
+        _collect_file_stats(staged, stats_columns) if stats_columns else {}
+    )
     while True:
         versions = list_versions(path)
         next_v = (versions[-1] + 1) if versions else 1
-        files, schemas = staged, [schema_str]
+        files, schemas, fstats = staged, [schema_str], dict(staged_stats)
         if mode == "append" and versions:
             prev = _read_manifest(path, versions[-1])
             files = prev["files"] + staged
@@ -98,10 +136,17 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
             # evolution across appends) and when the cheap single-schema
             # path suffices
             schemas = sorted(set(prev.get("schemas", [])) | {schema_str})
+            fstats = {**prev.get("file_stats", {}), **staged_stats}
         tmp = os.path.join(_versions_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(
-                {"files": files, "mode": mode, "version": next_v, "schemas": schemas},
+                {
+                    "files": files,
+                    "mode": mode,
+                    "version": next_v,
+                    "schemas": schemas,
+                    "file_stats": fstats,
+                },
                 f,
             )
         target = _manifest_path(path, next_v)
@@ -141,6 +186,47 @@ def read_version(
         # manifest says it is needed)
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*manifest["files"])
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Snapshot read with METADATA-layer file pruning: files whose
+    manifest-recorded ``[min, max]`` for ``column`` misses ``[lo, hi]``
+    are dropped before the scan plans — no footer reads, no task
+    scheduling for skipped files (the Iceberg/Delta scan path; commit
+    with ``stats_columns=[column]`` to record the bounds). Files without
+    recorded stats are conservatively READ (bounds admit false positives,
+    never lost rows). Returns ``(df, {files_read, files_total})``."""
+    from pyspark.sql import functions as F
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = versions[-1] if version is None else version
+    manifest = _read_manifest(path, v)
+    fstats = manifest.get("file_stats", {})
+    keep = []
+    for f in manifest["files"]:
+        s = fstats.get(f, {}).get(column)
+        if s is None or (s["max"] >= lo and s["min"] <= hi):
+            keep.append(f)
+    stats = {"files_read": len(keep), "files_total": len(manifest["files"])}
+    if not keep:
+        empty = spark.read.parquet(*manifest["files"]).where(F.lit(False))
+        return empty, stats
+    reader = spark.read
+    if len(manifest.get("schemas", [""])) > 1:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*keep).where(
+        (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    )
+    return df, stats
 
 
 def rollback(path: str, to_version: int) -> int:

@@ -198,3 +198,50 @@ class TestVersionedFuzz:
         for v, want in model.items():
             got = sorted(r.id for r in read_version(spark, t, v).collect())
             assert got == want, (v, got, want)
+
+
+class TestManifestStats:
+    def test_pruned_snapshot_read_skips_files_exactly(self, spark, tmp_path):
+        """Commits record per-file min/max in the manifest; a pruned read
+        drops non-overlapping files WITHOUT footer reads and never loses
+        rows. Files from commits without stats are conservatively read."""
+        t = str(tmp_path / "tbl")
+        commit(
+            spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+            t,
+            stats_columns=["v"],
+        )
+        commit(
+            spark.range(1000, 1100).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+            t,
+            mode="append",
+            stats_columns=["v"],
+        )
+        from data_etl_with_dbt_spark.sources.versioned import read_version_pruned
+
+        df, stats = read_version_pruned(spark, t, "v", 1010.0, 1020.0)
+        assert stats["files_read"] < stats["files_total"]
+        assert sorted(r.id for r in df.collect()) == list(range(1010, 1021))
+
+        # a stats-less commit stays readable (conservative include)
+        commit(
+            spark.range(50, 60).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+            t,
+            mode="append",
+        )
+        df2, _stats2 = read_version_pruned(spark, t, "v", 52.0, 55.0)
+        # ids 52-55 now exist twice: once in the stats-bearing first commit,
+        # once in the stats-less append — both must surface
+        assert sorted(r.id for r in df2.collect()) == [52, 52, 53, 53, 54, 54, 55, 55]
+
+    def test_empty_range_schedules_zero_files(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.versioned import read_version_pruned
+
+        t = str(tmp_path / "tbl")
+        commit(
+            spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+            t,
+            stats_columns=["v"],
+        )
+        df, stats = read_version_pruned(spark, t, "v", 500.0, 600.0)
+        assert stats["files_read"] == 0 and df.count() == 0
