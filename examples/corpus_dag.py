@@ -71,32 +71,62 @@ def build_registry(rows: int) -> ModelRegistry:
             bp.where(F.col("boilerplate_frac") < 0.5).select("doc_id"), "doc_id"
         )
 
-    @reg.model(materialized="table", deps=["corpus_clean"])
+    @reg.model(
+        materialized="table",
+        deps=["corpus_clean"],
+        # dbt model contract: a drifting aggregation fails ITS build, not
+        # every dashboard reading the table
+        contract={"source": "string", "n_docs": "bigint", "total_chars": "bigint"},
+    )
     def corpus_stats(ctx):
         return (
             ctx.ref("corpus_clean")
             .groupBy("source")
             .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").alias("total_chars"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
             )
+        )
+
+    @reg.model(materialized="table", deps=["corpus_clean"])
+    def corpus_mixture(ctx):
+        """Fractional-epoch mixture plan: per-source doc counts with the
+        realized repeat factor under a 1.5x upweight of src0-src4 (md5-
+        chosen extra copies — corpus_epoch_upsample's logic as a model).
+        Independent of corpus_stats, so threads=2 runs both branches as
+        concurrent Spark jobs (dbt threads parity)."""
+        docs = ctx.ref("corpus_clean")
+        bucket = F.substring(
+            F.md5(F.concat(F.lit("ep:"), F.col("doc_id").cast("string"))), 1, 4
+        )
+        upweighted = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+        reps = F.lit(1) + F.when(upweighted & (bucket < "8000"), 1).otherwise(0)
+        return docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(reps).cast("bigint").alias("n_training_copies"),
         )
 
     reg.add_test("corpus_clean", dq.not_null, "doc_id")
     reg.add_test("corpus_clean", dq.unique, "doc_id")
     reg.add_test("corpus_stats", dq.positive, "n_docs")
+    reg.add_test("corpus_mixture", dq.positive, "n_training_copies")
     return reg
 
 
 def main(rows: int, workdir: str) -> None:
+    from pyspark.sql import SparkSession
+
     os.makedirs(workdir, exist_ok=True)
     os.chdir(workdir)  # saveAsTable writes spark-warehouse under cwd
+    # only stop a session this script itself created — under pytest the
+    # active session belongs to the test harness
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("corpus_dag", master=os.environ.get("SPARK_MASTER", "local[*]"))
     register_synthetic_source(spark)
     reg = build_registry(rows)
 
     t0 = time.time()
-    reg.run(spark)
+    reg.run(spark, threads=2)  # corpus_stats + corpus_mixture dispatch concurrently
     n1 = spark.table("corpus_clean").count()
     print(f"run 1: {time.time() - t0:5.1f} s   corpus_clean={n1:,} docs")
 
@@ -107,13 +137,16 @@ def main(rows: int, workdir: str) -> None:
 
     # second run: incremental MERGE — same inputs, so zero new doc_ids land
     t0 = time.time()
-    reg.run(spark)
+    reg.run(spark, threads=2)
     n2 = spark.table("corpus_clean").count()
     print(f"run 2: {time.time() - t0:5.1f} s   corpus_clean={n2:,} docs (idempotent rerun)")
     assert n1 == n2
 
     spark.table("corpus_stats").orderBy("source").show()
-    spark.stop()
+    spark.table("corpus_mixture").orderBy("source").show(5)
+    print(f"manifest: {len(reg.manifest())} models")
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

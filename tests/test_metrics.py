@@ -215,3 +215,28 @@ def test_manifest_shape_and_topo_order(spark):
     assert b["contract"] == {"id": "bigint"}
     a = next(m for m in man if m["name"] == "mf_a")
     assert a["description"] == "base" and a["incremental_strategy"] is None
+
+
+def test_corpus_dag_example_runs(spark, tmp_path, capsys):
+    """The corpus DAG example end to end: parallel run (threads=2),
+    contract-checked stats model, mixture branch, DQ tests pass, rerun
+    idempotent (asserted inside the example)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_dag",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "corpus_dag.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cwd = os.getcwd()
+    try:
+        mod.main(3000, str(tmp_path / "wd"))
+    finally:
+        os.chdir(cwd)
+    out = capsys.readouterr().out
+    assert "idempotent rerun" in out
+    assert "n_training_copies" in out
+    assert "manifest: 4 models" in out
+    assert "FAIL" not in out
