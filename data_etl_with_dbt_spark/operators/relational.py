@@ -513,3 +513,48 @@ def auto_salted_join(
     if salt <= 1:
         return left.join(right, on=on, how=how)
     return salted_join(left, right, on=on, salt_buckets=int(salt), how=how)
+
+
+def resolve_entities(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    max_iter: int = 20,
+    shuffle_parallelism: int | None = None,
+) -> DataFrame:
+    """End-to-end entity resolution (the MDM/record-linkage pipeline), a
+    composition of three operators this engine already proves separately:
+
+      1. **blocking + scoring** — :func:`fuzzy_pairs`: equi-join on the
+         block key with Levenshtein as a residual (never a global cross
+         product; candidate space ∝ block sizes);
+      2. **clustering** — connected components over the match graph
+         (``dedup.dedup_clusters``: iterative min-label propagation,
+         lineage-checkpointed per round);
+      3. **canonicalization** — each entity labeled with its cluster id
+         (min member id), a canonical flag, and the cluster size.
+
+    Returns the input rows + ``(cluster_id, is_canonical, cluster_size)``.
+    Transitivity is the point of step 2: A≈B and B≈C land in one entity
+    even when ``dist(A, C) > max_dist`` — pair output alone cannot say
+    that. Scale shape: one block shuffle, O(diameter) label rounds over
+    the pair graph, one size aggregation."""
+    from data_etl_with_dbt_spark.operators.dedup import dedup_clusters
+
+    pairs = fuzzy_pairs(
+        df, block_col, id_col, text_col, max_dist=max_dist,
+        shuffle_parallelism=shuffle_parallelism,
+    )
+    clusters = dedup_clusters(
+        df, id_col, pairs.select("id_a", "id_b"), max_iter=max_iter
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        df.join(clusters, id_col)
+        .join(sizes, "cluster_id")
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

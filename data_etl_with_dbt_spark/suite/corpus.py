@@ -1180,3 +1180,65 @@ def zipf_exponent_vocab(spark, sf_dir):
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return comp.select(slope.alias("zipf_exponent"), big(F.col("n")).alias("n_vocab"))
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end to end: blocking -> Levenshtein match graph ->
+# connected components -> canonical entity per cluster. The transitive
+# step is what pair output can't express (A~B, B~C => one entity even
+# when dist(A, C) exceeds the threshold); the oracle replays the same
+# fixpoint as a recursive CTE.
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_entity_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ), reach(id, r) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id
+    ), clusters AS (
+        SELECT id AS p_partkey, CAST(MIN(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id
+    ), sizes AS (
+        SELECT cluster_id AS c2, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT p.p_partkey, p.p_name, p.p_brand,
+           c.cluster_id, s.cluster_size,
+           (p.p_partkey = c.cluster_id) AS is_canonical
+    FROM part p
+    JOIN clusters c ON p.p_partkey = c.p_partkey
+    JOIN sizes s ON c.cluster_id = s.c2
+    """,
+    description=(
+        "Entity resolution over part names: brand blocking, Levenshtein<=2 "
+        "match graph, connected components, canonical entity + cluster "
+        "size — transitive identity the pair list can't express"
+    ),
+)
+def part_entity_clusters(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.relational import resolve_entities
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    resolved = resolve_entities(
+        part, "p_brand", "p_partkey", "p_name", max_dist=2,
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return resolved.select(
+        big(F.col("p_partkey")).alias("p_partkey"),
+        "p_name",
+        "p_brand",
+        big(F.col("cluster_id")).alias("cluster_id"),
+        "cluster_size",
+        "is_canonical",
+    )
