@@ -109,7 +109,7 @@ ZQ_QUEUED = [
     "asof_forward_error_to_click", "scalar_conditional_gallery",
     "agg_boolean", "pareto_customer_revenue", "zipf_exponent_vocab",
     "embedding_norm_stats", "event_transition_matrix",
-    "subquery_exists_gallery",
+    "subquery_exists_gallery", "part_entity_clusters",
 ]
 
 ZV_VERIFIED = [
