@@ -2232,3 +2232,28 @@ def test_default_decoder_gif_features():
     gif = TestGifMeta()._gif(frames=2, delay_cs=50, w=4, h=4)
     feats = default_decoder(gif, "image/gif")
     assert feats == [16.0, 2.0, 1.0]  # pixels, frames, seconds
+
+
+class TestResolveEntities:
+    def test_transitive_merge_and_canonicals(self, spark):
+        """A~B and B~C must land in ONE entity even though dist(A, C)
+        exceeds the threshold — the property pair output can't express."""
+        from data_etl_with_dbt_spark.operators.relational import resolve_entities
+
+        df = spark.createDataFrame(
+            [
+                (1, "smith", "b1"),
+                (2, "smyth", "b1"),   # dist(smith, smyth) = 1
+                (3, "smythe", "b1"),  # dist(smyth, smythe) = 1; dist(smith, smythe) = 2... use stricter
+                (4, "jones", "b1"),
+                (5, "smith", "b2"),   # same name, different block: separate entity
+            ],
+            "id long, name string, block string",
+        )
+        out = {r.id: (r.cluster_id, r.is_canonical, r.cluster_size) for r in
+               resolve_entities(df, "block", "id", "name", max_dist=1).collect()}
+        assert out[1] == (1, True, 3)
+        assert out[2] == (1, False, 3)
+        assert out[3] == (1, False, 3)  # transitive: dist(1,3)=2 > max_dist
+        assert out[4] == (4, True, 1)
+        assert out[5] == (5, True, 1)  # blocking boundary respected
