@@ -2257,3 +2257,50 @@ class TestResolveEntities:
         assert out[3] == (1, False, 3)  # transitive: dist(1,3)=2 > max_dist
         assert out[4] == (4, True, 1)
         assert out[5] == (5, True, 1)  # blocking boundary respected
+
+
+class TestUdafSurface:
+    def test_grouped_agg_udaf_vs_builtin_twin(self, spark):
+        """The GROUPED_AGG pandas UDAF and its Catalyst twin agree within
+        the trim band on well-behaved groups; the twin's plan stays
+        Python-free (the reason it is the default spelling)."""
+        import random
+
+        from data_etl_with_dbt_spark.functions.udaf import (
+            trimmed_mean_builtin,
+            trimmed_mean_udaf,
+        )
+
+        rng = random.Random(3)
+        rows = [
+            (g, rng.uniform(0, 100) if i % 10 else 1e6)  # deciles hold outliers
+            for g in ("a", "b")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+
+        udaf = {
+            r.g: r.m
+            for r in df.groupBy("g").agg(trimmed_mean_udaf("v").alias("m")).collect()
+        }
+        twin_df = trimmed_mean_builtin(df, ["g"], "v")
+        twin = {r.g: r.trimmed_mean for r in twin_df.collect()}
+        for g in ("a", "b"):
+            # outliers trimmed by both: results land near the clean mean (~50)
+            assert abs(udaf[g] - twin[g]) < 5.0, g
+            assert udaf[g] < 1000 and twin[g] < 1000, g
+
+        plan = twin_df._jdf.queryExecution().executedPlan().toString()
+        assert "AggregatePython" not in plan and "EvalPython" not in plan
+        udaf_plan = (
+            df.groupBy("g").agg(trimmed_mean_udaf("v").alias("m"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "AggregatePython" in udaf_plan  # the Python path, visibly
+
+    def test_geometric_mean_builtin(self, spark):
+        from data_etl_with_dbt_spark.functions.udaf import geometric_mean
+
+        df = spark.createDataFrame([(2.0,), (8.0,)], "v double")
+        [row] = df.agg(geometric_mean(F.col("v")).alias("g")).collect()
+        assert row.g == pytest.approx(4.0, rel=1e-9)
