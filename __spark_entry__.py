@@ -110,6 +110,9 @@ ZQ_QUEUED = [
     "agg_boolean", "pareto_customer_revenue", "zipf_exponent_vocab",
     "embedding_norm_stats", "event_transition_matrix",
     "subquery_exists_gallery", "part_entity_clusters",
+    # session-4 additions
+    "majority_label_vote", "annotator_agreement", "kl_divergence_sources",
+    "hard_negative_mining",
 ]
 
 ZV_VERIFIED = [

@@ -15,3 +15,4 @@ from data_etl_with_dbt_spark.suite import analytics  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import llm_ops  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import corpus  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import windows  # noqa: E402,F401
+from data_etl_with_dbt_spark.suite import labelops  # noqa: E402,F401

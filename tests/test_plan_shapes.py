@@ -283,6 +283,11 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "zorder_cluster_events": {"cartesian"},
         # crossJoin(broadcast(1-row corpus count)) for the negative ring
         "negative_samples_documents": {"cartesian"},
+        # crossJoin(broadcast(1-row totals)) for Pe / the grand token total
+        "annotator_agreement": {"cartesian"},
+        "kl_divergence_sources": {"cartesian"},
+        # broadcast-probe scan (the ann_cosine_topk pattern)
+        "hard_negative_mining": {"cartesian"},
         # crossJoin(broadcast(1-row date anchor)) + customer-cardinality
         # ntile windows (per-customer aggregate frame, not order rows)
         "rfm_customer_segments": {"cartesian", "single-partition"},
