@@ -150,46 +150,78 @@ def tune_quality_classifier(
 
     Returns ``(best PipelineModel with summary stripped, report dict)``
     where the report maps each regParam to its CV-average AUC. Folds are
-    seeded, so selection is reproducible. At 100 TB you tune on a SAMPLE:
-    CV multiplies the fit cost by folds x grid, and regularization chosen
-    on 1e6 rows transfers to the full corpus (linear model, hashed
-    features)."""
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
-    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+    hash-assigned from the text with the seed as salt, so selection is
+    reproducible. At 100 TB you tune on a SAMPLE: CV multiplies the fit
+    cost by folds x grid, and regularization chosen on 1e6 rows transfers
+    to the full corpus (linear model, hashed features).
 
-    pipeline = build_quality_pipeline(
+    Hand-rolled CV rather than ``pyspark.ml.tuning.CrossValidator``: the
+    stock CV evaluates each FOLD model's transform while the fold model
+    still holds its training summary, and that summary pins the training
+    DataFrame + SparkSession inside every task closure — which fails to
+    serialize once any ``df.observe`` has run in the session (the
+    ObservationManager trap train_quality_classifier documents). Owning
+    the loop lets us strip each fold model BEFORE evaluation; the
+    (regParam, fold) fits are independent Spark jobs submitted from a
+    thread pool, the same scheduler-interleaving pattern as the PQ
+    codebook training."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    def strip_summaries(model):
+        for stage in model.stages:
+            jobj = getattr(stage, "_java_obj", None)
+            if jobj is not None and getattr(stage, "hasSummary", False):
+                try:
+                    jobj.setSummary(labeled.sparkSession._jvm.scala.Option.empty())
+                except Exception:
+                    pass  # summary retention is cosmetic; never fail the fit
+
+    # fold by hashing EVERY column (not just the text): repeated texts
+    # collapse to one fold otherwise, and a duplicate-heavy corpus could
+    # leave a fold's training split empty or single-class
+    folded = labeled.withColumn(
+        "__fold",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in labeled.columns], F.lit(int(seed))),
+            F.lit(int(num_folds)),
+        ),
+    ).persist()
+
+    def fit_and_eval(rp: float, k: int) -> float:
+        pipe = build_quality_pipeline(
+            text_col=text_col, label_col=label_col, **pipeline_kwargs
+        )
+        pipe.getStages()[-1].setRegParam(float(rp))
+        model = pipe.fit(folded.where(F.col("__fold") != k).drop("__fold"))
+        strip_summaries(model)
+        scored = model.transform(folded.where(F.col("__fold") == k).drop("__fold"))
+        return float(
+            BinaryClassificationEvaluator(
+                labelCol=label_col, metricName="areaUnderROC"
+            ).evaluate(scored)
+        )
+
+    tasks = [(float(rp), k) for rp in reg_params for k in range(num_folds)]
+    try:
+        with ThreadPoolExecutor(max_workers=max(1, int(parallelism))) as ex:
+            aucs = list(ex.map(lambda t: fit_and_eval(*t), tasks))
+    finally:
+        folded.unpersist()
+    avg_by_reg: dict[float, float] = {}
+    for (rp, _), auc in zip(tasks, aucs):
+        avg_by_reg[rp] = avg_by_reg.get(rp, 0.0) + auc / num_folds
+    # deterministic selection: highest CV AUC, ties to the earliest grid entry
+    best_reg = max(avg_by_reg, key=lambda rp: (avg_by_reg[rp], -list(avg_by_reg).index(rp)))
+    final = build_quality_pipeline(
         text_col=text_col, label_col=label_col, **pipeline_kwargs
     )
-    lr = pipeline.getStages()[-1]
-    grid = ParamGridBuilder().addGrid(lr.regParam, list(reg_params)).build()
-    evaluator = BinaryClassificationEvaluator(
-        labelCol=label_col, metricName="areaUnderROC"
-    )
-    cv = CrossValidator(
-        estimator=pipeline,
-        estimatorParamMaps=grid,
-        evaluator=evaluator,
-        numFolds=num_folds,
-        parallelism=parallelism,
-        seed=seed,
-    )
-    fitted = cv.fit(labeled)
-    best = fitted.bestModel
-    # same summary-stripping rationale as train_quality_classifier
-    for stage in best.stages:
-        jobj = getattr(stage, "_java_obj", None)
-        if jobj is not None and getattr(stage, "hasSummary", False):
-            try:
-                jobj.setSummary(labeled.sparkSession._jvm.scala.Option.empty())
-            except Exception:
-                pass
+    final.getStages()[-1].setRegParam(float(best_reg))
+    best = final.fit(labeled)
+    strip_summaries(best)
     report = {
-        "avg_auc_by_reg": {
-            float(rp): float(m)
-            for rp, m in zip(reg_params, fitted.avgMetrics)
-        },
-        "best_reg": float(
-            best.stages[-1].getOrDefault(best.stages[-1].regParam)
-        ),
+        "avg_auc_by_reg": avg_by_reg,
+        "best_reg": float(best_reg),
     }
     return best, report

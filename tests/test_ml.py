@@ -265,3 +265,33 @@ def test_tune_quality_classifier_selects_and_reports(spark, weak_labeled_docs):
         .collect()
     }
     assert means[1.0] > means[0.0]
+
+
+def test_tune_quality_classifier_survives_observation_manager(spark, weak_labeled_docs):
+    """Regression: once ANY df.observe has run in the session, task closures
+    that drag the SparkSession along fail to serialize (ObservationManager).
+    Stock CrossValidator evaluates fold models with their training summaries
+    still attached — summary → training DataFrame → session — so tuning died
+    in full-suite runs where an observe-using test ran first. The hand-rolled
+    CV strips each fold model pre-evaluation; this test pins the trap by
+    tripping observe FIRST, then tuning, then an RDD-serializing op."""
+    from pyspark.sql.observation import Observation
+
+    from data_etl_with_dbt_spark.ml.quality import (
+        score_quality,
+        tune_quality_classifier,
+    )
+
+    obs = Observation("tune_regression_probe")
+    probed = spark.range(10).observe(obs, F.count(F.lit(1)).alias("n"))
+    probed.count()
+    assert obs.get["n"] == 10
+
+    best, report = tune_quality_classifier(
+        weak_labeled_docs, reg_params=(0.0, 0.1), num_folds=2, parallelism=2,
+        num_features=1 << 12, max_iter=20,
+    )
+    assert report["best_reg"] in (0.0, 0.1)
+    # the op that died pre-fix: RDD serialization of a transform of the model
+    scored = score_quality(best, weak_labeled_docs).localCheckpoint(eager=True)
+    assert scored.count() == weak_labeled_docs.count()
