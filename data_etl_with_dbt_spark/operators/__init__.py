@@ -44,7 +44,10 @@ from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401
     bloom_probe,
 )
 from data_etl_with_dbt_spark.operators.multimodal import (  # noqa: F401
+    audio_spectral_features,
     extract_media_features,
+    image_dhash,
+    image_near_dup_pairs,
     media_from_binary_files,
     parse_gif_meta,
     parse_mp3_meta,
@@ -53,6 +56,9 @@ from data_etl_with_dbt_spark.operators.multimodal import (  # noqa: F401
     resize_media,
     sample_frame_times,
     to_media_table,
+)
+from data_etl_with_dbt_spark.operators.dedup import (  # noqa: F401
+    hamming_near_pairs,
 )
 from data_etl_with_dbt_spark.operators.graph import pagerank  # noqa: F401
 from data_etl_with_dbt_spark.operators.dedup import (  # noqa: F401

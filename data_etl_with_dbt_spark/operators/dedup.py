@@ -586,24 +586,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return df.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+def hamming_near_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the fingerprint into ``max_hamming+1``
-    chunks (pigeonhole: any pair within the Hamming radius shares at least
-    one exact chunk), bucket-join on chunks, verify Hamming distance."""
+    """Near-pairs over ANY integer fingerprint column (SimHash, dHash, …):
+    band the fingerprint into ``max_hamming + 1`` chunks (pigeonhole: any
+    pair within the Hamming radius shares at least one exact chunk),
+    bucket-join on chunks, verify exact Hamming distance with
+    ``bit_count(xor)``. Work ∝ bucket co-occurrence — never all-pairs."""
     nbands = max_hamming + 1
     width = bits // nbands
-    fps = simhash(df, id_col, text_col, bits)
     banded = fps.select(
         id_col,
-        "simhash",
+        fp_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        F.shiftrightunsigned(F.col(fp_col), b * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
@@ -611,7 +616,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    ).select(id_col, fp_col, "bb.band", "bb.chunk")
     cand = (
         banded.alias("x")
         .join(
@@ -623,8 +628,8 @@ def simhash_near_pairs(
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            F.col("x.simhash").alias("fp_a"),
-            F.col("y.simhash").alias("fp_b"),
+            F.col(f"x.{fp_col}").alias("fp_a"),
+            F.col(f"y.{fp_col}").alias("fp_b"),
         )
         .distinct()
     )
@@ -632,6 +637,15 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: fingerprint, then pigeonhole band-join +
+    exact Hamming verify (see :func:`hamming_near_pairs`)."""
+    fps = simhash(df, id_col, text_col, bits)
+    return hamming_near_pairs(fps, id_col, "simhash", bits, max_hamming)
 
 
 def dedup_clusters(

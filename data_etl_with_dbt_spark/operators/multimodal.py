@@ -802,3 +802,161 @@ def parse_gif_meta(content: bytes) -> dict:
         "n_frames": frames,
         "animation_seconds": delay_cs / 100.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + image near-duplicate pairs.
+# ---------------------------------------------------------------------------
+
+def gray_luma(rgb):
+    """Integer ITU-R 601 luma of an (H, W, 3) uint8 array: exact int64 math
+    ((299 R + 587 G + 114 B) // 1000) — deterministic everywhere, no float
+    rounding in the hash path."""
+    import numpy as np
+
+    arr = rgb.astype(np.int64)
+    return (299 * arr[..., 0] + 587 * arr[..., 1] + 114 * arr[..., 2]) // 1000
+
+
+def dhash64(rgb) -> int:
+    """64-bit difference hash (dHash): nearest-neighbor resize to 9x8,
+    integer luma, bit (row*8 + col) set iff luma[row][col] < luma[row][col+1].
+
+    Gradient-based, so GLOBALLY brightness-invariant (adding a constant to
+    every pixel leaves every comparison unchanged) and robust to small edits:
+    near-duplicate images land within a few Hamming bits. Integer-only,
+    deterministic across platforms."""
+    g = gray_luma(resize_image(rgb, 8, 9))
+    bits = (g[:, :-1] < g[:, 1:]).ravel()
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    # numpy bool -> Python int; keep within signed int64 for Spark LongType
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Per-image perceptual hash over the media table: decode (built-in
+    BMP/PPM/PNG codecs), dHash, emit (media_id, dhash long). Non-image rows
+    (audio/text/unknown) are dropped — run it over a mixed-modality table.
+
+    Arrow-batched ``mapInPandas``, partition-preserving, nothing collects to
+    the driver; the decode+hash is per-row Python by necessity (codec work),
+    amortized per batch."""
+    import sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(sys.modules[__name__])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rgb = _decode_image(bytes(content))
+                if rgb is not None:
+                    ids.append(media_id)
+                    hashes.append(dhash64(rgb))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes}).astype(
+                {"media_id": "int64", "dhash": "int64"}
+            )
+
+    return media.mapInPandas(run, out_schema)
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs: dHash fingerprints, then the pigeonhole
+    band-join + exact Hamming verify shared with SimHash
+    (:func:`data_etl_with_dbt_spark.operators.dedup.hamming_near_pairs`) —
+    one decode pass, candidate work ∝ bucket co-occurrence, never all-pairs.
+    The image twin of text MinHash/SimHash dedup."""
+    from data_etl_with_dbt_spark.operators.dedup import hamming_near_pairs
+
+    fps = image_dhash(media)
+    return hamming_near_pairs(fps, "media_id", "dhash", bits=64, max_hamming=max_hamming)
+
+
+def audio_spectral_features(samples, sample_rate: int) -> list[float]:
+    """Spectral audio stats over the channel-mean signal via numpy rFFT:
+    [dominant_freq_hz, spectral_centroid_hz, spectral_rolloff85_hz].
+    Deterministic per platform (FFT butterflies are fixed-order); tests
+    assert the dominant bin of synthesized sines, not bit patterns."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n = arr.shape[0]
+    if n < 2:
+        return [0.0, 0.0, 0.0]
+    mono = arr.mean(axis=1)
+    mag = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+    mag[0] = 0.0  # ignore DC for the dominant bin
+    total = mag.sum()
+    if total == 0.0:
+        return [0.0, 0.0, 0.0]
+    dominant = float(freqs[int(mag.argmax())])
+    centroid = float((freqs * mag).sum() / total)
+    cum = np.cumsum(mag)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    return [dominant, centroid, rolloff]
+
+
+def synth_image_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    group_mod: int = 40,
+    size: int = 16,
+) -> DataFrame:
+    """Deterministic synthetic image corpus with KNOWN near-duplicate ground
+    truth: every row whose id shares ``id % group_mod`` gets the same seeded
+    base image (``size x size`` RGB from a seed-pinned RNG), perturbed by one
+    small single-pixel edit scaled by ``id // group_mod`` — so same-group
+    images are near-duplicates by construction and cross-group images are
+    independent noise. The fixtures carry no image bytes and the container
+    has no codec libraries, so pipeline entries/tests generate images with
+    the SAME BMP encoder the decode path reads. Arrow-batched mapInPandas;
+    emits the standard media shape."""
+    import sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(sys.modules[__name__])
+
+    def render(i: int) -> bytes:
+        import numpy as np
+
+        base = int(i) % group_mod
+        variant = int(i) // group_mod
+        rng = np.random.RandomState(1234 + base)
+        img = rng.randint(0, 256, (size, size, 3)).astype(np.uint8)
+        if variant:
+            r, c = variant % size, (7 * variant) % size
+            img[r, c, 1] = np.uint8(min(255, int(img[r, c, 1]) + 2))
+        return encode_bmp(img)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [render(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "content": payloads,
+                    "meta": [
+                        {"mime": "image/bmp", "n_bytes": len(p), "source": s}
+                        for p, s in zip(payloads, pdf[source_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, source_col).mapInPandas(run, MEDIA_SCHEMA)

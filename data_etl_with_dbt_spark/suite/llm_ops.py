@@ -1013,3 +1013,26 @@ def embedding_norm_stats(spark, sf_dir):
         F.max("nrm").alias("max_norm"),
         F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double").alias("sum_norm"),
     )
+
+
+@query(
+    "image_dhash_near_dup",
+    oracle=None,  # decode + perceptual hash aren't SQL-expressible; ground
+    # truth is pinned instead by construction (synth groups) in pytest
+    description=(
+        "Image near-duplicate pairs via 64-bit perceptual dHash: synthesize "
+        "a deterministic image corpus with known near-dup groups (fixtures "
+        "carry no image bytes), decode+hash per Arrow batch, then the same "
+        "pigeonhole Hamming band-join SimHash uses — the image twin of text "
+        "near-dup dedup"
+    ),
+)
+def image_dhash_near_dup(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        synth_image_media,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    media = synth_image_media(docs, id_col="doc_id", source_col="source")
+    return image_near_dup_pairs(media, max_hamming=6).orderBy("id_a", "id_b")

@@ -2304,3 +2304,70 @@ class TestUdafSurface:
         df = spark.createDataFrame([(2.0,), (8.0,)], "v double")
         [row] = df.agg(geometric_mean(F.col("v")).alias("g")).collect()
         assert row.g == pytest.approx(4.0, rel=1e-9)
+
+
+class TestPerceptualHash:
+    def test_dhash_deterministic_and_brightness_invariant(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import dhash64
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 200, (32, 32, 3)).astype(np.uint8)
+        assert dhash64(img) == dhash64(img.copy())
+        # gradient hash: adding a global brightness constant changes nothing
+        brighter = np.clip(img.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+        assert dhash64(brighter) == dhash64(img)
+
+    def test_dhash_small_edit_small_distance(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import dhash64
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        edited = img.copy()
+        edited[3, 5, 1] = np.uint8(min(255, int(edited[3, 5, 1]) + 2))
+        a, b = dhash64(img), dhash64(edited)
+        assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 6
+        other = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        c = dhash64(other)
+        assert bin((a ^ c) & ((1 << 64) - 1)).count("1") > 6
+
+    def test_image_near_dup_pairs_finds_constructed_groups(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            image_near_dup_pairs,
+            synth_image_media,
+        )
+
+        # 4 groups x 3 variants: ids 0..3 are bases, +4/+8 are perturbed twins
+        base = spark.range(12).select(
+            F.col("id").alias("doc_id"), F.lit("synthetic").alias("source")
+        )
+        media = synth_image_media(base, group_mod=4)
+        pairs = image_near_dup_pairs(media, max_hamming=6).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        expected = {
+            (a, a + d) for a in range(4) for d in (4, 8)
+        } | {(a + 4, a + 8) for a in range(4)}
+        # every constructed near-dup pair is found, and nothing else
+        assert got == expected
+        assert all(r.hamming <= 6 for r in pairs)
+
+    def test_audio_spectral_features_dominant_sine(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            audio_spectral_features,
+        )
+
+        sr = 8000
+        t = np.arange(sr)  # one second
+        sine = (np.sin(2 * np.pi * 440.0 * t / sr) * 20000).astype(np.int64)
+        dominant, centroid, rolloff = audio_spectral_features(sine, sr)
+        assert abs(dominant - 440.0) <= 2.0
+        assert abs(centroid - 440.0) <= 25.0  # leakage skews slightly
+        assert rolloff >= dominant
+        assert audio_spectral_features(np.zeros(100, np.int64), sr) == [0.0, 0.0, 0.0]
