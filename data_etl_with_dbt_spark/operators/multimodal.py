@@ -960,3 +960,63 @@ def synth_image_media(
             )
 
     return df.select(id_col, source_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_audio_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    sample_rate: int = 8000,
+    n_samples: int = 2000,
+) -> DataFrame:
+    """Deterministic synthetic audio corpus with KNOWN spectral ground
+    truth: each row gets a pure 16-bit PCM sine at
+    ``200 + (id % 20) * 100`` Hz (all below the 4 kHz Nyquist), encoded
+    with the SAME WAV writer the decode path reads. The audio twin of
+    :func:`synth_image_media` — fixtures carry no audio bytes, so entries
+    and tests generate payloads whose dominant frequency is known by
+    construction. Arrow-batched mapInPandas; emits the standard media
+    shape."""
+    import sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(sys.modules[__name__])
+
+    def render(i: int) -> bytes:
+        import numpy as np
+
+        freq = 200.0 + (int(i) % 20) * 100.0
+        t = np.arange(n_samples, dtype=np.float64)
+        samples = np.rint(
+            np.sin(2.0 * np.pi * freq * t / sample_rate) * 20000.0
+        ).astype(np.int64)
+        return encode_wav(samples, sample_rate)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [render(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "content": payloads,
+                    "meta": [
+                        {"mime": "audio/wav", "n_bytes": len(p), "source": s}
+                        for p, s in zip(payloads, pdf[source_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, source_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def spectral_decoder(content: bytes, mime: str) -> list[float]:
+    """Media decoder emitting SPECTRAL features for audio payloads:
+    [dominant_freq_hz, spectral_centroid_hz, spectral_rolloff85_hz] via
+    :func:`audio_spectral_features`; non-audio payloads yield an empty
+    feature vector. Plug into :func:`extract_media_features` for the
+    distributed frequency-domain pass."""
+    if mime == "audio/wav" or (len(content) >= 4 and content[:4] == b"RIFF"):
+        samples, rate = decode_wav(bytes(content))
+        return audio_spectral_features(samples, rate)
+    return []

@@ -1036,3 +1036,31 @@ def image_dhash_near_dup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
     media = synth_image_media(docs, id_col="doc_id", source_col="source")
     return image_near_dup_pairs(media, max_hamming=6).orderBy("id_a", "id_b")
+
+
+@query(
+    "audio_spectral_report",
+    oracle=None,  # FFT features aren't SQL-expressible; ground truth is the
+    # constructed sine frequency, pinned in pytest
+    description=(
+        "Distributed frequency-domain audio featurization: synthesize a "
+        "deterministic WAV corpus (known sine per row), decode + rFFT per "
+        "Arrow batch, report dominant/centroid/rolloff Hz per media row"
+    ),
+)
+def audio_spectral_report(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.multimodal import (
+        extract_media_features,
+        spectral_decoder,
+        synth_audio_media,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = synth_audio_media(docs, id_col="doc_id", source_col="source")
+    feats = extract_media_features(media, decoder=spectral_decoder)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).alias("dominant_hz"),
+        F.element_at("feature", 2).alias("centroid_hz"),
+        F.element_at("feature", 3).alias("rolloff85_hz"),
+    ).orderBy("media_id")

@@ -68,6 +68,7 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "cms_token_counts",  # sketch cells hash with xxhash64 (engine-specific)
         "ann_pq_topk",  # codebook quantization: approximate by construction
         "image_dhash_near_dup",  # decode+perceptual hash: ground truth by construction
+        "audio_spectral_report",  # FFT features: ground truth by construction
     }
 
 

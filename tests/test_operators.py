@@ -2371,3 +2371,24 @@ class TestPerceptualHash:
         assert abs(centroid - 440.0) <= 25.0  # leakage skews slightly
         assert rolloff >= dominant
         assert audio_spectral_features(np.zeros(100, np.int64), sr) == [0.0, 0.0, 0.0]
+
+    def test_audio_spectral_report_matches_constructed_freqs(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            extract_media_features,
+            spectral_decoder,
+            synth_audio_media,
+        )
+
+        base = spark.range(8).select(
+            F.col("id").alias("doc_id"), F.lit("synthetic").alias("source")
+        )
+        feats = extract_media_features(
+            synth_audio_media(base), decoder=spectral_decoder
+        ).collect()
+        assert len(feats) == 8
+        for r in feats:
+            expected = 200.0 + (r.media_id % 20) * 100.0
+            # bin width = sample_rate / n_samples = 4 Hz
+            assert abs(r.feature[0] - expected) <= 4.0, (r.media_id, r.feature)
