@@ -112,7 +112,8 @@ ZQ_QUEUED = [
     "subquery_exists_gallery", "part_entity_clusters",
     # session-4 additions
     "majority_label_vote", "annotator_agreement", "kl_divergence_sources",
-    "hard_negative_mining",
+    "hard_negative_mining", "graph_clustering_coefficients",
+    "frequent_event_trigrams",
 ]
 
 ZV_VERIFIED = [

@@ -91,3 +91,66 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (one row per
+    edge, any orientation). Canonical-ordering enumeration: orient every
+    edge low→high, join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) so each triangle
+    materializes exactly once (a<b<c), then credit all three corners.
+
+    The joins shuffle on node id; work ∝ Σ deg(v)² (the wedge count) — the
+    standard distributed triangle bound. At 100 TB you pre-partition the
+    edge list by node and, for skewed degree distributions, split
+    high-degree nodes first (the count is unaffected: wedges through a hub
+    are enumerated from the hub's sorted adjacency)."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct()
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: C(v) = 2·T(v) / (d(v)·(d(v)−1)),
+    the fraction of a node's neighbor pairs that are themselves connected —
+    the classic cohesion diagnostic for a similarity/dedup candidate graph
+    (high C = dense near-dup cliques, low C = hub-and-spoke false-positive
+    buckets). Degree from the deduped undirected edge list; triangles from
+    :func:`triangle_counts`; isolated-or-degree-1 nodes pin to 0.0."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct()
+    # e feeds both the degree count and the triangle enumeration — cut the
+    # lineage once (no cross-consumer CSE in Catalyst)
+    e = e.localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(e, "u", "v")
+    coeff = F.when(
+        F.col("degree") < 2, F.lit(0.0).cast("double")
+    ).otherwise(
+        (F.lit(2.0) * F.col("n_triangles").cast("double"))
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+    )
+    return (
+        deg.join(tri, "id", "left")
+        .withColumn("n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")))
+        .select("id", "degree", "n_triangles", coeff.alias("clustering_coeff"))
+    )

@@ -900,3 +900,131 @@ def pareto_customer_revenue(spark, sf_dir):
         "rnk",
         (share <= 0.8).alias("in_top80"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: local clustering coefficients over a sparsified
+# user co-occurrence graph.
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_clustering_coefficients",
+    oracle="""
+    WITH votes AS (
+        SELECT DISTINCT event_id // 10 AS item_id, user_id FROM events
+    ),
+    cooc AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM votes a JOIN votes b ON a.item_id = b.item_id AND a.user_id < b.user_id
+    ),
+    edges AS (
+        SELECT u, v FROM cooc
+        WHERE substr(md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 4) < '1999'
+    ),
+    deg AS (
+        SELECT id, count(*) AS degree FROM (
+            SELECT u AS id FROM edges UNION ALL SELECT v AS id FROM edges
+        ) GROUP BY id
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcnt AS (
+        SELECT id, count(*) AS n_triangles FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b AS id FROM tri
+            UNION ALL SELECT c AS id FROM tri
+        ) GROUP BY id
+    )
+    SELECT CAST(deg.id AS BIGINT) AS user_id,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN degree < 2 THEN CAST(0.0 AS DOUBLE)
+                ELSE (2.0 * COALESCE(n_triangles, 0))
+                     / CAST(degree * (degree - 1) AS DOUBLE)
+           END AS clustering_coeff
+    FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id
+    """,
+    description=(
+        "Per-node triangle counts + local clustering coefficients over the "
+        "user co-occurrence graph, md5-hash-sparsified to ~10% of edges "
+        "(deterministic at every scale) — cohesion diagnostics for "
+        "similarity/dedup candidate graphs; canonical a<b<c enumeration, "
+        "work ∝ wedge count, never all-triples"
+    ),
+)
+def graph_clustering_coefficients(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.graph import clustering_coefficients
+
+    ev = load(spark, sf_dir, "events")
+    votes = ev.select(
+        F.expr("event_id DIV 10").alias("item_id"), "user_id"
+    ).distinct()
+    a = votes.select(F.col("item_id"), F.col("user_id").alias("u"))
+    b = votes.select(F.col("item_id").alias("item_id2"), F.col("user_id").alias("v"))
+    cooc = (
+        a.join(b, (a.item_id == b.item_id2) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    gate = F.substring(
+        F.md5(F.concat_ws(":", F.col("u").cast("string"), F.col("v").cast("string"))),
+        1,
+        4,
+    ) < "1999"
+    edges = cooc.where(gate)
+    out = clustering_coefficients(edges, "u", "v")
+    return out.select(
+        big(F.col("id")).alias("user_id"),
+        big(F.col("degree")).alias("degree"),
+        big(F.col("n_triangles")).alias("n_triangles"),
+        "clustering_coeff",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-journey mining: most frequent 3-step event-type paths per user
+# timeline.
+# ---------------------------------------------------------------------------
+
+@query(
+    "frequent_event_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+               lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        FROM events
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 20
+    """,
+    description=(
+        "Sequential pattern mining lite: top-20 most frequent 3-step "
+        "event-type paths over per-user timelines (lead windows, one key "
+        "shuffle; total order under LIMIT)"
+    ),
+)
+def frequent_event_trigrams(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(big(F.count(F.lit(1))).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
+    )
