@@ -113,7 +113,8 @@ ZQ_QUEUED = [
     # session-4 additions
     "majority_label_vote", "annotator_agreement", "kl_divergence_sources",
     "hard_negative_mining", "graph_clustering_coefficients",
-    "frequent_event_trigrams",
+    "frequent_event_trigrams", "mutual_information_events",
+    "cusum_change_points",
 ]
 
 ZV_VERIFIED = [

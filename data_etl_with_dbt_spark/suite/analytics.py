@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_etl_with_dbt_spark.suite.registry import big, dec6, dsum, load, query
+from data_etl_with_dbt_spark.suite.registry import big, davg, dec6, dsum, load, query
 
 # ---------------------------------------------------------------------------
 # Ordered funnel: view -> click -> purchase, strictly increasing timestamps.
@@ -1027,4 +1027,156 @@ def frequent_event_trigrams(spark, sf_dir):
         .agg(big(F.count(F.lit(1))).alias("n"))
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between a categorical column and a bucketed measure —
+# the information-theoretic feature-relevance score (does event_type carry
+# information about value?). Counts are exact ints; probabilities are IEEE
+# divisions; ln is dec6-quantized per cell and the tiny p*ln terms sum
+# exactly via the scaled-decimal trick (the kl_divergence_sources pattern).
+# Buckets are fixed-width over the broadcast global min/max so the binning
+# is a pure per-row expression, identical in both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "mutual_information_events",
+    oracle="""
+    WITH rng AS (
+        SELECT min(value) AS mn, max(value) AS mx FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+        SELECT event_type AS t,
+               least(CAST(floor((value - mn) / (mx - mn) * 10.0) AS BIGINT), 9) AS b
+        FROM events CROSS JOIN rng WHERE value IS NOT NULL
+    ),
+    cells AS (SELECT t, b, count(*) AS c FROM binned GROUP BY t, b),
+    mt AS (SELECT t, sum(c) AS ct FROM cells GROUP BY t),
+    mb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY b),
+    tot AS (SELECT sum(c) AS n FROM cells)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(
+               (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * CAST(CAST(ln(
+                     (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     / ((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)))
+                 ) AS DECIMAL(38,6)) AS DOUBLE)
+               * 1000000.0
+           AS DECIMAL(18,6))) AS DOUBLE) / 1000000.0 AS mi_nats
+    FROM cells JOIN mt USING (t) JOIN mb USING (b) CROSS JOIN tot
+    """,
+    description=(
+        "Mutual information MI(event_type; value decile) — information-"
+        "theoretic feature-relevance scoring; exact cell counts, ln "
+        "dec6-quantized per cell, contributions summed exactly via scaled "
+        "decimals"
+    ),
+)
+def mutual_information_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = F.least(
+        F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * F.lit(10.0)).cast(
+            "bigint"
+        ),
+        F.lit(9).cast("bigint"),
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.col("event_type").alias("t"), b.alias("b")
+    )
+    # cells feeds the two marginals, the total, and the scored join — one
+    # lineage cut so the events pass runs once (no cross-consumer CSE)
+    cells = (
+        binned.groupBy("t", "b").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
+    )
+    mt = cells.groupBy("t").agg(F.sum("c").alias("ct"))
+    mb = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    pt = F.col("ct").cast("double") / F.col("n").cast("double")
+    pb = F.col("cb").cast("double") / F.col("n").cast("double")
+    term = p * dec6(F.log(p / (pt * pb))) * F.lit(1000000.0)
+    scored = (
+        cells.join(F.broadcast(mt), "t")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return scored.agg(
+        big(F.count(F.lit(1))).alias("n_cells"),
+        big(F.max("n")).alias("n_rows"),
+        (F.sum(term.cast("decimal(18,6)")).cast("double") / F.lit(1000000.0)).alias("mi_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection: per event_type, the timestamp where the
+# cumulative sum of deviations from the series mean peaks — the classic
+# level-shift locator. The running sum is decimal-exact (window aggregation
+# order over doubles differs across engines); the mean anchor is the davg
+# spelling so both engines subtract the identical double.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cusum_change_points",
+    oracle="""
+    WITH anchors AS (
+        SELECT event_type AS t,
+               CAST(CAST(AVG(value) AS DECIMAL(38,6)) AS DOUBLE) AS m
+        FROM events GROUP BY event_type
+    ),
+    walks AS (
+        SELECT event_type, event_id, ts,
+               CAST(SUM(CAST(value - m AS DECIMAL(18,6))) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE) AS s
+        FROM events JOIN anchors ON event_type = t
+    ),
+    ranked AS (
+        SELECT event_type, event_id, ts, s,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY abs(s) DESC, event_id
+               ) AS rn
+        FROM walks
+    )
+    SELECT event_type, event_id AS change_event_id, ts AS change_ts, s AS cusum_peak
+    FROM ranked WHERE rn = 1
+    """,
+    description=(
+        "CUSUM change-point per event_type: decimal-exact running sum of "
+        "deviations from the davg-anchored mean, peak located by |S| with a "
+        "deterministic tie-break — the level-shift detector for pipeline "
+        "drift forensics"
+    ),
+)
+def cusum_change_points(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    anchors = ev.groupBy(F.col("event_type").alias("t")).agg(davg(F.col("value")).alias("m"))
+    joined = ev.join(F.broadcast(anchors), ev.event_type == F.col("t"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walks = joined.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.sum((F.col("value") - F.col("m")).cast("decimal(18,6)")).over(w).cast("double").alias("s"),
+    )
+    r = Window.partitionBy("event_type").orderBy(F.abs(F.col("s")).desc(), F.asc("event_id"))
+    return (
+        walks.withColumn("rn", F.row_number().over(r))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("change_event_id"),
+            F.col("ts").alias("change_ts"),
+            F.col("s").alias("cusum_peak"),
+        )
     )

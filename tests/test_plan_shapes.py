@@ -286,6 +286,8 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # crossJoin(broadcast(1-row totals)) for Pe / the grand token total
         "annotator_agreement": {"cartesian"},
         "kl_divergence_sources": {"cartesian"},
+        # crossJoin(broadcast(1-row min/max + grand total)) for the MI grid
+        "mutual_information_events": {"cartesian"},
         # broadcast-probe scan (the ann_cosine_topk pattern)
         "hard_negative_mining": {"cartesian"},
         # crossJoin(broadcast(1-row date anchor)) + customer-cardinality
