@@ -1,0 +1,104 @@
+"""Semantic properties of the label-aggregation / divergence / fingerprint
+operators — invariants the DuckDB oracle can't express (it only proves both
+engines compute the same thing; these prove the thing computed is right)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.suite import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_majority_vote_invariants(spark):
+    rows = QUERIES["majority_label_vote"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_winner <= r.n_votes
+        assert 1 <= r.n_labels <= r.n_votes
+        assert 0.0 < r.agreement <= 1.0
+        # winner holds a strict plurality or the tie-break ran (≥ mean share)
+        assert r.n_winner * r.n_labels >= r.n_votes or r.n_labels == 1
+
+
+def test_fleiss_kappa_bounds_and_perfect_agreement(spark):
+    row = QUERIES["annotator_agreement"].fn(spark, SF_DIR).collect()[0]
+    assert -1.0 <= row.kappa <= 1.0
+    assert 0.0 <= row.p_obs <= 1.0
+    assert 0.0 < row.p_exp < 1.0
+
+    # construct perfect agreement: every item's votes share one label;
+    # replicate the operator's math shape directly on a tiny frame
+    votes = spark.createDataFrame(
+        [(i, "yes" if i % 2 else "no") for i in range(20) for _ in range(3)],
+        "item_id long, label string",
+    )
+    counts = votes.groupBy("item_id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    items = counts.groupBy("item_id").agg(
+        F.sum("cnt").alias("n_i"), F.sum(F.col("cnt") * F.col("cnt")).alias("s2")
+    )
+    p_i = (F.col("s2") - F.col("n_i")).cast("double") / (
+        F.col("n_i") * (F.col("n_i") - 1)
+    ).cast("double")
+    p_obs = items.agg(F.avg(p_i).alias("p")).collect()[0].p
+    assert p_obs == 1.0  # unanimous raters → observed agreement exactly 1
+
+
+def test_divergences_are_nonnegative(spark):
+    kl = QUERIES["kl_divergence_sources"].fn(spark, SF_DIR).collect()
+    assert kl
+    for r in kl:
+        # Gibbs' inequality up to the per-term 1e-6 ln quantization
+        assert r.kl_nats >= -1e-3, r
+    mi = QUERIES["mutual_information_events"].fn(spark, SF_DIR).collect()[0]
+    assert mi.mi_nats >= -1e-3
+    assert mi.n_cells >= 1
+
+
+def test_hard_negative_labels_differ(spark):
+    emb = QUERIES["hard_negative_mining"].fn(spark, SF_DIR)
+    from data_etl_with_dbt_spark.sources.io import read_parquet
+
+    labels = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").alias("query_id"), F.col("label").cast("bigint").alias("qlabel")
+    )
+    joined = emb.join(labels, "query_id").collect()
+    assert joined
+    for r in joined:
+        assert r.neg_label != r.qlabel
+        assert -1.0 - 1e-6 <= r.cosine <= 1.0 + 1e-6
+
+
+def test_hamming_near_pairs_pigeonhole_recall_matches_brute_force(spark):
+    """The band-join must find EVERY pair within the Hamming radius
+    (pigeonhole guarantee) and, after the verify step, nothing beyond it —
+    checked against an all-pairs brute force on seeded random fingerprints
+    with planted near-duplicates."""
+    import itertools
+
+    import numpy as np
+
+    from data_etl_with_dbt_spark.operators.dedup import hamming_near_pairs
+
+    rng = np.random.RandomState(99)
+    fps = list(rng.randint(-(2**63), 2**63, size=60, dtype=np.int64))
+    # plant twins: flip ≤4 random bits of the first 10 fingerprints
+    for i in range(10):
+        x = int(fps[i])
+        for b in rng.choice(64, size=int(rng.randint(1, 5)), replace=False):
+            x ^= 1 << int(b)
+        x &= (1 << 64) - 1
+        fps.append(np.int64(x - (1 << 64) if x >= (1 << 63) else x))
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(fps)], "id long, fp long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_near_pairs(df, "id", "fp", bits=64, max_hamming=4).collect()
+    }
+    expect = set()
+    vals = [int(v) & ((1 << 64) - 1) for v in fps]
+    for a, b in itertools.combinations(range(len(vals)), 2):
+        if bin(vals[a] ^ vals[b]).count("1") <= 4:
+            expect.add((a, b))
+    assert got == expect
