@@ -49,6 +49,8 @@ class ModelSpec:
     # Enforced BEFORE materialization — a drifting model fails the build,
     # never the downstream consumers.
     contract: dict | None = None
+    # dbt tags: selectable labels (``dbt run --select tag:nightly``).
+    tags: list[str] = field(default_factory=list)
 
 
 def _enforce_contract(df: DataFrame, spec: "ModelSpec") -> None:
@@ -141,6 +143,7 @@ class ModelRegistry:
         on_schema_change: str = "ignore",
         additive_cols: list[str] | None = None,
         contract: dict | None = None,
+        tags: list[str] | None = None,
     ):
         """Decorator registering a model function ``(ctx) -> DataFrame``."""
 
@@ -157,6 +160,7 @@ class ModelRegistry:
                 on_schema_change=on_schema_change,
                 additive_cols=additive_cols,
                 contract=contract,
+                tags=list(tags or []),
             )
             self._deps[mname] = set(deps or [])
             return fn
@@ -190,11 +194,127 @@ class ModelRegistry:
         ts = graphlib.TopologicalSorter(self._deps)
         return [n for n in ts.static_order() if n in self._models]
 
+    # -- dbt node selection ------------------------------------------------
+    def _ancestors_of(self, name: str, depth: int | None = None) -> set[str]:
+        seen: set[str] = set()
+        frontier = {name}
+        hops = 0
+        while frontier and (depth is None or hops < depth):
+            frontier = {
+                d for n in frontier for d in self._deps.get(n, ())
+            } - seen
+            seen |= frontier
+            hops += 1
+        return seen & set(self._models)
+
+    def _descendants_of(self, name: str, depth: int | None = None) -> set[str]:
+        children: dict[str, set[str]] = {}
+        for child, parents in self._deps.items():
+            for p in parents:
+                children.setdefault(p, set()).add(child)
+        seen: set[str] = set()
+        frontier = {name}
+        hops = 0
+        while frontier and (depth is None or hops < depth):
+            frontier = {
+                c for n in frontier for c in children.get(n, ())
+            } - seen
+            seen |= frontier
+            hops += 1
+        return seen & set(self._models)
+
+    def _match_atom(self, atom: str) -> set[str]:
+        """Resolve one selection atom to model names: ``tag:pat`` matches
+        declared tags, anything else is an fnmatch pattern over names
+        (``stg_*``). Patterns may match zero nodes (dbt warns; here the
+        empty set just contributes nothing), but a LITERAL name that
+        doesn't exist is an error — silent typos in a --select are how
+        production models quietly stop building."""
+        import fnmatch
+
+        if atom.startswith("tag:"):
+            pat = atom[4:]
+            return {
+                n
+                for n, s in self._models.items()
+                if any(fnmatch.fnmatchcase(t, pat) for t in s.tags)
+            }
+        hits = set(fnmatch.filter(self._models.keys(), atom))
+        if not hits and not any(ch in atom for ch in "*?["):
+            raise KeyError(f"--select: no model named '{atom}'")
+        return hits
+
+    def _resolve_spec(self, spec: str) -> set[str]:
+        """One selection spec: dbt graph-operator grammar
+        ``[N+]atom[+[N]]`` or ``@atom``. ``+model`` adds ancestors,
+        ``model+`` descendants, a leading/trailing integer bounds the hop
+        count (``1+model``), ``@model`` is the model, its descendants, and
+        every ancestor of those descendants (dbt's build-everything-needed
+        operator)."""
+        import re
+
+        m = re.fullmatch(r"(?:(\d*)(\+))?(@)?(.+?)(?:(\+)(\d*))?", spec)
+        if not m or not m.group(4):
+            raise ValueError(f"--select: cannot parse spec '{spec}'")
+        up_n, up, at, atom, down, down_n = m.groups()
+        if at and (up or down):
+            raise ValueError(f"--select: '@' cannot combine with '+' in '{spec}'")
+        base = self._match_atom(atom)
+        out = set(base)
+        if up:
+            depth = int(up_n) if up_n else None
+            for n in base:
+                out |= self._ancestors_of(n, depth)
+        if down:
+            depth = int(down_n) if down_n else None
+            for n in base:
+                out |= self._descendants_of(n, depth)
+        if at:
+            desc = set(base)
+            for n in base:
+                desc |= self._descendants_of(n)
+            out = set(desc)
+            for n in desc:
+                out |= self._ancestors_of(n)
+        return out
+
+    def select_nodes(
+        self,
+        select: str | list[str] | None = None,
+        exclude: str | list[str] | None = None,
+    ) -> list[str]:
+        """dbt node selection over the registered DAG, in topological order.
+
+        ``select`` is dbt's ``--select`` surface: a string of
+        whitespace-separated specs (union) where each spec may be a
+        comma-separated intersection — ``"stg_* tag:nightly"`` is union,
+        ``"tag:nightly,core+"`` is intersection. A list unions its items.
+        ``exclude`` (dbt ``--exclude``) subtracts its selection afterwards.
+        None selects every model."""
+
+        def resolve(arg) -> set[str]:
+            specs: list[str] = []
+            for part in [arg] if isinstance(arg, str) else list(arg):
+                specs.extend(part.split())
+            picked: set[str] = set()
+            for spec in specs:
+                sets = [self._resolve_spec(s) for s in spec.split(",") if s]
+                if sets:
+                    inter = set.intersection(*sets)
+                    picked |= inter
+            return picked
+
+        chosen = set(self._models) if select is None else resolve(select)
+        if exclude is not None:
+            chosen -= resolve(exclude)
+        return [n for n in self.topo_order() if n in chosen]
+
     def run(
         self,
         spark: SparkSession,
-        select: list[str] | None = None,
+        select: str | list[str] | None = None,
         threads: int = 1,
+        exclude: str | list[str] | None = None,
     ) -> dict[str, DataFrame]:
         """Materialize every model in dependency order.
 
@@ -228,12 +348,20 @@ class ModelRegistry:
             write_table(seed_df, seed_name, mode="overwrite")
             self._cache[seed_name] = spark.table(seed_name)
             out[seed_name] = self._cache[seed_name]
+        # dbt node selection (``--select``/``--exclude`` grammar: graph
+        # operators +model/model+/@model, tag:, wildcards, union/
+        # intersection — see select_nodes). Ancestors of the selection
+        # always build too: unlike dbt (whose warehouse persists between
+        # invocations) a fresh session has no materialized views to defer
+        # to, so prerequisites are part of the run set by construction.
+        if select is None and exclude is None:
+            targets = self.topo_order()
+        else:
+            targets = self.select_nodes(select, exclude)
         wanted = [
             name
             for name in self.topo_order()
-            if not (
-                select and name not in select and not self._is_upstream_of_any(name, select)
-            )
+            if name in targets or self._is_upstream_of_any(name, targets)
         ]
         if threads <= 1:
             for name in wanted:
@@ -532,6 +660,7 @@ class ModelRegistry:
                 "unique_key": spec.unique_key,
                 "partition_by": spec.partition_by,
                 "description": (spec.description or "").strip(),
+                "tags": list(spec.tags),
                 "depends_on": sorted(self._deps.get(name, ())),
                 "tests": [
                     {"test": getattr(t[0], "__name__", str(t[0])), "column": t[1]}

@@ -1,0 +1,153 @@
+"""dbt node-selection surface (``--select`` / ``--exclude``).
+
+The reference is a dbt project; its users drive partial builds with dbt's
+selector grammar (``dbt run --select +core_texi``, ``tag:nightly``,
+``stg_*``). ``ModelRegistry.select_nodes`` implements that grammar over the
+registered DAG: graph operators ``+model`` / ``model+`` / ``@model`` with
+optional hop bounds, ``tag:`` atoms, fnmatch wildcards, space-union,
+comma-intersection, and exclusion. Selection is pure graph work — most
+tests need no SparkSession.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+
+def _diamond() -> ModelRegistry:
+    """raw -> stg_a, stg_b -> core -> mart_x, mart_y (tags sprinkled)."""
+    reg = ModelRegistry()
+
+    def add(name, deps, tags=()):
+        @reg.model(name=name, deps=list(deps), tags=list(tags))
+        def _m(ctx):  # pragma: no cover - never built in graph tests
+            raise AssertionError("selection tests must not build models")
+
+    add("raw", [], tags=["staging"])
+    add("stg_a", ["raw"], tags=["staging"])
+    add("stg_b", ["raw"], tags=["staging", "nightly"])
+    add("core", ["stg_a", "stg_b"], tags=["core"])
+    add("mart_x", ["core"], tags=["nightly"])
+    add("mart_y", ["core"])
+    return reg
+
+
+class TestSelectNodes:
+    def test_none_selects_everything_in_topo_order(self):
+        reg = _diamond()
+        assert reg.select_nodes(None) == reg.topo_order()
+
+    def test_literal_name(self):
+        assert _diamond().select_nodes("core") == ["core"]
+
+    def test_plus_prefix_ancestors(self):
+        assert _diamond().select_nodes("+core") == ["raw", "stg_a", "stg_b", "core"]
+
+    def test_plus_suffix_descendants(self):
+        got = _diamond().select_nodes("core+")
+        assert got == ["core", "mart_x", "mart_y"]
+
+    def test_bounded_hops(self):
+        # 1+core: core plus direct parents only (not raw)
+        assert _diamond().select_nodes("1+core") == ["stg_a", "stg_b", "core"]
+        # raw+1: raw plus direct children only
+        assert _diamond().select_nodes("raw+1") == ["raw", "stg_a", "stg_b"]
+
+    def test_both_sides(self):
+        got = _diamond().select_nodes("+core+")
+        assert got == _diamond().topo_order()
+
+    def test_at_operator_pulls_ancestors_of_descendants(self):
+        # @stg_b = stg_b + descendants (core, marts) + every ancestor of
+        # those descendants (raw, stg_a) — dbt's build-everything-needed.
+        assert _diamond().select_nodes("@stg_b") == _diamond().topo_order()
+
+    def test_wildcard(self):
+        assert _diamond().select_nodes("stg_*") == ["stg_a", "stg_b"]
+
+    def test_tag_atom(self):
+        assert _diamond().select_nodes("tag:nightly") == ["stg_b", "mart_x"]
+
+    def test_tag_with_graph_operator(self):
+        # mart_x's ancestors pull in core and BOTH staging models
+        got = _diamond().select_nodes("+tag:nightly")
+        assert got == ["raw", "stg_a", "stg_b", "core", "mart_x"]
+
+    def test_space_union_comma_intersection(self):
+        reg = _diamond()
+        assert reg.select_nodes("stg_a mart_y") == ["stg_a", "mart_y"]
+        # intersection: nightly things that are also descendants of core
+        assert reg.select_nodes("tag:nightly,core+") == ["mart_x"]
+
+    def test_exclude(self):
+        reg = _diamond()
+        assert reg.select_nodes("core+", exclude="tag:nightly") == [
+            "core",
+            "mart_y",
+        ]
+        assert reg.select_nodes(None, exclude="stg_* raw") == [
+            "core",
+            "mart_x",
+            "mart_y",
+        ]
+
+    def test_list_arguments_union(self):
+        assert _diamond().select_nodes(["stg_a", "mart_*"]) == [
+            "stg_a",
+            "mart_x",
+            "mart_y",
+        ]
+
+    def test_unknown_literal_raises(self):
+        with pytest.raises(KeyError, match="no model named"):
+            _diamond().select_nodes("cor")
+
+    def test_unknown_wildcard_is_empty(self):
+        assert _diamond().select_nodes("zzz_*") == []
+
+    def test_at_with_plus_rejected(self):
+        with pytest.raises(ValueError, match="cannot combine"):
+            _diamond().select_nodes("+@core")
+
+
+class TestRunWithSelectors:
+    def test_run_selector_string_builds_selection_and_prereqs(self, spark):
+        built = []
+        reg = ModelRegistry()
+
+        def add(name, deps, tags=()):
+            @reg.model(name=name, deps=list(deps), tags=list(tags), materialized="ephemeral")
+            def _m(ctx, _n=name):
+                built.append(_n)
+                return ctx.spark.range(3).select(F.lit(_n).alias("model"), "id")
+
+        add("base", [])
+        add("left", ["base"], tags=["nightly"])
+        add("right", ["base"])
+        add("top", ["left", "right"])
+
+        out = reg.run(spark, select="tag:nightly")
+        # the selection is 'left'; 'base' builds as its prerequisite
+        assert built == ["base", "left"]
+        assert set(out) == {"base", "left"}
+
+        built.clear()
+        reg2 = ModelRegistry()
+
+        def add2(name, deps, tags=()):
+            @reg2.model(name=name, deps=list(deps), tags=list(tags), materialized="ephemeral")
+            def _m(ctx, _n=name):
+                built.append(_n)
+                return ctx.spark.range(3).select(F.lit(_n).alias("model"), "id")
+
+        add2("base", [])
+        add2("left", ["base"], tags=["nightly"])
+        add2("right", ["base"])
+        add2("top", ["left", "right"])
+        reg2.run(spark, select="top", exclude="right")
+        # exclusion removes 'right' from the SELECTION, but prerequisites of
+        # the remaining selection still build (top needs right to exist)
+        assert built == ["base", "left", "right", "top"]
