@@ -115,6 +115,8 @@ ZQ_QUEUED = [
     "hard_negative_mining", "graph_clustering_coefficients",
     "frequent_event_trigrams", "mutual_information_events",
     "cusum_change_points",
+    # session-5 additions
+    "theta_sketch_users",
 ]
 
 ZV_VERIFIED = [

@@ -285,3 +285,138 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> float:
     if est <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: mergeable distinct counting WITH set algebra.
+# ---------------------------------------------------------------------------
+
+_KMV_BITS = 60  # 15 hex chars of md5 -> positive BIGINT in Spark AND DuckDB
+_KMV_SCALE = float(1 << _KMV_BITS)
+
+
+def kmv_hash(key) -> "F.Column":
+    """60-bit uniform hash both engines can spell identically: the first 15
+    hex chars of ``md5(cast(key as string))`` parsed as an integer. Spark:
+    ``conv(substring(md5(x),1,15),16,10)``; DuckDB:
+    ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``. 60 bits keeps the value
+    positive in a signed BIGINT, and the int→double conversion + division
+    by 2^60 are IEEE-correctly-rounded in both engines — so every estimate
+    derived from these hashes is bit-identical cross-engine (the property
+    that makes this the ONE sketch family with a hash-matched SQL oracle)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """K-Minimum-Values sketch (Bar-Yossef et al. 2002; the theta-sketch
+    family): per group, the ``k`` smallest DISTINCT hash values of the key.
+    Output is a relation ``(group..., h)`` with ≤ k rows per group —
+    sketch-sized state that persists as a table, merges with
+    :func:`kmv_merge`, estimates with :func:`kmv_estimate`, and — unlike
+    HLL — supports INTERSECTION estimates (:func:`kmv_intersect_estimate`),
+    because the retained hashes are a uniform sample of the key space.
+
+    Build cost is one distinct-shuffle over ``(group, hash)`` (the same
+    exchange an exact COUNT(DISTINCT) pays once); after that, rollups and
+    set algebra run on k-row relations and never rescan the fact table."""
+    groups = list(group_cols or [])
+    hashed = df.where(F.col(key_col).isNotNull()).select(
+        *groups, kmv_hash(F.col(key_col)).alias("h")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("h")
+    return (
+        hashed.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    *sketches: DataFrame, k: int = 64, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union sketches built with the same hash and re-keep the k smallest
+    per group. Equals building on the unioned input (asserted in tests) —
+    per-shard/per-day distinct rollups without re-reading shards."""
+    groups = list(group_cols or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int = 64, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate per group: exact row count while the group
+    holds < k hashes (the sketch IS the distinct set), else the unbiased
+    KMV estimator ``(k-1) / u_k`` where ``u_k`` is the k-th smallest hash
+    normalized to (0,1]. One IEEE division of deterministic values —
+    bit-identical cross-engine."""
+    groups = list(group_cols or [])
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__kth")
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("__kth").cast("double") / F.lit(_KMV_SCALE))
+    )
+    return agg.select(*groups, est.alias("approx_distinct"))
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Theta-sketch intersection of two UNGROUPED sketches: with
+    θ = min(θ_a, θ_b) (each side's k-th smallest normalized hash, or 1 when
+    the side is exact), every retained hash below θ is a uniform sample of
+    the key space at rate θ — so ``|A∩B hashes < θ| / θ`` estimates the
+    true intersection cardinality (Dasgupta et al., the DataSketches theta
+    framework). Returns one row ``(approx_intersection: double)``.
+
+    All inputs are k-row relations; the join is sketch-sized. HLL cannot
+    answer this (inclusion–exclusion explodes the error); KMV is the
+    standard answer."""
+    def theta(s: DataFrame) -> DataFrame:
+        return s.agg(
+            F.when(
+                F.count(F.lit(1)) < k, F.lit(1.0)
+            )
+            .otherwise(F.max("h").cast("double") / F.lit(_KMV_SCALE))
+            .alias("theta")
+        )
+
+    th = (
+        theta(a)
+        .crossJoin(theta(b).withColumnRenamed("theta", "theta_b"))
+        .select(F.least("theta", "theta_b").alias("theta"))
+    )
+    th = th.localCheckpoint(eager=False)  # two consumers; no cross-consumer CSE
+    common = a.select("h").intersect(b.select("h"))
+    cnt = (
+        common.crossJoin(F.broadcast(th))
+        .where(F.col("h").cast("double") / F.lit(_KMV_SCALE) < F.col("theta"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("__c"))  # 1 row even when empty
+    )
+    return cnt.crossJoin(F.broadcast(th)).select(
+        (F.col("__c").cast("double") / F.col("theta")).alias(
+            "approx_intersection"
+        )
+    )

@@ -1180,3 +1180,173 @@ def cusum_change_points(spark, sf_dir):
             F.col("s").alias("cusum_peak"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch distinct counting — the ONE sketch family with a
+# hash-matched SQL oracle. HLL (above) is rows-only because DataSketches
+# binaries aren't reproducible in DuckDB; KMV retains the k smallest
+# 60-bit md5-derived hashes, which BOTH engines can compute bit-identically
+# (conv/substr(md5) in Spark, CAST('0x'||substr(md5)) in DuckDB), so the
+# estimates — one IEEE division of deterministic values — hash-match.
+# Unlike HLL, KMV also answers set INTERSECTIONS (theta framework): the
+# retained hashes are a uniform sample of the key space at rate θ.
+# ---------------------------------------------------------------------------
+
+@query(
+    "theta_sketch_users",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM d
+    ),
+    r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ),
+    sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+    per AS (
+        SELECT sk.event_type, count(*) AS n, max(h) AS kth
+        FROM sk GROUP BY sk.event_type
+    ),
+    perex AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS exact_users
+        FROM d GROUP BY event_type
+    ),
+    typed AS (
+        SELECT per.event_type,
+               perex.exact_users,
+               CASE WHEN per.n < 64 THEN CAST(per.n AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE)
+                         / (CAST(per.kth AS DOUBLE) / 1152921504606846976.0)
+               END AS approx_users
+        FROM per JOIN perex ON per.event_type = perex.event_type
+    ),
+    m AS (SELECT DISTINCT h FROM sk),
+    mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM m),
+    msk AS (SELECT h FROM mr WHERE rn <= 64),
+    mest AS (SELECT count(*) AS n, max(h) AS kth FROM msk),
+    allex AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users FROM d
+    ),
+    allrow AS (
+        SELECT 'ALL' AS event_type,
+               allex.exact_users,
+               CASE WHEN mest.n < 64 THEN CAST(mest.n AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE)
+                         / (CAST(mest.kth AS DOUBLE) / 1152921504606846976.0)
+               END AS approx_users
+        FROM mest, allex
+    ),
+    av AS (SELECT h FROM sk WHERE event_type = 'view'),
+    bc AS (SELECT h FROM sk WHERE event_type = 'click'),
+    ta AS (
+        SELECT CASE WHEN count(*) < 64 THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(max(h) AS DOUBLE) / 1152921504606846976.0
+               END AS t
+        FROM av
+    ),
+    tb AS (
+        SELECT CASE WHEN count(*) < 64 THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(max(h) AS DOUBLE) / 1152921504606846976.0
+               END AS t
+        FROM bc
+    ),
+    th AS (SELECT least(ta.t, tb.t) AS theta FROM ta, tb),
+    com AS (SELECT h FROM av INTERSECT SELECT h FROM bc),
+    ic AS (
+        SELECT count(*) AS c
+        FROM com, th
+        WHERE CAST(com.h AS DOUBLE) / 1152921504606846976.0 < th.theta
+    ),
+    iex AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_users
+        FROM (SELECT user_id FROM d WHERE event_type = 'view'
+              INTERSECT
+              SELECT user_id FROM d WHERE event_type = 'click') s
+    ),
+    irow AS (
+        SELECT 'view_x_click' AS event_type,
+               iex.exact_users,
+               CAST(ic.c AS DOUBLE) / th.theta AS approx_users
+        FROM ic, th, iex
+    )
+    SELECT * FROM typed
+    UNION ALL SELECT * FROM allrow
+    UNION ALL SELECT * FROM irow
+    ORDER BY event_type
+    """,
+    description=(
+        "KMV/theta-sketch distinct-user estimates per event type, an ALL "
+        "row merged from the per-type sketches, and a theta-framework "
+        "intersection estimate (view ∩ click) beside the exact counts — "
+        "the md5-bridge hash makes every estimate bit-identical "
+        "cross-engine, so the sketch family gains a hash-matched oracle"
+    ),
+)
+def theta_sketch_users(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+    )
+
+    k = 64
+    ev = load(spark, sf_dir, "events")
+    # one fact scan: the distinct (type, user) frame feeds the sketches AND
+    # every exact comparison count (4 consumers -> checkpoint, no re-scan)
+    d = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sk = kmv_build(d, "user_id", k=k, group_cols=["event_type"]).localCheckpoint(
+        eager=False
+    )
+    exact = d.groupBy("event_type").agg(
+        big(F.count(F.lit(1))).alias("exact_users")
+    )
+    typed = kmv_estimate(sk, k=k, group_cols=["event_type"]).join(
+        exact, "event_type"
+    )
+    merged = kmv_merge(sk.select("h"), k=k)
+    all_row = (
+        kmv_estimate(merged, k=k)
+        .crossJoin(
+            F.broadcast(
+                d.select("user_id")
+                .distinct()
+                .agg(big(F.count(F.lit(1))).alias("exact_users"))
+            )
+        )
+        .select(F.lit("ALL").alias("event_type"), "exact_users", "approx_distinct")
+    )
+    a = sk.where(F.col("event_type") == "view").select("h")
+    b = sk.where(F.col("event_type") == "click").select("h")
+    inter_exact = (
+        d.where(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(d.where(F.col("event_type") == "click").select("user_id"))
+        .agg(big(F.count(F.lit(1))).alias("exact_users"))
+    )
+    inter_row = (
+        kmv_intersect_estimate(a, b, k=k)
+        .crossJoin(F.broadcast(inter_exact))
+        .select(
+            F.lit("view_x_click").alias("event_type"),
+            "exact_users",
+            "approx_intersection",
+        )
+    )
+    cols = ["event_type", "exact_users", "approx_users"]
+    return (
+        typed.select("event_type", "exact_users", F.col("approx_distinct").alias("approx_users"))
+        .unionByName(all_row.toDF(*cols))
+        .unionByName(inter_row.toDF(*cols))
+        .orderBy("event_type")
+    )

@@ -2392,3 +2392,86 @@ class TestPerceptualHash:
             expected = 200.0 + (r.media_id % 20) * 100.0
             # bin width = sample_rate / n_samples = 4 Hz
             assert abs(r.feature[0] - expected) <= 4.0, (r.media_id, r.feature)
+
+
+class TestKmvThetaSketch:
+    """KMV / theta sketch (operators/sketch.kmv_*): bounded size, merge ==
+    build-on-union, estimator error at sketch scale, exactness below k, and
+    theta intersection sanity on constructed overlap."""
+
+    def _keys(self, spark, n, prefix="u"):
+        return spark.range(n).select(
+            F.concat(F.lit(prefix), F.col("id").cast("string")).alias("k")
+        )
+
+    def test_size_bounded_and_exact_below_k(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import kmv_build, kmv_estimate
+
+        sk = kmv_build(self._keys(spark, 40), "k", k=64)
+        assert sk.count() == 40  # below k: sketch IS the distinct hash set
+        [row] = kmv_estimate(sk, k=64).collect()
+        assert row.approx_distinct == 40.0
+
+    def test_estimator_within_bound_above_k(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import kmv_build, kmv_estimate
+
+        k = 64
+        sk = kmv_build(self._keys(spark, 5000), "k", k=k)
+        assert sk.count() == k
+        [row] = kmv_estimate(sk, k=k).collect()
+        # KMV std error ~ 1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+        assert abs(row.approx_distinct - 5000) / 5000 < 0.51
+
+    def test_merge_equals_build_on_union(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import kmv_build, kmv_merge
+
+        a = self._keys(spark, 300)
+        b = self._keys(spark, 500)  # overlaps a on u0..u299
+        merged = kmv_merge(
+            kmv_build(a, "k", k=32), kmv_build(b, "k", k=32), k=32
+        )
+        whole = kmv_build(a.unionByName(b), "k", k=32)
+        assert sorted(r.h for r in merged.collect()) == sorted(
+            r.h for r in whole.collect()
+        )
+
+    def test_grouped_build_keeps_k_per_group(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import kmv_build
+
+        df = spark.range(400).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.col("id").cast("string").alias("k"),
+        )
+        sk = kmv_build(df, "k", k=16, group_cols=["g"])
+        per = {r.g: r.c for r in sk.groupBy("g").agg(F.count("*").alias("c")).collect()}
+        assert per == {"0": 16, "1": 16}
+
+    def test_intersection_estimate_tracks_overlap(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import (
+            kmv_build,
+            kmv_intersect_estimate,
+        )
+
+        k = 256
+        # |A|=2000, |B|=2000, |A∩B|=1000 by construction
+        a = kmv_build(self._keys(spark, 2000), "k", k=k)
+        b = kmv_build(
+            spark.range(1000, 3000).select(
+                F.concat(F.lit("u"), F.col("id").cast("string")).alias("k")
+            ),
+            "k",
+            k=k,
+        )
+        [row] = kmv_intersect_estimate(a, b, k=k).collect()
+        assert abs(row.approx_intersection - 1000) / 1000 < 0.5
+
+    def test_disjoint_intersection_is_zero(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import (
+            kmv_build,
+            kmv_intersect_estimate,
+        )
+
+        a = kmv_build(self._keys(spark, 100, prefix="a"), "k", k=64)
+        b = kmv_build(self._keys(spark, 100, prefix="b"), "k", k=64)
+        [row] = kmv_intersect_estimate(a, b, k=64).collect()
+        assert row.approx_intersection == 0.0
