@@ -147,7 +147,7 @@ ZR_ROWS_ONLY = [
     "dedup_minhash_lsh", "dedup_simhash_pairs", "embedding_near_dup",
     "hll_user_cardinality", "semantic_dedup_clusters_lsh",
     "bpe_encode_documents", "cms_token_counts", "ann_pq_topk",
-    "image_dhash_near_dup", "audio_spectral_report",
+    "image_dhash_near_dup", "audio_spectral_report", "pca_embeddings",
 ]
 
 _PREFIX = dict.fromkeys(WINDOW, "")

@@ -764,3 +764,112 @@ def apply_whitening(
     return df.select(id_col, label_col, vec_col).mapInPandas(
         transform, schema=out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: global linear dimensionality reduction via merged per-partition
+# moment matrices — the scale path whitening_stats' docstring prescribes
+# for a single GLOBAL fit (its applyInPandas form needs each group's rows
+# in one task; a global group at 100 TB can't do that).
+# ---------------------------------------------------------------------------
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 4
+) -> dict:
+    """Fit a k-component PCA with ONE distributed pass: every partition
+    reduces its Arrow batches to the sufficient statistics
+    ``(n, Σx, ΣxxT)`` — one BLAS ``X.T @ X`` per batch, d²+d floats per
+    partition regardless of row count — and the driver sums the partials,
+    forms the covariance ``(ΣxxT - n·μμT)/(n-1)``, and eigendecomposes the
+    tiny d×d matrix. Exactly the merge-per-shard-moments design that scales:
+    the shuffle carries #partitions rows, never vectors.
+
+    Returns driver-side MODEL state (the pq_train/ivf_index convention):
+    ``{"mean": [d], "components": [k][d] (orthonormal, descending
+    eigenvalue), "explained_variance": [k], "n": int}``.
+
+    Determinism note: float partial sums merge in partition order, so the
+    fit is reproducible for a fixed partitioning but not oracle-exact —
+    the suite entry is rows-only; numpy agreement is asserted in pytest.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def moments(batches):
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            ss = X.T @ X if ss is None else ss + X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    part = df.select(vec_col).mapInPandas(
+        moments, schema="n bigint, s array<double>, ss array<double>"
+    )
+    rows = part.collect()  # one row per non-empty partition — driver-sized
+    import numpy as np
+
+    n = sum(r.n for r in rows)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    d = s.shape[0]
+    ss = np.sum([np.array(r.ss).reshape(d, d) for r in rows], axis=0)
+    mu = s / n
+    cov = (ss - n * np.outer(mu, mu)) / max(1, n - 1)
+    w, V = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = V[:, order].T  # (k, d)
+    # sign convention: largest-|loading| coordinate positive (eigh's sign is
+    # arbitrary; pinning it makes fits reproducible run-to-run)
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mu.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": [float(w[o]) for o in order],
+        "n": int(n),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+) -> DataFrame:
+    """Project vectors onto the fitted components: broadcast the (k×d)
+    matrix, one BLAS ``(X-μ) @ C.T`` per Arrow batch via ``mapInPandas`` —
+    vectors never shuffle (the apply_whitening pattern). Output:
+    ``(id_col, out_col: array<double>[k])``."""
+    import numpy as np
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(
+        (
+            np.array(model["mean"], dtype=np.float64),
+            np.array(model["components"], dtype=np.float64),
+        )
+    )
+    id_type = dict(df.dtypes)[id_col]
+
+    def transform(batches):
+        mu, C = bc.value
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Y = (X - mu) @ C.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), out_col: [r.tolist() for r in Y]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        transform, schema=f"{id_col} {id_type}, {out_col} array<double>"
+    )

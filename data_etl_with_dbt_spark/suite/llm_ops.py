@@ -1064,3 +1064,27 @@ def audio_spectral_report(spark, sf_dir):
         F.element_at("feature", 2).alias("centroid_hz"),
         F.element_at("feature", 3).alias("rolloff85_hz"),
     ).orderBy("media_id")
+
+
+@query(
+    "pca_embeddings",
+    oracle=None,  # eigendecomposition is driver-side numpy; rows-only
+                  # (numpy full-data agreement + orthonormality in pytest)
+    description=(
+        "Global PCA via merged per-partition moment matrices (one "
+        "distributed pass -> d x d covariance on the driver -> eigh) and a "
+        "broadcast BLAS projection to the top-4 components — the "
+        "pre-ANN dimensionality-reduction step; emits per-vector PC "
+        "coordinates plus each component's explained variance"
+    ),
+)
+def pca_embeddings(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    model = S.pca_fit(emb, vec_col="embedding", k=4)
+    proj = S.pca_project(emb, model, id_col="vec_id", vec_col="embedding")
+    ev = model["explained_variance"]
+    return proj.select(
+        "vec_id",
+        *[F.col("pc")[i].alias(f"pc{i + 1}") for i in range(4)],
+        *[F.lit(float(ev[i])).alias(f"var{i + 1}") for i in range(4)],
+    ).orderBy("vec_id")

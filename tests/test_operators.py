@@ -2475,3 +2475,84 @@ class TestKmvThetaSketch:
         b = kmv_build(self._keys(spark, 100, prefix="b"), "k", k=64)
         [row] = kmv_intersect_estimate(a, b, k=64).collect()
         assert row.approx_intersection == 0.0
+
+
+class TestPca:
+    """pca_fit/pca_project (operators/similarity): the distributed
+    moment-merge fit must agree with a straight numpy PCA on the collected
+    data, components must be orthonormal with descending variance, and
+    reconstruction error must shrink as k grows."""
+
+    def _frame(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        # anisotropic: variance concentrated in two known directions
+        base = rng.normal(size=(400, 6)) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+        rows = [(i, row.tolist()) for i, row in enumerate(base)]
+        return (
+            spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+            .repartition(7)  # multiple partitions exercise the moment merge
+        )
+
+    def test_agrees_with_numpy_and_is_orthonormal(self, spark):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.similarity import pca_fit
+
+        df = self._frame(spark)
+        model = pca_fit(df, vec_col="embedding", k=4)
+        X = np.stack([r.embedding for r in df.orderBy("vec_id").collect()])
+        mu = X.mean(axis=0)
+        cov = (X - mu).T @ (X - mu) / (len(X) - 1)
+        w, V = np.linalg.eigh(cov)
+        assert np.allclose(model["mean"], mu, atol=1e-9)
+        ref = sorted(w, reverse=True)[:4]
+        assert np.allclose(model["explained_variance"], ref, rtol=1e-9)
+        C = np.array(model["components"])
+        assert np.allclose(C @ C.T, np.eye(4), atol=1e-9)  # orthonormal
+        # each component spans the matching numpy eigenvector (up to sign)
+        for i, val in enumerate(model["explained_variance"]):
+            j = int(np.argmin(np.abs(w - val)))
+            assert abs(abs(C[i] @ V[:, j]) - 1.0) < 1e-8
+        assert model["explained_variance"] == sorted(
+            model["explained_variance"], reverse=True
+        )
+
+    def test_projection_matches_numpy(self, spark):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.similarity import pca_fit, pca_project
+
+        df = self._frame(spark)
+        model = pca_fit(df, vec_col="embedding", k=3)
+        got = {
+            r.vec_id: np.array(r.pc)
+            for r in pca_project(df, model, id_col="vec_id").collect()
+        }
+        mu = np.array(model["mean"])
+        C = np.array(model["components"])
+        for r in df.collect():
+            want = (np.array(r.embedding) - mu) @ C.T
+            assert np.allclose(got[r.vec_id], want, atol=1e-9)
+
+    def test_reconstruction_error_shrinks_with_k(self, spark):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.similarity import pca_fit, pca_project
+
+        df = self._frame(spark)
+        X = np.stack([r.embedding for r in df.orderBy("vec_id").collect()])
+        errs = []
+        for k in (1, 3, 6):
+            model = pca_fit(df, vec_col="embedding", k=k)
+            mu = np.array(model["mean"])
+            C = np.array(model["components"])
+            P = {
+                r.vec_id: np.array(r.pc)
+                for r in pca_project(df, model, id_col="vec_id").collect()
+            }
+            rec = np.stack([P[i] @ C + mu for i in range(len(X))])
+            errs.append(float(((X - rec) ** 2).sum()))
+        assert errs[0] > errs[1] > errs[2]
+        assert errs[2] < 1e-18  # k = d reconstructs exactly
