@@ -116,7 +116,7 @@ ZQ_QUEUED = [
     "frequent_event_trigrams", "mutual_information_events",
     "cusum_change_points",
     # session-5 additions
-    "theta_sketch_users",
+    "theta_sketch_users", "sampled_quantiles_orders",
 ]
 
 ZV_VERIFIED = [

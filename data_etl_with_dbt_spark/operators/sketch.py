@@ -420,3 +420,70 @@ def kmv_intersect_estimate(
             "approx_intersection"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sample quantile estimation: the mergeable, ORACLE-EXACT quantile
+# path. percentile_approx's internal sketch is engine-private; a
+# deterministic md5-rate sample is a "sketch" both engines can reproduce
+# bit-for-bit, and per-shard samples merge by plain UNION.
+# ---------------------------------------------------------------------------
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample: keep rows whose 60-bit md5
+    hash of ``key_col`` falls below ``floor(rate·2^60)`` — the stratified-
+    sample convention, promoted to an operator. No RNG state, identical
+    membership on every engine/run/partitioning; the oracle spells the
+    same integer comparison (``CAST('0x'||substr(md5(k),1,15) AS BIGINT)
+    < threshold``). Per-shard samples of the same key space UNION into the
+    global sample — the property that makes downstream estimates
+    (quantiles below, means, counts/rate) mergeable without coordination."""
+    threshold = int(rate * (1 << _KMV_BITS))
+    return df.where(kmv_hash(F.col(key_col)) < F.lit(threshold))
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probs: list[float],
+    rate: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group discrete quantiles estimated from a deterministic
+    ``hash_sample``: rank error is O(1/√(rate·n)) with high probability
+    (classic sample-quantile bound), and — unlike a global sort — the cost
+    is a sample-sized sort-agg per group. The full-data exact path beside
+    it (``agg_exact_percentiles``) sorts EVERY value; at 100 TB the sample
+    is the plan that runs. percentile_disc returns actual data values, so
+    the output is oracle-exact, not approximately-close.
+
+    One scan: the sample mask is a CASE projection, never a second read."""
+    groups = list(group_cols or [])
+    threshold = int(rate * (1 << _KMV_BITS))
+    masked = df.select(
+        *groups,
+        F.col(value_col).alias("__v"),
+        F.when(
+            kmv_hash(F.col(key_col)) < F.lit(threshold), F.col(value_col)
+        ).alias("__sv"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("__sv").cast("bigint").alias("sample_n"),
+    ]
+    for p in probs:
+        tag = f"p{int(round(p * 100)):02d}"
+        aggs.append(
+            F.expr(f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY __v)")
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias(tag)
+        )
+        aggs.append(
+            F.expr(f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY __sv)")
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias(f"{tag}_sampled")
+        )
+    return masked.groupBy(*groups).agg(*aggs)

@@ -454,3 +454,55 @@ def agg_boolean(spark, sf_dir):
         F.bool_or(F.col("value") > 95.0).alias("any_extreme"),
         F.bool_and(F.col("user_id").isNotNull()).alias("all_attributed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled quantiles: the mergeable estimation path NEXT TO the exact sort
+# above. percentile_approx's sketch is engine-private (rows-only at best);
+# a deterministic md5-rate sample is reproducible in BOTH engines, so the
+# estimates themselves hash-match. threshold = int(0.2 * 2^60) — computed
+# once in Python and hardcoded in the oracle so the double rounding of
+# 0.2 * 2^60 can't diverge from SQL-side arithmetic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sampled_quantiles_orders",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority, o_totalprice,
+               CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                         AS BIGINT) < 230584300921369408
+                    THEN o_totalprice END AS sv
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(sv) AS BIGINT) AS sample_n,
+           CAST(CAST(quantile_disc(o_totalprice, 0.50) AS DECIMAL(38,6)) AS DOUBLE) AS p50,
+           CAST(CAST(quantile_disc(sv, 0.50) AS DECIMAL(38,6)) AS DOUBLE) AS p50_sampled,
+           CAST(CAST(quantile_disc(o_totalprice, 0.90) AS DECIMAL(38,6)) AS DOUBLE) AS p90,
+           CAST(CAST(quantile_disc(sv, 0.90) AS DECIMAL(38,6)) AS DOUBLE) AS p90_sampled
+    FROM m
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description=(
+        "Per-priority discrete quantiles from a deterministic 20% md5 "
+        "sample beside the exact values — the mergeable hash-sample "
+        "quantile sketch (operators/sketch.sampled_quantiles), "
+        "oracle-exact because the sample membership and percentile_disc "
+        "picks are both deterministic"
+    ),
+)
+def sampled_quantiles_orders(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.sketch import sampled_quantiles
+
+    o = load(spark, sf_dir, "orders")
+    return sampled_quantiles(
+        o,
+        key_col="o_orderkey",
+        value_col="o_totalprice",
+        probs=[0.5, 0.9],
+        rate=0.2,
+        group_cols=["o_orderpriority"],
+    ).orderBy("o_orderpriority")

@@ -2556,3 +2556,45 @@ class TestPca:
             errs.append(float(((X - rec) ** 2).sum()))
         assert errs[0] > errs[1] > errs[2]
         assert errs[2] < 1e-18  # k = d reconstructs exactly
+
+
+class TestHashSampleQuantiles:
+    """hash_sample / sampled_quantiles (operators/sketch): deterministic
+    membership, per-shard UNION mergeability, and sample-quantile rank
+    error within the classic O(1/sqrt(rate*n)) band."""
+
+    def test_membership_deterministic_and_rate_close(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import hash_sample
+
+        df = spark.range(10_000).select(F.col("id").cast("string").alias("k"))
+        a = sorted(r.k for r in hash_sample(df, "k", 0.3).collect())
+        b = sorted(r.k for r in hash_sample(df.repartition(13), "k", 0.3).collect())
+        assert a == b  # partitioning-independent membership
+        assert abs(len(a) / 10_000 - 0.3) < 0.02
+
+    def test_shard_samples_union_to_global_sample(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import hash_sample
+
+        df = spark.range(5_000).select(F.col("id").cast("string").alias("k"))
+        s1 = hash_sample(df.where(F.col("id") < 2_500), "k", 0.2)
+        s2 = hash_sample(df.where(F.col("id") >= 2_500), "k", 0.2)
+        merged = sorted(r.k for r in s1.unionByName(s2).collect())
+        whole = sorted(r.k for r in hash_sample(df, "k", 0.2).collect())
+        assert merged == whole
+
+    def test_quantile_rank_error_bounded(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import sampled_quantiles
+
+        n = 20_000
+        df = spark.range(n).select(
+            F.col("id").cast("string").alias("k"),
+            F.col("id").cast("double").alias("v"),
+        )
+        [row] = sampled_quantiles(
+            df, key_col="k", value_col="v", probs=[0.5], rate=0.1
+        ).collect()
+        assert row.n == n and 0 < row.sample_n < n
+        # rank of the sampled p50 in the true distribution: values are
+        # 0..n-1 so rank = value/n; 3-sigma band ~ 3/(2*sqrt(rate*n))
+        err = abs(row.p50_sampled / n - 0.5)
+        assert err < 0.04, err
