@@ -117,6 +117,7 @@ ZQ_QUEUED = [
     "cusum_change_points",
     # session-5 additions
     "theta_sketch_users", "sampled_quantiles_orders",
+    "benford_first_digit_orders",
 ]
 
 ZV_VERIFIED = [

@@ -189,3 +189,60 @@ def quarantine(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
     return df.withColumn("dq_reasons", reasons).withColumn(
         "dq_ok", F.col("dq_reasons") == F.lit("")
     )
+
+
+_BENFORD = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def benford_check(df: DataFrame, column: str) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column vs
+    Benford's law — the classic screen for fabricated or truncated data
+    (naturally-occurring multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); padded defaults, capped values, or synthetic
+    fills show up as spikes). Output: one row per digit 1-9 with observed
+    count/share, the expected share, and the absolute deviation.
+
+    Determinism: the digit comes from the FIRST CHARACTER OF THE INTEGER
+    PART'S STRING — integer rendering is identical across engines, where a
+    ``floor(log10(x))`` spelling would hang the digit on libm rounding at
+    power-of-ten boundaries. Shares are one IEEE division of exact counts;
+    expected shares are pasted double literals (same parse both engines).
+    One map-side-combined 9-group aggregation; the total broadcasts back."""
+    digits = (
+        df.where(F.col(column).isNotNull() & (F.col(column) > 0))
+        .select(
+            F.substring(
+                F.floor(F.col(column)).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .where(F.col("digit") >= 1)  # |x| < 1 has integer part '0': excluded
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)  # two consumers: total + per-digit rows
+    )
+    total = digits.agg(F.sum("n").cast("bigint").alias("__total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+            expected[F.col("digit")].alias("expected_share"),
+        )
+        .withColumn(
+            "abs_dev",
+            F.abs(F.col("share") - F.col("expected_share")),
+        )
+        .orderBy("digit")
+    )

@@ -1350,3 +1350,57 @@ def theta_sketch_users(spark, sf_dir):
         .unionByName(inter_row.toDF(*cols))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen (plans/dq.benford_check): the first significant
+# digit comes from the INTEGER PART'S STRING — identical rendering in both
+# engines — never floor(log10(x)), whose libm rounding at power-of-ten
+# boundaries is engine-specific. Expected shares are pasted double literals.
+# ---------------------------------------------------------------------------
+
+@query(
+    "benford_first_digit_orders",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ),
+    g AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n
+        FROM digits WHERE digit >= 1 GROUP BY digit
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+    e(digit, expected_share) AS (VALUES
+        (1, CAST(0.3010299956639812 AS DOUBLE)),
+        (2, CAST(0.17609125905568124 AS DOUBLE)),
+        (3, CAST(0.12493873660829992 AS DOUBLE)),
+        (4, CAST(0.09691001300805642 AS DOUBLE)),
+        (5, CAST(0.07918124604762482 AS DOUBLE)),
+        (6, CAST(0.06694678963061322 AS DOUBLE)),
+        (7, CAST(0.05799194697768673 AS DOUBLE)),
+        (8, CAST(0.05115252244738129 AS DOUBLE)),
+        (9, CAST(0.04575749056067514 AS DOUBLE)))
+    SELECT g.digit, g.n,
+           CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           e.expected_share,
+           abs(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+               - e.expected_share) AS abs_dev
+    FROM g
+    CROSS JOIN t
+    JOIN e ON e.digit = g.digit
+    ORDER BY g.digit
+    """,
+    description=(
+        "Benford's-law first-digit screen over order totals: per digit 1-9 "
+        "the observed count/share vs log10(1+1/d), with absolute deviation "
+        "— the fabricated/truncated-amounts DQ check, digit derived from "
+        "integer-string rendering for cross-engine exactness"
+    ),
+)
+def benford_first_digit_orders(spark, sf_dir):
+    from data_etl_with_dbt_spark.plans.dq import benford_check
+
+    return benford_check(load(spark, sf_dir, "orders"), "o_totalprice")

@@ -475,3 +475,35 @@ class TestPsiDrift:
         moved = spark.createDataFrame([("a",)] * 10 + [("z",)] * 90, "c string")
         assert same == pytest.approx(0.0, abs=1e-9)
         assert psi_drift(moved, base, "c") > 0.25
+
+
+class TestBenfordCheck:
+    def test_log_uniform_passes_uniform_flagged(self, spark):
+        import math
+
+        from data_etl_with_dbt_spark.plans.dq import benford_check
+
+        n = 20_000
+        # log-uniform over 5 decades: first digits follow Benford closely
+        natural = spark.range(n).select(
+            F.pow(F.lit(10.0), (F.col("id") % 5000) / F.lit(1000.0)).alias("v")
+        )
+        rows = benford_check(natural, "v").collect()
+        assert [r.digit for r in rows] == list(range(1, 10))
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+        assert max(r.abs_dev for r in rows) < 0.01
+
+        # uniform over [1000, 2000): every first digit is 1 — a screaming spike
+        fabricated = spark.range(n).select((F.col("id") % 1000 + 1000.0).alias("v"))
+        frows = {r.digit: r for r in benford_check(fabricated, "v").collect()}
+        assert frows[1].share == 1.0
+        assert frows[1].abs_dev > 0.65
+
+    def test_nonpositive_and_subunit_rows_excluded(self, spark):
+        from data_etl_with_dbt_spark.plans.dq import benford_check
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (0.42,), (None,), (7.9,)], "v double"
+        )
+        rows = benford_check(df, "v").collect()
+        assert [(r.digit, r.n) for r in rows] == [(7, 1)]
