@@ -225,3 +225,86 @@ def tune_quality_classifier(
         "best_reg": float(best_reg),
     }
     return best, report
+
+
+# ---------------------------------------------------------------------------
+# Calibration: a filter threshold like "keep docs with P(quality) ≥ 0.8" is
+# only meaningful if the probabilities are calibrated. Logistic scores off
+# weak labels usually aren't (class imbalance, regularization, label noise
+# all skew them) — so the pipeline gets the standard diagnosis/repair pair:
+# a reliability report (binned observed-vs-predicted) and isotonic
+# recalibration (Zadrozny & Elkan 2002), both as distributed passes.
+# ---------------------------------------------------------------------------
+
+def reliability_report(
+    scored: DataFrame,
+    prob_col: str = "quality_prob",
+    label_col: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """Calibration diagnosis: bucket predictions into equal-width
+    probability bins and compare each bin's mean predicted probability to
+    its observed positive rate (+ the bin's Brier contribution). One
+    map-side-combined aggregation over ``bins`` groups — free at corpus
+    scale. Perfectly calibrated ⇒ mean_prob ≈ frac_pos per bin."""
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(p * bins).cast("int"), F.lit(bins - 1)).alias("bin")
+    return (
+        scored.select(b, p.alias("__p"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("__p").alias("mean_prob"),
+            F.avg("__y").alias("frac_pos"),
+            F.sum((F.col("__p") - F.col("__y")) ** 2).alias("brier_sum"),
+        )
+        .orderBy("bin")
+    )
+
+
+def brier_score(
+    scored: DataFrame,
+    prob_col: str = "quality_prob",
+    label_col: str = "label",
+) -> float:
+    """Mean squared error of the probabilities — the scalar the
+    calibration step should reduce. One aggregation, driver reads a row."""
+    [row] = (
+        scored.agg(
+            F.avg(
+                (F.col(prob_col) - F.col(label_col).cast("double")) ** 2
+            ).alias("brier")
+        ).collect()
+    )
+    return float(row.brier)
+
+
+def calibrate_isotonic(
+    scored: DataFrame,
+    prob_col: str = "quality_prob",
+    label_col: str = "label",
+):
+    """Fit an isotonic (monotone non-decreasing) map from raw score to
+    calibrated probability on a LABELED scored sample — pyspark.ml's
+    distributed PAVA. Isotonic beats Platt scaling when the miscalibration
+    isn't sigmoid-shaped (the usual case for hashed-feature LR) and can
+    only improve training-set Brier (it's the L2-optimal monotone fit).
+    Fit on a held-out slice, not the classifier's own training rows."""
+    from pyspark.ml.regression import IsotonicRegression
+
+    iso = IsotonicRegression(
+        featuresCol=prob_col, labelCol=label_col, predictionCol="calibrated_prob"
+    )
+    return iso.fit(
+        scored.select(F.col(prob_col), F.col(label_col).cast("double"))
+    )
+
+
+def apply_calibration(
+    iso_model, scored: DataFrame, prob_col: str = "quality_prob"
+) -> DataFrame:
+    """Replace raw probabilities with calibrated ones (new column
+    ``calibrated_prob``): one JVM transform — the model carries just the
+    isotonic knot arrays, broadcast-sized at any corpus scale."""
+    return iso_model.setFeaturesCol(prob_col).transform(scored)

@@ -377,3 +377,39 @@ def drift_monitor_sink(
         ).coalesce(1).write.mode("append").parquet(ledger_path)
 
     return process
+
+
+def kmv_rollup_sink(
+    sketch_path: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining per-group KMV/theta sketches
+    across micro-batches — streaming DISTINCT-count (and set-intersection)
+    monitoring with ≤ k rows per group persisted in the TABLE.
+
+    KMV is a lattice merge (keep the k smallest hashes), not an additive
+    one, so it gets its own sink rather than composing with
+    :func:`additive_rollup_sink`: per batch, ``kmv_build`` reduces the
+    batch to sketch rows and ``kmv_merge`` folds them into the snapshot.
+    Like every lattice/linear sketch, N streamed batches produce EXACTLY
+    the sketch of the concatenated input (asserted in tests) — restarts
+    and re-deliveries of whole batches are idempotent for free, because
+    merging a subset of already-present hashes changes nothing."""
+    from ..operators.sketch import kmv_build, kmv_merge
+
+    groups = list(group_cols or [])
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = kmv_build(batch, key_col, k=k, group_cols=groups)
+        existing = _parquet_or_none(spark, sketch_path)
+        if existing is None:
+            merged = delta
+        else:
+            merged = kmv_merge(existing, delta, k=k, group_cols=groups)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(sketch_path)
+
+    return process

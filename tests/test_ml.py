@@ -295,3 +295,45 @@ def test_tune_quality_classifier_survives_observation_manager(spark, weak_labele
     # the op that died pre-fix: RDD serialization of a transform of the model
     scored = score_quality(best, weak_labeled_docs).localCheckpoint(eager=True)
     assert scored.count() == weak_labeled_docs.count()
+
+
+def test_reliability_report_and_isotonic_calibration(spark, weak_labeled_docs):
+    """Calibration loop: score a held-out slice, diagnose with the binned
+    reliability report, repair with isotonic regression — Brier must not
+    increase on the calibration sample (isotonic is the L2-optimal monotone
+    fit), the calibrated map must be monotone, and the report's bins must
+    partition the sample."""
+    from data_etl_with_dbt_spark.ml.quality import (
+        apply_calibration,
+        brier_score,
+        calibrate_isotonic,
+        reliability_report,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    train = weak_labeled_docs.where(F.col("doc_id") < 30)
+    rest = weak_labeled_docs.where(F.col("doc_id") >= 30)
+    model = train_quality_classifier(train, num_features=1 << 12, max_iter=20)
+    scored = score_quality(model, rest).join(
+        rest.select("doc_id", "label"), "doc_id"
+    )
+
+    rep = reliability_report(scored, bins=5).collect()
+    assert sum(r.n for r in rep) == rest.count()
+    for r in rep:
+        assert 0.0 <= r.mean_prob <= 1.0 and 0.0 <= r.frac_pos <= 1.0
+
+    iso = calibrate_isotonic(scored)
+    cal = apply_calibration(iso, scored)
+    assert "calibrated_prob" in cal.columns
+
+    raw_brier = brier_score(scored)
+    cal_brier = brier_score(cal, prob_col="calibrated_prob")
+    assert cal_brier <= raw_brier + 1e-12
+
+    # monotone: sorting by raw prob must sort calibrated prob too
+    rows = cal.select("quality_prob", "calibrated_prob").collect()
+    rows.sort(key=lambda r: r.quality_prob)
+    cps = [r.calibrated_prob for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(cps, cps[1:]))

@@ -916,3 +916,72 @@ def test_drift_monitor_sink_alarms_on_shift_only(spark, tmp_path):
     assert len(rows) == 3
     assert [r.alarm for r in rows] == [False, False, True]
     assert rows[2].chi_square > rows[0].chi_square * 5
+
+
+def test_streaming_kmv_sketch_rollup_matches_batch_build(spark, tmp_path):
+    """KMV is a lattice sketch (keep-k-smallest): kmv_rollup_sink folds each
+    micro-batch's sketch into the persisted table, and after the stream
+    drains the table EQUALS the sketch built in one batch over all input —
+    so distinct-count estimates from the streamed table are bit-identical
+    to the batch path's."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.operators.sketch import kmv_build, kmv_estimate
+    from data_etl_with_dbt_spark.streaming.intake import kmv_rollup_sink
+
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+
+    batches = [
+        [("view", f"u{i}") for i in range(40)],
+        [("view", f"u{i}") for i in range(20, 60)] + [("click", f"u{i}") for i in range(10)],
+        [("click", f"u{i}") for i in range(5, 50)],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "event_type string, user string").coalesce(
+            1
+        ).write.parquet(str(src / f"f{i}"))
+        for f in _glob.glob(str(src / f"f{i}" / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    sink = kmv_rollup_sink(
+        str(tmp_path / "kmv_table"), "user", group_cols=["event_type"], k=16
+    )
+    q = (
+        spark.readStream.schema("event_type string, user string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    table = spark.read.parquet(str(tmp_path / "kmv_table"))
+    streamed = sorted(map(tuple, table.collect()))
+    whole = spark.createDataFrame(
+        [r for b in batches for r in b], "event_type string, user string"
+    )
+    direct = sorted(
+        map(tuple, kmv_build(whole, "user", k=16, group_cols=["event_type"]).collect())
+    )
+    assert streamed == direct
+    # and the estimates coming off the streamed table match the batch path
+    est_s = sorted(
+        map(tuple, kmv_estimate(table, k=16, group_cols=["event_type"]).collect())
+    )
+    est_d = sorted(
+        map(
+            tuple,
+            kmv_estimate(
+                kmv_build(whole, "user", k=16, group_cols=["event_type"]),
+                k=16,
+                group_cols=["event_type"],
+            ).collect(),
+        )
+    )
+    assert est_s == est_d
