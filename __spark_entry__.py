@@ -117,7 +117,8 @@ ZQ_QUEUED = [
     "cusum_change_points",
     # session-5 additions
     "theta_sketch_users", "sampled_quantiles_orders",
-    "benford_first_digit_orders",
+    "benford_first_digit_orders", "trend_decompose_daily",
+    "acf_daily_values",
 ]
 
 ZV_VERIFIED = [

@@ -808,3 +808,170 @@ def event_transition_matrix(spark, sf_dir):
             "p_transition"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series decomposition + autocorrelation over the daily value series.
+# Determinism: the daily totals are decimal-exact; the centered moving
+# average is an exact DECIMAL frame sum divided ONCE by the frame count
+# (window SUM of decimals is order-independent where a windowed AVG of
+# doubles would hash-diverge); detrending is per-row IEEE subtraction; the
+# weekday phase is pure date arithmetic (datediff % 7 — never dayofweek,
+# whose Sunday origin differs between the engines).
+# ---------------------------------------------------------------------------
+
+@query(
+    "trend_decompose_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS dsum
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+    ),
+    w AS (
+        SELECT day,
+               CAST(dsum AS DOUBLE) AS daily_total,
+               CAST(SUM(dsum) OVER (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+                   AS tsum,
+               CAST(COUNT(*) OVER (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+                   AS tn
+        FROM daily
+    )
+    SELECT day,
+           daily_total,
+           tsum / tn AS trend_ma7,
+           daily_total - (tsum / tn) AS detrended,
+           CAST(datediff('day', DATE '2024-01-01', day) % 7 AS BIGINT)
+               AS phase
+    FROM w
+    ORDER BY day
+    """,
+    description=(
+        "Classical decomposition step over the daily value series: "
+        "7-day centered moving-average trend from exact decimal frame "
+        "sums, per-day detrended residual, and a weekday phase index — "
+        "one aggregation + one 30-row window (metadata frame)"
+    ),
+)
+def trend_decompose_daily(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("dsum")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        F.col("dsum").cast("double").alias("daily_total"),
+        F.sum("dsum").over(w).cast("double").alias("tsum"),
+        F.count(F.lit(1)).over(w).cast("double").alias("tn"),
+    )
+    return trended.select(
+        "day",
+        "daily_total",
+        (F.col("tsum") / F.col("tn")).alias("trend_ma7"),
+        (F.col("daily_total") - (F.col("tsum") / F.col("tn"))).alias(
+            "detrended"
+        ),
+        (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 7)
+        .cast("bigint")
+        .alias("phase"),
+    ).orderBy("day")
+
+
+@query(
+    "acf_daily_values",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+    ),
+    leads AS (
+        SELECT v,
+               lead(v, 1) OVER (ORDER BY day) AS l1,
+               lead(v, 2) OVER (ORDER BY day) AS l2,
+               lead(v, 3) OVER (ORDER BY day) AS l3,
+               lead(v, 4) OVER (ORDER BY day) AS l4,
+               lead(v, 5) OVER (ORDER BY day) AS l5,
+               lead(v, 6) OVER (ORDER BY day) AS l6,
+               lead(v, 7) OVER (ORDER BY day) AS l7
+        FROM daily
+    ),
+    long AS (
+        SELECT 1 AS lag, v, l1 AS lv FROM leads WHERE l1 IS NOT NULL
+        UNION ALL SELECT 2, v, l2 FROM leads WHERE l2 IS NOT NULL
+        UNION ALL SELECT 3, v, l3 FROM leads WHERE l3 IS NOT NULL
+        UNION ALL SELECT 4, v, l4 FROM leads WHERE l4 IS NOT NULL
+        UNION ALL SELECT 5, v, l5 FROM leads WHERE l5 IS NOT NULL
+        UNION ALL SELECT 6, v, l6 FROM leads WHERE l6 IS NOT NULL
+        UNION ALL SELECT 7, v, l7 FROM leads WHERE l7 IS NOT NULL
+    ),
+    comp AS (
+        SELECT lag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+               CAST(SUM(CAST(lv AS DECIMAL(18,6))) AS DOUBLE) AS sb,
+               CAST(SUM(CAST(v * lv AS DECIMAL(18,6))) AS DOUBLE) AS sab,
+               CAST(SUM(CAST(v * v AS DECIMAL(18,6))) AS DOUBLE) AS saa,
+               CAST(SUM(CAST(lv * lv AS DECIMAL(18,6))) AS DOUBLE) AS sbb
+        FROM long
+        GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           (n * sab - sa * sb)
+           / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)) AS acf
+    FROM comp
+    ORDER BY lag
+    """,
+    description=(
+        "Lag-1..7 autocorrelation of the daily value series (Pearson over "
+        "the overlapping lagged pairs) from decimal-exact component sums — "
+        "the seasonality screen next to trend_decompose_daily; the lead "
+        "window runs over the 30-row daily metadata frame, never raw rows"
+    ),
+)
+def acf_daily_values(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    w = Window.orderBy("day")
+    leads = daily.select(
+        "v", *[F.lead("v", k).over(w).alias(f"l{k}") for k in range(1, 8)]
+    )
+    long = leads.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("v").alias("v"),
+                        F.col(f"l{k}").alias("lv"),
+                    )
+                    for k in range(1, 8)
+                ]
+            )
+        ).alias("s")
+    ).select("s.lag", "s.v", "s.lv").where(F.col("lv").isNotNull())
+    comp = long.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("v")).alias("sa"),
+        dsum(F.col("lv")).alias("sb"),
+        dsum(F.col("v") * F.col("lv")).alias("sab"),
+        dsum(F.col("v") * F.col("v")).alias("saa"),
+        dsum(F.col("lv") * F.col("lv")).alias("sbb"),
+    )
+    acf = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / (
+        F.sqrt(F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        * F.sqrt(F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return comp.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        acf.alias("acf"),
+    ).orderBy("lag")
