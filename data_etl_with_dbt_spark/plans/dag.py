@@ -239,6 +239,15 @@ class ModelRegistry:
                 for n, s in self._models.items()
                 if any(fnmatch.fnmatchcase(t, pat) for t in s.tags)
             }
+        if atom.startswith("config."):
+            # dbt config method: config.materialized:incremental,
+            # config.incremental_strategy:merge, ...
+            key, _, want = atom[7:].partition(":")
+            return {
+                n
+                for n, s in self._models.items()
+                if str(getattr(s, key, None)) == want
+            }
         hits = set(fnmatch.filter(self._models.keys(), atom))
         if not hits and not any(ch in atom for ch in "*?["):
             raise KeyError(f"--select: no model named '{atom}'")
@@ -704,6 +713,67 @@ class ModelRegistry:
         for t in targets:
             up(t)
         return name in seen
+
+    def build(
+        self,
+        spark: SparkSession,
+        select: str | list[str] | None = None,
+        exclude: str | list[str] | None = None,
+    ) -> dict:
+        """dbt ``build``: materialize each selected model IN DEPENDENCY
+        ORDER and run its declared tests immediately after — a BLOCKING
+        test failure (severity 'error') marks the model failed and every
+        downstream model is SKIPPED, never built on known-bad data (dbt's
+        skip-descendants-of-failures semantics; 'warn' failures report but
+        don't block). ``run()`` + ``test()`` check quality only after the
+        whole DAG ran; ``build()`` is the guardrail form.
+
+        Returns ``{"results": {name: DataFrame}, "tests": [TestResult],
+        "failed": [names], "skipped": [names]}``."""
+        from data_etl_with_dbt_spark.plans.dq import run_test
+
+        targets = (
+            self.topo_order()
+            if select is None and exclude is None
+            else self.select_nodes(select, exclude)
+        )
+        wanted = [
+            n
+            for n in self.topo_order()
+            if n in targets or self._is_upstream_of_any(n, targets)
+        ]
+        for seed_name, (csv_path, schema) in self._seeds.items():
+            from data_etl_with_dbt_spark.sources.io import read_csv, write_table
+
+            seed_df = read_csv(spark, csv_path, schema=schema)
+            write_table(seed_df, seed_name, mode="overwrite")
+            self._cache[seed_name] = spark.table(seed_name)
+        results: dict[str, DataFrame] = {}
+        test_results: list = []
+        failed: list[str] = []
+        skipped: list[str] = []
+        bad: set[str] = set()
+        for name in wanted:
+            if self._deps.get(name, set()) & bad:
+                skipped.append(name)
+                bad.add(name)  # descendants of a skip are skipped too
+                continue
+            df = self._build_model(spark, name)
+            results[name] = df
+            blocking_failure = False
+            for test_fn, column, kwargs in self._models[name].tests:
+                res = run_test(test_fn, df, column, model=name, **kwargs)
+                test_results.append(res)
+                blocking_failure = blocking_failure or res.blocking
+            if blocking_failure:
+                failed.append(name)
+                bad.add(name)
+        return {
+            "results": results,
+            "tests": test_results,
+            "failed": failed,
+            "skipped": skipped,
+        }
 
     def test(self, spark: SparkSession) -> list:
         """Run every declared data-quality test (dbt-test protocol: a test

@@ -151,3 +151,83 @@ class TestRunWithSelectors:
         # exclusion removes 'right' from the SELECTION, but prerequisites of
         # the remaining selection still build (top needs right to exist)
         assert built == ["base", "left", "right", "top"]
+
+
+class TestConfigSelector:
+    def test_config_materialized_atom(self):
+        reg = ModelRegistry()
+
+        @reg.model(name="t1", materialized="table")
+        def t1(ctx):  # pragma: no cover
+            raise AssertionError
+
+        @reg.model(name="v1", materialized="view", deps=["t1"])
+        def v1(ctx):  # pragma: no cover
+            raise AssertionError
+
+        @reg.model(name="i1", materialized="incremental", unique_key="id", deps=["v1"])
+        def i1(ctx):  # pragma: no cover
+            raise AssertionError
+
+        assert reg.select_nodes("config.materialized:table") == ["t1"]
+        assert reg.select_nodes("config.materialized:view+") == ["v1", "i1"]
+        assert reg.select_nodes("config.unique_key:id") == ["i1"]
+
+
+class TestBuild:
+    def test_blocking_failure_skips_descendants(self, spark):
+        from data_etl_with_dbt_spark.plans import dq
+
+        built = []
+        reg = ModelRegistry()
+
+        @reg.model(name="base", materialized="ephemeral")
+        def base(ctx):
+            built.append("base")
+            return ctx.spark.range(5).select(F.col("id").alias("k"))
+
+        @reg.model(name="mid", deps=["base"], materialized="ephemeral")
+        def mid(ctx):
+            built.append("mid")
+            # duplicate keys: the unique test must fail
+            return ctx.ref("base").unionByName(ctx.ref("base"))
+
+        @reg.model(name="top", deps=["mid"], materialized="ephemeral")
+        def top(ctx):  # pragma: no cover - must be skipped
+            built.append("top")
+            return ctx.ref("mid")
+
+        @reg.model(name="side", deps=["base"], materialized="ephemeral")
+        def side(ctx):
+            built.append("side")
+            return ctx.ref("base")
+
+        reg.add_test("mid", dq.unique, "k")
+        out = reg.build(spark)
+        assert out["failed"] == ["mid"]
+        assert out["skipped"] == ["top"]
+        assert "top" not in built and "side" in built  # unaffected branch runs
+        assert [t for t in out["tests"] if not t.passed][0].model == "mid"
+
+    def test_warn_severity_does_not_block(self, spark):
+        from data_etl_with_dbt_spark.plans import dq
+
+        reg = ModelRegistry()
+
+        @reg.model(name="base", materialized="ephemeral")
+        def base(ctx):
+            return ctx.spark.range(3).select(F.col("id").alias("k"))
+
+        @reg.model(name="dup", deps=["base"], materialized="ephemeral")
+        def dup(ctx):
+            return ctx.ref("base").unionByName(ctx.ref("base"))
+
+        @reg.model(name="after", deps=["dup"], materialized="ephemeral")
+        def after(ctx):
+            return ctx.ref("dup")
+
+        reg.add_test("dup", dq.unique, "k", severity="warn")
+        out = reg.build(spark)
+        assert out["failed"] == [] and out["skipped"] == []
+        assert "after" in out["results"]
+        assert any(not t.passed and not t.blocking for t in out["tests"])
