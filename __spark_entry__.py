@@ -118,7 +118,7 @@ ZQ_QUEUED = [
     # session-5 additions
     "theta_sketch_users", "sampled_quantiles_orders",
     "benford_first_digit_orders", "trend_decompose_daily",
-    "acf_daily_values",
+    "acf_daily_values", "table_diff_orders_rebuild",
 ]
 
 ZV_VERIFIED = [

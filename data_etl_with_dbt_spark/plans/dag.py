@@ -223,7 +223,61 @@ class ModelRegistry:
             hops += 1
         return seen & set(self._models)
 
-    def _match_atom(self, atom: str) -> set[str]:
+    def fingerprints(self) -> dict[str, str]:
+        """Stable per-model definition fingerprints — the 'state' that
+        dbt's slim-CI ``state:modified`` selector compares against. A
+        fingerprint covers everything that changes what a model BUILDS:
+        the function's compiled code (or the SQL text for sql_model),
+        materialization config, contract, tags, and declared dependencies.
+        Persist the dict as JSON alongside a deployment; a later session's
+        ``select_nodes("state:modified+", state=old)`` rebuilds exactly
+        the changed models and their descendants."""
+        import hashlib
+
+        out = {}
+        for name, s in self._models.items():
+            fn = s.fn
+            sql_text = getattr(fn, "__sql__", None)
+            if sql_text is not None:
+                code_sig = sql_text
+            else:
+                code = fn.__code__
+                # defaults and closure cells are NOT in co_consts — a model
+                # parameterized via `def fn(ctx, _t=threshold)` or a closure
+                # variable changes behavior without changing bytecode, so
+                # both join the signature (repr-based; unreprable cells fall
+                # back to their type name rather than going invisible)
+                def safe(v):
+                    try:
+                        return repr(v)
+                    except Exception:
+                        return f"<{type(v).__name__}>"
+
+                cells = tuple(
+                    safe(c.cell_contents) for c in (fn.__closure__ or ())
+                )
+                defaults = tuple(safe(v) for v in (fn.__defaults__ or ()))
+                code_sig = repr(
+                    (code.co_code, code.co_consts, code.co_names, defaults, cells)
+                )
+            sig = repr(
+                (
+                    code_sig,
+                    s.materialized,
+                    s.unique_key,
+                    s.incremental_strategy,
+                    s.partition_by,
+                    s.on_schema_change,
+                    s.additive_cols,
+                    s.contract,
+                    sorted(s.tags),
+                    sorted(self._deps.get(name, ())),
+                )
+            )
+            out[name] = hashlib.md5(sig.encode()).hexdigest()
+        return out
+
+    def _match_atom(self, atom: str, state: dict | None = None) -> set[str]:
         """Resolve one selection atom to model names: ``tag:pat`` matches
         declared tags, anything else is an fnmatch pattern over names
         (``stg_*``). Patterns may match zero nodes (dbt warns; here the
@@ -248,12 +302,26 @@ class ModelRegistry:
                 for n, s in self._models.items()
                 if str(getattr(s, key, None)) == want
             }
+        if atom.startswith("state:"):
+            # dbt slim CI: compare definitions to a saved fingerprint dict.
+            if state is None:
+                raise ValueError(
+                    "state:* selectors need state= (a fingerprints() dict "
+                    "from the comparison manifest)"
+                )
+            mode = atom[6:]
+            current = self.fingerprints()
+            if mode == "new":
+                return {n for n in current if n not in state}
+            if mode == "modified":
+                return {n for n in current if current[n] != state.get(n)}
+            raise ValueError(f"--select: unknown state method 'state:{mode}'")
         hits = set(fnmatch.filter(self._models.keys(), atom))
         if not hits and not any(ch in atom for ch in "*?["):
             raise KeyError(f"--select: no model named '{atom}'")
         return hits
 
-    def _resolve_spec(self, spec: str) -> set[str]:
+    def _resolve_spec(self, spec: str, state: dict | None = None) -> set[str]:
         """One selection spec: dbt graph-operator grammar
         ``[N+]atom[+[N]]`` or ``@atom``. ``+model`` adds ancestors,
         ``model+`` descendants, a leading/trailing integer bounds the hop
@@ -268,7 +336,7 @@ class ModelRegistry:
         up_n, up, at, atom, down, down_n = m.groups()
         if at and (up or down):
             raise ValueError(f"--select: '@' cannot combine with '+' in '{spec}'")
-        base = self._match_atom(atom)
+        base = self._match_atom(atom, state)
         out = set(base)
         if up:
             depth = int(up_n) if up_n else None
@@ -291,6 +359,7 @@ class ModelRegistry:
         self,
         select: str | list[str] | None = None,
         exclude: str | list[str] | None = None,
+        state: dict | None = None,
     ) -> list[str]:
         """dbt node selection over the registered DAG, in topological order.
 
@@ -307,7 +376,7 @@ class ModelRegistry:
                 specs.extend(part.split())
             picked: set[str] = set()
             for spec in specs:
-                sets = [self._resolve_spec(s) for s in spec.split(",") if s]
+                sets = [self._resolve_spec(s, state) for s in spec.split(",") if s]
                 if sets:
                     inter = set.intersection(*sets)
                     picked |= inter
@@ -324,6 +393,7 @@ class ModelRegistry:
         select: str | list[str] | None = None,
         threads: int = 1,
         exclude: str | list[str] | None = None,
+        state: dict | None = None,
     ) -> dict[str, DataFrame]:
         """Materialize every model in dependency order.
 
@@ -366,7 +436,7 @@ class ModelRegistry:
         if select is None and exclude is None:
             targets = self.topo_order()
         else:
-            targets = self.select_nodes(select, exclude)
+            targets = self.select_nodes(select, exclude, state=state)
         wanted = [
             name
             for name in self.topo_order()
@@ -637,6 +707,8 @@ class ModelRegistry:
             rendered = sqlmod.render(_body, ctx, _name, incremental_run)
             return ctx.spark.sql(rendered)
 
+        fn.__sql__ = sql  # definition text, for state:modified fingerprints
+
         spec_kwargs = {
             k: v
             for k, v in cfg.items()
@@ -719,6 +791,7 @@ class ModelRegistry:
         spark: SparkSession,
         select: str | list[str] | None = None,
         exclude: str | list[str] | None = None,
+        state: dict | None = None,
     ) -> dict:
         """dbt ``build``: materialize each selected model IN DEPENDENCY
         ORDER and run its declared tests immediately after — a BLOCKING
@@ -735,7 +808,7 @@ class ModelRegistry:
         targets = (
             self.topo_order()
             if select is None and exclude is None
-            else self.select_nodes(select, exclude)
+            else self.select_nodes(select, exclude, state=state)
         )
         wanted = [
             n

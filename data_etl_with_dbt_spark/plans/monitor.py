@@ -225,3 +225,79 @@ def psi_drift(
         e = max(base.get(b, 0.0), epsilon)
         psi += (a - e) * math.log(a / e)
     return psi
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two relations on a key (the data-diff /
+    reconciliation tool shape: validate a migration, audit a CDC apply,
+    compare yesterday's snapshot to today's rebuild). One full-outer join
+    on the key — a single key-shuffle of each side, no collect — emitting
+    per key: ``diff_status`` ('equal' | 'changed' | 'only_a' | 'only_b')
+    and ``changed_cols`` (comma-joined names of differing columns, '' when
+    none). Column comparison is NULL-SAFE (NULL == NULL counts equal;
+    NULL vs value counts changed)."""
+    cols = compare_cols or [
+        c for c in a.columns if c in b.columns and c not in keys
+    ]
+    left = a.select(*keys, *cols, F.lit(1).alias("__in_a")).alias("__a")
+    right = b.select(*keys, *cols, F.lit(1).alias("__in_b")).alias("__b")
+    joined = left.join(right, on=keys, how="full_outer")
+    per_col = [
+        F.when(
+            ~F.col(f"__a.{c}").eqNullSafe(F.col(f"__b.{c}")), F.lit(c)
+        )
+        for c in cols
+    ]
+    changed_cols = F.concat_ws(
+        ",", F.filter(F.array(*per_col), lambda x: x.isNotNull())
+    )
+    status = (
+        F.when(F.col("__in_b").isNull(), F.lit("only_a"))
+        .when(F.col("__in_a").isNull(), F.lit("only_b"))
+        .when(changed_cols == "", F.lit("equal"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *keys,
+        status.alias("diff_status"),
+        F.when(status == "changed", changed_cols)
+        .otherwise(F.lit(""))
+        .alias("changed_cols"),
+    )
+
+
+def table_diff_summary(
+    diff: DataFrame, compare_cols: list[str]
+) -> DataFrame:
+    """Long-form reconciliation report over a :func:`table_diff` result:
+    one row per status ('equal'/'changed'/'only_a'/'only_b') plus one
+    ``col:<name>`` row per compared column counting rows where THAT column
+    differs — one aggregation over the diff frame, bytes out."""
+    aggs = [
+        F.sum(F.when(F.col("diff_status") == s, 1).otherwise(0))
+        .cast("bigint")
+        .alias(s)
+        for s in ("equal", "changed", "only_a", "only_b")
+    ] + [
+        F.sum(
+            F.when(
+                F.array_contains(F.split("changed_cols", ","), c), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"col:{c}")
+        for c in compare_cols
+    ]
+    wide = diff.agg(*aggs)
+    names = [f.name for f in wide.schema.fields]
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return (
+        wide.select(
+            F.expr(f"stack({len(names)}, {stack}) AS (metric, n)")
+        ).orderBy("metric")
+    )

@@ -1404,3 +1404,98 @@ def benford_first_digit_orders(spark, sf_dir):
     from data_etl_with_dbt_spark.plans.dq import benford_check
 
     return benford_check(load(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Table diff / reconciliation (plans/monitor.table_diff): audit a rebuild
+# against its baseline. The comparison is NULL-SAFE (<=> / IS NOT DISTINCT
+# FROM); the fixture's "rebuild" drops, mutates, and adds deterministic key
+# slices so every status is populated.
+# ---------------------------------------------------------------------------
+
+@query(
+    "table_diff_orders_rebuild",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+        FROM orders
+    ),
+    b AS (
+        SELECT k,
+               CASE WHEN k % 97 = 0 THEN 0.0 ELSE p END AS p,
+               CASE WHEN k % 101 = 0 THEN 'X' ELSE s END AS s
+        FROM a WHERE k % 89 <> 0
+        UNION ALL
+        SELECT k + 10000000, p, s FROM a WHERE k % 83 = 0
+    ),
+    j AS (
+        SELECT CASE WHEN b.k IS NULL THEN 'only_a'
+                    WHEN a.k IS NULL THEN 'only_b'
+                    WHEN (a.p IS NOT DISTINCT FROM b.p)
+                         AND (a.s IS NOT DISTINCT FROM b.s) THEN 'equal'
+                    ELSE 'changed' END AS st,
+               CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                         AND NOT (a.p IS NOT DISTINCT FROM b.p)
+                    THEN 1 ELSE 0 END AS dp,
+               CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                         AND NOT (a.s IS NOT DISTINCT FROM b.s)
+                    THEN 1 ELSE 0 END AS ds
+        FROM a FULL JOIN b ON a.k = b.k
+    )
+    SELECT metric, n FROM (
+        SELECT 'equal' AS metric,
+               CAST(sum(CASE WHEN st = 'equal' THEN 1 ELSE 0 END) AS BIGINT) AS n
+        FROM j
+        UNION ALL
+        SELECT 'changed',
+               CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        FROM j
+        UNION ALL
+        SELECT 'only_a',
+               CAST(sum(CASE WHEN st = 'only_a' THEN 1 ELSE 0 END) AS BIGINT)
+        FROM j
+        UNION ALL
+        SELECT 'only_b',
+               CAST(sum(CASE WHEN st = 'only_b' THEN 1 ELSE 0 END) AS BIGINT)
+        FROM j
+        UNION ALL
+        SELECT 'col:o_totalprice', CAST(sum(dp) AS BIGINT) FROM j
+        UNION ALL
+        SELECT 'col:o_orderstatus', CAST(sum(ds) AS BIGINT) FROM j
+    ) t
+    ORDER BY metric
+    """,
+    description=(
+        "Data-diff reconciliation of orders vs a deterministic 'rebuild' "
+        "(dropped/mutated/added key slices): per-status row counts plus "
+        "per-column change counts from ONE full-outer key join — the "
+        "migration/CDC audit tool"
+    ),
+)
+def table_diff_orders_rebuild(spark, sf_dir):
+    from data_etl_with_dbt_spark.plans.monitor import (
+        table_diff,
+        table_diff_summary,
+    )
+
+    k = F.col("o_orderkey")
+    a = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    mutated = a.where(k % 89 != 0).select(
+        "o_orderkey",
+        F.when(k % 97 == 0, F.lit(0.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(k % 101 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    added = a.where(k % 83 == 0).select(
+        (k + 10000000).alias("o_orderkey"), "o_totalprice", "o_orderstatus"
+    )
+    b = mutated.unionByName(added)
+    diff = table_diff(
+        a, b, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+    return table_diff_summary(diff, ["o_totalprice", "o_orderstatus"])

@@ -137,3 +137,46 @@ def test_morton_key_randomized_round_trip(spark):
         a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (a, b) == (r.a, r.b)
+
+
+def test_cms_join_size_never_undercounts_and_bounded(spark):
+    """AMS inner-product join-size estimate from two CMS cell relations:
+    >= the true equi-join size always, and within e/width * |A|*|B| of it
+    (randomized keys; both properties of the min-of-row-sums estimator)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_etl_with_dbt_spark.operators.sketch import cms_build, cms_join_size
+
+    rng = random.Random(11)
+    width, depth = 1024, 4
+    for trial in range(3):
+        a_keys = [f"k{rng.randrange(60)}" for _ in range(400)]
+        b_keys = [f"k{rng.randrange(80)}" for _ in range(300)]
+        a = spark.createDataFrame([(k,) for k in a_keys], "k string")
+        b = spark.createDataFrame([(k,) for k in b_keys], "k string")
+        true_size = a.join(b, "k").count()
+        [row] = cms_join_size(
+            cms_build(a, "k", depth=depth, width=width),
+            cms_build(b, "k", depth=depth, width=width),
+            depth=depth,
+        ).collect()
+        assert row.est_join_size >= true_size, (trial, row.est_join_size, true_size)
+        slack = 2.7182818 / width * len(a_keys) * len(b_keys)
+        assert row.est_join_size <= true_size + 3 * slack, (
+            trial, row.est_join_size, true_size, slack,
+        )
+
+
+def test_cms_join_size_disjoint_is_zero(spark):
+    from data_etl_with_dbt_spark.operators.sketch import cms_build, cms_join_size
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+    [row] = cms_join_size(
+        cms_build(a, "k", depth=4, width=4096),
+        cms_build(b, "k", depth=4, width=4096),
+    ).collect()
+    # wide sketch, tiny key sets: no colliding cells at all
+    assert row.est_join_size == 0

@@ -507,3 +507,25 @@ class TestBenfordCheck:
         )
         rows = benford_check(df, "v").collect()
         assert [(r.digit, r.n) for r in rows] == [(7, 1)]
+
+
+class TestTableDiff:
+    def test_row_level_statuses_and_null_safety(self, spark):
+        from data_etl_with_dbt_spark.plans.monitor import table_diff
+
+        a = spark.createDataFrame(
+            [(1, "x", 1.0), (2, None, 2.0), (3, "z", None), (4, "w", 4.0)],
+            "k int, s string, v double",
+        )
+        b = spark.createDataFrame(
+            [(1, "x", 1.0), (2, None, 2.0), (3, "z", 3.0), (5, "n", 5.0)],
+            "k int, s string, v double",
+        )
+        rows = {r.k: r for r in table_diff(a, b, ["k"]).collect()}
+        assert rows[1].diff_status == "equal"
+        assert rows[2].diff_status == "equal"  # NULL == NULL is equal
+        assert rows[3].diff_status == "changed" and rows[3].changed_cols == "v"
+        assert rows[4].diff_status == "only_a"
+        assert rows[5].diff_status == "only_b"
+        # non-changed rows carry an empty changed_cols, never NULL
+        assert rows[4].changed_cols == "" and rows[1].changed_cols == ""

@@ -231,3 +231,98 @@ class TestBuild:
         assert out["failed"] == [] and out["skipped"] == []
         assert "after" in out["results"]
         assert any(not t.passed and not t.blocking for t in out["tests"])
+
+
+class TestStateModified:
+    """dbt slim CI: fingerprints() captures each model's definition; a later
+    registry compared against the saved dict selects exactly the changed /
+    new models (state:modified, state:new), composing with graph operators
+    (state:modified+ = changed models and everything downstream)."""
+
+    def _registry(self, core_version: int):
+        reg = ModelRegistry()
+
+        @reg.model(name="stg", materialized="view")
+        def stg(ctx):  # pragma: no cover
+            raise AssertionError
+
+        if core_version == 1:
+
+            @reg.model(name="core", deps=["stg"])
+            def core(ctx):  # pragma: no cover
+                return ctx.ref("stg").where("id > 0")
+
+        else:
+
+            @reg.model(name="core", deps=["stg"])
+            def core(ctx):  # pragma: no cover
+                return ctx.ref("stg").where("id > 100")
+
+        @reg.model(name="mart", deps=["core"])
+        def mart(ctx):  # pragma: no cover
+            raise AssertionError
+
+        return reg
+
+    def test_unchanged_registry_selects_nothing(self):
+        old = self._registry(1).fingerprints()
+        assert self._registry(1).select_nodes("state:modified", state=old) == []
+
+    def test_code_change_detected_and_propagates(self):
+        old = self._registry(1).fingerprints()
+        new = self._registry(2)
+        assert new.select_nodes("state:modified", state=old) == ["core"]
+        assert new.select_nodes("state:modified+", state=old) == ["core", "mart"]
+
+    def test_config_change_detected(self):
+        old = self._registry(1).fingerprints()
+        new = self._registry(1)
+        new._models["mart"].materialized = "table"
+        assert new.select_nodes("state:modified", state=old) == ["mart"]
+
+    def test_new_model_detected(self):
+        old = self._registry(1).fingerprints()
+        new = self._registry(1)
+
+        @new.model(name="extra", deps=["mart"])
+        def extra(ctx):  # pragma: no cover
+            raise AssertionError
+
+        assert new.select_nodes("state:new", state=old) == ["extra"]
+        # modified includes new (no prior fingerprint -> differs)
+        assert new.select_nodes("state:modified", state=old) == ["extra"]
+
+    def test_sql_model_text_change_detected(self):
+        def mk(where):
+            reg = ModelRegistry()
+            reg.add_source("s", lambda sp: sp.range(3))
+            reg.sql_model("m", f"SELECT * FROM {{{{ source('s') }}}} WHERE id > {where}")
+            return reg
+
+        old = mk(0).fingerprints()
+        assert mk(0).select_nodes("state:modified", state=old) == []
+        assert mk(5).select_nodes("state:modified", state=old) == ["m"]
+
+    def test_state_without_manifest_raises(self):
+        with pytest.raises(ValueError, match="state="):
+            self._registry(1).select_nodes("state:modified")
+
+    def test_default_arg_and_closure_changes_detected(self):
+        def mk(thresh):
+            reg = ModelRegistry()
+
+            @reg.model(name="m")
+            def m(ctx, _t=thresh):  # pragma: no cover
+                raise AssertionError
+
+            captured = thresh * 2
+
+            @reg.model(name="c")
+            def c(ctx):  # pragma: no cover
+                return captured
+
+            return reg
+
+        old = mk(3).fingerprints()
+        assert mk(3).select_nodes("state:modified", state=old) == []
+        assert mk(7).select_nodes("state:modified", state=old) == ["m", "c"]
