@@ -879,3 +879,242 @@ def packed_token_windows(
             ).alias("window_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece's second algorithm, Kudo 2018) —
+# completing the tokenizer-training family next to BPE: seed a large
+# candidate-piece vocabulary from substring statistics, run Viterbi-EM over
+# the DISTINCT word table (the same vocabulary-sized scale trick train_bpe
+# uses — the corpus contributes exactly ONE scan), and prune to the target
+# size. Unlike BPE's greedy merges, the unigram model scores SEGMENTATIONS
+# (product of piece probabilities), which is what modern LLM tokenizers
+# (T5, LLaMA via SentencePiece) actually ship.
+# ---------------------------------------------------------------------------
+
+def _word_table(df: DataFrame, text_col: str, min_word_len: int) -> DataFrame:
+    return (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
+        .where(F.length("word") >= min_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def unigram_seed_pieces(
+    words: DataFrame, max_piece_len: int = 6, seed_size: int = 512
+) -> DataFrame:
+    """Candidate pieces for unigram-LM training: every substring of every
+    distinct word up to ``max_piece_len`` chars, weighted by word frequency
+    (overlapping occurrences count — the suffix-statistics seeding
+    SentencePiece approximates with a suffix array), scored by
+    ``total_weight × piece_length``. Keeps the top ``seed_size`` multi-char
+    pieces (total-order tie-break: score DESC, piece ASC) plus EVERY single
+    character — mandatory, so Viterbi can always cover a word. All work is
+    over the vocabulary-sized word table: substring explode ≤
+    |word| × max_piece_len rows per DISTINCT word."""
+    starts = F.sequence(F.lit(1), F.length("word"))
+    subs = words.select(
+        "c",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    starts,
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece_len), F.length("word") - i + 1
+                            ),
+                        ),
+                        lambda ln: F.substring(F.col("word"), i, ln),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counted = subs.groupBy("piece").agg(F.sum("c").alias("w"))
+    chars = counted.where(F.length("piece") == 1)
+    multi = (
+        counted.where(F.length("piece") >= 2)
+        .orderBy(
+            (F.col("w") * F.length("piece")).desc(), F.col("piece")
+        )
+        .limit(seed_size)
+    )
+    return chars.unionByName(multi)
+
+
+def unigram_segment(
+    words: DataFrame, vocab: dict, max_piece_len: int = 6
+) -> DataFrame:
+    """Viterbi-segment a DISTINCT word relation under a broadcast
+    ``{piece: logprob}`` vocabulary: Arrow-batched pandas over the
+    vocabulary-sized frame (never the corpus — encode joins results back
+    by word). Output: ``(word, pieces: array<string>, logprob: double)``."""
+    import pandas as pd
+
+    sc = words.sparkSession.sparkContext
+    bc = sc.broadcast((dict(vocab), max_piece_len))
+
+    # the DP is REBUILT inside the worker closure from builtins only —
+    # referencing the module-level helper would make cloudpickle serialize
+    # it by module reference, which executors without the package on their
+    # sys.path cannot import (the repo is driven by sys.path insertion, not
+    # a pip install)
+    def _make_segmenter(logp, max_len):
+        def segment(word):
+            n = len(word)
+            neg = float("-inf")
+            best = [neg] * (n + 1)
+            best[0] = 0.0
+            back = [0] * (n + 1)
+            for j in range(1, n + 1):
+                for i in range(max(0, j - max_len), j):
+                    lp = logp.get(word[i:j])
+                    if lp is None or best[i] == neg:
+                        continue
+                    s = best[i] + lp
+                    if s > best[j]:
+                        best[j] = s
+                        back[j] = i
+            pieces = []
+            j = n
+            while j > 0:
+                i = back[j]
+                pieces.append(word[i:j])
+                j = i
+            pieces.reverse()
+            return pieces, best[n]
+
+        return segment
+
+    def run(batches):
+        logp, mpl = bc.value
+        seg = _make_segmenter(logp, mpl)
+        for pdf in batches:
+            outs = [seg(w) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "pieces": [o[0] for o in outs],
+                    "logprob": [o[1] for o in outs],
+                }
+            )
+
+    return words.select("word").mapInPandas(
+        run, schema="word string, pieces array<string>, logprob double"
+    )
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 64,
+    max_piece_len: int = 6,
+    num_iters: int = 3,
+    seed_size: int = 512,
+    min_word_len: int = 1,
+) -> list[dict]:
+    """Train the unigram-LM tokenizer: seed candidates from substring
+    statistics, then ``num_iters`` rounds of Viterbi-EM — E-step segments
+    every DISTINCT word under the current probabilities and accumulates
+    frequency-weighted piece counts (one vocab-sized distributed pass per
+    round); M-step renormalizes on the driver (the model is KBs) — and
+    finally prune to ``vocab_size``: all single characters (coverage is
+    non-negotiable) plus the top multi-char pieces by expected count
+    (total-order tie-break: count DESC, piece ASC).
+
+    Viterbi-EM (hard EM) replaces SentencePiece's forward-backward E-step:
+    deterministic, one DP per word, and the standard simplification for
+    distributed implementations. Returns ``[{piece, logprob, piece_id}]``
+    with ids assigned by (-logprob, piece) rank.
+
+    Scale shape: corpus → ONE word-count scan; everything after runs over
+    distinct words (vocabulary-sized at any corpus size). Driver state is
+    the piece table, never data rows."""
+    import math
+
+    if num_iters < 1:
+        raise ValueError("num_iters must be >= 1 (the prune reads E-step counts)")
+    words = _word_table(df, text_col, min_word_len).localCheckpoint(eager=True)
+    seeds = unigram_seed_pieces(words, max_piece_len, seed_size).collect()
+    total_w = sum(r.w for r in seeds)
+    logp = {r.piece: math.log(r.w / total_w) for r in seeds}
+    chars = {r.piece for r in seeds if len(r.piece) == 1}
+
+    for _ in range(num_iters):
+        seg = unigram_segment(words, logp, max_piece_len)
+        counts = (
+            seg.join(words, "word")
+            .select(F.explode("pieces").alias("piece"), "c")
+            .groupBy("piece")
+            .agg(F.sum("c").alias("cnt"))
+            .collect()
+        )
+        cnt = {r.piece: r.cnt for r in counts}
+        # coverage floor: unused single chars stay with count 1 so a later
+        # word containing them still segments
+        for ch in chars:
+            cnt.setdefault(ch, 1)
+        total = sum(cnt.values())
+        logp = {p: math.log(c / total) for p, c in cnt.items()}
+
+    multi_budget = max(0, vocab_size - len(chars))
+    multi = sorted(
+        ((p, c) for p, c in cnt.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:multi_budget]
+    kept = {p for p, _ in multi} | chars
+    kept_total = sum(c for p, c in cnt.items() if p in kept)
+    final = sorted(
+        ((p, math.log(cnt[p] / kept_total)) for p in kept),
+        key=lambda pl: (-pl[1], pl[0]),
+    )
+    return [
+        {"piece": p, "logprob": lp, "piece_id": i}
+        for i, (p, lp) in enumerate(final)
+    ]
+
+
+def unigram_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: list[dict],
+    min_word_len: int = 1,
+) -> DataFrame:
+    """Encode a corpus under a trained unigram model — the deployment half
+    of :func:`train_unigram_lm`, mirroring :func:`bpe_encode`'s shape: one
+    tokenize+posexplode corpus scan, Viterbi on the DISTINCT word table,
+    ids stitched back by a broadcast join. Output:
+    ``(id_col, pos, word, ids: array<long>, logprob: double)``."""
+    max_len = max(len(m["piece"]) for m in model)
+    logp = {m["piece"]: m["logprob"] for m in model}
+    ids = {m["piece"]: m["piece_id"] for m in model}
+    stream = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "word"),
+    ).where(F.length("word") >= min_word_len)
+    segmented = unigram_segment(stream.select("word").distinct(), logp, max_len)
+    # piece→id as a 1-row map_from_entries frame (bpe_encode's convention):
+    # a map LITERAL of a 32k-piece vocab would be a 64k-argument expression
+    # tree; this stays a broadcast of vocabulary-sized metadata
+    spark = df.sparkSession
+    vmap = spark.createDataFrame(
+        [(p, i) for p, i in sorted(ids.items())], "piece string, piece_id long"
+    ).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.col("piece_id")))
+        ).alias("__vmap")
+    )
+    word_ids = segmented.crossJoin(F.broadcast(vmap)).select(
+        "word",
+        F.transform(
+            "pieces", lambda p: F.element_at(F.col("__vmap"), p)
+        ).alias("ids"),
+        "logprob",
+    )
+    return stream.join(F.broadcast(word_ids), "word").select(
+        id_col, "pos", "word", "ids", "logprob"
+    )

@@ -1088,3 +1088,28 @@ def pca_embeddings(spark, sf_dir):
         *[F.col("pc")[i].alias(f"pc{i + 1}") for i in range(4)],
         *[F.lit(float(ev[i])).alias(f"var{i + 1}") for i in range(4)],
     ).orderBy("vec_id")
+
+
+@query(
+    "unigram_lm_vocab",
+    oracle=None,  # iterative Viterbi-EM; reference-implementation agreement
+                  # + coverage/normalization/round-trip tested in pytest
+    description=(
+        "SentencePiece-style unigram-LM tokenizer training (Kudo 2018) "
+        "over the documents corpus: substring-statistics seeding, "
+        "Viterbi-EM rounds on the DISTINCT word table (one corpus scan "
+        "total), character-coverage-preserving prune — emits the learned "
+        "vocabulary (piece, logprob, id); completes the tokenizer family "
+        "next to BPE train/encode"
+    ),
+)
+def unigram_lm_vocab(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    model = TA.train_unigram_lm(
+        docs, "text", vocab_size=80, max_piece_len=4, num_iters=2,
+        seed_size=200,
+    )
+    return spark.createDataFrame(
+        [(m["piece_id"], m["piece"], m["logprob"]) for m in model],
+        "piece_id bigint, piece string, logprob double",
+    ).orderBy("piece_id")

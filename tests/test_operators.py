@@ -2598,3 +2598,145 @@ class TestHashSampleQuantiles:
         # 0..n-1 so rank = value/n; 3-sigma band ~ 3/(2*sqrt(rate*n))
         err = abs(row.p50_sampled / n - 0.5)
         assert err < 0.04, err
+
+
+class TestUnigramLm:
+    """train_unigram_lm / unigram_segment / unigram_encode
+    (operators/textan): Viterbi-EM agreement against an independent
+    pure-Python reference (same seeding/EM/prune rules, independently
+    written backward-DP), coverage, probability normalization, and
+    encode round-trip."""
+
+    CORPUS = [
+        (0, "the cat sat on the mat"),
+        (1, "the cats sat on mats"),
+        (2, "a cat and a mat and a hat"),
+        (3, "hats and mats for cats"),
+        (4, "the hat on the cat"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+
+    # -- independent reference implementation ------------------------------
+    def _reference_train(self, vocab_size, max_len, iters, seed_size):
+        import math
+        from collections import Counter
+
+        wc = Counter()
+        for _, t in self.CORPUS:
+            for w in t.lower().split():
+                wc[w] += 1
+        seeds = Counter()
+        for w, c in wc.items():
+            for i in range(len(w)):
+                for ln in range(1, min(max_len, len(w) - i) + 1):
+                    seeds[w[i : i + ln]] += c
+        chars = {p for p in seeds if len(p) == 1}
+        multi = sorted(
+            ((p, c) for p, c in seeds.items() if len(p) >= 2),
+            key=lambda pc: (-pc[1] * len(pc[0]), pc[0]),
+        )[:seed_size]
+        total = sum(seeds[p] for p in chars) + sum(c for _, c in multi)
+        logp = {p: math.log(seeds[p] / total) for p in chars}
+        logp.update({p: math.log(c / total) for p, c in multi})
+
+        def viterbi(word):
+            # backward formulation — independent of the operator's forward DP
+            n = len(word)
+            best = {n: 0.0}
+            choice = {}
+            for i in range(n - 1, -1, -1):
+                b = None
+                for ln in range(1, min(max_len, n - i) + 1):
+                    piece = word[i : i + ln]
+                    if piece in logp and (i + ln) in best:
+                        s = logp[piece] + best[i + ln]
+                        # forward DP scans split points ascending and keeps
+                        # strict improvements => for equal scores it keeps
+                        # the SHORTEST piece ending at j; mirror that here
+                        if b is None or s > b[0] + 1e-15:
+                            b = (s, ln)
+                if b is None:
+                    return None
+                best[i] = b[0]
+                choice[i] = b[1]
+            pieces, i = [], 0
+            while i < n:
+                pieces.append(word[i : i + choice[i]])
+                i += choice[i]
+            return pieces, best[0]
+
+        cnt = {}
+        for _ in range(iters):
+            cnt = Counter()
+            for w, c in wc.items():
+                pieces, _s = viterbi(w)
+                for p in pieces:
+                    cnt[p] += c
+            for ch in chars:
+                cnt.setdefault(ch, 1)
+            t = sum(cnt.values())
+            logp = {p: math.log(c / t) for p, c in cnt.items()}
+        budget = max(0, vocab_size - len(chars))
+        kept = {
+            p
+            for p, _ in sorted(
+                ((p, c) for p, c in cnt.items() if len(p) >= 2),
+                key=lambda pc: (-pc[1], pc[0]),
+            )[:budget]
+        } | chars
+        kt = sum(c for p, c in cnt.items() if p in kept)
+        final = sorted(
+            ((p, math.log(cnt[p] / kt)) for p in kept), key=lambda pl: (-pl[1], pl[0])
+        )
+        return final
+
+    def test_agrees_with_reference(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import train_unigram_lm
+
+        model = train_unigram_lm(
+            self._df(spark), "text", vocab_size=30, max_piece_len=4,
+            num_iters=3, seed_size=40,
+        )
+        ref = self._reference_train(30, 4, 3, 40)
+        assert [m["piece"] for m in model] == [p for p, _ in ref]
+        for m, (_, lp) in zip(model, ref):
+            assert abs(m["logprob"] - lp) < 1e-9
+
+    def test_probs_normalize_and_chars_covered(self, spark):
+        import math
+
+        from data_etl_with_dbt_spark.operators.textan import train_unigram_lm
+
+        model = train_unigram_lm(
+            self._df(spark), "text", vocab_size=25, max_piece_len=4,
+            num_iters=2, seed_size=40,
+        )
+        assert abs(sum(math.exp(m["logprob"]) for m in model) - 1.0) < 1e-9
+        pieces = {m["piece"] for m in model}
+        corpus_chars = {
+            ch for _, t in self.CORPUS for w in t.lower().split() for ch in w
+        }
+        assert corpus_chars <= pieces  # every character survives the prune
+        assert any(len(p) >= 2 for p in pieces)  # and real pieces were learned
+
+    def test_encode_round_trip_and_ids(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import (
+            train_unigram_lm,
+            unigram_encode,
+        )
+
+        df = self._df(spark)
+        model = train_unigram_lm(
+            df, "text", vocab_size=30, max_piece_len=4, num_iters=2, seed_size=40
+        )
+        by_id = {m["piece_id"]: m["piece"] for m in model}
+        enc = unigram_encode(df, "doc_id", "text", model).collect()
+        assert len(enc) == sum(len(t.split()) for _, t in self.CORPUS)
+        for r in enc:
+            assert "".join(by_id[i] for i in r.ids) == r.word  # lossless
+        # segmenting an UNSEEN word still works via character coverage
+        unseen = spark.createDataFrame([(9, "tacocat")], "doc_id long, text string")
+        [row] = unigram_encode(unseen, "doc_id", "text", model).collect()
+        assert "".join(by_id[i] for i in row.ids) == "tacocat"
