@@ -1499,3 +1499,118 @@ def table_diff_orders_rebuild(spark, sf_dir):
         a, b, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
     )
     return table_diff_summary(diff, ["o_totalprice", "o_orderstatus"])
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct counts from per-day KMV sketches — the sliding
+# COUNT(DISTINCT) every analytics stack struggles with at scale: exact
+# trailing distincts rescan the window per day; per-day sketches merge in
+# sketch space (7 × ≤k rows per output day), and the md5-bridge hash makes
+# the estimates oracle-exact like theta_sketch_users.
+# ---------------------------------------------------------------------------
+
+@query(
+    "trailing_distinct_users_kmv",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    h AS (
+        SELECT DISTINCT day,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM d
+    ),
+    r AS (
+        SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM h
+    ),
+    sk AS (SELECT day, h FROM r WHERE rn <= 64),
+    days AS (SELECT DISTINCT day FROM sk),
+    win AS (
+        SELECT DISTINCT days.day AS day, sk.h
+        FROM days JOIN sk
+          ON sk.day BETWEEN days.day - 6 AND days.day
+    ),
+    wr AS (
+        SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM win
+    ),
+    wsk AS (
+        SELECT day, count(*) AS n, max(h) AS kth
+        FROM wr WHERE rn <= 64 GROUP BY day
+    ),
+    exact AS (
+        SELECT days.day AS day,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS exact_users
+        FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+        GROUP BY days.day
+    )
+    SELECT wsk.day,
+           exact.exact_users,
+           CASE WHEN wsk.n < 64 THEN CAST(wsk.n AS DOUBLE)
+                ELSE CAST(63 AS DOUBLE)
+                     / (CAST(wsk.kth AS DOUBLE) / 1152921504606846976.0)
+           END AS approx_users
+    FROM wsk JOIN exact ON wsk.day = exact.day
+    ORDER BY wsk.day
+    """,
+    description=(
+        "Trailing-7-day distinct users per day: exact windowed distinct "
+        "beside the per-day-KMV-sketch merge estimate — sliding "
+        "COUNT(DISTINCT) in sketch space (7 x <=64 rows per day, no "
+        "fact rescan), estimates oracle-exact via the md5 bridge"
+    ),
+)
+def trailing_distinct_users_kmv(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.sketch import kmv_build, kmv_estimate
+
+    k = 64
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sketches AND the exact side
+    )
+    sk = kmv_build(d, "user_id", k=k, group_cols=["day"]).localCheckpoint(
+        eager=False
+    )
+    days = sk.select("day").distinct()
+    win = (
+        days.alias("d")
+        .join(
+            sk.alias("s"),
+            F.col("s.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .select(F.col("d.day").alias("day"), "h")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy("h")
+    wsk = (
+        win.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    est = kmv_estimate(wsk, k=k, group_cols=["day"])
+    exact = (
+        days.alias("d")
+        .join(
+            d.alias("e"),
+            F.col("e.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(big(F.count_distinct(F.col("e.user_id"))).alias("exact_users"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day", "exact_users", F.col("approx_distinct").alias("approx_users")
+        )
+        .orderBy("day")
+    )

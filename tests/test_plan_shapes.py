@@ -315,6 +315,20 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # 32-row bucket-offsets metadata frame (data path proven elsewhere)
         "global_row_index": {"single-partition"},
         "packed_token_windows": {"single-partition"},  # same index machinery
+        # session-5 entries:
+        # crossJoin(broadcast(1-row total/theta/exact counts)) + the
+        # ungrouped kmv_merge window over the <=320-row sketch frame
+        "theta_sketch_users": {"cartesian", "single-partition"},
+        # crossJoin(broadcast(9-row digit distinct total))
+        "benford_first_digit_orders": {"cartesian"},
+        # 30-row daily metadata frames (one row per calendar day)
+        "trend_decompose_daily": {"single-partition"},
+        "acf_daily_values": {"single-partition"},
+        # rebuild-slice filters are modulo expressions — nothing pushable
+        "table_diff_orders_rebuild": {"unpushed-filter"},
+        # day-range BETWEEN join of 30 days x <=64-row/day sketches (both
+        # sides sketch-sized metadata; broadcast nested loop is O(days*k))
+        "trailing_distinct_users_kmv": {"cartesian"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):
