@@ -119,7 +119,7 @@ ZQ_QUEUED = [
     "theta_sketch_users", "sampled_quantiles_orders",
     "benford_first_digit_orders", "trend_decompose_daily",
     "acf_daily_values", "table_diff_orders_rebuild",
-    "trailing_distinct_users_kmv",
+    "trailing_distinct_users_kmv", "attribution_purchase_touchpoints",
 ]
 
 ZV_VERIFIED = [

@@ -1614,3 +1614,88 @@ def trailing_distinct_users_kmv(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: credit a user's pre-conversion touchpoints under
+# the three classic models in ONE pass. Linear credit is dsum(1/n): the
+# per-row IEEE division is bit-identical cross-engine, the decimal sum is
+# order-independent. First/last picks sit under a total (ts, event_id)
+# order.
+# ---------------------------------------------------------------------------
+
+@query(
+    "attribution_purchase_touchpoints",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, min(ts) AS cts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type, e.ts, e.event_id,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn_first,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts DESC, e.event_id DESC)
+                   AS rn_last,
+               count(*) OVER (PARTITION BY e.user_id) AS n_touches
+        FROM events e JOIN conv ON e.user_id = conv.user_id
+        WHERE e.event_type IN ('view', 'click') AND e.ts <= conv.cts
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS touches,
+           CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch,
+           CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch,
+           CAST(SUM(CAST(CAST(1 AS DOUBLE) / n_touches AS DECIMAL(18,6)))
+                AS DOUBLE) AS linear_credit
+    FROM touches
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description=(
+        "Multi-touch purchase attribution over user journeys: per touch "
+        "channel the first-touch / last-touch conversion counts and "
+        "linear (1/n) credit, all from one windowed pass — first/last "
+        "under a total (ts, event_id) order, linear credit via dsum of "
+        "the per-row IEEE division"
+    ),
+)
+def attribution_purchase_touchpoints(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    touches = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .where(F.col("ts") <= F.col("cts"))
+    )
+    w = Window.partitionBy("user_id")
+    wf = w.orderBy("ts", "event_id")
+    wl = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    marked = touches.select(
+        "event_type",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            big(F.count(F.lit(1))).alias("touches"),
+            big(F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))).alias(
+                "first_touch"
+            ),
+            big(F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))).alias(
+                "last_touch"
+            ),
+            dsum(F.lit(1.0) / F.col("n_touches")).alias("linear_credit"),
+        )
+        .orderBy("event_type")
+    )

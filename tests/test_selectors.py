@@ -326,3 +326,26 @@ class TestStateModified:
         old = mk(3).fingerprints()
         assert mk(3).select_nodes("state:modified", state=old) == []
         assert mk(7).select_nodes("state:modified", state=old) == ["m", "c"]
+
+
+def test_slim_ci_example_runs(spark, tmp_path, capsys):
+    """The slim-CI example end to end: full build + state manifest, a
+    one-model code change, state:modified+ rebuilds exactly the changed
+    cone (assertions live inside the example)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "slim_ci",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "slim_ci.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cwd = os.getcwd()
+    try:
+        mod.main(5000, str(tmp_path / "wd"))
+    finally:
+        os.chdir(cwd)
+    out = capsys.readouterr().out
+    assert "state:modified -> ['fct_speeds']" in out
+    assert "slim CI OK" in out
