@@ -413,3 +413,24 @@ def kmv_rollup_sink(
         merged.write.mode("overwrite").parquet(sketch_path)
 
     return process
+
+
+def hash_sample_sink(
+    sample_path: str, key_col: str, rate: float
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining a deterministic corpus sample:
+    each micro-batch's ``hash_sample`` rows APPEND to the sample table.
+    Because membership is a pure function of the key (md5 threshold), the
+    union of per-batch samples IS the sample of the union — so quantiles,
+    means, and rates computed from the table at any moment equal the batch
+    computation over everything ingested so far (asserted in tests), and
+    re-delivered batches can only append rows that are exact duplicates
+    (drop with a downstream distinct if the source can replay)."""
+    from ..operators.sketch import hash_sample
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        hash_sample(batch, key_col, rate).write.mode("append").parquet(
+            sample_path
+        )
+
+    return process

@@ -985,3 +985,46 @@ def test_streaming_kmv_sketch_rollup_matches_batch_build(spark, tmp_path):
         )
     )
     assert est_s == est_d
+
+
+def test_streaming_hash_sample_matches_batch_sample(spark, tmp_path):
+    """hash_sample membership is a pure function of the key, so the
+    streamed per-batch samples union to EXACTLY the batch sample of all
+    input — the streaming half of the mergeable-sample quantile path."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.operators.sketch import hash_sample
+    from data_etl_with_dbt_spark.streaming.intake import hash_sample_sink
+
+    src = tmp_path / "hs_src"
+    src.mkdir()
+    now = _time.time()
+    for i in range(3):
+        spark.range(i * 400, (i + 1) * 400).select(
+            F.col("id").cast("string").alias("k"), (F.col("id") * 2.0).alias("v")
+        ).coalesce(1).write.parquet(str(src / f"f{i}"))
+        for f in _glob.glob(str(src / f"f{i}" / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    sink = hash_sample_sink(str(tmp_path / "hs_table"), "k", 0.25)
+    q = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "hs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "hs_table")).collect())
+    )
+    whole = spark.range(1200).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    direct = sorted(map(tuple, hash_sample(whole, "k", 0.25).collect()))
+    assert streamed == direct and 200 < len(streamed) < 400

@@ -48,6 +48,9 @@ def _ops():
         ),
         "cms": _cms,
         "hll": _hll,
+        "kmv": _kmv,
+        "sampled_q": _sampled_quantiles,
+        "unigram": _unigram,
         "zorder": _zorder,
         "weighted_sample": _weighted_sample,
         "bpe_encode": _bpe_encode,
@@ -94,6 +97,37 @@ _PROBE_MERGES = [
         [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"), ("e", "r"), ("s", "t"), ("an", "d")]
     )
 ]
+
+
+def _kmv(df):
+    from data_etl_with_dbt_spark.operators.sketch import kmv_build
+    from data_etl_with_dbt_spark.operators.textan import tokens_expr
+
+    toks = df.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    return kmv_build(toks, "token", k=64, group_cols=["source"])
+
+
+def _sampled_quantiles(df):
+    from data_etl_with_dbt_spark.operators.sketch import sampled_quantiles
+
+    return sampled_quantiles(
+        df, key_col="doc_id", value_col="n_chars", probs=[0.5, 0.9],
+        rate=0.1, group_cols=["source"],
+    )
+
+
+def _unigram(df):
+    # training runs to a model (driver list), so wrap it back into a frame
+    from data_etl_with_dbt_spark.operators import textan as TA
+
+    model = TA.train_unigram_lm(
+        df, "text", vocab_size=64, max_piece_len=4, num_iters=2, seed_size=200
+    )
+    return df.sparkSession.createDataFrame(
+        [(m["piece"],) for m in model], "piece string"
+    )
 
 
 def _bpe_encode(df):
