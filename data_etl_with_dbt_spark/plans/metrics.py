@@ -38,6 +38,11 @@ class MetricSpec:
     dimensions: list[str]  # dimensions this metric may be sliced by
     filter: Callable[[], Column] | None = None
     description: str = ""
+    # timestamp/date column for metric_time grains (dbt semantic layer's
+    # metric_time): declared once, so "daily revenue" and "monthly
+    # revenue" are the SAME metric at different grains, never two
+    # definitions that can drift
+    time_dimension: str | None = None
 
 
 class MetricRegistry:
@@ -52,9 +57,11 @@ class MetricRegistry:
         dimensions: list[str],
         filter: Callable[[], Column] | None = None,
         description: str = "",
+        time_dimension: str | None = None,
     ) -> None:
         self._metrics[name] = MetricSpec(
-            name, loader, measure, list(dimensions), filter, description
+            name, loader, measure, list(dimensions), filter, description,
+            time_dimension,
         )
 
     def __contains__(self, name: str) -> bool:
@@ -68,6 +75,7 @@ class MetricRegistry:
         spark: SparkSession,
         metrics: list[str],
         dimensions: list[str] | None = None,
+        grain: str | None = None,
     ) -> DataFrame:
         """Compile a (metrics, dimensions) request to DataFrame plans.
 
@@ -76,7 +84,15 @@ class MetricRegistry:
         dimension the measure doesn't support). Metrics sharing a loader
         AND filter collapse into one groupBy — one scan computes them all;
         groups from different bases full-outer-join on the dimension key so
-        a missing slice in one base shows NULL, not a dropped row."""
+        a missing slice in one base shows NULL, not a dropped row.
+
+        ``grain`` ('day'/'week'/'month'/'quarter'/'year') adds a
+        ``metric_time`` column truncated from each metric's declared
+        ``time_dimension`` — the dbt-semantic-layer metric_time: one
+        metric definition serves every rollup granularity."""
+        _GRAINS = ("day", "week", "month", "quarter", "year")
+        if grain is not None and grain not in _GRAINS:
+            raise ValueError(f"grain must be one of {_GRAINS}, got {grain!r}")
         dims = list(dimensions or [])
         specs = []
         for m in metrics:
@@ -88,25 +104,37 @@ class MetricRegistry:
                 raise ValueError(
                     f"metric {spec.name!r} cannot slice by {bad}; allowed: {spec.dimensions}"
                 )
+            if grain is not None and spec.time_dimension is None:
+                raise ValueError(
+                    f"metric {spec.name!r} declares no time_dimension; "
+                    f"cannot roll up at grain {grain!r}"
+                )
             specs.append(spec)
 
-        # group metrics by (loader, filter) identity -> one scan per group
+        # group metrics by (loader, filter, time dim) identity -> one scan
+        # per group
         groups: dict[tuple, list[MetricSpec]] = {}
         for s in specs:
-            groups.setdefault((s.loader, s.filter), []).append(s)
+            groups.setdefault((s.loader, s.filter, s.time_dimension), []).append(s)
 
+        keys = dims + (["metric_time"] if grain else [])
         frames = []
-        for (loader, filt), group in groups.items():
+        for (loader, filt, tdim), group in groups.items():
             df = loader(spark)
             if filt is not None:
                 df = df.where(filt())
+            if grain:
+                df = df.withColumn(
+                    "metric_time",
+                    F.date_trunc(grain, F.col(tdim)).cast("date"),
+                )
             aggs = [s.measure().alias(s.name) for s in group]
-            if dims:
-                frames.append(df.groupBy(*dims).agg(*aggs))
+            if keys:
+                frames.append(df.groupBy(*keys).agg(*aggs))
             else:
                 frames.append(df.agg(*aggs))
 
         out = frames[0]
         for f in frames[1:]:
-            out = out.join(f, dims, "full_outer") if dims else out.crossJoin(f)
+            out = out.join(f, keys, "full_outer") if keys else out.crossJoin(f)
         return out

@@ -240,3 +240,55 @@ def test_corpus_dag_example_runs(spark, tmp_path, capsys):
     assert "n_training_copies" in out
     assert "manifest: 4 models" in out
     assert "FAIL" not in out
+
+
+class TestMetricTimeGrain:
+    def _registry(self, spark):
+        from data_etl_with_dbt_spark.plans.metrics import MetricRegistry
+
+        reg = MetricRegistry()
+
+        def loader(sp):
+            return sp.range(60).select(
+                F.col("id"),
+                (F.col("id") % 3).alias("region"),
+                F.expr("date_add(DATE '2024-01-15', CAST(id AS INT))").alias("d"),
+                (F.col("id") * 10.0).alias("amount"),
+            )
+
+        reg.define(
+            "revenue", loader, lambda: F.sum("amount"),
+            dimensions=["region"], time_dimension="d",
+        )
+        reg.define(
+            "orders", loader, lambda: F.count(F.lit(1)),
+            dimensions=["region"], time_dimension="d",
+        )
+        reg.define("no_time", loader, lambda: F.count(F.lit(1)), dimensions=["region"])
+        return reg
+
+    def test_monthly_grain_rolls_up_one_definition(self, spark):
+        reg = self._registry(spark)
+        out = reg.query(spark, ["revenue", "orders"], grain="month")
+        rows = {str(r.metric_time): (r.revenue, r.orders) for r in out.collect()}
+        # 2024-01-15..2024-03-14 spans three months
+        assert set(rows) == {"2024-01-01", "2024-02-01", "2024-03-01"}
+        assert sum(v[1] for v in rows.values()) == 60
+        assert rows["2024-01-01"][1] == 17  # Jan 15..31
+        # one scan for both metrics: single groupBy, no join in the plan
+        assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
+
+    def test_grain_with_dimensions(self, spark):
+        reg = self._registry(spark)
+        out = reg.query(spark, ["revenue"], dimensions=["region"], grain="month")
+        assert set(out.columns) == {"region", "metric_time", "revenue"}
+        assert out.count() == 9  # 3 regions x 3 months
+
+    def test_grain_requires_time_dimension(self, spark):
+        import pytest
+
+        reg = self._registry(spark)
+        with pytest.raises(ValueError, match="no time_dimension"):
+            reg.query(spark, ["no_time"], grain="day")
+        with pytest.raises(ValueError, match="grain must be one of"):
+            reg.query(spark, ["revenue"], grain="fortnight")
