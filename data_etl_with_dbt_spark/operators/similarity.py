@@ -873,3 +873,82 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(
         transform, schema=f"{id_col} {id_type}, {out_col} array<double>"
     )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    shortlist: int = 100,
+) -> DataFrame:
+    """PQ search with exact re-ranking — the standard two-stage recipe
+    (Jégou et al.; every production IVF-PQ system): the compressed ADC
+    scan produces a ``shortlist`` of candidates per query (cheap, reads
+    only code rows), then ONLY those shortlist×queries rows join back to
+    their full vectors for exact cosine and the true top-k ordering.
+
+    Why it matters: quantization error costs PQ both recall and RANK
+    quality; re-ranking restores exact ordering among survivors, so recall
+    of the composite is the shortlist's recall (tunable via ``shortlist``,
+    typically 5-10× k) while float reads drop from |corpus| to
+    |queries|·shortlist. Output matches :func:`brute_force_topk`'s schema
+    ``(query_id, vec_id, cosine)``."""
+    cands = pq_topk(
+        corpus, queries, codebooks, id_col, vec_col, query_id_col, k=shortlist
+    ).select(query_id_col, id_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = (
+        cands.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ann_recall_report(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of any ANN result against the exact baseline, per query
+    plus an ALL row — the measurement harness every approximate index
+    needs before its parameters are trusted (the in-repo tests assert
+    per-method floors; this is the same check as a user-facing operator).
+    Both inputs are (query, id) relations; recall = |approx ∩ exact| /
+    |exact| per query. Join work ∝ result sizes, never the corpus."""
+    hits = (
+        exact.select(query_id_col, id_col)
+        .join(approx.select(query_id_col, id_col), [query_id_col, id_col], "left_semi")
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    base = exact.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("__n"))
+    per = (
+        base.join(hits, query_id_col, "left")
+        .select(
+            F.col(query_id_col).cast("string").alias(query_id_col),
+            (
+                F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+                / F.col("__n").cast("double")
+            ).alias("recall"),
+        )
+    )
+    per = per.localCheckpoint(eager=False)  # two consumers below
+    overall = per.agg(
+        F.lit("ALL").alias(query_id_col), F.avg("recall").alias("recall")
+    )
+    return per.unionByName(overall).orderBy(query_id_col)

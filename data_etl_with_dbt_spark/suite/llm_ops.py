@@ -1113,3 +1113,27 @@ def unigram_lm_vocab(spark, sf_dir):
         [(m["piece_id"], m["piece"], m["logprob"]) for m in model],
         "piece_id bigint, piece string, logprob double",
     ).orderBy("piece_id")
+
+
+@query(
+    "ann_pq_rerank_topk",
+    oracle=None,  # two-stage approximate search; recall + exact-ordering
+                  # properties asserted in pytest (TestPqRerank)
+    description=(
+        "PQ search with exact re-ranking (the production IVF-PQ recipe): "
+        "compressed ADC scan shortlists 100 candidates per query, only "
+        "those rows rejoin their float vectors for exact cosine top-10 — "
+        "float reads drop from |corpus| to |queries|x100 while the "
+        "surviving ranking is exact"
+    ),
+)
+def ann_pq_rerank_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    books = S.pq_train(emb, vec_col="embedding", m=8, k=16, seed=42)
+    return S.pq_topk_rerank(
+        emb, queries, books, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=10, shortlist=100,
+    )

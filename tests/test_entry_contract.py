@@ -67,6 +67,7 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "bpe_encode_documents",  # encodes under the iterative trainer's merges
         "cms_token_counts",  # sketch cells hash with xxhash64 (engine-specific)
         "ann_pq_topk",  # codebook quantization: approximate by construction
+        "ann_pq_rerank_topk",  # shortlist stage is approximate by construction
         "pca_embeddings",  # driver-side eigh: numpy-agreement-tested instead
         "unigram_lm_vocab",  # iterative Viterbi-EM: reference-impl-tested
         "image_dhash_near_dup",  # decode+perceptual hash: ground truth by construction

@@ -2740,3 +2740,53 @@ class TestUnigramLm:
         unseen = spark.createDataFrame([(9, "tacocat")], "doc_id long, text string")
         [row] = unigram_encode(unseen, "doc_id", "text", model).collect()
         assert "".join(by_id[i] for i in row.ids) == "tacocat"
+
+
+class TestPqRerank:
+    def test_rerank_restores_exact_ordering_and_recall(self, spark, testdata):
+        from data_etl_with_dbt_spark.operators.similarity import (
+            ann_recall_report,
+            brute_force_topk,
+            pq_topk_rerank,
+            pq_train,
+        )
+
+        emb = testdata["embeddings"]
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        books = pq_train(emb, vec_col="embedding", m=8, k=16, seed=42)
+        exact = brute_force_topk(emb, queries, k=10)
+        rr = pq_topk_rerank(
+            emb, queries, books, k=10, shortlist=100
+        )
+        # schema parity with the exact baseline
+        assert rr.columns == exact.columns
+        # re-ranked cosines are EXACT (values match brute force for shared ids)
+        ex = {(r.query_id, r.vec_id): r.cosine for r in exact.collect()}
+        for r in rr.collect():
+            if (r.query_id, r.vec_id) in ex:
+                assert abs(r.cosine - ex[(r.query_id, r.vec_id)]) < 1e-12
+        # composite recall must beat the raw ADC top-k's
+        report = ann_recall_report(rr, exact).collect()
+        overall = [r for r in report if r.query_id == "ALL"][0]
+        assert overall.recall >= 0.7
+        # self-hit: each query's own vector ranks first
+        firsts = {
+            r.query_id: r.vec_id
+            for r in rr.collect()
+            if abs(r.cosine - 1.0) < 1e-9
+        }
+        assert all(q == v for q, v in firsts.items())
+
+    def test_recall_report_shape(self, spark):
+        from data_etl_with_dbt_spark.operators.similarity import ann_recall_report
+
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, vec_id long"
+        )
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 99), (2, 20), (2, 21)], "query_id long, vec_id long"
+        )
+        rows = {r.query_id: r.recall for r in ann_recall_report(approx, exact).collect()}
+        assert rows == {"1": 0.5, "2": 1.0, "ALL": 0.75}
