@@ -120,6 +120,7 @@ ZQ_QUEUED = [
     "benford_first_digit_orders", "trend_decompose_daily",
     "acf_daily_values", "table_diff_orders_rebuild",
     "trailing_distinct_users_kmv", "attribution_purchase_touchpoints",
+    "growth_accounting_daily", "event_type_lift_pairs",
 ]
 
 ZV_VERIFIED = [

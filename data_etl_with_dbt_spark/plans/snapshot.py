@@ -97,3 +97,23 @@ def snapshot(
     new_gen = new_gen.localCheckpoint(eager=True)
     write_table(new_gen, name, mode="overwrite")
     return spark.table(name)
+
+
+def as_of(snap: DataFrame, ts) -> DataFrame:
+    """Point-in-time view of an SCD2 snapshot: the rows that were current
+    at ``ts`` — ``valid_from <= ts < valid_to`` (open ``valid_to`` = still
+    current). The query every consumer of a snapshot hand-writes; as a
+    helper it can't be written with the half-open interval backwards.
+    Returns the business columns plus ``valid_from`` (the version stamp),
+    dropping ``valid_to``/``row_hash`` bookkeeping.
+
+    At scale both predicates push into the parquet scan (min/max pruning
+    on ``valid_from`` when snapshots are written time-partitioned)."""
+    t = F.lit(ts).cast("timestamp")
+    return (
+        snap.where(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+        .drop("valid_to", "row_hash")
+    )

@@ -1699,3 +1699,204 @@ def attribution_purchase_touchpoints(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (the Amplitude/a16z engagement ledger) at day grain:
+# every active (user, day) is exactly one of new / retained / resurrected,
+# and churn on day d counts users active on d-1 but not d. Pure set logic
+# over the distinct (user, day) frame — one shuffle, integer counts.
+# ---------------------------------------------------------------------------
+
+@query(
+    "growth_accounting_daily",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    marked AS (
+        SELECT day, user_id,
+               min(day) OVER (PARTITION BY user_id) AS first_day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        FROM ud
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    act AS (
+        SELECT day,
+               CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_retained,
+               CAST(sum(CASE WHEN day <> first_day
+                              AND (prev_day IS NULL OR prev_day < day - 1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM marked GROUP BY day
+    ),
+    churn AS (
+        SELECT day + 1 AS day,
+               CAST(count(*) AS BIGINT) AS n_churned
+        FROM marked
+        WHERE next_day IS NULL OR next_day > day + 1
+        GROUP BY day + 1
+    )
+    SELECT days.day,
+           coalesce(act.n_new, 0) AS n_new,
+           coalesce(act.n_retained, 0) AS n_retained,
+           coalesce(act.n_resurrected, 0) AS n_resurrected,
+           CAST(coalesce(churn.n_churned, 0) AS BIGINT) AS n_churned_in
+    FROM days
+    LEFT JOIN act ON days.day = act.day
+    LEFT JOIN churn ON days.day = churn.day
+    ORDER BY days.day
+    """,
+    description=(
+        "Daily growth accounting over user activity: new / retained / "
+        "resurrected actives plus churned-in (active yesterday, absent "
+        "today) — the engagement ledger, from one distinct (user, day) "
+        "frame with per-user lag/lead windows"
+    ),
+)
+def growth_accounting_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)  # windows + day spine both read it
+    )
+    wu = Window.partitionBy("user_id")
+    wo = wu.orderBy("day")
+    marked = ud.select(
+        "day",
+        "user_id",
+        F.min("day").over(wu).alias("first_day"),
+        F.lag("day").over(wo).alias("prev_day"),
+        F.lead("day").over(wo).alias("next_day"),
+    ).localCheckpoint(eager=False)  # feeds both act and churn
+    act = marked.groupBy("day").agg(
+        big(F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))).alias(
+            "n_new"
+        ),
+        big(
+            F.sum(
+                F.when(F.col("prev_day") == F.date_sub("day", 1), 1).otherwise(0)
+            )
+        ).alias("n_retained"),
+        big(
+            F.sum(
+                F.when(
+                    (F.col("day") != F.col("first_day"))
+                    & (
+                        F.col("prev_day").isNull()
+                        | (F.col("prev_day") < F.date_sub("day", 1))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        marked.where(
+            F.col("next_day").isNull()
+            | (F.col("next_day") > F.date_add("day", 1))
+        )
+        .groupBy(F.date_add("day", 1).alias("day"))
+        .agg(big(F.count(F.lit(1))).alias("n_churned_in"))
+    )
+    days = ud.select("day").distinct()
+    return (
+        days.join(act, "day", "left")
+        .join(churn, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            big(F.coalesce("n_churned_in", F.lit(0))).alias("n_churned_in"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association metrics between event types (market-basket shape at user
+# granularity): support / confidence / lift from exact distinct-user
+# counts; every float is one fixed tree of IEEE divisions of exact
+# integers, spelled identically in both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_type_lift_pairs",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+    per AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut
+        GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, pa.n AS n_a, pb.n AS n_b, n_both,
+           CAST(n_both AS DOUBLE) / CAST(n.n_users AS DOUBLE) AS support,
+           CAST(n_both AS DOUBLE) / CAST(pa.n AS DOUBLE) AS confidence,
+           (CAST(n_both AS DOUBLE) / CAST(pa.n AS DOUBLE))
+           / (CAST(pb.n AS DOUBLE) / CAST(n.n_users AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN per pa ON pa.event_type = pairs.type_a
+    JOIN per pb ON pb.event_type = pairs.type_b
+    CROSS JOIN n
+    ORDER BY type_a, type_b
+    """,
+    description=(
+        "User-level association metrics for event-type pairs: distinct-"
+        "user support, confidence, and lift from exact counts — the "
+        "market-basket screen over behavioral data"
+    ),
+)
+def event_type_lift_pairs(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False  # three consumers: totals, per-type, pair join
+    )
+    n = ut.select("user_id").distinct().agg(
+        big(F.count(F.lit(1))).alias("n_users")
+    )
+    per = ut.groupBy("event_type").agg(big(F.count(F.lit(1))).alias("n"))
+    both = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(big(F.count(F.lit(1))).alias("n_both"))
+    )
+    pa = per.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    nb = F.col("n_both").cast("double")
+    na = F.col("n_a").cast("double")
+    nbb = F.col("n_b").cast("double")
+    nu = F.col("n_users").cast("double")
+    return (
+        both.join(pa, "type_a")
+        .join(pb, "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            (nb / nu).alias("support"),
+            (nb / na).alias("confidence"),
+            ((nb / na) / (nbb / nu)).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -329,6 +329,8 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # day-range BETWEEN join of 30 days x <=64-row/day sketches (both
         # sides sketch-sized metadata; broadcast nested loop is O(days*k))
         "trailing_distinct_users_kmv": {"cartesian"},
+        # crossJoin(broadcast(1-row distinct-user total))
+        "event_type_lift_pairs": {"cartesian"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):

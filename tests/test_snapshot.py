@@ -54,3 +54,30 @@ def test_current_view_semantics(spark, clean):
     current = s.where("valid_to IS NULL")
     assert current.count() == 1
     assert current.first().v == "y"
+
+
+def test_as_of_time_travel(spark, clean):
+    from data_etl_with_dbt_spark.plans.snapshot import as_of
+
+    g1 = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)], "id long, name string, bal double"
+    )
+    snapshot(spark, "snap_t", g1, "id", run_ts=T1)
+    g2 = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 25.0), (3, "carol", 5.0)],
+        "id long, name string, bal double",
+    )
+    snap = snapshot(spark, "snap_t", g2, "id", run_ts=T2)
+
+    # between generations: bob still at 20, carol absent
+    mid = as_of(snap, T1 + dt.timedelta(hours=6))
+    assert {(r.id, r.bal) for r in mid.collect()} == {(1, 10.0), (2, 20.0)}
+    # exactly at T2: new versions current (valid_from <= ts < valid_to)
+    now = as_of(snap, T2)
+    assert {(r.id, r.bal) for r in now.collect()} == {
+        (1, 10.0), (2, 25.0), (3, 5.0),
+    }
+    # before any history: empty
+    assert as_of(snap, T1 - dt.timedelta(days=1)).count() == 0
+    # bookkeeping columns dropped, version stamp kept
+    assert "valid_to" not in mid.columns and "valid_from" in mid.columns
