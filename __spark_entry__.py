@@ -152,7 +152,8 @@ ZR_ROWS_ONLY = [
     "hll_user_cardinality", "semantic_dedup_clusters_lsh",
     "bpe_encode_documents", "cms_token_counts", "ann_pq_topk",
     "image_dhash_near_dup", "audio_spectral_report", "pca_embeddings",
-    "unigram_lm_vocab", "ann_pq_rerank_topk",
+    "unigram_lm_vocab", "ann_pq_rerank_topk", "topic_model_documents",
+    "learned_embedding_ann",
 ]
 
 _PREFIX = dict.fromkeys(WINDOW, "")

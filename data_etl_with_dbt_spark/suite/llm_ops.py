@@ -1137,3 +1137,64 @@ def ann_pq_rerank_topk(spark, sf_dir):
         emb, queries, books, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", k=10, shortlist=100,
     )
+
+
+@query(
+    "topic_model_documents",
+    oracle=None,  # variational EM; theme-separation asserted in pytest on
+                  # a constructed two-vocabulary corpus
+    description=(
+        "LDA topic model over the documents corpus (online variational "
+        "EM, bounded vocabulary, seeded): per-topic top terms and the "
+        "corpus composition by dominant topic — the discovered-domain "
+        "counterpart to corpus_mixture_sample's declared domains"
+    ),
+)
+def topic_model_documents(spark, sf_dir):
+    from data_etl_with_dbt_spark.ml.topics import (
+        describe_topics,
+        doc_topics,
+        topic_shares,
+        train_topics,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    model = train_topics(
+        docs, k=4, vocab_size=1 << 10, min_df=2.0, max_iter=15, seed=42
+    )
+    shares = topic_shares(doc_topics(model, docs))
+    terms = describe_topics(model, top_n=5).select(
+        F.col("topic").alias("dominant_topic"),
+        F.array_join("terms", " ").alias("top_terms"),
+    )
+    return shares.join(terms, "dominant_topic", "left").orderBy(
+        "dominant_topic"
+    )
+
+
+@query(
+    "learned_embedding_ann",
+    oracle=None,  # Word2Vec training is seeded but numeric; neighbor
+                  # quality asserted in pytest on a constructed corpus
+    description=(
+        "Text -> learned Word2Vec doc embeddings -> exact cosine top-5 "
+        "neighbors for three probe documents: the full loop from raw "
+        "corpus to the embedding relation every similarity operator "
+        "consumes (fixtures' random vectors replaced by trained ones)"
+    ),
+)
+def learned_embedding_ann(spark, sf_dir):
+    from data_etl_with_dbt_spark.ml.embeddings import (
+        embed_documents,
+        train_doc_embeddings,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    model = train_doc_embeddings(docs, dim=16, min_count=2, max_iter=2, seed=42)
+    emb = embed_documents(model, docs).localCheckpoint(eager=False)
+    probes = emb.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(
+        emb, probes, id_col="doc_id", vec_col="embedding", k=5
+    )

@@ -70,6 +70,8 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "ann_pq_rerank_topk",  # shortlist stage is approximate by construction
         "pca_embeddings",  # driver-side eigh: numpy-agreement-tested instead
         "unigram_lm_vocab",  # iterative Viterbi-EM: reference-impl-tested
+        "topic_model_documents",  # variational EM: theme-separation-tested
+        "learned_embedding_ann",  # trained embeddings: neighbor-quality-tested
         "image_dhash_near_dup",  # decode+perceptual hash: ground truth by construction
         "audio_spectral_report",  # FFT features: ground truth by construction
     }

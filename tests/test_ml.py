@@ -337,3 +337,117 @@ def test_reliability_report_and_isotonic_calibration(spark, weak_labeled_docs):
     rows.sort(key=lambda r: r.quality_prob)
     cps = [r.calibrated_prob for r in rows]
     assert all(a <= b + 1e-12 for a, b in zip(cps, cps[1:]))
+
+
+class TestTopics:
+    """LDA topic modeling (ml/topics): on a corpus constructed from two
+    disjoint vocabularies the dominant-topic assignment must separate the
+    groups; topics resolve to real vocabulary terms; shares sum to 1."""
+
+    @pytest.fixture(scope="class")
+    def two_theme_docs(self, spark):
+        import random
+
+        rng = random.Random(5)
+        cooking = "recipe oven flour butter sugar bake whisk dough salt pan".split()
+        sports = "match goal team score league player coach field win season".split()
+        rows = []
+        for i in range(80):
+            vocab = cooking if i % 2 == 0 else sports
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(40))))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_topics_separate_constructed_themes(self, spark, two_theme_docs):
+        from data_etl_with_dbt_spark.ml.topics import (
+            doc_topics,
+            describe_topics,
+            topic_shares,
+            train_topics,
+        )
+
+        model = train_topics(
+            two_theme_docs, k=2, vocab_size=64, min_df=1.0, max_iter=30, seed=7
+        )
+        assigned = doc_topics(model, two_theme_docs)
+        rows = assigned.collect()
+        assert len(rows) == 80
+        # mixtures are distributions
+        for r in rows[:5]:
+            assert abs(sum(r.topic_mix) - 1.0) < 1e-6
+        # the two constructed themes land on different dominant topics for
+        # the overwhelming majority of docs
+        from collections import Counter
+
+        by_theme = {0: Counter(), 1: Counter()}
+        for r in rows:
+            by_theme[r.doc_id % 2][r.dominant_topic] += 1
+        top0 = by_theme[0].most_common(1)[0]
+        top1 = by_theme[1].most_common(1)[0]
+        assert top0[0] != top1[0]
+        assert top0[1] >= 36 and top1[1] >= 36  # >=90% purity per theme
+
+        # topic terms come from the right vocabulary
+        topics = {r.topic: set(r.terms) for r in describe_topics(model, 5).collect()}
+        cooking = set("recipe oven flour butter sugar bake whisk dough salt pan".split())
+        sports = set("match goal team score league player coach field win season".split())
+        t0 = topics[top0[0]]
+        t1 = topics[top1[0]]
+        assert len(t0 & cooking) >= 4 and len(t0 & sports) == 0
+        assert len(t1 & sports) >= 4 and len(t1 & cooking) == 0
+
+        shares = topic_shares(assigned).collect()
+        assert abs(sum(r.share for r in shares) - 1.0) < 1e-12
+        assert sum(r.n_docs for r in shares) == 80
+
+    def test_transform_is_jvm_side(self, spark, two_theme_docs):
+        from data_etl_with_dbt_spark.ml.topics import doc_topics, train_topics
+
+        model = train_topics(
+            two_theme_docs, k=2, vocab_size=64, min_df=1.0, max_iter=10, seed=7
+        )
+        plan = (
+            doc_topics(model, two_theme_docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestDocEmbeddings:
+    """Word2Vec doc embeddings (ml/embeddings): trained vectors must place
+    same-theme documents nearer than cross-theme ones, and the output
+    relation must slot directly into the similarity operators."""
+
+    def test_embeddings_cluster_by_theme_and_feed_ann(self, spark):
+        import random
+
+        from data_etl_with_dbt_spark.ml.embeddings import (
+            embed_documents,
+            train_doc_embeddings,
+        )
+        from data_etl_with_dbt_spark.operators.similarity import brute_force_topk
+
+        rng = random.Random(11)
+        cooking = "recipe oven flour butter sugar bake whisk dough salt pan".split()
+        sports = "match goal team score league player coach field win season".split()
+        rows = [
+            (i, " ".join(rng.choice(cooking if i % 2 == 0 else sports) for _ in range(40)))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        model = train_doc_embeddings(docs, dim=16, min_count=1, max_iter=8, seed=3)
+        emb = embed_documents(model, docs)
+        assert emb.columns == ["doc_id", "embedding"]
+        assert len(emb.first().embedding) == 16
+
+        # the embedding relation drives the existing ANN operator as-is:
+        # for even (cooking) probes, the top-5 neighbors are even docs
+        probes = emb.where(F.col("doc_id").isin(0, 2)).select(
+            F.col("doc_id").alias("query_id"), "embedding"
+        )
+        top = brute_force_topk(
+            emb, probes, id_col="doc_id", vec_col="embedding", k=5
+        ).collect()
+        same_theme = [r for r in top if r.doc_id % 2 == 0]
+        assert len(same_theme) == len(top)  # every neighbor shares the theme
