@@ -558,3 +558,43 @@ def resolve_entities(
         .join(sizes, "cluster_id")
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def parse_debezium(
+    df: DataFrame,
+    value_col: str,
+    row_schema: str,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Parse Debezium-shaped CDC envelopes (the de-facto log-replication
+    wire format: ``{"payload": {"before": ..., "after": ..., "op":
+    "c|r|u|d", "ts_ms": N}}``) into :func:`apply_cdc`'s input relation.
+
+    * op mapping: c (create) and r (snapshot read) → 'insert', u →
+      'update', d → 'delete'
+    * row payload: ``after`` for upserts, ``before`` for deletes (Debezium
+      leaves ``after`` null on delete — the key must come from somewhere)
+    * ``seq``: the envelope's ``ts_ms`` (swap in source.lsn/pos upstream
+      for logs that stamp finer sequence numbers)
+
+    One ``from_json`` parse per row against an explicit schema (never
+    schema inference — a malformed envelope yields nulls, not a new
+    schema), pure JVM projection after. Output: row columns + ``op`` +
+    ``seq`` — exactly ``apply_cdc(snapshot, parsed, key, "seq")``'s shape.
+    """
+    env_schema = (
+        f"struct<payload: struct<before: struct<{row_schema}>, "
+        f"after: struct<{row_schema}>, op: string, ts_ms: bigint>>"
+    )
+    p = F.from_json(F.col(value_col), env_schema).getField("payload")
+    row = F.when(p.getField("op") == "d", p.getField("before")).otherwise(
+        p.getField("after")
+    )
+    op = (
+        F.when(p.getField("op").isin("c", "r"), F.lit("insert"))
+        .when(p.getField("op") == "u", F.lit("update"))
+        .when(p.getField("op") == "d", F.lit("delete"))
+    )
+    return df.select(
+        row.alias("__row"), op.alias("op"), p.getField("ts_ms").alias(seq_col)
+    ).select("__row.*", "op", seq_col)

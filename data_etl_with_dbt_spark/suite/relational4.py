@@ -506,3 +506,98 @@ def sampled_quantiles_orders(spark, sf_dir):
         rate=0.2,
         group_cols=["o_orderpriority"],
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# CDC over the wire format: Debezium envelopes constructed from orders
+# (deterministic change slices), parsed back with an explicit schema, and
+# applied through apply_cdc. The oracle computes the NET state directly —
+# the envelope/parse round trip is the Spark side's work; the hash match
+# proves the parsed ops reproduce it exactly.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_debezium_apply_orders",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+        FROM orders
+    ),
+    kept AS (
+        SELECT k,
+               CASE WHEN k % 97 = 0 THEN CAST(0 AS DOUBLE) ELSE p END AS p,
+               s
+        FROM a WHERE k % 89 <> 0
+    ),
+    ins AS (SELECT k + 10000000 AS k, p, s FROM a WHERE k % 83 = 0)
+    SELECT k AS o_orderkey, p AS o_totalprice, s AS o_orderstatus
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins) t
+    ORDER BY o_orderkey
+    """,
+    description=(
+        "Debezium CDC end to end: envelopes (c/u/d with before/after "
+        "payloads) built from deterministic order slices, parsed via "
+        "explicit-schema from_json, applied with apply_cdc — the oracle "
+        "recomputes the net state directly, so the hash match proves the "
+        "wire-format round trip"
+    ),
+)
+def cdc_debezium_apply_orders(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.relational import (
+        apply_cdc,
+        parse_debezium,
+    )
+
+    k = F.col("o_orderkey")
+    snap = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    row_struct = F.struct("o_orderkey", "o_totalprice", "o_orderstatus")
+    null_row = F.lit(None).cast(
+        "struct<o_orderkey: bigint, o_totalprice: double, o_orderstatus: string>"
+    )
+
+    def env(before, after, op):
+        return F.to_json(
+            F.struct(
+                F.struct(
+                    before.alias("before"),
+                    after.alias("after"),
+                    F.lit(op).alias("op"),
+                    F.lit(1000).cast("bigint").alias("ts_ms"),
+                ).alias("payload")
+            )
+        )
+
+    updates = snap.where((k % 97 == 0) & (k % 89 != 0)).select(
+        env(
+            row_struct,
+            F.struct(
+                k.alias("o_orderkey"),
+                F.lit(0.0).alias("o_totalprice"),
+                F.col("o_orderstatus"),
+            ),
+            "u",
+        ).alias("value")
+    )
+    deletes = snap.where(k % 89 == 0).select(
+        env(row_struct, null_row, "d").alias("value")
+    )
+    inserts = snap.where(k % 83 == 0).select(
+        env(
+            null_row,
+            F.struct(
+                (k + 10000000).alias("o_orderkey"),
+                F.col("o_totalprice"),
+                F.col("o_orderstatus"),
+            ),
+            "c",
+        ).alias("value")
+    )
+    envelopes = updates.unionByName(deletes).unionByName(inserts)
+    parsed = parse_debezium(
+        envelopes,
+        "value",
+        "o_orderkey: bigint, o_totalprice: double, o_orderstatus: string",
+    )
+    return apply_cdc(snap, parsed, "o_orderkey", "seq").orderBy("o_orderkey")

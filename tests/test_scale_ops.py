@@ -648,3 +648,32 @@ class TestAutoSaltedJoin:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "xxhash64" not in plan  # no salting machinery on uniform keys
         assert out.count() == 5000
+
+
+class TestParseDebezium:
+    def test_op_mapping_and_payload_selection(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import parse_debezium
+
+        rows = [
+            ('{"payload": {"before": null, "after": {"id": 1, "v": "a"}, "op": "c", "ts_ms": 10}}',),
+            ('{"payload": {"before": null, "after": {"id": 2, "v": "b"}, "op": "r", "ts_ms": 11}}',),
+            ('{"payload": {"before": {"id": 1, "v": "a"}, "after": {"id": 1, "v": "z"}, "op": "u", "ts_ms": 12}}',),
+            ('{"payload": {"before": {"id": 2, "v": "b"}, "after": null, "op": "d", "ts_ms": 13}}',),
+        ]
+        df = spark.createDataFrame(rows, "value string")
+        got = {
+            (r.id, r.op): (r.v, r.seq)
+            for r in parse_debezium(df, "value", "id: long, v: string").collect()
+        }
+        assert got[(1, "insert")] == ("a", 10)
+        assert got[(2, "insert")] == ("b", 11)
+        assert got[(1, "update")] == ("z", 12)
+        # delete rows carry the BEFORE payload (after is null on the wire)
+        assert got[(2, "delete")] == ("b", 13)
+
+    def test_malformed_envelope_yields_nulls_not_errors(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import parse_debezium
+
+        df = spark.createDataFrame([("not json at all",)], "value string")
+        [r] = parse_debezium(df, "value", "id: long, v: string").collect()
+        assert r.id is None and r.op is None
