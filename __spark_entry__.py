@@ -121,7 +121,7 @@ ZQ_QUEUED = [
     "acf_daily_values", "table_diff_orders_rebuild",
     "trailing_distinct_users_kmv", "attribution_purchase_touchpoints",
     "growth_accounting_daily", "event_type_lift_pairs",
-    "cdc_debezium_apply_orders",
+    "cdc_debezium_apply_orders", "masked_customer_view",
 ]
 
 ZV_VERIFIED = [

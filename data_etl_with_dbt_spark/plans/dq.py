@@ -246,3 +246,57 @@ def benford_check(df: DataFrame, column: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_MASK_STRATEGIES = ("hash", "partial", "null", "bucket")
+
+
+def apply_masking_policy(df: DataFrame, policy: dict) -> DataFrame:
+    """Column-level masking (the warehouse governance surface — Snowflake
+    masking policies / BigQuery column-level security — as a projection the
+    engine owns): ``policy`` maps column → strategy:
+
+    * ``'hash'``    — md5 of the string rendering: joinable/groupable
+      pseudonym, original unrecoverable
+    * ``'partial'`` — last 4 characters kept, the rest ``*`` (audit-
+      friendly display form)
+    * ``'null'``    — removed outright (type preserved)
+    * ``'bucket'``  — numeric → power-of-ten bucket floor (coarse analytics
+      without point values)
+
+    Pure projection: no shuffle, pushdown-transparent for untouched
+    columns, and the masked view is a DataFrame — materialize it, grant it,
+    or ref() it like any model. Unknown strategies/columns raise at build
+    time, not silently pass PII through."""
+    unknown_cols = sorted(set(policy) - set(df.columns))
+    if unknown_cols:
+        raise ValueError(f"masking policy names absent columns: {unknown_cols}")
+    out = []
+    for f in df.schema.fields:
+        strat = policy.get(f.name)
+        c = F.col(f.name)
+        if strat is None:
+            out.append(c)
+        elif strat == "hash":
+            out.append(F.md5(c.cast("string")).alias(f.name))
+        elif strat == "partial":
+            s = c.cast("string")
+            masked = F.concat(
+                F.expr(f"repeat('*', greatest(length(CAST({f.name} AS STRING)) - 4, 0))"),
+                F.substring(s, -4, 4),
+            )
+            out.append(masked.alias(f.name))
+        elif strat == "null":
+            out.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif strat == "bucket":
+            out.append(
+                (F.floor(c / F.lit(1000)) * F.lit(1000))
+                .cast(f.dataType.simpleString())
+                .alias(f.name)
+            )
+        else:
+            raise ValueError(
+                f"unknown masking strategy {strat!r} for {f.name!r}; "
+                f"supported: {_MASK_STRATEGIES}"
+            )
+    return df.select(*out)

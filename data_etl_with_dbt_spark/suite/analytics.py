@@ -1900,3 +1900,38 @@ def event_type_lift_pairs(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column masking (plans/dq.apply_masking_policy): the governed view of
+# customer — name pseudonymized (md5: still joinable), account balance
+# bucketed, nation hidden. Every strategy is a deterministic projection,
+# so the masked view itself hash-matches an oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "masked_customer_view",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           md5(c_name) AS c_name,
+           CAST(NULL AS INTEGER) AS c_nationkey,
+           CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    description=(
+        "Column-level masking policy over customer: md5 pseudonym name "
+        "(joinable), nulled nation, thousand-bucketed balance, segment "
+        "passthrough — the warehouse governance view as an engine-owned "
+        "projection"
+    ),
+)
+def masked_customer_view(spark, sf_dir):
+    from data_etl_with_dbt_spark.plans.dq import apply_masking_policy
+
+    cust = load(spark, sf_dir, "customer")
+    return apply_masking_policy(
+        cust,
+        {"c_name": "hash", "c_nationkey": "null", "c_acctbal": "bucket"},
+    ).orderBy("c_custkey")

@@ -529,3 +529,41 @@ class TestTableDiff:
         assert rows[5].diff_status == "only_b"
         # non-changed rows carry an empty changed_cols, never NULL
         assert rows[4].changed_cols == "" and rows[1].changed_cols == ""
+
+
+class TestMaskingPolicy:
+    def test_strategies_and_validation(self, spark):
+        from data_etl_with_dbt_spark.plans.dq import apply_masking_policy
+
+        df = spark.createDataFrame(
+            [(1, "alice@example.com", "555-123-9876", 4321.5)],
+            "id long, email string, phone string, bal double",
+        )
+        [r] = apply_masking_policy(
+            df,
+            {"email": "hash", "phone": "partial", "bal": "bucket"},
+        ).collect()
+        assert r.id == 1
+        assert len(r.email) == 32 and "@" not in r.email
+        assert r.phone.endswith("9876") and set(r.phone[:-4]) == {"*"}
+        assert r.bal == 4000.0
+
+        [n] = apply_masking_policy(df, {"email": "null"}).select("email").collect()
+        assert n.email is None
+
+        import pytest
+
+        with pytest.raises(ValueError, match="absent columns"):
+            apply_masking_policy(df, {"nope": "hash"})
+        with pytest.raises(ValueError, match="unknown masking strategy"):
+            apply_masking_policy(df, {"email": "rot13"})
+
+    def test_masked_hash_stays_joinable(self, spark):
+        from data_etl_with_dbt_spark.plans.dq import apply_masking_policy
+
+        a = spark.createDataFrame([(1, "x@y.z"), (2, "p@q.r")], "id long, email string")
+        b = spark.createDataFrame([("x@y.z", 10)], "email string, n long")
+        ma = apply_masking_policy(a, {"email": "hash"})
+        mb = apply_masking_policy(b, {"email": "hash"})
+        joined = ma.join(mb, "email").collect()
+        assert len(joined) == 1 and joined[0].id == 1
