@@ -598,3 +598,67 @@ def parse_debezium(
     return df.select(
         row.alias("__row"), op.alias("op"), p.getField("ts_ms").alias(seq_col)
     ).select("__row.*", "op", seq_col)
+
+
+def advise_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    broadcast_rows: int = 1_000_000,
+    skew_share: float = 0.2,
+    parallelism: int | None = None,
+) -> dict:
+    """Measurement-driven join planning — the decision procedure the
+    engine's join toolkit implies, made explicit: count both sides, probe
+    the bigger side's key skew (:func:`skew_stats`), and recommend
+
+    * ``broadcast_right`` / ``broadcast_left`` — a side fits under
+      ``broadcast_rows`` (the row-count proxy for the byte threshold; at
+      100 TB wire this to table stats instead of counts)
+    * ``salted`` — no side broadcasts AND the heaviest key holds more than
+      ``skew_share`` of the big side (→ :func:`salted_join` /
+      :func:`auto_salted_join` with the suggested bucket count)
+    * ``shuffle`` — the plain hash join is already the right plan
+
+    Returns ``{"strategy", "reasons": [...], "left_rows", "right_rows",
+    "top_key_share", "suggested_salt"}``. Cost: two counts + one top-k
+    key aggregation — all driver-decision reads, run them BEFORE
+    committing a 100 TB shuffle, not after it dies. AQE's runtime skew
+    handling covers sort-merge joins it can split; salting covers the
+    cases it can't (aggregations, broadcast-ineligible skew)."""
+    ln, rn = left.count(), right.count()
+    reasons = []
+    big, big_n = (left, ln) if ln >= rn else (right, rn)
+    if rn <= broadcast_rows and rn <= ln:
+        return {
+            "strategy": "broadcast_right",
+            "reasons": [f"right side {rn} rows <= {broadcast_rows}"],
+            "left_rows": ln, "right_rows": rn,
+            "top_key_share": None, "suggested_salt": 1,
+        }
+    if ln <= broadcast_rows:
+        return {
+            "strategy": "broadcast_left",
+            "reasons": [f"left side {ln} rows <= {broadcast_rows}"],
+            "left_rows": ln, "right_rows": rn,
+            "top_key_share": None, "suggested_salt": 1,
+        }
+    stats = skew_stats(big, key_cols, top_k=1, parallelism=parallelism).collect()
+    share = float(stats[0]["key_share"]) if stats else 0.0
+    salt = int(stats[0]["suggested_salt"]) if stats else 1
+    reasons.append(f"no side under {broadcast_rows} rows")
+    if share > skew_share:
+        reasons.append(
+            f"heaviest key holds {share:.0%} of the {big_n}-row side"
+        )
+        return {
+            "strategy": "salted", "reasons": reasons,
+            "left_rows": ln, "right_rows": rn,
+            "top_key_share": share, "suggested_salt": max(salt, 2),
+        }
+    reasons.append(f"top key share {share:.0%} <= {skew_share:.0%}")
+    return {
+        "strategy": "shuffle", "reasons": reasons,
+        "left_rows": ln, "right_rows": rn,
+        "top_key_share": share, "suggested_salt": 1,
+    }

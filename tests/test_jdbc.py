@@ -91,3 +91,39 @@ class TestJdbc:
         write_jdbc(fresh, derby_url, "people", mode="overwrite", truncate=True, driver=DRIVER)
         back = read_jdbc(spark, derby_url, "people", driver=DRIVER)
         assert back.count() == 10
+
+
+def test_federated_three_source_join(spark, derby_url, seeded, testdata):
+    """One Catalyst plan joining THREE source kinds — a parquet fixture
+    (events), an embedded-JDBC table (Derby 'people'), and the Python Data
+    Source generator (synthetic_docs) — the federation story: every
+    connector surfaces as a DataFrame, so cross-source joins are just
+    joins, with each source's own pushdown semantics intact."""
+    from pyspark.sql import functions as F
+
+    from data_etl_with_dbt_spark.sources import register_synthetic_source
+
+    register_synthetic_source(spark)
+    ev = testdata["events"].groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    people = read_jdbc(spark, derby_url, "people", driver=DRIVER).select(
+        F.col("id").alias("user_id"), "name"
+    )
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 200)
+        .load()
+        .select((F.col("doc_id") % 15 + 1).alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    out = ev.join(people, "user_id").join(docs, "user_id")
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.name == f"name_{r.user_id}"
+        assert r.n_events > 0 and r.n_docs > 0
+    # totals survive the federation: every event user with a Derby row and
+    # at least one synthetic doc appears exactly once
+    assert out.groupBy("user_id").count().where("count > 1").count() == 0

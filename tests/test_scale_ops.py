@@ -677,3 +677,37 @@ class TestParseDebezium:
         df = spark.createDataFrame([("not json at all",)], "value string")
         [r] = parse_debezium(df, "value", "id: long, v: string").collect()
         assert r.id is None and r.op is None
+
+
+class TestAdviseJoin:
+    def test_broadcast_small_side(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import advise_join
+
+        big = spark.range(5000).select(F.col("id").alias("k"))
+        dim = spark.range(50).select(F.col("id").alias("k"))
+        adv = advise_join(big, dim, ["k"], broadcast_rows=1000)
+        assert adv["strategy"] == "broadcast_right"
+        adv2 = advise_join(dim, big, ["k"], broadcast_rows=1000)
+        assert adv2["strategy"] == "broadcast_left"
+
+    def test_skewed_key_gets_salt(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import advise_join
+
+        # 60% of rows on one key
+        skewed = spark.range(5000).select(
+            F.when(F.col("id") < 3000, F.lit(0)).otherwise(F.col("id")).alias("k")
+        )
+        other = spark.range(4000).select(F.col("id").alias("k"))
+        adv = advise_join(skewed, other, ["k"], broadcast_rows=100, parallelism=8)
+        assert adv["strategy"] == "salted"
+        assert adv["suggested_salt"] >= 2
+        assert adv["top_key_share"] > 0.5
+
+    def test_uniform_keys_plain_shuffle(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import advise_join
+
+        a = spark.range(5000).select(F.col("id").alias("k"))
+        b = spark.range(5000).select(F.col("id").alias("k"))
+        adv = advise_join(a, b, ["k"], broadcast_rows=100)
+        assert adv["strategy"] == "shuffle"
+        assert adv["suggested_salt"] == 1
