@@ -122,6 +122,7 @@ ZQ_QUEUED = [
     "trailing_distinct_users_kmv", "attribution_purchase_touchpoints",
     "growth_accounting_daily", "event_type_lift_pairs",
     "cdc_debezium_apply_orders", "masked_customer_view",
+    "column_entropy_events",
 ]
 
 ZV_VERIFIED = [

@@ -1935,3 +1935,86 @@ def masked_customer_view(spark, sf_dir):
         cust,
         {"c_name": "hash", "c_nationkey": "null", "c_acctbal": "bucket"},
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Column entropy profiling — the concentration/diversity screen beside
+# profile_orders' null/distinct counts: low entropy flags near-constant
+# columns (dead dimensions, collapsed feeds), high entropy flags key-like
+# columns. Determinism follows the kl_divergence recipe: ln dec6-quantized
+# per value, contributions summed exactly via scaled decimals.
+# ---------------------------------------------------------------------------
+
+@query(
+    "column_entropy_events",
+    oracle="""
+    WITH cols AS (
+        SELECT 'event_type' AS col, event_type AS val FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'value_band', CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR)
+        FROM events WHERE value IS NOT NULL
+    ),
+    vc AS (SELECT col, val, count(*) AS c FROM cols GROUP BY col, val),
+    t  AS (SELECT col, sum(c) AS n FROM vc GROUP BY col)
+    SELECT vc.col,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(t.n) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(
+               -(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * CAST(CAST(ln(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 AS DECIMAL(38,6)) AS DOUBLE)
+               * 1000000.0
+           AS DECIMAL(18,6))) AS DOUBLE) / 1000000.0 AS entropy_nats
+    FROM vc JOIN t ON vc.col = t.col
+    GROUP BY vc.col
+    ORDER BY vc.col
+    """,
+    description=(
+        "Shannon entropy per profiled column (event_type, user_id, "
+        "value decades): the concentration screen — near-zero entropy = "
+        "dead dimension, log(n)-scale = key-like; ln dec6-quantized per "
+        "value, exact decimal contribution sums"
+    ),
+)
+def column_entropy_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cols = (
+        ev.select(F.lit("event_type").alias("col"), F.col("event_type").alias("val"))
+        .unionByName(
+            ev.select(
+                F.lit("user_id").alias("col"),
+                F.col("user_id").cast("string").alias("val"),
+            )
+        )
+        .unionByName(
+            ev.where(F.col("value").isNotNull()).select(
+                F.lit("value_band").alias("col"),
+                F.floor(F.col("value") / 10)
+                .cast("bigint")
+                .cast("string")
+                .alias("val"),
+            )
+        )
+    )
+    vc = cols.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False  # feeds totals and the scored join
+    )
+    t = vc.groupBy("col").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = (
+        (-p * dec6(F.log(p)) * F.lit(1000000.0)).cast("decimal(18,6)")
+    )
+    return (
+        vc.join(t, "col")
+        .groupBy("col")
+        .agg(
+            big(F.count(F.lit(1))).alias("n_distinct"),
+            big(F.max("n")).alias("n_rows"),
+            (F.sum(term).cast("double") / F.lit(1000000.0)).alias(
+                "entropy_nats"
+            ),
+        )
+        .orderBy("col")
+    )
