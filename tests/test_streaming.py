@@ -1028,3 +1028,81 @@ def test_streaming_hash_sample_matches_batch_sample(spark, tmp_path):
     )
     direct = sorted(map(tuple, hash_sample(whole, "k", 0.25).collect()))
     assert streamed == direct and 200 < len(streamed) < 400
+
+
+def _dbz(op, ts, rid, v=None):
+    import json as _json
+
+    row = None if rid is None else {"id": rid, "v": v}
+    payload = {
+        "before": row if op == "d" else None,
+        "after": None if op == "d" else row,
+        "op": op,
+        "ts_ms": ts,
+    }
+    return (_json.dumps({"payload": payload}),)
+
+
+def test_streaming_cdc_replication_prefix_consistent(spark, tmp_path):
+    """cdc_replication_sink: after the stream drains, the snapshot equals
+    the one-shot apply_cdc of ALL changes — and the final state reflects
+    insert -> update -> delete sequences across batch boundaries."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.operators.relational import apply_cdc, parse_debezium
+    from data_etl_with_dbt_spark.streaming.intake import cdc_replication_sink
+
+    batches = [
+        # batch 0: create 1..4
+        [_dbz("c", 10, 1, "a"), _dbz("c", 11, 2, "b"), _dbz("c", 12, 3, "c"),
+         _dbz("c", 13, 4, "d")],
+        # batch 1: update 2, delete 3, create 5
+        [_dbz("u", 20, 2, "B"), _dbz("d", 21, 3, "c"), _dbz("c", 22, 5, "e")],
+        # batch 2: delete 5, update 1 twice (latest wins), malformed row
+        [_dbz("d", 30, 5, "e"), _dbz("u", 31, 1, "mid"), _dbz("u", 32, 1, "A"),
+         ("this is not an envelope",)],
+    ]
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "value string").coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+        for f in _glob.glob(str(src / f"f{i}" / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    snap_path = str(tmp_path / "cdc_snapshot")
+    sink = cdc_replication_sink(snap_path, "id: long, v: string", "id")
+    q = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r.id: r.v for r in spark.read.parquet(snap_path).collect()}
+    assert got == {1: "A", 2: "B", 4: "d"}
+
+    # prefix-consistency: equals the one-shot apply of all envelopes
+    all_env = spark.createDataFrame(
+        [r for b in batches for r in b], "value string"
+    )
+    changes = parse_debezium(all_env, "value", "id: long, v: string").where(
+        F.col("id").isNotNull()
+    )
+    empty = spark.createDataFrame([], "id long, v string")
+    oneshot = {r.id: r.v for r in apply_cdc(empty, changes, "id", "seq").collect()}
+    assert got == oneshot
+
+    # replay-idempotence: re-applying batch 1's envelopes onto the final
+    # state only re-upserts already-present rows / re-deletes absent ones
+    sink(spark.createDataFrame(batches[1], "value string"), batch_id=99)
+    again = {r.id: r.v for r in spark.read.parquet(snap_path).collect()}
+    assert again == got
