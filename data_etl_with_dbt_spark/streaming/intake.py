@@ -501,3 +501,59 @@ def cdc_replication_sink(
         ).write.mode("overwrite").parquet(wm_path)
 
     return process
+
+
+def cdc_versioned_sink(
+    table_path: str,
+    row_schema: str,
+    key: str,
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """:func:`cdc_replication_sink` with a VERSIONED replica: each
+    micro-batch lands as one atomic ``merge_commit`` on a
+    ``sources/versioned`` table, so the replicated state gains snapshot
+    isolation, time travel (``read_version(path, v)`` shows the replica as
+    of any batch), and rollback — the lakehouse CDC story. Same sequence
+    watermark as the plain sink (replays of applied sequences are no-ops
+    and commit NOTHING, keeping the version history clean); within a
+    batch, per-key latest-by-sequence wins (apply_cdc's tie-break rules)
+    before the merge, deletes ride the merge's ``delete_col``."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import parse_debezium
+    from ..sources import versioned as V
+
+    wm_path = table_path.rstrip("/") + "__seq_watermark"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        changes = parse_debezium(batch, value_col, row_schema).where(
+            F.col(key).isNotNull()
+        )
+        wm_df = _parquet_or_none(
+            spark, wm_path, T.StructType([T.StructField("wm", T.LongType())])
+        )
+        wm = wm_df.agg(F.max("wm")).first()[0] if wm_df is not None else None
+        if wm is not None:
+            changes = changes.where(F.col("seq") > F.lit(wm))
+        changes = changes.localCheckpoint(eager=True)
+        new_wm = changes.agg(F.max("seq")).first()[0]
+        if new_wm is None:
+            return
+        w = Window.partitionBy(key).orderBy(
+            F.col("seq").desc(),
+            F.col("op").desc(),
+            F.xxhash64(*changes.columns).desc(),
+        )
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .withColumn("__delete", F.col("op") == "delete")
+            .drop("__rn", "op", "seq")
+        )
+        V.merge_commit(latest, table_path, key, delete_col="__delete")
+        spark.createDataFrame(
+            [(int(new_wm if wm is None else max(wm, new_wm)),)], "wm long"
+        ).write.mode("overwrite").parquet(wm_path)
+
+    return process

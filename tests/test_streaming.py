@@ -1106,3 +1106,54 @@ def test_streaming_cdc_replication_prefix_consistent(spark, tmp_path):
     sink(spark.createDataFrame(batches[1], "value string"), batch_id=99)
     again = {r.id: r.v for r in spark.read.parquet(snap_path).collect()}
     assert again == got
+
+
+def test_streaming_cdc_versioned_time_travel(spark, tmp_path):
+    """cdc_versioned_sink: each batch is one atomic versioned commit, so
+    the replica time-travels — version 1 shows the state after batch 0,
+    the latest shows the fully-applied state, and a replayed batch commits
+    no new version."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.sources import versioned as V
+    from data_etl_with_dbt_spark.streaming.intake import cdc_versioned_sink
+
+    batches = [
+        [_dbz("c", 10, 1, "a"), _dbz("c", 11, 2, "b")],
+        [_dbz("u", 20, 1, "A"), _dbz("d", 21, 2, "b"), _dbz("c", 22, 3, "c")],
+    ]
+    src = tmp_path / "vcdc_src"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "value string").coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+        for f in _glob.glob(str(src / f"f{i}" / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    table = str(tmp_path / "vcdc_table")
+    sink = cdc_versioned_sink(table, "id: long, v: string", "id")
+    q = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "vcdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    versions = V.list_versions(table)
+    assert len(versions) == 2
+    v1 = {r.id: r.v for r in V.read_version(spark, table, versions[0]).collect()}
+    v2 = {r.id: r.v for r in V.read_version(spark, table, versions[1]).collect()}
+    assert v1 == {1: "a", 2: "b"}          # after batch 0
+    assert v2 == {1: "A", 3: "c"}          # after batch 1 (2 deleted)
+
+    # replaying an applied batch commits NOTHING (watermark guard)
+    sink(spark.createDataFrame(batches[0], "value string"), batch_id=99)
+    assert V.list_versions(table) == versions
