@@ -697,10 +697,34 @@ def parse_mp3_meta(content: bytes) -> dict:
                 bitrate = _MP3_BITRATES[(hdr[2] >> 4) & 0xF]
                 rate_idx = (hdr[2] >> 2) & 0x3
                 if bitrate and rate_idx < 3:
+                    sample_rate = _MP3_RATES[rate_idx]
+                    # VBR: a Xing/Info tag in the first frame's side-info
+                    # region carries the EXACT frame count — duration =
+                    # frames * 1152 / rate, where the CBR byte estimate can
+                    # be arbitrarily wrong. Offset: 4-byte header + 32/17
+                    # bytes of Layer III side info (stereo/mono, MPEG-1).
+                    mono = ((hdr[3] >> 6) & 0x3) == 3
+                    xing_off = off + 4 + (17 if mono else 32)
+                    tag = content[xing_off : xing_off + 4]
+                    if tag in (b"Xing", b"Info"):
+                        flags = int.from_bytes(
+                            content[xing_off + 4 : xing_off + 8], "big"
+                        )
+                        if flags & 0x1:  # frame count present
+                            frames = int.from_bytes(
+                                content[xing_off + 8 : xing_off + 12], "big"
+                            )
+                            return {
+                                "bitrate_kbps": bitrate,  # first-frame rate
+                                "sample_rate": sample_rate,
+                                "est_duration_seconds": frames
+                                * 1152
+                                / sample_rate,
+                            }
                     audio_bytes = len(content) - off
                     return {
                         "bitrate_kbps": bitrate,
-                        "sample_rate": _MP3_RATES[rate_idx],
+                        "sample_rate": sample_rate,
                         "est_duration_seconds": audio_bytes * 8 / (bitrate * 1000),
                     }
         off += 1

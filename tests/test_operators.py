@@ -2790,3 +2790,28 @@ class TestPqRerank:
         )
         rows = {r.query_id: r.recall for r in ann_recall_report(approx, exact).collect()}
         assert rows == {"1": 0.5, "2": 1.0, "ALL": 0.75}
+
+
+class TestMp3Vbr:
+    def test_xing_frame_count_beats_cbr_estimate(self):
+        from data_etl_with_dbt_spark.operators.multimodal import parse_mp3_meta
+
+        # first frame: header + 32 bytes stereo side info + Xing tag with
+        # ONLY the frame-count field (flags=0x1), count=250
+        hdr = b"\xff\xfb\x90\x00"
+        xing = b"Xing" + (1).to_bytes(4, "big") + (250).to_bytes(4, "big")
+        first = hdr + b"\x00" * 32 + xing
+        first += b"\x00" * (417 - len(first))
+        # only 3 physical frames follow — the CBR byte estimate would be
+        # tiny; the Xing count must win
+        payload = first + (hdr + b"\x00" * 413) * 3
+        m = parse_mp3_meta(payload)
+        assert m["sample_rate"] == 44100
+        assert m["est_duration_seconds"] == pytest.approx(250 * 1152 / 44100)
+
+    def test_absent_xing_keeps_cbr_estimate(self):
+        from data_etl_with_dbt_spark.operators.multimodal import parse_mp3_meta
+
+        frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
+        m = parse_mp3_meta(frame * 5)
+        assert m["est_duration_seconds"] == pytest.approx(417 * 5 * 8 / 128000)
