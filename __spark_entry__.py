@@ -123,6 +123,10 @@ ZQ_QUEUED = [
     "growth_accounting_daily", "event_type_lift_pairs",
     "cdc_debezium_apply_orders", "masked_customer_view",
     "column_entropy_events",
+    # session-6 additions
+    "bm25_top_docs", "inverted_index_terms", "concurrent_sessions_peak",
+    "linear_interpolate_events", "ewma_daily_revenue",
+    "survival_km_conversion",
 ]
 
 ZV_VERIFIED = [

@@ -16,3 +16,5 @@ from data_etl_with_dbt_spark.suite import llm_ops  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import corpus  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import windows  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import labelops  # noqa: E402,F401
+from data_etl_with_dbt_spark.suite import search  # noqa: E402,F401
+from data_etl_with_dbt_spark.suite import timeline  # noqa: E402,F401
