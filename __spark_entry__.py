@@ -126,7 +126,8 @@ ZQ_QUEUED = [
     # session-6 additions
     "bm25_top_docs", "inverted_index_terms", "concurrent_sessions_peak",
     "linear_interpolate_events", "ewma_daily_revenue",
-    "survival_km_conversion",
+    "survival_km_conversion", "dsir_importance_weights",
+    "tokenizer_fertility_stats", "curriculum_schedule_documents",
 ]
 
 ZV_VERIFIED = [
