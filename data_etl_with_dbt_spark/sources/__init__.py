@@ -5,6 +5,11 @@ from data_etl_with_dbt_spark.sources.io import (  # noqa: F401
     write_table,
 )
 from data_etl_with_dbt_spark.sources.ingest import ingest_csv  # noqa: F401
+from data_etl_with_dbt_spark.sources.bucketed import (  # noqa: F401
+    aligned_for_join,
+    bucket_spec,
+    write_bucketed,
+)
 from data_etl_with_dbt_spark.sources.pyds import (  # noqa: F401
     SyntheticCorpusDataSource,
     register_synthetic_source,

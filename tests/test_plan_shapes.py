@@ -333,6 +333,20 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "event_type_lift_pairs": {"cartesian"},
         # change-slice filters are modulo expressions — nothing pushable
         "cdc_debezium_apply_orders": {"unpushed-filter"},
+        # broadcast-probe scan (the ann_cosine_topk pattern) over the
+        # Word2Vec doc embeddings
+        "learned_embedding_ann": {"cartesian"},
+        # session-6 entries:
+        # crossJoin(broadcast(1-row n_docs/avgdl corpus stats))
+        "bm25_top_docs": {"cartesian"},
+        # crossJoin(broadcast(1-row token totals)) for the DSIR smoothing
+        "dsir_importance_weights": {"cartesian"},
+        # crossJoin(broadcast(1-row horizon)) + KM curve windows over the
+        # distinct-duration grid (user-cardinality metadata, not events)
+        "survival_km_conversion": {"cartesian", "single-partition"},
+        # fixture-sized global ntile/row_number; the 100 TB posture is the
+        # range-partitioned sort + offsets pass (global_row_index recipe)
+        "curriculum_schedule_documents": {"single-partition"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):
