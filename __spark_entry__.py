@@ -128,6 +128,8 @@ ZQ_QUEUED = [
     "linear_interpolate_events", "ewma_daily_revenue",
     "survival_km_conversion", "dsir_importance_weights",
     "tokenizer_fertility_stats", "curriculum_schedule_documents",
+    "reconcile_order_totals", "functional_dependency_check",
+    "session_entry_exit",
 ]
 
 ZV_VERIFIED = [
