@@ -27,8 +27,10 @@ from data_etl_with_dbt_spark.operators.similarity import (  # noqa: F401
     lsh_bucketed_topk,
 )
 from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
+    bm25_scores,
     doc_fingerprint,
     bpe_segment,
+    inverted_index,
     gopher_quality_flags,
     lang_id_scores,
     mixture_sample,

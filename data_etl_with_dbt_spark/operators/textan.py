@@ -107,6 +107,109 @@ def token_count_bpe_ish(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: Alpha-word extraction used by the retrieval operators (BM25, inverted
+#: index) — ``[a-z]+`` over lowercased text on both engines.
+ALPHA_TOKEN_PATTERN = "[a-z]+"
+
+
+def _alpha_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(ALPHA_TOKEN_PATTERN), 0)
+        ).alias("term"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int | None = None,
+) -> DataFrame:
+    """BM25 ranking of documents for a bag of query terms.
+
+    Plan shape (the 100 TB posture): the token explode is the only
+    corpus-sized stage; document lengths aggregate on the id key, term
+    frequencies only for the |query| matched terms, document frequencies
+    collapse to |query| rows (broadcast), corpus stats to one row
+    (broadcast). Per-term partial scores are quantized on the
+    DECIMAL(18,6) grid before the per-doc sum, so the ranking is
+    reproducible under any aggregation order (and hash-matches the DuckDB
+    oracle in the suite).
+
+    Returns (id_col, bm25, matched_terms), ordered by score desc with the
+    id as tie-break; ``limit`` caps via TakeOrderedAndProject (no global
+    sort) when set."""
+    toks = _alpha_terms(df, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+    tfc = tfd * F.lit(k1 + 1.0) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(id_col, (idf * tfc).alias("term_score"))
+    )
+    out = (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(18,6)")).cast("double").alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("matched_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), id_col)
+    )
+    return out.limit(limit) if limit is not None else out
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    postings_cap: int = 12,
+) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the head of the ascending postings list as a CSV string
+    (capped at ``postings_cap`` ids so no term accumulates an unbounded
+    array — a full postings sink writes bucketed-by-term parquet instead).
+    One corpus-sized (term, doc) agg, then a vocabulary-sized rollup."""
+    tf = (
+        _alpha_terms(df, id_col, text_col)
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list(id_col)), 1, postings_cap),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, prefix: int = 64) -> DataFrame:
     """Content fingerprints: full-content digest over normalized text
     (lowercased, whitespace-collapsed) plus a prefix digest — the cheap

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_etl_with_dbt_spark.suite.registry import big, load, query
+from data_etl_with_dbt_spark.suite.registry import load, query
 
 # Fixed query terms for the oracle-checked ranking entry. Production use is
 # parameterized (see operators/textan.py tokenizers); the suite pins terms so
@@ -78,48 +78,11 @@ _B = 0.75
     ),
 )
 def bm25_top_docs(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.textan import bm25_scores
+
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
-    )
-    dl = toks.groupBy("doc_id").agg(big(F.count(F.lit(1))).alias("dl"))
-    corpus = dl.agg(
-        big(F.count(F.lit(1))).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
-    )
-    tf = (
-        toks.where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(big(F.count(F.lit(1))).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(big(F.count(F.lit(1))).alias("df"))
-    # df is vocabulary-sized (= |query|), dl joins on the doc key the tf agg
-    # already shuffled on; corpus is a broadcast scalar.
-    nd = F.col("n_docs").cast("double")
-    dfd = F.col("df").cast("double")
-    tfd = F.col("tf").cast("double")
-    dld = F.col("dl").cast("double")
-    idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
-    tfc = (
-        tfd
-        * F.lit(_K1 + 1.0)
-        / (tfd + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * dld / F.col("avgdl")))
-    )
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .select("doc_id", (idf * tfc).alias("term_score"))
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum(F.col("term_score").cast("decimal(18,6)")).cast("double").alias("bm25"),
-            big(F.count(F.lit(1))).alias("matched_terms"),
-        )
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
+    return bm25_scores(
+        docs, "doc_id", "text", list(_BM25_TERMS), k1=_K1, b=_B, limit=20
     )
 
 
@@ -149,33 +112,11 @@ def bm25_top_docs(spark, sf_dir):
     ),
 )
 def inverted_index_terms(spark, sf_dir):
-    """Posting lists per term. At scale the per-(term, doc) tf agg is the one
-    corpus-sized shuffle; the per-term rollup is vocabulary-sized. The
-    postings head is capped (12 doc ids) so no term accumulates an unbounded
-    array — a full postings sink would write bucketed-by-term parquet
-    instead of collecting."""
+    from data_etl_with_dbt_spark.operators.textan import inverted_index
+
     docs = load(spark, sf_dir, "documents")
-    tf = (
-        docs.select(
-            "doc_id",
-            F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
-        )
-        .groupBy("term", "doc_id")
-        .agg(big(F.count(F.lit(1))).alias("tf"))
-    )
     return (
-        tf.groupBy("term")
-        .agg(
-            big(F.count(F.lit(1))).alias("df"),
-            big(F.sum("tf")).alias("total_tf"),
-            F.array_join(
-                F.transform(
-                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 12),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("postings_head"),
-        )
+        inverted_index(docs, "doc_id", "text", postings_cap=12)
         .orderBy(F.col("df").desc(), "term")
         .limit(50)
     )

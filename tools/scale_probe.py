@@ -46,6 +46,10 @@ def _ops():
         "quota": lambda df: R.per_key_cap(
             df, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], n=1000
         ),
+        "bm25": lambda df: TA.bm25_scores(
+            df, "doc_id", "text", ["the", "and", "of"], limit=100
+        ),
+        "invindex": lambda df: TA.inverted_index(df, "doc_id", "text"),
         "cms": _cms,
         "hll": _hll,
         "kmv": _kmv,
