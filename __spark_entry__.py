@@ -129,7 +129,7 @@ ZQ_QUEUED = [
     "survival_km_conversion", "dsir_importance_weights",
     "tokenizer_fertility_stats", "curriculum_schedule_documents",
     "reconcile_order_totals", "functional_dependency_check",
-    "session_entry_exit",
+    "session_entry_exit", "cascade_delete_impact", "dp_noisy_counts",
 ]
 
 ZV_VERIFIED = [

@@ -20,3 +20,4 @@ from data_etl_with_dbt_spark.suite import search  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import timeline  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import mixing  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import audit  # noqa: E402,F401
+from data_etl_with_dbt_spark.suite import privacy  # noqa: E402,F401

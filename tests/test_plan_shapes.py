@@ -347,6 +347,8 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # fixture-sized global ntile/row_number; the 100 TB posture is the
         # range-partitioned sort + offsets pass (global_row_index recipe)
         "curriculum_schedule_documents": {"single-partition"},
+        # the subject gate is an md5 expression — nothing pushable
+        "cascade_delete_impact": {"unpushed-filter"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):
