@@ -1,0 +1,73 @@
+"""The dbt-shaped CLI drives a SQL-model project end to end: ls/docs need
+no session, run/test/build execute against an injected one (the module
+creates and stops its own only when none is passed)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_etl_with_dbt_spark.__main__ import main
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def project(tmp_path):
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "stg_events.sql").write_text(
+        "{{ config(materialized='view') }}\n"
+        "SELECT event_id, user_id, event_type, value\n"
+        "FROM {{ source('events') }} WHERE value IS NOT NULL"
+    )
+    (models / "core_totals.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS total\n"
+        "FROM {{ ref('stg_events') }} GROUP BY event_type"
+    )
+    return tmp_path
+
+
+def _args(project, cmd, *extra):
+    return [
+        cmd,
+        "--project-dir",
+        str(project),
+        "--source",
+        f"events={SF_DIR}/events.parquet",
+        *extra,
+    ]
+
+
+def test_ls_lists_topo_order(project, capsys):
+    assert main(_args(project, "ls")) == 0
+    out = capsys.readouterr().out.split()
+    assert out == ["stg_events", "core_totals"]
+    # selection grammar passes through
+    assert main(_args(project, "ls", "--select", "stg_*")) == 0
+    assert capsys.readouterr().out.split() == ["stg_events"]
+
+
+def test_docs_prints_manifest_json(project, capsys):
+    assert main(_args(project, "docs")) == 0
+    manifest = json.loads(capsys.readouterr().out)
+    by_name = {m["name"]: m for m in manifest}
+    assert by_name["core_totals"]["depends_on"] == ["stg_events"]
+    assert by_name["core_totals"]["materialized"] == "table"
+    assert by_name["stg_events"]["materialized"] == "view"
+
+
+def test_run_materializes_and_reports(project, capsys, spark):
+    assert main(_args(project, "run"), spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "OK stg_events" in out and "OK core_totals" in out
+    assert spark.table("core_totals").count() == 5  # one row per event type
+    # the injected session must survive the invocation
+    assert spark.range(1).count() == 1
+
+
+def test_build_exit_code_is_clean_on_green(project, capsys, spark):
+    assert main(_args(project, "build"), spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "OK   core_totals" in out and "SKIP" not in out
