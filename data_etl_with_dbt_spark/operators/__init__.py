@@ -94,3 +94,8 @@ from data_etl_with_dbt_spark.operators.layout import (  # noqa: F401
     zorder_key,
     zorder_layout,
 )
+from data_etl_with_dbt_spark.operators.ivm import (  # noqa: F401
+    agg_view_delta,
+    join_delta,
+    refresh_join_view,
+)
