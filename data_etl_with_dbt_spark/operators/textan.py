@@ -112,7 +112,15 @@ def token_count_bpe_ish(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 ALPHA_TOKEN_PATTERN = "[a-z]+"
 
 
-def _alpha_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _alpha_terms(
+    df: DataFrame, id_col: str, text_col: str, spread_partitions: int | None = None
+) -> DataFrame:
+    # spread_partitions: pre-shuffle the documents so the CPU-heavy explode
+    # parallelizes when the input is unsplittable (single-row-group parquet,
+    # tiny file counts). Leave None when the scan already parallelizes —
+    # at warehouse scale an extra full-corpus shuffle is pure waste.
+    if spread_partitions:
+        df = df.repartition(spread_partitions, id_col)
     return df.select(
         F.col(id_col),
         F.explode(
@@ -129,6 +137,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     limit: int | None = None,
+    spread_partitions: int | None = None,
 ) -> DataFrame:
     """BM25 ranking of documents for a bag of query terms.
 
@@ -143,8 +152,9 @@ def bm25_scores(
 
     Returns (id_col, bm25, matched_terms), ordered by score desc with the
     id as tie-break; ``limit`` caps via TakeOrderedAndProject (no global
-    sort) when set."""
-    toks = _alpha_terms(df, id_col, text_col)
+    sort) when set. ``spread_partitions`` pre-shuffles unsplittable inputs
+    (see _alpha_terms)."""
+    toks = _alpha_terms(df, id_col, text_col, spread_partitions)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -186,6 +196,7 @@ def inverted_index(
     id_col: str,
     text_col: str,
     postings_cap: int = 12,
+    spread_partitions: int | None = None,
 ) -> DataFrame:
     """Inverted-index build: per term, document frequency, total term
     frequency, and the head of the ascending postings list as a CSV string
@@ -193,7 +204,7 @@ def inverted_index(
     array — a full postings sink writes bucketed-by-term parquet instead).
     One corpus-sized (term, doc) agg, then a vocabulary-sized rollup."""
     tf = (
-        _alpha_terms(df, id_col, text_col)
+        _alpha_terms(df, id_col, text_col, spread_partitions)
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )

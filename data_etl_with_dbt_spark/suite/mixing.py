@@ -75,6 +75,8 @@ def dsir_importance_weights(spark, sf_dir):
     back onto the per-(doc, bucket) term frame, one per-doc sum. Nothing
     scales with corpus size except the explode and the doc-keyed agg."""
     docs = load(spark, sf_dir, "documents")
+    # fixture parquet is single-row-group (unsplittable): spread the explode
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     terms = docs.select(
         "doc_id",
         "lang",

@@ -81,8 +81,10 @@ def bm25_top_docs(spark, sf_dir):
     from data_etl_with_dbt_spark.operators.textan import bm25_scores
 
     docs = load(spark, sf_dir, "documents")
+    # fixture parquet is single-row-group (unsplittable): spread the explode
     return bm25_scores(
-        docs, "doc_id", "text", list(_BM25_TERMS), k1=_K1, b=_B, limit=20
+        docs, "doc_id", "text", list(_BM25_TERMS), k1=_K1, b=_B, limit=20,
+        spread_partitions=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -115,6 +117,8 @@ def inverted_index_terms(spark, sf_dir):
     from data_etl_with_dbt_spark.operators.textan import inverted_index
 
     docs = load(spark, sf_dir, "documents")
+    # no spread here: one consumer of the explode, and the (term, doc) agg
+    # re-shuffles anyway — measured slower with the extra corpus shuffle
     return (
         inverted_index(docs, "doc_id", "text", postings_cap=12)
         .orderBy(F.col("df").desc(), "term")
