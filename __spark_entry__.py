@@ -130,6 +130,8 @@ ZQ_QUEUED = [
     "tokenizer_fertility_stats", "curriculum_schedule_documents",
     "reconcile_order_totals", "functional_dependency_check",
     "session_entry_exit", "cascade_delete_impact", "dp_noisy_counts",
+    "holt_linear_forecast", "hourly_seasonality_profile",
+    "scalar_distance_gallery",
 ]
 
 ZV_VERIFIED = [

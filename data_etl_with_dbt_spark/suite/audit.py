@@ -223,3 +223,73 @@ def session_entry_exit(spark, sf_dir):
             / F.lit(1_000_000).cast("double")
         ).alias("avg_duration_s"),
     )
+
+
+@query(
+    "scalar_distance_gallery",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.c_custkey AS k, lower(a.c_name) AS na, lower(b.c_name) AS nb
+        FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    ),
+    g AS (
+        SELECT k, na, nb,
+               CAST(levenshtein(na, nb) AS BIGINT) AS lev,
+               list_distinct(list_transform(range(1, length(na)), i -> na[i:i+1])) AS ba,
+               list_distinct(list_transform(range(1, length(nb)), i -> nb[i:i+1])) AS bb
+        FROM pairs
+    )
+    SELECT k, na, nb, lev,
+           CAST(len(list_intersect(ba, bb)) AS BIGINT) AS bigram_common,
+           CAST(len(ba) + len(bb) - len(list_intersect(ba, bb)) AS BIGINT) AS bigram_union,
+           CAST(len(list_intersect(ba, bb)) AS DOUBLE)
+               / CAST(len(ba) + len(bb) - len(list_intersect(ba, bb)) AS DOUBLE)
+               AS bigram_jaccard,
+           (substr(na, 1, 3) = substr(nb, 1, 3)) AS same_prefix3
+    FROM g
+    """,
+    description=(
+        "String-distance gallery over consecutive customer-name pairs: "
+        "Levenshtein edit distance, character-bigram Jaccard, and a prefix "
+        "agreement flag — the record-linkage scoring primitives"
+    ),
+)
+def scalar_distance_gallery(spark, sf_dir):
+    """Distance scoring on an equi-joined pair stream (key+1 self-join —
+    blocking comes from elsewhere: LSH buckets, sorted neighborhoods); every
+    expression is a built-in, the whole gallery stays in codegen."""
+    c = load(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("k"), F.lower("c_name").alias("na"))
+    b = c.select(
+        (F.col("c_custkey") - 1).alias("k2"), F.lower("c_name").alias("nb")
+    )
+    pairs = a.join(b, F.col("k2") == F.col("k"))
+
+    def bigrams(s):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - 1),
+                lambda i: F.substring(s, i, F.lit(2)),
+            )
+        )
+
+    g = pairs.select(
+        "k",
+        "na",
+        "nb",
+        F.levenshtein("na", "nb").cast("bigint").alias("lev"),
+        bigrams(F.col("na")).alias("ba"),
+        bigrams(F.col("nb")).alias("bb"),
+    )
+    common = F.size(F.array_intersect("ba", "bb")).cast("bigint")
+    union = (F.size("ba") + F.size("bb")).cast("bigint") - common
+    return g.select(
+        "k",
+        "na",
+        "nb",
+        "lev",
+        common.alias("bigram_common"),
+        union.alias("bigram_union"),
+        (common.cast("double") / union.cast("double")).alias("bigram_jaccard"),
+        (F.substring("na", 1, 3) == F.substring("nb", 1, 3)).alias("same_prefix3"),
+    )

@@ -389,3 +389,146 @@ def survival_km_conversion(spark, sf_dir):
         F.col("n").alias("n_at_risk"),
         dec6(F.exp(F.col("lnsum").cast("double"))).alias("survival"),
     )
+
+
+@query(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT day, rev, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+        FROM (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+            FROM orders
+            GROUP BY 1
+            ORDER BY day DESC
+            LIMIT 60
+        )
+    ),
+    r AS (
+        SELECT rn, day, rev, rev AS lvl, CAST(0 AS DOUBLE) AS trend FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, d.day, d.rev,
+               CAST(0.5 AS DOUBLE) * d.rev
+                   + CAST(0.5 AS DOUBLE) * (r.lvl + r.trend),
+               CAST(0.3 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * d.rev
+                       + CAST(0.5 AS DOUBLE) * (r.lvl + r.trend)) - r.lvl)
+                   + CAST(0.7 AS DOUBLE) * r.trend
+        FROM d JOIN r ON d.rn = r.rn + 1
+    ),
+    last AS (SELECT day, lvl, trend FROM r ORDER BY rn DESC LIMIT 1)
+    SELECT day, rev,
+           CAST(CAST(lvl AS DECIMAL(38,6)) AS DOUBLE) AS level,
+           CAST(CAST(trend AS DECIMAL(38,6)) AS DOUBLE) AS trend,
+           FALSE AS is_forecast
+    FROM r
+    UNION ALL
+    SELECT day + CAST(h AS BIGINT) * INTERVAL 1 DAY, NULL,
+           CAST(CAST(lvl + CAST(h AS DOUBLE) * trend AS DECIMAL(38,6)) AS DOUBLE),
+           CAST(CAST(trend AS DECIMAL(38,6)) AS DOUBLE),
+           TRUE
+    FROM last, unnest(range(1, 8)) AS t(h)
+    """,
+    description=(
+        "Holt double exponential smoothing (alpha=0.5, beta=0.3) over the "
+        "last 60 revenue days + a 7-day linear forecast — sequential "
+        "recurrence via the pinned-order fold, bit-identical cross-engine"
+    ),
+)
+def holt_linear_forecast(spark, sf_dir):
+    """Level+trend smoothing, same execution posture as ewma_daily_revenue
+    (one day-grain agg, 60-element fold on one row); the forecast explodes
+    seven (h, level + h*trend) rows off the final state. Init convention:
+    level_1 = x_1, trend_1 = 0 (documented; mirrored in the recursion)."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+        .orderBy(F.col("day").desc())
+        .limit(60)
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "rev"))).alias("days")
+    )
+    acc0 = F.expr(
+        "CAST(array() AS array<struct<day:date,rev:double,lvl:double,trend:double>>)"
+    )
+    a, b1 = F.lit(0.5), F.lit(0.3)
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)
+        lvl = F.when(F.size(acc) == 0, x["rev"]).otherwise(
+            a * x["rev"] + (F.lit(1.0) - a) * (prev["lvl"] + prev["trend"])
+        )
+        trend = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
+            b1 * (lvl - prev["lvl"]) + (F.lit(1.0) - b1) * prev["trend"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["rev"].alias("rev"),
+                    lvl.alias("lvl"),
+                    trend.alias("trend"),
+                )
+            ),
+        )
+
+    folded = arr.select(F.aggregate("days", acc0, step).alias("series"))
+    hist = folded.select(F.explode("series").alias("p")).select(
+        F.col("p.day").alias("day"),
+        F.col("p.rev").alias("rev"),
+        dec6(F.col("p.lvl")).alias("level"),
+        dec6(F.col("p.trend")).alias("trend"),
+        F.lit(False).alias("is_forecast"),
+    )
+    last = folded.select(F.element_at("series", -1).alias("p"))
+    fc = (
+        last.select("p", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"))
+        .select(
+            F.date_add(F.col("p.day"), F.col("h")).alias("day"),
+            F.lit(None).cast("double").alias("rev"),
+            dec6(
+                F.col("p.lvl") + F.col("h").cast("double") * F.col("p.trend")
+            ).alias("level"),
+            dec6(F.col("p.trend")).alias("trend"),
+            F.lit(True).alias("is_forecast"),
+        )
+    )
+    return hist.unionByName(fc)
+
+
+@query(
+    "hourly_seasonality_profile",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour_of_day, n,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+    FROM h
+    """,
+    description=(
+        "Hour-of-day seasonality per event type: counts + share of the "
+        "type's daily cycle (24 x 5 profile matrix)"
+    ),
+)
+def hourly_seasonality_profile(spark, sf_dir):
+    """One fact scan -> (type, hour) agg (map-side combined to <=120 rows);
+    the share window runs over the profile matrix, not the events."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(big(F.count(F.lit(1))).alias("n"))
+    w = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias("share"),
+    )
