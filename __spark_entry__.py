@@ -132,6 +132,10 @@ ZQ_QUEUED = [
     "session_entry_exit", "cascade_delete_impact", "dp_noisy_counts",
     "holt_linear_forecast", "hourly_seasonality_profile",
     "scalar_distance_gallery",
+    # session-7 additions
+    "ab_test_summary", "funnel_conversion_windows",
+    "inventory_running_balance", "market_basket_lift",
+    "duplicate_invoice_heuristic",
 ]
 
 ZV_VERIFIED = [

@@ -349,6 +349,9 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "curriculum_schedule_documents": {"single-partition"},
         # the subject gate is an md5 expression — nothing pushable
         "cascade_delete_impact": {"unpushed-filter"},
+        # session-7 entries:
+        # crossJoin(broadcast(1-row distinct-order total)) for the lift
+        "market_basket_lift": {"cartesian"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):
