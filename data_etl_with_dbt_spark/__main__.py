@@ -125,8 +125,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"OK {name}" + (f"  rows={n}" if n is not None else ""))
             return 0
         if args.cmd == "test":
-            registry.run(spark, select=args.select, exclude=args.exclude)
-            results = registry.test(spark)
+            built = registry.run(spark, select=args.select, exclude=args.exclude)
+            # test exactly what this invocation materialized (selection +
+            # prerequisites) — unselected models may not exist in a fresh
+            # session and must not be looked up
+            results = registry.test(spark, only=built)
             bad = 0
             for r in results:
                 status = "PASS" if r.passed else ("WARN" if not r.blocking else "FAIL")

@@ -150,10 +150,29 @@ def bm25_scores(
     reproducible under any aggregation order (and hash-matches the DuckDB
     oracle in the suite).
 
+    Bag-of-terms semantics: a REPEATED query term weights its per-doc
+    partial score by its multiplicity (standard BM25 over a query bag —
+    IN-filter dedup must not silently collapse it); an empty query is a
+    ``ValueError``, not a cryptic analyzer error from ``isin()``.
+
     Returns (id_col, bm25, matched_terms), ordered by score desc with the
     id as tie-break; ``limit`` caps via TakeOrderedAndProject (no global
     sort) when set. ``spread_partitions`` pre-shuffles unsplittable inputs
     (see _alpha_terms)."""
+    from collections import Counter
+
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    qweights = Counter(query_terms)
+    query_terms = list(qweights)
+    # multiplicity lookup as a literal map — |query|-sized, pure codegen
+    qw_map = F.create_map(
+        *[
+            lit
+            for t, n in qweights.items()
+            for lit in (F.lit(t), F.lit(float(n)))
+        ]
+    )
     toks = _alpha_terms(df, id_col, text_col, spread_partitions)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
     corpus = dl.agg(
@@ -178,7 +197,12 @@ def bm25_scores(
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
-        .select(id_col, (idf * tfc).alias("term_score"))
+        .select(
+            id_col,
+            (idf * tfc * F.element_at(qw_map, F.col("term"))).alias(
+                "term_score"
+            ),
+        )
     )
     out = (
         scored.groupBy(id_col)
@@ -200,24 +224,43 @@ def inverted_index(
 ) -> DataFrame:
     """Inverted-index build: per term, document frequency, total term
     frequency, and the head of the ascending postings list as a CSV string
-    (capped at ``postings_cap`` ids so no term accumulates an unbounded
-    array — a full postings sink writes bucketed-by-term parquet instead).
-    One corpus-sized (term, doc) agg, then a vocabulary-sized rollup."""
+    (capped at ``postings_cap`` ids — a full postings sink writes
+    bucketed-by-term parquet instead).
+
+    The cap bounds the AGGREGATION BUFFER, not just the output: postings
+    are ranked per term (``row_number`` over ascending id) and filtered to
+    the cap BEFORE ``collect_list``, so a stopword-frequency term never
+    materializes its full doc-id list in one buffer (the OOM risk at the
+    module's 100 TB posture). df/total_tf stay UNCAPPED via window tallies
+    on the same (term)-partitioned pass — both windows share one exchange
+    + sort, and the final per-term agg is exchange-free on the incoming
+    partitioning."""
+    from pyspark.sql import Window
+
     tf = (
         _alpha_terms(df, id_col, text_col, spread_partitions)
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    return tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"),
-        F.sum("tf").cast("bigint").alias("total_tf"),
-        F.array_join(
-            F.transform(
-                F.slice(F.sort_array(F.collect_list(id_col)), 1, postings_cap),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("postings_head"),
+    w_all = Window.partitionBy("term")
+    w_asc = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_all).cast("bigint"))
+        .withColumn("total_tf", F.sum("tf").over(w_all).cast("bigint"))
+        .withColumn("__rn", F.row_number().over(w_asc))
+        .where(F.col("__rn") <= postings_cap)
+        .groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.first("total_tf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(id_col)),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
     )
 
 

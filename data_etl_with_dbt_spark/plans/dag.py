@@ -185,8 +185,31 @@ class ModelRegistry:
         return spark.table(loader)
 
     def materialized_df(self, spark: SparkSession, name: str) -> DataFrame:
+        """Resolve a model/seed to its materialized relation.
+
+        Resolution order matters: an un-cached TABLE-materialized model (or
+        seed) must resolve through a catalog-qualified identifier, because a
+        bare ``spark.table(name)`` lets any session temp view with the same
+        name shadow the materialized table — in a shared session (notebook
+        user ran ``createOrReplaceTempView``, or a slim-CI rebuild in a
+        long-lived session) ``ref()`` would silently read the WRONG relation.
+        Temp views cannot shadow a three-part ``catalog.db.table`` name, so
+        qualifying restores the dbt contract that ``ref()`` is unambiguous.
+        View-materialized models ARE temp views, so the bare lookup is the
+        correct (and only) path for them.
+        """
         if name in self._cache:
             return self._cache[name]
+        spec = self._models.get(name)
+        table_backed = name in self._seeds or (
+            spec is not None and spec.materialized in ("table", "incremental")
+        )
+        if table_backed:
+            cat = spark.catalog.currentCatalog()
+            db = spark.catalog.currentDatabase()
+            qualified = f"`{cat}`.`{db}`.`{name}`"
+            if spark.catalog.tableExists(qualified):
+                return spark.table(qualified)
         return spark.table(name)
 
     # -- execution ---------------------------------------------------------
@@ -241,25 +264,68 @@ class ModelRegistry:
             if sql_text is not None:
                 code_sig = sql_text
             else:
-                code = fn.__code__
-                # defaults and closure cells are NOT in co_consts — a model
-                # parameterized via `def fn(ctx, _t=threshold)` or a closure
-                # variable changes behavior without changing bytecode, so
-                # both join the signature (repr-based; unreprable cells fall
-                # back to their type name rather than going invisible)
-                def safe(v):
+                # Normalize recursively instead of repr()ing raw values:
+                # a nested lambda/def appears in co_consts as a code object
+                # whose repr embeds a memory address and the absolute file
+                # path — process- and checkout-dependent, so state:modified
+                # would flag every model containing a lambda on every run.
+                # Code objects hash by their STABLE fields (bytecode, names,
+                # normalized consts); defaults and closure cells are NOT in
+                # co_consts — a model parameterized via `def fn(ctx,
+                # _t=threshold)` or a closure variable changes behavior
+                # without changing bytecode, so both join the signature.
+                # Functions reached through cells/defaults hash their
+                # __code__ the same recursive way (a `seen` set breaks
+                # self-referential closures).
+                import types as _types
+
+                def norm(v, seen):
+                    if isinstance(v, _types.CodeType):
+                        return norm_code(v, seen)
+                    if isinstance(v, _types.FunctionType):
+                        if id(v) in seen:
+                            return "<recursive-fn>"
+                        seen = seen | {id(v)}
+                        return (
+                            "fn",
+                            norm_code(v.__code__, seen),
+                            tuple(norm(d, seen) for d in (v.__defaults__ or ())),
+                            tuple(
+                                norm(_cell(c), seen)
+                                for c in (v.__closure__ or ())
+                            ),
+                        )
+                    if isinstance(v, tuple):
+                        return tuple(norm(x, seen) for x in v)
+                    if isinstance(v, frozenset):
+                        return ("fs",) + tuple(
+                            sorted(repr(norm(x, seen)) for x in v)
+                        )
                     try:
                         return repr(v)
                     except Exception:
                         return f"<{type(v).__name__}>"
 
-                cells = tuple(
-                    safe(c.cell_contents) for c in (fn.__closure__ or ())
-                )
-                defaults = tuple(safe(v) for v in (fn.__defaults__ or ()))
-                code_sig = repr(
-                    (code.co_code, code.co_consts, code.co_names, defaults, cells)
-                )
+                def _cell(c):
+                    try:
+                        return c.cell_contents
+                    except ValueError:  # empty cell
+                        return "<empty-cell>"
+
+                def norm_code(c, seen):
+                    return (
+                        "code",
+                        c.co_code,
+                        tuple(norm(k, seen) for k in c.co_consts),
+                        c.co_names,
+                        c.co_varnames,
+                        c.co_freevars,
+                        c.co_cellvars,
+                        c.co_argcount,
+                        c.co_flags,
+                    )
+
+                code_sig = repr(norm(fn, frozenset()))
             sig = repr(
                 (
                     code_sig,
@@ -848,14 +914,24 @@ class ModelRegistry:
             "skipped": skipped,
         }
 
-    def test(self, spark: SparkSession) -> list:
-        """Run every declared data-quality test (dbt-test protocol: a test
-        passes iff its violation query returns zero rows — SURVEY.md §2.12)."""
+    def test(self, spark: SparkSession, only=None) -> list:
+        """Run declared data-quality tests (dbt-test protocol: a test
+        passes iff its violation query returns zero rows — SURVEY.md §2.12).
+
+        ``only`` restricts to that iterable of model names. The CLI's
+        ``test --select X`` passes the names its run phase actually built
+        (selection + prerequisites): without the restriction, a selected
+        run in a fresh session would try to test NEVER-materialized models
+        and crash on TABLE_OR_VIEW_NOT_FOUND instead of testing the
+        selection."""
         from data_etl_with_dbt_spark.plans.dq import run_test
 
         results = []
+        wanted = None if only is None else set(only)
         for name, spec in self._models.items():
             if not spec.tests:
+                continue
+            if wanted is not None and name not in wanted:
                 continue
             df = self.materialized_df(spark, name)
             for test_fn, column, kwargs in spec.tests:

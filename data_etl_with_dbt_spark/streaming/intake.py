@@ -56,6 +56,75 @@ def _parquet_or_none(spark, path: str, schema: T.StructType | None = None):
         raise
 
 
+#: replay-watermark store for the CDC sinks: every row carries the current
+#: max applied sequence plus the content hash of ONE change record applied
+#: AT that sequence (the "boundary set")
+_WM_SCHEMA = T.StructType(
+    [T.StructField("wm", T.LongType()), T.StructField("h", T.LongType())]
+)
+
+
+def _filter_replayed(spark, wm_path: str, changes: DataFrame):
+    """Drop already-applied change records, sound for NON-strict sequences.
+
+    Debezium ``ts_ms`` is millisecond wall-clock — monotone but NOT
+    strictly increasing, so two distinct changes can share a sequence and
+    straddle a micro-batch boundary. A plain ``seq > wm`` guard would drop
+    the later batch's genuinely-new boundary rows as "already applied" —
+    silent data loss. Instead the guard keeps ``seq > wm`` OR
+    ``seq == wm AND content-hash not in the applied boundary set``: replays
+    deliver byte-identical envelopes (same log records), so a hash match at
+    the boundary sequence means an applied record, while a new change that
+    merely shares the timestamp hashes differently and passes. The boundary
+    set is records at ONE timestamp (driver-collected; bounded by per-ms
+    change throughput).
+
+    Residual ambiguity, documented not hidden: if two DIFFERENT changes to
+    the same key share a sequence across batches, apply order falls to
+    ``apply_cdc``'s deterministic tie-break, not log order — a strictly
+    increasing LSN as ``seq`` removes the ambiguity entirely.
+
+    Returns ``(changes_with___h, wm, boundary_hashes)``.
+    """
+    changes = changes.withColumn("__h", F.xxhash64(*changes.columns))
+    wm_df = _parquet_or_none(spark, wm_path, _WM_SCHEMA)
+    wm, boundary = None, set()
+    if wm_df is not None:
+        rows = wm_df.collect()
+        if rows:
+            wm = max(r["wm"] for r in rows)
+            boundary = {r["h"] for r in rows if r["wm"] == wm}
+    if wm is not None:
+        keep = F.col("seq") > F.lit(wm)
+        if boundary:
+            keep = keep | (
+                (F.col("seq") == F.lit(wm))
+                & ~F.col("__h").isin(*[int(h) for h in boundary])
+            )
+        changes = changes.where(keep)
+    return changes, wm, boundary
+
+
+def _write_watermark(
+    spark, wm_path: str, wm, boundary: set, guarded: DataFrame, new_wm: int
+) -> None:
+    """Persist the advanced watermark + its boundary hash set. ``guarded``
+    must already be checkpointed (its plan must not re-read ``wm_path``,
+    which this overwrites). When the sequence did not advance, the old
+    boundary set carries over and the new records' hashes join it."""
+    hashes = {
+        r["__h"]
+        for r in guarded.where(F.col("seq") == F.lit(new_wm))
+        .select("__h")
+        .collect()
+    }
+    if wm is not None and new_wm == wm:
+        hashes |= boundary
+    spark.createDataFrame(
+        [(int(new_wm), int(h)) for h in sorted(hashes)], _WM_SCHEMA
+    ).write.mode("overwrite").parquet(wm_path)
+
+
 def _read_index(spark, index_path: str, id_type: T.DataType) -> DataFrame:
     """The signature store, or a typed empty frame before the first batch
     commits (a path-not-found miss, not an error, on a fresh checkpoint)."""
@@ -458,12 +527,15 @@ def cdc_replication_sink(
       associative across batches when sequence numbers are monotone)
     * **replay-idempotence** — re-delivering ANY already-applied batch
       (at-least-once delivery, checkpoint rollback) is a no-op: a
-      sequence WATERMARK rides beside the snapshot, and changes with
-      ``seq <= watermark`` are filtered before the apply. Sound because
-      log sequence numbers (Debezium ts_ms/LSN) are globally monotone —
-      an already-seen sequence means an already-applied change; without
-      the guard, replaying an old batch would resurrect keys a later
-      batch deleted (caught by the test before the guard existed).
+      sequence WATERMARK + boundary content-hash set rides beside the
+      snapshot (:func:`_filter_replayed`), filtering applied records
+      before the apply. Sound for monotone-but-non-strict sequences
+      (Debezium ``ts_ms``): records below the watermark are applied by
+      monotonicity; records AT it are applied iff their content hash is
+      in the boundary set — so ties straddling a batch boundary neither
+      drop new data nor replay old. Without the guard, replaying an old
+      batch would resurrect keys a later batch deleted (caught by the
+      test before the guard existed).
 
     Lineage discipline: the merged frame is eagerly checkpointed before
     overwriting the path its plan read (the read-then-overwrite trap).
@@ -478,16 +550,12 @@ def cdc_replication_sink(
         changes = parse_debezium(batch, value_col, row_schema).where(
             F.col(key).isNotNull()  # malformed envelopes parse to nulls
         )
-        wm_df = _parquet_or_none(spark, wm_path, T.StructType(
-            [T.StructField("wm", T.LongType())]
-        ))
-        wm = wm_df.agg(F.max("wm")).first()[0] if wm_df is not None else None
-        if wm is not None:
-            changes = changes.where(F.col("seq") > F.lit(wm))
-        changes = changes.localCheckpoint(eager=True)
-        new_wm = changes.agg(F.max("seq")).first()[0]
+        guarded, wm, boundary = _filter_replayed(spark, wm_path, changes)
+        guarded = guarded.localCheckpoint(eager=True)
+        new_wm = guarded.agg(F.max("seq")).first()[0]
         if new_wm is None:
             return  # everything in the batch was already applied
+        changes = guarded.drop("__h")
         existing = _parquet_or_none(spark, snapshot_path)
         if existing is None:
             existing = spark.createDataFrame(
@@ -496,9 +564,7 @@ def cdc_replication_sink(
         merged = apply_cdc(existing, changes, key, "seq")
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(snapshot_path)
-        spark.createDataFrame(
-            [(int(new_wm if wm is None else max(wm, new_wm)),)], "wm long"
-        ).write.mode("overwrite").parquet(wm_path)
+        _write_watermark(spark, wm_path, wm, boundary, guarded, int(new_wm))
 
     return process
 
@@ -530,16 +596,12 @@ def cdc_versioned_sink(
         changes = parse_debezium(batch, value_col, row_schema).where(
             F.col(key).isNotNull()
         )
-        wm_df = _parquet_or_none(
-            spark, wm_path, T.StructType([T.StructField("wm", T.LongType())])
-        )
-        wm = wm_df.agg(F.max("wm")).first()[0] if wm_df is not None else None
-        if wm is not None:
-            changes = changes.where(F.col("seq") > F.lit(wm))
-        changes = changes.localCheckpoint(eager=True)
-        new_wm = changes.agg(F.max("seq")).first()[0]
+        guarded, wm, boundary = _filter_replayed(spark, wm_path, changes)
+        guarded = guarded.localCheckpoint(eager=True)
+        new_wm = guarded.agg(F.max("seq")).first()[0]
         if new_wm is None:
             return
+        changes = guarded.drop("__h")
         w = Window.partitionBy(key).orderBy(
             F.col("seq").desc(),
             F.col("op").desc(),
@@ -552,8 +614,6 @@ def cdc_versioned_sink(
             .drop("__rn", "op", "seq")
         )
         V.merge_commit(latest, table_path, key, delete_col="__delete")
-        spark.createDataFrame(
-            [(int(new_wm if wm is None else max(wm, new_wm)),)], "wm long"
-        ).write.mode("overwrite").parquet(wm_path)
+        _write_watermark(spark, wm_path, wm, boundary, guarded, int(new_wm))
 
     return process

@@ -137,3 +137,20 @@ def test_suite_entries_delegate_to_public_operators(name, helper):
 
     src = inspect.getsource(QUERIES[name].fn)
     assert helper in src  # the library surface is the single implementation
+
+
+def test_bm25_empty_query_raises_and_multiplicity_weights(spark):
+    import pytest as _pytest
+
+    from data_etl_with_dbt_spark.operators.textan import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "alpha gamma"), (3, "delta delta")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(docs, "doc_id", "text", [])
+    once = {r.doc_id: r.bm25 for r in bm25_scores(docs, "doc_id", "text", ["beta"]).collect()}
+    twice = {r.doc_id: r.bm25 for r in bm25_scores(docs, "doc_id", "text", ["beta", "beta"]).collect()}
+    # bag-of-terms: the repeated term contributes per occurrence
+    assert twice[1] == _pytest.approx(2 * once[1])

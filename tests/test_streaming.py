@@ -1157,3 +1157,50 @@ def test_streaming_cdc_versioned_time_travel(spark, tmp_path):
     # replaying an applied batch commits NOTHING (watermark guard)
     sink(spark.createDataFrame(batches[0], "value string"), batch_id=99)
     assert V.list_versions(table) == versions
+
+
+def test_streaming_cdc_equal_seq_across_batches_not_dropped(spark, tmp_path):
+    """Two changes sharing ts_ms straddling a micro-batch boundary: the
+    later batch's genuinely-new rows must APPLY (round-3 ADVICE — a plain
+    seq > watermark guard silently dropped them), while replaying either
+    batch stays a no-op."""
+    from data_etl_with_dbt_spark.streaming.intake import cdc_replication_sink
+
+    snap = str(tmp_path / "tie_snapshot")
+    sink = cdc_replication_sink(snap, "id: long, v: string", "id")
+
+    # batch 0 ends at ts=20 (key 2); batch 1 STARTS at ts=20 with a
+    # different key, then advances
+    b0 = [_dbz("c", 10, 1, "a"), _dbz("c", 20, 2, "b")]
+    b1 = [_dbz("c", 20, 3, "tie"), _dbz("u", 25, 1, "A")]
+    sink(spark.createDataFrame(b0, "value string"), batch_id=0)
+    sink(spark.createDataFrame(b1, "value string"), batch_id=1)
+    got = {r.id: r.v for r in spark.read.parquet(snap).collect()}
+    assert got == {1: "A", 2: "b", 3: "tie"}  # key 3 NOT dropped
+
+    # replay both batches in both orders: content-hash boundary set makes
+    # re-delivery a no-op even at the tied sequence
+    sink(spark.createDataFrame(b1, "value string"), batch_id=2)
+    sink(spark.createDataFrame(b0, "value string"), batch_id=3)
+    again = {r.id: r.v for r in spark.read.parquet(snap).collect()}
+    assert again == got
+
+
+def test_streaming_cdc_versioned_equal_seq_boundary(spark, tmp_path):
+    """Versioned sink, same tie-straddle scenario: new boundary rows commit,
+    replays commit nothing."""
+    from data_etl_with_dbt_spark.sources import versioned as V
+    from data_etl_with_dbt_spark.streaming.intake import cdc_versioned_sink
+
+    table = str(tmp_path / "tie_vtable")
+    sink = cdc_versioned_sink(table, "id: long, v: string", "id")
+    b0 = [_dbz("c", 10, 1, "a"), _dbz("c", 20, 2, "b")]
+    b1 = [_dbz("c", 20, 3, "tie"), _dbz("d", 20, 2, "b")]
+    sink(spark.createDataFrame(b0, "value string"), batch_id=0)
+    sink(spark.createDataFrame(b1, "value string"), batch_id=1)
+    versions = V.list_versions(table)
+    assert len(versions) == 2
+    latest = {r.id: r.v for r in V.read_version(spark, table, versions[-1]).collect()}
+    assert latest == {1: "a", 3: "tie"}  # tie-seq create applied, delete applied
+    sink(spark.createDataFrame(b1, "value string"), batch_id=2)
+    assert V.list_versions(table) == versions
