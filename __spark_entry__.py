@@ -65,77 +65,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # Regenerate the tiers after each round with: python tools/rotate_window.py
 
 WINDOW = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "surrogate_keys_events", "set_operations", "window_customer_orders",
-    "join_null_safe", "mixture_temperature_sample", "ml_feature_extraction",
-    "mode_per_event_type", "multimodal_byte_features", "ngram_jaccard_pairs",
-    "pivot_event_counts", "q10_returned_items", "q11_important_parts",
-    "q12_priority_counts", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_cardinality",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_discounted_revenue", "q20_excess_supply",
-    "q21_suppliers_kept_waiting", "q22_inactive_customers",
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "range_join_clicks_before_error", "redact_entities", "repetition_stats",
-    "scalar_date_gallery", "scalar_regexp_gallery", "scalar_string_gallery",
-    "semantic_dedup_clusters", "sequence_packing", "session_window_events",
-    "set_except_all", "skew_stats_orders", "sliding_window_events",
-    "stratified_sample_documents", "subquery_in", "text_quality_stats",
-    "tfidf_top_terms", "time_weighted_average", "token_counting",
+    "q8_market_share", "q22_inactive_customers", "gopher_quality_flags",
+    "corpus_quality_report", "perplexity_proxy_score",
+    "boilerplate_ngram_prune", "url_dedup_documents", "dedup_keep_longest",
+    "topk_orders", "tumbling_window_events", "unpivot_lineitem_measures",
+    "recursive_capped_balance", "sessionize_events", "scalar_array_gallery",
+    "scalar_map_gallery", "scalar_bitwise_gallery", "scalar_try_gallery",
+    "bm25_top_docs", "inverted_index_terms", "ab_test_summary",
+    "acf_daily_values", "agg_bitwise", "agg_boolean",
+    "agg_correlation_matrix", "annotator_agreement",
+    "asof_forward_error_to_click", "attribution_purchase_touchpoints",
+    "benford_first_digit_orders", "cascade_delete_impact",
+    "cdc_debezium_apply_orders", "column_entropy_events",
+    "concurrent_sessions_peak", "corpus_epoch_upsample",
+    "curriculum_schedule_documents", "cusum_change_points",
+    "dedup_soft_weights", "dp_noisy_counts", "dq_quarantine_events",
+    "dsir_importance_weights", "duplicate_invoice_heuristic",
+    "embedding_norm_stats", "event_transition_matrix",
+    "event_type_lift_pairs", "ewma_daily_revenue", "frequent_event_trigrams",
+    "functional_dependency_check", "funnel_conversion_windows",
+    "graph_clustering_coefficients", "growth_accounting_daily",
+    "half_life_decay_value",
 ]
 
 ZQ_QUEUED = [
-    "topk_orders", "tumbling_window_events", "unpivot_lineitem_measures",
-    "variant_props_stats", "vocab_coverage_topk",
+    "hard_negative_mining", "holt_linear_forecast",
+    "hourly_seasonality_profile", "inventory_running_balance",
+    "kl_divergence_sources", "lateral_top_orders", "length_bucketed_batches",
+    "linear_interpolate_events", "majority_label_vote", "market_basket_lift",
+    "masked_customer_view", "mutual_information_events",
+    "negative_samples_documents", "ngram_containment_pairs",
+    "packed_token_windows", "pareto_customer_revenue",
+    "part_entity_clusters", "profile_orders", "quantile_normalize_events",
+    "reconcile_order_totals", "rfm_customer_segments", "robust_scale_events",
+    "sampled_quantiles_orders", "scalar_collation_gallery",
+    "scalar_conditional_gallery", "scalar_distance_gallery",
+    "scalar_math_gallery", "scalar_url_gallery", "session_entry_exit",
+    "set_intersect_all", "set_union_by_name", "subquery_exists_gallery",
+    "survival_km_conversion", "table_diff_orders_rebuild",
+    "theta_sketch_users", "tokenizer_fertility_stats",
+    "trailing_distinct_users_kmv", "trend_decompose_daily",
+    "two_sample_drift_events", "user_gap_stats", "variant_props_stats",
+    "vocab_coverage_topk", "weighted_sample_documents",
     "window_analytics_extended", "window_trailing_range",
-    "winsorize_extendedprice",
-    # round-3 additions (window already holds 50 older unverified entries)
-    "gopher_quality_flags", "corpus_quality_report", "perplexity_proxy_score",
-    "boilerplate_ngram_prune", "scalar_array_gallery",
-    "half_life_decay_value", "profile_orders", "lateral_top_orders",
-    "set_intersect_all", "scalar_map_gallery", "packed_token_windows", "sessionize_events", "dedup_soft_weights",
-    "recursive_capped_balance", "scalar_collation_gallery",
-    "scalar_bitwise_gallery", "agg_bitwise", "scalar_try_gallery",
-    "set_union_by_name",
-    # session-3 additions
-    "weighted_sample_documents", "two_sample_drift_events",
-    "scalar_url_gallery", "ngram_containment_pairs",
-    "zorder_cluster_events", "robust_scale_events", "url_dedup_documents",
-    "scalar_math_gallery", "agg_correlation_matrix",
-    "negative_samples_documents", "user_gap_stats", "rfm_customer_segments",
-    "dedup_keep_longest", "dq_quarantine_events", "quantile_normalize_events",
-    "corpus_epoch_upsample", "length_bucketed_batches",
-    "asof_forward_error_to_click", "scalar_conditional_gallery",
-    "agg_boolean", "pareto_customer_revenue", "zipf_exponent_vocab",
-    "embedding_norm_stats", "event_transition_matrix",
-    "subquery_exists_gallery", "part_entity_clusters",
-    # session-4 additions
-    "majority_label_vote", "annotator_agreement", "kl_divergence_sources",
-    "hard_negative_mining", "graph_clustering_coefficients",
-    "frequent_event_trigrams", "mutual_information_events",
-    "cusum_change_points",
-    # session-5 additions
-    "theta_sketch_users", "sampled_quantiles_orders",
-    "benford_first_digit_orders", "trend_decompose_daily",
-    "acf_daily_values", "table_diff_orders_rebuild",
-    "trailing_distinct_users_kmv", "attribution_purchase_touchpoints",
-    "growth_accounting_daily", "event_type_lift_pairs",
-    "cdc_debezium_apply_orders", "masked_customer_view",
-    "column_entropy_events",
-    # session-6 additions
-    "bm25_top_docs", "inverted_index_terms", "concurrent_sessions_peak",
-    "linear_interpolate_events", "ewma_daily_revenue",
-    "survival_km_conversion", "dsir_importance_weights",
-    "tokenizer_fertility_stats", "curriculum_schedule_documents",
-    "reconcile_order_totals", "functional_dependency_check",
-    "session_entry_exit", "cascade_delete_impact", "dp_noisy_counts",
-    "holt_linear_forecast", "hourly_seasonality_profile",
-    "scalar_distance_gallery",
-    # session-7 additions
-    "ab_test_summary", "funnel_conversion_windows",
-    "inventory_running_balance", "market_basket_lift",
-    "duplicate_invoice_heuristic",
+    "winsorize_extendedprice", "zipf_exponent_vocab",
+    "zorder_cluster_events",
 ]
 
 ZV_VERIFIED = [
@@ -154,21 +128,38 @@ ZV_VERIFIED = [
     "embedding_int8_quantize", "explode_word_counts",
     "funnel_view_click_purchase", "fuzzy_name_pairs", "global_row_index",
     "hash_split_assignment", "histogram_totalprice", "join_full_outer",
-    "join_left_outer_summary", "join_semi_anti", "json_props_aggregation",
-    "json_schema_parse", "lang_id_heuristic", "locf_imputation",
-    "mad_outliers_by_type", "minmax_normalize_events",
+    "join_left_outer_summary", "join_null_safe", "join_semi_anti",
+    "json_props_aggregation", "json_schema_parse", "lang_id_heuristic",
+    "locf_imputation", "mad_outliers_by_type", "minmax_normalize_events",
+    "mixture_temperature_sample", "ml_feature_extraction",
+    "mode_per_event_type", "multimodal_byte_features", "ngram_jaccard_pairs",
+    "pivot_event_counts", "q10_returned_items", "q11_important_parts",
+    "q12_priority_counts", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_cardinality",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_discounted_revenue", "q1_pricing_summary", "q20_excess_supply",
+    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q9_product_type_profit",
+    "range_join_clicks_before_error", "redact_entities", "repetition_stats",
+    "scalar_date_gallery", "scalar_regexp_gallery", "scalar_string_gallery",
+    "semantic_dedup_clusters", "sequence_packing", "session_window_events",
+    "set_except_all", "set_operations", "skew_stats_orders",
+    "sliding_window_events", "stratified_sample_documents", "subquery_in",
+    "surrogate_keys_events", "text_quality_stats", "tfidf_top_terms",
+    "time_weighted_average", "token_counting", "window_customer_orders",
 ]
 
 ZR_ROWS_ONLY = [
     "ann_cosine_topk_arrow", "ann_ivf_topk", "ann_lsh_topk",
-    "approx_aggregates", "bpe_train_merges", "dedup_incremental_minhash",
-    "pagerank_similarity_graph",
-    "dedup_minhash_lsh", "dedup_simhash_pairs", "embedding_near_dup",
-    "hll_user_cardinality", "semantic_dedup_clusters_lsh",
-    "bpe_encode_documents", "cms_token_counts", "ann_pq_topk",
-    "image_dhash_near_dup", "audio_spectral_report", "pca_embeddings",
-    "unigram_lm_vocab", "ann_pq_rerank_topk", "topic_model_documents",
-    "learned_embedding_ann",
+    "ann_pq_rerank_topk", "ann_pq_topk", "approx_aggregates",
+    "audio_spectral_report", "bpe_encode_documents", "bpe_train_merges",
+    "cms_token_counts", "dedup_incremental_minhash", "dedup_minhash_lsh",
+    "dedup_simhash_pairs", "embedding_near_dup", "hll_user_cardinality",
+    "image_dhash_near_dup", "learned_embedding_ann",
+    "pagerank_similarity_graph", "pca_embeddings",
+    "semantic_dedup_clusters_lsh", "topic_model_documents",
+    "unigram_lm_vocab",
 ]
 
 _PREFIX = dict.fromkeys(WINDOW, "")

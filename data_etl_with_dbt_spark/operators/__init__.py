@@ -3,6 +3,7 @@ from data_etl_with_dbt_spark.operators.relational import (  # noqa: F401
     apply_cdc,
     asof_join,
     auto_salted_join,
+    basket_pair_counts,
     fuzzy_pairs,
     global_row_index,
     per_key_cap,

@@ -2,13 +2,15 @@
 metadata, with decode / feature-extract stages as Arrow-batched pandas
 transforms over ``mapInPandas``.
 
-Dependency-free codecs and parsers, no libraries: BMP/PPM raster decode +
-PNG decode (stdlib zlib inflate + unfilter) for images, 16-bit PCM WAV
-decode for audio, ISO-BMFF box-walk metadata for MP4 (``parse_mp4_meta``)
-and frame-header metadata for MP3 (``parse_mp3_meta``), byte stats for
-text. Only SAMPLE/FRAME decode of compressed audio/video and JPEG decode
-still raise ``NotImplementedError`` — those genuinely need codec
-libraries absent from this container; callers inject a decoder. The
+Dependency-free codecs and parsers, no libraries: BMP/PPM raster decode,
+PNG decode (stdlib zlib inflate + unfilter), and baseline JPEG decode
+(huffman + vectorized IDCT, ``operators/jpeg.py``) for images, 16-bit PCM
+WAV decode for audio, ISO-BMFF box-walk metadata for MP4
+(``parse_mp4_meta``) and frame-header metadata for MP3
+(``parse_mp3_meta``), byte stats for text. Only SAMPLE/FRAME decode of
+compressed audio/video and progressive/arithmetic JPEG still raise
+``NotImplementedError`` — those genuinely need codec libraries absent
+from this container; callers inject a decoder. The
 Spark-side plumbing — schema, partition-preserving ``mapInPandas``, Arrow
 batch shape — is identical either way: each batch is a pandas DataFrame
 of (id, bytes, meta), features come back as typed columns, and nothing
@@ -420,14 +422,19 @@ def text_byte_features(content: bytes) -> list[float]:
 
 
 def default_decoder(content: bytes, mime: str):
-    """Real dependency-free codecs: non-interlaced 8-bit PNG (stdlib zlib
-    inflate + unfilter), uncompressed 24-bpp BMP, and binary PPM → image
-    stats; 16-bit PCM WAV → audio stats; ``text/*`` media → byte stats.
-    Formats needing external libraries (JPEG/MP3/video, palette or
+    """Real dependency-free codecs: baseline JPEG (huffman + IDCT,
+    operators/jpeg.py), non-interlaced 8-bit PNG (stdlib zlib inflate +
+    unfilter), uncompressed 24-bpp BMP, and binary PPM → image stats;
+    16-bit PCM WAV → audio stats; ``text/*`` media → byte stats. Formats
+    needing external libraries (progressive JPEG, MP3/video sample decode,
     interlaced PNG) still raise — inject a decoder for those."""
     content = bytes(content)
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return image_features(_to_rgb3(decode_png(content)))
+    if content[:2] == b"\xff\xd8":
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg
+
+        return image_features(_to_rgb3(decode_jpeg(content)))
     if content[:2] == b"BM":
         return image_features(decode_bmp(content))
     if content[:2] == b"P6":
@@ -460,10 +467,10 @@ def default_decoder(content: bytes, mime: str):
     if mime.startswith("text/"):
         return text_byte_features(content)
     raise NotImplementedError(
-        f"no built-in codec for mime={mime!r}; JPEG decode and compressed "
-        "audio/video SAMPLE decode need libraries not present in this "
-        "container (container METADATA for MP4/MP3 is parsed above) — "
-        "pass an explicit decoder"
+        f"no built-in codec for mime={mime!r}; progressive JPEG and "
+        "compressed audio/video SAMPLE decode need libraries not present "
+        "in this container (container METADATA for MP4/MP3 is parsed "
+        "above; baseline JPEG decodes) — pass an explicit decoder"
     )
 
 
@@ -555,13 +562,24 @@ def _decode_image(content: bytes):
         return decode_bmp(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content[:2] == b"\xff\xd8":
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg
+
+        return _to_rgb3(decode_jpeg(content))
     return None
+
+
+def _encode_jpeg_rgb(rgb) -> bytes:
+    from data_etl_with_dbt_spark.operators.jpeg import encode_jpeg
+
+    return encode_jpeg(rgb, quality=90)
 
 
 _IMAGE_ENCODERS = {
     "bmp": ("image/bmp", encode_bmp),
     "ppm": ("image/x-portable-pixmap", encode_ppm),
     "png": ("image/png", encode_png),
+    "jpg": ("image/jpeg", _encode_jpeg_rgb),
 }
 
 

@@ -662,3 +662,47 @@ def advise_join(
         "left_rows": ln, "right_rows": rn,
         "top_key_share": share, "suggested_salt": 1,
     }
+
+
+def basket_pair_counts(
+    df: DataFrame,
+    order_col: str,
+    item_col: str,
+    min_support: int = 1,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Co-occurrence pair counts for market-basket analysis: distinct
+    (order, item) pairs self-join on the order key with ``item_a < item_b``,
+    then count per pair, keeping pairs co-purchased in at least
+    ``min_support`` orders. Returns (pa, pb, n_both).
+
+    Scale posture: the join is EQUI-keyed on the order, so work is
+    sum(basket_size^2) over orders — bounded by basket width, never
+    item-global. That bound has a pathology: a single mega-basket (a
+    wholesale order with 10^5 line items, a bot cart) alone contributes
+    10^10 pairs and lands on ONE reducer. ``max_basket_items`` is the guard:
+    baskets are capped to their first N items (ascending ``item_col`` via
+    :func:`per_key_cap` — deterministic, one extra window over the same
+    order-key partitioning) BEFORE pairing, making per-order work <= N^2.
+    Capping undercounts pairs touching dropped items of oversized baskets
+    only — standard a-priori practice, since a 10^5-item basket carries ~no
+    affinity signal per pair anyway. Leave ``None`` (exact) when the data
+    model bounds basket width; set it (e.g. 500) for open-ended carts at
+    warehouse scale.
+    """
+    basket = df.select(order_col, item_col).distinct()
+    if max_basket_items is not None:
+        basket = per_key_cap(
+            basket,
+            [order_col],
+            [F.col(item_col).asc()],
+            max_basket_items,
+        ).drop("quota_rank")
+    a = basket.select(F.col(order_col).alias("__k"), F.col(item_col).alias("pa"))
+    b = basket.select(F.col(order_col).alias("__k2"), F.col(item_col).alias("pb"))
+    return (
+        a.join(b, (F.col("__k") == F.col("__k2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+    )

@@ -235,6 +235,7 @@ def inventory_running_balance(spark, sf_dir):
 
 @query(
     "market_basket_lift",
+    bench=True,
     oracle="""
     WITH basket AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -274,21 +275,22 @@ def market_basket_lift(spark, sf_dir):
     order, not corpus^2; item supports broadcast back onto the surviving
     (>= min support) pairs. The lift ratio composes three exact-count
     divisions; quantized once at emission (the division tree is identical
-    but deep enough to deserve the grid)."""
+    but deep enough to deserve the grid).
+
+    Delegates pairing to ``operators.relational.basket_pair_counts``; the
+    fixture's baskets are TPC-H-bounded (<= 7 line items) so the exact path
+    (no ``max_basket_items`` cap) is correct here — open-ended carts at
+    100 TB set the cap to bound the sum(basket^2) pathology (see the
+    operator docstring)."""
+    from data_etl_with_dbt_spark.operators.relational import basket_pair_counts
+
     li = load(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = basket.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n")
     )
     item = basket.groupBy("l_partkey").agg(big(F.count(F.lit(1))).alias("supp"))
-    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = basket.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb"))
-    pair = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(big(F.count(F.lit(1))).alias("n_both"))
-        .where(F.col("n_both") >= 3)
-    )
+    pair = basket_pair_counts(li, "l_orderkey", "l_partkey", min_support=3)
     n = F.col("n").cast("double")
     lift = (F.col("n_both").cast("double") / n) / (
         (F.col("supp_a").cast("double") / n) * (F.col("supp_b").cast("double") / n)

@@ -111,7 +111,7 @@ def q7_volume_shipping(spark, sf_dir):
         JOIN nation n1 ON c_nationkey = n1.n_nationkey
         JOIN region   ON n1.n_regionkey = r_regionkey
         JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        WHERE r_name = 'REGION_1'
+        WHERE r_name = 'EUROPE'
           AND p_type = 'PROMO'
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
@@ -123,7 +123,7 @@ def q7_volume_shipping(spark, sf_dir):
     FROM all_sales
     GROUP BY o_year
     """,
-    description="TPC-H Q8: conditional-sum market-share ratio per year (8-way join, exact-decimal numerator/denominator)",
+    description="TPC-H Q8: conditional-sum market-share ratio per year (8-way join, exact-decimal numerator/denominator). Substitution parameters (region/type/nation are parameters per the TPC-H spec) fixture-calibrated round 4: the fixture's regions are real names (EUROPE...), so the old REGION_1 literal made the result vacuously empty at every sf.",
 )
 def q8_market_share(spark, sf_dir):
     part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
@@ -135,7 +135,7 @@ def q8_market_share(spark, sf_dir):
     )
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").where(F.col("r_name") == "REGION_1")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     n1 = nation.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
     )
@@ -567,10 +567,14 @@ def q19_discounted_revenue(spark, sf_dir):
         CAST(count(*) AS BIGINT) AS numcust,
         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
     FROM wealthy
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+    )
     GROUP BY c_nationkey
     """,
-    description="TPC-H Q22: scalar-avg subquery filter + NOT EXISTS anti join, grouped totals",
+    description="TPC-H Q22: scalar-avg subquery filter + NOT EXISTS anti join, grouped totals. Fixture-calibrated round 4: every sf0.01 customer has at least one order, so the spec's order-less definition of inactive was vacuously empty — 'inactive' is now 'no orders since 2000-01-01' (same anti-join shape, non-empty at sf0.001 and sf0.01).",
 )
 def q22_inactive_customers(spark, sf_dir):
     cust = load(spark, sf_dir, "customer")
@@ -585,8 +589,11 @@ def q22_inactive_customers(spark, sf_dir):
         .where(F.col("c_acctbal") > F.col("__avg"))
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     no_orders = wealthy.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+        recent.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
     )
     return no_orders.groupBy(big(F.col("c_nationkey")).alias("cntrycode")).agg(
         big(F.count(F.lit(1))).alias("numcust"),

@@ -27,6 +27,7 @@ _B = 0.75
 
 @query(
     "bm25_top_docs",
+    bench=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term

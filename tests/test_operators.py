@@ -2815,3 +2815,132 @@ class TestMp3Vbr:
         frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
         m = parse_mp3_meta(frame * 5)
         assert m["est_duration_seconds"] == pytest.approx(417 * 5 * 8 / 128000)
+
+
+class TestBasketPairCounts:
+    def test_exact_pairs_and_min_support(self, spark):
+        from data_etl_with_dbt_spark.operators import basket_pair_counts
+
+        rows = [  # orders 1,2 share {10,20}; order 3 is a singleton
+            (1, 10), (1, 20), (1, 30),
+            (2, 10), (2, 20),
+            (3, 40), (3, 40),  # duplicate line item: distinct() collapses
+        ]
+        df = spark.createDataFrame(rows, "o long, item long")
+        got = {
+            (r.pa, r.pb): r.n_both
+            for r in basket_pair_counts(df, "o", "item").collect()
+        }
+        assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+        supported = basket_pair_counts(df, "o", "item", min_support=2).collect()
+        assert [(r.pa, r.pb, r.n_both) for r in supported] == [(10, 20, 2)]
+
+    def test_mega_basket_cap_bounds_pair_work(self, spark):
+        from data_etl_with_dbt_spark.operators import basket_pair_counts
+
+        mega = [(1, i) for i in range(100)] + [(2, 5), (2, 7)]
+        df = spark.createDataFrame(mega, "o long, item long")
+        capped = basket_pair_counts(df, "o", "item", max_basket_items=10)
+        pairs = capped.collect()
+        # mega basket contributes C(10,2)=45 pairs, not C(100,2)=4950; the
+        # small basket's (5,7) merges with the capped set's (ascending cap
+        # keeps items 0..9, so 5 and 7 survive deterministically)
+        assert len(pairs) == 45
+        assert {r.n_both for r in pairs if (r.pa, r.pb) == (5, 7)} == {2}
+        assert max(max(r.pa, r.pb) for r in pairs) == 9
+
+
+class TestJpegCodec:
+    def test_flat_block_is_exact(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        flat = np.full((24, 24, 3), 77, np.uint8)
+        assert (decode_jpeg(encode_jpeg(flat, 85)) == 77).all()
+        gray = np.full((8, 8), 200, np.uint8)
+        out = decode_jpeg(encode_jpeg(gray, 85))
+        assert out.shape == (8, 8, 1) and (out == 200).all()
+
+    def test_round_trip_psnr_smooth_gradient(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:32, 0:48]
+        img = np.stack(
+            [np.clip(yy * 4, 0, 255), np.clip(xx * 3, 0, 255),
+             np.clip(128 + yy - xx, 0, 255)], axis=-1,
+        ).astype(np.uint8)
+        for q, floor in [(95, 45.0), (85, 45.0), (50, 38.0)]:
+            dec = decode_jpeg(encode_jpeg(img, q))
+            assert dec.shape == img.shape
+            mse = float(np.mean((dec.astype(float) - img.astype(float)) ** 2))
+            psnr = 10 * np.log10(255 ** 2 / mse)
+            assert psnr > floor, (q, psnr)
+
+    def test_non_multiple_of_8_dims_and_noise(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        noise = np.random.default_rng(7).integers(0, 256, (17, 23, 3), np.uint8)
+        dec = decode_jpeg(encode_jpeg(noise, 95))
+        assert dec.shape == (17, 23, 3)
+        mse = float(np.mean((dec.astype(float) - noise.astype(float)) ** 2))
+        assert 10 * np.log10(255 ** 2 / mse) > 30.0
+
+    def test_decodes_externally_encoded_jpegs(self):
+        """Real-world JPEGs produced by independent encoders (stdlib test
+        data): a 16x16 RGB icon and — when present — a 477x720 4:2:0
+        photo exercise subsampled chroma, restart-free multi-MCU scans,
+        and real huffman tables our encoder never emits."""
+        import os
+
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg
+
+        base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+        samples = [
+            (os.path.join(base, "test/imghdrdata/python.jpg"), (16, 16, 3)),
+            (os.path.join(base, "site-packages/IPython/core/tests/2x2.jpg"), (2, 2, 1)),
+        ]
+        found = 0
+        for path, shape in samples:
+            if not os.path.exists(path):
+                continue
+            found += 1
+            img = decode_jpeg(open(path, "rb").read())
+            assert img.shape == shape
+            assert float(np.asarray(img).std()) >= 0.0
+        if not found:
+            import pytest as _pytest
+
+            _pytest.skip("no system sample JPEGs in this container")
+
+    def test_progressive_raises_not_implemented(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with _pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(blob))
+        with _pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"notajpeg")
+
+    def test_default_decoder_sniffs_jpeg(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import encode_jpeg
+        from data_etl_with_dbt_spark.operators.multimodal import default_decoder
+
+        img = np.full((16, 16, 3), 99, np.uint8)
+        feats = default_decoder(encode_jpeg(img, 90), "image/jpeg")
+        # [w, h, c, mean_r, mean_g, mean_b, mean_gray] per image_features
+        assert feats[:3] == [16.0, 16.0, 3.0]
+        assert all(abs(m - 99.0) < 1.5 for m in feats[3:])

@@ -78,8 +78,13 @@ def test_bench_queries_single_shuffle(spark):
     100 TB."""
     import re
 
+    # Documented multi-stage headliners (added to bench for regression
+    # TRACKING, not because they are single-shuffle): LSH is
+    # sig->band->verify; bm25 re-keys postings->doc-lengths->per-doc sum;
+    # basket lift re-keys (order,item)->pair->support joins.
+    multi_stage = {"dedup_minhash_lsh", "bm25_top_docs", "market_basket_lift"}
     for name, q in QUERIES.items():
-        if not q.bench or name == "dedup_minhash_lsh":  # LSH: sig->band->verify stages
+        if not q.bench or name in multi_stage:
             continue
         plan = plan_of(spark, name)
         n = len(re.findall(r"Exchange (hash|range)partitioning|Exchange SinglePartition", plan))

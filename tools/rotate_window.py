@@ -31,11 +31,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW_SIZE = 50
 
-# Queries the judge named as round-3 "Done =" criteria get window priority;
-# harmless once verified (they fold into ZV_VERIFIED like everything else).
+# Queries the judge named in the current round's "Next round" list get
+# window priority; harmless once verified (they fold into ZV_VERIFIED like
+# everything else). Round 4: the daily-driver LLM corpus operators first
+# (VERDICT #5), then the explicitly-promoted queue head (VERDICT #2).
 PRIORITY = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "surrogate_keys_events", "set_operations", "window_customer_orders",
+    "q8_market_share", "q22_inactive_customers",
+    "gopher_quality_flags", "corpus_quality_report", "perplexity_proxy_score",
+    "boilerplate_ngram_prune", "url_dedup_documents", "dedup_keep_longest",
+    "topk_orders", "tumbling_window_events", "unpivot_lineitem_measures",
+    "recursive_capped_balance", "sessionize_events",
+    "scalar_array_gallery", "scalar_map_gallery", "scalar_bitwise_gallery",
+    "scalar_try_gallery", "bm25_top_docs", "inverted_index_terms",
 ]
 
 
@@ -55,11 +62,17 @@ def verified_from_correctness() -> set[str]:
     return green
 
 
+# Green rows that were VACUOUS (0 spark_rows at the driver's sf): the
+# query was recalibrated afterward, so its old green row doesn't verify the
+# current form — force it back through the window.
+FORCE_REVERIFY = {"q8_market_share", "q22_inactive_customers"}
+
+
 def plan_rotation() -> dict:
     sys.path.insert(0, REPO)
     from data_etl_with_dbt_spark.suite import QUERIES
 
-    verified = verified_from_correctness() & set(QUERIES)
+    verified = (verified_from_correctness() - FORCE_REVERIFY) & set(QUERIES)
     rows_only = {n for n, q in QUERIES.items() if not q.oracle}
     # Unverified oracle queries compete for the window: judge-named priority
     # names first, the rest alphabetically; beyond 50 they queue.
