@@ -395,11 +395,17 @@ def _scale_quant(base, quality: int):
     return [min(255, max(1, (q * scale + 50) // 100)) for q in base]
 
 
-def encode_jpeg(img, quality: int = 85) -> bytes:
+def encode_jpeg(img, quality: int = 85, restart_interval: int = 0) -> bytes:
     """Encode (H, W[, C]) uint8 (C in {1, 3}) as a baseline JPEG — 4:4:4
     YCbCr for color, single-component for grayscale, Annex-K huffman
     tables, IJG quality scaling. Deterministic fixture generator and the
-    inverse half of the codec round-trip tests."""
+    inverse half of the codec round-trip tests.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    N MCUs (DC predictors reset, bitstream byte-aligned) — how real
+    encoders bound error propagation; here it exists chiefly so the
+    DECODER's restart path is exercised by round-trip tests rather than
+    only by whatever system sample files happen to use DRI."""
     import numpy as np
 
     arr = np.asarray(img, dtype=np.float64)
@@ -439,8 +445,16 @@ def encode_jpeg(img, quality: int = 85) -> bytes:
         padded[:, w:] = padded[:, w - 1 : w]
         planes.append(padded)
     qt = [qluma] + [qchroma] * (len(comps) - 1)
+    n_mcu = 0
+    rst = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * len(comps)
+            n_mcu += 1
             for ci, plane in enumerate(planes):
                 tsel = 0 if ci == 0 else 1
                 block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
@@ -499,6 +513,8 @@ def encode_jpeg(img, quality: int = 85) -> bytes:
     if ncomp > 1:
         out += seg(0xDB, bytes([1]) + bytes(qchroma))
     out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     out += seg(0xC4, dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
     out += seg(0xC4, dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
     if ncomp > 1:

@@ -76,7 +76,7 @@ def relationships(df: DataFrame, column: str, to: DataFrame, field: str) -> Data
     non-null FK values with no matching PK — a broadcast-able left-anti join."""
     return (
         df.where(F.col(column).isNotNull())
-        .join(F.broadcast(to.select(F.col(field).alias(column)).distinct()), on=column, how="left_anti")
+        .join(to.select(F.col(field).alias(column)).distinct(), on=column, how="left_anti")
     )
 
 

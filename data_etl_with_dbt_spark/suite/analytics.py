@@ -100,7 +100,7 @@ def cohort_retention(spark, sf_dir):
         F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
     ).cast("bigint")
     return (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .groupBy("cohort_week", weeks_since.alias("weeks_since"))
         .agg(big(F.countDistinct("user_id")).alias("active_users"))
     )

@@ -296,8 +296,8 @@ def market_basket_lift(spark, sf_dir):
         (F.col("supp_a").cast("double") / n) * (F.col("supp_b").cast("double") / n)
     )
     return (
-        pair.join(F.broadcast(item.withColumnRenamed("l_partkey", "pa").withColumnRenamed("supp", "supp_a")), "pa")
-        .join(F.broadcast(item.withColumnRenamed("l_partkey", "pb").withColumnRenamed("supp", "supp_b")), "pb")
+        pair.join(item.withColumnRenamed("l_partkey", "pa").withColumnRenamed("supp", "supp_a"), "pa")
+        .join(item.withColumnRenamed("l_partkey", "pb").withColumnRenamed("supp", "supp_b"), "pb")
         .crossJoin(F.broadcast(n_orders))
         .select("pa", "pb", "n_both", "supp_a", "supp_b", dec6(lift).alias("lift"))
         .orderBy(F.col("lift").desc(), "pa", "pb")

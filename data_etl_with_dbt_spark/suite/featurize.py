@@ -97,7 +97,7 @@ def minmax_normalize_events(spark, sf_dir):
         (F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin"))
     )
     return (
-        ev.join(F.broadcast(ranges), ev.user_id == F.col("u"))
+        ev.join(ranges, ev.user_id == F.col("u"))
         .select("event_id", "user_id", norm.alias("value_norm"))
     )
 

@@ -94,7 +94,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -139,9 +139,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -347,7 +347,7 @@ def subquery_in(spark, sf_dir):
     )
     return (
         load(spark, sf_dir, "orders")
-        .join(F.broadcast(neg), "o_custkey", "left_semi")
+        .join(neg, "o_custkey", "left_semi")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
     )
 

@@ -78,9 +78,9 @@ def q7_volume_shipping(spark, sf_dir):
         F.col("supp_nation") == "NATION_7"
     ) & (F.col("cust_nation") == "NATION_3")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
@@ -144,10 +144,10 @@ def q8_market_share(spark, sf_dir):
     )
     volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     sales = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -199,8 +199,8 @@ def q9_product_type_profit(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     nation = load(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), big(F.year("o_orderdate")).alias("o_year"))
@@ -245,7 +245,7 @@ def q10_returned_items(spark, sf_dir):
     nation = load(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", cust.c_acctbal, "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -360,7 +360,7 @@ def q14_promo_revenue(spark, sf_dir):
     volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     zero = F.lit(0).cast("decimal(18,6)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -410,7 +410,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .where(F.col("total_revenue") == F.col("__max"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -440,7 +440,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, li.l_partkey == F.col("avg_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -486,7 +486,7 @@ def q18_large_volume_customers(spark, sf_dir):
     )
     return (
         orders.join(big_orders, "o_orderkey", "left_semi")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", orders.o_totalprice)
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
@@ -539,7 +539,7 @@ def q19_discounted_revenue(spark, sf_dir):
         & (q <= 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -632,7 +632,7 @@ def q16_supplier_cardinality(spark, sf_dir):
     )
     return (
         li.join(bad_supp, "l_suppkey", "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(big(F.countDistinct("l_suppkey")).alias("supplier_cnt"))
     )
@@ -709,7 +709,7 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     return (
         qual.groupBy("l_suppkey")
         .agg(F.sum("n_late_rows").alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", big(F.col("numwait")).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
@@ -788,8 +788,8 @@ def q2_min_cost_supplier(spark, sf_dir):
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
     )
     cand = (
-        supply.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        supply.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -870,7 +870,7 @@ def q11_important_parts(spark, sf_dir):
     )
     li = load(spark, sf_dir, "lineitem")
     vals = (
-        li.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
     ).localCheckpoint(eager=False)
@@ -945,7 +945,7 @@ def q20_excess_supply(spark, sf_dir):
     )
     pair = (
         li.join(
-            F.broadcast(small_parts),
+            small_parts,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -972,7 +972,7 @@ def q20_excess_supply(spark, sf_dir):
             ),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )

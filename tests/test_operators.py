@@ -2944,3 +2944,23 @@ class TestJpegCodec:
         # [w, h, c, mean_r, mean_g, mean_b, mean_gray] per image_features
         assert feats[:3] == [16.0, 16.0, 3.0]
         assert all(abs(m - 99.0) < 1.5 for m in feats[3:])
+
+    def test_restart_markers_round_trip(self):
+        """DRI/RSTn path: an encoder-emitted restart interval must decode
+        to EXACTLY the same pixels as the restart-free stream (DC
+        predictors reset + byte-align at each marker), covering the
+        decoder's align_and_sync_rst logic without external samples."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:24, 0:40]
+        img = np.stack(
+            [np.clip(yy * 5, 0, 255), np.clip(xx * 4, 0, 255),
+             np.clip(100 + yy + xx, 0, 255)], axis=-1,
+        ).astype(np.uint8)
+        ref = decode_jpeg(encode_jpeg(img, 85))
+        for dri in (1, 3):
+            blob = encode_jpeg(img, 85, restart_interval=dri)
+            assert b"\xff\xdd" in blob  # DRI segment present
+            assert (decode_jpeg(blob) == ref).all()

@@ -409,3 +409,31 @@ def test_lateral_join_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_no_forced_broadcast_of_scale_growing_tables():
+    """Broadcast HINTS are only correct for frames bounded at ANY scale
+    (nation=25, region=5, scalar/cross-join aggregates, per-event-type
+    rollups). A hard F.broadcast() on customer/supplier/part/lineitem/
+    orders/events/documents — or per-user/per-key aggregates of them —
+    works at fixture scale and OOMs a 100 TB cluster, because the hint
+    overrides statistics. Policy (round 4): hint bounded frames only; for
+    scale-growing sides let the planner's size statistics decide (same
+    broadcast plan at test scale — asserted by the other tests in this
+    file — graceful shuffle join at warehouse scale). This lint pins the
+    obvious regressions: the raw-load variable names must never be force-
+    broadcast again."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data_etl_with_dbt_spark")
+    banned = re.compile(
+        r"F\.broadcast\(\s*(cust|supp|part|orders|li|lineitem|ev|docs|emb|firsts|ranges)\s*[),]"
+    )
+    hits = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        for i, line in enumerate(open(path), 1):
+            if banned.search(line):
+                hits.append(f"{path}:{i}: {line.strip()}")
+    assert not hits, "forced broadcast of scale-growing frame:\n" + "\n".join(hits)
