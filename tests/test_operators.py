@@ -2964,3 +2964,23 @@ class TestJpegCodec:
             blob = encode_jpeg(img, 85, restart_interval=dri)
             assert b"\xff\xdd" in blob  # DRI segment present
             assert (decode_jpeg(blob) == ref).all()
+
+    def test_truncated_streams_never_hang_or_crash_unexpectedly(self):
+        """Every prefix of a valid JPEG either raises a clean error or
+        decodes (zero-padded entropy tail = partial image, the standard
+        lenient-decoder behavior) — never an unexpected exception type and
+        never a hang. Web-scraped corpora are full of truncated files."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:16, 0:16]
+        blob = encode_jpeg(
+            np.stack([yy * 8, xx * 8, yy + xx], -1).astype(np.uint8), 85
+        )
+        for k in range(2, len(blob), 7):
+            try:
+                out = decode_jpeg(blob[:k])
+                assert out.shape == (16, 16, 3)
+            except (ValueError, NotImplementedError, IndexError):
+                pass
