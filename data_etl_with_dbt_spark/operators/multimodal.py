@@ -26,6 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Module-level so worker closures reference these as multimodal globals:
+# this module ships by VALUE (_ship_codecs_by_value) and so do functions
+# whose defining module is registered — a lazy in-function
+# `import data_etl_with_dbt_spark...` would instead re-import by NAME on
+# the executor and die with ModuleNotFoundError (repo not on worker
+# sys.path; pinned by test_jpeg_media_through_arrow_feature_extraction).
+from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -43,6 +51,24 @@ MEDIA_SCHEMA = T.StructType(
         ),
     ]
 )
+
+
+def _ship_codecs_by_value() -> None:
+    """Register this module AND the jpeg codec module for cloudpickle
+    by-VALUE serialization. Worker closures here call module-level codec
+    helpers (decode_png/_decode_image/... and, lazily, operators.jpeg);
+    by-reference pickling would make executors import the package, which
+    fails whenever the repo isn't on the worker's sys.path (no pip
+    install). Shipping both modules by value keeps every closure
+    self-contained wherever the session was launched from."""
+    import sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    from data_etl_with_dbt_spark.operators import jpeg as _jpeg_mod
+
+    register_pickle_by_value(sys.modules[__name__])
+    register_pickle_by_value(_jpeg_mod)
 
 
 def to_media_table(df: DataFrame, id_col: str, payload_col: str, mime: str, source_col: str) -> DataFrame:
@@ -432,8 +458,6 @@ def default_decoder(content: bytes, mime: str):
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return image_features(_to_rgb3(decode_png(content)))
     if content[:2] == b"\xff\xd8":
-        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg
-
         return image_features(_to_rgb3(decode_jpeg(content)))
     if content[:2] == b"BM":
         return image_features(decode_bmp(content))
@@ -500,11 +524,7 @@ def extract_media_features(
         # can't import this package unless the driver's cwd happens to be the
         # repo root. Ship the whole module by value so the closure is
         # self-contained wherever the session was launched from.
-        import sys
-
-        from pyspark.cloudpickle import register_pickle_by_value
-
-        register_pickle_by_value(sys.modules[__name__])
+        _ship_codecs_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -563,15 +583,11 @@ def _decode_image(content: bytes):
     if content[:2] == b"P6":
         return decode_ppm(content)
     if content[:2] == b"\xff\xd8":
-        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg
-
         return _to_rgb3(decode_jpeg(content))
     return None
 
 
 def _encode_jpeg_rgb(rgb) -> bytes:
-    from data_etl_with_dbt_spark.operators.jpeg import encode_jpeg
-
     return encode_jpeg(rgb, quality=90)
 
 
@@ -607,11 +623,7 @@ def resize_media(
             f"output_format must be one of {sorted(_IMAGE_ENCODERS)}, got "
             f"{output_format!r}"
         )
-    import sys
-
-    from pyspark.cloudpickle import register_pickle_by_value
-
-    register_pickle_by_value(sys.modules[__name__])
+    _ship_codecs_by_value()
     out_mime, encode = _IMAGE_ENCODERS[output_format]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -770,11 +782,7 @@ def sample_frame_times(media: DataFrame, fps: float = 1.0) -> DataFrame:
     side), output rows explode per sample — the one-media-row-to-many-
     frame-rows shape downstream samplers expect. Replaces the byte-count
     heuristic of the earlier stub wherever real MP4 payloads exist."""
-    import sys
-
-    from pyspark.cloudpickle import register_pickle_by_value
-
-    register_pickle_by_value(sys.modules[__name__])
+    _ship_codecs_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -886,11 +894,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
     Arrow-batched ``mapInPandas``, partition-preserving, nothing collects to
     the driver; the decode+hash is per-row Python by necessity (codec work),
     amortized per batch."""
-    import sys
-
-    from pyspark.cloudpickle import register_pickle_by_value
-
-    register_pickle_by_value(sys.modules[__name__])
+    _ship_codecs_by_value()
 
     out_schema = T.StructType(
         [
@@ -969,11 +973,7 @@ def synth_image_media(
     has no codec libraries, so pipeline entries/tests generate images with
     the SAME BMP encoder the decode path reads. Arrow-batched mapInPandas;
     emits the standard media shape."""
-    import sys
-
-    from pyspark.cloudpickle import register_pickle_by_value
-
-    register_pickle_by_value(sys.modules[__name__])
+    _ship_codecs_by_value()
 
     def render(i: int) -> bytes:
         import numpy as np
@@ -1019,11 +1019,7 @@ def synth_audio_media(
     and tests generate payloads whose dominant frequency is known by
     construction. Arrow-batched mapInPandas; emits the standard media
     shape."""
-    import sys
-
-    from pyspark.cloudpickle import register_pickle_by_value
-
-    register_pickle_by_value(sys.modules[__name__])
+    _ship_codecs_by_value()
 
     def render(i: int) -> bytes:
         import numpy as np

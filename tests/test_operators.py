@@ -2984,3 +2984,39 @@ class TestJpegCodec:
                 assert out.shape == (16, 16, 3)
             except (ValueError, NotImplementedError, IndexError):
                 pass
+
+    def test_jpeg_media_through_arrow_feature_extraction(self, spark):
+        """End-to-end: JPEG payloads in a media table decode inside the
+        mapInPandas worker via default_decoder's magic sniffing — proving
+        the worker closure ships the jpeg module by value (executors can't
+        import the repo) and the Arrow batch plumbing is codec-agnostic."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import encode_jpeg
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            default_decoder,
+            extract_media_features,
+        )
+
+        rows = []
+        for i, level in enumerate([40, 120, 220]):
+            blob = encode_jpeg(np.full((16, 16, 3), level, np.uint8), 90)
+            rows.append((i, bytearray(blob)))
+        media = spark.createDataFrame(rows, "media_id long, content binary").select(
+            "media_id",
+            "content",
+            F.struct(
+                F.lit("image/jpeg").alias("mime"),
+                F.octet_length("content").cast("long").alias("n_bytes"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        out = {
+            r.media_id: r.feature
+            for r in extract_media_features(media, default_decoder).collect()
+        }
+        assert len(out) == 3
+        for i, level in enumerate([40, 120, 220]):
+            w, h, c, mr, mg, mb, gray = out[i]
+            assert (w, h, c) == (16.0, 16.0, 3.0)
+            assert abs(gray - level) < 2.0  # flat JPEG decodes (near-)exactly
