@@ -106,14 +106,24 @@ def _dct_matrix():
 
 
 def _build_decode_table(bits, vals):
-    """Canonical huffman decode dict: (length, code) -> symbol."""
+    """Canonical huffman decode dict: (length, code) -> symbol, plus an
+    8-bit prefix LUT under key ``"__lut8__"`` — codes of length <= 8 (all
+    of them, for both the Annex-K and the uniform progressive tables)
+    resolve with ONE table index instead of a per-bit walk, the decoder's
+    hot path."""
     table, code, i = {}, 0, 0
+    lut = [None] * 256
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[i]
+            if length <= 8:
+                base = code << (8 - length)
+                for suffix in range(1 << (8 - length)):
+                    lut[base | suffix] = (vals[i], length)
             code += 1
             i += 1
         code <<= 1
+    table["__lut8__"] = lut
     return table
 
 
@@ -151,13 +161,15 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # marker: stop feeding real bits, caller handles it
-                    self.buf <<= 8
-                    self.nbits += 8
+                elif nxt == 0xFF:
+                    self.pos += 1  # fill byte before a marker
                     continue
                 else:
-                    self.pos += 2  # tolerate stray fill bytes 0xFF 0xFF
+                    # ANY marker (RSTn, EOI, the next SOS/DHT/...) ends this
+                    # scan's entropy data: stop feeding real bits, leave pos
+                    # parked at the 0xFF for the caller to handle
+                    self.buf <<= 8
+                    self.nbits += 8
                     continue
             else:
                 self.pos += 1
@@ -171,12 +183,21 @@ class _BitReader:
         return (self.buf >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.buf >> self.nbits) & ((1 << n) - 1)
 
     def decode_symbol(self, table) -> int:
+        if self.nbits < 16:
+            self._fill()
+        lut = table["__lut8__"]
+        hit = lut[(self.buf >> (self.nbits - 8)) & 0xFF]
+        if hit is not None:
+            self.nbits -= hit[1]
+            return hit[0]
         length, code = 0, 0
         while length < 16:
             code = (code << 1) | self.read_bit()
@@ -204,8 +225,19 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(content: bytes):
-    """Decode a baseline/extended-sequential JPEG to (H, W, C) uint8
-    (C=3 RGB for YCbCr/3-component images, C=1 for grayscale)."""
+    """Decode a JPEG to (H, W, C) uint8 (C=3 RGB for YCbCr/3-component
+    images, C=1 for grayscale). Handles baseline (SOF0), extended
+    sequential (SOF1), and PROGRESSIVE (SOF2) — spectral selection,
+    successive approximation (DC and AC refinement scans, EOB runs),
+    restart markers. Arithmetic-coded / hierarchical / lossless / 12-bit
+    variants still raise.
+
+    Mechanics: every scan decodes into a per-component COEFFICIENT store
+    (zigzag order, int64) — baseline is simply the one-scan special case —
+    and dequantize + IDCT + upsample + color-convert run once at the end,
+    fully vectorized over all blocks. Memory is one int64 per coefficient
+    (8 bytes/pixel/component) while decoding; the parallel unit at scale
+    is the IMAGE (Arrow batches over mapInPandas), never pixels."""
     import numpy as np
 
     data = bytes(content)
@@ -216,6 +248,8 @@ def decode_jpeg(content: bytes):
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    store: dict[int, object] = {}
+    saw_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1  # tolerate padding between segments
@@ -245,7 +279,7 @@ def decode_jpeg(content: bytes):
                 vals = list(body[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG")
@@ -258,12 +292,25 @@ def decode_jpeg(content: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcux"], frame["mcuy"] = mcux, mcuy
+            for c in comps:
+                store[c["id"]] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), np.int64
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
-                "hierarchical/arithmetic) — inject a codec library"
+                f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X}:"
+                " lossless/hierarchical/arithmetic) — inject a codec library"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -276,83 +323,167 @@ def decode_jpeg(content: bytes):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cid)
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            return _decode_scan(
-                np, data, pos + size, frame, scan, qtables, htables,
-                restart_interval,
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_entropy_scan(
+                data, pos + size, frame, scan, ss, se, ah, al,
+                restart_interval, htables, store,
             )
+            saw_scan = True
+            continue
         pos += size
-    raise ValueError("JPEG has no SOS scan")
+    if not saw_scan:
+        raise ValueError("JPEG has no SOS scan")
+    return _finish(np, frame, store, qtables)
 
 
-def _decode_scan(np, data, pos, frame, scan, qtables, htables, dri):
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component coefficient block stores (natural order after zigzag)
-    planes = {}
-    for comp, _, _ in scan:
-        planes[comp["id"]] = np.zeros(
-            (mcuy * comp["v"] * 8, mcux * comp["h"] * 8), np.float64
-        )
-    blocks = {comp["id"]: [] for comp, _, _ in scan}  # (by, bx, coef64)
-    reader = _BitReader(data, pos)
+def _decode_entropy_scan(data, start, frame, scan, ss, se, ah, al, dri,
+                         htables, store):
+    """Decode one scan\'s entropy-coded data into the coefficient store and
+    return the stream position after it. T.81 F.2.2 (sequential = the
+    ss=0..63/ah=al=0 case) and G.2 (progressive: DC first/refine, AC
+    first/refine with EOB runs). Returns ``reader.pos`` parked at the next
+    marker so the caller\'s segment parser resumes."""
+    reader = _BitReader(data, start)
+    interleaved = len(scan) > 1
+    if interleaved and ss != 0:
+        raise ValueError("progressive AC scan must be non-interleaved")
     pred = {comp["id"]: 0 for comp, _, _ in scan}
-    inv_zig = ZIGZAG  # coef index k (zigzag) -> natural position
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and n_mcu and n_mcu % dri == 0:
-                reader.align_and_sync_rst()
-                pred = {cid: 0 for cid in pred}
-            n_mcu += 1
+    eobrun = 0
+    lo = max(ss, 1)
+
+    def decode_block(coef, dc_tab, ac_tab, cid):
+        nonlocal eobrun
+        if ss == 0:
+            if ah == 0:
+                s = reader.decode_symbol(dc_tab)
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                pred[cid] += diff
+                coef[0] = pred[cid] << al
+            elif reader.read_bit():
+                coef[0] |= 1 << al
+        if se < lo:
+            return
+        if ah == 0:  # AC first pass (baseline AC is the al=0 case)
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = lo
+            while k <= se:
+                rs = reader.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC index overrun")
+                coef[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:  # AC refinement (G.2.2): correction bits + new +-1<<al coefs
+            p1, m1 = 1 << al, -1 << al
+            k = lo
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_symbol(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # r == 15: run over 16 zero-history coefficients
+                    else:
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        c = int(coef[k])
+                        if c != 0:
+                            if reader.read_bit() and (c & p1) == 0:
+                                coef[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        coef[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = int(coef[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            coef[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+    if interleaved:
+        units = frame["mcuy"] * frame["mcux"]
+    else:
+        comp = scan[0][0]
+        cw = -(-(frame["w"] * comp["h"]) // frame["hmax"])
+        ch = -(-(frame["h"] * comp["v"]) // frame["vmax"])
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        units = bw * bh
+    n_unit = 0
+    for u in range(units):
+        if dri and n_unit and n_unit % dri == 0:
+            reader.align_and_sync_rst()
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+        n_unit += 1
+        if interleaved:
+            my, mx = divmod(u, frame["mcux"])
             for comp, td, ta in scan:
-                dc_tab = htables[(0, td)]
-                ac_tab = htables[(1, ta)]
-                q = qtables[comp["tq"]]
+                dc_tab = htables.get((0, td))
+                ac_tab = htables.get((1, ta))
+                arr = store[comp["id"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        coef = np.zeros(64, np.float64)
-                        s = reader.decode_symbol(dc_tab)
-                        diff = _extend(reader.read_bits(s), s) if s else 0
-                        pred[comp["id"]] += diff
-                        coef[0] = pred[comp["id"]] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(ac_tab)
-                            r, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overrun")
-                            coef[inv_zig[k]] = (
-                                _extend(reader.read_bits(size), size) * q[k]
-                            )
-                            k += 1
-                        blocks[comp["id"]].append(
-                            (my * comp["v"] + by, mx * comp["h"] + bx, coef)
+                        decode_block(
+                            arr[my * comp["v"] + by, mx * comp["h"] + bx],
+                            dc_tab, ac_tab, comp["id"],
                         )
-    # vectorized IDCT over every block of each component at once
+        else:
+            comp, td, ta = scan[0]
+            by, bx = divmod(u, bw)
+            decode_block(
+                store[comp["id"]][by, bx],
+                htables.get((0, td)), htables.get((1, ta)), comp["id"],
+            )
+    return reader.pos
+
+
+def _finish(np, frame, store, qtables):
+    """Dequantize + IDCT + assemble + upsample + color-convert, vectorized
+    over every block of every component at once."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     C = _dct_matrix()
-    for comp, _, _ in scan:
-        cid = comp["id"]
-        if not blocks[cid]:
-            continue
-        coefs = np.stack([b[2] for b in blocks[cid]]).reshape(-1, 8, 8)
-        pix = np.einsum("ij,njk,kl->nil", C.T, coefs, C) + 128.0
-        pix = np.clip(np.round(pix), 0, 255)
-        plane = planes[cid]
-        for (by, bx, _), block in zip(blocks[cid], pix):
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    # upsample to full resolution and crop
+    zig = np.array(ZIGZAG)
     out = []
-    for comp, _, _ in scan:
-        plane = planes[comp["id"]]
+    for comp in frame["comps"]:
+        arr = store[comp["id"]]  # (bh, bw, 64) zigzag-order coefficients
+        bh, bw = arr.shape[:2]
+        q = np.array(qtables[comp["tq"]], np.int64)
+        nat = np.zeros((bh, bw, 64), np.float64)
+        nat[..., zig] = arr * q
+        blocks = nat.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ij,xyjk,kl->xyil", C.T, blocks, C) + 128.0
+        plane = np.clip(np.round(pix), 0, 255).transpose(0, 2, 1, 3).reshape(
+            bh * 8, bw * 8
+        )
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
@@ -395,17 +526,53 @@ def _scale_quant(base, quality: int):
     return [min(255, max(1, (q * scale + 50) // 100)) for q in base]
 
 
-def encode_jpeg(img, quality: int = 85, restart_interval: int = 0) -> bytes:
-    """Encode (H, W[, C]) uint8 (C in {1, 3}) as a baseline JPEG — 4:4:4
-    YCbCr for color, single-component for grayscale, Annex-K huffman
-    tables, IJG quality scaling. Deterministic fixture generator and the
-    inverse half of the codec round-trip tests.
+def _uniform_huff_spec(symbols):
+    """A canonical huffman spec with every symbol at 8 bits — wasteful on
+    compression (irrelevant for fixtures) but lets the progressive encoder
+    emit EOB-run symbols (0x10..0xE0) that the Annex-K tables lack."""
+    assert len(symbols) < 255
+    bits = [0] * 16
+    bits[7] = len(symbols)
+    return bits, list(symbols)
 
-    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
-    N MCUs (DC predictors reset, bitstream byte-aligned) — how real
-    encoders bound error propagation; here it exists chiefly so the
-    DECODER's restart path is exercised by round-trip tests rather than
-    only by whatever system sample files happen to use DRI."""
+
+_PROG_AC_SYMBOLS = sorted(
+    {0x00, 0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(1, 15)}  # EOB-run lengths 2..2^14
+)
+_PROG_DC_SYMBOLS = list(range(12))
+
+
+def encode_jpeg(
+    img,
+    quality: int = 85,
+    restart_interval: int = 0,
+    progressive: bool = False,
+    subsampling: str = "444",
+) -> bytes:
+    """Encode (H, W[, C]) uint8 (C in {1, 3}) as a JPEG — YCbCr for
+    color (``subsampling`` "444" or "420"; "420" downsamples chroma 2x2
+    mean and interleaves 2x2 luma blocks per MCU, the form nearly every
+    web JPEG uses), single-component for grayscale, IJG quality scaling.
+    Deterministic fixture generator and the inverse half of the codec
+    round-trip tests.
+
+    ``progressive=True`` emits an SOF2 stream with the full progressive
+    toolbox — an interleaved DC first scan at Al=1 plus DC refinement,
+    per-component spectral-selection AC bands at Al=1 plus AC refinement
+    scans (EOB runs, correction bits, newly-significant coefficients per
+    T.81 G.1.2) — conveying EXACTLY the same quantized coefficients as the
+    sequential form, so progressive and baseline encodings of one image
+    decode bit-identically (asserted in tests). Uses uniform 8-bit huffman
+    tables (EOB-run symbols aren't in Annex K).
+
+    ``restart_interval`` > 0 (sequential mode only) emits a DRI segment
+    and an RSTn marker every N MCUs (DC predictors reset, bitstream
+    byte-aligned) — how real encoders bound error propagation; here it
+    exists chiefly so the DECODER's restart path is exercised by
+    round-trip tests rather than only by whatever system sample files
+    happen to use DRI."""
     import numpy as np
 
     arr = np.asarray(img, dtype=np.float64)
@@ -423,104 +590,315 @@ def encode_jpeg(img, quality: int = 85, restart_interval: int = 0) -> bytes:
         comps = [arr[..., 0]]
     else:
         raise ValueError("encode_jpeg expects 1 or 3 channels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and len(comps) == 3
     qluma = _scale_quant(QUANT_LUMA, quality)
     qchroma = _scale_quant(QUANT_CHROMA, quality)
-    enc_dc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
-              _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
-    enc_ac = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
-              _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    qt = [qluma] + [qchroma] * (len(comps) - 1)
     C = _dct_matrix()
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    writer = _BitWriter()
-    pred = [0] * len(comps)
-    # natural-position -> zigzag-index lookup
-    zig_of_nat = [0] * 64
-    for zi, nat in enumerate(ZIGZAG):
-        zig_of_nat[nat] = zi
-    planes = []
-    for plane in comps:
+    # MCU = 8*hmax x 8*vmax pixels: pad luma to the MCU grid; 4:2:0 chroma
+    # is the 2x2 mean of the padded luma-resolution plane (alignment free)
+    mcu_px = 16 if sub420 else 8
+    ph, pw = -(-h // mcu_px) * mcu_px, -(-w // mcu_px) * mcu_px
+    hv = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * len(comps)
+    zig = np.array(ZIGZAG)
+    all_zz = []
+    for ci, plane in enumerate(comps):
         padded = np.empty((ph, pw))
         padded[:h, :w] = plane
-        padded[h:, :w] = plane[-1:, :]  # edge replicate
+        padded[h:, :w] = padded[h - 1 : h, :w]  # edge replicate
         padded[:, w:] = padded[:, w - 1 : w]
-        planes.append(padded)
-    qt = [qluma] + [qchroma] * (len(comps) - 1)
-    n_mcu = 0
-    rst = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                writer.flush()
-                writer.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                pred = [0] * len(comps)
-            n_mcu += 1
-            for ci, plane in enumerate(planes):
-                tsel = 0 if ci == 0 else 1
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = C @ block @ C.T
-                zz = np.zeros(64, np.int64)
-                q = qt[ci]
-                flat = coef.reshape(64)
-                for nat in range(64):
-                    zi = zig_of_nat[nat]
-                    zz[zi] = int(np.round(flat[nat] / q[zi]))
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                s = int(diff).bit_length() if diff else 0
-                code, length = enc_dc[tsel][s]
-                writer.write(code, length)
-                if s:
-                    v = diff if diff > 0 else diff + (1 << s) - 1
-                    writer.write(v, s)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = enc_ac[tsel][0xF0]
-                        writer.write(code, length)
-                        run -= 16
-                    s = abs(v).bit_length()
-                    code, length = enc_ac[tsel][(run << 4) | s]
-                    writer.write(code, length)
-                    writer.write(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if run:
-                    code, length = enc_ac[tsel][0x00]
-                    writer.write(code, length)
-    writer.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
-
-    def dht(tc, th, bits, vals) -> bytes:
-        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        if sub420 and ci > 0:
+            padded = padded.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cby, cbx = padded.shape[0] // 8, padded.shape[1] // 8
+        blocks = (
+            padded.reshape(cby, 8, cbx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ij,xyjk,kl->xyil", C, blocks, C.T)
+        flat = coef.reshape(cby, cbx, 64)
+        q = np.array(qt[ci], np.float64)
+        all_zz.append(
+            np.round(flat[..., zig] / q).astype(np.int64)
+        )
 
     ncomp = len(comps)
+    if progressive:
+        body = _emit_progressive_scans(all_zz, hv, h, w)
+        dc_spec = _uniform_huff_spec(_PROG_DC_SYMBOLS)
+        ac_spec = _uniform_huff_spec(_PROG_AC_SYMBOLS)
+        dhts = [(0, 0, *dc_spec), (1, 0, *ac_spec)]
+        sof_marker = 0xC2
+    else:
+        body = [
+            (None, _emit_sequential_scan(all_zz, hv, restart_interval))
+        ]
+        dhts = [
+            (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        ]
+        if ncomp > 1:
+            dhts += [
+                (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+            ]
+        sof_marker = 0xC0
+
+    def seg(marker: int, body_: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body_) + 2).to_bytes(2, "big") + body_
+
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
-    sos = bytes([ncomp])
     for ci in range(ncomp):
         tq = 0 if ci == 0 else 1
-        sof += bytes([ci + 1, 0x11, tq])
-        sos += bytes([ci + 1, (0 if ci == 0 else 1) * 0x11])
-    sos += bytes([0, 63, 0])
+        sof += bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1], tq])
     out = b"\xff\xd8"
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0]) + bytes(qluma))
     if ncomp > 1:
         out += seg(0xDB, bytes([1]) + bytes(qchroma))
-    out += seg(0xC0, sof)
-    if restart_interval:
+    out += seg(sof_marker, sof)
+    for tc, th, bits, vals in dhts:
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval and not progressive:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
-    out += seg(0xC4, dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
-    out += seg(0xC4, dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
-    if ncomp > 1:
-        out += seg(0xC4, dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
-        out += seg(0xC4, dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
-    out += seg(0xDA, sos)
-    out += bytes(writer.out)
+    for sos_params, entropy in body:
+        if sos_params is None:  # sequential: one SOS over all comps
+            sos = bytes([ncomp])
+            for ci in range(ncomp):
+                sos += bytes([ci + 1, (0 if ci == 0 else 1) * 0x11])
+            sos += bytes([0, 63, 0])
+        else:
+            comp_ids, ss, se, ah, al = sos_params
+            sos = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                sos += bytes([cid, 0x00])  # tables 0/0 in progressive mode
+            sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos) + entropy
     out += b"\xff\xd9"
     return out
+
+
+def _emit_sequential_scan(all_zz, hv, restart_interval):
+    """Baseline entropy data: MCU-interleaved DC-diff + AC run-length over
+    the quantized coefficients (Hi x Vi blocks per component per MCU, so
+    4:2:0 emits 2x2 luma + 1 cb + 1 cr), Annex-K tables, optional restart
+    markers."""
+    ncomp = len(all_zz)
+    enc_dc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+              _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    enc_ac = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+              _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    n_mcu = 0
+    rst = 0
+    mcuy = all_zz[0].shape[0] // hv[0][1]
+    mcux = all_zz[0].shape[1] // hv[0][0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            n_mcu += 1
+            for ci in range(ncomp):
+                tsel = 0 if ci == 0 else 1
+                hi, vi = hv[ci]
+                for v_ in range(vi):
+                  for u_ in range(hi):
+                    zz = all_zz[ci][my * vi + v_, mx * hi + u_]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    s = abs(diff).bit_length()
+                    code, length = enc_dc[tsel][s]
+                    writer.write(code, length)
+                    if s:
+                        writer.write(
+                            diff if diff > 0 else diff + (1 << s) - 1, s
+                        )
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, length = enc_ac[tsel][0xF0]
+                            writer.write(code, length)
+                            run -= 16
+                        s = abs(v).bit_length()
+                        code, length = enc_ac[tsel][(run << 4) | s]
+                        writer.write(code, length)
+                        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        code, length = enc_ac[tsel][0x00]
+                        writer.write(code, length)
+    writer.flush()
+    return bytes(writer.out)
+
+
+def _emit_progressive_scans(all_zz, hv, img_h, img_w):
+    """Progressive scan script over the quantized coefficients: DC first
+    (interleaved, Al=1) -> per-component AC bands (Al=1) -> DC refinement
+    -> per-component AC refinements (Al 1->0). Returns a list of
+    ((comp_ids, ss, se, ah, al), entropy_bytes) in emission order. Encoder
+    halves of T.81 G.1.2.2-G.1.2.3; the AC refinement pass mirrors the
+    classic libjpeg structure (pending-correction-bit buffer riding the
+    EOB run)."""
+    dc_tab = _build_encode_table(*_uniform_huff_spec(_PROG_DC_SYMBOLS))
+    ac_tab = _build_encode_table(*_uniform_huff_spec(_PROG_AC_SYMBOLS))
+    ncomp = len(all_zz)
+    comp_ids = list(range(1, ncomp + 1))
+    scans = []
+
+    def emit_eobrun(state, writer):
+        n = state["eobrun"]
+        if n > 0:
+            r = n.bit_length() - 1
+            code, length = ac_tab[r << 4]
+            writer.write(code, length)
+            if r:
+                writer.write(n - (1 << r), r)
+            for bit in state["pending"]:
+                writer.write(bit, 1)
+            state["pending"] = []
+            state["eobrun"] = 0
+
+    mcuy = all_zz[0].shape[0] // hv[0][1]
+    mcux = all_zz[0].shape[1] // hv[0][0]
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    # non-interleaved scans cover ceil(comp_dims/8) blocks (T.81 A.2.2) —
+    # NOT the MCU-padded grid; pad blocks are coded only by interleaved
+    # (DC) scans and fall outside the crop anyway
+    scan_grid = [
+        (
+            -(-(-(-img_h * vi // vmax)) // 8),
+            -(-(-(-img_w * hi // hmax)) // 8),
+        )
+        for hi, vi in hv
+    ]
+
+    # --- DC first scan: interleaved, point transform >> 1 ---------------
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = hv[ci]
+                for v_ in range(vi):
+                    for u_ in range(hi):
+                        dc = int(all_zz[ci][my * vi + v_, mx * hi + u_, 0]) >> 1
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        s = abs(diff).bit_length()
+                        code, length = dc_tab[s]
+                        writer.write(code, length)
+                        if s:
+                            writer.write(
+                                diff if diff > 0 else diff + (1 << s) - 1, s
+                            )
+    writer.flush()
+    scans.append(((comp_ids, 0, 0, 0, 1), bytes(writer.out)))
+
+    # --- AC first scans: spectral bands per component at Al=1 ------------
+    bands = [(1, 5), (6, 63)] if ncomp > 1 else [(1, 63)]
+    ac_first = [(0, lo, hi) for lo, hi in bands]
+    ac_first += [(ci, 1, 63) for ci in range(1, ncomp)]
+    for ci, lo, hi in ac_first:
+        writer = _BitWriter()
+        state = {"eobrun": 0, "pending": []}
+        cby, cbx = scan_grid[ci]
+        for by in range(cby):
+            for bx in range(cbx):
+                zz = all_zz[ci][by, bx]
+                r = 0
+                for k in range(lo, hi + 1):
+                    v = int(zz[k])
+                    t = (abs(v) >> 1) * (1 if v >= 0 else -1)
+                    if t == 0:
+                        r += 1
+                        continue
+                    emit_eobrun(state, writer)
+                    while r > 15:
+                        code, length = ac_tab[0xF0]
+                        writer.write(code, length)
+                        r -= 16
+                    s = abs(t).bit_length()
+                    code, length = ac_tab[(r << 4) | s]
+                    writer.write(code, length)
+                    writer.write(t if t > 0 else t + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        emit_eobrun(state, writer)
+        emit_eobrun(state, writer)
+        writer.flush()
+        scans.append((([ci + 1], lo, hi, 0, 1), bytes(writer.out)))
+
+    # --- DC refinement: emit bit 0 of every DC, same interleaved order ---
+    writer = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = hv[ci]
+                for v_ in range(vi):
+                    for u_ in range(hi):
+                        writer.write(
+                            int(all_zz[ci][my * vi + v_, mx * hi + u_, 0]) & 1,
+                            1,
+                        )
+    writer.flush()
+    scans.append(((comp_ids, 0, 0, 1, 0), bytes(writer.out)))
+
+    # --- AC refinement scans: Ah=1 -> Al=0 -------------------------------
+    for ci, lo, hi in ac_first:
+        writer = _BitWriter()
+        state = {"eobrun": 0, "pending": []}
+        cby, cbx = scan_grid[ci]
+        for by in range(cby):
+            for bx in range(cbx):
+                zz = all_zz[ci][by, bx]
+                absv = [abs(int(zz[k])) for k in range(lo, hi + 1)]
+                eob = lo - 1  # last newly-significant position
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob = lo + i
+                r = 0
+                br = []
+                for i, a in enumerate(absv):
+                    k = lo + i
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        emit_eobrun(state, writer)
+                        code, length = ac_tab[0xF0]
+                        writer.write(code, length)
+                        r -= 16
+                        for bit in br:
+                            writer.write(bit, 1)
+                        br = []
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    emit_eobrun(state, writer)
+                    code, length = ac_tab[(r << 4) | 1]
+                    writer.write(code, length)
+                    writer.write(1 if int(zz[k]) > 0 else 0, 1)
+                    for bit in br:
+                        writer.write(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    state["eobrun"] += 1
+                    state["pending"].extend(br)
+                    if state["eobrun"] == 0x7FFF:
+                        emit_eobrun(state, writer)
+        emit_eobrun(state, writer)
+        writer.flush()
+        scans.append((([ci + 1], lo, hi, 1, 0), bytes(writer.out)))
+    return scans

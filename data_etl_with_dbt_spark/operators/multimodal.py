@@ -3,14 +3,16 @@ metadata, with decode / feature-extract stages as Arrow-batched pandas
 transforms over ``mapInPandas``.
 
 Dependency-free codecs and parsers, no libraries: BMP/PPM raster decode,
-PNG decode (stdlib zlib inflate + unfilter), and baseline JPEG decode
-(huffman + vectorized IDCT, ``operators/jpeg.py``) for images, 16-bit PCM
-WAV decode for audio, ISO-BMFF box-walk metadata for MP4
+PNG decode (stdlib zlib inflate + unfilter; depths 1-16, Adam7
+interlace), and JPEG decode (huffman + vectorized IDCT,
+``operators/jpeg.py``) for images, 16-bit PCM WAV decode for audio, ISO-BMFF box-walk metadata for MP4
 (``parse_mp4_meta``) and frame-header metadata for MP3
-(``parse_mp3_meta``), byte stats for text. Only SAMPLE/FRAME decode of
-compressed audio/video and progressive/arithmetic JPEG still raise
-``NotImplementedError`` — those genuinely need codec libraries absent
-from this container; callers inject a decoder. The
+(``parse_mp3_meta``), byte stats for text. The JPEG codec covers
+baseline AND progressive (SOF2), any chroma subsampling, restart
+markers. Only SAMPLE/FRAME decode of compressed audio/video and
+arithmetic/lossless JPEG still raise ``NotImplementedError`` — those
+genuinely need codec libraries absent from this container; callers
+inject a decoder. The
 Spark-side plumbing — schema, partition-preserving ``mapInPandas``, Arrow
 batch shape — is identical either way: each batch is a pandas DataFrame
 of (id, bytes, meta), features come back as typed columns, and nothing
@@ -208,18 +210,79 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
 
-def decode_png(content: bytes):
-    """Dependency-free PNG decode (stdlib zlib + numpy): non-interlaced
-    8-bit gray / RGB / gray+alpha / RGBA / palette (PLTE, with optional
-    tRNS transparency), all five scanline filters
-    (None/Sub/Up/Average/Paeth). Returns an (H, W, C) uint8 array —
-    palette images expand to RGB (or RGBA when tRNS is present).
+def _png_unfilter(np, raw, h, stride, bpp, offset=0):
+    """Undo PNG scanline filtering for ``h`` rows of ``stride`` bytes
+    starting at ``offset`` in the decompressed stream (each row is
+    prefixed by its filter-type byte). Returns (rows ndarray, next
+    offset). All five filters (None/Sub/Up/Average/Paeth)."""
+    if len(raw) < offset + h * (1 + stride):
+        raise ValueError("PNG IDAT truncated")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)  # row above row 0 is implicit zeros
+    for y in range(h):
+        base = offset + y * (1 + stride)
+        ft = raw[base]
+        cur = np.frombuffer(raw, np.uint8, stride, base + 1).copy()
+        if ft == 0:  # None
+            pass
+        elif ft == 2:  # Up — vectorized, uint8 addition wraps mod 256
+            cur += prev
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth are sequential in x
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + int(prev[x])) >> 1
+                else:
+                    b, c = int(prev[x]), int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out, offset + h * (1 + stride)
 
-    Sub-8-bit depths, 16-bit depth, and Adam7 interlace still raise
-    ``NotImplementedError`` — rare in training corpora and each would
-    triple the decoder for formats a real deployment handles with an
-    injected codec library anyway.
-    """
+
+def _png_rows_to_samples(np, rows, w, channels, depth):
+    """Filtered-row bytes → (rows, w, channels) uint8 samples for one
+    (sub-)image: 16-bit takes the high byte (the standard 8-bit
+    reduction), sub-8-bit depths unpack MSB-first and scale gray to
+    full range (palette indices pass through)."""
+    n = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(n, w, channels)
+    if depth == 16:
+        return rows.reshape(n, -1, 2)[:, : w * channels, 0].reshape(
+            n, w, channels
+        )
+    # depths 1/2/4: single-channel only (gray or palette index)
+    bits = np.unpackbits(rows, axis=1)
+    per = depth
+    samples = np.zeros((n, w), np.uint8)
+    for b in range(per):
+        samples = (samples << 1) | bits[:, b::per][:, :w]
+    return samples.reshape(n, w, 1)
+
+
+#: Adam7 pass geometry: (row0, col0, row_step, col_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+]
+
+
+def decode_png(content: bytes):
+    """Dependency-free PNG decode (stdlib zlib + numpy): gray / RGB /
+    gray+alpha / RGBA / palette (PLTE, optional tRNS transparency) at
+    depths 1/2/4/8/16 (16-bit reduces to 8 via the high byte; sub-8-bit
+    gray scales to full range), Adam7 interlaced or not, all five
+    scanline filters (None/Sub/Up/Average/Paeth). Returns an (H, W, C)
+    uint8 array — palette images expand to RGB (or RGBA when tRNS is
+    present)."""
     import zlib
 
     import numpy as np
@@ -252,59 +315,62 @@ def decode_png(content: bytes):
         channels = 1  # one palette index per pixel on the wire
     else:
         channels = _PNG_CHANNELS.get(color_type)
-    if bit_depth != 8 or channels is None or interlace != 0:
+    if (
+        channels is None
+        or interlace not in (0, 1)
+        or bit_depth not in (1, 2, 4, 8, 16)
+        or (bit_depth < 8 and channels != 1)
+    ):
         raise NotImplementedError(
-            f"only non-interlaced 8-bit gray/RGB/GA/RGBA/palette PNG supported "
-            f"(depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+            f"unsupported PNG layout (depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace})"
         )
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (1 + stride):
-        raise ValueError("PNG IDAT truncated")
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)  # row above row 0 is implicit zeros
-    bpp = channels  # bytes per pixel at 8-bit depth
-    for y in range(h):
-        base = y * (1 + stride)
-        ft = raw[base]
-        cur = np.frombuffer(raw, np.uint8, stride, base + 1).copy()
-        if ft == 0:  # None
-            pass
-        elif ft == 2:  # Up — vectorized, uint8 addition wraps mod 256
-            cur += prev
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth are sequential in x
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + int(prev[x])) >> 1
-                else:
-                    b, c = int(prev[x]), int(prev[x - bpp]) if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
-                cur[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ft}")
-        out[y] = cur
-        prev = cur
+
+    def stride_of(width):
+        if bit_depth >= 8:
+            return width * channels * (bit_depth // 8)
+        return -(-width * bit_depth // 8)
+
+    bpp = max(1, channels * (bit_depth // 8))
+    img = np.zeros((h, w, channels), np.uint8)
+    if interlace == 0:
+        rows, _ = _png_unfilter(np, raw, h, stride_of(w), bpp)
+        img = _png_rows_to_samples(np, rows, w, channels, bit_depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        offset = 0
+        for r0, c0, rs, cs in _ADAM7:
+            pw = -(-(w - c0) // cs) if w > c0 else 0
+            ph = -(-(h - r0) // rs) if h > r0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            rows, offset = _png_unfilter(
+                np, raw, ph, stride_of(pw), bpp, offset
+            )
+            sub = _png_rows_to_samples(np, rows, pw, channels, bit_depth)
+            img[r0::rs, c0::cs] = sub
+    if color_type == 0 and bit_depth < 8:  # scale gray to full range
+        img = (img.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))).astype(
+            np.uint8
+        )
     if color_type == 3:
         palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        idx = out.reshape(h, w)
+        idx = img.reshape(h, w)
         rgb = palette[idx]  # (H, W, 3) gather
         if trns is not None:
             alpha_lut = np.full(palette.shape[0], 255, np.uint8)
             alpha_lut[: len(trns)] = np.frombuffer(trns, np.uint8)
             return np.dstack([rgb, alpha_lut[idx]])
         return rgb
-    return out.reshape(h, w, channels)
+    return img
 
 
-def encode_png(img) -> bytes:
+def encode_png(img, interlace: bool = False) -> bytes:
     """Inverse of :func:`decode_png` (filter 0 scanlines, one zlib stream):
     deterministic image fixtures without codec libraries. ``img`` is
-    (H, W) or (H, W, C) uint8 with C in {1, 2, 3, 4}."""
+    (H, W) or (H, W, C) uint8 with C in {1, 2, 3, 4}.
+    ``interlace=True`` writes the seven Adam7 sub-images (pass extraction
+    is just strided slicing) — fixtures for the interlaced decode path."""
     import zlib
 
     import numpy as np
@@ -316,11 +382,18 @@ def encode_png(img) -> bytes:
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([8, color_type, 0, 0, int(interlace)])
     )
-    scanlines = b"".join(
-        b"\x00" + arr[y].tobytes() for y in range(h)
-    )
+    if interlace:
+        scanlines = b"".join(
+            b"".join(b"\x00" + row.tobytes() for row in arr[r0::rs, c0::cs])
+            for r0, c0, rs, cs in _ADAM7
+            if arr[r0::rs, c0::cs].size
+        )
+    else:
+        scanlines = b"".join(
+            b"\x00" + arr[y].tobytes() for y in range(h)
+        )
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
@@ -448,12 +521,13 @@ def text_byte_features(content: bytes) -> list[float]:
 
 
 def default_decoder(content: bytes, mime: str):
-    """Real dependency-free codecs: baseline JPEG (huffman + IDCT,
-    operators/jpeg.py), non-interlaced 8-bit PNG (stdlib zlib inflate +
-    unfilter), uncompressed 24-bpp BMP, and binary PPM → image stats;
-    16-bit PCM WAV → audio stats; ``text/*`` media → byte stats. Formats
-    needing external libraries (progressive JPEG, MP3/video sample decode,
-    interlaced PNG) still raise — inject a decoder for those."""
+    """Real dependency-free codecs: baseline + progressive JPEG (huffman
+    + IDCT, operators/jpeg.py), PNG at depths 1-16 interlaced or not
+    (stdlib zlib inflate + unfilter), uncompressed 24-bpp BMP, and binary
+    PPM → image stats; 16-bit PCM WAV → audio stats; ``text/*`` media →
+    byte stats. Formats needing external libraries (MP3/video sample
+    decode, arithmetic-coded JPEG) still raise — inject a decoder for
+    those."""
     content = bytes(content)
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return image_features(_to_rgb3(decode_png(content)))
@@ -491,10 +565,10 @@ def default_decoder(content: bytes, mime: str):
     if mime.startswith("text/"):
         return text_byte_features(content)
     raise NotImplementedError(
-        f"no built-in codec for mime={mime!r}; progressive JPEG and "
-        "compressed audio/video SAMPLE decode need libraries not present "
-        "in this container (container METADATA for MP4/MP3 is parsed "
-        "above; baseline JPEG decodes) — pass an explicit decoder"
+        f"no built-in codec for mime={mime!r}; compressed audio/video "
+        "SAMPLE decode needs libraries not present in this container "
+        "(container METADATA for MP4/MP3 is parsed above; baseline and "
+        "progressive JPEG decode) — pass an explicit decoder"
     )
 
 

@@ -1184,11 +1184,17 @@ class TestPngCodec:
 
         with pytest.raises(ValueError):
             decode_png(b"\x89PNG\r\n")  # truncated signature
-        # flip a valid PNG's IHDR to interlaced: must refuse, not garble
         img = np.zeros((2, 2, 3), np.uint8)
+        # lying about interlace on a non-interlaced stream corrupts the
+        # pass geometry: must raise (truncated), never garble silently
         buf = bytearray(encode_png(img))
         ihdr_off = len(_PNG_SIG) + 8
         buf[ihdr_off + 12] = 1  # interlace flag inside IHDR body
+        with pytest.raises(ValueError):
+            decode_png(bytes(buf))
+        # genuinely unsupported layout: sub-8-bit MULTI-channel
+        buf = bytearray(encode_png(img))
+        buf[ihdr_off + 8] = 4  # depth 4 with color_type 2 (RGB)
         with pytest.raises(NotImplementedError):
             decode_png(bytes(buf))
 
@@ -2919,17 +2925,21 @@ class TestJpegCodec:
 
             _pytest.skip("no system sample JPEGs in this container")
 
-    def test_progressive_raises_not_implemented(self):
+    def test_unsupported_processes_raise(self):
+        """Lossless (SOF3) and arithmetic-coded (SOFB) JPEGs refuse
+        explicitly; junk input gets a clear SOI error. (Progressive/SOF2
+        DECODES as of round 4 — see the equivalence test.)"""
         import numpy as np
         import pytest as _pytest
 
         from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-        blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
-        i = blob.find(b"\xff\xc0")
-        blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with _pytest.raises(NotImplementedError, match="progressive"):
-            decode_jpeg(bytes(blob))
+        for sof in (0xC3, 0xCB):
+            blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+            i = blob.find(b"\xff\xc0")
+            blob[i + 1] = sof
+            with _pytest.raises(NotImplementedError, match="coding process"):
+                decode_jpeg(bytes(blob))
         with _pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"notajpeg")
 
@@ -3020,3 +3030,171 @@ class TestJpegCodec:
             w, h, c, mr, mg, mb, gray = out[i]
             assert (w, h, c) == (16.0, 16.0, 3.0)
             assert abs(gray - level) < 2.0  # flat JPEG decodes (near-)exactly
+
+    def test_progressive_decodes_identical_to_sequential(self):
+        """Progressive (SOF2) and sequential encodings convey the same
+        quantized coefficients, so they must decode BIT-IDENTICALLY — over
+        gradient / grayscale / noise (ZRL + refinement + newly-significant
+        paths) / flat (cross-block EOB runs), at 4:4:4 and 4:2:0, at
+        non-multiple-of-8/16 dims (spec scan grid vs MCU-padded grid)."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(5)
+        yy, xx = np.mgrid[0:37, 0:53]
+        cases = [
+            np.stack([np.clip(yy * 4, 0, 255), np.clip(xx * 3, 0, 255),
+                      np.clip(128 + yy - xx, 0, 255)], axis=-1).astype(np.uint8),
+            rng.integers(0, 256, (33, 49, 3), np.uint8),
+            np.full((40, 40, 3), 77, np.uint8),
+        ]
+        for img in cases:
+            for sub in ("444", "420"):
+                seq = decode_jpeg(encode_jpeg(img, 90, subsampling=sub))
+                prog = decode_jpeg(
+                    encode_jpeg(img, 90, progressive=True, subsampling=sub)
+                )
+                assert (prog == seq).all(), sub
+        gray = np.clip(yy * 7, 0, 255).astype(np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg(gray, 85, progressive=True))
+            == decode_jpeg(encode_jpeg(gray, 85))
+        ).all()
+
+    def test_420_subsampling_round_trip(self):
+        """4:2:0 chroma subsampling (the dominant web-JPEG layout): decoder
+        upsamples back to full resolution; luma stays sharp, overall error
+        bounded by the chroma downsample."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:37, 0:53]
+        img = np.stack(
+            [np.clip(yy * 4, 0, 255), np.clip(xx * 3, 0, 255),
+             np.clip(128 + yy - xx, 0, 255)], axis=-1,
+        ).astype(np.uint8)
+        blob = encode_jpeg(img, 90, subsampling="420")
+        dec = decode_jpeg(blob)
+        assert dec.shape == img.shape
+        assert float(np.mean(np.abs(dec.astype(float) - img.astype(float)))) < 3.0
+        assert len(blob) < len(encode_jpeg(img, 90))  # chroma really shrank
+        # restart markers compose with 4:2:0 MCU geometry
+        dri = decode_jpeg(encode_jpeg(img, 90, subsampling="420", restart_interval=3))
+        assert (dri == dec).all()
+
+
+class TestPngExtendedLayouts:
+    """Round-4 PNG completeness: Adam7 interlace, 16-bit, sub-8-bit."""
+
+    def _chunk(self, ctype, body):
+        import zlib
+
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    def test_adam7_interlace_round_trip_all_color_types(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(11)
+        # odd dims, degenerate 1-px rows/cols, every channel count
+        for shape in [(9, 13, 3), (8, 8, 4), (5, 4), (16, 16, 2), (1, 7, 3), (7, 1)]:
+            img = rng.integers(0, 256, shape, np.uint8)
+            got = decode_png(encode_png(img, interlace=True))
+            want = img if img.ndim == 3 else img[:, :, None]
+            assert got.shape == want.shape and (got == want).all(), shape
+
+    def test_16bit_takes_high_byte(self):
+        import zlib
+
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(7)
+        hi = rng.integers(0, 256, (3, 5), np.uint8)
+        raw = b"".join(
+            b"\x00" + bytes(v for px in row for v in (int(px), 0x7F))
+            for row in hi
+        )
+        ihdr = (5).to_bytes(4, "big") + (3).to_bytes(4, "big") + bytes(
+            [16, 0, 0, 0, 0]
+        )
+        png = (
+            _PNG_SIG + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"IDAT", zlib.compress(raw))
+            + self._chunk(b"IEND", b"")
+        )
+        assert (decode_png(png)[:, :, 0] == hi).all()
+
+    def test_4bit_gray_scales_to_full_range(self):
+        import zlib
+
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        vals = [[0, 15, 7, 3, 12], [1, 2, 3, 4, 5]]  # odd width: pad bits
+        rows = []
+        for row in vals:
+            byts = []
+            for i in range(0, len(row), 2):
+                byts.append((row[i] << 4) | (row[i + 1] if i + 1 < len(row) else 0))
+            rows.append(b"\x00" + bytes(byts))
+        ihdr = (5).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+            [4, 0, 0, 0, 0]
+        )
+        png = (
+            _PNG_SIG + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + self._chunk(b"IEND", b"")
+        )
+        exp = (np.array(vals, np.uint16) * 17).astype(np.uint8)  # 255/15
+        assert (decode_png(png)[:, :, 0] == exp).all()
+
+    def test_2bit_palette_indices_pass_through(self):
+        import zlib
+
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+        idx = [[0, 1, 2, 3, 0], [3, 2, 1, 0, 1]]
+        rows = []
+        for row in idx:
+            b_, n, byts = 0, 0, []
+            for v in row:
+                b_, n = (b_ << 2) | v, n + 1
+                if n == 4:
+                    byts.append(b_)
+                    b_, n = 0, 0
+            if n:
+                byts.append(b_ << (2 * (4 - n)))
+            rows.append(b"\x00" + bytes(byts))
+        ihdr = (5).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+            [2, 3, 0, 0, 0]
+        )
+        png = (
+            _PNG_SIG + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"PLTE", pal)
+            + self._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + self._chunk(b"IEND", b"")
+        )
+        exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[np.array(idx)]
+        assert (decode_png(png) == exp).all()
