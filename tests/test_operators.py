@@ -3198,3 +3198,33 @@ class TestPngExtendedLayouts:
         )
         exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[np.array(idx)]
         assert (decode_png(png) == exp).all()
+
+    def test_randomized_codec_properties(self):
+        """Seeded randomized sweep (repo property-test style): for random
+        dims (incl. 1x1 and 1-px strips), channel counts, qualities, and
+        subsampling, (a) decode(encode(img)) has the input's shape, (b)
+        progressive and sequential decodes are bit-identical, (c) DRI
+        round-trips equal the plain stream."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(42)
+        for trial in range(12):
+            h = int(rng.integers(1, 25))
+            w = int(rng.integers(1, 25))
+            c = int(rng.choice([1, 3]))
+            q = int(rng.choice([35, 60, 85, 95]))
+            shape = (h, w) if c == 1 else (h, w, c)
+            img = rng.integers(0, 256, shape, np.uint8)
+            sub = "420" if (c == 3 and trial % 2) else "444"
+            seq = decode_jpeg(encode_jpeg(img, q, subsampling=sub))
+            assert seq.shape == (h, w, c), (shape, sub)
+            prog = decode_jpeg(
+                encode_jpeg(img, q, progressive=True, subsampling=sub)
+            )
+            assert (prog == seq).all(), (shape, q, sub)
+            dri = decode_jpeg(
+                encode_jpeg(img, q, restart_interval=2, subsampling=sub)
+            )
+            assert (dri == seq).all(), (shape, q, sub)
