@@ -46,8 +46,14 @@ from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401
     bloom_parameters,
     bloom_probe,
 )
+from data_etl_with_dbt_spark.operators.jpeg import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+)
 from data_etl_with_dbt_spark.operators.multimodal import (  # noqa: F401
     audio_spectral_features,
+    decode_png,
+    encode_png,
     extract_media_features,
     image_dhash,
     image_near_dup_pairs,

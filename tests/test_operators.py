@@ -3228,3 +3228,35 @@ class TestPngExtendedLayouts:
                 encode_jpeg(img, q, restart_interval=2, subsampling=sub)
             )
             assert (dri == seq).all(), (shape, q, sub)
+
+    def test_resize_media_jpg_output_format(self, spark):
+        """resize_media can re-encode to JPEG ('jpg' in _IMAGE_ENCODERS):
+        output mime + decodable payload + requested dims (content is lossy,
+        so dims and approximate value are the contract)."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_png,
+            resize_media,
+        )
+
+        img = np.full((8, 8, 3), 120, np.uint8)
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_png(img)))], "media_id long, content binary"
+        ).select(
+            "media_id",
+            "content",
+            F.struct(
+                F.lit("image/png").alias("mime"),
+                F.octet_length("content").cast("long").alias("n_bytes"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        row = resize_media(media, 4, 4, output_format="jpg").first()
+        assert row.meta.mime == "image/jpeg"
+        got = decode_jpeg(bytes(row.content))
+        assert got.shape == (4, 4, 3)
+        assert abs(int(got.mean()) - 120) <= 2
