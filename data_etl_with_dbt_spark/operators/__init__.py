@@ -46,6 +46,10 @@ from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401
     bloom_parameters,
     bloom_probe,
 )
+from data_etl_with_dbt_spark.operators.gif import (  # noqa: F401
+    decode_gif,
+    encode_gif,
+)
 from data_etl_with_dbt_spark.operators.jpeg import (  # noqa: F401
     decode_jpeg,
     encode_jpeg,

@@ -4,8 +4,10 @@ transforms over ``mapInPandas``.
 
 Dependency-free codecs and parsers, no libraries: BMP/PPM raster decode,
 PNG decode (stdlib zlib inflate + unfilter; depths 1-16, Adam7
-interlace), and JPEG decode (huffman + vectorized IDCT,
-``operators/jpeg.py``) for images, 16-bit PCM WAV decode for audio, ISO-BMFF box-walk metadata for MP4
+interlace), JPEG decode (huffman + vectorized IDCT,
+``operators/jpeg.py``), and full GIF frame decode (LZW, interlace,
+disposal/transparency composition, ``operators/gif.py``) for images,
+16-bit PCM WAV decode for audio, ISO-BMFF box-walk metadata for MP4
 (``parse_mp4_meta``) and frame-header metadata for MP3
 (``parse_mp3_meta``), byte stats for text. The JPEG codec covers
 baseline AND progressive (SOF2), any chroma subsampling, restart
@@ -34,6 +36,7 @@ from pyspark.sql import types as T
 # `import data_etl_with_dbt_spark...` would instead re-import by NAME on
 # the executor and die with ModuleNotFoundError (repo not on worker
 # sys.path; pinned by test_jpeg_media_through_arrow_feature_extraction).
+from data_etl_with_dbt_spark.operators.gif import decode_gif, encode_gif
 from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
 
@@ -67,10 +70,12 @@ def _ship_codecs_by_value() -> None:
 
     from pyspark.cloudpickle import register_pickle_by_value
 
+    from data_etl_with_dbt_spark.operators import gif as _gif_mod
     from data_etl_with_dbt_spark.operators import jpeg as _jpeg_mod
 
     register_pickle_by_value(sys.modules[__name__])
     register_pickle_by_value(_jpeg_mod)
+    register_pickle_by_value(_gif_mod)
 
 
 def to_media_table(df: DataFrame, id_col: str, payload_col: str, mime: str, source_col: str) -> DataFrame:
@@ -658,6 +663,8 @@ def _decode_image(content: bytes):
         return decode_ppm(content)
     if content[:2] == b"\xff\xd8":
         return _to_rgb3(decode_jpeg(content))
+    if content[:3] == b"GIF":
+        return decode_gif(content, max_frames=1)[0][0]
     return None
 
 

@@ -3260,3 +3260,97 @@ class TestPngExtendedLayouts:
         got = decode_jpeg(bytes(row.content))
         assert got.shape == (4, 4, 3)
         assert abs(int(got.mean()) - 120) <= 2
+
+
+class TestGifCodec:
+    """Round-4 GIF frame decode (operators/gif.py): LZW, interlace,
+    disposal, transparency — fixtures from our own encoder plus
+    independently-encoded system files."""
+
+    def test_lzw_round_trips_across_width_growth_and_reset(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.gif import _lzw_decode, _lzw_encode
+
+        rng = np.random.default_rng(9)
+        for n, pal in [(10, 4), (4000, 8), (20000, 64), (70000, 256)]:
+            data = bytes(rng.integers(0, pal, n, np.uint8))
+            mcs = max(2, (pal - 1).bit_length())
+            assert bytes(_lzw_decode(mcs, _lzw_encode(mcs, data), n)) == data
+
+    def test_frame_round_trips(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.gif import decode_gif, encode_gif
+
+        img = np.zeros((5, 7, 3), np.uint8)
+        img[2:, 3:] = [255, 0, 0]
+        img[0] = [0, 255, 0]
+        frames, delays = decode_gif(encode_gif([img]))
+        assert len(frames) == 1 and (frames[0] == img).all()
+        f2 = img.copy()
+        f2[:, :2] = [0, 0, 255]
+        frames, delays = decode_gif(encode_gif([img, f2], delays_cs=[10, 25]))
+        assert delays == [10, 25]
+        assert (frames[0] == img).all() and (frames[1] == f2).all()
+        # interlace + a 256-color odd-dims image
+        rng = np.random.default_rng(9)
+        gray = rng.integers(0, 256, (33, 41), np.uint8)
+        rgb = np.stack([gray, gray, gray], -1)
+        for inter in (False, True):
+            got, _ = decode_gif(encode_gif([rgb], interlace=inter))
+            assert (got[0] == rgb).all(), inter
+
+    def test_transparency_composition(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.gif import decode_gif, encode_gif
+
+        base = np.full((4, 4, 3), 200, np.uint8)
+        overlay = np.full((4, 4, 3), 77, np.uint8)  # 77 marked transparent
+        overlay[1:3, 1:3] = [9, 9, 9]
+        frames, _ = decode_gif(
+            encode_gif([base, overlay], transparent_rgb=(77, 77, 77))
+        )
+        # frame 0 is fully opaque; frame 1's transparent pixels keep the
+        # prior canvas while its opaque patch lands
+        assert (frames[0] == 200).all()
+        assert (frames[1][1:3, 1:3] == [9, 9, 9]).all()
+        assert (frames[1][0, 0] == [200, 200, 200]).all()
+
+    def test_decodes_system_gifs_and_feeds_dhash(self, spark):
+        import os
+
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.operators.gif import decode_gif
+        from data_etl_with_dbt_spark.operators.multimodal import image_dhash
+
+        path = (
+            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/idlelib/Icons/idle_32.gif"
+        )
+        if not os.path.exists(path):
+            import pytest as _pytest
+
+            _pytest.skip("no system sample GIF in this container")
+        blob = open(path, "rb").read()
+        frames, _ = decode_gif(blob)
+        assert frames[0].shape == (32, 32, 3)
+        assert float(np.asarray(frames[0]).std()) > 0  # real pixels
+        # GIF media now participates in perceptual dedup via _decode_image
+        media = spark.createDataFrame(
+            [(1, bytearray(blob))], "media_id long, content binary"
+        ).select(
+            "media_id",
+            "content",
+            F.struct(
+                F.lit("image/gif").alias("mime"),
+                F.octet_length("content").cast("long").alias("n_bytes"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        row = image_dhash(media).first()
+        assert row is not None and row.dhash is not None
