@@ -424,11 +424,98 @@ def _to_rgb3(arr):
     return np.repeat(arr[:, :, :1], 3, axis=2)
 
 
+
+
+def _mulaw_table(np):
+    """G.711 mu-law byte -> linear int16 expansion LUT (256 entries)."""
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_table(np):
+    """G.711 A-law byte -> linear int16 expansion LUT (256 entries)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
+    )
+    # G.711 A-law: the (xored) sign bit SET means POSITIVE
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+#: IMA ADPCM step-size + index-adjust tables (public spec constants)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_decode(np, data: bytes, n_channels: int, block_align: int):
+    """IMA ADPCM block decode: each block carries a 4-byte per-channel
+    header (int16 predictor + step index) then interleaved 4-byte
+    per-channel nibble groups (8 samples each). Sequential per block by
+    construction (each nibble updates predictor + index); blocks are
+    independent, so a warehouse-scale decoder parallelizes on blocks —
+    here files are small enough to run straight."""
+    out = [[] for _ in range(n_channels)]
+    for start in range(0, len(data) - block_align + 1, block_align):
+        block = data[start : start + block_align]
+        preds, idxs = [], []
+        for c in range(n_channels):
+            p = int.from_bytes(block[c * 4 : c * 4 + 2], "little", signed=True)
+            i = min(88, block[c * 4 + 2])
+            preds.append(p)
+            idxs.append(i)
+            out[c].append(p)
+        body = block[4 * n_channels :]
+        # nibble groups: 4 bytes per channel, channels interleaved
+        for g in range(0, len(body), 4 * n_channels):
+            for c in range(n_channels):
+                for byte in block[4 * n_channels + g + 4 * c :][:4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = _IMA_STEPS[idxs[c]]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        if nib & 8:
+                            preds[c] -= diff
+                        else:
+                            preds[c] += diff
+                        preds[c] = max(-32768, min(32767, preds[c]))
+                        idxs[c] = max(
+                            0, min(88, idxs[c] + _IMA_INDEX_ADJ[nib & 7])
+                        )
+                        out[c].append(preds[c])
+    n = min(len(ch) for ch in out)
+    return np.stack(
+        [np.array(ch[:n], np.int16) for ch in out], axis=1
+    )
+
+
 def decode_wav(content: bytes):
-    """Dependency-free WAV decode (numpy): RIFF/WAVE chunk walk, PCM
-    (format 1) 16-bit samples. Returns ``(samples, sample_rate)`` with
-    samples shaped (n_frames, n_channels) int16. Chunks are length-prefixed
-    and word-aligned, so unknown chunks (LIST, fact, cue) skip cleanly."""
+    """Dependency-free WAV decode (numpy): RIFF/WAVE chunk walk. Formats:
+    PCM 16-bit and 8-bit (format 1), A-law (6) and mu-law (7) via G.711
+    expansion LUTs, and IMA ADPCM (0x11) block decode — the telephony /
+    legacy-archive encodings a scraped audio corpus actually contains.
+    Returns ``(samples, sample_rate)`` with samples shaped (n_frames,
+    n_channels) int16. Chunks are length-prefixed and word-aligned, so
+    unknown chunks (LIST, fact, cue) skip cleanly."""
     import numpy as np
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -448,13 +535,35 @@ def decode_wav(content: bytes):
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})"
-        )
-    frames = np.frombuffer(data, "<i2", count=len(data) // 2)
-    return frames.reshape(-1, n_channels), sample_rate
+    if audio_format == 1 and bits == 16:
+        frames = np.frombuffer(data, "<i2", count=len(data) // 2)
+        return frames.reshape(-1, n_channels), sample_rate
+    if audio_format == 1 and bits == 8:  # unsigned 8-bit PCM
+        frames = (
+            np.frombuffer(data, np.uint8).astype(np.int16) - 128
+        ) << 8
+        return frames.reshape(-1, n_channels), sample_rate
+    if audio_format in (6, 7):  # A-law / mu-law (G.711), 8 bits/sample
+        lut = _alaw_table(np) if audio_format == 6 else _mulaw_table(np)
+        frames = lut[np.frombuffer(data, np.uint8)]
+        return frames.reshape(-1, n_channels), sample_rate
+    if audio_format == 0x11:  # IMA ADPCM, 4 bits/sample, block-based
+        frames = _ima_adpcm_decode(np, data, n_channels, block_align)
+        return frames, sample_rate
+    if audio_format == 3 and bits in (32, 64):  # IEEE float, [-1, 1]
+        dt = "<f4" if bits == 32 else "<f8"
+        f = np.frombuffer(data, dt, count=len(data) // (bits // 8))
+        frames = np.clip(
+            np.round(f * 32767.0), -32768, 32767
+        ).astype(np.int16)
+        return frames.reshape(-1, n_channels), sample_rate
+    raise NotImplementedError(
+        f"unsupported WAV encoding (format={audio_format}, bits={bits}); "
+        "PCM 8/16-bit, IEEE float 32/64, A-law, mu-law, and IMA ADPCM "
+        "decode built-in"
+    )
 
 
 def encode_wav(samples, sample_rate: int) -> bytes:

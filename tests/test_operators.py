@@ -3354,3 +3354,124 @@ class TestGifCodec:
         )
         row = image_dhash(media).first()
         assert row is not None and row.dhash is not None
+
+
+class TestWavCompressedFormats:
+    """Round-4 WAV coverage beyond PCM16: G.711 mu-law/A-law expansion
+    (validated against the SUN g711.c reference compressors) and IMA ADPCM
+    block decode (validated against a step-table reference model)."""
+
+    @staticmethod
+    def _wav(fmt, channels, rate, bits, data, block_align=None):
+        ba = block_align if block_align else max(1, channels * bits // 8)
+        fmtc = (
+            fmt.to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate * ba).to_bytes(4, "little")
+            + ba.to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        chunks = (
+            b"fmt " + len(fmtc).to_bytes(4, "little") + fmtc
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        return (
+            b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+        )
+
+    @staticmethod
+    def _linear2ulaw(pcm):
+        sign = 0x80 if pcm < 0 else 0
+        pcm = min(abs(pcm), 32635) + 0x84
+        exp, mask = 7, 0x4000
+        while (pcm & mask) == 0 and exp > 0:
+            exp, mask = exp - 1, mask >> 1
+        return ~(sign | (exp << 4) | ((pcm >> (exp + 3)) & 0x0F)) & 0xFF
+
+    @staticmethod
+    def _linear2alaw(pcm):
+        mask = 0xD5 if pcm >= 0 else 0x55
+        pcm = min(abs(pcm), 32767)
+        if pcm >= 256:
+            exp, m = 7, 0x4000
+            while (pcm & m) == 0 and exp > 1:
+                exp, m = exp - 1, m >> 1
+            aval = (exp << 4) | ((pcm >> (exp + 3)) & 0x0F)
+        else:
+            aval = pcm >> 4
+        return aval ^ mask
+
+    def test_g711_expansion_inverts_reference_compressors(self):
+        from data_etl_with_dbt_spark.operators.multimodal import decode_wav
+
+        for val in [0, 100, 1000, -1000, 8000, -30000, 32124]:
+            s, _ = decode_wav(
+                self._wav(7, 1, 8000, 8, bytes([self._linear2ulaw(val)]))
+            )
+            assert abs(int(s[0, 0]) - val) <= max(16, abs(val) // 16), ("u", val)
+        for val in [0, 100, 1000, -1000, 8000, -30000]:
+            s, _ = decode_wav(
+                self._wav(6, 1, 8000, 8, bytes([self._linear2alaw(val)]))
+            )
+            assert abs(int(s[0, 0]) - val) <= max(32, abs(val) // 8), ("a", val)
+
+    def test_pcm8_and_ima_adpcm(self):
+        import random
+
+        from data_etl_with_dbt_spark.operators.multimodal import decode_wav
+
+        s, _ = decode_wav(self._wav(1, 1, 8000, 8, bytes([128, 255, 0])))
+        assert list(s[:, 0]) == [0, 127 << 8, -128 << 8]
+        # IMA ADPCM mono block vs a straight-line reference model
+        random.seed(3)
+        pred0, idx0 = 1000, 20
+        nibbles = [random.randrange(16) for _ in range(8)]
+        body = bytes(
+            (nibbles[i + 1] << 4) | nibbles[i] for i in range(0, 8, 2)
+        )
+        block = (
+            pred0.to_bytes(2, "little", signed=True) + bytes([idx0, 0]) + body
+        )
+        s, _ = decode_wav(
+            self._wav(0x11, 1, 8000, 4, block, block_align=len(block))
+        )
+        STEPS = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28,
+                 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+                 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+                 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876,
+                 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+                 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+                 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+                 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+                 27086, 29794, 32767]
+        ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+        p, i, ref = pred0, idx0, [pred0]
+        for nib in nibbles:
+            st = STEPS[i]
+            d = st >> 3
+            if nib & 1:
+                d += st >> 2
+            if nib & 2:
+                d += st >> 1
+            if nib & 4:
+                d += st
+            p = p - d if nib & 8 else p + d
+            p = max(-32768, min(32767, p))
+            i = max(0, min(88, i + ADJ[nib & 7]))
+            ref.append(p)
+        assert list(s[:, 0]) == ref
+
+    def test_ieee_float_wav_scales_to_int16(self):
+        import struct
+
+        from data_etl_with_dbt_spark.operators.multimodal import decode_wav
+
+        data = struct.pack("<4f", 0.0, 1.0, -1.0, 0.5)
+        s, rate = decode_wav(self._wav(3, 1, 8000, 32, data))
+        assert list(s[:, 0]) == [0, 32767, -32767, 16384]
+
+    def test_unsupported_wav_still_refuses(self):
+        import pytest as _pytest
+
+        from data_etl_with_dbt_spark.operators.multimodal import decode_wav
+
+        with _pytest.raises(NotImplementedError, match="unsupported WAV"):
+            decode_wav(self._wav(2, 1, 8000, 4, b"\0" * 8))  # MS ADPCM
