@@ -59,7 +59,7 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def _ship_codecs_by_value() -> None:
-    """Register this module AND the jpeg codec module for cloudpickle
+    """Register this module AND the jpeg/gif codec modules for cloudpickle
     by-VALUE serialization. Worker closures here call module-level codec
     helpers (decode_png/_decode_image/... and, lazily, operators.jpeg);
     by-reference pickling would make executors import the package, which
@@ -508,11 +508,56 @@ def _ima_adpcm_decode(np, data: bytes, n_channels: int, block_align: int):
     )
 
 
+#: MS ADPCM predefined predictor coefficient pairs and adaption table
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_adpcm_decode(np, data: bytes, n_channels: int, block_align: int):
+    """MS ADPCM block decode: per block per channel, a header carrying the
+    predictor index, initial delta, and the two previous samples; then
+    4-bit nibbles (high nibble first; channels interleaved per nibble in
+    stereo). Same scale posture as IMA: blocks independent, nibbles
+    sequential within a block."""
+    out = [[] for _ in range(n_channels)]
+    for start in range(0, len(data) - block_align + 1, block_align):
+        block = data[start : start + block_align]
+        preds = [min(block[c], 6) for c in range(n_channels)]
+        o = n_channels
+        deltas, s1, s2 = [], [], []
+        for c in range(n_channels):
+            deltas.append(int.from_bytes(block[o + 2 * c : o + 2 * c + 2], "little", signed=True))
+        o += 2 * n_channels
+        for c in range(n_channels):
+            s1.append(int.from_bytes(block[o + 2 * c : o + 2 * c + 2], "little", signed=True))
+        o += 2 * n_channels
+        for c in range(n_channels):
+            s2.append(int.from_bytes(block[o + 2 * c : o + 2 * c + 2], "little", signed=True))
+        o += 2 * n_channels
+        for c in range(n_channels):
+            out[c] += [s2[c], s1[c]]
+        chan = 0
+        for byte in block[o:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                c = chan % n_channels
+                chan += 1
+                c1, c2 = _MS_COEFS[preds[c]]
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                signed = nib - 16 if nib & 8 else nib
+                sample = max(-32768, min(32767, pred + signed * deltas[c]))
+                s2[c], s1[c] = s1[c], sample
+                deltas[c] = max(16, (_MS_ADAPT[nib] * deltas[c]) >> 8)
+                out[c].append(sample)
+    n = min(len(ch) for ch in out)
+    return np.stack([np.array(ch[:n], np.int16) for ch in out], axis=1)
+
+
 def decode_wav(content: bytes):
     """Dependency-free WAV decode (numpy): RIFF/WAVE chunk walk. Formats:
-    PCM 16-bit and 8-bit (format 1), A-law (6) and mu-law (7) via G.711
-    expansion LUTs, and IMA ADPCM (0x11) block decode — the telephony /
-    legacy-archive encodings a scraped audio corpus actually contains.
+    PCM 16-bit and 8-bit (format 1), IEEE float 32/64 (3), A-law (6) and
+    mu-law (7) via G.711 expansion LUTs, and IMA (0x11) + MS (2) ADPCM
+    block decode — the telephony / legacy-archive encodings a scraped
+    audio corpus actually contains.
     Returns ``(samples, sample_rate)`` with samples shaped (n_frames,
     n_channels) int16. Chunks are length-prefixed and word-aligned, so
     unknown chunks (LIST, fact, cue) skip cleanly."""
@@ -552,6 +597,9 @@ def decode_wav(content: bytes):
     if audio_format == 0x11:  # IMA ADPCM, 4 bits/sample, block-based
         frames = _ima_adpcm_decode(np, data, n_channels, block_align)
         return frames, sample_rate
+    if audio_format == 2:  # MS ADPCM, 4 bits/sample, block-based
+        frames = _ms_adpcm_decode(np, data, n_channels, block_align)
+        return frames, sample_rate
     if audio_format == 3 and bits in (32, 64):  # IEEE float, [-1, 1]
         dt = "<f4" if bits == 32 else "<f8"
         f = np.frombuffer(data, dt, count=len(data) // (bits // 8))
@@ -561,8 +609,8 @@ def decode_wav(content: bytes):
         return frames.reshape(-1, n_channels), sample_rate
     raise NotImplementedError(
         f"unsupported WAV encoding (format={audio_format}, bits={bits}); "
-        "PCM 8/16-bit, IEEE float 32/64, A-law, mu-law, and IMA ADPCM "
-        "decode built-in"
+        "PCM 8/16-bit, IEEE float 32/64, A-law, mu-law, IMA ADPCM, and "
+        "MS ADPCM decode built-in"
     )
 
 

@@ -393,8 +393,10 @@ def doc_fingerprints(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (decode stubbed — no codecs in container; byte-level
-# features are real and oracle-checked).
+# Multimodal plumbing. The codecs are real (operators/jpeg.py, gif.py,
+# multimodal.py: PNG/BMP/PPM/WAV) — this ORACLE query uses text media so
+# the decoded stats hash-match cross-engine (integer byte sums are exact);
+# image/audio decode paths are pytest-verified round-trips instead.
 # ---------------------------------------------------------------------------
 
 @query(

@@ -3468,10 +3468,78 @@ class TestWavCompressedFormats:
         s, rate = decode_wav(self._wav(3, 1, 8000, 32, data))
         assert list(s[:, 0]) == [0, 32767, -32767, 16384]
 
+    def test_ms_adpcm_matches_reference_model(self):
+        import struct
+
+        from data_etl_with_dbt_spark.operators.multimodal import decode_wav
+
+        # mono block: predictor 0, delta 16, s1=100, s2=50, nibbles 1,2,9,F
+        block = bytes([0]) + struct.pack("<hhh", 16, 100, 50) + bytes([0x12, 0x9F])
+        s, _ = decode_wav(self._wav(2, 1, 8000, 4, block, len(block)))
+        ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+                 768, 614, 512, 409, 307, 230, 230, 230]
+        s2v, s1v, delta, ref = 50, 100, 16, [50, 100]
+        for nib in (0x1, 0x2, 0x9, 0xF):
+            pred = (s1v * 256) >> 8  # coef pair 0 = (256, 0)
+            signed = nib - 16 if nib & 8 else nib
+            val = max(-32768, min(32767, pred + signed * delta))
+            s2v, s1v = s1v, val
+            delta = max(16, (ADAPT[nib] * delta) >> 8)
+            ref.append(val)
+        assert list(s[:, 0]) == ref
+
     def test_unsupported_wav_still_refuses(self):
         import pytest as _pytest
 
         from data_etl_with_dbt_spark.operators.multimodal import decode_wav
 
         with _pytest.raises(NotImplementedError, match="unsupported WAV"):
-            decode_wav(self._wav(2, 1, 8000, 4, b"\0" * 8))  # MS ADPCM
+            decode_wav(self._wav(85, 1, 8000, 0, b"\0" * 8))  # MP3-in-WAV
+
+
+class TestCodecTruncationFuzz:
+    """Symmetric to the JPEG truncation sweep: every prefix of valid
+    PNG/GIF/WAV streams either raises a clean error or returns a
+    well-formed result — never hangs, never an unexpected exception."""
+
+    def _sweep(self, blob, decode, ok_shapes):
+        for k in range(2, len(blob), 5):
+            try:
+                out = decode(blob[:k])
+            except (ValueError, NotImplementedError, IndexError, KeyError):
+                continue
+            except Exception as ex:  # zlib.error etc. wrap as clean types
+                import zlib
+
+                assert isinstance(ex, zlib.error), type(ex)
+                continue
+            ok_shapes(out)
+
+    def test_png_gif_wav_prefixes(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.gif import decode_gif, encode_gif
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            decode_png,
+            decode_wav,
+            encode_png,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, (9, 11, 3), np.uint8)
+        self._sweep(
+            encode_png(img), decode_png,
+            lambda o: (_ for _ in ()).throw(AssertionError(o.shape))
+            if o.shape != (9, 11, 3) else None,
+        )
+        gif = encode_gif([(img & 0xE0)])
+        self._sweep(
+            gif, lambda b: decode_gif(b)[0][0],
+            lambda o: (_ for _ in ()).throw(AssertionError(o.shape))
+            if o.shape != (9, 11, 3) else None,
+        )
+        tone = (np.sin(np.arange(200)) * 1000).astype(np.int16)[:, None]
+        self._sweep(
+            encode_wav(tone, 8000), decode_wav, lambda o: None
+        )
