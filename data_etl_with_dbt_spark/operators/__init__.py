@@ -62,6 +62,9 @@ from data_etl_with_dbt_spark.operators.multimodal import (  # noqa: F401
     image_dhash,
     image_near_dup_pairs,
     media_from_binary_files,
+    decode_avi_mjpeg,
+    encode_avi_mjpeg,
+    parse_avi_meta,
     parse_gif_meta,
     parse_mp3_meta,
     parse_mp4_meta,

@@ -317,6 +317,16 @@ def decode_jpeg(content: bytes):
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not htables:
+                # MJPEG (AVI/MOV video frames) legitimately omits DHT —
+                # the standard says decoders assume the Annex-K tables
+                for tc, th, bits, vals in (
+                    (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+                    (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+                    (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                    (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+                ):
+                    htables[(tc, th)] = _build_decode_table(bits, vals)
             ns = body[0]
             scan = []
             for c in range(ns):

@@ -3543,3 +3543,106 @@ class TestCodecTruncationFuzz:
         self._sweep(
             encode_wav(tone, 8000), decode_wav, lambda o: None
         )
+
+
+class TestAviMjpeg:
+    """MJPEG AVI: real video frame decode (RIFF walk + per-frame JPEG),
+    header-only metadata, and the Spark-side frame-sampling operator."""
+
+    @staticmethod
+    def _frames():
+        import numpy as np
+
+        yy, xx = np.mgrid[0:24, 0:32]
+        f1 = np.stack(
+            [np.clip(yy * 8, 0, 255), np.clip(xx * 6, 0, 255),
+             np.full_like(yy, 100)], -1,
+        ).astype(np.uint8)
+        return [f1, np.roll(f1, 5, axis=1), f1]
+
+    def test_round_trip_and_meta(self):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+            parse_avi_meta,
+        )
+
+        fs = self._frames()
+        blob = encode_avi_mjpeg(fs, fps=12.5)
+        frames, fps = decode_avi_mjpeg(blob)
+        assert len(frames) == 3 and abs(fps - 12.5) < 0.1
+        err = float(np.mean(np.abs(frames[0].astype(float) - fs[0].astype(float))))
+        assert err < 4.0  # JPEG-lossy but faithful
+        assert len(decode_avi_mjpeg(blob, max_frames=1)[0]) == 1
+        m = parse_avi_meta(blob)
+        assert (m["width"], m["height"], m["n_frames"], m["fourcc"]) == (
+            32, 24, 3, "MJPG",
+        )
+        assert abs(m["duration_seconds"] - 3 / 12.5) < 1e-9
+
+    def test_mjpeg_frames_may_omit_dht(self):
+        """MJPEG convention: frames without DHT decode with the Annex-K
+        default tables — strip every DHT from a frame and re-wrap."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._frames()[0]
+        blob = encode_jpeg(img, 85)
+        out, pos = bytearray(blob[:2]), 2
+        while pos + 4 <= len(blob):
+            m = blob[pos + 1]
+            size = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+            if m != 0xC4:
+                out += blob[pos : pos + 2 + size]
+            pos += 2 + size
+            if m == 0xDA:
+                out += blob[pos:]
+                break
+        assert (decode_jpeg(bytes(out)) == decode_jpeg(blob)).all()
+
+    def test_sample_media_frames_explodes_avi_and_gif(self, spark):
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.operators.gif import encode_gif
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            decode_png,
+            encode_avi_mjpeg,
+            sample_media_frames,
+        )
+
+        fs = self._frames()
+        avi = encode_avi_mjpeg(fs * 2, fps=10)  # 6 frames
+        gif_frames = [(f & 0xC0) for f in fs]
+        gif = encode_gif(gif_frames, delays_cs=[10, 20, 30])
+        rows = [(1, bytearray(avi), "video/x-msvideo"),
+                (2, bytearray(gif), "image/gif"),
+                (3, bytearray(b"not media"), "text/plain")]
+        media = spark.createDataFrame(
+            rows, "media_id long, content binary, mime string"
+        ).select(
+            "media_id",
+            "content",
+            F.struct(
+                F.col("mime").alias("mime"),
+                F.octet_length("content").cast("long").alias("n_bytes"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        out = sample_media_frames(media, every_n=2).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.media_id, []).append(r)
+        assert len(by_id[1]) == 3  # frames 0,2,4 of 6
+        assert [r.frame_idx for r in sorted(by_id[2], key=lambda r: r.frame_idx)] == [0, 2]
+        # GIF t_seconds accumulate the per-frame delays (0cs, then 10+20cs)
+        t = {r.frame_idx: r.t_seconds for r in by_id[2]}
+        assert t[0] == 0.0 and abs(t[2] - 0.3) < 1e-9
+        assert 3 not in by_id  # non-media row skipped, not failed
+        # frames round-trip as decodable PNG at the source resolution
+        png = bytes(sorted(by_id[1], key=lambda r: r.frame_idx)[0].frame_png)
+        assert decode_png(png).shape == (24, 32, 3)
