@@ -794,10 +794,10 @@ def extract_media_features(
 
 
 def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: emits (media_id, frame_no) rows for the
-    frames a real decoder would extract, using n_bytes as a stand-in for the
-    frame count. Shows the explode shape (one media row → many frame rows)
-    that a real sampler would produce."""
+    """Video frame-sampling PLUMBING shape (one media row → many frame
+    rows) using n_bytes as a stand-in frame count — kept for codecs the
+    container can't decode (H.26x MP4). For MJPEG AVI and animated GIF use
+    :func:`sample_media_frames`, which decodes REAL frames."""
     n_frames = (F.col("meta.n_bytes") / F.lit(every_n)).cast("int")
     return media.select(
         "media_id",

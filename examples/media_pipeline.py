@@ -2,7 +2,7 @@
 the engine's codec + dedup + transform operators, all dependency-free:
 
     1. synthesize a mixed media directory (PNG / JPEG / progressive JPEG /
-       GIF / WAV files, with planted near-duplicate images)
+       GIF / MJPEG AVI / WAV files, with planted near-duplicate images)
     2. ``read_binary_files`` → ``media_from_binary_files`` (mime sniffed
        from extension, path-hash ids)
     3. ``extract_media_features`` (Arrow-batched mapInPandas decode:
@@ -10,7 +10,9 @@ the engine's codec + dedup + transform operators, all dependency-free:
     4. ``image_dhash`` + ``image_near_dup_pairs`` — perceptual dedup
        finds the planted near-duplicates ACROSS formats (a JPEG re-encode
        of a PNG hashes within the hamming budget)
-    5. ``resize_media`` — thumbnail export re-encoded as JPEG
+    5. ``sample_media_frames`` — real video/animation frame sampling
+       (every Nth MJPEG/GIF frame → PNG rows)
+    6. ``resize_media`` — thumbnail export re-encoded as JPEG
 
 Run:  python examples/media_pipeline.py [workdir]
 """
@@ -73,6 +75,13 @@ def synthesize(media_dir: str) -> int:
     open(os.path.join(media_dir, "anim.gif"), "wb").write(
         encode_gif([g1, g2], delays_cs=[10, 10])
     )
+    # a short MJPEG AVI (the JPEG codec as a video codec)
+    from data_etl_with_dbt_spark.operators import encode_avi_mjpeg
+
+    clips = [np.roll(base, s_, axis=1) for s_ in (0, 8, 16, 24)]
+    open(os.path.join(media_dir, "clip.avi"), "wb").write(
+        encode_avi_mjpeg(clips, fps=4)
+    )
     # one second of audio
     t = np.arange(8000) / 8000.0
     tone = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
@@ -99,6 +108,15 @@ def main(workdir: str) -> None:
         n_pairs = pairs.count()
         print(f"dhash rows: {hashes.count()}  near-dup pairs: {n_pairs}")
         assert n_pairs >= 3, "planted cross-format near-dups not found"
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            sample_media_frames,
+        )
+
+        frames = sample_media_frames(media, every_n=2)
+        n_sampled = frames.count()
+        print(f"video/animation frames sampled: {n_sampled}")
+        assert n_sampled >= 3  # AVI frames 0,2 + GIF frames 0
 
         thumbs = resize_media(media, 16, 16, output_format="jpg")
         out_rows = thumbs.count()
