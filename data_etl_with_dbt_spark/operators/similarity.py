@@ -593,31 +593,90 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold, computed EXACTLY: precomputed
-    norms, ordered-id self-join, one sequential-fold dot per pair.
+    """All pairs with cosine >= threshold, computed EXACTLY, as blocked
+    matrix products: vectors hash into ``n_blocks`` blocks, every unordered
+    block pair becomes one ``applyInPandas`` group, and each group scores
+    its (n/nb) x (n/nb) tile with a single float64 numpy matmul. Returns
+    (id_a, id_b, cosine) with ``id_a < id_b``.
 
     This is the O(n^2) exact baseline for semantic dedup — correct at any
     threshold, quadratic in corpus size. The scale paths that bound the
     candidate set are :func:`embedding_near_dup_pairs` (LSH buckets) and
     :func:`ivf_topk` (learned coarse quantizer); run THIS one per-shard or
     on a sampled slice to measure their recall.
+
+    Scale posture: the earlier spelling (ordered-id self-join + one
+    interpreted ``aggregate`` fold per pair) evaluated n^2/2 higher-order
+    expressions — 32 s for n=2000, d=64 on local[32]; the tile form is the
+    standard exact all-pairs layout (every distributed matmul does this):
+    each row replicates ``n_blocks`` times (shuffle volume n*nb vectors),
+    per-task memory is two (n/nb) x d float64 tiles plus the boolean hits
+    of one tile, and the nb*(nb+1)/2 tasks are embarrassingly parallel.
+    Pick ``n_blocks`` so a tile fits comfortably in executor memory
+    (nb ~ n*d*8 / 64MB); the DENSE similarity tile is materialized per
+    task, so the quadratic cost never leaves the task boundary.
+
+    Float note: numpy sums the dot in its own (pairwise/SIMD) order, not
+    the sequential fold — same class of last-ulp divergence as any other
+    engine's vectorized dot (DuckDB's ``list_dot_product`` included). The
+    thresholded OUTPUT is stable unless a pair sits within float noise of
+    the threshold, which calibrated thresholds (suite: 0.35 vs a 0.51
+    fixture max) keep far away.
     """
-    nc = corpus.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__norm")
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    nb = max(1, int(n_blocks))
+    tagged = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("__b"),
     )
-    return (
-        nc.alias("x")
-        .join(nc.alias("y"), F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
-            (
-                dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
-                / (F.col("x.__norm") * F.col("y.__norm"))
-            ).alias("cosine"),
+    replicated = tagged.select(
+        "__id",
+        "__v",
+        "__b",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("__o"),
+    ).select(
+        "__id",
+        "__v",
+        "__b",
+        F.least("__b", "__o").alias("__ba"),
+        F.greatest("__b", "__o").alias("__bb"),
+    )
+
+    def score_tile(pdf):
+        # worker helpers stay INSIDE the closure: cloudpickle serializes
+        # them by value, so executors never import this repo
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["__id"].to_numpy()
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
         )
-        .where(F.col("cosine") >= F.lit(threshold))
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        ba, bb = int(pdf["__ba"].iat[0]), int(pdf["__bb"].iat[0])
+        if ba == bb:
+            sim = (X @ X.T) / np.outer(norms, norms)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = sim[iu, ju] >= threshold
+            left, right = ids[iu[keep]], ids[ju[keep]]
+            cos = sim[iu[keep], ju[keep]]
+        else:
+            in_a = (pdf["__b"] == ba).to_numpy()
+            A, B = X[in_a], X[~in_a]
+            ia, jb = ids[in_a], ids[~in_a]
+            sim = (A @ B.T) / np.outer(norms[in_a], norms[~in_a])
+            ii, jj = np.nonzero(sim >= threshold)
+            left, right, cos = ia[ii], jb[jj], sim[ii, jj]
+        lo = np.where(left < right, left, right)
+        hi = np.where(left < right, right, left)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
+
+    return replicated.groupBy("__ba", "__bb").applyInPandas(
+        score_tile,
+        schema=f"id_a {id_type}, id_b {id_type}, cosine double",
     )
 
 
