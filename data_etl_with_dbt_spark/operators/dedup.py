@@ -663,18 +663,20 @@ def dedup_clusters(
     cluster, not per pair.
 
     Iterative min-label propagation (Pregel-style, driver-coordinated
-    rounds) with POINTER JUMPING: each round takes the min over (own
-    label, neighbors' labels, label-of-own-label). The edge hop alone
-    converges in O(component diameter) rounds; the ``label[label[v]]``
-    hop halves remaining label-chain depth per round (the path-halving
-    half of classic union-find / Kiveris-style star contraction), so
-    convergence is O(log diameter) — on a driver-coordinated loop where
-    ROUNDS are the cost (each is a fixed set of Spark jobs), that is the
-    difference between 12 rounds and 5 on the same graph. The jump is one
-    extra n-row self-join per round, keyed on the label — cheap against
-    the saved rounds at any scale. ``localCheckpoint`` truncates the
-    lineage each round (the classic iterative-algorithm trap: an
-    uncheckpointed loop builds an exponentially deep plan).
+    rounds): each round joins labels across edges and takes the min;
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow, so a handful. ``localCheckpoint`` truncates the lineage each
+    round (the classic iterative-algorithm trap: an uncheckpointed loop
+    builds an exponentially deep plan).
+
+    Pointer jumping (min over ``label[label[v]]`` too, O(log diameter)
+    rounds) was MEASURED and rejected: on the 12-round LSH semantic-dedup
+    graph at sf0.1 it ran 26 s vs 20 s without — the extra per-round
+    self-join keys on the LABEL, which converges toward one value per
+    cluster, i.e. maximal skew, and the tripled per-round cost beats the
+    halved round count. Revisit only if profiles show diameter >> 12
+    (e.g. chain-structured entity graphs), and then with a skew-salted
+    jump join.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # Materialize the edge list ONCE: every propagation round joins against
@@ -695,23 +697,9 @@ def dedup_clusters(
             .agg(F.min("nlabel").alias("minn"))
             .select(F.col("src").alias("id"), "minn")
         )
-        # label-of-label: every label value is itself an id (labels start
-        # as ids and only ever take other labels' values), so the left
-        # join always hits; coalesce is belt-and-braces
-        jump = labels.select(
-            F.col("id").alias("label"), F.col("label").alias("jlabel")
-        )
         new_labels = (
             labels.join(neighbor_min, "id", "left")
-            .join(jump, "label", "left")
-            .select(
-                "id",
-                F.least(
-                    "label",
-                    F.coalesce("minn", "label"),
-                    F.coalesce("jlabel", "label"),
-                ).alias("label"),
-            )
+            .select("id", F.least("label", F.coalesce("minn", "label")).alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
