@@ -206,6 +206,37 @@ def lsh_bucketed_topk(
     )
 
 
+def _band_buckets_arrow(planes, n_planes: int, n_bands: int):
+    """Arrow-batched banded LSH signatures: ONE (batch x dim) @ (dim x P)
+    matmul per Arrow batch, signs bit-packed into ``n_bands`` bucket longs.
+    The JVM spelling (:func:`signature_expr`) evaluates P interpreted
+    ``aggregate`` folds per row — at P=64 planes that is the dominant cost
+    of the whole LSH pipeline (HOFs have no codegen); the matmul is ~100x.
+    Sign agrees with the fold except when a dot lands within float noise
+    of 0 (measure-zero for Gaussian planes) — use on the approximate
+    (rows-only) paths, keep ``signature_expr`` where a test pins bit-exact
+    bucket ids."""
+    import numpy as np
+
+    pl = np.asarray(planes, dtype=np.float64)  # (P, dim)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        X = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (X @ pl.T) > 0  # (n, P)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        per_band = [
+            bits[:, b * n_planes : (b + 1) * n_planes] @ weights
+            for b in range(n_bands)
+        ]
+        out = np.stack(per_band, axis=1)  # (n, n_bands)
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def _pairwise_cosine_arrow() -> Column:
     """Arrow-batched pairwise cosine: one BLAS pass per batch instead of an
     interpreted fold per pair. ~100x faster than the JVM ``aggregate`` fold
@@ -236,6 +267,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     n_bands: int = 1,
     verify: str = "jvm",
+    sig: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket candidates, exact
     cosine verify — the embedding analog of MinHash near-dup dedup.
@@ -259,24 +291,40 @@ def embedding_near_dup_pairs(
     (bit-exact, oracle-friendly); ``"arrow"`` scores each batch with one BLAS
     pass (:func:`_pairwise_cosine_arrow`) — the scale path when candidates
     number in the millions.
+
+    ``sig``: ``"arrow"`` (default) computes all band signatures with one
+    matmul per Arrow batch (:func:`_band_buckets_arrow`); ``"jvm"`` keeps
+    the interpreted per-plane fold (:func:`signature_expr`) — only useful
+    where bit-exact bucket ids must match a JVM-derived fixture. At
+    P = n_planes x n_bands planes the JVM spelling evaluates P interpreted
+    folds per row and was the measured bottleneck of the banded pipeline.
     """
     if verify not in ("jvm", "arrow"):
         raise ValueError(f"verify must be 'jvm' or 'arrow', got {verify!r}")
+    if sig not in ("jvm", "arrow"):
+        raise ValueError(f"sig must be 'jvm' or 'arrow', got {sig!r}")
     planes = _random_planes(dim, n_planes * n_bands, seed)
-    band_sigs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                signature_expr(
-                    F.col(vec_col), planes[b * n_planes : (b + 1) * n_planes]
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    c = corpus.select(
-        F.col(id_col), F.explode(band_sigs).alias("__bb")
-    ).select(id_col, "__bb.band", "__bb.bucket")
+    if sig == "arrow":
+        buckets = _band_buckets_arrow(planes, n_planes, n_bands)
+        c = corpus.select(
+            F.col(id_col),
+            F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+        )
+    else:
+        band_sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    signature_expr(
+                        F.col(vec_col), planes[b * n_planes : (b + 1) * n_planes]
+                    ).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        c = corpus.select(
+            F.col(id_col), F.explode(band_sigs).alias("__bb")
+        ).select(id_col, "__bb.band", "__bb.bucket")
     candidates = (
         c.alias("x")
         .join(
