@@ -542,6 +542,65 @@ class TestArrowANN:
             assert arrow_m[key] == pytest.approx(jvm_m[key], abs=1e-9)
 
 
+class TestExactCosinePairsTiles:
+    """The blocked-matmul all-pairs layout: every unordered pair lands in
+    exactly one block-pair tile, whatever the block assignment."""
+
+    def _reference_pairs(self, rows, threshold):
+        import numpy as np
+
+        ids = [r[0] for r in rows]
+        X = np.asarray([r[1] for r in rows], dtype=np.float64)
+        n = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sim = n @ n.T
+        return {
+            (min(ids[i], ids[j]), max(ids[i], ids[j]))
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if sim[i, j] >= threshold
+        }
+
+    def test_matches_dense_reference_across_block_counts(self, spark):
+        from data_etl_with_dbt_spark.operators.similarity import (
+            exact_cosine_pairs,
+        )
+
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(40)
+        ]
+        # plant exact duplicates so the threshold band is populated
+        rows.append((100, rows[0][1]))
+        rows.append((101, [2.0 * x for x in rows[1][1]]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        want = self._reference_pairs(rows, 0.6)
+        assert (100 in {a for a, _ in want} | {b for _, b in want})
+        # n_blocks spanning degenerate (1 tile), default, and > n rows
+        for nb in (1, 4, 64):
+            got = {
+                (r.id_a, r.id_b)
+                for r in exact_cosine_pairs(
+                    df, threshold=0.6, n_blocks=nb
+                ).collect()
+            }
+            assert got == want, f"n_blocks={nb}"
+
+    def test_string_ids_order_within_pair(self, spark):
+        from data_etl_with_dbt_spark.operators.similarity import (
+            exact_cosine_pairs,
+        )
+
+        rows = [
+            ("zz", [1.0, 0.0]), ("aa", [1.0, 0.0]), ("mm", [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        got = exact_cosine_pairs(df, threshold=0.99, n_blocks=3).collect()
+        assert [(r.id_a, r.id_b) for r in got] == [("aa", "zz")]
+        assert got[0].cosine == pytest.approx(1.0)
+
+
 class TestBandedEmbeddingNearDup:
     def _exact_and_lsh(self, spark, threshold=0.35):
         from data_etl_with_dbt_spark.operators.similarity import (
