@@ -94,6 +94,10 @@ ZQ_QUEUED = [
     "kl_divergence_sources", "lateral_top_orders", "length_bucketed_batches",
     "linear_interpolate_events", "majority_label_vote", "market_basket_lift",
     "masked_customer_view", "mutual_information_events",
+    # recalibrated round 4 (vacuous 0-row greens — see tools/rotate_window
+    # verified_from_correctness): re-queued for a non-vacuous driver row
+    "dq_accepted_values_violations", "dq_not_null_violations",
+    "dq_relationships_violations",
     "negative_samples_documents", "ngram_containment_pairs",
     "packed_token_windows", "pareto_customer_revenue",
     "part_entity_clusters", "profile_orders", "quantile_normalize_events",
@@ -121,9 +125,8 @@ ZV_VERIFIED = [
     "corpus_mixture_sample", "cte_above_average_customers",
     "decontaminate_ngram_overlap", "dedup_cluster_assignment",
     "dedup_exact_groups", "dedup_spans_keep_first", "doc_fingerprints",
-    "doc_oov_rate", "domain_quota_cap", "dq_accepted_values_violations",
-    "dq_not_null_violations", "dq_positive_violations",
-    "dq_relationships_violations", "dq_threshold_violations",
+    "doc_oov_rate", "domain_quota_cap",
+    "dq_positive_violations", "dq_threshold_violations",
     "dq_unique_violations", "embedding_centroid_outliers",
     "embedding_int8_quantize", "explode_word_counts",
     "funnel_view_click_purchase", "fuzzy_name_pairs", "global_row_index",

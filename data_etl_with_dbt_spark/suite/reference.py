@@ -89,13 +89,28 @@ def dq_unique_violations(spark, sf_dir):
 
 @query(
     "dq_not_null_violations",
-    oracle="SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderdate IS NULL",
-    description="dbt `not_null` test compiled form (A2)",
+    oracle="""
+    WITH staged AS (
+        SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS status_open
+        FROM orders
+    )
+    SELECT o_orderkey, status_open FROM staged WHERE status_open IS NULL
+    """,
+    description=(
+        "dbt `not_null` test compiled form (A2). Fixture-calibrated round "
+        "4: the raw fixture has no NULLs anywhere, so the original "
+        "o_orderdate form was vacuously empty (0=0 proves nothing — the "
+        "q8/q22 recalibration rationale); the test now runs on a staged "
+        "column (NULLIF over order status, the dbt staging-model shape) "
+        "where violations exist at every sf"
+    ),
 )
 def dq_not_null_violations(spark, sf_dir):
-    return dq.not_null(load(spark, sf_dir, "orders"), "o_orderdate").select(
-        "o_orderkey", "o_orderdate"
+    staged = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("nullif(o_orderstatus, 'F')").alias("status_open"),
     )
+    return dq.not_null(staged, "status_open").select("o_orderkey", "status_open")
 
 
 @query(
@@ -126,13 +141,19 @@ def dq_threshold_violations(spark, sf_dir):
     "dq_accepted_values_violations",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
-    WHERE l_returnflag NOT IN ('A', 'N', 'R') OR l_returnflag IS NULL
+    WHERE l_returnflag NOT IN ('A', 'N') OR l_returnflag IS NULL
     """,
-    description="dbt `accepted_values` test compiled form",
+    description=(
+        "dbt `accepted_values` test compiled form. Fixture-calibrated "
+        "round 4: the full ('A','N','R') set matched every fixture row, "
+        "so the violation query was vacuously empty; the accepted set is "
+        "now ('A','N') — the fixture's 'R' rows are the violations, so "
+        "the NOT IN + NULL-handling logic is verified on actual rows"
+    ),
 )
 def dq_accepted_values_violations(spark, sf_dir):
     return dq.accepted_values(
-        load(spark, sf_dir, "lineitem"), "l_returnflag", ["A", "N", "R"]
+        load(spark, sf_dir, "lineitem"), "l_returnflag", ["A", "N"]
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
@@ -142,14 +163,24 @@ def dq_accepted_values_violations(spark, sf_dir):
     SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orphans
     FROM orders
     WHERE o_custkey IS NOT NULL
-      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+      AND o_custkey NOT IN (
+          SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      )
     GROUP BY o_custkey
     """,
-    description="dbt `relationships` (referential integrity) test — broadcast anti join",
+    description=(
+        "dbt `relationships` (referential integrity) test — anti join. "
+        "Fixture-calibrated round 4: the raw FK has zero orphans at every "
+        "sf (vacuous 0=0), so the parent is now the in-good-standing "
+        "dimension slice (c_acctbal > 0, the SCD-current-rows shape dbt "
+        "projects refer to) — orders of negative-balance customers are "
+        "the violations, non-empty at every sf"
+    ),
 )
 def dq_relationships_violations(spark, sf_dir):
+    good = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
     v = dq.relationships(
-        load(spark, sf_dir, "orders"), "o_custkey", load(spark, sf_dir, "customer"), "c_custkey"
+        load(spark, sf_dir, "orders"), "o_custkey", good, "c_custkey"
     )
     return v.groupBy("o_custkey").agg(big(F.count(F.lit(1))).alias("n_orphans"))
 
