@@ -17,8 +17,16 @@ changes every aggregate, every ranking, and every threshold comparison
 while remaining byte-identical input to BOTH engines — parity must still
 hold on every oracle-bearing query, or the query was fragile.
 
-Subset rule: keep row i iff i % 10 < 7 (deterministic, order-preserving,
-no RNG so re-runs and engines agree on the bytes).
+Modes (third argv, default ``subset70``) — all deterministic, no RNG, so
+re-runs and engines agree on the bytes:
+
+* ``subset70`` — keep row i iff i % 10 < 7: every aggregate, ranking, and
+  threshold moves; FKs go incomplete.
+* ``subset30`` — keep i % 10 < 3: harsher — sparse groups, empty windows,
+  more LIMIT ties to expose missing total orders.
+* ``dup2``     — every row TWICE: stresses uniqueness assumptions
+  (surrogate keys, row_number dedup, distinct counts) identically on both
+  engines.
 """
 
 from __future__ import annotations
@@ -34,15 +42,22 @@ TABLES = [
 ]
 
 
-def perturb(src: str, out: str) -> None:
+def perturb(src: str, out: str, mode: str = "subset70") -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
         if t not in LOOKUPS:
-            keep = [i for i in range(tbl.num_rows) if i % 10 < 7]
-            tbl = tbl.take(keep)
+            if mode == "subset70":
+                take = [i for i in range(tbl.num_rows) if i % 10 < 7]
+            elif mode == "subset30":
+                take = [i for i in range(tbl.num_rows) if i % 10 < 3]
+            elif mode == "dup2":
+                take = [i // 2 for i in range(2 * tbl.num_rows)]
+            else:
+                raise SystemExit(f"unknown mode {mode!r}")
+            tbl = tbl.take(take)
         pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
         print(f"{t}: {tbl.num_rows} rows -> {out}")
 
@@ -50,7 +65,8 @@ def perturb(src: str, out: str) -> None:
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/perturbed_fixtures"
-    perturb(src, out)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "subset70"
+    perturb(src, out, mode)
     print(
         f"\nrun:  SPARK_GRAFT_TEST_SF_DIR={out} "
         "python -m pytest tests/test_oracle_parity.py -q"
