@@ -26,7 +26,12 @@ re-runs and engines agree on the bytes:
   more LIMIT ties to expose missing total orders.
 * ``dup2``     — every row TWICE: stresses uniqueness assumptions
   (surrogate keys, row_number dedup, distinct counts) identically on both
-  engines.
+  engines. KNOWN to red the key-contract class (see BENCH_NOTES session
+  4): operators whose semantics assume the PK uniqueness TPC-H declares.
+* ``ts_nanos`` — rows unchanged, but events.ts re-typed TIMESTAMP(NANOS)
+  (the round-1 fixture form; the driver has already changed this type
+  between rounds once) — rehearses the sources/io nanos→µs normalization
+  against every events-touching oracle.
 """
 
 from __future__ import annotations
@@ -46,9 +51,17 @@ def perturb(src: str, out: str, mode: str = "subset70") -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(out, exist_ok=True)
+    import pyarrow as pa
+
     for t in TABLES:
         tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
-        if t not in LOOKUPS:
+        if mode == "ts_nanos":
+            if t == "events":
+                i = tbl.schema.get_field_index("ts")
+                tbl = tbl.set_column(
+                    i, "ts", tbl.column("ts").cast(pa.timestamp("ns"))
+                )
+        elif t not in LOOKUPS:
             if mode == "subset70":
                 take = [i for i in range(tbl.num_rows) if i % 10 < 7]
             elif mode == "subset30":
@@ -58,7 +71,8 @@ def perturb(src: str, out: str, mode: str = "subset70") -> None:
             else:
                 raise SystemExit(f"unknown mode {mode!r}")
             tbl = tbl.take(take)
-        pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
+        kw = {"store_schema": False} if mode == "ts_nanos" else {}
+        pq.write_table(tbl, os.path.join(out, f"{t}.parquet"), **kw)
         print(f"{t}: {tbl.num_rows} rows -> {out}")
 
 
