@@ -1186,6 +1186,74 @@ def test_streaming_cdc_equal_seq_across_batches_not_dropped(spark, tmp_path):
     assert again == got
 
 
+def test_streaming_cdc_randomized_replay_model(spark, tmp_path):
+    """Model-based at-least-once property: a seeded random change log
+    (create/update/delete over a small key space; ties share ts_ms only
+    ACROSS keys — per-key sequences strictly increase, the regime the
+    sink documents as sound), split into random micro-batches, delivered
+    in order with random re-deliveries of earlier batches interleaved.
+    Invariant: the final snapshot equals the reference apply (per key,
+    the highest-seq op wins; deletes remove) no matter the batching or
+    replay schedule. The directed tie-boundary tests above pin the two
+    known-hard cases; this sweeps the space around them."""
+    import random as _random
+
+    from data_etl_with_dbt_spark.streaming.intake import cdc_replication_sink
+
+    rng = _random.Random(2024)
+    for scenario in range(3):
+        keys = list(range(1, 6))
+        log = []  # (seq, op, key, value) — per-key seq strictly increasing
+        seq = 100
+        per_key_last = {}
+        for step in range(rng.randint(8, 14)):
+            seq += rng.choice([0, 1, 1, 2])  # ties happen, non-strictly
+            k = rng.choice(keys)
+            if per_key_last.get(k) == seq:
+                seq += 1  # per-key strictness (Debezium per-key ordering)
+            per_key_last[k] = seq
+            op = rng.choice(["c", "u", "u", "d"])
+            log.append((seq, op, k, f"v{scenario}_{step}"))
+        # reference final state: highest seq per key (ties across keys
+        # don't collide per key by construction)
+        final = {}
+        for s, op, k, v in sorted(log, key=lambda r: r[0]):
+            if op == "d":
+                final.pop(k, None)
+            else:
+                final[k] = v
+        # random contiguous batches over the seq-ordered log
+        ordered = sorted(log, key=lambda r: r[0])
+        cuts = sorted(rng.sample(range(1, len(ordered)), min(3, len(ordered) - 1)))
+        batches = [
+            ordered[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(ordered)])
+        ]
+        snap = str(tmp_path / f"model_snap_{scenario}")
+        sink = cdc_replication_sink(snap, "id: long, v: string", "id")
+        bid = 0
+        for i, batch in enumerate(batches):
+            rows = [
+                _dbz(op, s, k, None if op == "d" else v)
+                for s, op, k, v in batch
+            ]
+            sink(spark.createDataFrame(rows, "value string"), batch_id=bid)
+            bid += 1
+            if i > 0 and rng.random() < 0.7:  # at-least-once redelivery
+                j = rng.randrange(0, i + 1)
+                rows_r = [
+                    _dbz(op, s, k, None if op == "d" else v)
+                    for s, op, k, v in batches[j]
+                ]
+                sink(spark.createDataFrame(rows_r, "value string"), batch_id=bid)
+                bid += 1
+        got = {r.id: r.v for r in spark.read.parquet(snap).collect()}
+        assert got == final, (
+            f"scenario {scenario}: snapshot {got} != reference {final}; "
+            f"log={ordered} cuts={cuts}"
+        )
+
+
 def test_streaming_cdc_versioned_equal_seq_boundary(spark, tmp_path):
     """Versioned sink, same tie-straddle scenario: new boundary rows commit,
     replays commit nothing."""
