@@ -1186,19 +1186,25 @@ def test_streaming_cdc_equal_seq_across_batches_not_dropped(spark, tmp_path):
     assert again == got
 
 
-def test_streaming_cdc_randomized_replay_model(spark, tmp_path):
+@pytest.mark.parametrize("sink_kind", ["replication", "versioned"])
+def test_streaming_cdc_randomized_replay_model(spark, tmp_path, sink_kind):
     """Model-based at-least-once property: a seeded random change log
     (create/update/delete over a small key space; ties share ts_ms only
     ACROSS keys — per-key sequences strictly increase, the regime the
     sink documents as sound), split into random micro-batches, delivered
     in order with random re-deliveries of earlier batches interleaved.
-    Invariant: the final snapshot equals the reference apply (per key,
-    the highest-seq op wins; deletes remove) no matter the batching or
-    replay schedule. The directed tie-boundary tests above pin the two
-    known-hard cases; this sweeps the space around them."""
+    Invariant: the final snapshot (or latest version, for the versioned
+    sink) equals the reference apply (per key, the highest-seq op wins;
+    deletes remove) no matter the batching or replay schedule. The
+    directed tie-boundary tests above pin the two known-hard cases; this
+    sweeps the space around them."""
     import random as _random
 
-    from data_etl_with_dbt_spark.streaming.intake import cdc_replication_sink
+    from data_etl_with_dbt_spark.sources import versioned as V
+    from data_etl_with_dbt_spark.streaming.intake import (
+        cdc_replication_sink,
+        cdc_versioned_sink,
+    )
 
     rng = _random.Random(2024)
     for scenario in range(3):
@@ -1229,8 +1235,11 @@ def test_streaming_cdc_randomized_replay_model(spark, tmp_path):
             ordered[a:b]
             for a, b in zip([0] + cuts, cuts + [len(ordered)])
         ]
-        snap = str(tmp_path / f"model_snap_{scenario}")
-        sink = cdc_replication_sink(snap, "id: long, v: string", "id")
+        snap = str(tmp_path / f"model_{sink_kind}_{scenario}")
+        if sink_kind == "replication":
+            sink = cdc_replication_sink(snap, "id: long, v: string", "id")
+        else:
+            sink = cdc_versioned_sink(snap, "id: long, v: string", "id")
         bid = 0
         for i, batch in enumerate(batches):
             rows = [
@@ -1247,10 +1256,16 @@ def test_streaming_cdc_randomized_replay_model(spark, tmp_path):
                 ]
                 sink(spark.createDataFrame(rows_r, "value string"), batch_id=bid)
                 bid += 1
-        got = {r.id: r.v for r in spark.read.parquet(snap).collect()}
+        if sink_kind == "replication":
+            got = {r.id: r.v for r in spark.read.parquet(snap).collect()}
+        else:
+            latest = V.list_versions(snap)[-1]
+            got = {
+                r.id: r.v for r in V.read_version(spark, snap, latest).collect()
+            }
         assert got == final, (
-            f"scenario {scenario}: snapshot {got} != reference {final}; "
-            f"log={ordered} cuts={cuts}"
+            f"{sink_kind} scenario {scenario}: snapshot {got} != reference "
+            f"{final}; log={ordered} cuts={cuts}"
         )
 
 
