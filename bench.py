@@ -3,11 +3,13 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Each query runs three times: one discarded warm-up (JVM codegen + parquet
-footer reads), then two timed runs of which the MINIMUM is reported — on a
-shared box the min is the stable steady-state estimate (observed run-to-run
-spread of the sum was 7.5-10 s from scheduler noise alone; per-query min
-collapses it). Results are materialized via ``df.write.format('noop')`` so
+Each query runs four times: one discarded warm-up (JVM codegen + parquet
+footer reads), then three timed runs of which the MINIMUM is reported — on
+a shared box the min is the stable steady-state estimate (observed
+run-to-run spread of the sum was 7.5-10 s from scheduler noise alone, and
+round 4 measured intermittent hypervisor CPU steal on this host; a third
+timed run hardens the per-query min against a steal burst landing on one
+of two). Results are materialized via ``df.write.format('noop')`` so
 the full plan executes without collecting to the driver.
 """
 
@@ -40,7 +42,7 @@ def main():
     for name in bench_queries:
         run_query(spark, name, sf_dir)  # warm-up: codegen + file listing
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run_query(spark, name, sf_dir)
             best = min(best, time.perf_counter() - t0)
