@@ -730,6 +730,61 @@ class TestIncrementalMinhash:
         assert v2[111].dup_of == 11 and v2[111].dup_source == "index"
         assert v2[112].dup_of == 11 and v2[112].dup_source == "index"
 
+    def test_batching_invariance_for_exact_dup_groups(self, spark):
+        """Model property: for EXACT-duplicate groups (cliques — every pair
+        within a group collides), the survivor set is identical however
+        the id-ordered corpus is cut into batches with index appends
+        between them. (For sub-threshold near-dup chains the greedy
+        keep-first is inherently batching-sensitive — similarity isn't
+        transitive — which the operator docstring documents; cliques are
+        the regime where invariance MUST hold, e.g. exact re-crawls.)"""
+        import random as _random
+
+        from data_etl_with_dbt_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_index_append,
+            minhash_signatures,
+        )
+
+        rng = _random.Random(99)
+        texts = [
+            f"group {g} content sentence number {g} with distinctive words "
+            f"{''.join(rng.choice('abcdefghij') for _ in range(12))}"
+            for g in range(8)
+        ]
+        docs = []
+        for i in range(30):
+            docs.append((i, texts[rng.randrange(8)]))
+
+        def survivors_with_cuts(cuts):
+            index = minhash_signatures(
+                spark.createDataFrame([], "id long, text string"),
+                "id", "text", 32, 3,
+            ).persist()
+            kept = set()
+            bounds = [0] + cuts + [len(docs)]
+            for a, b in zip(bounds, bounds[1:]):
+                batch = spark.createDataFrame(
+                    docs[a:b], "id long, text string"
+                )
+                v = incremental_minhash_dedup(
+                    batch, index, "id", "text", **self.KW
+                ).persist()
+                kept |= {r.id for r in v.collect() if r.dup_of is None}
+                index = minhash_index_append(index, v, "id").persist()
+            return kept
+
+        one_shot = survivors_with_cuts([])
+        # one survivor per group present, and it's the min id of its group
+        by_text = {}
+        for i, t in docs:
+            by_text.setdefault(t, []).append(i)
+        expected = {min(ids) for ids in by_text.values()}
+        assert one_shot == expected
+        for _ in range(2):
+            cuts = sorted(rng.sample(range(1, len(docs)), 3))
+            assert survivors_with_cuts(cuts) == expected, f"cuts={cuts}"
+
     def test_index_priority_over_batch_on_tie(self, spark):
         # doc 10 duplicates BOTH index doc 1 and nothing else; build a batch
         # where a doc ties between an index doc and a smaller batch doc —
