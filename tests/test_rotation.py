@@ -114,3 +114,23 @@ def test_write_entry_file_round_trips(tmp_path):
     assert len(names) == len(set(names))
     assert names[:50] == scope["WINDOW"]
     assert len(scope["WINDOW"]) == 50
+
+
+def test_vacuous_green_rows_do_not_verify(tmp_path, monkeypatch):
+    """A hash_match=true row with spark_rows=0 (empty result matching an
+    empty oracle) must NOT count as driver verification — the round-3
+    judge's q8/q22 finding, generalized. Non-vacuous greens still count;
+    the tier prefix is stripped either way."""
+    import json
+
+    import tools.rotate_window as rw
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "real_green": {"hash_match": True, "spark_rows": 7},
+        "zv_prefixed_green": {"hash_match": True, "spark_rows": 1},
+        "vacuous_green": {"hash_match": True, "spark_rows": 0},
+        "red_row": {"hash_match": False, "spark_rows": 5},
+        "legacy_no_rows_field": {"hash_match": True},
+    }))
+    monkeypatch.setattr(rw, "REPO", str(tmp_path))
+    assert rw.verified_from_correctness() == {"real_green", "prefixed_green"}
