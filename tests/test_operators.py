@@ -1580,6 +1580,38 @@ class TestTrainBpeRandomized:
             ] == want, seed
 
 
+class TestTokenizerParallelismInvariance:
+    def test_bpe_merges_invariant_across_partition_counts(self, spark):
+        """Distributed determinism: identical merge lists whatever the
+        input partitioning. Holds because pair counts are exact integers
+        (commutative partial aggregation) and the per-round argmax is a
+        TOTAL order (count desc, then lexicographic) — if either property
+        regressed (a float score, a first()-style tie-break), different
+        partition counts would disagree and this test reds."""
+        import random
+
+        from data_etl_with_dbt_spark.operators.textan import train_bpe
+
+        rng = random.Random(17)
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcde") for _ in range(rng.randint(2, 6)))
+                for _ in range(rng.randint(3, 10))
+            )
+            for _ in range(24)
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        runs = [
+            train_bpe(df.repartition(n), "text", num_merges=6)
+            for n in (1, 7, 13)
+        ]
+        canon = [
+            [(m["step"], m["left"], m["right"], m["merged"], m["cnt"]) for m in r]
+            for r in runs
+        ]
+        assert canon[0] == canon[1] == canon[2]
+
+
 class TestContainerMetadata:
     @staticmethod
     def _mini_mp4(duration=90, timescale=30, tracks=2, brand=b"isom"):
