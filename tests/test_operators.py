@@ -1611,6 +1611,37 @@ class TestTokenizerParallelismInvariance:
         ]
         assert canon[0] == canon[1] == canon[2]
 
+    def test_unigram_lm_vocab_invariant_across_partition_counts(self, spark):
+        """Same property for the unigram-LM trainer: E-step piece counts
+        are frequency-weighted INTEGERS (exact under any partial-agg
+        order), the M-step renormalizes on the driver, and every ranking
+        (seeds, prune, piece ids) carries a total tie-break — so the
+        trained vocabulary must not depend on input partitioning."""
+        import random
+
+        from data_etl_with_dbt_spark.operators.textan import train_unigram_lm
+
+        rng = random.Random(23)
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcde") for _ in range(rng.randint(2, 7)))
+                for _ in range(rng.randint(3, 9))
+            )
+            for _ in range(20)
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        runs = [
+            train_unigram_lm(
+                df.repartition(n), "text", vocab_size=24, num_iters=2
+            )
+            for n in (1, 6, 11)
+        ]
+        canon = [
+            [(v["piece"], v["piece_id"], round(v["logprob"], 12)) for v in r]
+            for r in runs
+        ]
+        assert canon[0] == canon[1] == canon[2]
+
 
 class TestContainerMetadata:
     @staticmethod
