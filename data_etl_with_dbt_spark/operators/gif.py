@@ -27,8 +27,14 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
     is ignored, matching lenient real-world decoders)."""
     clear = 1 << min_code_size
     end = clear + 1
-    stream = int.from_bytes(data, "little")
+    # Sliding-window LSB-first bit reader: refill a SMALL accumulator byte
+    # by byte as codes are consumed. (Converting the whole stream to one
+    # big int and shifting it per code makes every shift O(stream size) —
+    # quadratic total — for real web GIFs with ~100 KB+ frames.)
     nbits = len(data) * 8
+    acc = 0
+    accbits = 0
+    byte_pos = 0
     bitpos = 0
     out = bytearray()
 
@@ -41,7 +47,13 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
     table, code_size = reset()
     prev = None
     while bitpos + code_size <= nbits and len(out) < expected:
-        code = (stream >> bitpos) & ((1 << code_size) - 1)
+        while accbits < code_size:
+            acc |= data[byte_pos] << accbits
+            byte_pos += 1
+            accbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        accbits -= code_size
         bitpos += code_size
         if code == clear:
             table, code_size = reset()
@@ -233,6 +245,10 @@ def decode_gif(content: bytes, max_frames: int | None = None):
             canvas[iy : iy + ih, ix : ix + iw] = bg
         elif disposal == 3 and saved is not None:
             canvas[iy : iy + ih, ix : ix + iw] = saved
+        # GIF89a scopes a Graphic Control Extension to ONLY the next image:
+        # a frame without its own GCE must not inherit the previous frame's
+        # transparency/disposal/delay.
+        transparent, disposal, delay = None, 0, 0
         if max_frames is not None and len(frames) >= max_frames:
             break
     if not frames:

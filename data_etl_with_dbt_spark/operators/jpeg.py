@@ -2,16 +2,19 @@
 
 Closes the most common image format in web-scraped training corpora
 without PIL/libjpeg (absent from this container): ``decode_jpeg`` handles
-baseline/extended-sequential DCT JPEGs (SOF0/SOF1) — 8-bit, grayscale or
-YCbCr with any H/V chroma subsampling (4:4:4, 4:2:2, 4:2:0, ...), restart
-markers, byte stuffing — returning an (H, W, 3) or (H, W, 1) uint8 array.
-``encode_jpeg`` produces baseline 4:4:4 (or grayscale) JPEGs with the
-Annex-K tables IJG-quality-scaled — deterministic fixtures for tests and
-synthetic media, exactly like ``encode_png``/``encode_bmp``.
+baseline/extended-sequential DCT JPEGs (SOF0/SOF1) AND progressive (SOF2 —
+spectral selection, successive approximation, DC/AC refinement scans, EOB
+runs) — 8-bit, grayscale or YCbCr with any H/V chroma subsampling (4:4:4,
+4:2:2, 4:2:0, ...), restart markers, byte stuffing — returning an
+(H, W, 3) or (H, W, 1) uint8 array. ``encode_jpeg`` produces baseline
+4:4:4 (or grayscale) JPEGs with the Annex-K tables IJG-quality-scaled —
+deterministic fixtures for tests and synthetic media, exactly like
+``encode_png``/``encode_bmp`` — and there is a progressive encoder for
+round-trip tests of the SOF2 path.
 
-Progressive (SOF2), hierarchical, arithmetic-coded, and 12-bit JPEGs
-raise ``NotImplementedError`` — a real deployment injects a codec library
-for those; the point here is that the COMMON case decodes with zero
+Only hierarchical, arithmetic-coded, lossless, and 12-bit JPEGs raise
+``NotImplementedError`` — a real deployment injects a codec library for
+those; the point here is that the COMMON cases decode with zero
 dependencies inside the same Arrow-batched ``mapInPandas`` plumbing as
 the other codecs (see operators/multimodal.py).
 
@@ -150,6 +153,11 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self):
+        # Drop already-consumed high bits BEFORE growing buf: every read
+        # masks to the live low ``nbits``, so truncation is free — without
+        # it buf accumulates the whole entropy stream as one ever-growing
+        # int and each shift is O(stream size) (quadratic total).
+        self.buf &= (1 << self.nbits) - 1
         d = self.data
         while self.nbits <= 24:
             if self.pos >= len(d):
@@ -523,6 +531,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # stuffing
+        # keep only the undrained low bits — otherwise acc grows with the
+        # whole stream and each shift above is O(stream size)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:

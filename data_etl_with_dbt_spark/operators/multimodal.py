@@ -918,9 +918,15 @@ def decode_avi_mjpeg(content: bytes, max_frames: int | None = None):
     fps = 0.0
     compression = None
     frames = []
+    # AVI stream numbers are strh order in hdrl; movi chunk ids carry that
+    # two-digit number (##dc/##db). Track the FIRST vids stream's number and
+    # decode only its chunks — a second video stream or an interleaved
+    # audio/data stream must not contribute frames.
+    n_strh = 0
+    video_stream = None
 
     def walk(pos, end):
-        nonlocal fps, compression
+        nonlocal fps, compression, n_strh, video_stream
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             size = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -930,9 +936,20 @@ def decode_avi_mjpeg(content: bytes, max_frames: int | None = None):
             elif cid == b"avih":
                 usec = int.from_bytes(data[body_start : body_start + 4], "little")
                 fps = 1e6 / usec if usec else 0.0
-            elif cid == b"strh" and data[body_start : body_start + 4] == b"vids":
-                compression = data[body_start + 4 : body_start + 8]
-            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+            elif cid == b"strh":
+                if (
+                    data[body_start : body_start + 4] == b"vids"
+                    and video_stream is None
+                ):
+                    video_stream = n_strh
+                    compression = data[body_start + 4 : body_start + 8]
+                n_strh += 1
+            elif (
+                cid[2:4] in (b"dc", b"db")
+                and cid[:2].isdigit()
+                and video_stream is not None
+                and int(cid[:2]) == video_stream
+            ):
                 chunk = data[body_start : body_start + size]
                 if chunk[:2] == b"\xff\xd8":
                     # decode_jpeg is the module-level global (ships by

@@ -3034,6 +3034,28 @@ class TestBasketPairCounts:
 
 
 class TestJpegCodec:
+    def test_bit_io_accumulators_stay_bounded(self):
+        """Round-5 ADVICE regression: _BitReader.buf/_BitWriter.acc must
+        truncate consumed/emitted bits — otherwise each shift is O(stream
+        size) and decoding a real web JPEG (hundreds of KB of entropy data)
+        is quadratic. Correctness is covered by the round-trip tests; this
+        pins the LINEAR-cost invariant directly."""
+        from data_etl_with_dbt_spark.operators.jpeg import _BitReader, _BitWriter
+
+        data = bytes(range(1, 255)) * 200  # ~51 KB, no 0xFF markers
+        r = _BitReader(data, 0)
+        total = 0
+        while total + 7 <= len(data) * 8:
+            r.read_bits(7)
+            total += 7
+            assert r.buf.bit_length() <= 64
+        w = _BitWriter()
+        for i in range(30000):
+            w.write(i & 0x3F, 7)
+            assert w.acc.bit_length() <= 16
+        w.flush()
+        assert len(w.out) >= 30000 * 7 // 8
+
     def test_flat_block_is_exact(self):
         import numpy as np
 
@@ -3495,6 +3517,47 @@ class TestGifCodec:
         assert (frames[1][1:3, 1:3] == [9, 9, 9]).all()
         assert (frames[1][0, 0] == [200, 200, 200]).all()
 
+    def test_gce_scopes_only_next_image(self):
+        """Round-5 ADVICE regression: per GIF89a a Graphic Control
+        Extension applies to ONLY the next image — a frame WITHOUT its own
+        GCE must not inherit the previous frame's transparency/disposal.
+        encode_gif always emits a GCE, so this is hand-built: frame 1
+        carries a GCE marking index 1 transparent; frame 2 has no GCE and
+        is all index 1, which must render opaque red."""
+        from data_etl_with_dbt_spark.operators.gif import _lzw_encode, decode_gif
+
+        def image_block(indices):
+            mcs = 2
+            lzw = _lzw_encode(mcs, bytes(indices))
+            out = (
+                b"\x2c"
+                + (0).to_bytes(2, "little") * 2
+                + (4).to_bytes(2, "little") * 2
+                + b"\x00"
+                + bytes([mcs])
+            )
+            for i in range(0, len(lzw), 255):
+                sub = lzw[i : i + 255]
+                out += bytes([len(sub)]) + sub
+            return out + b"\x00"
+
+        gif = (
+            b"GIF89a"
+            + (4).to_bytes(2, "little") * 2
+            + bytes([0x80, 0, 0])  # 2-entry global palette, bg index 0
+            + bytes([10, 10, 10, 250, 0, 0])
+            # frame 1: GCE transparent_idx=1 (packed 0x01), delay 0
+            + b"\x21\xf9\x04\x01\x00\x00\x01\x00"
+            + image_block([0] * 16)
+            # frame 2: NO GCE, all index 1
+            + image_block([1] * 16)
+            + b"\x3b"
+        )
+        frames, delays = decode_gif(gif)
+        assert (frames[0] == 10).all()
+        assert (frames[1] == [250, 0, 0]).all()  # inherited GCE would keep 10
+        assert delays == [0, 0]
+
     def test_decodes_system_gifs_and_feeds_dhash(self, spark):
         import os
 
@@ -3758,6 +3821,67 @@ class TestAviMjpeg:
             32, 24, 3, "MJPG",
         )
         assert abs(m["duration_seconds"] - 3 / 12.5) < 1e-9
+
+    def test_only_first_video_stream_decodes(self):
+        """Round-5 ADVICE regression: AVI stream numbers are strh order;
+        only the FIRST vids stream's ##dc/##db chunks may contribute
+        frames. Two cases: (a) two video streams — stream 1's frames must
+        not interleave into stream 0's; (b) video is stream 1 behind an
+        audio stream — its 01dc chunks decode, and a non-JPEG 00dc chunk
+        from another stream is ignored instead of raising."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.jpeg import encode_jpeg
+        from data_etl_with_dbt_spark.operators.multimodal import decode_avi_mjpeg
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + len(body).to_bytes(4, "little") + body + pad
+
+        def lst(kind, body):
+            return chunk(b"LIST", kind + body)
+
+        ja = encode_jpeg(np.full((8, 8, 3), 30, np.uint8), 90)
+        jb = encode_jpeg(np.full((8, 8, 3), 220, np.uint8), 90)
+        avih = int(1e6 / 10).to_bytes(4, "little") + b"\x00" * 36
+        strh_v = b"vids" + b"MJPG" + b"\x00" * 40
+
+        # (a) two video streams
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh_v))
+            + lst(b"strl", chunk(b"strh", strh_v)),
+        )
+        movi = lst(
+            b"movi",
+            chunk(b"00dc", ja) + chunk(b"01dc", jb) + chunk(b"00dc", ja),
+        )
+        body = b"AVI " + hdrl + movi
+        frames, fps = decode_avi_mjpeg(
+            b"RIFF" + len(body).to_bytes(4, "little") + body
+        )
+        assert len(frames) == 2  # the 01dc frame is stream 1's, skipped
+        assert all(abs(float(f.mean()) - 30) < 5 for f in frames)
+        assert abs(fps - 10) < 0.1
+
+        # (b) audio stream first: video is stream 01
+        hdrl2 = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", b"auds" + b"\x00" * 44))
+            + lst(b"strl", chunk(b"strh", strh_v)),
+        )
+        movi2 = lst(
+            b"movi",
+            chunk(b"00dc", b"\x01\x02\x03\x04") + chunk(b"01dc", jb),
+        )
+        body2 = b"AVI " + hdrl2 + movi2
+        frames2, _ = decode_avi_mjpeg(
+            b"RIFF" + len(body2).to_bytes(4, "little") + body2
+        )
+        assert len(frames2) == 1
+        assert abs(float(frames2[0].mean()) - 220) < 5
 
     def test_mjpeg_frames_may_omit_dht(self):
         """MJPEG convention: frames without DHT decode with the Annex-K
