@@ -64,7 +64,9 @@ _WM_SCHEMA = T.StructType(
 )
 
 
-def _filter_replayed(spark, wm_path: str, changes: DataFrame):
+def _filter_replayed(
+    spark, wm_path: str, changes: DataFrame, strict_seq: bool = False
+):
     """Drop already-applied change records, sound for NON-strict sequences.
 
     Debezium ``ts_ms`` is millisecond wall-clock — monotone but NOT
@@ -84,6 +86,13 @@ def _filter_replayed(spark, wm_path: str, changes: DataFrame):
     ``apply_cdc``'s deterministic tie-break, not log order — a strictly
     increasing LSN as ``seq`` removes the ambiguity entirely.
 
+    ``strict_seq=True`` asserts that contract instead of tolerating ties
+    (for deployments whose ``seq`` IS a real LSN): a batch containing two
+    DISTINCT change records at one sequence, or a record at the applied
+    watermark whose content differs from the applied record, raises
+    ``ValueError`` — loud failure, never a silent tie-break. Byte-identical
+    re-deliveries (the at-least-once replay case) still dedupe silently.
+
     Returns ``(changes_with___h, wm, boundary_hashes)``.
     """
     changes = changes.withColumn("__h", F.xxhash64(*changes.columns))
@@ -94,9 +103,40 @@ def _filter_replayed(spark, wm_path: str, changes: DataFrame):
         if rows:
             wm = max(r["wm"] for r in rows)
             boundary = {r["h"] for r in rows if r["wm"] == wm}
+    if strict_seq:
+        # one batch-sized agg: sequences carried by >1 distinct record
+        dup = (
+            changes.groupBy("seq")
+            .agg(F.count_distinct("__h").alias("n"))
+            .where(F.col("n") > 1)
+            .orderBy("seq")
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "strict_seq: multiple distinct change records share "
+                f"sequence(s) {[r['seq'] for r in dup]} — the sequence "
+                "column is not a strictly-increasing LSN"
+            )
+        if wm is not None and boundary:
+            clash = (
+                changes.where(
+                    (F.col("seq") == F.lit(wm))
+                    & ~F.col("__h").isin(*[int(h) for h in boundary])
+                )
+                .limit(1)
+                .collect()
+            )
+            if clash:
+                raise ValueError(
+                    f"strict_seq: a NEW change record arrived at the already-"
+                    f"applied sequence {wm} — LSN reuse violates the "
+                    "strictly-increasing contract"
+                )
     if wm is not None:
         keep = F.col("seq") > F.lit(wm)
-        if boundary:
+        if boundary and not strict_seq:
             keep = keep | (
                 (F.col("seq") == F.lit(wm))
                 & ~F.col("__h").isin(*[int(h) for h in boundary])
@@ -510,6 +550,7 @@ def cdc_replication_sink(
     row_schema: str,
     key: str,
     value_col: str = "value",
+    strict_seq: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink replicating a Debezium CDC stream into a
     queryable snapshot table — the complete log-replication consumer:
@@ -537,6 +578,12 @@ def cdc_replication_sink(
       batch would resurrect keys a later batch deleted (caught by the
       test before the guard existed).
 
+    ``strict_seq=True`` opts into the LSN contract instead: sequences must
+    be strictly increasing across distinct records, and a violation (two
+    distinct changes at one sequence, or new content at an applied
+    sequence) raises rather than tie-breaking — see
+    :func:`_filter_replayed`.
+
     Lineage discipline: the merged frame is eagerly checkpointed before
     overwriting the path its plan read (the read-then-overwrite trap).
     At warehouse scale the rewrite becomes a MERGE into a transactional
@@ -550,7 +597,9 @@ def cdc_replication_sink(
         changes = parse_debezium(batch, value_col, row_schema).where(
             F.col(key).isNotNull()  # malformed envelopes parse to nulls
         )
-        guarded, wm, boundary = _filter_replayed(spark, wm_path, changes)
+        guarded, wm, boundary = _filter_replayed(
+            spark, wm_path, changes, strict_seq=strict_seq
+        )
         guarded = guarded.localCheckpoint(eager=True)
         new_wm = guarded.agg(F.max("seq")).first()[0]
         if new_wm is None:
@@ -574,6 +623,7 @@ def cdc_versioned_sink(
     row_schema: str,
     key: str,
     value_col: str = "value",
+    strict_seq: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """:func:`cdc_replication_sink` with a VERSIONED replica: each
     micro-batch lands as one atomic ``merge_commit`` on a
@@ -596,7 +646,9 @@ def cdc_versioned_sink(
         changes = parse_debezium(batch, value_col, row_schema).where(
             F.col(key).isNotNull()
         )
-        guarded, wm, boundary = _filter_replayed(spark, wm_path, changes)
+        guarded, wm, boundary = _filter_replayed(
+            spark, wm_path, changes, strict_seq=strict_seq
+        )
         guarded = guarded.localCheckpoint(eager=True)
         new_wm = guarded.agg(F.max("seq")).first()[0]
         if new_wm is None:

@@ -1186,6 +1186,50 @@ def test_streaming_cdc_equal_seq_across_batches_not_dropped(spark, tmp_path):
     assert again == got
 
 
+def test_streaming_cdc_strict_seq_contract(spark, tmp_path):
+    """strict_seq=True (round-4 VERDICT item 6): the sink asserts the
+    strictly-increasing-LSN contract instead of tie-breaking. Distinct
+    records sharing a sequence — within a batch or straddling the applied
+    watermark — raise loudly; byte-identical replays still dedupe as
+    no-ops; a clean strictly-increasing log applies normally."""
+    import pytest as _pytest
+
+    from data_etl_with_dbt_spark.streaming.intake import cdc_replication_sink
+
+    snap = str(tmp_path / "strict_snapshot")
+    sink = cdc_replication_sink(
+        snap, "id: long, v: string", "id", strict_seq=True
+    )
+
+    # clean strictly-increasing log applies
+    b0 = [_dbz("c", 10, 1, "a"), _dbz("c", 20, 2, "b")]
+    sink(spark.createDataFrame(b0, "value string"), batch_id=0)
+    assert {r.id: r.v for r in spark.read.parquet(snap).collect()} == {
+        1: "a", 2: "b",
+    }
+
+    # byte-identical replay of an applied batch: still a silent no-op
+    sink(spark.createDataFrame(b0, "value string"), batch_id=1)
+    assert {r.id: r.v for r in spark.read.parquet(snap).collect()} == {
+        1: "a", 2: "b",
+    }
+
+    # two DISTINCT records at one sequence within a batch: loud failure
+    tied = [_dbz("c", 30, 3, "x"), _dbz("c", 30, 4, "y")]
+    with _pytest.raises(ValueError, match="strictly-increasing LSN"):
+        sink(spark.createDataFrame(tied, "value string"), batch_id=2)
+
+    # a NEW record at the applied watermark sequence: loud failure
+    clash = [_dbz("c", 20, 5, "z")]
+    with _pytest.raises(ValueError, match="LSN reuse"):
+        sink(spark.createDataFrame(clash, "value string"), batch_id=3)
+
+    # snapshot untouched by the rejected batches
+    assert {r.id: r.v for r in spark.read.parquet(snap).collect()} == {
+        1: "a", 2: "b",
+    }
+
+
 @pytest.mark.parametrize("sink_kind", ["replication", "versioned"])
 def test_streaming_cdc_randomized_replay_model(spark, tmp_path, sink_kind):
     """Model-based at-least-once property: a seeded random change log
