@@ -91,6 +91,10 @@ WINDOW = [
 
 ZQ_QUEUED = [
     "zorder_cluster_events",
+    # round-5 additions (VERDICT r4 item 3): oracle-bearing invariant
+    # companions for the rows-only iterative/learned operators — queued
+    # behind the freeze as that item sanctions
+    "pca_invariants", "topic_model_simplex", "learned_embedding_invariants",
 ]
 
 ZV_VERIFIED = [
