@@ -902,15 +902,23 @@ def resize_media(
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
-def decode_avi_mjpeg(content: bytes, max_frames: int | None = None):
+def decode_avi_mjpeg(
+    content: bytes, max_frames: int | None = None, every_n: int = 1
+):
     """Decode an MJPEG AVI to ``(frames, fps)`` — REAL video sample decode,
     dependency-free: RIFF/AVI list walk to the ``movi`` payload, each
     ``##dc``/``##db`` chunk of the first video stream is a standalone JPEG
     (MJPEG may omit DHT; the JPEG decoder assumes Annex-K tables then, per
     the MJPEG convention). Frames return as (H, W, 3) uint8; ``fps`` from
     the main header's microseconds-per-frame. Other codecs inside AVI
-    raise ``NotImplementedError`` (fourcc reported). ``max_frames`` bounds
-    work — at corpus scale sample every Nth frame instead of decoding all.
+    raise ``NotImplementedError`` (fourcc reported).
+
+    ``every_n`` decodes only every Nth video chunk (frame j of the result
+    is source frame ``j * every_n``) and ``max_frames`` caps the DECODED
+    count — because MJPEG frames are independent, skipped chunks cost one
+    8-byte header read each, so per-file decode work is
+    O(sampled frames + chunk count), never O(total frames). An hour-long
+    AVI sampled at every_n=100/max_frames=10 decodes 10 JPEGs.
     """
     data = bytes(content)
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
@@ -924,9 +932,10 @@ def decode_avi_mjpeg(content: bytes, max_frames: int | None = None):
     # audio/data stream must not contribute frames.
     n_strh = 0
     video_stream = None
+    n_seen = 0  # video chunks encountered (sampled or skipped)
 
     def walk(pos, end):
-        nonlocal fps, compression, n_strh, video_stream
+        nonlocal fps, compression, n_strh, video_stream, n_seen
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             size = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -950,13 +959,19 @@ def decode_avi_mjpeg(content: bytes, max_frames: int | None = None):
                 and video_stream is not None
                 and int(cid[:2]) == video_stream
             ):
+                sampled = n_seen % every_n == 0 and (
+                    max_frames is None or len(frames) < max_frames
+                )
+                n_seen += 1
+                if not sampled:
+                    pos = body_start + size + (size & 1)
+                    continue
                 chunk = data[body_start : body_start + size]
                 if chunk[:2] == b"\xff\xd8":
                     # decode_jpeg is the module-level global (ships by
                     # value with this module — a lazy import here dies on
                     # executors, see _ship_codecs_by_value)
-                    if max_frames is None or len(frames) < max_frames:
-                        frames.append(_to_rgb3(decode_jpeg(chunk)))
+                    frames.append(_to_rgb3(decode_jpeg(chunk)))
                 elif chunk:
                     four = (compression or b"????").decode("ascii", "replace")
                     raise NotImplementedError(
@@ -1075,24 +1090,41 @@ def sample_media_frames(
 
     Scale posture: Arrow-batched ``mapInPandas`` — bytes never leave the
     executors, one media row explodes to its sampled frames, and
-    ``every_n``/``max_frames`` bound per-file work (a pathological
-    hour-long AVI contributes ``max_frames`` rows, not 10^5). Non-video
+    ``every_n``/``max_frames`` bound per-file DECODE work, not just row
+    count: MJPEG AVI frames are independent, so skipped chunks are never
+    JPEG-decoded (one header read each — a pathological hour-long AVI
+    decodes ``max_frames`` JPEGs, not 10^5); GIF frames compose onto the
+    canvas sequentially (disposal/transparency depend on prior frames),
+    so decode runs only up to the LAST sampled index and stops. Non-video
     payloads and non-MJPEG AVIs yield no rows (skip, not fail — corpus
     triage wants the decodable subset)."""
     _ship_codecs_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gif_cap = (
+            (max_frames - 1) * every_n + 1 if max_frames is not None else None
+        )
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "t_seconds": [], "frame_png": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content)
                 try:
                     if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
-                        frames, fps = decode_avi_mjpeg(blob)
+                        # sampling pushed into the chunk walk: only every
+                        # every_n-th chunk is JPEG-decoded
+                        frames, fps = decode_avi_mjpeg(
+                            blob, max_frames=max_frames, every_n=every_n
+                        )
                         dt = (1.0 / fps) if fps else 0.0
-                    elif blob[:3] == b"GIF":
-                        frames, delays = decode_gif(blob)
-                        dt = None  # per-frame delays, cumulative below
+                        for j, frame in enumerate(frames):
+                            i = j * every_n
+                            out["media_id"].append(mid)
+                            out["frame_idx"].append(i)
+                            out["t_seconds"].append(i * dt)
+                            out["frame_png"].append(encode_png(frame))
+                        continue
+                    if blob[:3] == b"GIF":
+                        frames, delays = decode_gif(blob, max_frames=gif_cap)
                     else:
                         continue
                 except (ValueError, NotImplementedError):
@@ -1100,10 +1132,7 @@ def sample_media_frames(
                 t = 0.0
                 kept = 0
                 for i, frame in enumerate(frames):
-                    if dt is None:
-                        t_i, t = t, t + delays[i] / 100.0
-                    else:
-                        t_i = i * dt
+                    t_i, t = t, t + delays[i] / 100.0
                     if i % every_n:
                         continue
                     if max_frames is not None and kept >= max_frames:

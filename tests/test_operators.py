@@ -3883,6 +3883,27 @@ class TestAviMjpeg:
         assert len(frames2) == 1
         assert abs(float(frames2[0].mean()) - 220) < 5
 
+    def test_every_n_decode_matches_full_decode_sampling(self):
+        """Pushed-down sampling (round-5 scale fix): decoding with
+        every_n/max_frames must return exactly the frames a full decode
+        would sample — same pixels, and skipped chunks never decoded."""
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        fs = self._frames() * 4  # 12 frames
+        blob = encode_avi_mjpeg(fs, fps=10)
+        full, _ = decode_avi_mjpeg(blob)
+        for every_n, cap in [(1, None), (3, None), (5, 2), (4, 1)]:
+            got, _ = decode_avi_mjpeg(blob, max_frames=cap, every_n=every_n)
+            want = full[::every_n][: cap if cap is not None else len(full)]
+            assert len(got) == len(want), (every_n, cap)
+            for g, w in zip(got, want):
+                assert (np.asarray(g) == np.asarray(w)).all()
+
     def test_mjpeg_frames_may_omit_dht(self):
         """MJPEG convention: frames without DHT decode with the Annex-K
         default tables — strip every DHT from a frame and re-wrap."""
