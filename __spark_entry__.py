@@ -95,6 +95,7 @@ ZQ_QUEUED = [
     # companions for the rows-only iterative/learned operators — queued
     # behind the freeze as that item sanctions
     "pca_invariants", "topic_model_simplex", "learned_embedding_invariants",
+    "mp3_bitrate_histogram",
 ]
 
 ZV_VERIFIED = [

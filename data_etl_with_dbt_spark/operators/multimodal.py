@@ -1253,6 +1253,152 @@ def parse_mp3_meta(content: bytes) -> dict:
     raise ValueError("no MPEG-1 Layer III frame sync found")
 
 
+def walk_mp3_frames(content: bytes) -> list[dict]:
+    """Frame-header WALK of an MPEG-1 Layer III stream: hop frame to frame
+    by each header's declared length (``144000·kbps/rate + padding``) —
+    per-frame bitrate/rate/size with EXACT duration accounting for VBR
+    streams that carry no Xing tag (where :func:`parse_mp3_meta`'s CBR
+    byte estimate is wrong by construction). Headers only — sample decode
+    still needs a codec library. Stops at EOF, an invalid header, or a
+    non-MPEG-1-Layer-III frame (truncated tails are data, not errors)."""
+    content = bytes(content)
+    off = 0
+    if content[:3] == b"ID3":
+        sz = (
+            (content[6] << 21) | (content[7] << 14) | (content[8] << 7) | content[9]
+        )
+        off = 10 + sz
+    while off + 4 <= len(content):
+        if content[off] == 0xFF and (content[off + 1] & 0xE0) == 0xE0:
+            break
+        off += 1
+    frames: list[dict] = []
+    while off + 4 <= len(content):
+        hdr = content[off : off + 4]
+        if not (hdr[0] == 0xFF and (hdr[1] & 0xE0) == 0xE0):
+            break
+        version = (hdr[1] >> 3) & 0x3
+        layer = (hdr[1] >> 1) & 0x3
+        br_idx = (hdr[2] >> 4) & 0xF
+        rate_idx = (hdr[2] >> 2) & 0x3
+        padding = (hdr[2] >> 1) & 0x1
+        if version != 3 or layer != 1 or br_idx in (0, 15) or rate_idx == 3:
+            break
+        bitrate = _MP3_BITRATES[br_idx]
+        rate = _MP3_RATES[rate_idx]
+        flen = 144000 * bitrate // rate + padding
+        if off + flen > len(content):
+            break  # header present but body truncated: not a whole frame
+        frames.append(
+            {
+                "frame_no": len(frames),
+                "bitrate_kbps": bitrate,
+                "sample_rate": rate,
+                "frame_bytes": flen,
+            }
+        )
+        off += flen
+    return frames
+
+
+def encode_mp3_headers(bitrates_kbps: list[int], sample_rate: int = 44100) -> bytes:
+    """Synthesize a VBR MPEG-1 Layer III stream whose frame HEADERS are
+    valid (one frame per requested bitrate, zero-filled payloads — no
+    audible samples, headers only): the deterministic fixture generator
+    for :func:`walk_mp3_frames`, exactly like ``encode_wav`` backs the WAV
+    decode path. Zero payload bytes can never alias a frame sync."""
+    rate_idx = _MP3_RATES.index(sample_rate)
+    out = bytearray()
+    for kbps in bitrates_kbps:
+        br_idx = _MP3_BITRATES.index(kbps)
+        flen = 144000 * kbps // sample_rate
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (rate_idx << 2), 0x00])
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+MP3_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("bitrate_kbps", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def mp3_frame_table(media: DataFrame) -> DataFrame:
+    """Explode each ``audio/mpeg`` payload into its frame-header walk:
+    ``(media_id, frame_no, bitrate_kbps, sample_rate, frame_bytes)`` —
+    the relation a VBR bitrate histogram / exact-duration rollup
+    aggregates. Arrow-batched ``mapInPandas``; bytes stay executor-side;
+    per-file work is one pass over frame HEADERS (O(frames), no decode).
+    Non-MP3 payloads yield no rows (corpus triage keeps the walkable
+    subset)."""
+    _ship_codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_no": [],
+                "bitrate_kbps": [],
+                "sample_rate": [],
+                "frame_bytes": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    frames = walk_mp3_frames(bytes(content))
+                except (ValueError, IndexError):
+                    continue
+                for fr in frames:
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(fr["frame_no"])
+                    out["bitrate_kbps"].append(fr["bitrate_kbps"])
+                    out["sample_rate"].append(fr["sample_rate"])
+                    out["frame_bytes"].append(fr["frame_bytes"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, MP3_FRAME_SCHEMA)
+
+
+def synth_mp3_media(
+    df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """Deterministic synthetic MP3 corpus with KNOWN frame structure (the
+    fixtures carry no audio bytes — the :func:`synth_audio_media`
+    convention): row ``i`` gets ``50 + (i % 37)`` frames at 44.1 kHz,
+    even frames at bitrate index ``1 + (i % 14)`` and odd frames at
+    ``1 + ((i * 7) % 14)`` of the MPEG-1 Layer III table — arithmetic a
+    SQL oracle reproduces exactly, so the frame walk is hash-checkable
+    cross-engine."""
+    _ship_codecs_by_value()
+
+    def render(i: int) -> bytes:
+        i = int(i)
+        n = 50 + (i % 37)
+        b1 = _MP3_BITRATES[1 + (i % 14)]
+        b2 = _MP3_BITRATES[1 + ((i * 7) % 14)]
+        return encode_mp3_headers([b1 if j % 2 == 0 else b2 for j in range(n)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [render(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "content": payloads,
+                    "meta": [
+                        {"mime": "audio/mpeg", "n_bytes": len(p), "source": s}
+                        for p, s in zip(payloads, pdf[source_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, source_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
 FRAME_TIME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

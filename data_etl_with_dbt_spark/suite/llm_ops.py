@@ -1369,3 +1369,51 @@ def learned_embedding_invariants(spark, sf_dir):
         "n_docs bigint, emb_dim bigint, dims_uniform_ok bigint, "
         "probes_self_top1_ok bigint",
     )
+
+
+@query(
+    "mp3_bitrate_histogram",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(50 + (doc_id % 37) AS BIGINT) AS n,
+               list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320)[CAST(1 + (doc_id % 14) AS INT)] AS b1,
+               list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320)[CAST(1 + ((doc_id * 7) % 14) AS INT)] AS b2
+        FROM documents
+    ), expanded AS (
+        SELECT media_id, b1 AS kbps, (n + 1) // 2 AS cnt FROM p
+        UNION ALL
+        SELECT media_id, b2 AS kbps, n // 2 AS cnt FROM p
+    )
+    SELECT media_id,
+           CAST(kbps AS BIGINT) AS bitrate_kbps,
+           CAST(SUM(cnt) AS BIGINT) AS n_frames,
+           CAST(SUM(cnt) * 1152 AS DOUBLE) / 44100 AS total_seconds
+    FROM expanded
+    GROUP BY media_id, kbps
+    """,
+    description=(
+        "MP3 frame-header WALK (round-4 VERDICT stretch): per-media VBR "
+        "bitrate histogram + exact per-bitrate duration from hopping "
+        "frame headers (144000·kbps/rate each) — synthetic VBR streams "
+        "whose frame structure is doc_id arithmetic, so the DuckDB oracle "
+        "reproduces the walk exactly; headers only, no codec"
+    ),
+)
+def mp3_bitrate_histogram(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.multimodal import (
+        mp3_frame_table,
+        synth_mp3_media,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = synth_mp3_media(docs, id_col="doc_id", source_col="source")
+    frames = mp3_frame_table(media)
+    return (
+        frames.groupBy("media_id", "bitrate_kbps")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_frames"))
+        .withColumn(
+            "total_seconds",
+            (F.col("n_frames") * F.lit(1152)).cast("double") / F.lit(44100),
+        )
+    )

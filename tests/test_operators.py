@@ -1671,6 +1671,37 @@ class TestContainerMetadata:
         id3 = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 if with_id3 else b""
         return id3 + frame * n_frames
 
+    def test_mp3_frame_walk(self):
+        """walk_mp3_frames hops headers by declared length: VBR per-frame
+        bitrates, padding-bit +1 lengths, ID3 skip, truncated-tail stop —
+        and round-trips encode_mp3_headers exactly."""
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            encode_mp3_headers,
+            walk_mp3_frames,
+        )
+
+        # VBR round-trip: alternating 32/320 kbps
+        rates = [32, 320] * 5
+        frames = walk_mp3_frames(encode_mp3_headers(rates))
+        assert [f["bitrate_kbps"] for f in frames] == rates
+        assert all(f["sample_rate"] == 44100 for f in frames)
+        assert [f["frame_no"] for f in frames] == list(range(10))
+        assert frames[0]["frame_bytes"] == 144000 * 32 // 44100
+        assert frames[1]["frame_bytes"] == 144000 * 320 // 44100
+
+        # padding bit adds one byte to the hop
+        padded = bytes([0xFF, 0xFB, (9 << 4) | 0x02, 0x00])  # 128 kbps, pad=1
+        plen = 144000 * 128 // 44100 + 1
+        blob = padded + b"\x00" * (plen - 4) + encode_mp3_headers([64])
+        got = walk_mp3_frames(blob)
+        assert [f["bitrate_kbps"] for f in got] == [128, 64]
+        assert got[0]["frame_bytes"] == plen
+
+        # ID3 skip + truncated final frame stops cleanly (9 full + partial)
+        payload = self._mini_mp3(n_frames=10)
+        assert len(walk_mp3_frames(payload)) == 10
+        assert len(walk_mp3_frames(payload[:-400])) == 9
+
     def test_mp4_metadata_parse(self):
         from data_etl_with_dbt_spark.operators.multimodal import parse_mp4_meta
 
