@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r01/r02 row order and window contents exactly match the first
 # 50 positions of ``sorted(QUERIES.items())`` — round 2's name-prefix renames
 # changed nothing, so the sort key is insertion order, not exposed name).
-# With 160 registry entries a static order would leave the same tail
+# With 221 registry entries a static order would leave the same tail
 # unchecked forever, so the dict is built in explicit tiers:
 #
 #   1. WINDOW       — oracle-bearing queries with no green driver row in any
