@@ -959,6 +959,13 @@ def decode_avi_mjpeg(
                 and video_stream is not None
                 and int(cid[:2]) == video_stream
             ):
+                if size == 0:
+                    # dropped-frame placeholder (real capture AVIs emit
+                    # 0-byte ##dc chunks): a full decode appends nothing
+                    # for it, so it must not count toward n_seen either —
+                    # sampled output stays exactly full[::every_n]
+                    pos = body_start + size + (size & 1)
+                    continue
                 sampled = n_seen % every_n == 0 and (
                     max_frames is None or len(frames) < max_frames
                 )
@@ -1264,6 +1271,8 @@ def walk_mp3_frames(content: bytes) -> list[dict]:
     content = bytes(content)
     off = 0
     if content[:3] == b"ID3":
+        if len(content) < 10:
+            return []  # truncated mid-ID3-header: data, not an error
         sz = (
             (content[6] << 21) | (content[7] << 14) | (content[8] << 7) | content[9]
         )

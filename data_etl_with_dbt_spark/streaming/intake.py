@@ -89,9 +89,13 @@ def _filter_replayed(
     ``strict_seq=True`` asserts that contract instead of tolerating ties
     (for deployments whose ``seq`` IS a real LSN): a batch containing two
     DISTINCT change records at one sequence, or a record at the applied
-    watermark whose content differs from the applied record, raises
-    ``ValueError`` — loud failure, never a silent tie-break. Byte-identical
-    re-deliveries (the at-least-once replay case) still dedupe silently.
+    WATERMARK sequence whose content differs from the applied record,
+    raises ``ValueError`` instead of tie-breaking. Detection is bounded by
+    the stored state — one watermark plus its boundary hash set — so LSN
+    reuse STRICTLY BELOW the watermark is indistinguishable from an
+    at-least-once replay and is dropped as one (detecting it would require
+    retaining every applied record's hash forever). Byte-identical
+    re-deliveries still dedupe silently.
 
     Returns ``(changes_with___h, wm, boundary_hashes)``.
     """
@@ -104,6 +108,10 @@ def _filter_replayed(
             wm = max(r["wm"] for r in rows)
             boundary = {r["h"] for r in rows if r["wm"] == wm}
     if strict_seq:
+        # the two checks below plus the caller's post-filter checkpoint
+        # would each re-run the batch parse (parse_debezium + xxhash64);
+        # materialize once so they read computed rows instead
+        changes = changes.localCheckpoint(eager=True)
         # one batch-sized agg: sequences carried by >1 distinct record
         dup = (
             changes.groupBy("seq")
@@ -579,10 +587,12 @@ def cdc_replication_sink(
       test before the guard existed).
 
     ``strict_seq=True`` opts into the LSN contract instead: sequences must
-    be strictly increasing across distinct records, and a violation (two
-    distinct changes at one sequence, or new content at an applied
-    sequence) raises rather than tie-breaking — see
-    :func:`_filter_replayed`.
+    be strictly increasing across distinct records, and a violation that
+    the stored watermark state can witness (two distinct changes at one
+    sequence within a batch, or new content at the applied watermark
+    sequence) raises rather than tie-breaking; reuse strictly below the
+    watermark is indistinguishable from an at-least-once replay and drops
+    as one — see :func:`_filter_replayed`.
 
     Lineage discipline: the merged frame is eagerly checkpointed before
     overwriting the path its plan read (the read-then-overwrite trap).

@@ -1271,11 +1271,15 @@ def pca_invariants(spark, sf_dir):
         .agg(F.sum("n"), F.sum("tot"), F.sum("res"))
         .first()
     )
-    n = int(agg[0])
-    total_var = float(agg[1]) / (n - 1)
-    recon = float(agg[2]) / (n - 1)
+    n = int(agg[0] or 0)
+    # max(1, n-1) mirrors pca_fit's own degenerate guard: a 0/1-row table
+    # reports flags instead of dividing by zero
+    total_var = float(agg[1] or 0.0) / max(1, n - 1)
+    recon = float(agg[2] or 0.0) / max(1, n - 1)
     identity = int(
-        abs(recon - (total_var - float(ev.sum()))) <= 1e-9 * max(1.0, total_var)
+        n >= 2
+        and abs(recon - (total_var - float(ev.sum())))
+        <= 1e-9 * max(1.0, total_var)
     )
     return spark.createDataFrame(
         [(n, 4, ortho, ordered, identity)],
@@ -1295,8 +1299,11 @@ def pca_invariants(spark, sf_dir):
     description=(
         "Oracle-checkable companion to topic_model_documents (rows-only): "
         "every document's LDA topic mixture must be a length-4 probability "
-        "simplex (non-negative, sums to 1 within 1e-6) — one flag row per "
-        "document, non-vacuous at every scale factor"
+        "simplex (non-negative, sums to 1 within 1e-6) — or the all-zero "
+        "vector Spark ML's LDA returns for a document with NO in-vocab "
+        "tokens (the documented empty-count-vector convention; fixture "
+        "regeneration must not redden the invariant over that edge case) "
+        "— one flag row per document, non-vacuous at every scale factor"
     ),
 )
 def topic_model_simplex(spark, sf_dir):
@@ -1308,11 +1315,13 @@ def topic_model_simplex(spark, sf_dir):
     )
     mix = doc_topics(model, docs)
     total = F.aggregate("topic_mix", F.lit(0.0), lambda a, x: a + x)
-    ok = (
-        (F.abs(total - F.lit(1.0)) < F.lit(1e-6))
-        & (F.array_min("topic_mix") >= F.lit(0.0))
-        & (F.size("topic_mix") == F.lit(4))
+    is_simplex = (F.abs(total - F.lit(1.0)) < F.lit(1e-6)) & (
+        F.array_min("topic_mix") >= F.lit(0.0)
     )
+    is_empty_doc_zero = (total == F.lit(0.0)) & (
+        F.array_max("topic_mix") == F.lit(0.0)
+    )
+    ok = (is_simplex | is_empty_doc_zero) & (F.size("topic_mix") == F.lit(4))
     return mix.select(
         big(F.col("doc_id")).alias("doc_id"),
         F.lit(4).cast("bigint").alias("k_topics"),
@@ -1359,11 +1368,17 @@ def learned_embedding_invariants(spark, sf_dir):
     top1 = S.brute_force_topk(
         nonzero, probes, id_col="doc_id", vec_col="embedding", k=1
     )
-    bad = top1.where(
-        F.isnan("cosine") | (F.col("cosine") < F.lit(1.0 - 1e-9))
-    ).count()
-    n_probes = top1.count()
-    self_ok = int(bad == 0 and n_probes > 0)
+    # one action over the crossJoin+window plan (two separate counts would
+    # execute the most expensive stage twice)
+    stats = top1.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.isnan("cosine") | (F.col("cosine") < F.lit(1.0 - 1e-9))).cast(
+                "long"
+            )
+        ).alias("bad"),
+    ).first()
+    self_ok = int((stats["bad"] or 0) == 0 and (stats["n"] or 0) > 0)
     return spark.createDataFrame(
         [(n_docs, 16, dims_ok, self_ok)],
         "n_docs bigint, emb_dim bigint, dims_uniform_ok bigint, "

@@ -1701,6 +1701,9 @@ class TestContainerMetadata:
         payload = self._mini_mp3(n_frames=10)
         assert len(walk_mp3_frames(payload)) == 10
         assert len(walk_mp3_frames(payload[:-400])) == 9
+        # truncated mid-ID3-header: data, not an IndexError
+        assert walk_mp3_frames(b"ID3") == []
+        assert walk_mp3_frames(b"ID3\x03\x00\x00") == []
 
     def test_mp4_metadata_parse(self):
         from data_etl_with_dbt_spark.operators.multimodal import parse_mp4_meta
@@ -3932,6 +3935,43 @@ class TestAviMjpeg:
             got, _ = decode_avi_mjpeg(blob, max_frames=cap, every_n=every_n)
             want = full[::every_n][: cap if cap is not None else len(full)]
             assert len(got) == len(want), (every_n, cap)
+            for g, w in zip(got, want):
+                assert (np.asarray(g) == np.asarray(w)).all()
+
+        # dropped-frame placeholders (0-byte ##dc chunks, real capture
+        # AVIs): excluded from BOTH full decode and the sampled stride, so
+        # equivalence holds across the gap (round-5 review finding)
+        from data_etl_with_dbt_spark.operators.jpeg import encode_jpeg
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + len(body).to_bytes(4, "little") + body + pad
+
+        def lst(kind, body):
+            return chunk(b"LIST", kind + body)
+
+        payloads = [encode_jpeg(f, 90) for f in fs[:4]]
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", int(1e5).to_bytes(4, "little") + b"\x00" * 36)
+            + lst(b"strl", chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 40)),
+        )
+        movi_body = (
+            chunk(b"00dc", payloads[0])
+            + chunk(b"00dc", b"")  # dropped frame
+            + chunk(b"00dc", payloads[1])
+            + chunk(b"00dc", payloads[2])
+            + chunk(b"00dc", b"")
+            + chunk(b"00dc", payloads[3])
+        )
+        body = b"AVI " + hdrl + lst(b"movi", movi_body)
+        holey = b"RIFF" + len(body).to_bytes(4, "little") + body
+        full_h, _ = decode_avi_mjpeg(holey)
+        assert len(full_h) == 4
+        for every_n in (2, 3):
+            got, _ = decode_avi_mjpeg(holey, every_n=every_n)
+            want = full_h[::every_n]
+            assert len(got) == len(want), every_n
             for g, w in zip(got, want):
                 assert (np.asarray(g) == np.asarray(w)).all()
 

@@ -41,6 +41,16 @@ PRIORITY = [
     "dq_relationships_violations",
 ]
 
+# Unverified oracle queries held OUT of the window by a reviewed decision
+# (the round-5 registry freeze: companions added per VERDICT item 3 queue
+# behind the pre-freeze backlog). They stay in ZQ_QUEUED, never WINDOW,
+# until removed from this list — otherwise a routine --write would
+# silently promote them and revert the committed tier policy.
+HOLD_QUEUED = [
+    "pca_invariants", "topic_model_simplex", "learned_embedding_invariants",
+    "mp3_bitrate_histogram",
+]
+
 
 def strip_tier(name: str) -> str:
     return re.sub(r"^z[vqr]_", "", name)
@@ -76,15 +86,17 @@ def plan_rotation() -> dict:
 
     verified = verified_from_correctness() & set(QUERIES)
     rows_only = {n for n, q in QUERIES.items() if not q.oracle}
+    held = [h for h in HOLD_QUEUED if h in QUERIES and h not in verified]
     # Unverified oracle queries compete for the window: judge-named priority
-    # names first, the rest alphabetically; beyond 50 they queue.
+    # names first, the rest alphabetically; beyond 50 they queue. Held
+    # names never enter the window; they append to the queue instead.
     candidates = [p for p in PRIORITY if p in QUERIES and p not in verified]
     candidates += sorted(
-        set(QUERIES) - verified - rows_only - set(candidates)
+        set(QUERIES) - verified - rows_only - set(candidates) - set(held)
     )
     return {
         "window": candidates[:WINDOW_SIZE],
-        "queued": candidates[WINDOW_SIZE:],
+        "queued": candidates[WINDOW_SIZE:] + held,
         "verified": sorted(verified),
         "rows_only": sorted(rows_only),
     }
