@@ -108,25 +108,39 @@ def _dct_matrix():
     return c
 
 
+#: full-prefix LUT cache keyed by the huffman spec — the Annex-K tables
+#: repeat across every image of a corpus, so the one-time 65536-slot build
+#: amortizes to zero (a per-image build would dominate small thumbnails)
+_LUT16_CACHE: dict = {}
+
+
 def _build_decode_table(bits, vals):
-    """Canonical huffman decode dict: (length, code) -> symbol, plus an
-    8-bit prefix LUT under key ``"__lut8__"`` — codes of length <= 8 (all
-    of them, for both the Annex-K and the uniform progressive tables)
-    resolve with ONE table index instead of a per-bit walk, the decoder's
-    hot path."""
+    """Canonical huffman decode dict: (length, code) -> symbol, plus a FULL
+    16-bit prefix LUT under ``"__lut16__"`` — every code, whatever its
+    length, resolves with ONE table index (the decoder's hot path; the
+    old 8-bit LUT left long AC codes, the majority in high-entropy
+    images, on a per-bit tree walk). Slots no code covers stay None and
+    raise as invalid. Slice-assignment fills spans C-side, so the build
+    is ~len(vals) list ops, cached per spec across images."""
+    key = (tuple(bits), tuple(vals))
+    cached = _LUT16_CACHE.get(key)
     table, code, i = {}, 0, 0
-    lut = [None] * 256
+    lut = [None] * 65536 if cached is None else None
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[i]
-            if length <= 8:
-                base = code << (8 - length)
-                for suffix in range(1 << (8 - length)):
-                    lut[base | suffix] = (vals[i], length)
+            if lut is not None:
+                base = code << (16 - length)
+                span = 1 << (16 - length)
+                lut[base : base + span] = [(vals[i], length)] * span
             code += 1
             i += 1
         code <<= 1
-    table["__lut8__"] = lut
+    if lut is None:
+        lut = cached
+    else:
+        _LUT16_CACHE[key] = lut
+    table["__lut16__"] = lut
     return table
 
 
@@ -201,19 +215,22 @@ class _BitReader:
     def decode_symbol(self, table) -> int:
         if self.nbits < 16:
             self._fill()
-        lut = table["__lut8__"]
-        hit = lut[(self.buf >> (self.nbits - 8)) & 0xFF]
-        if hit is not None:
-            self.nbits -= hit[1]
-            return hit[0]
-        length, code = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG huffman code")
+        hit = table["__lut16__"][(self.buf >> (self.nbits - 16)) & 0xFFFF]
+        if hit is None:
+            raise ValueError("invalid JPEG huffman code")
+        self.nbits -= hit[1]
+        return hit[0]
+
+    def receive_extend(self, s: int) -> int:
+        """Read an s-bit magnitude and EXTEND it (T.81 F.2.2.1) in one
+        call — fuses the decoder's two per-coefficient bit reads."""
+        if s == 0:
+            return 0
+        while self.nbits < s:
+            self._fill()
+        self.nbits -= s
+        v = (self.buf >> self.nbits) & ((1 << s) - 1)
+        return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
     def align_and_sync_rst(self):
         """Byte-align and consume an RSTn marker at a restart boundary."""
@@ -225,11 +242,6 @@ class _BitReader:
                 return
             self.pos += 1
         raise ValueError("expected JPEG RST marker")
-
-
-def _extend(v: int, s: int) -> int:
-    """T.81 EXTEND: map an s-bit magnitude to its signed value."""
-    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
 def decode_jpeg(content: bytes):
@@ -378,7 +390,7 @@ def _decode_entropy_scan(data, start, frame, scan, ss, se, ah, al, dri,
         if ss == 0:
             if ah == 0:
                 s = reader.decode_symbol(dc_tab)
-                diff = _extend(reader.read_bits(s), s) if s else 0
+                diff = reader.receive_extend(s)
                 pred[cid] += diff
                 coef[0] = pred[cid] << al
             elif reader.read_bit():
@@ -404,7 +416,7 @@ def _decode_entropy_scan(data, start, frame, scan, ss, se, ah, al, dri,
                 k += r
                 if k > se:
                     raise ValueError("JPEG AC index overrun")
-                coef[k] = _extend(reader.read_bits(s), s) << al
+                coef[k] = reader.receive_extend(s) << al
                 k += 1
         else:  # AC refinement (G.2.2): correction bits + new +-1<<al coefs
             p1, m1 = 1 << al, -1 << al
