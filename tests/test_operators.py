@@ -1705,6 +1705,33 @@ class TestContainerMetadata:
         assert walk_mp3_frames(b"ID3") == []
         assert walk_mp3_frames(b"ID3\x03\x00\x00") == []
 
+    def test_mp3_frame_walk_randomized_round_trip(self):
+        """Seeded random VBR sequences round-trip the walk exactly at
+        every MPEG-1 sample rate — the property the deterministic suite
+        fixture is one point of."""
+        import random
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            _MP3_BITRATES,
+            _MP3_RATES,
+            encode_mp3_headers,
+            walk_mp3_frames,
+        )
+
+        rng = random.Random(5)
+        for rate in _MP3_RATES:
+            for _ in range(5):
+                seq = [
+                    _MP3_BITRATES[rng.randint(1, 14)]
+                    for _ in range(rng.randint(1, 120))
+                ]
+                frames = walk_mp3_frames(encode_mp3_headers(seq, rate))
+                assert [f["bitrate_kbps"] for f in frames] == seq
+                assert all(f["sample_rate"] == rate for f in frames)
+                assert [f["frame_bytes"] for f in frames] == [
+                    144000 * b // rate for b in seq
+                ]
+
     def test_mp4_metadata_parse(self):
         from data_etl_with_dbt_spark.operators.multimodal import parse_mp4_meta
 
@@ -4039,3 +4066,10 @@ class TestAviMjpeg:
         # frames round-trip as decodable PNG at the source resolution
         png = bytes(sorted(by_id[1], key=lambda r: r.frame_idx)[0].frame_png)
         assert decode_png(png).shape == (24, 32, 3)
+        # max_frames caps per file AND bounds the GIF decode depth
+        # (gif_cap = (max_frames-1)*every_n + 1): same leading indices
+        capped = sample_media_frames(media, every_n=2, max_frames=1).collect()
+        by_id_c = {}
+        for r in capped:
+            by_id_c.setdefault(r.media_id, []).append(r.frame_idx)
+        assert by_id_c == {1: [0], 2: [0]}

@@ -1313,6 +1313,60 @@ def test_streaming_cdc_randomized_replay_model(spark, tmp_path, sink_kind):
         )
 
 
+def test_streaming_cdc_strict_seq_randomized_model(spark, tmp_path):
+    """strict_seq model property: on logs whose sequences ARE a real LSN
+    (globally strictly increasing across distinct records), the strict
+    sink accepts random batchings + at-least-once re-deliveries without
+    raising and converges to the same reference state the lenient sink
+    does — strictness only rejects contract violations, never clean
+    logs."""
+    import random as _random
+
+    from data_etl_with_dbt_spark.streaming.intake import cdc_replication_sink
+
+    rng = _random.Random(777)
+    for scenario in range(3):
+        keys = list(range(1, 6))
+        log = []
+        seq = 1000
+        for step in range(rng.randint(8, 14)):
+            seq += rng.randint(1, 3)  # strictly increasing LSN
+            op = rng.choice(["c", "u", "u", "d"])
+            log.append((seq, op, rng.choice(keys), f"s{scenario}_{step}"))
+        final = {}
+        for s, op, k, v in log:
+            if op == "d":
+                final.pop(k, None)
+            else:
+                final[k] = v
+        cuts = sorted(rng.sample(range(1, len(log)), min(3, len(log) - 1)))
+        batches = [log[a:b] for a, b in zip([0] + cuts, cuts + [len(log)])]
+        snap = str(tmp_path / f"strict_model_{scenario}")
+        sink = cdc_replication_sink(
+            snap, "id: long, v: string", "id", strict_seq=True
+        )
+        bid = 0
+        for i, batch in enumerate(batches):
+            rows = [
+                _dbz(op, s, k, None if op == "d" else v)
+                for s, op, k, v in batch
+            ]
+            sink(spark.createDataFrame(rows, "value string"), batch_id=bid)
+            bid += 1
+            if i > 0 and rng.random() < 0.7:
+                j = rng.randrange(0, i + 1)
+                rows_r = [
+                    _dbz(op, s, k, None if op == "d" else v)
+                    for s, op, k, v in batches[j]
+                ]
+                sink(spark.createDataFrame(rows_r, "value string"), batch_id=bid)
+                bid += 1
+        got = {r.id: r.v for r in spark.read.parquet(snap).collect()}
+        assert got == final, (
+            f"strict scenario {scenario}: {got} != {final}; log={log}"
+        )
+
+
 def test_streaming_cdc_versioned_equal_seq_boundary(spark, tmp_path):
     """Versioned sink, same tie-straddle scenario: new boundary rows commit,
     replays commit nothing."""
