@@ -122,6 +122,33 @@ def main(workdir: str) -> None:
         out_rows = thumbs.count()
         print(f"thumbnails re-encoded as JPEG: {out_rows}")
         assert out_rows >= 4  # every decodable image got a thumbnail
+
+        # audio triage without a codec: frame-header walk -> per-media VBR
+        # bitrate histogram + exact duration (synthetic MP3s here; real
+        # corpora point this at audio/mpeg rows of the media table)
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            mp3_frame_table,
+            synth_mp3_media,
+        )
+
+        mp3s = synth_mp3_media(
+            spark.range(4).select(
+                F.col("id").alias("doc_id"), F.lit("crawl").alias("source")
+            )
+        )
+        mp3_frames = mp3_frame_table(mp3s)
+        histo = mp3_frames.groupBy("media_id", "bitrate_kbps").count()
+        durations = mp3_frames.groupBy("media_id").agg(
+            (F.count(F.lit(1)) * 1152 / 44100).alias("seconds")
+        )
+        print(
+            f"mp3 walk: {mp3_frames.count()} frames, "
+            f"{histo.count()} (media, bitrate) histogram rows, "
+            f"{durations.count()} durations"
+        )
+        assert durations.count() == 4
         print("media pipeline OK")
     finally:
         spark.stop()
