@@ -399,6 +399,30 @@ class TestTopics:
         assert abs(sum(r.share for r in shares) - 1.0) < 1e-12
         assert sum(r.n_docs for r in shares) == 80
 
+    def test_empty_vocab_doc_gets_zero_mixture(self, spark, two_theme_docs):
+        """Pins the Spark ML convention topic_model_simplex's flag relies
+        on (round-5 review): a document with NO in-vocab tokens transforms
+        to the all-zero mixture, not a simplex — and every other doc's
+        mixture IS a simplex. If a Spark upgrade changes the convention
+        this fails before the driver's oracle does."""
+        from data_etl_with_dbt_spark.ml.topics import doc_topics, train_topics
+
+        extra = spark.createDataFrame(
+            [(1000, ""), (1001, "zzzquux")],  # empty + out-of-vocab only
+            "doc_id long, text string",
+        )
+        docs = two_theme_docs.unionByName(extra)
+        model = train_topics(
+            two_theme_docs, k=2, vocab_size=64, min_df=1.0, max_iter=5, seed=7
+        )
+        rows = {r.doc_id: r.topic_mix for r in doc_topics(model, docs).collect()}
+        assert len(rows) == 82
+        for did in (1000, 1001):
+            assert rows[did] == [0.0, 0.0], rows[did]
+        for did, mix in rows.items():
+            if did < 1000:
+                assert abs(sum(mix) - 1.0) < 1e-6 and min(mix) >= 0.0
+
     def test_transform_is_jvm_side(self, spark, two_theme_docs):
         from data_etl_with_dbt_spark.ml.topics import doc_topics, train_topics
 
