@@ -1,0 +1,408 @@
+"""Dependency-free WARC ingestion — the web-archive format (ISO 28500)
+training-data crawls actually arrive in (Common Crawl ships WARC; the
+reference pipeline's CSV ingest is the warehouse-side analogue,
+``ETL/ETL.py:24-43``).
+
+Three layers, mirroring the codec modules' posture:
+
+* byte level — :func:`parse_warc` splits a ``.warc`` / ``.warc.gz`` blob
+  into records by WARC header + ``Content-Length`` walk (never regex
+  splitting, which corrupts on binary payloads containing header-like
+  bytes); per-record gzip members (the spec's recommended compression —
+  each record its own member) inflate with stdlib zlib.
+  :func:`encode_warc` writes both forms — the deterministic fixture
+  generator every decoder-path test round-trips through.
+* payload level — :func:`parse_http_response` peels the HTTP envelope of
+  ``response`` records (status, headers, body; ``Content-Encoding:
+  gzip`` bodies inflate), and :func:`html_to_text` extracts visible text
+  from HTML with the stdlib parser (script/style/template dropped,
+  entities unescaped, block-level whitespace normalized) — the
+  dependency-free counterpart of trafilatura-class extractors; quality
+  scoring downstream (operators/textan) prunes what a smarter extractor
+  would have.
+* relation level — :func:`warc_records` explodes WARC blobs (one row per
+  file, e.g. ``spark.read.format("binaryFile")``) into record rows, and
+  :func:`warc_to_documents` lands ``response`` records as the engine's
+  ``documents`` shape ``(doc_id, url, fetched_at, mime, text)`` — the
+  entry point of the corpus pipeline (quality → dedup → tokenize).
+
+Scale posture: the parallel unit is the WARC FILE (crawls ship thousands
+of ~1 GB files — natural partitions; record-at-a-time gzip members mean
+no file-internal parallelism is needed). Both operators are Arrow-batched
+``mapInPandas``: bytes never reach the driver, output rows stream per
+batch, and a malformed file yields its parseable prefix (corpus triage
+keeps what decodes, like every codec here). doc_id is the xxhash64 of
+(file, record offset) — deterministic, join-stable, collision-checked by
+the dedup stage's content digests downstream.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ship_by_value() -> None:
+    """Worker closures call these module-level parsers; ship the module by
+    value so executors never need the repo on sys.path (the
+    operators/multimodal.py convention)."""
+    import sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(sys.modules[__name__])
+
+
+# ---------------------------------------------------------------------------
+# byte level
+# ---------------------------------------------------------------------------
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenate every gzip member of ``data`` (WARC's per-record
+    compression writes one member per record; stdlib gzip.decompress stops
+    after the first on some malformed tails — loop explicitly). A torn
+    final member yields what inflated so far (triage, not failure)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated member: keep the prefix
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return bytes(out)
+
+
+def _parse_header_block(block: bytes) -> dict[str, str]:
+    """WARC/HTTP header lines → dict (case-insensitive keys lowered;
+    duplicate keys keep the first, matching lenient archive readers)."""
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if not line or b":" not in line:
+            continue
+        k, _, v = line.partition(b":")
+        key = k.strip().decode("latin-1").lower()
+        if key not in headers:
+            headers[key] = v.strip().decode("latin-1")
+    return headers
+
+
+def parse_warc(content: bytes) -> list[dict]:
+    """Split a WARC blob into records:
+    ``{"offset", "headers" (dict), "block" (bytes)}`` per record.
+
+    Detects per-record-gzip blobs by magic and inflates first. Walks
+    version line → header block → ``Content-Length`` bytes → CRLF CRLF
+    separator; anything after a malformed boundary is dropped (the
+    parseable prefix survives — truncated crawls are data)."""
+    data = bytes(content)
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if not data[pos : pos + 5].startswith(b"WARC/"):
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        first_nl = data.find(b"\r\n", pos, head_end)
+        header_block = data[first_nl + 2 : head_end] if first_nl >= 0 else b""
+        headers = _parse_header_block(header_block)
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        block_start = head_end + 4
+        if block_start + length > n:
+            break  # torn final record
+        records.append(
+            {
+                "offset": pos,
+                "headers": headers,
+                "block": data[block_start : block_start + length],
+            }
+        )
+        pos = block_start + length
+        # spec: two CRLFs close a record; tolerate their absence at EOF
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+    return records
+
+
+def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
+    """Write WARC/1.0 bytes from record dicts ``{"warc_type", "uri",
+    "date", "content_type", "block" (bytes), ...extra headers}`` — the
+    deterministic fixture generator (no uuids, no clock: callers pass
+    explicit dates/ids so round-trip tests and both engines see identical
+    bytes). ``gzip_members=True`` writes one gzip member per record, the
+    compression layout crawls ship."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        block = bytes(rec.get("block", b""))
+        lines = [b"WARC/1.0"]
+        lines.append(b"WARC-Type: " + rec.get("warc_type", "resource").encode())
+        if rec.get("uri"):
+            lines.append(b"WARC-Target-URI: " + rec["uri"].encode())
+        lines.append(
+            b"WARC-Date: " + rec.get("date", "2024-01-01T00:00:00Z").encode()
+        )
+        lines.append(
+            b"WARC-Record-ID: "
+            + rec.get("record_id", f"<urn:fixture:{i}>").encode()
+        )
+        if rec.get("content_type"):
+            lines.append(b"Content-Type: " + rec["content_type"].encode())
+        lines.append(b"Content-Length: " + str(len(block)).encode())
+        member = b"\r\n".join(lines) + b"\r\n\r\n" + block + b"\r\n\r\n"
+        if gzip_members:
+            gz = io.BytesIO()
+            # mtime=0: deterministic bytes (gzip stores a timestamp)
+            import gzip as _gzip
+
+            with _gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as f:
+                f.write(member)
+            out += gz.getvalue()
+        else:
+            out += member
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# payload level
+# ---------------------------------------------------------------------------
+
+
+def parse_http_response(block: bytes) -> dict:
+    """HTTP envelope of a WARC ``response`` record → ``{"status",
+    "headers", "body" (bytes)}``. ``Content-Encoding: gzip`` bodies
+    inflate; unknown encodings pass through raw (triage downstream)."""
+    head_end = block.find(b"\r\n\r\n")
+    if head_end < 0 or not block[:5] in (b"HTTP/",):
+        return {"status": None, "headers": {}, "body": block}
+    status_line = block[: block.find(b"\r\n")]
+    parts = status_line.split(b" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    headers = _parse_header_block(block[len(status_line) + 2 : head_end])
+    body = block[head_end + 4 :]
+    if headers.get("content-encoding", "").lower() == "gzip":
+        try:
+            body = _gunzip_members(body) or body
+        except Exception:
+            pass
+    return {"status": status, "headers": headers, "body": body}
+
+
+class _TextExtractor:
+    """Stdlib HTMLParser walk: visible text only — script/style/template/
+    noscript subtrees dropped, block-level elements become newlines,
+    entities unescape (HTMLParser does it with convert_charrefs)."""
+
+    _SKIP = {"script", "style", "template", "noscript", "svg", "head"}
+    _BLOCK = {
+        "p", "div", "br", "li", "ul", "ol", "table", "tr", "h1", "h2",
+        "h3", "h4", "h5", "h6", "section", "article", "header", "footer",
+        "blockquote", "pre", "hr",
+    }
+
+    def __init__(self):
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class P(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.depth = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in outer._SKIP:
+                    self.depth += 1
+                elif tag in outer._BLOCK and not self.depth:
+                    outer.parts.append("\n")
+
+            def handle_endtag(self, tag):
+                if tag in outer._SKIP and self.depth:
+                    self.depth -= 1
+                elif tag in outer._BLOCK and not self.depth:
+                    outer.parts.append("\n")
+
+            def handle_data(self, d):
+                if not self.depth and d:
+                    outer.parts.append(d)
+
+        self.parts: list[str] = []
+        self._parser = P()
+
+    def extract(self, html: str) -> str:
+        self.parts = []
+        self._parser.feed(html)
+        self._parser.close()
+        lines = [
+            " ".join(seg.split())
+            for seg in "".join(self.parts).split("\n")
+        ]
+        return "\n".join(ln for ln in lines if ln)
+
+
+def html_to_text(html: str) -> str:
+    """Visible text of an HTML document (stdlib parser; tolerant of tag
+    soup the way real crawl HTML demands). One newline per block element,
+    inline whitespace collapsed."""
+    return _TextExtractor().extract(html)
+
+
+def _charset_of(content_type: str) -> str:
+    for part in content_type.split(";"):
+        part = part.strip()
+        if part.lower().startswith("charset="):
+            return part[8:].strip().strip('"') or "utf-8"
+    return "utf-8"
+
+
+# ---------------------------------------------------------------------------
+# relation level
+# ---------------------------------------------------------------------------
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_offset", T.LongType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("block", T.BinaryType()),
+    ]
+)
+
+WARC_DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("fetched_at", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def warc_records(
+    files: DataFrame, path_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """Explode WARC file blobs (``spark.read.format("binaryFile")`` rows)
+    into one row per record. Arrow-batched ``mapInPandas``; per-file work
+    is one linear walk; malformed tails keep their parseable prefix."""
+    import pandas as pd
+
+    _ship_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in WARC_RECORD_SCHEMA}
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                for rec in parse_warc(bytes(content)):
+                    h = rec["headers"]
+                    out["warc_file"].append(path)
+                    out["record_offset"].append(rec["offset"])
+                    out["warc_type"].append(h.get("warc-type", ""))
+                    out["url"].append(h.get("warc-target-uri"))
+                    out["warc_date"].append(h.get("warc-date"))
+                    out["content_type"].append(h.get("content-type"))
+                    out["block"].append(rec["block"])
+            yield pd.DataFrame(out)
+
+    return files.select(path_col, content_col).mapInPandas(
+        run, WARC_RECORD_SCHEMA
+    )
+
+
+def warc_to_documents(
+    files: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    min_status: int = 200,
+    max_status: int = 299,
+) -> DataFrame:
+    """WARC file blobs → the engine's document relation ``(doc_id, url,
+    fetched_at, http_status, mime, text)``: ``response`` records with a
+    2xx status, HTML payloads reduced to visible text
+    (:func:`html_to_text`), ``text/*`` payloads decoded by declared
+    charset (lenient: undecodable bytes replaced — quality scoring
+    downstream prunes mojibake), everything else skipped (images/audio
+    belong in the media table, see operators/multimodal). ``doc_id`` is
+    ``xxhash64(file, offset)`` — deterministic and join-stable across
+    re-reads of the same crawl."""
+    recs = warc_records(files, path_col=path_col, content_col=content_col)
+    _ship_by_value()
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in WARC_DOCUMENT_SCHEMA}
+            files_, offs = [], []
+            for row in pdf.itertuples(index=False):
+                if row.warc_type != "response":
+                    continue
+                http = parse_http_response(bytes(row.block))
+                status = http["status"]
+                if status is None or not (min_status <= status <= max_status):
+                    continue
+                ctype = http["headers"].get("content-type", "")
+                mime = ctype.split(";")[0].strip().lower()
+                if not mime.startswith("text/"):
+                    continue
+                charset = _charset_of(ctype)
+                try:
+                    raw = http["body"].decode(charset, errors="replace")
+                except LookupError:
+                    raw = http["body"].decode("utf-8", errors="replace")
+                out["doc_id"].append(0)
+                out["url"].append(row.url)
+                out["fetched_at"].append(row.warc_date)
+                out["http_status"].append(status)
+                out["mime"].append(mime)
+                out["text"].append(
+                    html_to_text(raw) if mime == "text/html" else raw
+                )
+                files_.append(row.warc_file)
+                offs.append(row.record_offset)
+            df = pd.DataFrame(out)
+            df["__file"], df["__off"] = files_, offs
+            yield df
+
+    with_src = recs.mapInPandas(
+        run,
+        T.StructType(
+            list(WARC_DOCUMENT_SCHEMA)
+            + [
+                T.StructField("__file", T.StringType()),
+                T.StructField("__off", T.LongType()),
+            ]
+        ),
+    )
+    return with_src.select(
+        F.xxhash64("__file", "__off").alias("doc_id"),
+        "url",
+        "fetched_at",
+        "http_status",
+        "mime",
+        "text",
+    )

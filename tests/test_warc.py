@@ -1,0 +1,218 @@
+"""WARC ingestion (sources/warc): byte-level record walk (plain +
+per-record gzip), HTTP payload peel, HTML visible-text extraction, and the
+Spark relation operators — fixtures written by the module's own
+encode_warc, the codec-module round-trip convention."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+
+from data_etl_with_dbt_spark.sources.warc import (
+    _gunzip_members,
+    encode_warc,
+    html_to_text,
+    parse_http_response,
+    parse_warc,
+    warc_records,
+    warc_to_documents,
+)
+
+
+def _http(body: bytes, ctype="text/html; charset=utf-8", status=200, extra=b""):
+    return (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n".encode()
+        + extra
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+    )
+
+
+def _fixture_records():
+    html = (
+        b"<html><head><title>T</title><script>var x=1;</script></head>"
+        b"<body><h1>Heading</h1><p>Hello &amp; welcome.</p>"
+        b"<div>Second   block</div></body></html>"
+    )
+    return [
+        {
+            "warc_type": "warcinfo",
+            "content_type": "application/warc-fields",
+            "block": b"software: fixture\r\n",
+        },
+        {
+            "warc_type": "response",
+            "uri": "https://example.com/a",
+            "date": "2024-03-01T00:00:00Z",
+            "content_type": "application/http;msgtype=response",
+            "block": _http(html),
+        },
+        {
+            "warc_type": "response",
+            "uri": "https://example.com/b",
+            "date": "2024-03-01T00:00:01Z",
+            "content_type": "application/http;msgtype=response",
+            "block": _http(b"plain body\n", ctype="text/plain"),
+        },
+        {
+            "warc_type": "response",
+            "uri": "https://example.com/404",
+            "date": "2024-03-01T00:00:02Z",
+            "content_type": "application/http;msgtype=response",
+            "block": _http(b"gone", status=404),
+        },
+        {
+            "warc_type": "response",
+            "uri": "https://example.com/img",
+            "date": "2024-03-01T00:00:03Z",
+            "content_type": "application/http;msgtype=response",
+            "block": _http(b"\x89PNG fake", ctype="image/png"),
+        },
+        {
+            "warc_type": "request",
+            "uri": "https://example.com/a",
+            "content_type": "application/http;msgtype=request",
+            "block": b"GET /a HTTP/1.1\r\n\r\n",
+        },
+    ]
+
+
+class TestWarcBytes:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_round_trip(self, gz):
+        blob = encode_warc(_fixture_records(), gzip_members=gz)
+        recs = parse_warc(blob)
+        assert len(recs) == 6
+        assert [r["headers"]["warc-type"] for r in recs] == [
+            "warcinfo", "response", "response", "response", "response",
+            "request",
+        ]
+        assert recs[1]["headers"]["warc-target-uri"] == "https://example.com/a"
+        assert recs[2]["block"].endswith(b"plain body\n")
+        # offsets strictly increase and are 0-based
+        offs = [r["offset"] for r in recs]
+        assert offs[0] == 0 and offs == sorted(offs) and len(set(offs)) == 6
+
+    def test_binary_safe_blocks(self):
+        # a block containing WARC/1.0 and \r\n\r\n must NOT split the walk
+        evil = b"WARC/1.0\r\n\r\nContent-Length: 9999\r\n\r\n" + bytes(range(256))
+        recs = parse_warc(
+            encode_warc(
+                [
+                    {"warc_type": "resource", "block": evil},
+                    {"warc_type": "resource", "block": b"after"},
+                ]
+            )
+        )
+        assert len(recs) == 2
+        assert recs[0]["block"] == evil and recs[1]["block"] == b"after"
+
+    def test_truncated_tail_keeps_prefix(self):
+        blob = encode_warc(_fixture_records())
+        cut = blob[: len(blob) - 40]  # tear the final record
+        recs = parse_warc(cut)
+        assert 1 <= len(recs) < 6
+        full = parse_warc(blob)
+        for a, b in zip(recs, full):
+            assert a["block"] == b["block"]
+        # gzip form: torn final member keeps the inflated prefix
+        gzblob = encode_warc(_fixture_records(), gzip_members=True)
+        recs_gz = parse_warc(gzblob[:-25])
+        assert 1 <= len(recs_gz) < 6
+
+    def test_gunzip_members_concatenates(self):
+        def member(b):
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+                f.write(b)
+            return buf.getvalue()
+
+        assert _gunzip_members(member(b"one") + member(b"two")) == b"onetwo"
+
+    def test_http_response_peel_and_gzip_body(self):
+        body = b"<p>hi</p>"
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(body)
+        gz = buf.getvalue()
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + gz
+        )
+        http = parse_http_response(block)
+        assert http["status"] == 200 and http["body"] == body
+        # non-HTTP block passes through
+        raw = parse_http_response(b"not http")
+        assert raw["status"] is None and raw["body"] == b"not http"
+
+
+class TestHtmlToText:
+    def test_visible_text_only(self):
+        html = (
+            "<html><head><title>T</title><style>p{}</style>"
+            "<script>x&amp;y</script></head><body>"
+            "<h1>Head</h1><p>Hello &amp; <b>world</b>.</p>"
+            "<noscript>no</noscript><div>  spaced   out  </div>"
+            "</body></html>"
+        )
+        text = html_to_text(html)
+        assert "Head" in text and "Hello & world." in text
+        assert "spaced out" in text
+        assert "x&y" not in text and "no" not in text.split("\n")
+        assert "p{}" not in text and "T" not in text.split("\n")
+
+    def test_block_elements_break_lines(self):
+        text = html_to_text("<p>a</p><p>b</p><div>c</div>")
+        assert text.split("\n") == ["a", "b", "c"]
+
+    def test_tag_soup_tolerated(self):
+        # unclosed tags, bare ampersands, stray brackets: crawl reality
+        text = html_to_text("<p>a & b <div>c <b>d</p> 1 < 2")
+        assert "a & b" in text and "c d" in text
+
+
+class TestWarcSpark:
+    def _files_df(self, spark, tmp_path, gz):
+        blob = encode_warc(_fixture_records(), gzip_members=gz)
+        name = "crawl-0.warc.gz" if gz else "crawl-0.warc"
+        p = tmp_path / name
+        p.write_bytes(blob)
+        return spark.read.format("binaryFile").load(str(tmp_path))
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_records_and_documents(self, spark, tmp_path, gz):
+        files = self._files_df(spark, tmp_path, gz)
+        recs = warc_records(files)
+        got = recs.orderBy("record_offset").collect()
+        assert [r.warc_type for r in got] == [
+            "warcinfo", "response", "response", "response", "response",
+            "request",
+        ]
+        docs = warc_to_documents(files).orderBy("url").collect()
+        # 2xx text/* responses only: /a (html->text) and /b (plain)
+        assert [d.url for d in docs] == [
+            "https://example.com/a", "https://example.com/b",
+        ]
+        a, b = docs
+        assert a.mime == "text/html" and a.http_status == 200
+        assert "Heading" in a.text and "Hello & welcome." in a.text
+        assert "var x=1" not in a.text
+        assert b.mime == "text/plain" and b.text == "plain body\n"
+        assert a.fetched_at == "2024-03-01T00:00:00Z"
+        # doc_id: deterministic across re-reads
+        again = warc_to_documents(files).orderBy("url").collect()
+        assert [d.doc_id for d in again] == [d.doc_id for d in docs]
+        assert len({d.doc_id for d in docs}) == 2
+
+    def test_feeds_corpus_operators(self, spark, tmp_path):
+        """The landed relation drives the existing corpus operators —
+        WARC is an entry point, not an island."""
+        from data_etl_with_dbt_spark.operators.textan import text_stats
+
+        files = self._files_df(spark, tmp_path, gz=True)
+        docs = warc_to_documents(files)
+        stats = text_stats(docs, id_col="doc_id", text_col="text")
+        rows = stats.collect()
+        assert len(rows) == 2 and all(r.n_tokens > 0 for r in rows)
