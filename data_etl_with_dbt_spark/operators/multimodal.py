@@ -733,6 +733,27 @@ def default_decoder(content: bytes, mime: str):
             float(m["n_frames"]),
             m["animation_seconds"],
         ]
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        m = parse_webp_meta(content)
+        return [
+            float(m["width"] * m["height"]),
+            float(m["has_alpha"]),
+            float(m["is_animated"]),
+        ]
+    if content[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        m = parse_tiff_meta(content)
+        return [
+            float(m["width"] * m["height"]),
+            float(m["n_pages"]),
+            float(m["compression"]),
+        ]
+    if content[:4] == b"fLaC":
+        m = parse_flac_meta(content)
+        return [
+            m["duration_seconds"],
+            float(m["sample_rate"]),
+            float(m["channels"]),
+        ]
     if mime.startswith("text/"):
         return text_byte_features(content)
     raise NotImplementedError(
@@ -1499,6 +1520,215 @@ def parse_gif_meta(content: bytes) -> dict:
         "n_frames": frames,
         "animation_seconds": delay_cs / 100.0,
     }
+
+
+def parse_webp_meta(content: bytes) -> dict:
+    """Dependency-free WebP metadata: RIFF container, then the first
+    VP8 (lossy key-frame header), VP8L (lossless signature word), or VP8X
+    (extended canvas) chunk → ``{width, height, format, has_alpha,
+    is_animated}``. Pixel decode needs libwebp and raises through
+    :func:`default_decoder` like the other compressed formats."""
+    content = bytes(content)
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload (missing RIFF/WEBP magic)")
+    pos = 12
+    while pos + 8 <= len(content):
+        fourcc = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8 " and len(body) >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 chunk missing key-frame start code")
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+            return {
+                "width": w, "height": h, "format": "VP8",
+                "has_alpha": False, "is_animated": False,
+            }
+        if fourcc == b"VP8L" and len(body) >= 5:
+            if body[0] != 0x2F:
+                raise ValueError("VP8L chunk missing signature byte")
+            bits = int.from_bytes(body[1:5], "little")
+            return {
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "format": "VP8L",
+                "has_alpha": bool((bits >> 28) & 1),
+                "is_animated": False,
+            }
+        if fourcc == b"VP8X" and len(body) >= 10:
+            flags = body[0]
+            return {
+                "width": int.from_bytes(body[4:7], "little") + 1,
+                "height": int.from_bytes(body[7:10], "little") + 1,
+                "format": "VP8X",
+                "has_alpha": bool(flags & 0x10),
+                "is_animated": bool(flags & 0x02),
+            }
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    raise ValueError("WebP container has no VP8/VP8L/VP8X chunk")
+
+
+def encode_webp_headers(
+    width: int,
+    height: int,
+    fmt: str = "VP8L",
+    has_alpha: bool = False,
+    is_animated: bool = False,
+) -> bytes:
+    """Header-only WebP fixture writer (zero payload bits — the metadata
+    walk never reads them), the :func:`encode_mp3_headers` convention."""
+    if fmt == "VP8":
+        body = b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        body += (width & 0x3FFF).to_bytes(2, "little")
+        body += (height & 0x3FFF).to_bytes(2, "little")
+        fourcc = b"VP8 "
+    elif fmt == "VP8L":
+        bits = (width - 1) | ((height - 1) << 14) | (int(has_alpha) << 28)
+        body = b"\x2f" + bits.to_bytes(4, "little")
+        fourcc = b"VP8L"
+    elif fmt == "VP8X":
+        flags = (0x10 if has_alpha else 0) | (0x02 if is_animated else 0)
+        body = bytes([flags, 0, 0, 0])
+        body += (width - 1).to_bytes(3, "little")
+        body += (height - 1).to_bytes(3, "little")
+        fourcc = b"VP8X"
+    else:
+        raise ValueError(f"unknown WebP chunk kind {fmt!r}")
+    chunk = fourcc + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def parse_tiff_meta(content: bytes) -> dict:
+    """Dependency-free TIFF metadata: endianness magic, IFD chain walk →
+    first page's ``{width, height}``, ``n_pages``, ``compression`` code,
+    and ``endian``. Strip decode needs a codec matrix and raises through
+    :func:`default_decoder`. Inline values only read SHORT/LONG types —
+    exactly what the baseline tags use."""
+    content = bytes(content)
+    if content[:4] == b"II\x2a\x00":
+        bo = "little"
+    elif content[:4] == b"MM\x00\x2a":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload (missing II*/MM* magic)")
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    off = u(content[4:8])
+    width = height = None
+    compression = 1
+    n_pages = 0
+    seen = set()
+    while off and off + 2 <= len(content) and off not in seen:
+        seen.add(off)  # cycle guard: corrupt files can self-link
+        n = u(content[off : off + 2])
+        n_pages += 1
+        for i in range(n):
+            e = off + 2 + 12 * i
+            if e + 12 > len(content):
+                break
+            tag = u(content[e : e + 2])
+            typ = u(content[e + 2 : e + 4])
+            if tag in (256, 257, 259) and typ in (3, 4):
+                # SHORT values sit left-justified in the 4-byte slot
+                # (first two bytes under EITHER endianness, per TIFF 6.0)
+                val = u(content[e + 8 : (e + 10 if typ == 3 else e + 12)])
+                if n_pages == 1:
+                    if tag == 256:
+                        width = val
+                    elif tag == 257:
+                        height = val
+                    else:
+                        compression = val
+        next_off_at = off + 2 + 12 * n
+        if next_off_at + 4 > len(content):
+            break
+        off = u(content[next_off_at : next_off_at + 4])
+    if width is None or height is None:
+        raise ValueError("TIFF IFD carries no ImageWidth/ImageLength")
+    return {
+        "width": width,
+        "height": height,
+        "n_pages": n_pages,
+        "compression": compression,
+        "endian": bo,
+    }
+
+
+def encode_tiff_headers(
+    pages: list[tuple[int, int]], endian: str = "little", compression: int = 1
+) -> bytes:
+    """Header-only TIFF fixture writer: one IFD per (width, height) page,
+    SHORT-typed baseline tags, chained next-IFD offsets."""
+    bo = endian
+    magic = b"II\x2a\x00" if bo == "little" else b"MM\x00\x2a"
+
+    def u(v: int, n: int) -> bytes:
+        return int(v).to_bytes(n, bo)
+
+    def entry(tag: int, val: int) -> bytes:
+        # type 3 (SHORT), count 1, value left-justified in the 4-byte slot
+        return u(tag, 2) + u(3, 2) + u(1, 4) + u(val, 2) + u(0, 2)
+
+    out = bytearray(magic + u(8, 4))
+    pos = 8
+    for i, (w, h) in enumerate(pages):
+        entries = entry(256, w) + entry(257, h) + entry(259, compression)
+        ifd = u(3, 2) + entries
+        next_off = pos + 2 + len(entries) + 4 if i + 1 < len(pages) else 0
+        ifd += u(next_off, 4)
+        out += ifd
+        pos += len(ifd)
+    return bytes(out)
+
+
+def parse_flac_meta(content: bytes) -> dict:
+    """Dependency-free FLAC metadata: the mandatory STREAMINFO block →
+    ``{sample_rate, channels, bits_per_sample, total_samples,
+    duration_seconds}`` (duration is EXACT — total samples is in the
+    header, unlike MP3's bitrate estimate). Frame decode needs a FLAC
+    codec and raises through :func:`default_decoder`."""
+    content = bytes(content)
+    if content[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC magic)")
+    if len(content) < 8 or (content[4] & 0x7F) != 0:
+        raise ValueError("FLAC stream does not start with STREAMINFO")
+    b = content[8:42]
+    if len(b) < 18:
+        raise ValueError("FLAC STREAMINFO truncated")
+    sample_rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 0x7) + 1
+    bits = (((b[12] & 0x1) << 4) | (b[13] >> 4)) + 1
+    total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "total_samples": total,
+        "duration_seconds": (total / sample_rate) if sample_rate else 0.0,
+    }
+
+
+def encode_flac_headers(
+    sample_rate: int, channels: int, bits_per_sample: int, total_samples: int
+) -> bytes:
+    """Header-only FLAC fixture writer: magic + one last-flagged
+    STREAMINFO block (frame sizes/md5 zeroed — the walk never reads
+    them)."""
+    b = bytearray(34)
+    b[10] = (sample_rate >> 12) & 0xFF
+    b[11] = (sample_rate >> 4) & 0xFF
+    b[12] = ((sample_rate & 0xF) << 4) | ((channels - 1) << 1) | (
+        (bits_per_sample - 1) >> 4
+    )
+    b[13] = (((bits_per_sample - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    b[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(b)
 
 
 # ---------------------------------------------------------------------------

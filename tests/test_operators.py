@@ -1732,6 +1732,77 @@ class TestContainerMetadata:
                     144000 * b // rate for b in seq
                 ]
 
+    def test_webp_metadata_parse(self):
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            default_decoder,
+            encode_webp_headers,
+            parse_webp_meta,
+        )
+
+        for fmt, alpha, anim in [
+            ("VP8", False, False),
+            ("VP8L", True, False),
+            ("VP8X", True, True),
+        ]:
+            blob = encode_webp_headers(
+                640, 480, fmt, has_alpha=alpha, is_animated=anim
+            )
+            m = parse_webp_meta(blob)
+            assert (m["width"], m["height"], m["format"]) == (640, 480, fmt)
+            assert (m["has_alpha"], m["is_animated"]) == (alpha, anim)
+            assert default_decoder(blob, "image/webp")[0] == 640.0 * 480
+        with pytest.raises(ValueError, match="RIFF/WEBP"):
+            parse_webp_meta(b"RIFF\x00\x00\x00\x00AVI ")
+        with pytest.raises(ValueError, match="no VP8"):
+            parse_webp_meta(b"RIFF\x04\x00\x00\x00WEBP")
+
+    def test_tiff_metadata_parse(self):
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            default_decoder,
+            encode_tiff_headers,
+            parse_tiff_meta,
+        )
+
+        for endian in ("little", "big"):
+            blob = encode_tiff_headers(
+                [(800, 600), (80, 60)], endian=endian, compression=5
+            )
+            m = parse_tiff_meta(blob)
+            assert (m["width"], m["height"]) == (800, 600)  # first page
+            assert m["n_pages"] == 2 and m["compression"] == 5
+            assert m["endian"] == endian
+            assert default_decoder(blob, "image/tiff") == [480000.0, 2.0, 5.0]
+        with pytest.raises(ValueError, match="magic"):
+            parse_tiff_meta(b"XX\x2a\x00")
+        # self-linking IFD chain must not loop forever
+        loop = bytearray(encode_tiff_headers([(8, 8)]))
+        loop[8 + 2 + 36 : 8 + 2 + 36 + 4] = (8).to_bytes(4, "little")
+        m = parse_tiff_meta(bytes(loop))
+        assert m["n_pages"] == 1
+
+    def test_flac_metadata_parse(self):
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            default_decoder,
+            encode_flac_headers,
+            parse_flac_meta,
+        )
+
+        blob = encode_flac_headers(44100, 2, 16, 44100 * 90)
+        m = parse_flac_meta(blob)
+        assert m["sample_rate"] == 44100 and m["channels"] == 2
+        assert m["bits_per_sample"] == 16
+        assert m["total_samples"] == 44100 * 90
+        assert m["duration_seconds"] == pytest.approx(90.0)
+        assert default_decoder(blob, "audio/flac") == [90.0, 44100.0, 2.0]
+        # 5-bit rate / 36-bit total-sample boundaries survive the pack
+        m24 = parse_flac_meta(encode_flac_headers(96000, 8, 24, (1 << 35) + 7))
+        assert (m24["sample_rate"], m24["channels"], m24["bits_per_sample"]) == (
+            96000, 8, 24,
+        )
+        assert m24["total_samples"] == (1 << 35) + 7
+        with pytest.raises(ValueError, match="fLaC"):
+            parse_flac_meta(b"OggS")
+
     def test_mp4_metadata_parse(self):
         from data_etl_with_dbt_spark.operators.multimodal import parse_mp4_meta
 
