@@ -3916,6 +3916,50 @@ class TestCodecTruncationFuzz:
             encode_wav(tone, 8000), decode_wav, lambda o: None
         )
 
+    def test_meta_parser_prefixes(self):
+        """Round-5 parser family under the same sweep: WebP/TIFF/FLAC
+        metadata, MP3 frame walk, and WARC record walk — prefixes parse
+        or raise cleanly (WARC/MP3 additionally promise prefix RESULTS,
+        never exceptions)."""
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            encode_flac_headers,
+            encode_mp3_headers,
+            encode_tiff_headers,
+            encode_webp_headers,
+            parse_flac_meta,
+            parse_tiff_meta,
+            parse_webp_meta,
+            walk_mp3_frames,
+        )
+        from data_etl_with_dbt_spark.sources.warc import encode_warc, parse_warc
+
+        self._sweep(
+            encode_webp_headers(33, 44, "VP8X", is_animated=True),
+            parse_webp_meta,
+            lambda m: None,
+        )
+        self._sweep(
+            encode_tiff_headers([(12, 34), (5, 6)]), parse_tiff_meta,
+            lambda m: None,
+        )
+        self._sweep(
+            encode_flac_headers(8000, 1, 16, 12345), parse_flac_meta,
+            lambda m: None,
+        )
+        mp3 = encode_mp3_headers([64, 128, 320] * 4)
+        for k in range(0, len(mp3), 7):
+            assert isinstance(walk_mp3_frames(mp3[:k]), list)  # never raises
+        warc = encode_warc(
+            [{"warc_type": "resource", "block": b"x" * 37} for _ in range(3)]
+        )
+        for k in range(0, len(warc), 11):
+            assert isinstance(parse_warc(warc[:k]), list)  # never raises
+        gz = encode_warc(
+            [{"warc_type": "resource", "block": b"y" * 37}], gzip_members=True
+        )
+        for k in range(0, len(gz), 7):
+            assert isinstance(parse_warc(gz[:k]), list)
+
 
 class TestAviMjpeg:
     """MJPEG AVI: real video frame decode (RIFF walk + per-frame JPEG),
