@@ -67,21 +67,31 @@ def _gunzip_members(data: bytes) -> bytes:
     """Concatenate every gzip member of ``data`` (WARC's per-record
     compression writes one member per record; stdlib gzip.decompress stops
     after the first on some malformed tails — loop explicitly). A torn
-    final member yields what inflated so far (triage, not failure)."""
+    final member yields what inflated so far (triage, not failure).
+
+    Feeds each member bounded CHUNKs through a memoryview: handing the
+    whole remaining buffer to every member's decompressobj copies
+    O(members x blob) bytes through slices and unused_data — quadratic on
+    real crawl files with thousands of members (measured 1.6 MiB/s before;
+    same failure class as the bigint bit-reader trap)."""
     out = bytearray()
+    view = memoryview(data)
     pos = 0
-    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+    n = len(data)
+    CHUNK = 1 << 18
+    while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
+        mpos = pos
         try:
-            out += d.decompress(data[pos:])
+            while not d.eof and mpos < n:
+                fed = view[mpos : mpos + CHUNK]
+                out += d.decompress(fed)
+                mpos += len(fed)
         except zlib.error:
-            break
+            return bytes(out)  # corrupt member: keep the inflated prefix
         if not d.eof:
             break  # truncated member: keep the prefix
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
-            break
-        pos += consumed
+        pos = mpos - len(d.unused_data)
     return bytes(out)
 
 
@@ -349,8 +359,15 @@ def warc_to_documents(
     downstream prunes mojibake), everything else skipped (images/audio
     belong in the media table, see operators/multimodal). ``doc_id`` is
     ``xxhash64(file, offset)`` — deterministic and join-stable across
-    re-reads of the same crawl."""
-    recs = warc_records(files, path_col=path_col, content_col=content_col)
+    re-reads of the same crawl.
+
+    ONE fused ``mapInPandas`` stage per file (parse -> HTTP peel -> text
+    extract, no intermediate record relation): chaining through
+    :func:`warc_records` Arrow-round-trips every raw payload block
+    between two Python stages — measured 6.1 s vs the fused form on a
+    94 MiB probe where the pure parse CPU is ~0.3 s. Use
+    :func:`warc_records` when the record relation itself is the
+    product."""
     _ship_by_value()
     import pandas as pd
 
@@ -358,37 +375,40 @@ def warc_to_documents(
         for pdf in batches:
             out = {k.name: [] for k in WARC_DOCUMENT_SCHEMA}
             files_, offs = [], []
-            for row in pdf.itertuples(index=False):
-                if row.warc_type != "response":
-                    continue
-                http = parse_http_response(bytes(row.block))
-                status = http["status"]
-                if status is None or not (min_status <= status <= max_status):
-                    continue
-                ctype = http["headers"].get("content-type", "")
-                mime = ctype.split(";")[0].strip().lower()
-                if not mime.startswith("text/"):
-                    continue
-                charset = _charset_of(ctype)
-                try:
-                    raw = http["body"].decode(charset, errors="replace")
-                except LookupError:
-                    raw = http["body"].decode("utf-8", errors="replace")
-                out["doc_id"].append(0)
-                out["url"].append(row.url)
-                out["fetched_at"].append(row.warc_date)
-                out["http_status"].append(status)
-                out["mime"].append(mime)
-                out["text"].append(
-                    html_to_text(raw) if mime == "text/html" else raw
-                )
-                files_.append(row.warc_file)
-                offs.append(row.record_offset)
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                for rec in parse_warc(bytes(content)):
+                    if rec["headers"].get("warc-type") != "response":
+                        continue
+                    http = parse_http_response(rec["block"])
+                    status = http["status"]
+                    if status is None or not (
+                        min_status <= status <= max_status
+                    ):
+                        continue
+                    ctype = http["headers"].get("content-type", "")
+                    mime = ctype.split(";")[0].strip().lower()
+                    if not mime.startswith("text/"):
+                        continue
+                    charset = _charset_of(ctype)
+                    try:
+                        raw = http["body"].decode(charset, errors="replace")
+                    except LookupError:
+                        raw = http["body"].decode("utf-8", errors="replace")
+                    out["doc_id"].append(0)
+                    out["url"].append(rec["headers"].get("warc-target-uri"))
+                    out["fetched_at"].append(rec["headers"].get("warc-date"))
+                    out["http_status"].append(status)
+                    out["mime"].append(mime)
+                    out["text"].append(
+                        html_to_text(raw) if mime == "text/html" else raw
+                    )
+                    files_.append(path)
+                    offs.append(rec["offset"])
             df = pd.DataFrame(out)
             df["__file"], df["__off"] = files_, offs
             yield df
 
-    with_src = recs.mapInPandas(
+    with_src = files.select(path_col, content_col).mapInPandas(
         run,
         T.StructType(
             list(WARC_DOCUMENT_SCHEMA)
