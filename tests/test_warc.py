@@ -216,3 +216,86 @@ class TestWarcSpark:
         stats = text_stats(docs, id_col="doc_id", text_col="text")
         rows = stats.collect()
         assert len(rows) == 2 and all(r.n_tokens > 0 for r in rows)
+
+
+class TestWarcLinks:
+    def _crawl_df(self, spark, tmp_path):
+        def page(links):
+            body = "".join(f'<a href="{u}">x</a>' for u in links)
+            return f"<html><body>{body}</body></html>".encode()
+
+        records = [
+            {
+                "warc_type": "response",
+                "uri": "https://a.example.com/page1",
+                "content_type": "application/http;msgtype=response",
+                "block": _http(
+                    page(
+                        [
+                            "https://b.example.com/x",  # absolute
+                            "/page2",                   # relative -> same host
+                            "#frag",                    # same page (self-loop at host level)
+                            "mailto:x@y.z",             # dropped
+                            "javascript:void(0)",       # dropped
+                            "https://b.example.com/y",  # second edge to b
+                        ]
+                    )
+                ),
+            },
+            {
+                "warc_type": "response",
+                "uri": "https://b.example.com/z",
+                "content_type": "application/http;msgtype=response",
+                "block": _http(page(["https://a.example.com/"])),
+            },
+            {
+                "warc_type": "response",
+                "uri": "https://gone.example.com/",
+                "content_type": "application/http;msgtype=response",
+                "block": _http(page(["https://a.example.com/"]), status=404),
+            },
+        ]
+        p = tmp_path / "links.warc.gz"
+        p.write_bytes(encode_warc(records, gzip_members=True))
+        return spark.read.format("binaryFile").load(str(tmp_path))
+
+    def test_links_and_host_graph(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.warc import (
+            host_link_graph,
+            warc_to_links,
+        )
+
+        files = self._crawl_df(spark, tmp_path)
+        links = warc_to_links(files)
+        got = sorted((r.src_url, r.dst_url) for r in links.collect())
+        assert got == sorted(
+            [
+                ("https://a.example.com/page1", "https://b.example.com/x"),
+                ("https://a.example.com/page1", "https://a.example.com/page2"),
+                ("https://a.example.com/page1", "https://a.example.com/page1"),
+                ("https://a.example.com/page1", "https://b.example.com/y"),
+                ("https://b.example.com/z", "https://a.example.com/"),
+            ]
+        )  # 404 page contributes nothing; mailto/javascript dropped
+        hosts = {
+            (r.src_host, r.dst_host): r.n_links
+            for r in host_link_graph(links).collect()
+        }
+        # same-host edges (relative + fragment) are self-loops: dropped
+        assert hosts == {
+            ("a.example.com", "b.example.com"): 2,
+            ("b.example.com", "a.example.com"): 1,
+        }
+
+    def test_host_graph_feeds_pagerank(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.operators.graph import pagerank
+        from data_etl_with_dbt_spark.sources.warc import (
+            host_link_graph,
+            warc_to_links,
+        )
+
+        hosts = host_link_graph(warc_to_links(self._crawl_df(spark, tmp_path)))
+        ranks = pagerank(hosts, src="src_host", dst="dst_host", num_iter=5)
+        rows = {r[0]: r[1] for r in ranks.collect()}
+        assert set(rows) == {"a.example.com", "b.example.com"}
+        assert abs(sum(rows.values()) - 1.0) < 1e-9  # mass conservation
