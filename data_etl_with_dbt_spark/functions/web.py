@@ -1,0 +1,95 @@
+"""Web/URL expressions — pure Catalyst (JVM-side, codegen-friendly; no
+Python in the hot path), built for the crawl-side operators
+(sources/warc) and the URL-dedup family (suite/llm_ops
+url_dedup_documents keeps the cruder strip-everything form as its
+oracle-verified baseline).
+
+``canonicalize_url`` is the first-pass dedup key real pipelines use: the
+same page fetched as ``http://Example.com:80/a/?utm_source=x&b=2&a=1#s``
+and ``http://example.com/a?a=1&b=2`` must collapse. Everything is
+string/array expressions — ``parse_url`` + higher-order filters — so the
+canonicalization runs inside whole-stage codegen next to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: query parameters that never change page content — the strip list every
+#: crawl pipeline carries (analytics/click attribution)
+TRACKING_PARAMS_PATTERN = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src"
+    r"|spm|yclid|_ga|s_cid|vero_id|wickedid|oly_enc_id|oly_anon_id)="
+)
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an http(s) URL, as one Catalyst expression:
+
+    * scheme and host lowercased; explicit default ports dropped
+      (``:80`` for http, ``:443`` for https)
+    * fragment dropped (never names a distinct resource)
+    * tracking query parameters dropped (:data:`TRACKING_PARAMS_PATTERN`);
+      the survivors SORTED so parameter order stops mattering; empty
+      query drops its ``?``
+    * trailing slash normalized off the path (bare host keeps no slash:
+      ``https://a.com/`` == ``https://a.com``)
+
+    Non-URL strings (no ``://``) pass through lowercased-scheme-less —
+    garbage in, stable garbage out; the dedup key stays deterministic.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    authority = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
+    # strip userinfo if present, then the scheme's default port
+    host_port = F.regexp_replace(authority, r"^[^@]*@", "")
+    host_port = F.when(
+        scheme == "http", F.regexp_replace(host_port, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host_port, r":443$", "")
+    ).otherwise(host_port)
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    # trailing slash off ('/a/' == '/a'); the bare-root path '/' drops too
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS_PATTERN),
+        )
+    )
+    # reference the sorted-filter subtree ONCE: higher-order functions are
+    # interpreted with no common-subexpression elimination, so a CASE that
+    # tests qs and then concats qs would evaluate the sort twice per row.
+    # concat('?', qs) collapsed back to '' when the query was empty does
+    # the conditional with a single evaluation.
+    qs = F.regexp_replace(
+        F.concat(F.lit("?"), F.array_join(kept, "&")), r"^\?$", ""
+    )
+    canon = F.concat(scheme, F.lit("://"), host_port, path, qs)
+    # the passthrough guard re-derives host presence from parse_url(HOST)
+    # instead of repeating the host_port regexp chain
+    return F.when(
+        scheme.isNull() | F.parse_url(u, F.lit("HOST")).isNull(), u
+    ).otherwise(canon)
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of a URL (``parse_url`` JVM-side) — the grouping
+    key for domain quotas, host link graphs, and per-site stats."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.parse_url(u, F.lit("HOST")))
+
+
+def url_registered_domain(url: Column | str, levels: int = 2) -> Column:
+    """Last ``levels`` host labels (``example.co.uk`` needs levels=3 for
+    ccTLD registries — a full public-suffix list is a data file, not an
+    expression; two levels is the common-crawl-style default). Grouping
+    key one notch coarser than :func:`url_host`."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(n <= levels, host).otherwise(
+        F.array_join(F.slice(parts, n - levels + 1, levels), ".")
+    )

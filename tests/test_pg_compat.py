@@ -95,3 +95,66 @@ def test_non_ansi_cast_nulls_malformed_input(spark):
     assert row.a == 12
     assert row.b is None
     assert row.c is None
+
+
+class TestWebFunctions:
+    """functions/web: canonical URL dedup keys — pure Catalyst (no Python
+    eval in the plan, asserted), adversarial crawl URLs."""
+
+    def test_canonicalize_url(self, spark):
+        from data_etl_with_dbt_spark.functions.web import canonicalize_url
+
+        cases = [
+            # tracking params drop, survivors sort, default port + case
+            ("http://Example.com:80/a/?utm_source=x&b=2&a=1#s",
+             "http://example.com/a?a=1&b=2"),
+            ("http://example.com/a?a=1&b=2", "http://example.com/a?a=1&b=2"),
+            # https default port, trailing slash, fragment
+            ("https://A.com:443/", "https://a.com"),
+            ("https://a.com", "https://a.com"),
+            ("https://a.com/p/#x", "https://a.com/p"),
+            # all-tracking query drops its '?'
+            ("https://a.com/p?utm_campaign=c&fbclid=z", "https://a.com/p"),
+            # non-default port kept; userinfo stripped
+            ("http://u:pw@a.com:8080/x", "http://a.com:8080/x"),
+            # non-URL garbage passes through unchanged
+            ("not a url", "not a url"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+        assert got == [want for _, want in cases]
+
+    def test_host_and_registered_domain(self, spark):
+        from data_etl_with_dbt_spark.functions.web import (
+            url_host,
+            url_registered_domain,
+        )
+
+        df = spark.createDataFrame(
+            [("https://Sub.News.Example.COM/x?q=1",), ("https://a.com/",)],
+            "url string",
+        )
+        out = df.select(
+            url_host("url").alias("h"),
+            url_registered_domain("url").alias("d"),
+            url_registered_domain("url", levels=3).alias("d3"),
+        ).collect()
+        assert (out[0].h, out[0].d, out[0].d3) == (
+            "sub.news.example.com", "example.com", "news.example.com",
+        )
+        assert (out[1].h, out[1].d) == ("a.com", "a.com")
+
+    def test_stays_jvm_side(self, spark):
+        from data_etl_with_dbt_spark.functions.web import canonicalize_url
+        from data_etl_with_dbt_spark.plans import lint
+
+        df = spark.range(10).select(
+            canonicalize_url(
+                F.concat(F.lit("https://h.com/p?utm_a=1&k="), F.col("id"))
+            ).alias("c")
+        )
+        assert not any(
+            f.code == "python-eval" for f in lint.lint_plan(df)
+        )
+        got = {r.c for r in df.collect()}
+        assert "https://h.com/p?k=3" in got
