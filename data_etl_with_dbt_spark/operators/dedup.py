@@ -22,10 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _tokens(text_col: Column) -> Column:
-    """Whitespace tokenization of lowercased text (empty-safe)."""
-    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+# ONE tokenizer for the whole engine: cross-engine hash parity depends on
+# dedup spans/shingles tokenizing exactly like textan's stats — a local
+# copy here drifted-by-one-edit would silently break the oracle invariant
+# (round-5 review consolidated the former verbatim duplicate).
+from data_etl_with_dbt_spark.operators.textan import tokens_expr as _tokens
 
 
 def _shingles(tokens: Column, n: int) -> Column:
@@ -232,6 +233,15 @@ def incremental_minhash_dedup(
     with :func:`minhash_signatures` / returned by this function; typically a
     persisted table — if computed inline, persist it: it is banded AND joined
     for scoring, two consumers). Ids must be unique across index and batch.
+
+    CONTRACT: the index and the batch must use the SAME signature recipe —
+    ``signature_impl`` (the jvm xxhash64 and arrow crc32 families produce
+    incomparable values), ``num_hashes``, and ``shingle``. A mismatch does
+    not error here (signatures are just long arrays): the band join finds
+    ~nothing and every cross-batch duplicate silently survives. The
+    path-owning sink (``streaming/intake.minhash_intake_sink``) persists a
+    sidecar recipe marker and fails loudly on divergence; callers managing
+    their own store should do the same.
 
     Verdict per new document, keep-first semantics:
     ``dup_of`` = the best duplicate among index docs and SMALLER-ID batch
@@ -561,7 +571,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     accumulator (same rationale as :func:`minhash_signatures`: per-bit
     aggregate expressions would re-tokenize per bit — higher-order functions
     are interpreted with no CSE). ``h`` in the fold is a bound variable, so
-    testing ``bits`` mask bits against it is cheap."""
+    testing ``bits`` mask bits against it is cheap.
+
+    ``bits`` is capped at 63: bit 63's mask literal (1 << 63) overflows
+    LongType at plan-build time, and a sign-bit fingerprint would break the
+    unsigned band shifts downstream."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"simhash bits must be in [1, 63], got {bits}")
     hashes = F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     votes = F.aggregate(
         hashes,
@@ -597,8 +613,18 @@ def hamming_near_pairs(
     band the fingerprint into ``max_hamming + 1`` chunks (pigeonhole: any
     pair within the Hamming radius shares at least one exact chunk),
     bucket-join on chunks, verify exact Hamming distance with
-    ``bit_count(xor)``. Work ∝ bucket co-occurrence — never all-pairs."""
+    ``bit_count(xor)``. Work ∝ bucket co-occurrence — never all-pairs.
+
+    Requires ``max_hamming + 1 <= bits``: more bands than bits gives
+    zero-width chunks, every chunk collapses to 0, and the "band join"
+    silently becomes the all-pairs cross join banding exists to prevent —
+    raise instead (round-5 review)."""
     nbands = max_hamming + 1
+    if nbands > bits:
+        raise ValueError(
+            f"max_hamming + 1 = {nbands} bands need width >= 1 over {bits} "
+            "bits — lower max_hamming or widen the fingerprint"
+        )
     width = bits // nbands
     banded = fps.select(
         id_col,
@@ -768,6 +794,59 @@ def benchmark_contamination(
     )
 
 
+def _span_stream(
+    docs: DataFrame, id_col: str, text_col: str, span_tokens: int
+) -> DataFrame:
+    """Consecutive ``span_tokens``-token spans of every document:
+    ``(id_col, __pos, __span)``; zero-token docs contribute nothing. The
+    shared front end of :func:`span_dedup` / :func:`ngram_df_prune` /
+    :func:`incremental_ngram_df_prune` — ONE copy, because the incremental
+    path's output is documented to match the batch path and a drifted span
+    boundary would silently break that (round-5 review deduplicated three
+    verbatim copies)."""
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(span_tokens)
+    )
+    span = F.array_join(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens), " ")
+    return (
+        docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+        .select(id_col, F.explode(starts).alias("__s"), "__t")
+        .where(F.size(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens)) > 0)
+        .select(
+            id_col,
+            (F.col("__s") / span_tokens).cast("bigint").alias("__pos"),
+            span.alias("__span"),
+        )
+    )
+
+
+def _pruned_doc_stats(marked: DataFrame, id_col: str) -> DataFrame:
+    """Per-document rollup of a ``__bp``-marked span stream (the shared
+    back end of the batch and incremental prune paths): span counts, drop
+    fraction, and the md5 of the document reassembled from surviving spans
+    in position order."""
+    kept_struct = F.when(
+        F.col("__bp").isNull(), F.struct(F.col("__pos"), F.col("__span"))
+    )
+    n_spans = F.count(F.lit(1)).cast("bigint")
+    n_dropped = F.sum(F.col("__bp").isNotNull().cast("bigint")).cast("bigint")
+    return marked.groupBy(id_col).agg(
+        n_spans.alias("n_spans"),
+        n_dropped.alias("n_spans_dropped"),
+        (n_dropped.cast("double") / n_spans.cast("double")).alias(
+            "boilerplate_frac"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["__span"]
+                ),
+                " ",
+            )
+        ).alias("kept_hash"),
+    )
+
+
 def span_dedup(
     docs: DataFrame,
     id_col: str,
@@ -792,22 +871,7 @@ def span_dedup(
     (each token lands in exactly one span), so the shuffle volume is ~1x
     corpus size — same posture as exact doc dedup, finer granularity.
     """
-    from data_etl_with_dbt_spark.operators.textan import tokens_expr
-
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(span_tokens)
-    )
-    span = F.array_join(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens), " ")
-    spans = (
-        docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__t"))
-        .select(id_col, F.explode(starts).alias("__s"), "__t")
-        .where(F.size(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens)) > 0)
-        .select(
-            id_col,
-            (F.col("__s") / span_tokens).cast("bigint").alias("__pos"),
-            span.alias("__span"),
-        )
-    )
+    spans = _span_stream(docs, id_col, text_col, span_tokens)
     w = Window.partitionBy("__span").orderBy(id_col, "__pos")
     ranked = spans.withColumn("__rn", F.row_number().over(w))
     kept_struct = F.when(
@@ -859,20 +923,7 @@ def ngram_df_prune(
     Span explosion multiplies rows, not bytes (each token lands in exactly
     one span), same as ``span_dedup``.
     """
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(span_tokens)
-    )
-    span = F.array_join(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens), " ")
-    spans = (
-        docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
-        .select(id_col, F.explode(starts).alias("__s"), "__t")
-        .where(F.size(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens)) > 0)
-        .select(
-            id_col,
-            (F.col("__s") / span_tokens).cast("bigint").alias("__pos"),
-            span.alias("__span"),
-        )
-    )
+    spans = _span_stream(docs, id_col, text_col, span_tokens)
     bp = (
         spans.groupBy("__span")
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
@@ -881,26 +932,7 @@ def ngram_df_prune(
     )
     dict_side = F.broadcast(bp) if broadcast_dict else bp
     marked = spans.join(dict_side, "__span", "left")
-    kept_struct = F.when(
-        F.col("__bp").isNull(), F.struct(F.col("__pos"), F.col("__span"))
-    )
-    n_spans = F.count(F.lit(1)).cast("bigint")
-    n_dropped = F.sum(F.col("__bp").isNotNull().cast("bigint")).cast("bigint")
-    return marked.groupBy(id_col).agg(
-        n_spans.alias("n_spans"),
-        n_dropped.alias("n_spans_dropped"),
-        (n_dropped.cast("double") / n_spans.cast("double")).alias(
-            "boilerplate_frac"
-        ),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["__span"]
-                ),
-                " ",
-            )
-        ).alias("kept_hash"),
-    )
+    return _pruned_doc_stats(marked, id_col)
 
 
 def incremental_ngram_df_prune(
@@ -938,20 +970,7 @@ def incremental_ngram_df_prune(
     from this batch must still checkpoint BEFORE the write (the
     read-then-overwrite lineage trap, see ``streaming/intake.py``).
     """
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(span_tokens)
-    )
-    span = F.array_join(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens), " ")
-    spans = (
-        new_docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
-        .select(id_col, F.explode(starts).alias("__s"), "__t")
-        .where(F.size(F.slice(F.col("__t"), F.col("__s") + 1, span_tokens)) > 0)
-        .select(
-            id_col,
-            (F.col("__s") / span_tokens).cast("bigint").alias("__pos"),
-            span.alias("__span"),
-        )
-    )
+    spans = _span_stream(new_docs, id_col, text_col, span_tokens)
     batch_df = spans.groupBy("__span").agg(
         F.count_distinct(F.col(id_col)).cast("bigint").alias("df")
     )
@@ -967,26 +986,7 @@ def incremental_ngram_df_prune(
     )
     dict_side = F.broadcast(bp) if broadcast_dict else bp
     marked = spans.join(dict_side, "__span", "left")
-    kept_struct = F.when(
-        F.col("__bp").isNull(), F.struct(F.col("__pos"), F.col("__span"))
-    )
-    n_spans = F.count(F.lit(1)).cast("bigint")
-    n_dropped = F.sum(F.col("__bp").isNotNull().cast("bigint")).cast("bigint")
-    pruned = marked.groupBy(id_col).agg(
-        n_spans.alias("n_spans"),
-        n_dropped.alias("n_spans_dropped"),
-        (n_dropped.cast("double") / n_spans.cast("double")).alias(
-            "boilerplate_frac"
-        ),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["__span"]
-                ),
-                " ",
-            )
-        ).alias("kept_hash"),
-    )
+    pruned = _pruned_doc_stats(marked, id_col)
     return pruned, updated.select(F.col("__span").alias("span"), "df")
 
 

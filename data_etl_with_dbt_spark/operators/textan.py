@@ -35,11 +35,22 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stopword presence (ratio clamped to [0, 0.4] / 0.4). The exact recipe is
     a standard heuristic-filter shape; each signal is exposed so callers can
     re-weight.
+
+    The token array materializes into a ``__t`` column FIRST (the
+    gopher_quality_flags pattern, SPARK-36718 keeps the non-cheap alias
+    from re-inlining): interpreted higher-order expressions get no CSE, so
+    embedding the tokenize in each of the six stats would re-split every
+    row that many times.
     """
-    toks = tokens_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__chars"),
+        tokens_expr(F.col(text_col)).alias("__t"),
+    )
+    toks = F.col("__t")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    n_chars = F.length(F.col(text_col))
+    n_chars = F.col("__chars")
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in QUALITY_STOPWORDS]))
     )
@@ -53,7 +64,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
         / n_tokens,
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -68,24 +79,41 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def lang_id_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-hit language ID: score per language = fraction of tokens in
     that language's stopword list; predicted = argmax (ties broken by
-    language code order, deterministic)."""
-    toks = tokens_expr(F.col(text_col))
+    language code order, deterministic). A document with ZERO evidence —
+    no tokens, or no stopword hit in any language — predicts ``'und'``
+    (ISO 639 undetermined) instead of whichever code sorts first: "no
+    signal" must be distinguishable from a real argmax, and the prediction
+    must not silently change if a new language joins LANG_STOPWORDS.
+
+    Token array materialized once into ``__t`` then each per-language
+    filter and the argmax fold run over the column (interpreted HOFs get
+    no CSE; the per-language score columns themselves are cheap column
+    refs after two staged selects)."""
+    base = df.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__t"))
+    toks = F.col("__t")
     n_tokens = F.greatest(F.size(toks), F.lit(1))
-    scores = {
+    score_exprs = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in words])))
         / n_tokens
         for lang, words in LANG_STOPWORDS.items()
     }
-    # argmax with deterministic tie-break: fold over sorted language codes.
-    langs = sorted(scores)
+    langs = sorted(score_exprs)
+    scored = base.select(
+        F.col(id_col),
+        *[score_exprs[lang].alias(f"score_{lang}") for lang in langs],
+    )
+    # argmax with deterministic tie-break: fold over sorted language codes
+    # of the now-materialized score COLUMNS (each filter ran once above).
+    scores = {lang: F.col(f"score_{lang}") for lang in langs}
     pred = F.lit(langs[0])
     best = scores[langs[0]]
     for lang in langs[1:]:
         pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
         best = F.greatest(best, scores[lang])
-    return df.select(
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(
         F.col(id_col),
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        *[scores[lang] for lang in langs],
         pred.alias("predicted_lang"),
     )
 
@@ -174,15 +202,43 @@ def bm25_scores(
         ]
     )
     toks = _alpha_terms(df, id_col, text_col, spread_partitions)
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    corpus = dl.agg(
+    # ONE corpus pass: doc length AND per-query-term tf as conditional
+    # counts in the same id-keyed agg (the explode used to feed dl and tf
+    # as separate consumers, and Catalyst does not CSE a shared subtree —
+    # the corpus-sized stage ran 3x; round-5 review). per_doc is doc-count
+    # rows x (2 + |query|) columns; the eager checkpoint cuts the lineage
+    # so its three consumers (corpus stats, tf unpivot, dfreq) read the
+    # materialized rows instead of re-exploding the corpus.
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).cast("bigint").alias(f"__tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    per_doc = per_doc.localCheckpoint(eager=True)
+    corpus = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
     )
     tf = (
-        toks.where(F.col("term").isin(*query_terms))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        per_doc.select(
+            id_col,
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"__tf_{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(query_terms)
+                    ]
+                )
+            ).alias("__s"),
+        )
+        .select(id_col, "dl", F.col("__s.term").alias("term"), F.col("__s.tf").alias("tf"))
+        .where(F.col("tf") > 0)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     nd = F.col("n_docs").cast("double")
@@ -195,7 +251,6 @@ def bm25_scores(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
         .select(
             id_col,
@@ -347,25 +402,38 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.array_distinct("t")).alias("n_distinct"),
     )
     # Non-distinct bigrams: slice(i, 2) over 0..max(L-2, 0); a 1-token doc
-    # degenerates to its single token (mirrored in the suite oracle).
+    # degenerates to its single token (mirrored in the suite oracle). A
+    # ZERO-token doc contributes NO bigram rows — without the filter the
+    # degenerate index [0] fabricated an empty-string "bigram" and the doc
+    # reported top_bigram_share=1.0 with NULL dup_token_frac (round-5
+    # review); it now reports all-zero stats through the left join.
     idx = F.sequence(F.lit(0), F.greatest(F.size("t") - 2, F.lit(0)))
     bigrams = F.transform(idx, lambda i: F.array_join(F.slice(F.col("t"), i + 1, 2), " "))
-    bg = base.select(F.col(id_col), F.explode(bigrams).alias("g"))
+    bg = base.where(F.size("t") > 0).select(
+        F.col(id_col), F.explode(bigrams).alias("g")
+    )
     per_doc = (
         bg.groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
         .agg(F.max("c").alias("top_bigram_cnt"), F.sum("c").alias("n_bigrams"))
     )
-    dup_frac = F.lit(1.0) - (
-        F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
-    )
-    top_share = F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams").cast("double")
-    return tok_stats.join(per_doc, id_col).select(
+    dup_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.lit(1.0)
+        - (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")),
+    ).otherwise(F.lit(0.0))
+    top_share = F.when(
+        F.col("n_bigrams").isNotNull(),
+        F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return tok_stats.join(per_doc, id_col, "left").select(
         F.col(id_col),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         dup_frac.alias("dup_token_frac"),
-        F.col("top_bigram_cnt").cast("bigint").alias("top_bigram_cnt"),
+        F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
+        .cast("bigint")
+        .alias("top_bigram_cnt"),
         top_share.alias("top_bigram_share"),
     )
 
@@ -386,13 +454,16 @@ def bpe_pair_counts(
 
     Plan shape: explode tokens → hash-agg word counts (the only
     corpus-sized shuffle) → per-word position explode (``sequence(1,
-    len-1)``, guarded by ``min_word_len`` so the sequence is never
+    len-1)`` over words of length ≥ 2, so the sequence is never
     descending) → hash-agg pair counts. All integer arithmetic — exact
-    cross-engine.
+    cross-engine. Words shorter than 2 characters carry no adjacent pair
+    regardless of ``min_word_len`` — without the floor, a 1-char word's
+    ``sequence(1, 0)`` is the DESCENDING array [1, 0] and the word gets
+    double-counted as a bogus single-symbol "pair" (round-5 review).
     """
     words = df.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    positions = wc.where(F.length("word") >= min_word_len).select(
+    positions = wc.where(F.length("word") >= max(2, min_word_len)).select(
         "word",
         "c",
         F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
@@ -959,11 +1030,14 @@ def bpe_encode(
     are embarrassingly parallel, and no stage's work grows with corpus
     size except the final stitched projection. The symbol→id map rides in
     as a 1-row ``map_from_entries`` frame (vocabulary-sized metadata,
-    broadcast)."""
+    broadcast). ``stream`` feeds both the distinct-word derivation and the
+    final join; the eager checkpoint keeps the tokenize+posexplode at ONE
+    corpus scan (no cross-consumer CSE in Catalyst — round-5 review)."""
     stream = df.select(
         F.col(id_col),
         F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "word"),
     ).where(F.length("word") >= min_word_len)
+    stream = stream.localCheckpoint(eager=True)
     words = stream.select("word").distinct()
     segmented = bpe_segment(words, "word", merges)
     vocab = bpe_vocab(segmented)
@@ -1243,8 +1317,10 @@ def unigram_encode(
 ) -> DataFrame:
     """Encode a corpus under a trained unigram model — the deployment half
     of :func:`train_unigram_lm`, mirroring :func:`bpe_encode`'s shape: one
-    tokenize+posexplode corpus scan, Viterbi on the DISTINCT word table,
-    ids stitched back by a broadcast join. Output:
+    tokenize+posexplode corpus scan (eagerly checkpointed — the stream
+    feeds both the distinct-word derivation and the final join, and
+    Catalyst does not CSE across consumers), Viterbi on the DISTINCT word
+    table, ids stitched back by a broadcast join. Output:
     ``(id_col, pos, word, ids: array<long>, logprob: double)``."""
     max_len = max(len(m["piece"]) for m in model)
     logp = {m["piece"]: m["logprob"] for m in model}
@@ -1253,6 +1329,7 @@ def unigram_encode(
         F.col(id_col),
         F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "word"),
     ).where(F.length("word") >= min_word_len)
+    stream = stream.localCheckpoint(eager=True)
     segmented = unigram_segment(stream.select("word").distinct(), logp, max_len)
     # piece→id as a 1-row map_from_entries frame (bpe_encode's convention):
     # a map LITERAL of a 32k-piece vocab would be a 64k-argument expression

@@ -224,10 +224,46 @@ def minhash_intake_sink(
     batch BEFORE dedup — streaming model inference, one JVM transform per
     micro-batch; junk never gets shingled, never pollutes the signature
     index, and optionally lands in ``reject_ledger_path`` with its score.
+
+    Signature-compatibility guard: the persisted index is only meaningful
+    under the EXACT signature recipe that built it — ``signature_impl``
+    (jvm xxhash64 vs arrow crc32 families produce incomparable values),
+    ``num_hashes``, and ``shingle``. A sidecar marker at
+    ``index_path + "__sig"`` records the recipe on the first batch; a
+    later sink configured differently fails loudly instead of silently
+    finding zero cross-batch duplicates and polluting the store with
+    incomparable signatures (round-5 review).
     """
+    sig_marker_path = index_path.rstrip("/") + "__sig"
+    _SIG_SCHEMA = T.StructType(
+        [
+            T.StructField("signature_impl", T.StringType()),
+            T.StructField("num_hashes", T.LongType()),
+            T.StructField("shingle", T.LongType()),
+        ]
+    )
+
+    def _check_signature_recipe(spark) -> None:
+        marker = _parquet_or_none(spark, sig_marker_path, _SIG_SCHEMA)
+        if marker is None:
+            spark.createDataFrame(
+                [(signature_impl, int(num_hashes), int(shingle))], _SIG_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(sig_marker_path)
+            return
+        row = marker.first()
+        got = (row["signature_impl"], int(row["num_hashes"]), int(row["shingle"]))
+        want = (signature_impl, int(num_hashes), int(shingle))
+        if got != want:
+            raise ValueError(
+                f"signature index at {index_path} was built with "
+                f"(impl, num_hashes, shingle)={got} but this sink is "
+                f"configured with {want} — signatures are incomparable "
+                "across recipes; rebuild the index or match the config"
+            )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        _check_signature_recipe(spark)
         scored = None
         if quality_model is not None:
             from ..ml.quality import score_quality

@@ -83,12 +83,15 @@ WITH toks AS (
     FROM documents
 ),
 bg AS (
+    -- zero-token docs contribute no bigram rows (mirrors the Spark-side
+    -- size > 0 filter; they surface via the LEFT JOIN with zeroed stats)
     SELECT doc_id,
            unnest(list_transform(
                range(1, greatest(len(t) - 1, 1) + 1),
                i -> array_to_string(t[i:i+1], ' ')
            )) AS g
     FROM toks
+    WHERE len(t) > 0
 ),
 per_bigram AS (
     SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
@@ -103,12 +106,14 @@ tok_stats AS (
 )
 SELECT s.doc_id,
        CAST(s.n_tokens AS BIGINT) AS n_tokens,
-       1.0 - (CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
-           AS dup_token_frac,
-       CAST(p.top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
-       CAST(p.top_bigram_cnt AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
-           AS top_bigram_share
-FROM tok_stats s JOIN per_doc p ON s.doc_id = p.doc_id
+       CASE WHEN s.n_tokens > 0
+            THEN 1.0 - (CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
+            ELSE 0.0 END AS dup_token_frac,
+       CAST(COALESCE(p.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+       CASE WHEN p.n_bigrams IS NOT NULL
+            THEN CAST(p.top_bigram_cnt AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_share
+FROM tok_stats s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
 """
 
 

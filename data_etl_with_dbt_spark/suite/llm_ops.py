@@ -328,12 +328,14 @@ def _lang_oracle() -> str:
             _LANG_ORACLE_SCORE.format(words=words) + f" AS score_{lang}"
         )
     # argmax with first-wins tie-break over sorted language codes, matching
-    # the Spark fold in textan.lang_id_scores.
+    # the Spark fold in textan.lang_id_scores; zero evidence anywhere
+    # predicts 'und' (mirrors the Spark-side best > 0 guard).
     pred = f"'{langs[0]}'"
     best = f"score_{langs[0]}"
     for lang in langs[1:]:
         pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
         best = f"greatest({best}, score_{lang})"
+    pred = f"CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END"
     return f"""
     WITH t AS (
         SELECT doc_id,

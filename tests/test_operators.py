@@ -4188,3 +4188,80 @@ class TestAviMjpeg:
         for r in capped:
             by_id_c.setdefault(r.media_id, []).append(r.frame_idx)
         assert by_id_c == {1: [0], 2: [0]}
+
+
+class TestRound5ReviewFixes:
+    """Regression pins for the round-5 high-effort review of textan/dedup."""
+
+    def test_bpe_pair_counts_no_single_char_fabrication(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import bpe_pair_counts
+
+        df = spark.createDataFrame([("a a a bb",)], "text string")
+        pairs = {r.pair: r.cnt for r in bpe_pair_counts(df, "text", min_word_len=1).collect()}
+        # 1-char words carry no adjacent pair; only 'bb' contributes
+        assert pairs == {"bb": 1}
+
+    def test_repetition_stats_zero_token_doc(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "x y x y")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+        for did in (1, 2):  # empty/whitespace: all-zero stats, no fabricated bigram
+            r = rows[did]
+            assert (r.n_tokens, r.top_bigram_cnt) == (0, 0)
+            assert r.dup_token_frac == 0.0 and r.top_bigram_share == 0.0
+        assert rows[3].n_tokens == 4 and rows[3].top_bigram_cnt == 2
+
+    def test_lang_id_no_evidence_predicts_und(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import lang_id_scores
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "zzz qqq xxx"), (3, "the of and to")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r.predicted_lang for r in lang_id_scores(df, "doc_id", "text").collect()}
+        assert rows[1] == "und" and rows[2] == "und"
+        assert rows[3] == "en"
+
+    def test_simhash_and_hamming_parameter_validation(self, spark):
+        import pytest as _pytest
+
+        from data_etl_with_dbt_spark.operators.dedup import (
+            hamming_near_pairs,
+            simhash,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        with _pytest.raises(ValueError, match=r"\[1, 63\]"):
+            simhash(df, "id", "text", bits=64)
+        fps = spark.createDataFrame([(1, 5), (2, 5)], "id long, fp long")
+        with _pytest.raises(ValueError, match="bands need width"):
+            hamming_near_pairs(fps, "id", "fp", bits=8, max_hamming=8)
+
+    def test_intake_signature_recipe_guard(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from data_etl_with_dbt_spark.streaming.intake import minhash_intake_sink
+
+        index = str(tmp_path / "sig_index")
+        corpus = str(tmp_path / "sig_corpus")
+        batch = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        sink = minhash_intake_sink(index, corpus, "doc_id", "text",
+                                   signature_impl="jvm", num_hashes=16)
+        sink(batch, batch_id=0)
+        # same recipe: fine
+        minhash_intake_sink(index, corpus, "doc_id", "text",
+                            signature_impl="jvm", num_hashes=16)(
+            batch.withColumn("doc_id", F.col("doc_id") + 1), batch_id=1
+        )
+        # different impl or k: loud failure before any signatures mix
+        for kwargs in ({"signature_impl": "arrow", "num_hashes": 16},
+                       {"signature_impl": "jvm", "num_hashes": 32}):
+            bad = minhash_intake_sink(index, corpus, "doc_id", "text", **kwargs)
+            with _pytest.raises(ValueError, match="incomparable across recipes"):
+                bad(batch.withColumn("doc_id", F.col("doc_id") + 9), batch_id=2)
