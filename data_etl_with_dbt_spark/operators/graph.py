@@ -108,10 +108,27 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     edge list by node and, for skewed degree distributions, split
     high-degree nodes first (the count is unaffected: wedges through a hub
     are enumerated from the hub's sorted adjacency)."""
-    e = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("u"),
-        F.greatest(F.col(src), F.col(dst)).alias("v"),
-    ).where(F.col("u") != F.col("v")).distinct()
+    e = _canonical_edges(edges, src, dst)
+    return _triangle_counts_canonical(e)
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Low→high oriented, self-loop-free, deduped edge list ``(u, v)``."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _triangle_counts_canonical(e: DataFrame) -> DataFrame:
+    """Triangle enumeration over an ALREADY-canonical edge list — shared
+    with clustering_coefficients, which canonicalizes once for both its
+    degree count and this (re-canonicalizing a canonical list paid a
+    redundant full distinct-exchange; round-5 review)."""
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -132,11 +149,9 @@ def clustering_coefficients(
     the classic cohesion diagnostic for a similarity/dedup candidate graph
     (high C = dense near-dup cliques, low C = hub-and-spoke false-positive
     buckets). Degree from the deduped undirected edge list; triangles from
-    :func:`triangle_counts`; isolated-or-degree-1 nodes pin to 0.0."""
-    e = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("u"),
-        F.greatest(F.col(src), F.col(dst)).alias("v"),
-    ).where(F.col("u") != F.col("v")).distinct()
+    the shared canonical-edge enumeration; isolated-or-degree-1 nodes pin
+    to 0.0."""
+    e = _canonical_edges(edges, src, dst)
     # e feeds both the degree count and the triangle enumeration — cut the
     # lineage once (no cross-consumer CSE in Catalyst)
     e = e.localCheckpoint(eager=False)
@@ -146,7 +161,7 @@ def clustering_coefficients(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_counts(e, "u", "v")
+    tri = _triangle_counts_canonical(e)
     coeff = F.when(
         F.col("degree") < 2, F.lit(0.0).cast("double")
     ).otherwise(

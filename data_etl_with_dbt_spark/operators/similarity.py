@@ -98,12 +98,15 @@ def brute_force_topk_arrow(
     q_rows = queries.select(query_id_col, vec_col).collect()  # few probe vectors
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = q_mat / np.where(qn == 0, 1.0, qn)  # zero-norm probe: all-zero row
 
+    # id types derive from the inputs (the exact_cosine_pairs convention) —
+    # hardcoded LongType broke string/int ids that the JVM path accepts
     out_schema = T.StructType(
         [
-            T.StructField(query_id_col, T.LongType()),
-            T.StructField(id_col, T.LongType()),
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
@@ -113,7 +116,13 @@ def brute_force_topk_arrow(
             if not len(pdf):
                 continue
             mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # zero-norm corpus vectors score 0, never NaN: Spark sorts NaN
+            # ABOVE every double, so one NaN row would displace a real
+            # neighbor in the global window (the JVM path's 0/0 gives NULL,
+            # which sorts last — 0.0 keeps the two exact paths aligned for
+            # every nonzero neighbor)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0, 1.0, norms)
             sims = mat @ q_norm.T  # (batch, n_queries)
             ids = pdf[id_col].to_numpy()
             frames = []
@@ -385,6 +394,15 @@ def ivf_index(
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="__vec", predictionCol="__cell"
     ).fit(feat)
+    # strip the training summary: it pins the training DataFrame + session
+    # inside the model, which breaks RDD-serializing ops once any
+    # df.observe has run (the ml/quality.train_quality_classifier trap)
+    jobj = getattr(model, "_java_obj", None)
+    if jobj is not None and getattr(model, "hasSummary", False):
+        try:
+            jobj.setSummary(corpus.sparkSession._jvm.scala.Option.empty())
+        except Exception:
+            pass  # summary retention is cosmetic; never fail the fit
     assigned = model.transform(feat).drop("__vec")
     return model, assigned
 
@@ -419,7 +437,16 @@ def ivf_topk(
         for cell in np.argsort(d, kind="stable")[:n_probe]:
             probe_rows.append((r[0], list(r[1]), int(cell)))
     probes = spark.createDataFrame(
-        probe_rows, f"{query_id_col} long, __qvec array<float>, __cell int"
+        probe_rows,
+        T.StructType(
+            [
+                # id type derives from the queries frame — a hardcoded
+                # 'long' broke string/int ids the JVM paths accept
+                T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+                T.StructField("__qvec", T.ArrayType(T.FloatType())),
+                T.StructField("__cell", T.IntegerType()),
+            ]
+        ),
     )
 
     scored = assigned.join(F.broadcast(probes), "__cell").select(
@@ -460,6 +487,13 @@ def pq_train(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"embedding dim {dim} is not divisible by m={m} sub-blocks — "
+            "the trailing dims would be silently excluded from codebooks, "
+            "codes, AND query distance tables (recall loss with no error); "
+            "pick m dividing the dim or pad the vectors"
+        )
     d_sub = dim // m
     if train_limit:
         # codebooks converge on a bounded sample — training cost must not
@@ -586,7 +620,16 @@ def pq_topk(
             for c, dist in enumerate(d2):
                 table_rows.append((r[0], b, int(c), float(dist)))
     tables = spark.createDataFrame(
-        table_rows, f"{query_id_col} long, block int, code int, partial double"
+        table_rows,
+        T.StructType(
+            [
+                # id type derives from the queries frame (ivf_topk pattern)
+                T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+                T.StructField("block", T.IntegerType()),
+                T.StructField("code", T.IntegerType()),
+                T.StructField("partial", T.DoubleType()),
+            ]
+        ),
     )
 
     codes = pq_encode(corpus, codebooks, id_col, vec_col)

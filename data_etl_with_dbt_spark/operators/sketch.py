@@ -132,7 +132,21 @@ def bloom_decontaminate(
     """Membership filter against a large reference relation: keep only rows
     whose key DEFINITELY does not appear in the reference (bloom "no" is
     exact; bloom "maybe" drops the row — for decontamination a false
-    positive only costs a clean doc, never leaks a contaminated one)."""
+    positive only costs a clean doc, never leaks a contaminated one).
+
+    The two key columns must share one Spark type: ``xxhash64`` hashes
+    TYPED values, so a BIGINT reference probed with the same keys as
+    STRING would silently never match — a false NEGATIVE, the one failure
+    the operator promises can't happen. Raise instead (round-5 review)."""
+    doc_t = docs.schema[doc_key_col].dataType
+    ref_t = reference_keys.schema[ref_key_col].dataType
+    if doc_t != ref_t:
+        raise ValueError(
+            f"bloom_decontaminate: {doc_key_col} is {doc_t.simpleString()} "
+            f"but {ref_key_col} is {ref_t.simpleString()} — xxhash64 hashes "
+            "typed values, so mismatched types silently produce false "
+            "negatives; cast both sides to one type first"
+        )
     m, k = bloom_parameters(expected_keys, fpp)
     bloom = bloom_build(reference_keys, ref_key_col, m, k)
     probed = bloom_probe(docs, doc_key_col, bloom, m, k)
@@ -169,7 +183,12 @@ def cms_build(
     for estimation, mergeable with ``cms_merge``, inspectable with SQL.
     """
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
-    rows = df.select(F.col(key_col).alias("__k"), w.alias("__w"))
+    # NULL keys are excluded (the hll_build/kmv_build convention): xxhash64
+    # skips a null field, so every NULL key would collide into ONE cell per
+    # row and fabricate a phantom heavy-hitter inflating its collisions
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("__k"), w.alias("__w")
+    )
     cells = rows.select(
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
         "__k",
@@ -206,7 +225,12 @@ def cms_estimate(
         key_col, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("__c")
     )
     est = probed.groupBy(key_col).agg(F.min("__c").alias(result_col))
-    return keys.join(est, key_col, "left")
+    # NULL keys can't equi-join their estimate row; they were never counted
+    # by the build either, so 0 — not NULL — is their frequency (the
+    # bloom_probe null-coalescing convention)
+    return keys.join(est, key_col, "left").withColumn(
+        result_col, F.coalesce(F.col(result_col), F.lit(0).cast("long"))
+    )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
@@ -330,6 +354,11 @@ def kmv_build(
     hashed = df.where(F.col(key_col).isNotNull()).select(
         *groups, kmv_hash(F.col(key_col)).alias("h")
     )
+    if not groups:
+        # the UNGROUPED sketch must not use an empty-partition window —
+        # that moves EVERY distinct hash to one task (round-5 review);
+        # global smallest-k is exactly TakeOrderedAndProject
+        return hashed.distinct().orderBy("h").limit(k)
     from pyspark.sql import Window
 
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("h")
@@ -449,16 +478,22 @@ def sampled_quantiles(
     probs: list[float],
     rate: float,
     group_cols: list[str] | None = None,
+    include_exact: bool = True,
 ) -> DataFrame:
     """Per-group discrete quantiles estimated from a deterministic
     ``hash_sample``: rank error is O(1/√(rate·n)) with high probability
     (classic sample-quantile bound), and — unlike a global sort — the cost
-    is a sample-sized sort-agg per group. The full-data exact path beside
-    it (``agg_exact_percentiles``) sorts EVERY value; at 100 TB the sample
-    is the plan that runs. percentile_disc returns actual data values, so
-    the output is oracle-exact, not approximately-close.
+    is a sample-sized sort-agg per group. percentile_disc returns actual
+    data values, so the output is oracle-exact, not approximately-close.
 
-    One scan: the sample mask is a CASE projection, never a second read."""
+    ``include_exact=True`` (the error-measurement harness and the suite's
+    oracle query) ALSO computes the full-data exact percentile per prob —
+    which pays the per-group full sort the sample exists to avoid; a
+    production pipeline at 100 TB passes ``include_exact=False`` so only
+    the sample sorts (round-5 review made the exact side optional).
+
+    One scan either way: the sample mask is a CASE projection, never a
+    second read."""
     groups = list(group_cols or [])
     threshold = int(rate * (1 << _KMV_BITS))
     masked = df.select(
@@ -474,12 +509,13 @@ def sampled_quantiles(
     ]
     for p in probs:
         tag = f"p{int(round(p * 100)):02d}"
-        aggs.append(
-            F.expr(f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY __v)")
-            .cast("decimal(38,6)")
-            .cast("double")
-            .alias(tag)
-        )
+        if include_exact:
+            aggs.append(
+                F.expr(f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY __v)")
+                .cast("decimal(38,6)")
+                .cast("double")
+                .alias(tag)
+            )
         aggs.append(
             F.expr(f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY __sv)")
             .cast("decimal(38,6)")
@@ -489,7 +525,7 @@ def sampled_quantiles(
     return masked.groupBy(*groups).agg(*aggs)
 
 
-def cms_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
+def cms_join_size(a: DataFrame, b: DataFrame, depth: int | None = None) -> DataFrame:
     """Equi-join SIZE estimate from two count-min sketches built with
     identical (depth, width) over the two sides' join keys: the AMS-style
     inner product ``min over rows r of Σ_pos a[r,pos]·b[r,pos]``
@@ -504,7 +540,14 @@ def cms_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
     pipeline guardrail) decides broadcast vs shuffle vs abort-and-salt.
     The whole estimate is one sketch-sized join: cells match on (r, pos),
     products sum per row, MIN over the ``depth`` row sums. Returns one row
-    ``(est_join_size: bigint)``."""
+    ``(est_join_size: bigint)``.
+
+    ``depth`` defaults to DERIVING the row spine from the sketches' own
+    ``r`` values: a caller-supplied depth LARGER than the build depth
+    would add an all-empty row whose inner product 0 forces the estimate
+    to 0 — an under-estimate, the one direction the sketch promises never
+    to err (round-5 review). Pass ``depth`` only to deliberately restrict
+    the vote to the first rows of deeper sketches."""
     prod = (
         a.alias("a")
         .join(b.alias("b"), ["r", "pos"])
@@ -515,7 +558,12 @@ def cms_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
     # every one of the depth rows must vote: a row with NO matching cells
     # has inner product 0 (absent cells are zero counts) and must pull the
     # min to 0 — joining only matched cells would silently drop it.
-    spine = a.sparkSession.range(depth).select(F.col("id").cast("int").alias("r"))
+    if depth is not None:
+        spine = a.sparkSession.range(depth).select(
+            F.col("id").cast("int").alias("r")
+        )
+    else:
+        spine = a.select("r").unionByName(b.select("r")).distinct()
     voted = spine.join(prod, "r", "left").select(
         F.coalesce(F.col("__rowsum"), F.lit(0)).alias("__rowsum")
     )

@@ -4265,3 +4265,87 @@ class TestRound5ReviewFixes:
             bad = minhash_intake_sink(index, corpus, "doc_id", "text", **kwargs)
             with _pytest.raises(ValueError, match="incomparable across recipes"):
                 bad(batch.withColumn("doc_id", F.col("doc_id") + 9), batch_id=2)
+
+
+class TestRound5ReviewFixesSimilaritySketch:
+    """Regression pins for the round-5 review of similarity/graph/sketch."""
+
+    def test_arrow_topk_zero_norm_and_typed_ids(self, spark):
+        from data_etl_with_dbt_spark.operators.similarity import (
+            brute_force_topk,
+            brute_force_topk_arrow,
+        )
+
+        rows = [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("z", [0.0, 0.0])]
+        emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        q = spark.createDataFrame(
+            [("q1", [1.0, 0.0])], "query_id string, embedding array<double>"
+        )
+        got = brute_force_topk_arrow(
+            emb, q, id_col="vec_id", vec_col="embedding", k=2
+        ).collect()
+        # string ids pass through; the zero vector scores 0, never NaN,
+        # so it cannot displace real neighbors at the top
+        assert [r.vec_id for r in sorted(got, key=lambda r: -r.cosine)] == ["a", "b"]
+        assert all(r.cosine == r.cosine for r in got)  # no NaN
+
+    def test_pq_train_rejects_indivisible_dim(self, spark):
+        import pytest as _pytest
+
+        from data_etl_with_dbt_spark.operators.similarity import pq_train
+
+        emb = spark.createDataFrame(
+            [(i, [float(i)] * 70) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(ValueError, match="not divisible"):
+            pq_train(emb, m=8, k=4)
+
+    def test_kmv_ungrouped_avoids_single_partition_window(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import kmv_build
+        from data_etl_with_dbt_spark.plans import lint
+
+        df = spark.range(5000).select(F.col("id").alias("k"))
+        sk = kmv_build(df, "k", k=16)
+        assert sk.count() == 16
+        # global smallest-k compiles to TakeOrdered, not an empty-keyed
+        # window that funnels every distinct hash through one task
+        assert not any(
+            f.code == "single-partition" for f in lint.lint_plan(sk)
+        ), lint.plan_text(sk)
+
+    def test_bloom_decontaminate_type_mismatch_raises(self, spark):
+        import pytest as _pytest
+
+        from data_etl_with_dbt_spark.operators.sketch import bloom_decontaminate
+
+        docs = spark.createDataFrame([("1",), ("2",)], "key string")
+        ref = spark.createDataFrame([(1,)], "key long")
+        with _pytest.raises(ValueError, match="false"):
+            bloom_decontaminate(docs, ref, "key", "key", expected_keys=10)
+
+    def test_cms_null_keys_and_derived_join_depth(self, spark):
+        from data_etl_with_dbt_spark.operators.sketch import (
+            cms_build,
+            cms_estimate,
+            cms_join_size,
+        )
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), (None,), (None,), (None,)], "k string"
+        )
+        cms = cms_build(df, "k", depth=3, width=64)
+        est = {
+            r.k: r.est_count
+            for r in cms_estimate(
+                cms, spark.createDataFrame([("a",), (None,)], "k string"),
+                "k", depth=3, width=64,
+            ).collect()
+        }
+        # nulls neither count nor inflate; their estimate is 0, not NULL
+        assert est["a"] == 2 and est[None] == 0
+        # join size derives the row spine from the sketches: a depth-3
+        # build no longer under-estimates to 0 under the old default
+        # depth=4 spine
+        [row] = cms_join_size(cms, cms).collect()
+        assert row.est_join_size >= 4  # >= true self-join size (2*2)
