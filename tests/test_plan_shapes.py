@@ -357,6 +357,10 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # session-7 entries:
         # crossJoin(broadcast(1-row distinct-order total)) for the lift
         "market_basket_lift": {"cartesian"},
+        # round-5 entries:
+        # the zero-token bigram guard is size(array) > 0 — a derived
+        # expression, nothing pushable (the embedding_int8_quantize class)
+        "repetition_stats": {"unpushed-filter"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):
