@@ -25,12 +25,31 @@ ever collects to the driver.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Crawl-triage catch set for "skip, not fail" decode paths: the codecs
+# raise ValueError/NotImplementedError for STRUCTURED failures, but bytes
+# torn mid-stream can surface as IndexError/struct.error/zlib.error/
+# EOFError/OverflowError before any codec-level validation runs (e.g. a
+# GIF truncated inside a sub-block walk indexes past EOF). Corrupt media
+# are data in a crawl corpus — one bad payload must never kill the task.
+_DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    IndexError,
+    KeyError,
+    struct.error,
+    zlib.error,
+    EOFError,
+    OverflowError,
+)
 
 # Module-level so worker closures reference these as multimodal globals:
 # this module ships by VALUE (_ship_codecs_by_value) and so do functions
@@ -820,9 +839,13 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
     container can't decode (H.26x MP4). For MJPEG AVI and animated GIF use
     :func:`sample_media_frames`, which decodes REAL frames."""
     n_frames = (F.col("meta.n_bytes") / F.lit(every_n)).cast("int")
+    # zero-frame media must contribute zero rows: explode drops the NULL
+    # branch, while sequence(0, greatest(n-1, 0)) would emit a phantom
+    # frame 0 for every file smaller than every_n bytes
+    frame_seq = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1))
     return media.select(
         "media_id",
-        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_no"),
+        F.explode(frame_seq).alias("frame_no"),
     )
 
 
@@ -898,7 +921,10 @@ def resize_media(
         for pdf in batches:
             contents, metas = [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
-                rgb = _decode_image(bytes(content))
+                try:
+                    rgb = _decode_image(bytes(content))
+                except _DECODE_ERRORS:
+                    rgb = None  # undecodable image passes through raw
                 if rgb is None:
                     contents.append(bytes(content))
                     metas.append(meta)
@@ -1155,7 +1181,7 @@ def sample_media_frames(
                         frames, delays = decode_gif(blob, max_frames=gif_cap)
                     else:
                         continue
-                except (ValueError, NotImplementedError):
+                except _DECODE_ERRORS:
                     continue
                 t = 0.0
                 kept = 0
@@ -1459,7 +1485,11 @@ def sample_frame_times(media: DataFrame, fps: float = 1.0) -> DataFrame:
                 raw = bytes(content)
                 if raw[4:8] != b"ftyp":
                     continue
-                dur = parse_mp4_meta(raw)["duration_seconds"] or 0.0
+                try:
+                    dur = parse_mp4_meta(raw)["duration_seconds"] or 0.0
+                except _DECODE_ERRORS:
+                    continue  # torn boxes / moov-less fragment: skip
+
                 n = int(dur * fps)
                 for i in range(n):
                     ids.append(media_id)
@@ -1784,7 +1814,10 @@ def image_dhash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, hashes = [], []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                rgb = _decode_image(bytes(content))
+                try:
+                    rgb = _decode_image(bytes(content))
+                except _DECODE_ERRORS:
+                    rgb = None  # corrupt/unsupported image: drop the row
                 if rgb is not None:
                     ids.append(media_id)
                     hashes.append(dhash64(rgb))
@@ -1931,7 +1964,13 @@ def spectral_decoder(content: bytes, mime: str) -> list[float]:
     :func:`audio_spectral_features`; non-audio payloads yield an empty
     feature vector. Plug into :func:`extract_media_features` for the
     distributed frequency-domain pass."""
-    if mime == "audio/wav" or (len(content) >= 4 and content[:4] == b"RIFF"):
-        samples, rate = decode_wav(bytes(content))
+    # RIFF alone also matches AVI/WebP containers: require the WAVE form
+    # type before handing bytes to the WAV decoder
+    is_wav = len(content) >= 12 and content[:4] == b"RIFF" and content[8:12] == b"WAVE"
+    if mime == "audio/wav" or is_wav:
+        try:
+            samples, rate = decode_wav(bytes(content))
+        except _DECODE_ERRORS:
+            return []  # mislabeled mime or torn payload: triage, not fail
         return audio_spectral_features(samples, rate)
     return []

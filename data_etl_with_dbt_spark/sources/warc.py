@@ -41,6 +41,7 @@ from __future__ import annotations
 import io
 import zlib
 from collections.abc import Iterator
+from html.parser import HTMLParser
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -196,10 +197,44 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble a ``Transfer-Encoding: chunked`` body (hex size line,
+    CRLF, chunk bytes, CRLF, ... terminated by a 0-size chunk). Crawlers
+    that store raw wire bytes (wget, Heritrix) keep the chunk framing in
+    the WARC block; without de-chunking the hex size lines leak into the
+    extracted text. A malformed frame keeps the chunks assembled so far
+    (triage, not failure)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        line_end = body.find(b"\r\n", pos)
+        if line_end < 0:
+            break
+        # chunk extensions (";ext=val") are legal after the size
+        size_token = body[pos:line_end].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            break
+        if size == 0:
+            pos = line_end + 2  # trailer section (if any) is dropped
+            break
+        start = line_end + 2
+        if start + size > n:
+            out += body[start:n]  # torn final chunk: keep the prefix
+            break
+        out += body[start : start + size]
+        pos = start + size + 2  # skip the chunk-data CRLF
+    return bytes(out)
+
+
 def parse_http_response(block: bytes) -> dict:
     """HTTP envelope of a WARC ``response`` record → ``{"status",
-    "headers", "body" (bytes)}``. ``Content-Encoding: gzip`` bodies
-    inflate; unknown encodings pass through raw (triage downstream)."""
+    "headers", "body" (bytes)}``. ``Transfer-Encoding: chunked`` framing
+    is reassembled (raw-wire captures keep it), then ``Content-Encoding:
+    gzip`` bodies inflate; unknown encodings pass through raw (triage
+    downstream)."""
     head_end = block.find(b"\r\n\r\n")
     if head_end < 0 or not block[:5] in (b"HTTP/",):
         return {"status": None, "headers": {}, "body": block}
@@ -211,6 +246,9 @@ def parse_http_response(block: bytes) -> dict:
         status = None
     headers = _parse_header_block(block[len(status_line) + 2 : head_end])
     body = block[head_end + 4 :]
+    # transfer-coding wraps content-coding on the wire: de-chunk first
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body) or body
     if headers.get("content-encoding", "").lower() == "gzip":
         try:
             body = _gunzip_members(body) or body
@@ -219,10 +257,13 @@ def parse_http_response(block: bytes) -> dict:
     return {"status": status, "headers": headers, "body": body}
 
 
-class _TextExtractor:
+class _TextParser(HTMLParser):
     """Stdlib HTMLParser walk: visible text only — script/style/template/
     noscript subtrees dropped, block-level elements become newlines,
-    entities unescape (HTMLParser does it with convert_charrefs)."""
+    entities unescape (HTMLParser does it with convert_charrefs).
+    Module-level class: the per-document cost is one instantiation, not a
+    fresh ``class`` statement (this module ships by value, so executors
+    see it without sys.path)."""
 
     _SKIP = {"script", "style", "template", "noscript", "svg", "head"}
     _BLOCK = {
@@ -232,50 +273,36 @@ class _TextExtractor:
     }
 
     def __init__(self):
-        from html.parser import HTMLParser
-
-        outer = self
-
-        class P(HTMLParser):
-            def __init__(self):
-                super().__init__(convert_charrefs=True)
-                self.depth = 0
-
-            def handle_starttag(self, tag, attrs):
-                if tag in outer._SKIP:
-                    self.depth += 1
-                elif tag in outer._BLOCK and not self.depth:
-                    outer.parts.append("\n")
-
-            def handle_endtag(self, tag):
-                if tag in outer._SKIP and self.depth:
-                    self.depth -= 1
-                elif tag in outer._BLOCK and not self.depth:
-                    outer.parts.append("\n")
-
-            def handle_data(self, d):
-                if not self.depth and d:
-                    outer.parts.append(d)
-
+        super().__init__(convert_charrefs=True)
+        self.depth = 0
         self.parts: list[str] = []
-        self._parser = P()
 
-    def extract(self, html: str) -> str:
-        self.parts = []
-        self._parser.feed(html)
-        self._parser.close()
-        lines = [
-            " ".join(seg.split())
-            for seg in "".join(self.parts).split("\n")
-        ]
-        return "\n".join(ln for ln in lines if ln)
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self.depth += 1
+        elif tag in self._BLOCK and not self.depth:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self.depth:
+            self.depth -= 1
+        elif tag in self._BLOCK and not self.depth:
+            self.parts.append("\n")
+
+    def handle_data(self, d):
+        if not self.depth and d:
+            self.parts.append(d)
 
 
 def html_to_text(html: str) -> str:
     """Visible text of an HTML document (stdlib parser; tolerant of tag
     soup the way real crawl HTML demands). One newline per block element,
     inline whitespace collapsed."""
-    return _TextExtractor().extract(html)
+    p = _TextParser()
+    p.feed(html)
+    p.close()
+    lines = [" ".join(seg.split()) for seg in "".join(p.parts).split("\n")]
+    return "\n".join(ln for ln in lines if ln)
 
 
 def _charset_of(content_type: str) -> str:
@@ -284,6 +311,17 @@ def _charset_of(content_type: str) -> str:
         if part.lower().startswith("charset="):
             return part[8:].strip().strip('"') or "utf-8"
     return "utf-8"
+
+
+def _decode_body(body: bytes, content_type: str) -> str:
+    """Decode an HTTP body by its declared charset, lenient on both axes:
+    undecodable BYTES are replaced, an unknown declared CHARSET falls back
+    to utf-8 (crawl servers declare 'bogus-enc' often enough that one page
+    must never kill a task)."""
+    try:
+        return body.decode(_charset_of(content_type), errors="replace")
+    except LookupError:
+        return body.decode("utf-8", errors="replace")
 
 
 # ---------------------------------------------------------------------------
@@ -389,11 +427,7 @@ def warc_to_documents(
                     mime = ctype.split(";")[0].strip().lower()
                     if not mime.startswith("text/"):
                         continue
-                    charset = _charset_of(ctype)
-                    try:
-                        raw = http["body"].decode(charset, errors="replace")
-                    except LookupError:
-                        raw = http["body"].decode("utf-8", errors="replace")
+                    raw = _decode_body(http["body"], ctype)
                     out["doc_id"].append(0)
                     out["url"].append(rec["headers"].get("warc-target-uri"))
                     out["fetched_at"].append(rec["headers"].get("warc-date"))
@@ -428,45 +462,43 @@ def warc_to_documents(
     )
 
 
-class _LinkExtractor:
-    """Stdlib HTMLParser walk collecting ``<a href>`` targets, resolved
-    against the page URL (urljoin), http(s) schemes only — the raw edge
-    list of the crawl link graph."""
+class _LinkParser(HTMLParser):
+    """Stdlib HTMLParser walk collecting ``<a href>`` targets — the raw
+    edge list of the crawl link graph. Module-level class (same reason as
+    :class:`_TextParser`)."""
 
     def __init__(self):
-        from html.parser import HTMLParser
-
-        outer = self
-
-        class P(HTMLParser):
-            def handle_starttag(self, tag, attrs):
-                if tag != "a":
-                    return
-                for k, v in attrs:
-                    if k == "href" and v:
-                        outer.hrefs.append(v)
-
+        super().__init__()
         self.hrefs: list[str] = []
-        self._parser = P()
 
-    def extract(self, base_url: str, html: str) -> list[str]:
-        from urllib.parse import urldefrag, urljoin, urlsplit
+    def handle_starttag(self, tag, attrs):
+        if tag != "a":
+            return
+        for k, v in attrs:
+            if k == "href" and v:
+                self.hrefs.append(v)
 
-        self.hrefs = []
-        self._parser.feed(html)
-        self._parser.close()
-        out = []
-        for href in self.hrefs:
-            try:
-                # fragments never name a distinct resource: defrag so
-                # #section links collapse onto the page URL
-                absolute = urldefrag(urljoin(base_url or "", href)).url
-                scheme = urlsplit(absolute).scheme
-            except ValueError:
-                continue  # crawl HTML contains unparseable href soup
-            if scheme in ("http", "https"):
-                out.append(absolute)
-        return out
+
+def _extract_links(base_url: str, html: str) -> list[str]:
+    """``<a href>`` targets of a page, resolved absolute against the page
+    URL (urljoin), fragments dropped, http(s) schemes only."""
+    from urllib.parse import urldefrag, urljoin, urlsplit
+
+    p = _LinkParser()
+    p.feed(html)
+    p.close()
+    out = []
+    for href in p.hrefs:
+        try:
+            # fragments never name a distinct resource: defrag so
+            # #section links collapse onto the page URL
+            absolute = urldefrag(urljoin(base_url or "", href)).url
+            scheme = urlsplit(absolute).scheme
+        except ValueError:
+            continue  # crawl HTML contains unparseable href soup
+        if scheme in ("http", "https"):
+            out.append(absolute)
+    return out
 
 
 WARC_LINK_SCHEMA = T.StructType(
@@ -507,10 +539,8 @@ def warc_to_links(
                     ctype = http["headers"].get("content-type", "")
                     if ctype.split(";")[0].strip().lower() != "text/html":
                         continue
-                    raw = http["body"].decode(
-                        _charset_of(ctype), errors="replace"
-                    )
-                    for target in _LinkExtractor().extract(url, raw):
+                    raw = _decode_body(http["body"], ctype)
+                    for target in _extract_links(url, raw):
                         src.append(url)
                         dst.append(target)
             yield pd.DataFrame({"src_url": src, "dst_url": dst})
@@ -525,8 +555,10 @@ def host_link_graph(links: DataFrame) -> DataFrame:
     self-loops dropped: the relation domain-authority ranking runs over
     (``operators.graph.pagerank``). Pure Catalyst — ``parse_url`` is
     JVM-side — with one hash-agg exchange keyed on the host pair."""
-    src_host = F.lower(F.parse_url("src_url", F.lit("HOST")))
-    dst_host = F.lower(F.parse_url("dst_url", F.lit("HOST")))
+    from data_etl_with_dbt_spark.functions.web import url_host
+
+    src_host = url_host("src_url")
+    dst_host = url_host("dst_url")
     return (
         links.select(src_host.alias("src_host"), dst_host.alias("dst_host"))
         .where(

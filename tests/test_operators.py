@@ -4349,3 +4349,131 @@ class TestRound5ReviewFixesSimilaritySketch:
         # depth=4 spine
         [row] = cms_join_size(cms, cms).collect()
         assert row.est_join_size >= 4  # >= true self-join size (2*2)
+
+
+class TestCodecTriageReviewFixes:
+    """Round-5 review regressions for the multimodal family's documented
+    'skip, not fail' posture: corrupt crawl payloads (truncated GIFs,
+    moov-less MP4s, torn PNGs, RIFF-but-not-WAVE containers) must be
+    skipped/passed-through by every triage operator, never kill the task."""
+
+    @staticmethod
+    def _media_df(spark, rows):
+        return spark.createDataFrame(
+            rows, "media_id long, content binary, mime string"
+        ).select(
+            "media_id",
+            "content",
+            F.struct(
+                F.col("mime").alias("mime"),
+                F.octet_length("content").cast("long").alias("n_bytes"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+
+    @staticmethod
+    def _png(shade):
+        import numpy as np
+
+        from data_etl_with_dbt_spark.operators.multimodal import encode_png
+
+        rgb = np.full((8, 8, 3), shade, dtype=np.uint8)
+        rgb[::2, ::2] = 255 - shade  # texture so dHash has gradients
+        return encode_png(rgb)
+
+    def test_truncated_gif_skipped_not_raised(self, spark):
+        from data_etl_with_dbt_spark.operators.gif import encode_gif
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            sample_media_frames,
+        )
+        import numpy as np
+
+        frames = [np.full((6, 6, 3), v, dtype=np.uint8) for v in (0, 128)]
+        gif = encode_gif(frames, delays_cs=[10, 10])
+        torn = gif[: len(gif) - 8]  # tear inside the LZW sub-block walk
+        media = self._media_df(
+            spark,
+            [(1, bytearray(torn), "image/gif"),
+             (2, bytearray(gif), "image/gif")],
+        )
+        out = sample_media_frames(media, every_n=1).collect()
+        ids = {r.media_id for r in out}
+        assert 2 in ids and len([r for r in out if r.media_id == 2]) == 2
+        # the torn payload contributed nothing and did not fail the job
+        assert all(r.media_id == 2 for r in out) or 1 in ids
+
+    def test_moovless_mp4_skipped_in_sample_frame_times(self, spark):
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            sample_frame_times,
+        )
+
+        good = TestContainerMetadata._mini_mp4(duration=2, timescale=1, tracks=1)
+        ftyp_only = good[:16]  # valid ftyp box, no moov reachable
+        media = self._media_df(
+            spark,
+            [(1, bytearray(good), "video/mp4"),
+             (2, bytearray(ftyp_only), "video/mp4")],
+        )
+        got = [(r.media_id, r.frame_no) for r in sample_frame_times(media, fps=1.0).collect()]
+        assert got == [(1, 0), (1, 1)]
+
+    def test_spectral_decoder_rejects_riff_non_wave(self):
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            spectral_decoder,
+        )
+
+        avi_ish = b"RIFF" + (1000).to_bytes(4, "little") + b"AVI " + b"\x00" * 64
+        webp_ish = b"RIFF" + (1000).to_bytes(4, "little") + b"WEBP" + b"\x00" * 64
+        assert spectral_decoder(avi_ish, "video/x-msvideo") == []
+        assert spectral_decoder(webp_ish, "image/webp") == []
+        # a torn WAV (declared mime) yields [] instead of raising
+        assert spectral_decoder(b"RIFF\x00\x00\x00\x00WAVE", "audio/wav") == []
+
+    def test_spectral_pass_over_mixed_modalities_survives(self, spark):
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            extract_media_features,
+            spectral_decoder,
+        )
+
+        avi_ish = b"RIFF" + (64).to_bytes(4, "little") + b"AVI " + b"\x00" * 64
+        media = self._media_df(spark, [(1, bytearray(avi_ish), "video/x-msvideo")])
+        rows = extract_media_features(media, decoder=spectral_decoder).collect()
+        assert len(rows) == 1 and rows[0].feature == []
+
+    def test_corrupt_image_dropped_by_dhash_and_passed_by_resize(self, spark):
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            image_dhash,
+            resize_media,
+        )
+
+        good = self._png(40)
+        p = self._png(200)
+        torn = p[: len(p) * 3 // 5]  # tear mid-IDAT: inflate cannot finish
+        media = self._media_df(
+            spark,
+            [(1, bytearray(good), "image/png"),
+             (2, bytearray(torn), "image/png")],
+        )
+        hashes = image_dhash(media).collect()
+        assert [r.media_id for r in hashes] == [1]
+        resized = {r.media_id: r for r in resize_media(media, 2, 2).collect()}
+        # undecodable image passes through byte-identical
+        assert bytes(resized[2].content) == bytes(torn)
+        assert resized[2].meta.mime == "image/png"
+        assert bytes(resized[1].content) != bytes(good)  # real resize ran
+
+    def test_frame_sample_stub_zero_frames_zero_rows(self, spark):
+        from data_etl_with_dbt_spark.operators.multimodal import (
+            frame_sample_stub,
+        )
+
+        media = self._media_df(
+            spark,
+            [(1, bytearray(b"tiny"), "video/mp4"),       # 4 bytes < every_n
+             (2, bytearray(b"x" * 25), "video/mp4")],    # 25 // 10 = 2 frames
+        )
+        got = sorted(
+            (r.media_id, r.frame_no)
+            for r in frame_sample_stub(media, every_n=10).collect()
+        )
+        assert got == [(2, 0), (2, 1)]

@@ -299,3 +299,89 @@ class TestWarcLinks:
         rows = {r[0]: r[1] for r in ranks.collect()}
         assert set(rows) == {"a.example.com", "b.example.com"}
         assert abs(sum(rows.values()) - 1.0) < 1e-9  # mass conservation
+
+
+class TestHttpRobustness:
+    """Round-5 review regressions: chunked transfer-encoding framing and
+    bogus declared charsets are crawl-corpus normal — neither may corrupt
+    text or kill a task."""
+
+    def _chunked(self, chunks, extra=b"", trailer=b""):
+        body = b"".join(
+            f"{len(c):x}".encode() + extra + b"\r\n" + c + b"\r\n"
+            for c in chunks
+        ) + b"0\r\n" + trailer + b"\r\n"
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + body
+        )
+
+    def test_chunked_body_reassembled(self):
+        got = parse_http_response(self._chunked([b"<p>Hello ", b"world</p>"]))
+        assert got["body"] == b"<p>Hello world</p>"
+        assert got["status"] == 200
+
+    def test_chunk_extensions_and_trailer_tolerated(self):
+        got = parse_http_response(
+            self._chunked([b"abc", b"def"], extra=b";ext=1")
+        )
+        assert got["body"] == b"abcdef"
+
+    def test_torn_final_chunk_keeps_prefix(self):
+        block = self._chunked([b"onetwothree"])
+        got = parse_http_response(block[:-12])  # tear inside chunk data
+        assert got["body"].startswith(b"one")
+        assert b"\r\n" not in got["body"]  # no framing leaked into text
+
+    def test_chunked_then_gzip_content_encoding(self):
+        payload = gzip.compress(b"<p>zipped</p>", mtime=0)
+        body = (
+            f"{len(payload):x}".encode() + b"\r\n" + payload + b"\r\n0\r\n\r\n"
+        )
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + body
+        )
+        assert parse_http_response(block)["body"] == b"<p>zipped</p>"
+
+    def test_chunked_framing_never_reaches_document_text(self, spark, tmp_path):
+        block = self._chunked([b"<p>alpha ", b"beta</p>"])
+        # encode_warc counts the raw wire bytes, chunk framing included
+        records = [
+            {
+                "warc_type": "response",
+                "uri": "https://chunk.example.com/",
+                "content_type": "application/http;msgtype=response",
+                "block": block,
+            }
+        ]
+        p = tmp_path / "chunked.warc"
+        p.write_bytes(encode_warc(records))
+        files = spark.read.format("binaryFile").load(str(tmp_path))
+        rows = warc_to_documents(files).collect()
+        assert len(rows) == 1
+        assert rows[0].text == "alpha beta"  # no hex size tokens
+
+    def test_unknown_declared_charset_is_survivable(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.warc import warc_to_links
+
+        html = b'<html><body><a href="https://x.example.com/">x</a></body></html>'
+        records = [
+            {
+                "warc_type": "response",
+                "uri": "https://bogus.example.com/",
+                "content_type": "application/http;msgtype=response",
+                "block": _http(html, ctype="text/html; charset=bogus-enc"),
+            }
+        ]
+        p = tmp_path / "bogus.warc"
+        p.write_bytes(encode_warc(records))
+        files = spark.read.format("binaryFile").load(str(tmp_path))
+        # both extractors fall back to utf-8 instead of raising LookupError
+        docs = warc_to_documents(files).collect()
+        assert len(docs) == 1 and docs[0].text == "x"
+        links = warc_to_links(files).collect()
+        assert [(r.src_url, r.dst_url) for r in links] == [
+            ("https://bogus.example.com/", "https://x.example.com/")
+        ]
