@@ -19,10 +19,41 @@ topo order makes parallel dispatch a drop-in change).
 from __future__ import annotations
 
 import graphlib
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Dynamic partition overwrite is a SESSION conf: Spark ignores the
+# per-writer .option("partitionOverwriteMode", ...) for v1 insertInto
+# (verified on 4.1 — the option form wiped untouched partitions). Under
+# run(threads>1) an unguarded save/set/restore races: writer B can read
+# A's temporary DYNAMIC as its "previous" value, or run its own overwrite
+# after A restored STATIC — a STATIC insertInto REPLACES THE WHOLE TABLE,
+# losing every untouched partition. All conf-sensitive writes in this
+# repo go through _insert_overwrite_dynamic, so holding this one lock
+# across set -> write -> restore removes the race; only simultaneous
+# dynamic overwrites serialize, everything else stays parallel.
+_DYNAMIC_OVERWRITE_LOCK = threading.Lock()
+
+
+def _insert_overwrite_dynamic(
+    spark: SparkSession, df: DataFrame, table: str
+) -> None:
+    """Replace exactly ``df``'s partitions of ``table`` (dynamic partition
+    overwrite), thread-safe. insertInto matches by POSITION and wants
+    partition columns last — align to the table's physical column order."""
+    aligned = df.select(*spark.table(table).columns)
+    with _DYNAMIC_OVERWRITE_LOCK:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        try:
+            aligned.write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 @dataclass
@@ -598,19 +629,7 @@ class ModelRegistry:
                 write_table(df, name, mode="overwrite", partition_by=spec.partition_by)
             else:
                 df = self._reconcile_schema(spark, spec, df)
-                prev = spark.conf.get(
-                    "spark.sql.sources.partitionOverwriteMode", "STATIC"
-                )
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "DYNAMIC"
-                )
-                try:
-                    aligned = df.select(*spark.table(name).columns)
-                    aligned.write.mode("overwrite").insertInto(name)
-                finally:
-                    spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", prev
-                    )
+                _insert_overwrite_dynamic(spark, df, name)
             cur = nxt
         out = spark.table(name)
         self._cache[name] = out
@@ -683,15 +702,7 @@ class ModelRegistry:
             ).localCheckpoint(eager=True)
             write_table(merged, spec.name, mode="overwrite", partition_by=spec.partition_by)
         elif strategy == "insert_overwrite":
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
-            try:
-                # insertInto matches by POSITION and wants partition columns
-                # last — align to the table's physical column order.
-                aligned = df.select(*spark.table(spec.name).columns)
-                aligned.write.mode("overwrite").insertInto(spec.name)
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            _insert_overwrite_dynamic(spark, df, spec.name)
         else:
             raise ValueError(f"unknown incremental_strategy {strategy!r}")
         return spark.table(spec.name)

@@ -66,9 +66,20 @@ def speed_limit(df: DataFrame, column: str, max_speed: float = 300.0) -> DataFra
     return df.where(F.col(column) > F.lit(max_speed))
 
 
-def accepted_values(df: DataFrame, column: str, values: list) -> DataFrame:
-    """dbt built-in `accepted_values`: violations outside the allowed set."""
-    return df.where(~F.col(column).isin(values) | F.col(column).isNull())
+def accepted_values(
+    df: DataFrame, column: str, values: list, flag_nulls: bool = False
+) -> DataFrame:
+    """dbt built-in `accepted_values`: violations outside the allowed set.
+
+    dbt's compiled form is ``WHERE column NOT IN (values)``, which PASSES
+    NULLs (three-valued logic; ``not_null`` is the separate test) — so a
+    nullable enum declared with this test must not spuriously fail a port.
+    ``flag_nulls=True`` opts in to treating NULL as a violation for
+    pipelines that want one test to cover both."""
+    outside = ~F.col(column).isin(values)
+    if flag_nulls:
+        return df.where(outside | F.col(column).isNull())
+    return df.where(outside)
 
 
 def relationships(df: DataFrame, column: str, to: DataFrame, field: str) -> DataFrame:
@@ -280,9 +291,11 @@ def apply_masking_policy(df: DataFrame, policy: dict) -> DataFrame:
         elif strat == "hash":
             out.append(F.md5(c.cast("string")).alias(f.name))
         elif strat == "partial":
+            # pure Column API: an F.expr with the interpolated column name
+            # breaks on names needing backtick quoting (spaces, keywords)
             s = c.cast("string")
             masked = F.concat(
-                F.expr(f"repeat('*', greatest(length(CAST({f.name} AS STRING)) - 4, 0))"),
+                F.repeat(F.lit("*"), F.greatest(F.length(s) - F.lit(4), F.lit(0))),
                 F.substring(s, -4, 4),
             )
             out.append(masked.alias(f.name))

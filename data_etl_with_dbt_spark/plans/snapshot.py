@@ -57,6 +57,24 @@ def snapshot(
         unique_key, *check_cols
     ).withColumn("row_hash", _content_hash(df, check_cols))
 
+    # SCD2's contract is one row per key per generation: duplicate keys
+    # fan out BOTH joins below (the current row closes once per duplicate,
+    # and every duplicate inserts an open version), corrupting the table
+    # compoundingly — fail loudly instead, like dbt's uniqueness
+    # expectation on a snapshot's unique_key. One metadata-scale aggregate.
+    counts = fresh.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(unique_key)).alias("k"),
+        F.count(F.when(F.col(unique_key).isNull(), 1)).alias("nulls"),
+    ).first()
+    if counts["n"] != counts["k"] or counts["nulls"]:
+        raise ValueError(
+            f"snapshot {name!r}: unique_key {unique_key!r} has "
+            f"{counts['n'] - counts['k']} duplicate and {counts['nulls']} "
+            "NULL key rows — deduplicate upstream (e.g. keep the latest "
+            "per key) before snapshotting"
+        )
+
     if not spark.catalog.tableExists(name):
         first = fresh.select(
             "*", ts.alias("valid_from"), F.lit(None).cast("timestamp").alias("valid_to")

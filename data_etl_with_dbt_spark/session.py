@@ -49,6 +49,11 @@ _ENGINE_CONF: dict[str, str] = {
     # Parquet vectorized reader + pushdown are default-on; pin anyway.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Spark still DEFAULTS timestamp output to the deprecated INT96, which
+    # carries NO parquet min/max statistics — footer pruning, manifest
+    # stats (sources/versioned), and cross-engine readers all lose on it.
+    # TIMESTAMP_MICROS is the modern annotated type every engine reads.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Local shuffle: modest partition count, AQE coalesces below it.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

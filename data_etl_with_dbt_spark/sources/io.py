@@ -303,9 +303,15 @@ def load_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = N
     return out
 
 
-def _zorder_component(c: Column, lo: float, hi: float, bits: int) -> Column:
+def _zorder_component(
+    c: Column, lo: float | None, hi: float | None, bits: int
+) -> Column:
     """Quantize a numeric/timestamp column onto the [0, 2^bits) integer grid
-    given its min/max; nulls land in cell 0 (they carry no skip signal)."""
+    given its min/max; nulls land in cell 0 (they carry no skip signal).
+    An all-NULL column (or empty frame) has no min/max — it contributes a
+    constant, same as a zero-span column."""
+    if lo is None or hi is None:
+        return F.lit(0).cast("bigint")
     span = hi - lo
     if span <= 0:
         return F.lit(0).cast("bigint")
@@ -355,7 +361,15 @@ def write_zordered(
     ``WHERE user_id = k AND ts BETWEEN ...`` opens the few files whose
     rectangles overlap instead of all of them. Cost at write: one extra
     range exchange — the same price as any sorted write.
+
+    ``bits`` is clamped so the interleaved code fits a signed 64-bit int:
+    Spark's ``shiftleft`` uses Java shift semantics (amount mod 64), so
+    ``bits * len(cols) > 63`` would silently fold high bits back into low
+    positions and break the clustering instead of erroring.
     """
+    if not cols:
+        raise ValueError("write_zordered needs at least one column")
+    bits = min(bits, 63 // len(cols))
     stats = df.select(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],
@@ -400,11 +414,28 @@ def compact_files(
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(src)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    total = sum(
-        f.getLen()
-        for f in fs.listStatus(path)
-        if f.isFile() and not f.getPath().getName().startswith("_")
-    )
+    # RECURSIVE listing: a non-recursive listStatus over a Hive-partitioned
+    # directory sees only subdirectories, computes total=0, and coalesces
+    # the whole dataset into one giant file
+    total = 0
+    partition_dirs = set()
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        parent = f.getPath().getParent().getName()
+        if "=" in parent:
+            partition_dirs.add(parent.split("=", 1)[0])
+        if f.isFile() and not name.startswith(("_", ".")):
+            total += f.getLen()
+    if partition_dirs:
+        # a flat rewrite would demote dt=/... directory pruning to a data
+        # column; compaction must keep the layout, one partition at a time
+        raise ValueError(
+            f"{src} is Hive-partitioned on {sorted(partition_dirs)}: "
+            "compact each partition directory separately so the pruning "
+            "layout survives"
+        )
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     spark.read.format(fmt).load(src).coalesce(n).write.mode("overwrite").format(fmt).save(dst)
     return n

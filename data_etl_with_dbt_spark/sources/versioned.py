@@ -65,6 +65,23 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _json_stat(v):
+    """Manifest stats must be JSON-serializable AND order-preserving under
+    the comparisons :func:`read_version_pruned` does. Timestamps/dates map
+    to ISO-8601 strings (lexicographic == chronological, including mixed
+    sub-second precision — '.' sorts below every digit); types with no
+    such encoding (binary, Decimal) return None and the column simply
+    records no bounds for that file (conservatively read, never lost
+    rows)."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return v.isoformat()
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
 def _collect_file_stats(files: list[str], stats_columns: list[str]) -> dict:
     """Per-file min/max for ``stats_columns`` from parquet FOOTERS — the
     Iceberg/Delta trick of keeping data-skipping statistics in the table
@@ -85,14 +102,23 @@ def _collect_file_stats(files: list[str], stats_columns: list[str]) -> dict:
                 md.row_group(g).column(idx).statistics
                 for g in range(md.num_row_groups)
             ]
-            if any(s is None for s in stats):
+            # empty part files (zero row groups) carry no bounds; a file
+            # missing stats for any row group records none at all
+            if not stats or any(s is None or not s.has_min_max for s in stats):
                 continue
-            entry[c] = {
-                "min": min(s.min for s in stats),
-                "max": max(s.max for s in stats),
-            }
+            lo = _json_stat(min(s.min for s in stats))
+            hi = _json_stat(max(s.max for s in stats))
+            if lo is None or hi is None:
+                continue  # type has no JSON-safe ordered encoding
+            entry[c] = {"min": lo, "max": hi}
         out[f] = entry
     return out
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Raised when ``expected_base`` no longer matches the latest version:
+    another writer committed between the caller's snapshot read and this
+    commit, so publishing would silently discard that writer's rows."""
 
 
 def commit(
@@ -100,6 +126,7 @@ def commit(
     path: str,
     mode: str = "append",
     stats_columns: list[str] | None = None,
+    expected_base: int | None = None,
 ) -> int:
     """Write ``df`` as a new table version; returns the committed version.
 
@@ -108,7 +135,14 @@ def commit(
     ``append``; staged only for ``overwrite``), then atomically publish the
     manifest. A reader that raced the commit keeps resolving the previous
     version; a crash before the rename leaves only unreferenced staged
-    files (cleaned by :func:`vacuum`), never a corrupt table."""
+    files (cleaned by :func:`vacuum`), never a corrupt table.
+
+    ``expected_base`` is optimistic concurrency control for read-modify-
+    write commits (:func:`merge_commit`): the commit publishes only if the
+    latest version still equals it, else :class:`ConcurrentCommitError` —
+    an append landing mid-merge must force a re-merge, not vanish from the
+    overwritten snapshot. Plain appends don't need it (the retry loop
+    rebases their file list automatically)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_versions_dir(path), exist_ok=True)
@@ -126,7 +160,13 @@ def commit(
     )
     while True:
         versions = list_versions(path)
-        next_v = (versions[-1] + 1) if versions else 1
+        latest = versions[-1] if versions else 0
+        if expected_base is not None and latest != expected_base:
+            raise ConcurrentCommitError(
+                f"base moved under {path}: expected v{expected_base}, "
+                f"latest is v{latest}"
+            )
+        next_v = latest + 1
         files, schemas, fstats = staged, [schema_str], dict(staged_stats)
         if mode == "append" and versions:
             prev = _read_manifest(path, versions[-1])
@@ -211,10 +251,14 @@ def read_version_pruned(
     v = versions[-1] if version is None else version
     manifest = _read_manifest(path, v)
     fstats = manifest.get("file_stats", {})
+    # compare in the manifest's JSON encoding (timestamps are stored as
+    # ISO strings): normalize the caller's bounds the same way
+    jlo, jhi = _json_stat(lo), _json_stat(hi)
+    prunable = jlo is not None and jhi is not None
     keep = []
     for f in manifest["files"]:
         s = fstats.get(f, {}).get(column)
-        if s is None or (s["max"] >= lo and s["min"] <= hi):
+        if s is None or not prunable or (s["max"] >= jlo and s["min"] <= jhi):
             keep.append(f)
     stats = {"files_read": len(keep), "files_total": len(manifest["files"])}
     if not keep:
@@ -240,7 +284,18 @@ def rollback(path: str, to_version: int) -> int:
         tmp = os.path.join(_versions_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(
-                {"files": manifest["files"], "mode": "rollback", "version": next_v},
+                {
+                    "files": manifest["files"],
+                    "mode": "rollback",
+                    "version": next_v,
+                    # carry the snapshot's reader metadata: without the
+                    # schemas list a rollback to a schema-evolved snapshot
+                    # would read without mergeSchema and silently drop the
+                    # evolved columns (and later appends would seed their
+                    # schema tracking from nothing)
+                    "schemas": manifest.get("schemas", []),
+                    "file_stats": manifest.get("file_stats", {}),
+                },
                 f,
             )
         target = _manifest_path(path, next_v)
@@ -254,6 +309,16 @@ def rollback(path: str, to_version: int) -> int:
             os.unlink(tmp)
 
 
+def _data_file_key(p: str) -> tuple[str, str, str]:
+    """Spelling-proof identity of a data file WITHIN its table: the last
+    three path components (``data/<commit-uuid>/<part-file>``). Raw
+    path-string comparison is a data-loss trap — a manifest written from
+    one spelling of the table path (relative, './', symlink) and a vacuum
+    called with another would mark every referenced file unreferenced."""
+    parts = os.path.normpath(p).split(os.sep)
+    return tuple(parts[-3:])
+
+
 def vacuum(path: str, keep_versions: int = 1) -> dict:
     """Delete data files unreferenced by the ``keep_versions`` newest
     manifests, and the expired manifests themselves. Time travel works
@@ -261,12 +326,14 @@ def vacuum(path: str, keep_versions: int = 1) -> dict:
     are collected here too. Returns ``{files_deleted, versions_dropped}``."""
     versions = list_versions(path)
     keep = set(versions[-keep_versions:]) if versions else set()
-    referenced: set[str] = set()
+    referenced: set[tuple[str, str, str]] = set()
     for v in keep:
-        referenced.update(_read_manifest(path, v)["files"])
+        referenced.update(
+            _data_file_key(f) for f in _read_manifest(path, v)["files"]
+        )
     deleted = 0
     for f in glob.glob(os.path.join(path, "data", "*", "*.parquet")):
-        if f not in referenced:
+        if _data_file_key(f) not in referenced:
             os.unlink(f)
             deleted += 1
     for d in glob.glob(os.path.join(path, "data", "*")):
@@ -295,19 +362,31 @@ def merge_commit(
     Copy-on-write: the whole table is rewritten (fine for dimension-sized
     tables; fact-scale MERGE wants partition-scoped rewrites — pair with
     the DAG's insert_overwrite strategy). The read side pins the previous
-    manifest, so the read-merge-commit cycle is retry-safe by
-    construction (no lineage cut needed)."""
+    manifest, so the read-merge-commit cycle is retry-safe by construction
+    (no lineage cut needed). Against CONCURRENT writers the commit is
+    conflict-checked (``expected_base``): an append landing between the
+    snapshot read and the overwrite publish forces a re-merge from the new
+    latest version instead of silently vanishing (lost update)."""
     from pyspark.sql import functions as F
 
-    if list_versions(path):
-        current = read_version(spark := df.sparkSession, path)
-        kept = current.join(df.select(key).distinct(), key, "left_anti")
-    else:
-        kept = None
-    upserts = df
-    if delete_col is not None:
-        upserts = df.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
-            delete_col
-        )
-    merged = kept.unionByName(upserts) if kept is not None else upserts
-    return commit(merged, path, mode="overwrite")
+    for _ in range(20):
+        versions = list_versions(path)
+        base = versions[-1] if versions else 0
+        if base:
+            current = read_version(df.sparkSession, path, base)
+            kept = current.join(df.select(key).distinct(), key, "left_anti")
+        else:
+            kept = None
+        upserts = df
+        if delete_col is not None:
+            upserts = df.where(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        merged = kept.unionByName(upserts) if kept is not None else upserts
+        try:
+            return commit(merged, path, mode="overwrite", expected_base=base)
+        except ConcurrentCommitError:
+            continue  # re-merge on top of the version that beat us
+    raise ConcurrentCommitError(
+        f"merge_commit on {path} lost the commit race 20 times"
+    )

@@ -153,7 +153,8 @@ def dq_threshold_violations(spark, sf_dir):
 )
 def dq_accepted_values_violations(spark, sf_dir):
     return dq.accepted_values(
-        load(spark, sf_dir, "lineitem"), "l_returnflag", ["A", "N"]
+        load(spark, sf_dir, "lineitem"), "l_returnflag", ["A", "N"],
+        flag_nulls=True,  # mirrors the oracle's explicit OR IS NULL arm
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
 
 

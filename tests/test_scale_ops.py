@@ -711,3 +711,98 @@ class TestAdviseJoin:
         adv = advise_join(a, b, ["k"], broadcast_rows=100)
         assert adv["strategy"] == "shuffle"
         assert adv["suggested_salt"] == 1
+
+
+class TestIoReviewFixes:
+    """Round-5 review regressions for compact_files and write_zordered."""
+
+    def test_compact_refuses_hive_partitioned_source(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.io import compact_files
+
+        src = str(tmp_path / "part_src")
+        df = spark.range(1000).select(
+            "id", (F.col("id") % 3).cast("string").alias("dt")
+        )
+        df.repartition(4).write.partitionBy("dt").parquet(src)
+        with pytest.raises(ValueError, match="Hive-partitioned"):
+            compact_files(spark, src, str(tmp_path / "out"))
+
+    def test_zorder_survives_all_null_column_and_many_cols(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.io import write_zordered
+
+        df = spark.range(500).select(
+            "id",
+            (F.col("id") % 7).alias("x"),
+            F.lit(None).cast("double").alias("dead"),  # all-NULL dimension
+        )
+        p1 = str(tmp_path / "znull")
+        write_zordered(df, p1, ["x", "dead"], bits=8, num_files=2)
+        assert spark.read.parquet(p1).count() == 500
+
+        # 6 columns x default 12 bits = 72 interleaved bits would wrap
+        # Java's shiftleft (mod 64) and scramble the clustering: the clamp
+        # keeps the code inside 63 bits and the write correct
+        wide = spark.range(500).select(
+            "id", *[(F.col("id") % (3 + i)).alias(f"c{i}") for i in range(6)]
+        )
+        p2 = str(tmp_path / "zwide")
+        write_zordered(wide, p2, [f"c{i}" for i in range(6)], num_files=2)
+        back = spark.read.parquet(p2)
+        assert back.count() == 500
+        assert back.agg(F.sum("id")).first()[0] == sum(range(500))
+
+    def test_zorder_rejects_empty_cols(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.io import write_zordered
+
+        with pytest.raises(ValueError, match="at least one column"):
+            write_zordered(spark.range(5), str(tmp_path / "z"), [])
+
+
+def test_threaded_insert_overwrite_models_keep_untouched_partitions(spark):
+    """Round-5 review: dynamic partition overwrite rides a SESSION conf, so
+    two insert_overwrite models running under run(threads=2) used to race
+    the save/set/restore — a write landing after another's restore ran in
+    STATIC mode and replaced the WHOLE table. The writes are serialized
+    under a lock now; this pins the end state over repeated threaded runs."""
+    from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+    state = {"days": [1, 2], "val": "old"}
+
+    def build_registry():
+        reg = ModelRegistry()
+
+        def src(s):
+            rows = [
+                (d * 10 + i, state["val"], d)
+                for d in state["days"]
+                for i in range(2)
+            ]
+            return s.createDataFrame(rows, "id long, val string, day int")
+
+        reg.add_source("src", src)
+        for name in ("po_a", "po_b"):
+            @reg.model(
+                name=name,
+                materialized="incremental",
+                incremental_strategy="insert_overwrite",
+                partition_by=["day"],
+            )
+            def _m(ctx):
+                return ctx.source("src")
+        return reg
+
+    try:
+        build_registry().run(spark, threads=2)
+        for _ in range(3):  # repeated touched-partition rebuilds, threaded
+            state.update(days=[2], val="new")
+            out = build_registry().run(spark, threads=2)
+            for name in ("po_a", "po_b"):
+                got = {(r.day, r.val) for r in out[name].collect()}
+                assert got == {(1, "old"), (2, "new")}, name
+        # the conf was restored after every write
+        assert spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        ).upper() == "STATIC"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS po_a")
+        spark.sql("DROP TABLE IF EXISTS po_b")

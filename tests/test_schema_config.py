@@ -567,3 +567,35 @@ class TestMaskingPolicy:
         mb = apply_masking_policy(b, {"email": "hash"})
         joined = ma.join(mb, "email").collect()
         assert len(joined) == 1 and joined[0].id == 1
+
+
+class TestDqReviewFixes:
+    def test_accepted_values_passes_nulls_like_dbt(self, spark):
+        """dbt's compiled accepted_values is `NOT IN (...)`: NULLs pass
+        (three-valued logic; not_null is the separate test). flag_nulls=True
+        opts in to the stricter form."""
+        from data_etl_with_dbt_spark.plans.dq import accepted_values
+
+        df = spark.createDataFrame(
+            [("card",), ("cash",), (None,), ("wire",)], "pay string"
+        )
+        default = [r.pay for r in accepted_values(df, "pay", ["card", "cash"]).collect()]
+        assert default == ["wire"]
+        strict = sorted(
+            (r.pay or "") for r in
+            accepted_values(df, "pay", ["card", "cash"], flag_nulls=True).collect()
+        )
+        assert strict == ["", "wire"]
+
+    def test_partial_masking_handles_quotable_column_names(self, spark):
+        """'partial' is pure Column API now: names with spaces or reserved
+        words used to break the interpolated F.expr form."""
+        from data_etl_with_dbt_spark.plans.dq import apply_masking_policy
+
+        df = spark.createDataFrame([("555-123-9876", "k")], ["user phone", "select"])
+        [r] = apply_masking_policy(
+            df, {"user phone": "partial", "select": "partial"}
+        ).collect()
+        assert r["user phone"].endswith("9876")
+        assert set(r["user phone"][:-4]) == {"*"}
+        assert r["select"] == "k"  # shorter than 4 chars: kept as-is

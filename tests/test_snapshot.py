@@ -81,3 +81,21 @@ def test_as_of_time_travel(spark, clean):
     assert as_of(snap, T1 - dt.timedelta(days=1)).count() == 0
     # bookkeeping columns dropped, version stamp kept
     assert "valid_to" not in mid.columns and "valid_from" in mid.columns
+
+
+def test_duplicate_or_null_keys_rejected(spark, clean):
+    """SCD2 corruption guard (round-5 review): duplicate unique_key rows
+    would close the current version once PER duplicate and open multiple
+    current versions; NULL keys join nothing and silently fork history."""
+    dup = spark.createDataFrame(
+        [(1, "alice", 10.0), (1, "alias", 11.0), (2, "bob", 20.0)],
+        "id long, name string, bal double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot(spark, "snap_t", dup, unique_key="id", run_ts=T1)
+    nulls = spark.createDataFrame(
+        [(None, "ghost", 0.0), (2, "bob", 20.0)],
+        "id long, name string, bal double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        snapshot(spark, "snap_t", nulls, unique_key="id", run_ts=T1)

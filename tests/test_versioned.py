@@ -245,3 +245,110 @@ class TestManifestStats:
         )
         df, stats = read_version_pruned(spark, t, "v", 500.0, 600.0)
         assert stats["files_read"] == 0 and df.count() == 0
+
+
+class TestRound5ReviewFixes:
+    """Regressions for the round-5 plans/sources review: rollback manifest
+    metadata, timestamp file stats, vacuum path-spelling safety, and
+    merge_commit lost-update protection."""
+
+    def test_rollback_preserves_schema_evolution_metadata(self, spark, tmp_path):
+        path = str(tmp_path / "tbl")
+        commit(spark.range(3).select("id"), path)
+        commit(
+            spark.range(3, 6).select("id", F.lit("x").alias("extra")),
+            path,
+            mode="append",
+        )
+        assert read_version(spark, path).columns == ["id", "extra"]
+        v3 = rollback(path, 2)
+        # the rolled-back snapshot still merges schemas: 'extra' survives
+        df = read_version(spark, path, v3)
+        assert sorted(df.columns) == ["extra", "id"]
+        assert df.where(F.col("extra").isNull()).count() == 3
+        # and a later append keeps tracking both schemas
+        commit(spark.range(6, 7).select("id"), path, mode="append")
+        assert sorted(read_version(spark, path).columns) == ["extra", "id"]
+
+    def test_timestamp_stats_columns_commit_and_prune(self, spark, tmp_path):
+        import datetime as dt
+
+        from data_etl_with_dbt_spark.sources.versioned import (
+            read_version_pruned,
+        )
+
+        path = str(tmp_path / "ts_tbl")
+        early = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2))],
+            "id long, ts timestamp",
+        ).coalesce(1)
+        late = spark.createDataFrame(
+            [(3, dt.datetime(2024, 6, 1)), (4, dt.datetime(2024, 6, 2))],
+            "id long, ts timestamp",
+        ).coalesce(1)
+        commit(early, path, stats_columns=["ts"])  # datetime min/max -> JSON
+        commit(late, path, mode="append", stats_columns=["ts"])
+        df, stats = read_version_pruned(
+            spark, path, "ts",
+            dt.datetime(2024, 5, 1), dt.datetime(2024, 7, 1),
+        )
+        assert stats["files_total"] == 2 and stats["files_read"] == 1
+        assert sorted(r.id for r in df.collect()) == [3, 4]
+
+    def test_vacuum_survives_path_respelling(self, spark, tmp_path):
+        path = str(tmp_path / "v_tbl")
+        commit(spark.range(5), path)
+        commit(spark.range(5, 8), path, mode="append")
+        # a different spelling of the same table must not unlink live files
+        respelled = str(tmp_path / "." / "v_tbl") + os.sep
+        vacuum(respelled, keep_versions=1)
+        assert _vals(spark, path) == list(range(8))
+
+    def test_commit_expected_base_detects_conflict(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.versioned import (
+            ConcurrentCommitError,
+        )
+
+        path = str(tmp_path / "c_tbl")
+        v1 = commit(spark.range(3), path)
+        commit(spark.range(3, 5), path, mode="append")
+        with pytest.raises(ConcurrentCommitError):
+            commit(spark.range(99), path, mode="overwrite", expected_base=v1)
+        # the failed publish left no new version and the table is intact
+        assert len(list_versions(path)) == 2
+        assert _vals(spark, path) == list(range(5))
+
+    def test_merge_commit_remerges_after_concurrent_append(self, spark, tmp_path):
+        import data_etl_with_dbt_spark.sources.versioned as V
+
+        path = str(tmp_path / "m_tbl")
+        commit(
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            path,
+        )
+        # interleave a concurrent append between merge_commit's snapshot
+        # read and its publish by racing it from commit's claim loop once
+        real_commit = V.commit
+        raced = {"done": False}
+
+        def racing_commit(df, p, mode="append", stats_columns=None, expected_base=None):
+            if not raced["done"] and mode == "overwrite":
+                raced["done"] = True
+                real_commit(
+                    spark.createDataFrame([(9, "late")], "id long, v string"),
+                    p,
+                )
+            return real_commit(df, p, mode, stats_columns, expected_base)
+
+        V.commit = racing_commit
+        try:
+            V.merge_commit(
+                spark.createDataFrame([(2, "B")], "id long, v string"),
+                path,
+                key="id",
+            )
+        finally:
+            V.commit = real_commit
+        rows = {r.id: r.v for r in read_version(spark, path).collect()}
+        # the concurrently appended row 9 survived the merge overwrite
+        assert rows == {1: "a", 2: "B", 9: "late"}
