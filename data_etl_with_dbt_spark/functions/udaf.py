@@ -48,7 +48,9 @@ def trimmed_mean_builtin(df, keys: list[str], col: str, frac: float = 0.1):
         F.expr(f"percentile_disc({frac}) WITHIN GROUP (ORDER BY {col})").alias("__lo"),
         F.expr(f"percentile_disc({1 - frac}) WITHIN GROUP (ORDER BY {col})").alias("__hi"),
     )
-    cond = [df[k] == bounds[f"__k_{k}"] for k in keys]
+    # null-safe equality: a plain == never matches NULL keys, which would
+    # silently DROP the whole NULL-key group the UDAF twin keeps
+    cond = [df[k].eqNullSafe(bounds[f"__k_{k}"]) for k in keys]
     joined = df.join(F.broadcast(bounds), cond)
     inside = (F.col(col) >= F.col("__lo")) & (F.col(col) <= F.col("__hi"))
     return joined.groupBy(*keys).agg(

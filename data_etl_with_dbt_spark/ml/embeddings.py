@@ -57,6 +57,10 @@ def embed_documents(
     the vector unpack is JVM-side (vector_to_array)."""
     from pyspark.ml.functions import vector_to_array
 
+    # honor a text_col differing from the fit-time tokenizer inputCol
+    expected = model.stages[0].getInputCol()
+    if text_col != expected:
+        docs = docs.withColumn(expected, F.col(text_col))
     return model.transform(docs).select(
         F.col(id_col),
         vector_to_array(F.col("__vec")).alias("embedding"),

@@ -107,6 +107,12 @@ def score_quality(
     vector-element extraction stays JVM-side (``vector_to_array``)."""
     from pyspark.ml.functions import vector_to_array
 
+    # the tokenizer's inputCol was fixed at FIT time; honor a different
+    # text_col here by projecting it onto that name (previously the
+    # parameter was silently ignored)
+    expected = model.stages[0].getInputCol()
+    if text_col != expected:
+        docs = docs.withColumn(expected, F.col(text_col))
     scored = model.transform(docs)
     return scored.select(
         F.col(id_col),
@@ -131,6 +137,33 @@ def filter_by_quality(
         .select(id_col)
     )
     return docs.join(keep, id_col, "left_semi")
+
+
+def _select_best_reg(
+    grid: list[float], fold_aucs: list[tuple[float, float]]
+) -> tuple[float, dict[float, float]]:
+    """NaN-safe CV selection. A single-class eval fold makes areaUnderROC
+    NaN, and NaN poisons a plain max() over the averages (every comparison
+    is False, so the first-seen key silently wins): average only the
+    informative folds per regParam, drop grid entries with none, raise if
+    nothing is informative. Ties go to the earliest grid entry."""
+    import math
+
+    by_reg: dict[float, list[float]] = {rp: [] for rp in grid}
+    for rp, auc in fold_aucs:
+        by_reg[float(rp)].append(auc)
+    avg_by_reg: dict[float, float] = {}
+    for rp in grid:
+        valid = [a for a in by_reg[rp] if not math.isnan(a)]
+        avg_by_reg[rp] = sum(valid) / len(valid) if valid else float("nan")
+    candidates = [rp for rp in grid if not math.isnan(avg_by_reg[rp])]
+    if not candidates:
+        raise ValueError(
+            "every CV fold was single-class (AUC undefined for all "
+            "regParams) — enlarge the labeled sample or lower num_folds"
+        )
+    best = max(candidates, key=lambda rp: (avg_by_reg[rp], -grid.index(rp)))
+    return best, avg_by_reg
 
 
 def tune_quality_classifier(
@@ -209,11 +242,10 @@ def tune_quality_classifier(
             aucs = list(ex.map(lambda t: fit_and_eval(*t), tasks))
     finally:
         folded.unpersist()
-    avg_by_reg: dict[float, float] = {}
-    for (rp, _), auc in zip(tasks, aucs):
-        avg_by_reg[rp] = avg_by_reg.get(rp, 0.0) + auc / num_folds
-    # deterministic selection: highest CV AUC, ties to the earliest grid entry
-    best_reg = max(avg_by_reg, key=lambda rp: (avg_by_reg[rp], -list(avg_by_reg).index(rp)))
+    best_reg, avg_by_reg = _select_best_reg(
+        [float(rp) for rp in reg_params],
+        [(rp, auc) for (rp, _), auc in zip(tasks, aucs)],
+    )
     final = build_quality_pipeline(
         text_col=text_col, label_col=label_col, **pipeline_kwargs
     )
@@ -306,5 +338,11 @@ def apply_calibration(
 ) -> DataFrame:
     """Replace raw probabilities with calibrated ones (new column
     ``calibrated_prob``): one JVM transform — the model carries just the
-    isotonic knot arrays, broadcast-sized at any corpus scale."""
-    return iso_model.setFeaturesCol(prob_col).transform(scored)
+    isotonic knot arrays, broadcast-sized at any corpus scale. The model
+    is transformed through a COPY when ``prob_col`` differs from its
+    fitted featuresCol — mutating the caller's shared model in place
+    would leak the rebind into every later use (and race across threads)."""
+    if iso_model.getFeaturesCol() != prob_col:
+        iso_model = iso_model.copy()
+        iso_model.setFeaturesCol(prob_col)
+    return iso_model.transform(scored)

@@ -1,7 +1,8 @@
 """Distributed topic modeling over the corpus — pyspark.ml LDA wired the
-engine's way: JVM-side stages end to end, explicit seed, vocabulary-bounded
-state, and the fitted model stripped of anything that pins the training
-DataFrame (the repo's observe/serialization trap).
+engine's way: JVM-side stages end to end, explicit seed, and
+vocabulary-bounded state. (No summary stripping is needed here, unlike
+ml/quality: CountVectorizer and the online-optimizer LocalLDAModel carry
+no training summary, so nothing pins the training DataFrame.)
 
 Why it belongs in a training-data pipeline: topic mixtures are the
 standard corpus-composition diagnostic (what IS in this crawl?) and a
@@ -81,6 +82,10 @@ def doc_topics(
     transform; the mixture vector unpacks JVM-side (vector_to_array)."""
     from pyspark.ml.functions import vector_to_array
 
+    # honor a text_col differing from the fit-time tokenizer inputCol
+    expected = model.stages[0].getInputCol()
+    if text_col != expected:
+        docs = docs.withColumn(expected, F.col(text_col))
     out = model.transform(docs)
     dist = vector_to_array(F.col("topicDistribution"))
     return out.select(

@@ -147,8 +147,19 @@ def compact_parquet(
     dir → atomic directory swap. On a transactional table format this
     whole function is bin-packing OPTIMIZE; the swap stands in for the
     format's atomic commit."""
+    import glob as _glob
     import shutil
+    import uuid as _uuid
 
+    # a leftover backup means a prior run crashed INSIDE the swap window
+    # (between the two renames `path` does not exist) — refuse to proceed
+    # so the operator can never bury recoverable data under a new rewrite
+    leftovers = _glob.glob(path.rstrip("/") + "__compact_old-*")
+    if leftovers:
+        raise RuntimeError(
+            f"previous compaction of {path} crashed mid-swap; restore or "
+            f"remove {leftovers} first (the backup holds the original data)"
+        )
     parts = [
         os.path.join(path, f)
         for f in os.listdir(path)
@@ -159,7 +170,8 @@ def compact_parquet(
     df = spark.read.parquet(path).localCheckpoint(eager=True)
     tmp = path.rstrip("/") + "__compact_tmp"
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    bak = path.rstrip("/") + "__compact_old"
+    # unique backup name: a stale directory can never block the rename
+    bak = path.rstrip("/") + f"__compact_old-{_uuid.uuid4().hex}"
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)
@@ -190,8 +202,15 @@ def stats_index(path: str, columns: list[str]) -> list[dict]:
                 md.row_group(g).column(idx).statistics
                 for g in range(md.num_row_groups)
             ]
-            entry[f"{c}_min"] = min(s.min for s in stats)
-            entry[f"{c}_max"] = max(s.max for s in stats)
+            # an all-null column chunk (or stats-disabled writer) has no
+            # statistics object: record open bounds — pruned_read keeps
+            # such files conservatively instead of crashing
+            if not stats or any(s is None or not s.has_min_max for s in stats):
+                entry[f"{c}_min"] = None
+                entry[f"{c}_max"] = None
+            else:
+                entry[f"{c}_min"] = min(s.min for s in stats)
+                entry[f"{c}_max"] = max(s.max for s in stats)
         entries.append(entry)
     return entries
 
@@ -217,7 +236,8 @@ def pruned_read(
     keep = [
         e["file"]
         for e in idx
-        if e[f"{column}_max"] >= lo and e[f"{column}_min"] <= hi
+        if e[f"{column}_min"] is None  # no bounds recorded: must read
+        or (e[f"{column}_max"] >= lo and e[f"{column}_min"] <= hi)
     ]
     stats = {"files_read": len(keep), "files_total": len(idx)}
     if not keep:

@@ -90,48 +90,55 @@ def asof_join(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
 
+    # Carry the matched right row as ONE struct, not per-column
+    # ignorenulls carries: a legit NULL payload value in the true match
+    # must come through as NULL, never be skipped over in favor of an
+    # older/later row's value (which may even sit outside `tolerance`).
+    # The struct is non-null exactly on right rows, so the carry is tied
+    # to the matched ROW's identity; its fields keep their NULLs.
+    match_struct = F.when(
+        is_right,
+        F.struct(
+            F.col("__t").alias("__asof_mt"),
+            *[F.col(f"__p_{c}").alias(f"__p_{c}") for c in right_payload],
+        ),
+    )
+
+    def _extract(m, alias_to):
+        return [
+            m[f"__p_{c}"].alias(o)
+            for c, o in zip(right_payload, alias_to)
+        ]
+
     if direction == "backward":
+        m = F.last(match_struct, ignorenulls=True).over(w_back)
         carried = union.select(
-            "*",
-            F.last(F.when(is_right, F.col("__t")), ignorenulls=True)
-            .over(w_back)
-            .alias("__match_t"),
-            *[
-                F.last(f"__p_{c}", ignorenulls=True).over(w_back).alias(o)
-                for c, o in zip(right_payload, out_names)
-            ],
+            "*", m["__asof_mt"].alias("__match_t"), *_extract(m, out_names)
         )
     elif direction == "forward":
+        m = F.first(match_struct, ignorenulls=True).over(w_fwd)
         carried = union.select(
-            "*",
-            F.first(F.when(is_right, F.col("__t")), ignorenulls=True)
-            .over(w_fwd)
-            .alias("__match_t"),
-            *[
-                F.first(f"__p_{c}", ignorenulls=True).over(w_fwd).alias(o)
-                for c, o in zip(right_payload, out_names)
-            ],
+            "*", m["__asof_mt"].alias("__match_t"), *_extract(m, out_names)
         )
     else:  # nearest: both carries, one shuffle, per-row pick by gap
+        mb = F.last(match_struct, ignorenulls=True).over(w_back)
+        mf = F.first(match_struct, ignorenulls=True).over(w_fwd)
         both = union.select(
             "*",
-            F.last(F.when(is_right, F.col("__t")), ignorenulls=True)
-            .over(w_back)
-            .alias("__bt"),
-            F.first(F.when(is_right, F.col("__t")), ignorenulls=True)
-            .over(w_fwd)
-            .alias("__ft"),
-            *[
-                F.last(f"__p_{c}", ignorenulls=True).over(w_back).alias(f"__b_{c}")
-                for c in right_payload
-            ],
-            *[
-                F.first(f"__p_{c}", ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
-                for c in right_payload
-            ],
+            mb["__asof_mt"].alias("__bt"),
+            mf["__asof_mt"].alias("__ft"),
+            *_extract(mb, [f"__b_{c}" for c in right_payload]),
+            *_extract(mf, [f"__f_{c}" for c in right_payload]),
         )
-        back_gap = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__bt"))
-        fwd_gap = F.unix_micros(F.col("__ft")) - F.unix_micros(F.col("__t"))
+        t_type = left.schema[left_time].dataType.typeName()
+        if t_type.startswith("timestamp"):
+            def _ticks(c):
+                return F.unix_micros(F.col(c))
+        else:  # numeric epoch keys: pandas merge_asof allows them too
+            def _ticks(c):
+                return F.col(c)
+        back_gap = _ticks("__t") - _ticks("__bt")
+        fwd_gap = _ticks("__ft") - _ticks("__t")
         choose_back = F.col("__ft").isNull() | (
             F.col("__bt").isNotNull() & (back_gap <= fwd_gap)
         )
@@ -402,7 +409,10 @@ def global_row_index(
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + F.when(F.col(lead) > F.lit(c), 1).otherwise(0)
-    bucketed = df.withColumn("__bucket", bucket)
+    # the per-bucket counts AND the final window both consume bucketed;
+    # Catalyst won't CSE a shared subtree across two consumers, so without
+    # a lineage cut the full input plan runs twice per action
+    bucketed = df.withColumn("__bucket", bucket).localCheckpoint(eager=False)
 
     counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)

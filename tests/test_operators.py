@@ -4477,3 +4477,163 @@ class TestCodecTriageReviewFixes:
             for r in frame_sample_stub(media, every_n=10).collect()
         )
         assert got == [(2, 0), (2, 1)]
+
+
+class TestRelationalMlReviewFixes:
+    """Round-5 review regressions: asof NULL payloads and numeric keys,
+    footer-stats None guards, compaction swap safety, null-key groups in
+    the trimmed-mean twin, NaN-safe CV selection, live text_col params,
+    and calibration without model mutation."""
+
+    def test_asof_join_carries_null_payload_of_true_match(self, spark):
+        import datetime as dt
+
+        from data_etl_with_dbt_spark.operators.relational import asof_join
+
+        left = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 10, 0))], "k long, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 9, 0), 5.0),
+                (1, dt.datetime(2024, 1, 1, 9, 30), None),
+            ],
+            "k long, t timestamp, px double",
+        )
+        [row] = asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_payload=["px"],
+        ).collect()
+        # the true match (09:30) has px NULL; 5.0 would be a STALE carry
+        assert row.px is None
+        # forward mirror: true match is the NULL row at 09:30 looking back
+        # from 09:10
+        left2 = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 9, 10))], "k long, t timestamp"
+        )
+        [fwd] = asof_join(
+            left2, right, on="k", left_time="t", right_time="t",
+            right_payload=["px"], direction="forward",
+        ).collect()
+        assert fwd.px is None
+        # tolerance applies to the true match's distance, not the stale row
+        [tol] = asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_payload=["px"], tolerance="45 minutes",
+        ).collect()
+        assert tol.px is None
+
+    def test_asof_nearest_supports_numeric_time_keys(self, spark):
+        from data_etl_with_dbt_spark.operators.relational import asof_join
+
+        left = spark.createDataFrame([(1, 100)], "k long, t long")
+        right = spark.createDataFrame(
+            [(1, 90, "a"), (1, 104, "b")], "k long, t long, v string"
+        )
+        [row] = asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_payload=["v"], direction="nearest",
+        ).collect()
+        assert row.v == "b"  # gap 4 beats gap 10
+
+    def test_stats_index_tolerates_statless_chunks(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.operators.layout import (
+            pruned_read,
+            stats_index,
+        )
+
+        p = str(tmp_path / "mixed")
+        spark.createDataFrame([(1, 10.0)], "id long, x double").coalesce(
+            1
+        ).write.parquet(p)
+        spark.createDataFrame(
+            [(2, None)], "id long, x double"
+        ).coalesce(1).write.mode("append").parquet(p)
+        idx = stats_index(p, ["x"])
+        bounds = {e["x_min"] for e in idx}
+        assert None in bounds and 10.0 in bounds
+        df, stats = pruned_read(spark, p, "x", 0.0, 100.0)
+        # the statless file is conservatively read, never pruned or crashed
+        assert stats["files_total"] == 2 and stats["files_read"] == 2
+        assert [r.id for r in df.collect()] == [1]
+
+    def test_compact_refuses_leftover_crash_backup(self, spark, tmp_path):
+        import os
+
+        from data_etl_with_dbt_spark.operators.layout import compact_parquet
+
+        p = str(tmp_path / "tbl")
+        spark.range(10).write.parquet(p)
+        os.makedirs(p + "__compact_old-deadbeef")
+        with pytest.raises(RuntimeError, match="crashed mid-swap"):
+            compact_parquet(spark, p)
+        os.rmdir(p + "__compact_old-deadbeef")
+        stats = compact_parquet(spark, p, target_bytes=1 << 30)
+        assert stats["files_after"] == 1
+        assert spark.read.parquet(p).count() == 10
+
+    def test_trimmed_mean_builtin_keeps_null_key_group(self, spark):
+        from data_etl_with_dbt_spark.functions.udaf import (
+            trimmed_mean_builtin,
+        )
+
+        df = spark.createDataFrame(
+            [(None, 1.0), (None, 2.0), (None, 3.0), ("a", 5.0)],
+            "k string, v double",
+        )
+        got = {r.k: r.trimmed_mean for r in trimmed_mean_builtin(df, ["k"], "v").collect()}
+        assert got["a"] == 5.0
+        assert got[None] == pytest.approx(2.0)  # NULL group not dropped
+
+    def test_cv_selection_ignores_nan_folds(self):
+        from data_etl_with_dbt_spark.ml.quality import _select_best_reg
+
+        nan = float("nan")
+        # first grid entry NaN-poisoned, second has a real average
+        best, avg = _select_best_reg(
+            [0.0, 0.01], [(0.0, nan), (0.0, 0.9), (0.01, 0.7), (0.01, 0.8)]
+        )
+        assert best == 0.0 and avg[0.0] == pytest.approx(0.9)
+        # a fully-NaN entry is excluded even if listed first
+        best2, _ = _select_best_reg(
+            [0.0, 0.01], [(0.0, nan), (0.0, nan), (0.01, 0.6), (0.01, 0.8)]
+        )
+        assert best2 == 0.01
+        with pytest.raises(ValueError, match="single-class"):
+            _select_best_reg([0.0], [(0.0, nan)])
+
+    def test_score_quality_honors_text_col(self, spark):
+        from data_etl_with_dbt_spark.ml.quality import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        labeled = spark.createDataFrame(
+            [("good clean prose", 1.0), ("zz spam zz", 0.0)] * 10,
+            "text string, label double",
+        )
+        model = train_quality_classifier(labeled, use_bigrams=False, max_iter=5)
+        docs = spark.createDataFrame(
+            [(1, "good clean prose"), (2, "zz spam zz")],
+            "doc_id long, body string",
+        )
+        got = {r.doc_id: r.quality_prob for r in
+               score_quality(model, docs, text_col="body").collect()}
+        assert got[1] > got[2]  # 'body' was actually scored
+
+    def test_apply_calibration_does_not_mutate_model(self, spark):
+        from data_etl_with_dbt_spark.ml.quality import (
+            apply_calibration,
+            calibrate_isotonic,
+        )
+
+        scored = spark.createDataFrame(
+            [(0.1, 0.0), (0.4, 0.0), (0.6, 1.0), (0.9, 1.0)],
+            "quality_prob double, label double",
+        )
+        iso = calibrate_isotonic(scored)
+        other = scored.withColumnRenamed("quality_prob", "raw_score")
+        out = apply_calibration(iso, other, prob_col="raw_score")
+        assert "calibrated_prob" in out.columns and out.count() == 4
+        # the shared model still reads its fitted column
+        assert iso.getFeaturesCol() == "quality_prob"
