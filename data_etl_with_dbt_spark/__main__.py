@@ -134,7 +134,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             for r in results:
                 status = "PASS" if r.passed else ("WARN" if not r.blocking else "FAIL")
                 bad += int((not r.passed) and r.blocking)
-                print(f"{status} {r.model}.{r.column}:{r.test}  failures={r.violations.count()}")
+                # count violations only on failure: run_test's pass probe
+                # is limit(1), and dbt prints PASS without a count — an
+                # unconditional count() re-runs the full violation query
+                # (scan + shuffle) once per PASSING test
+                tail = "" if r.passed else f"  failures={r.violations.count()}"
+                print(f"{status} {r.model}.{r.column}:{r.test}{tail}")
             return 1 if bad else 0
         # build
         res = registry.build(spark, select=args.select, exclude=args.exclude)
@@ -142,7 +147,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"OK   {name}")
         for r in res["tests"]:
             status = "PASS" if r.passed else ("WARN" if not r.blocking else "FAIL")
-            print(f"{status} {r.model}.{r.column}:{r.test}  failures={r.violations.count()}")
+            tail = "" if r.passed else f"  failures={r.violations.count()}"
+            print(f"{status} {r.model}.{r.column}:{r.test}{tail}")
         for name in res["skipped"]:
             print(f"SKIP {name}")
         return 1 if res["failed"] or res["skipped"] else 0

@@ -81,11 +81,24 @@ def surrogate_key(df_schema: T.StructType, cols: list[str], sep: str = "-") -> C
     return F.md5(pg_concat_sep(rendered, sep))
 
 
+_US_PER_DAY = 86_400 * 1_000_000
+
+
 def epoch_seconds(end: Column | str, start: Column | str) -> Column:
     """``EXTRACT(EPOCH FROM end - start)`` with fractional seconds preserved
-    (``core_texi.sql:86``). Casting a timestamp to double yields fractional
-    epoch seconds; ``unix_timestamp()`` would truncate to whole seconds.
-    """
+    (``core_texi.sql:86``) and PostgreSQL's exact floating-point shape:
+    PG subtracts timestamps into an interval of (days, microseconds) and
+    epoch() evaluates ``days*86400 + micros/1e6`` — a different rounding
+    ORDER from ``cast(end as double) - cast(start as double)``, which
+    diverges by 1 ULP on many pairs (each epoch-scale operand is already
+    inexact at microsecond resolution). Mirroring the decomposition keeps
+    durations bit-for-bit with the reference warehouse; same tree as
+    ``suite.registry.epoch_diff_seconds`` mirrors for DuckDB."""
     e = F.col(end) if isinstance(end, str) else end
     s = F.col(start) if isinstance(start, str) else start
-    return e.cast("double") - s.cast("double")
+    dus = F.unix_micros(e) - F.unix_micros(s)
+    rem = dus % F.lit(_US_PER_DAY)  # sign follows the dividend, like PG
+    days_us = dus - rem
+    return (days_us / F.lit(_US_PER_DAY) * F.lit(86400)).cast(
+        "double"
+    ) + rem.cast("double") / F.lit(1e6)

@@ -51,17 +51,28 @@ def parse_nl_trip(text: str) -> dict:
 
 
 def parse_json_params(payload: str) -> dict:
-    """JSON parameter object with missing keys filled from the NL parse of
-    the same string, then defaults (Application.py:77-124). Raises ValueError
-    on invalid inputs (non-positive distance/duration, Application.py:130-131)."""
+    """JSON parameter object with missing/empty keys filled from the NL
+    parse of the SAME raw string, then defaults (Application.py:104-116 —
+    deliberately reference-faithful: the reference's fallback regex-scans
+    the raw JSON text, so a partial object's numeric VALUES map
+    positionally onto the missing features; quirky, but it is the
+    documented contract this port mirrors, pinned by test). JSON values of
+    None/"" count as missing, like the reference's ``data[k] in (None,
+    "")`` check. Raises ValueError on invalid inputs (non-positive
+    distance/duration, Application.py:130-131)."""
     try:
         obj = json.loads(payload)
         if not isinstance(obj, dict):
             raise ValueError("expected a JSON object")
-    except json.JSONDecodeError:
+    except (json.JSONDecodeError, TypeError):
+        # TypeError: a None payload — the reference's catch-everything
+        # JSON step falls back to the NL parse the same way
         obj = {}
     base = parse_nl_trip(payload)
-    out = {k: obj.get(k, base[k]) for k in REQUIRED_KEYS}
+    out = {
+        k: obj[k] if obj.get(k) not in (None, "") else base[k]
+        for k in REQUIRED_KEYS
+    }
     if float(out["trip_distance"]) <= 0 or float(out["trip_duration_minutes"]) <= 0:
         raise ValueError("trip_distance and trip_duration_minutes must be positive")
     return out

@@ -129,22 +129,39 @@ def save_model(model, path: str) -> None:
 
 
 def load_model(path: str):
-    """Load a saved fare model: the artifact's metadata names its class, so
-    dispatch on it rather than assuming the forest (the GBT variant saves
-    through the same path)."""
-    try:
-        return RandomForestRegressionModel.load(path)
-    except Exception:
-        from pyspark.ml.regression import GBTRegressionModel
+    """Load a saved fare model: the artifact's metadata names its class,
+    so dispatch on THAT — a blind try-RF-then-GBT would mask the real
+    error of a corrupt/partial artifact behind a misleading GBT class
+    mismatch."""
+    import glob
+    import json
+    import os
 
+    from pyspark.ml.regression import GBTRegressionModel
+
+    cls = None
+    parts = sorted(glob.glob(os.path.join(path, "metadata", "part-*")))
+    if parts:
+        with open(parts[0]) as fh:
+            cls = json.loads(fh.readline()).get("class", "")
+    if cls and "GBT" in cls:
         return GBTRegressionModel.load(path)
+    return RandomForestRegressionModel.load(path)
 
 
-def predict_batch(model, df: DataFrame, round_to: int = 2) -> DataFrame:
+def predict_batch(
+    model, df: DataFrame, round_to: int = 2, handle_invalid: str = "skip"
+) -> DataFrame:
     """Batch scoring (reference U4/F8): assemble features, transform, round.
-    Distributed end to end — the loaded model ships to executors once."""
+    Distributed end to end — the loaded model ships to executors once.
+
+    ``handle_invalid='skip'`` (the default) DROPS rows with NULL features
+    from the output — callers must join predictions back by id, never zip
+    by position. Pass ``'error'`` to fail loudly on bad rows instead, or
+    ``'keep'`` to score them (tree models route NaN features down a
+    default split)."""
     assembler = VectorAssembler(
-        inputCols=FEATURE_COLUMNS, outputCol="features", handleInvalid="skip"
+        inputCols=FEATURE_COLUMNS, outputCol="features", handleInvalid=handle_invalid
     )
     return (
         model.transform(assembler.transform(df))

@@ -24,14 +24,30 @@ from data_etl_with_dbt_spark.suite.registry import big, epoch_diff_seconds
 EPOCH_BASE = "2024-01-01"
 
 
+def event_surrogate_key() -> "F.Column":
+    """The flagship's md5 surrogate key, with PG ``concat()`` semantics:
+    PG (core_texi.sql:10-31) and DuckDB treat NULL concat parts as empty
+    strings, while Spark's ``F.concat`` returns NULL for the whole key —
+    which would both diverge from the oracle on NULL-bearing data AND
+    collapse every NULL-keyed row into one dedup survivor (row_number
+    groups NULLs together). Coalescing each part restores the reference
+    semantics. Shared by the batch flagship and the streaming dedup sink
+    so the two key sets can never drift."""
+    return F.md5(
+        F.concat(
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+            F.lit("-"),
+            F.coalesce(F.col("event_type"), F.lit("")),
+        )
+    )
+
+
 def project_events(ev: DataFrame) -> DataFrame:
     """Stage 1 — row-local projection (core_texi.sql:8-31 shape): md5
     surrogate key over the business columns, JSON prop extraction, NULL-ts
     guard. Narrow, stateless, embarrassingly parallel."""
     return ev.where(F.col("ts").isNotNull()).select(
-        F.md5(
-            F.concat(F.col("user_id").cast("string"), F.lit("-"), F.col("event_type"))
-        ).alias("unique_id"),
+        event_surrogate_key().alias("unique_id"),
         F.col("event_id"),
         F.col("user_id"),
         F.col("event_type"),

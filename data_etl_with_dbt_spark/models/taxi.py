@@ -109,6 +109,12 @@ def build_core_taxi(
     ``dedup_strategy``: 'window' = faithful row_number dedup;
     'hash' = dropDuplicates (equivalent output set, cheaper at scale).
     """
+    if dedup_strategy not in ("hash", "window"):
+        # validate up front: a typo ('dropDuplicates') must not silently
+        # run the slow window plan — mirror train_fare_model's check
+        raise ValueError(
+            f"dedup_strategy must be hash|window, got {dedup_strategy!r}"
+        )
     ing = F.lit(ingestion_date).cast("date") if ingestion_date else F.current_date()
 
     # CTE `transformed`: key + casts + NULL-timestamp filter (sql:8-56).

@@ -78,7 +78,8 @@ def apply_schema_config(registry: ModelRegistry, config: dict) -> int:
                 params = dict(params or {})
                 # dbt nests severity/store_failures under config:; flatten
                 # so they reach run_test alongside the test's own params
-                params.update(params.pop("config", {}))
+                # (an empty `config:` key parses to None in YAML)
+                params.update(params.pop("config", None) or {})
                 registry.add_test(
                     model["name"], TEST_REGISTRY[test_name], column["name"], **params
                 )

@@ -777,9 +777,14 @@ class ModelRegistry:
         refs, _sources = sqlmod.parse_deps(body)
 
         def fn(ctx, _body=body, _name=name):
+            # qualified existence check: a bare tableExists(name) returns
+            # True for a session temp view shadowing the model name,
+            # forcing incremental_run against a table that may not exist
+            cat = ctx.spark.catalog.currentCatalog()
+            db = ctx.spark.catalog.currentDatabase()
             incremental_run = (
                 cfg.get("materialized") == "incremental"
-                and ctx.spark.catalog.tableExists(_name)
+                and ctx.spark.catalog.tableExists(f"`{cat}`.`{db}`.`{_name}`")
             )
             rendered = sqlmod.render(_body, ctx, _name, incremental_run)
             return ctx.spark.sql(rendered)

@@ -50,6 +50,18 @@ class Finding:
 _EXCHANGE = re.compile(r"Exchange (hash|range)partitioning|Exchange SinglePartition")
 
 
+def count_exchanges(plan: str) -> int:
+    """Materializing exchanges in a physical-plan string. A ReusedExchange
+    line embeds the original's "Exchange hashpartitioning(...)" text but
+    materializes nothing — counting it would fail shuffle budgets for
+    exactly the exchange-reuse pattern worth rewarding."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "ReusedExchange" not in line and _EXCHANGE.search(line)
+    )
+
+
 def plan_text(df: DataFrame) -> str:
     """The executed (post-AQE-planning) physical plan as text."""
     return df._jdf.queryExecution().executedPlan().toString()
@@ -145,7 +157,7 @@ def lint_plan(
         if any(f.code == "unpushed-filter" for f in findings):
             break
     if max_shuffles is not None:
-        n = len(_EXCHANGE.findall(plan))
+        n = count_exchanges(plan)
         if n > max_shuffles:
             findings.append(
                 Finding(

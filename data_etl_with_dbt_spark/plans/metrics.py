@@ -112,10 +112,13 @@ class MetricRegistry:
             specs.append(spec)
 
         # group metrics by (loader, filter, time dim) identity -> one scan
-        # per group
+        # per group; with no grain the time dimension never enters the
+        # plan, so it must not split metrics that share loader+filter
+        # into separate scans
         groups: dict[tuple, list[MetricSpec]] = {}
         for s in specs:
-            groups.setdefault((s.loader, s.filter, s.time_dimension), []).append(s)
+            tkey = s.time_dimension if grain else None
+            groups.setdefault((s.loader, s.filter, tkey), []).append(s)
 
         keys = dims + (["metric_time"] if grain else [])
         frames = []

@@ -244,12 +244,15 @@ def table_diff(
     cols = compare_cols or [
         c for c in a.columns if c in b.columns and c not in keys
     ]
-    left = a.select(*keys, *cols, F.lit(1).alias("__in_a")).alias("__a")
-    right = b.select(*keys, *cols, F.lit(1).alias("__in_b")).alias("__b")
+    qcols = [F.col(f"`{c}`") for c in cols]
+    left = a.select(*keys, *qcols, F.lit(1).alias("__in_a")).alias("__a")
+    right = b.select(*keys, *qcols, F.lit(1).alias("__in_b")).alias("__b")
     joined = left.join(right, on=keys, how="full_outer")
     per_col = [
+        # backtick-quote: a column literally named 'payload.amount' must
+        # resolve as one field, not parse as a nested reference
         F.when(
-            ~F.col(f"__a.{c}").eqNullSafe(F.col(f"__b.{c}")), F.lit(c)
+            ~F.col(f"__a.`{c}`").eqNullSafe(F.col(f"__b.`{c}`")), F.lit(c)
         )
         for c in cols
     ]

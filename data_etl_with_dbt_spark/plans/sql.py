@@ -68,7 +68,14 @@ def render(sql: str, ctx, model_name: str, incremental_run: bool) -> str:
     sql = _SOURCE_RE.sub(
         lambda m: bind(ctx.source(m.group("name")), f"__src_{m.group('name')}"), sql
     )
-    sql = _THIS_RE.sub(model_name, sql)
+    # {{ this }} names the MATERIALIZED table: qualify it so a session
+    # temp view with the model's name can't shadow it (the same failure
+    # ModelRegistry.materialized_df qualifies against — a bare name here
+    # would read the incremental high-water mark from the wrong relation)
+    cat = ctx.spark.catalog.currentCatalog()
+    db = ctx.spark.catalog.currentDatabase()
+    this_ident = f"`{cat}`.`{db}`.`{model_name}`"
+    sql = _THIS_RE.sub(lambda m: this_ident, sql)
 
     leftover = _ANY_JINJA_RE.search(sql)
     if leftover:

@@ -87,14 +87,20 @@ def cost_of(df: DataFrame) -> dict:
     text = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "cost"
     )
+    # the full unit ladder Spark's bytesToString emits: omitting PiB/EiB
+    # (8.0 EiB is the UNKNOWN-stats default!) would make the search fall
+    # through the root and report a stats-bearing LEAF as the root
     m = re.search(
-        r"Statistics\(sizeInBytes=([\d.]+) (B|KiB|MiB|GiB|TiB)"
+        r"Statistics\(sizeInBytes=([\d.]+) (B|KiB|MiB|GiB|TiB|PiB|EiB)"
         r"(?:, rowCount=([\d.]+(?:E[+-]?\d+)?))?",
         text,
     )
     if not m:
         return {"size_bytes": None, "row_count": None}
-    mult = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}[m.group(2)]
+    mult = {
+        "B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40,
+        "PiB": 2**50, "EiB": 2**60,
+    }[m.group(2)]
     return {
         "size_bytes": int(float(m.group(1)) * mult),
         "row_count": int(float(m.group(3))) if m.group(3) else None,

@@ -202,6 +202,12 @@ class JsonlSinkWriter(DataSourceWriter):
         return _ShardCommit(path=shard, rows=n)
 
     def commit(self, messages) -> None:
+        """Publish the manifest honoring the save MODE: 'append' merges
+        this job's shards into the existing manifest (previously they
+        REPLACED it, silently dropping every earlier shard from any
+        manifest-driven reader); 'overwrite' unlinks the superseded
+        shard files so a directory-globbing reader can't see old+new
+        mixed."""
         import json
         import os
 
@@ -210,11 +216,24 @@ class JsonlSinkWriter(DataSourceWriter):
             for m in messages
             if m is not None
         ]
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        prior = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prior = json.load(fh).get("shards", [])
+        if self.overwrite:
+            new_names = {s["path"] for s in shards}
+            for s in prior:
+                old = os.path.join(self.path, s["path"])
+                if s["path"] not in new_names and os.path.exists(old):
+                    os.remove(old)
+        else:
+            shards = prior + shards
         manifest = {
             "shards": sorted(shards, key=lambda s: s["path"]),
             "total_rows": sum(s["rows"] for s in shards),
         }
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+        with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, indent=2)
 
     def abort(self, messages) -> None:

@@ -482,15 +482,24 @@ def drift_monitor_sink(
 
     ``chi2_alarm`` is the alarm threshold on the statistic (for reference,
     chi-square .999 quantile at 19 dof ≈ 43.8); batches smaller than the
-    bin count score but never alarm (too little evidence)."""
-    row = baseline.agg(
+    bin count score but never alarm (too little evidence). NULL values
+    carry no distribution signal and are EXCLUDED from binning (floor of
+    a NULL division would otherwise slip through greatest() into bin 0,
+    spiking — or masking — the statistic); a constant-valued baseline
+    degenerates to one bin with step=1, so any value drift lands in a
+    different bin and still alarms."""
+    row = baseline.where(F.col(column).isNotNull()).agg(
         F.min(column).alias("vmin"), F.max(column).alias("vmax")
     ).first()
+    if row.vmin is None:
+        raise ValueError(
+            f"drift_monitor_sink: baseline has no non-NULL {column!r} rows"
+        )
     vmin, vmax = float(row.vmin), float(row.vmax)
-    step = (vmax - vmin) / float(n_bins)
+    step = (vmax - vmin) / float(n_bins) or 1.0  # constant baseline: 1 bin
 
     def bin_counts(df: DataFrame) -> dict[int, int]:
-        binned = df.select(
+        binned = df.where(F.col(column).isNotNull()).select(
             F.least(
                 F.greatest(
                     F.floor((F.col(column) - F.lit(vmin)) / F.lit(step)), F.lit(0)

@@ -82,10 +82,9 @@ def streaming_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFra
     over business columns, exactly-one-row-per-key *within the watermark
     horizon*. Unbounded key state is the classic streaming-dedup trap —
     ``dropDuplicatesWithinWatermark`` evicts state past the horizon."""
-    keyed = events.withColumn(
-        "unique_id",
-        F.md5(F.concat(F.col("user_id").cast("string"), F.lit("-"), F.col("event_type"))),
-    )
+    from data_etl_with_dbt_spark.models.events import event_surrogate_key
+
+    keyed = events.withColumn("unique_id", event_surrogate_key())
     return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["unique_id"])
 
 

@@ -292,3 +292,74 @@ class TestMetricTimeGrain:
             reg.query(spark, ["no_time"], grain="day")
         with pytest.raises(ValueError, match="grain must be one of"):
             reg.query(spark, ["revenue"], grain="fortnight")
+
+
+class TestPlansReviewFixes:
+    """Round-5 review regressions: grain-None scan grouping, ReusedExchange
+    shuffle counting, empty config: keys, dotted diff columns."""
+
+    def test_grain_none_groups_across_time_dimensions(self, spark):
+        from data_etl_with_dbt_spark.plans.metrics import MetricRegistry
+
+        calls = {"n": 0}
+
+        def loader(s):
+            calls["n"] += 1
+            return s.createDataFrame(
+                [(1, 10.0, 2.0)], "id long, rev double, refund double"
+            )
+
+        reg = MetricRegistry()
+        reg.define("revenue", loader, lambda: F.sum("rev"), [],
+                   time_dimension="order_ts")
+        reg.define("refunds", loader, lambda: F.sum("refund"), [],
+                   time_dimension="refund_ts")
+        [row] = reg.query(spark, ["revenue", "refunds"]).collect()
+        assert (row.revenue, row.refunds) == (10.0, 2.0)
+        # one scan: differing time_dimensions must not split the group
+        # when no grain is requested (the column never enters the plan)
+        assert calls["n"] == 1
+
+    def test_shuffle_budget_ignores_reused_exchanges(self):
+        from data_etl_with_dbt_spark.plans.lint import count_exchanges
+
+        plan = "\n".join([
+            "*(3) SortMergeJoin [k#1], [k#9], Inner",
+            "+- Exchange hashpartitioning(k#1, 200), ENSURE_REQUIREMENTS",
+            "   +- LocalTableScan [k#1]",
+            "+- ReusedExchange [k#9], Exchange hashpartitioning(k#1, 200)",
+        ])
+        assert count_exchanges(plan) == 1
+
+    def test_empty_config_key_tolerated(self, spark):
+        from data_etl_with_dbt_spark.plans.config import apply_schema_config
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        reg = ModelRegistry()
+
+        @reg.model(name="m1")
+        def m1(ctx):
+            return ctx.spark.createDataFrame([(1,)], "id long")
+
+        n = apply_schema_config(
+            reg,
+            {"models": [{"name": "m1", "columns": [
+                {"name": "id",
+                 "tests": [{"unique": {"config": None}}]},
+            ]}]},
+        )
+        assert n == 1
+        reg.run(spark)
+        try:
+            assert all(r.passed for r in reg.test(spark))
+        finally:
+            spark.catalog.dropTempView("m1")
+
+    def test_table_diff_handles_dotted_column_names(self, spark):
+        from data_etl_with_dbt_spark.plans.monitor import table_diff
+
+        a = spark.createDataFrame([(1, 5.0)], ["id", "payload.amount"])
+        b = spark.createDataFrame([(1, 6.0)], ["id", "payload.amount"])
+        [row] = table_diff(a, b, keys=["id"]).collect()
+        assert row.diff_status == "changed"
+        assert row.changed_cols == "payload.amount"

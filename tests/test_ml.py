@@ -475,3 +475,95 @@ class TestDocEmbeddings:
         ).collect()
         same_theme = [r for r in top if r.doc_id % 2 == 0]
         assert len(same_theme) == len(top)  # every neighbor shares the theme
+
+
+class TestMlReviewFixes:
+    """Round-5 review regressions for parse/pipeline/models."""
+
+    def test_parse_json_none_and_empty_values(self):
+        from data_etl_with_dbt_spark.ml.parse import parse_json_params
+
+        # None payload: the reference's catch-everything JSON step falls
+        # back to the NL parse (all defaults), never raises TypeError
+        out = parse_json_params(None)
+        assert out["trip_distance"] == 5.0 and out["passenger_count"] == 1
+        # explicit null/empty JSON values count as missing, like the
+        # reference's `data[k] in (None, "")` check
+        out2 = parse_json_params(
+            '{"trip_distance": 10, "passenger_count": null, "payment_type": ""}'
+        )
+        assert out2["trip_distance"] == 10
+        assert out2["passenger_count"] != ""  # filled, not passed through
+
+    def test_parse_json_positional_fallback_is_reference_faithful(self):
+        """The reference (Application.py:104-116) fills missing JSON keys by
+        regex-scanning the RAW text positionally — quirky but contractual;
+        pin it so a well-meaning 'fix' can't silently diverge from the
+        system being ported."""
+        from data_etl_with_dbt_spark.ml.parse import parse_json_params
+
+        out = parse_json_params('{"trip_distance": 2, "trip_duration_minutes": 30}')
+        assert out["trip_distance"] == 2.0
+        assert out["trip_duration_minutes"] == 30.0
+        # positions: [2, 30] -> passenger_count (slot 2) gets 30
+        assert out["passenger_count"] == 30
+
+    def test_load_model_dispatches_on_metadata_class(self, spark, tmp_path, training):
+        from pyspark.ml.regression import (
+            GBTRegressionModel,
+            RandomForestRegressionModel,
+        )
+
+        from data_etl_with_dbt_spark.ml.pipeline import (
+            load_model,
+            save_model,
+            train_fare_model,
+        )
+
+        gbt, _ = train_fare_model(training.limit(80), algorithm="gbt", seed=7)
+        p = str(tmp_path / "gbt_model")
+        save_model(gbt, p)
+        back = load_model(p)
+        assert isinstance(back, GBTRegressionModel)
+        rf, _ = train_fare_model(training.limit(80), algorithm="rf", num_trees=3, seed=7)
+        p2 = str(tmp_path / "rf_model")
+        save_model(rf, p2)
+        assert isinstance(load_model(p2), RandomForestRegressionModel)
+
+    def test_predict_batch_handle_invalid_modes(self, spark, training):
+        import pytest
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        from data_etl_with_dbt_spark.ml.pipeline import (
+            predict_batch,
+            train_fare_model,
+        )
+
+        model, _ = train_fare_model(training.limit(80), algorithm="rf", num_trees=3, seed=7)
+        rows = [
+            (5.0, 1, 20.0, 15.0, 1, 1),
+            (8.0, 2, 30.0, None, 1, 1),  # NULL feature
+            (3.0, 1, 10.0, 18.0, 2, 2),
+        ]
+        bad = spark.createDataFrame(
+            rows,
+            "trip_distance double, passenger_count int, "
+            "trip_duration_minutes double, avg_speed_mph double, "
+            "rate_code_id int, payment_type int",
+        )
+        # default 'skip' documents the drop; callers join by id
+        assert predict_batch(model, bad).count() == 2
+        with pytest.raises(Exception):
+            # count() would column-prune the assembler away; materialize
+            # the prediction so the error path actually evaluates
+            predict_batch(model, bad, handle_invalid="error").select(
+                "predicted_fare"
+            ).collect()
+
+    def test_taxi_unknown_dedup_strategy_rejected(self, spark):
+        import pytest
+
+        from data_etl_with_dbt_spark.models.taxi import build_core_taxi
+
+        with pytest.raises(ValueError, match="dedup_strategy"):
+            build_core_taxi(spark.range(1), dedup_strategy="dropDuplicates")

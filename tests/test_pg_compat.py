@@ -158,3 +158,46 @@ class TestWebFunctions:
         )
         got = {r.c for r in df.collect()}
         assert "https://h.com/p?k=3" in got
+
+
+def test_epoch_seconds_matches_pg_interval_decomposition(spark):
+    """Round-5 review: PG evaluates EXTRACT(EPOCH FROM e - s) on the
+    interval's (days, microseconds) decomposition — fl(days*86400 +
+    fl(us/1e6)) — which differs from fl(fl(e) - fl(s)) by 1 ULP on many
+    pairs. Pin the exact decomposition bit-for-bit on pairs spanning
+    sub-second to multi-century gaps (including one where the old
+    double-cast spelling provably diverges)."""
+    import datetime as dt
+
+    pairs = [
+        (dt.datetime(2024, 1, 1, 0, 0, 0, 1), dt.datetime(2024, 1, 1, 0, 0, 1, 500001)),
+        (dt.datetime(2024, 1, 1), dt.datetime(2024, 3, 15, 7, 13, 59, 123457)),
+        (dt.datetime(1971, 7, 4, 1, 2, 3, 400000), dt.datetime(2244, 11, 30, 23, 59, 59, 999999)),
+        (dt.datetime(2024, 6, 1, 12), dt.datetime(2024, 6, 1, 11, 59, 59, 999999)),  # negative
+    ]
+    us_day = 86_400_000_000
+    epoch = dt.datetime(1970, 1, 1)
+
+    def micros(t):
+        d = t - epoch
+        return d.days * us_day + d.seconds * 10**6 + d.microseconds
+
+    def pg_epoch(s, e):
+        dus = micros(e) - micros(s)
+        # Spark's % follows the dividend sign; mirror that here
+        rem = dus % us_day if dus >= 0 else -((-dus) % us_day)
+        days_us = dus - rem
+        return (days_us / us_day) * 86400 + rem / 1e6
+
+    df = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(pairs)], "i long, s timestamp, e timestamp"
+    )
+    got = {r.i: r.sec for r in df.select("i", epoch_seconds("e", "s").alias("sec")).collect()}
+    diverged = 0
+    for i, (s, e) in enumerate(pairs):
+        expect = pg_epoch(s, e)
+        assert got[i] == expect, (i, got[i].hex(), expect.hex())
+        naive = (e - epoch).total_seconds() - (s - epoch).total_seconds()
+        if naive != expect:
+            diverged += 1
+    assert diverged >= 1  # at least one pair shows the 1-ULP class is real

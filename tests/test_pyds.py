@@ -149,3 +149,56 @@ class TestJsonlSink:
         df = registered.read.format("synthetic_docs").option("rows", 5).load()
         with pytest.raises(Exception, match="path"):
             df.write.format("jsonl_sink").mode("append").save()
+
+
+class TestJsonlSinkModes:
+    """Round-5 review: the sink's commit used to rewrite the manifest with
+    only the current job's shards — append dropped every prior shard from
+    manifest-driven readers, and overwrite left stale files for globbers."""
+
+    @staticmethod
+    def _manifest(path):
+        import json
+        import os
+
+        with open(os.path.join(path, "_MANIFEST.json")) as fh:
+            return json.load(fh)
+
+    def test_append_merges_manifest(self, spark, tmp_path):
+        import glob
+
+        from data_etl_with_dbt_spark.sources.pyds import register_synthetic_source
+
+        register_synthetic_source(spark)
+        path = str(tmp_path / "sink")
+        spark.range(3).write.format("jsonl_sink").option("path", path).mode(
+            "append"
+        ).save()
+        spark.range(3, 5).write.format("jsonl_sink").option("path", path).mode(
+            "append"
+        ).save()
+        m = self._manifest(path)
+        assert m["total_rows"] == 5
+        listed = {s["path"] for s in m["shards"]}
+        on_disk = {p.split("/")[-1] for p in glob.glob(f"{path}/part-*.jsonl")}
+        assert listed == on_disk  # every committed shard stays referenced
+
+    def test_overwrite_replaces_manifest_and_removes_stale_shards(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        from data_etl_with_dbt_spark.sources.pyds import register_synthetic_source
+
+        register_synthetic_source(spark)
+        path = str(tmp_path / "sink2")
+        spark.range(10).write.format("jsonl_sink").option("path", path).mode(
+            "append"
+        ).save()
+        spark.range(2).write.format("jsonl_sink").option("path", path).mode(
+            "overwrite"
+        ).save()
+        m = self._manifest(path)
+        assert m["total_rows"] == 2
+        on_disk = {p.split("/")[-1] for p in glob.glob(f"{path}/part-*.jsonl")}
+        assert on_disk == {s["path"] for s in m["shards"]}  # no stale files

@@ -59,3 +59,20 @@ def test_pathscan_has_no_catalog_stats(spark, stats_table):
     # the operational lesson: path reads never see ANALYZE results
     cost = cost_of(read_parquet(spark, f"{SF_DIR}/orders.parquet"))
     assert cost["row_count"] is None
+
+
+def test_cost_of_large_units_report_root_not_leaf(spark, stats_table):
+    """Round-5 review: the unit regex stopped at TiB, so a root printing
+    PiB/EiB (cross joins; 8.0 EiB is Spark's unknown-stats cap) fell
+    through and a stats-bearing LEAF was reported as the root."""
+    from data_etl_with_dbt_spark.plans.stats import cost_of
+
+    # 'Join Cross, Statistics(sizeInBytes=5.7 PiB)' over two range leaves
+    # that DO carry rowCount — the old regex matched the first leaf and
+    # returned its 76.3 MiB / 1e7 rows as the root's
+    df = spark.range(10**7).crossJoin(spark.range(10**7))
+    got = cost_of(df)
+    assert got["size_bytes"] >= 2**50  # PiB scale, not the leaf's MiB
+    # the ROOT's rowCount (1e14 with CBO on, absent without) — never the
+    # leaf's 1e7
+    assert got["row_count"] in (None, 10**14)

@@ -1385,3 +1385,114 @@ def test_streaming_cdc_versioned_equal_seq_boundary(spark, tmp_path):
     assert latest == {1: "a", 3: "tie"}  # tie-seq create applied, delete applied
     sink(spark.createDataFrame(b1, "value string"), batch_id=2)
     assert V.list_versions(table) == versions
+
+
+class TestCrossSessionRestart:
+    def test_restarted_stream_does_not_clobber_prior_table(self, spark, tmp_path):
+        """Round-5 review: the in-memory catalog dies with a session but
+        the checkpoint + warehouse directory survive — a restarted stream's
+        first batch used to take the create-with-overwrite branch and wipe
+        every previously ingested row (which the checkpoint would never
+        re-deliver). The orphaned directory is re-registered instead."""
+        import os
+        import shutil
+
+        from data_etl_with_dbt_spark.streaming.ingest import append_new_keys
+
+        table = "restart_ingest_t"
+        b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        append_new_keys(spark, b1, table, "id")
+        try:
+            # simulate the session boundary: the table vanishes from the
+            # catalog while its warehouse directory stays on disk
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            loc = os.path.join(wh, table)
+            shutil.copytree(loc, loc + ".save")
+            spark.sql(f"DROP TABLE {table}")
+            shutil.move(loc + ".save", loc)
+            assert not spark.catalog.tableExists(table)
+
+            b2 = spark.createDataFrame([(2, "b"), (3, "c")], "id long, v string")
+            append_new_keys(spark, b2, table, "id")
+            got = {r.id: r.v for r in spark.table(table).collect()}
+            # batch 1 survived; batch 2 merged idempotently
+            assert got == {1: "a", 2: "b", 3: "c"}
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestDriftMonitorEdgeCases:
+    """Round-5 review: NULLs must not bin (floor(NULL/step) slipped through
+    greatest() into bin 0), a constant baseline must still alarm on drift
+    (step=0 made every value NULL-bin to 0 forever), and an all-NULL
+    baseline must refuse loudly."""
+
+    def test_nulls_excluded_from_binning(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.streaming.intake import drift_monitor_sink
+
+        baseline = spark.createDataFrame(
+            [(float(v),) for v in range(100)], "v double"
+        )
+        ledger = str(tmp_path / "ledger")
+        process = drift_monitor_sink(baseline, "v", ledger, n_bins=10)
+        # same distribution + 40% NULLs: without the exclusion the NULL
+        # mass lands in bin 0 and chi-square explodes
+        batch = spark.createDataFrame(
+            [(float(v),) for v in range(100)] + [(None,)] * 40, "v double"
+        )
+        process(batch, 0)
+        [row] = spark.read.parquet(ledger).collect()
+        assert row.n_rows == 100  # NULLs carry no signal
+        assert not row.alarm and row.chi_square < 20.0
+
+    def test_constant_baseline_still_alarms_on_shift(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.streaming.intake import drift_monitor_sink
+
+        baseline = spark.createDataFrame([(5.0,)] * 50, "v double")
+        ledger = str(tmp_path / "ledger2")
+        process = drift_monitor_sink(baseline, "v", ledger, n_bins=20)
+        process(spark.createDataFrame([(5.0,)] * 30, "v double"), 0)
+        process(spark.createDataFrame([(100.0,)] * 30, "v double"), 1)
+        rows = {r.batch_id: r for r in spark.read.parquet(ledger).collect()}
+        assert not rows[0].alarm  # same constant: no drift
+        assert rows[1].alarm      # total shift must fire, not score 0
+
+    def test_all_null_baseline_rejected(self, spark, tmp_path):
+        import pytest
+
+        from data_etl_with_dbt_spark.streaming.intake import drift_monitor_sink
+
+        baseline = spark.createDataFrame([(None,)] * 5, "v double")
+        with pytest.raises(ValueError, match="non-NULL"):
+            drift_monitor_sink(baseline, "v", str(tmp_path / "l3"))
+
+
+def test_event_surrogate_key_pg_concat_null_semantics(spark):
+    """Round-5 review: PG/DuckDB concat() treat NULL parts as empty strings
+    while Spark's F.concat nulls the whole key — which diverged from the
+    flagship oracle on NULL-bearing data AND collapsed every NULL-keyed row
+    into one dedup survivor. The shared key helper coalesces each part."""
+    import duckdb
+
+    from data_etl_with_dbt_spark.models.events import (
+        dedup_newest,
+        event_surrogate_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "click"), (2, None, "view"), (3, 7, None)],
+        "event_id long, user_id long, event_type string",
+    ).withColumn("event_ts", F.lit("2024-01-01").cast("timestamp"))
+    keyed = df.select("event_id", event_surrogate_key().alias("unique_id"), "event_ts")
+    got = {r.event_id: r.unique_id for r in keyed.collect()}
+    # distinct keys per event_type: NULL user_id must not collapse them
+    assert got[1] != got[2] and None not in got.values()
+    # byte parity with DuckDB's concat on the same NULL rows
+    duck = duckdb.sql(
+        "SELECT md5(concat(CAST(NULL AS VARCHAR), '-', 'click')), "
+        "md5(concat(CAST(NULL AS VARCHAR), '-', 'view')), "
+        "md5(concat(CAST(7 AS VARCHAR), '-', CAST(NULL AS VARCHAR)))"
+    ).fetchone()
+    assert (got[1], got[2], got[3]) == duck
+    # and dedup keeps one row PER distinct key, not one row overall
+    assert dedup_newest(keyed).count() == 3

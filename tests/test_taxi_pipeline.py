@@ -304,3 +304,48 @@ def test_sql_model_additive_config(spark):
     rows = {r.k: r.v for r in spark.table("sql_rollup").collect()}
     assert rows == {"a": 15, "b": 2}
     spark.sql("DROP TABLE IF EXISTS sql_rollup")
+
+
+class TestSqlThisShadowing:
+    def test_temp_view_cannot_shadow_this_macro(self, spark, tmp_path):
+        """Round-5 review: {{ this }} rendered to the BARE model name, so a
+        session temp view with the model's name shadowed the materialized
+        table — the incremental high-water mark came from the wrong
+        relation (the exact failure materialized_df already qualifies
+        against). Render now emits `cat`.`db`.`name`."""
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.plans.dag import ModelRegistry
+
+        src_path = str(tmp_path / "shadow_src")
+        spark.range(0, 10).select("id").write.mode("overwrite").parquet(src_path)
+
+        def build_registry():
+            reg = ModelRegistry()
+            reg.add_source("shadow_src", lambda s: s.read.parquet(src_path))
+            reg.sql_model(
+                "fct_shadowed",
+                """
+                {{ config(materialized='incremental', unique_key='id') }}
+                SELECT id FROM {{ source('shadow_src') }}
+                {% if is_incremental() %}
+                  WHERE id > (SELECT max(id) FROM {{ this }})
+                {% endif %}
+                """,
+            )
+            return reg
+
+        spark.sql("DROP TABLE IF EXISTS fct_shadowed")
+        try:
+            build_registry().run(spark, select=["fct_shadowed"])
+            # a notebook user shadows the model name with a LOW max(id):
+            # the bare-name render would re-ingest rows 4..9 as duplicates
+            spark.range(0, 4).select("id").createOrReplaceTempView("fct_shadowed")
+            spark.range(10, 15).select("id").write.mode("append").parquet(src_path)
+            build_registry().run(spark, select=["fct_shadowed"])
+            out = spark.table("`spark_catalog`.`default`.`fct_shadowed`")
+            assert out.count() == 15  # no duplicates: watermark was 9, not 3
+            assert out.agg(F.max("id")).first()[0] == 14
+        finally:
+            spark.catalog.dropTempView("fct_shadowed")
+            spark.sql("DROP TABLE IF EXISTS fct_shadowed")
