@@ -66,10 +66,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 WINDOW = [
     "dq_not_null_violations", "dq_accepted_values_violations",
-    "dq_relationships_violations", "hard_negative_mining",
-    "holt_linear_forecast", "hourly_seasonality_profile",
-    "inventory_running_balance", "kl_divergence_sources",
-    "lateral_top_orders", "length_bucketed_batches",
+    "dq_relationships_violations", "dq_quarantine_events",
+    "hard_negative_mining", "holt_linear_forecast",
+    "hourly_seasonality_profile", "inventory_running_balance",
+    "kl_divergence_sources", "lateral_top_orders", "length_bucketed_batches",
     "linear_interpolate_events", "majority_label_vote", "market_basket_lift",
     "masked_customer_view", "mutual_information_events",
     "negative_samples_documents", "ngram_containment_pairs",
@@ -86,15 +86,12 @@ WINDOW = [
     "two_sample_drift_events", "user_gap_stats", "variant_props_stats",
     "vocab_coverage_topk", "weighted_sample_documents",
     "window_analytics_extended", "window_trailing_range",
-    "winsorize_extendedprice", "zipf_exponent_vocab",
+    "winsorize_extendedprice",
 ]
 
 ZQ_QUEUED = [
-    "zorder_cluster_events",
-    # round-5 additions (VERDICT r4 item 3): oracle-bearing invariant
-    # companions for the rows-only iterative/learned operators — queued
-    # behind the freeze as that item sanctions
-    "pca_invariants", "topic_model_simplex", "learned_embedding_invariants",
+    "zipf_exponent_vocab", "zorder_cluster_events", "pca_invariants",
+    "topic_model_simplex", "learned_embedding_invariants",
     "mp3_bitrate_histogram",
 ]
 
@@ -117,23 +114,22 @@ ZV_VERIFIED = [
     "dedup_exact_groups", "dedup_keep_longest", "dedup_soft_weights",
     "dedup_spans_keep_first", "doc_fingerprints", "doc_oov_rate",
     "domain_quota_cap", "dp_noisy_counts", "dq_positive_violations",
-    "dq_quarantine_events", "dq_threshold_violations",
-    "dq_unique_violations", "dsir_importance_weights",
-    "duplicate_invoice_heuristic", "embedding_centroid_outliers",
-    "embedding_int8_quantize", "embedding_norm_stats",
-    "event_transition_matrix", "event_type_lift_pairs", "ewma_daily_revenue",
-    "explode_word_counts", "frequent_event_trigrams",
-    "functional_dependency_check", "funnel_conversion_windows",
-    "funnel_view_click_purchase", "fuzzy_name_pairs", "global_row_index",
-    "gopher_quality_flags", "graph_clustering_coefficients",
-    "growth_accounting_daily", "half_life_decay_value",
-    "hash_split_assignment", "histogram_totalprice", "inverted_index_terms",
-    "join_full_outer", "join_left_outer_summary", "join_null_safe",
-    "join_semi_anti", "json_props_aggregation", "json_schema_parse",
-    "lang_id_heuristic", "locf_imputation", "mad_outliers_by_type",
-    "minmax_normalize_events", "mixture_temperature_sample",
-    "ml_feature_extraction", "mode_per_event_type",
-    "multimodal_byte_features", "ngram_jaccard_pairs",
+    "dq_threshold_violations", "dq_unique_violations",
+    "dsir_importance_weights", "duplicate_invoice_heuristic",
+    "embedding_centroid_outliers", "embedding_int8_quantize",
+    "embedding_norm_stats", "event_transition_matrix",
+    "event_type_lift_pairs", "ewma_daily_revenue", "explode_word_counts",
+    "frequent_event_trigrams", "functional_dependency_check",
+    "funnel_conversion_windows", "funnel_view_click_purchase",
+    "fuzzy_name_pairs", "global_row_index", "gopher_quality_flags",
+    "graph_clustering_coefficients", "growth_accounting_daily",
+    "half_life_decay_value", "hash_split_assignment", "histogram_totalprice",
+    "inverted_index_terms", "join_full_outer", "join_left_outer_summary",
+    "join_null_safe", "join_semi_anti", "json_props_aggregation",
+    "json_schema_parse", "lang_id_heuristic", "locf_imputation",
+    "mad_outliers_by_type", "minmax_normalize_events",
+    "mixture_temperature_sample", "ml_feature_extraction",
+    "mode_per_event_type", "multimodal_byte_features", "ngram_jaccard_pairs",
     "perplexity_proxy_score", "pivot_event_counts", "q10_returned_items",
     "q11_important_parts", "q12_priority_counts",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",

@@ -680,6 +680,7 @@ def basket_pair_counts(
     item_col: str,
     min_support: int = 1,
     max_basket_items: int | None = None,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Co-occurrence pair counts for market-basket analysis: distinct
     (order, item) pairs self-join on the order key with ``item_a < item_b``,
@@ -699,8 +700,15 @@ def basket_pair_counts(
     affinity signal per pair anyway. Leave ``None`` (exact) when the data
     model bounds basket width; set it (e.g. 500) for open-ended carts at
     warehouse scale.
+
+    ``pre_deduped=True`` skips the internal distinct — pass it when the
+    caller already holds the distinct (order, item) frame (ideally
+    lineage-cut), so shared consumers don't rescan the source (Catalyst
+    gives no cross-consumer CSE).
     """
-    basket = df.select(order_col, item_col).distinct()
+    basket = df.select(order_col, item_col)
+    if not pre_deduped:
+        basket = basket.distinct()
     if max_basket_items is not None:
         basket = per_key_cap(
             basket,

@@ -11,6 +11,7 @@ summation-order-dependent.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_etl_with_dbt_spark.suite.registry import big, davg, dec6, dsum, load, query
@@ -131,7 +132,6 @@ def cohort_retention(spark, sf_dir):
     description="OLS slope/intercept per group from decimal-exact component sums (deterministic alternative to regr_* aggregates)",
 )
 def agg_linear_regression(spark, sf_dir):
-    from data_etl_with_dbt_spark.suite.registry import dsum
 
     li = load(spark, sf_dir, "lineitem")
     comp = li.groupBy("l_returnflag").agg(
@@ -184,7 +184,6 @@ def time_weighted_average(spark, sf_dir):
     # goes through a STRING cast: direct conversion of decimals whose
     # unscaled value exceeds ~2^53 (21 digits here) is off by 1 ulp between
     # engines, while string→double is correctly rounded in both.
-    from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -248,8 +247,14 @@ def mad_outliers_by_type(spark, sf_dir):
     med = ev.groupBy("event_type").agg(
         dec6(F.expr("percentile(value, 0.5)")).alias("med")
     )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    # dev feeds TWO consumers (the MAD agg and the final outlier count);
+    # without a lineage cut the events scan + median agg + join re-run
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+        )
+        .localCheckpoint(eager=False)
     )
     mad = dev.groupBy("event_type", "med").agg(
         dec6(F.expr("percentile(dev, 0.5)")).alias("mad")
@@ -303,7 +308,6 @@ def mode_per_event_type(spark, sf_dir):
         .groupBy("event_type", "prop_k")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "prop_k")
     return (
@@ -595,7 +599,6 @@ def profile_orders(spark, sf_dir):
     ),
 )
 def two_sample_drift_events(spark, sf_dir):
-    from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
     stats = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
@@ -683,7 +686,6 @@ def two_sample_drift_events(spark, sf_dir):
     ),
 )
 def scalar_math_gallery(spark, sf_dir):
-    from data_etl_with_dbt_spark.suite.registry import dec6
 
     ev = load(spark, sf_dir, "events")
     v = F.col("value")
@@ -797,23 +799,29 @@ def agg_correlation_matrix(spark, sf_dir):
     oracle="""
     SELECT event_id,
            concat_ws(',',
-               CASE WHEN NOT coalesce(value > 0, FALSE) THEN 'positive_value' END,
+               CASE WHEN NOT coalesce(value > 1, FALSE) THEN 'material_value' END,
                CASE WHEN NOT coalesce(user_id IS NOT NULL, FALSE) THEN 'user_present' END,
-               CASE WHEN NOT coalesce(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE)
-                    THEN 'known_type' END
+               CASE WHEN NOT coalesce(event_type IN ('view', 'click', 'purchase'), FALSE)
+                    THEN 'engagement_type' END
            ) AS dq_reasons,
            (concat_ws(',',
-               CASE WHEN NOT coalesce(value > 0, FALSE) THEN 'positive_value' END,
+               CASE WHEN NOT coalesce(value > 1, FALSE) THEN 'material_value' END,
                CASE WHEN NOT coalesce(user_id IS NOT NULL, FALSE) THEN 'user_present' END,
-               CASE WHEN NOT coalesce(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE)
-                    THEN 'known_type' END
+               CASE WHEN NOT coalesce(event_type IN ('view', 'click', 'purchase'), FALSE)
+                    THEN 'engagement_type' END
            ) = '') AS dq_ok
     FROM events
     """,
     description=(
         "Row-level quarantine annotation: failed-rule reasons per event "
-        "(positive value / user present / known type) — the reject-table "
-        "ETL pattern, one scan-parallel projection"
+        "(material value / user present / engagement type) — the "
+        "reject-table ETL pattern, one scan-parallel projection. "
+        "Fixture-calibrated round 5: the original rules (value > 0, the "
+        "full type list) passed EVERY fixture row at the oracle-checked "
+        "scales, so reason-joining and dq_ok=false were never exercised "
+        "(the q8/q22 vacuous-green class); value > 1 and the narrowed "
+        "type list fail 10/400 rows respectively at sf0.001, including "
+        "multi-reason rows"
     ),
 )
 def dq_quarantine_events(spark, sf_dir):
@@ -823,11 +831,11 @@ def dq_quarantine_events(spark, sf_dir):
     q = quarantine(
         ev,
         [
-            ("positive_value", F.col("value") > 0),
+            ("material_value", F.col("value") > 1),
             ("user_present", F.col("user_id").isNotNull()),
             (
-                "known_type",
-                F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+                "engagement_type",
+                F.col("event_type").isin("view", "click", "purchase"),
             ),
         ],
     )
@@ -873,7 +881,6 @@ def dq_quarantine_events(spark, sf_dir):
     ),
 )
 def pareto_customer_revenue(spark, sf_dir):
-    from pyspark.sql import Window
 
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -1012,7 +1019,6 @@ def graph_clustering_coefficients(spark, sf_dir):
     ),
 )
 def frequent_event_trigrams(spark, sf_dir):
-    from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1153,7 +1159,6 @@ def mutual_information_events(spark, sf_dir):
     ),
 )
 def cusum_change_points(spark, sf_dir):
-    from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
     anchors = ev.groupBy(F.col("event_type").alias("t")).agg(davg(F.col("value")).alias("m"))
@@ -1563,7 +1568,11 @@ def table_diff_orders_rebuild(spark, sf_dir):
     ),
 )
 def trailing_distinct_users_kmv(spark, sf_dir):
-    from data_etl_with_dbt_spark.operators.sketch import kmv_build, kmv_estimate
+    from data_etl_with_dbt_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
 
     k = 64
     ev = load(spark, sf_dir, "events")
@@ -1585,16 +1594,12 @@ def trailing_distinct_users_kmv(spark, sf_dir):
             ),
         )
         .select(F.col("d.day").alias("day"), "h")
-        .distinct()
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("day").orderBy("h")
-    wsk = (
-        win.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    # the trailing-window union of daily sketches is exactly a KMV merge:
+    # delegate to the operator (distinct + keep-k-smallest per day) so
+    # this query exercises the same code the unit tests pin, instead of
+    # an inline copy that could drift
+    wsk = kmv_merge(win, k=k, group_cols=["day"])
     est = kmv_estimate(wsk, k=k, group_cols=["day"])
     exact = (
         days.alias("d")
@@ -1663,7 +1668,6 @@ def trailing_distinct_users_kmv(spark, sf_dir):
     ),
 )
 def attribution_purchase_touchpoints(spark, sf_dir):
-    from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
     conv = (
@@ -1758,7 +1762,6 @@ def attribution_purchase_touchpoints(spark, sf_dir):
     ),
 )
 def growth_accounting_daily(spark, sf_dir):
-    from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
     ud = (

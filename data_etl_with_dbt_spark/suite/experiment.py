@@ -285,12 +285,21 @@ def market_basket_lift(spark, sf_dir):
     from data_etl_with_dbt_spark.operators.relational import basket_pair_counts
 
     li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # ONE lineitem scan + distinct, shared by all three consumers
+    # (n_orders, item supports, the pair join) — Catalyst gives no
+    # cross-consumer CSE, so without the cut this ran three times
+    basket = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = basket.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n")
     )
     item = basket.groupBy("l_partkey").agg(big(F.count(F.lit(1))).alias("supp"))
-    pair = basket_pair_counts(li, "l_orderkey", "l_partkey", min_support=3)
+    pair = basket_pair_counts(
+        basket, "l_orderkey", "l_partkey", min_support=3, pre_deduped=True
+    )
     n = F.col("n").cast("double")
     lift = (F.col("n_both").cast("double") / n) / (
         (F.col("supp_a").cast("double") / n) * (F.col("supp_b").cast("double") / n)

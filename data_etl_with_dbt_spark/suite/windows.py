@@ -269,15 +269,18 @@ def sliding_window_events(spark, sf_dir):
     "session_window_events",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
             CASE WHEN lag(ts) OVER w IS NULL
                       OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
                  THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
+        -- same (ts, event_id) total order as the flag window: with ts-only
+        -- ordering a tied row's peer order is unspecified, so it could be
+        -- summed before its flagged sibling and land in the prior session
         SELECT *, SUM(new_session) OVER (
-            PARTITION BY user_id ORDER BY ts
+            PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_id
         FROM flagged

@@ -52,6 +52,17 @@ HOLD_QUEUED = [
 ]
 
 
+# Queries whose DEFINITION was recalibrated in round N: green rows from
+# earlier rounds certify the old form, not the current code, so they only
+# count as verified once a round >= N hash-matches the recalibrated form.
+# (The vacuous-green rule below can't catch these: dq_quarantine_events'
+# round-2 green had 10k rows — all of them dq_ok=true, because no fixture
+# row failed any original rule; round 5 recalibrated the rules to fire.)
+RECALIBRATED_AFTER = {
+    "dq_quarantine_events": 5,
+}
+
+
 def strip_tier(name: str) -> str:
     return re.sub(r"^z[vqr]_", "", name)
 
@@ -68,15 +79,20 @@ def verified_from_correctness() -> set[str]:
     even after verifying non-vacuously.)"""
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
+            bare = strip_tier(name)
+            if rnd < RECALIBRATED_AFTER.get(bare, 0):
+                continue  # green row predates the recalibration
             if (
                 isinstance(row, dict)
                 and row.get("hash_match") is True
                 and row.get("spark_rows", 0) > 0
             ):
-                green.add(strip_tier(name))
+                green.add(bare)
     return green
 
 
