@@ -558,7 +558,14 @@ def mixture_sample(
     )[F.col(domain_col)]
     rates = totals.select(
         domain_col,
-        F.when(budget.isNull(), F.lit(65536).cast("bigint"))
+        # a zero-token budgeted domain keeps all rows (rate min(1, b/0)=1)
+        # — and the guard is a cross-engine requirement: Spark's b/0.0 is
+        # Infinity (floor saturates huge) while DuckDB's is NULL (drops
+        # every row), so the unguarded division diverges the engines
+        F.when(
+            budget.isNull() | (F.col("__domain_tokens") <= 0),
+            F.lit(65536).cast("bigint"),
+        )
         .otherwise(
             F.floor(
                 budget.cast("double") / F.col("__domain_tokens") * F.lit(65536)
@@ -630,15 +637,23 @@ def temperature_mixture_sample(
     )
     rates = totals.crossJoin(F.broadcast(wsum)).select(
         domain_col,
-        F.least(
-            F.lit(65536).cast("bigint"),
-            F.floor(
-                (F.col("__w") / F.col("__wsum"))
-                * F.lit(float(target_tokens))
-                / t_dbl
-                * F.lit(65536)
-            ).cast("bigint"),
-        ).alias("__thresh"),
+        # zero-token domain: keep its (token-free) rows — the 0/0 division
+        # is also a cross-engine trap (Spark NaN->bigint casts to 0 and
+        # would DROP all rows; DuckDB's NULL skips through least() and
+        # would KEEP them)
+        F.when(F.col("__t") <= 0, F.lit(65536).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(65536).cast("bigint"),
+                F.floor(
+                    (F.col("__w") / F.col("__wsum"))
+                    * F.lit(float(target_tokens))
+                    / t_dbl
+                    * F.lit(65536)
+                ).cast("bigint"),
+            )
+        )
+        .alias("__thresh"),
     )
     keyhash = F.substring(
         F.md5(F.concat_ws(":", F.col(domain_col), F.col(id_col).cast("string"))), 1, 4

@@ -405,7 +405,7 @@ def dedup_spans_keep_first(spark, sf_dir):
     budgets(source, budget) AS (VALUES ('src0', 700), ('src1', 5000), ('src2', 300)),
     rates AS (
         SELECT t.source,
-               CASE WHEN b.budget IS NULL THEN 65536
+               CASE WHEN b.budget IS NULL OR t.domain_tokens <= 0 THEN 65536
                     ELSE CAST(floor(CAST(b.budget AS DOUBLE) / t.domain_tokens * 65536)
                               AS BIGINT) END AS thresh
         FROM totals t LEFT JOIN budgets b ON t.source = b.source
@@ -529,11 +529,12 @@ def doc_oov_rate(spark, sf_dir):
     ),
     rates AS (
         SELECT source,
-               least(CAST(65536 AS BIGINT),
-                     CAST(floor(sqrt(CAST(t AS DOUBLE)) / W
-                                * CAST(8000 AS DOUBLE)
-                                / CAST(t AS DOUBLE) * 65536)
-                          AS BIGINT)) AS thresh
+               CASE WHEN t <= 0 THEN CAST(65536 AS BIGINT)
+                    ELSE least(CAST(65536 AS BIGINT),
+                               CAST(floor(sqrt(CAST(t AS DOUBLE)) / W
+                                          * CAST(8000 AS DOUBLE)
+                                          / CAST(t AS DOUBLE) * 65536)
+                                    AS BIGINT)) END AS thresh
         FROM totals, wsum
     )
     SELECT base.doc_id, base.source, base.n_tokens
@@ -882,8 +883,12 @@ def bpe_encode_documents(spark, sf_dir):
 def cms_token_counts(spark, sf_dir):
     from data_etl_with_dbt_spark.operators.sketch import cms_build, cms_estimate
 
-    toks = load(spark, sf_dir, "documents").select(
-        F.explode(TA.tokens_expr(F.col("text"))).alias("token")
+    # the exploded token stream feeds BOTH the sketch build and the
+    # distinct probe set: cut lineage so the explode+tokenize runs once
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(TA.tokens_expr(F.col("text"))).alias("token"))
+        .localCheckpoint(eager=True)
     )
     cms = cms_build(toks, "token", depth=4, width=4096)
     distinct = toks.distinct()
@@ -1084,9 +1089,12 @@ def length_bucketed_batches(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
+    # toks feeds TWO consumers (the percentile cuts and the bucket join);
+    # no cross-consumer CSE means the per-doc tokenize — the only
+    # corpus-sized stage — would run twice without the cut
     toks = docs.select(
         "doc_id", F.size(TA.tokens_expr(F.col("text"))).cast("bigint").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     cuts = toks.agg(
         *[
             F.expr(

@@ -16,7 +16,7 @@ from data_etl_with_dbt_spark.operators.multimodal import (
     extract_media_features,
     to_media_table,
 )
-from data_etl_with_dbt_spark.suite.registry import big, dec6, load, query
+from data_etl_with_dbt_spark.suite.registry import big, dec6, dsum, load, query
 
 # ---------------------------------------------------------------------------
 # Dedup
@@ -825,7 +825,7 @@ WITH clusters AS (""" + _CLUSTER_ORACLE.strip() + """
 SELECT doc_id,
        cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
-       1.0 / count(*) OVER (PARTITION BY cluster_id) AS weight
+       CAST(1 AS DOUBLE) / count(*) OVER (PARTITION BY cluster_id) AS weight
 FROM clusters
 """
 
@@ -1015,7 +1015,7 @@ def embedding_norm_stats(spark, sf_dir):
         big(F.count(F.lit(1))).alias("n_vecs"),
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
-        F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+        dsum(F.col("nrm")).alias("sum_norm"),
     )
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_etl_with_dbt_spark.suite.registry import big, dec6, load, query
+from data_etl_with_dbt_spark.suite.registry import big, dec6, dsum, load, query
 
 _N_BUCKETS = 64
 
@@ -89,34 +89,47 @@ def dsir_importance_weights(spark, sf_dir):
             F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % _N_BUCKETS
         ).alias("b"),
     )
-    tf = toks.groupBy("doc_id", "b").agg(big(F.count(F.lit(1))).alias("tf"))
-    raw = toks.groupBy("b").agg(big(F.count(F.lit(1))).alias("c_r"))
-    tgt = (
-        toks.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(big(F.count(F.lit(1))).alias("c_t"))
+    # ONE corpus pass: the (doc, lang, bucket) term frame is the only
+    # explode-sized aggregation; raw/target distributions roll up from it
+    # (conditional sum) instead of re-running the explode per
+    # distribution, and the small frames are lineage-cut because each
+    # feeds two consumers (no cross-consumer CSE)
+    tf2 = (
+        toks.groupBy("doc_id", "lang", "b")
+        .agg(big(F.count(F.lit(1))).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    totals = raw.agg(big(F.sum("c_r")).alias("t_r")).crossJoin(
-        tgt.agg(big(F.sum("c_t")).alias("t_t"))
+    tf = tf2.select("doc_id", "b", "tf")
+    dist = (
+        tf2.groupBy("b")
+        .agg(
+            big(F.sum("tf")).alias("c_r"),
+            big(
+                F.coalesce(
+                    F.sum(F.when(F.col("lang") == "en", F.col("tf"))), F.lit(0)
+                )
+            ).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = dist.agg(
+        big(F.sum("c_r")).alias("t_r"), big(F.sum("c_t")).alias("t_t")
     )
     half = F.lit(0.5)
     smooth = F.lit(float(_N_BUCKETS) * 0.5)
-    p_t = (F.coalesce("c_t", F.lit(0)).cast("double") + half) / (
+    p_t = (F.col("c_t").cast("double") + half) / (
         F.col("t_t").cast("double") + smooth
     )
     p_r = (F.col("c_r").cast("double") + half) / (F.col("t_r").cast("double") + smooth)
     ratio = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(totals))
+        dist.crossJoin(F.broadcast(totals))
         .select("b", F.log(p_t / p_r).alias("lnr"))
     )
     return (
         tf.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
-            F.sum((F.col("tf").cast("double") * F.col("lnr")).cast("decimal(18,6)"))
-            .cast("double")
-            .alias("log_importance"),
+            dsum(F.col("tf").cast("double") * F.col("lnr")).alias("log_importance"),
             big(F.sum("tf")).alias("n_tokens"),
         )
         .orderBy(F.col("log_importance").desc(), "doc_id")
@@ -154,15 +167,18 @@ def tokenizer_fertility_stats(spark, sf_dir):
     """Fertility (subwords per word) and compression (chars per token) by
     language — one scan, one language-sized agg; the standard check that a
     tokenizer doesn't tax some languages with more tokens per word."""
+    # shared tokenizer expressions: an inline copy drifted-by-one-edit
+    # would silently diverge this query's counts from token_counting and
+    # every other suite entry built on the same helpers
+    from data_etl_with_dbt_spark.operators.textan import (
+        BPE_ISH_PATTERN,
+        tokens_expr,
+    )
+
     docs = load(spark, sf_dir, "documents")
-    ws = F.size(
-        F.filter(
-            F.split(F.lower("text"), r"\s+"),
-            lambda x: x != F.lit(""),
-        )
-    ).cast("bigint")
+    ws = F.size(tokens_expr(F.col("text"))).cast("bigint")
     bpe = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
     ).cast("bigint")
     per_doc = docs.select(
         "lang",

@@ -4637,3 +4637,48 @@ class TestRelationalMlReviewFixes:
         assert "calibrated_prob" in out.columns and out.count() == 4
         # the shared model still reads its fitted column
         assert iso.getFeaturesCol() == "quality_prob"
+
+
+class TestMixtureZeroTokenDomain:
+    def test_budgeted_zero_token_domain_keeps_rows_cross_engine(self, spark):
+        """Round-5 review: budget/0 tokens is Infinity in Spark (keeps all)
+        but NULL in DuckDB (drops all) — the operators now guard the zero-
+        token domain explicitly (rate min(1, b/0) = 1) and the oracles
+        mirror it, so a regenerated fixture with an empty-text domain can't
+        diverge the engines."""
+        import duckdb
+
+        from data_etl_with_dbt_spark.operators.textan import (
+            mixture_sample,
+            temperature_mixture_sample,
+        )
+
+        rows = [(1, "src0", ""), (2, "src0", "   "), (3, "src1", "a b c d")]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        m = mixture_sample(docs, "doc_id", "source", "text",
+                           budgets={"src0": 100, "src1": 2})
+        assert sorted(r.doc_id for r in m.where(m.source == "src0").collect()) == [1, 2]
+        t = temperature_mixture_sample(docs, "doc_id", "source", "text",
+                                       target_tokens=10, alpha=0.5)
+        assert sorted(r.doc_id for r in t.where(t.source == "src0").collect()) == [1, 2]
+        # the guarded oracle shape keeps the same rows in DuckDB
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d AS SELECT * FROM (VALUES (1,'src0',''),(2,'src0','   '),(3,'src1','a b c d')) t(doc_id, source, text)")
+        [n] = con.execute(r"""
+            WITH base AS (
+                SELECT doc_id, source,
+                       CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                            x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM d),
+            totals AS (SELECT source, sum(n_tokens) AS dt FROM base GROUP BY source),
+            budgets(source, budget) AS (VALUES ('src0', 100), ('src1', 2)),
+            rates AS (
+                SELECT t.source,
+                       CASE WHEN b.budget IS NULL OR t.dt <= 0 THEN 65536
+                            ELSE CAST(floor(CAST(b.budget AS DOUBLE) / t.dt * 65536) AS BIGINT)
+                       END AS thresh
+                FROM totals t LEFT JOIN budgets b ON t.source = b.source)
+            SELECT count(*) FROM base JOIN rates ON base.source = rates.source
+            WHERE base.source = 'src0' AND thresh >= 65536
+        """).fetchone()
+        assert n == 2
