@@ -74,7 +74,8 @@ WINDOW = [
     "masked_customer_view", "mutual_information_events",
     "negative_samples_documents", "ngram_containment_pairs",
     "packed_token_windows", "pareto_customer_revenue",
-    "part_entity_clusters", "profile_orders", "quantile_normalize_events",
+    "part_entity_clusters", "profile_orders", "q16_supplier_cardinality",
+    "q19_discounted_revenue", "quantile_normalize_events",
     "reconcile_order_totals", "rfm_customer_segments", "robust_scale_events",
     "sampled_quantiles_orders", "scalar_collation_gallery",
     "scalar_conditional_gallery", "scalar_distance_gallery",
@@ -85,11 +86,11 @@ WINDOW = [
     "trailing_distinct_users_kmv", "trend_decompose_daily",
     "two_sample_drift_events", "user_gap_stats", "variant_props_stats",
     "vocab_coverage_topk", "weighted_sample_documents",
-    "window_analytics_extended", "window_trailing_range",
-    "winsorize_extendedprice",
+    "window_analytics_extended",
 ]
 
 ZQ_QUEUED = [
+    "window_trailing_range", "winsorize_extendedprice",
     "zipf_exponent_vocab", "zorder_cluster_events", "pca_invariants",
     "topic_model_simplex", "learned_embedding_invariants",
     "mp3_bitrate_histogram",
@@ -133,8 +134,7 @@ ZV_VERIFIED = [
     "perplexity_proxy_score", "pivot_event_counts", "q10_returned_items",
     "q11_important_parts", "q12_priority_counts",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_cardinality", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q1_pricing_summary", "q20_excess_supply", "q21_suppliers_kept_waiting",
     "q22_inactive_customers", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",

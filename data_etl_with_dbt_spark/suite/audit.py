@@ -266,10 +266,16 @@ def scalar_distance_gallery(spark, sf_dir):
     pairs = a.join(b, F.col("k2") == F.col("k"))
 
     def bigrams(s):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.length(s) - 1),
+            lambda i: F.substring(s, i, F.lit(2)),
+        )
+        # length <= 1: Spark's sequence(1, 0) DESCENDS ([1, 0], yielding a
+        # phantom bigram) while DuckDB's range(1, 1) is empty — guard so
+        # both engines agree on zero bigrams for degenerate names
         return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(s) - 1),
-                lambda i: F.substring(s, i, F.lit(2)),
+            F.when(F.length(s) >= 2, grams).otherwise(
+                F.array().cast("array<string>")
             )
         )
 

@@ -73,10 +73,17 @@ def cascade_delete_impact(spark, sf_dir):
         )
         < "0cc"
     )
-    subjects = c.where(gate).select("c_custkey", "c_nationkey")
-    ords = subjects.join(
-        o, F.col("o_custkey") == F.col("c_custkey")
-    ).select("c_nationkey", "o_orderkey")
+    # subjects feeds THREE consumers and ords feeds TWO — without lineage
+    # cuts the md5 gate over customer evaluates three times and the
+    # subjects⋈orders join twice (no cross-consumer CSE)
+    subjects = (
+        c.where(gate).select("c_custkey", "c_nationkey").localCheckpoint(eager=False)
+    )
+    ords = (
+        subjects.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_nationkey", "o_orderkey")
+        .localCheckpoint(eager=False)
+    )
     subs_n = subjects.groupBy("c_nationkey").agg(
         big(F.count(F.lit(1))).alias("n_subjects")
     )
@@ -86,8 +93,8 @@ def cascade_delete_impact(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(big(F.count(F.lit(1))).alias("n_lineitems"))
     )
-    # nation-keyed rollups (25 rows each) join without fan-out; the fact
-    # tables are touched once each and never re-shuffled after their agg.
+    # nation-keyed rollups (25 rows each) join without fan-out; with the
+    # cuts above each fact table is genuinely touched once per action.
     return (
         subs_n.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(ord_n.withColumnRenamed("c_nationkey", "nk2")), F.col("nk2") == F.col("c_nationkey"), "left")

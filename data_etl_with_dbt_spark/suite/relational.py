@@ -307,7 +307,10 @@ def agg_distinct(spark, sf_dir):
         FROM orders GROUP BY o_custkey
     )
     SELECT custkey, rev, n FROM cust_rev
-    WHERE CAST(rev AS DOUBLE) > (SELECT AVG(CAST(rev AS DOUBLE)) FROM cust_rev)
+    WHERE CAST(rev AS DOUBLE) >
+          -- dec6-quantized threshold: an order-dependent double AVG differs
+          -- in the last ulps across engines; the fixture margin is >178
+          (SELECT CAST(CAST(AVG(CAST(rev AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) FROM cust_rev)
     """,
     description="CTE reuse + scalar aggregate subquery (above-average filter)",
 )
@@ -322,7 +325,10 @@ def cte_above_average_customers(spark, sf_dir):
         # scalar-subquery consumer below: checkpoint so the orders agg runs
         # once (no cross-consumer CSE — measured on q11/q21)
     ).localCheckpoint(eager=False)
-    avg_rev = cust_rev.agg(F.avg(F.col("rev").cast("double")).alias("__avg"))
+    # dec6 grid: the raw AVG of doubles is accumulation-order-dependent
+    # across engines; the nearest rev sits >178 away, so quantizing the
+    # threshold is provably output-preserving on the fixtures
+    avg_rev = cust_rev.agg(dec6(F.avg(F.col("rev").cast("double"))).alias("__avg"))
     return (
         cust_rev.crossJoin(F.broadcast(avg_rev))
         .where(F.col("rev").cast("double") > F.col("__avg"))
@@ -429,7 +435,9 @@ FROM acc a JOIN (SELECT user_id, max(rn) AS mx FROM acc GROUP BY user_id) m
     ),
 )
 def recursive_capped_balance(spark, sf_dir):
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "200")
+    # depth is rn <= 20 -> 21 scheduled levels, under Spark's default
+    # cteRecursionLevelLimit of 100: no session-conf override needed (a
+    # query function must not leak config changes into the shared session)
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_RECURSIVE_BALANCE_SQL)
 

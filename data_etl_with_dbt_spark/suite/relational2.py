@@ -295,7 +295,11 @@ def approx_aggregates(spark, sf_dir):
         SELECT nullif(c_custkey % 50, 7) AS k, count(*) AS cust_cnt
         FROM customer GROUP BY nullif(c_custkey % 50, 7)
     )
-    SELECT coalesce(CAST(o.k AS VARCHAR), '<null>') AS bucket,
+    -- bucket from COALESCE(o.k, c.k), mirroring the Spark tree: deriving
+    -- it from o.k alone would label a customer-only full-outer row
+    -- '<null>' instead of its key (live whenever some mod-50 class has
+    -- customers but no orders)
+    SELECT coalesce(CAST(coalesce(o.k, c.k) AS VARCHAR), '<null>') AS bucket,
            CAST(coalesce(order_cnt, 0) AS BIGINT) AS order_cnt,
            CAST(coalesce(cust_cnt, 0) AS BIGINT) AS cust_cnt
     FROM o FULL JOIN c ON o.k IS NOT DISTINCT FROM c.k
