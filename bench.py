@@ -48,7 +48,13 @@ def main():
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # tolerate non-"sf<N>" fixture dirs (e.g. a perturbed copy): the one
+    # JSON output line must never be lost to a basename parse AFTER the
+    # whole benchmark already ran
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
     print(
         json.dumps(
             {
@@ -56,7 +62,7 @@ def main():
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

@@ -66,7 +66,9 @@ def main(sf_dir: str, workdir: str) -> None:
     # perplexity-proxy cut (corpus-fit unigram LM; drop the most surprising
     # decile — the CCNet third leg). approxQuantile collects one scalar.
     t0 = time.time()
-    stats = TA.text_stats(docs, "doc_id", "text")
+    # two consumers (approxQuantile action + the weak-label join): cut
+    # lineage so the stats pass runs once
+    stats = TA.text_stats(docs, "doc_id", "text").localCheckpoint(eager=True)
     rules = TA.gopher_quality_flags(
         docs, "doc_id", "text",
         min_words=10, max_words=100_000,
@@ -74,7 +76,11 @@ def main(sf_dir: str, workdir: str) -> None:
         max_dup_token_frac=0.8, min_distinct_stopwords=1,
     )
     rep = TA.repetition_stats(docs, "doc_id", "text")
-    ppl = TA.unigram_logprob_score(docs, "doc_id", "text")
+    # approxQuantile is an ACTION: without the cut it executes the full
+    # scoring plan once for the quantile and AGAIN for the join below
+    ppl = TA.unigram_logprob_score(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     ppl_cut = ppl.approxQuantile("avg_neg_logprob", [0.9], 0.01)[0]
     keep = (
         rules.where(F.col("passes_gopher"))

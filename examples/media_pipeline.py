@@ -119,9 +119,12 @@ def main(workdir: str) -> None:
         assert n_sampled >= 3  # AVI frames 0,2 + GIF frames 0
 
         thumbs = resize_media(media, 16, 16, output_format="jpg")
-        out_rows = thumbs.count()
-        print(f"thumbnails re-encoded as JPEG: {out_rows}")
-        assert out_rows >= 4  # every decodable image got a thumbnail
+        # resize_media is row-preserving (undecodable rows pass through
+        # raw), so count() alone can't detect a codec regression: assert
+        # on rows that actually BECAME jpeg thumbnails
+        n_jpeg = thumbs.where(thumbs.meta.mime == "image/jpeg").count()
+        print(f"thumbnails re-encoded as JPEG: {n_jpeg} of {thumbs.count()}")
+        assert n_jpeg >= 4  # every decodable image got a thumbnail
 
         # audio triage without a codec: frame-header walk -> per-media VBR
         # bitrate histogram + exact duration (synthetic MP3s here; real

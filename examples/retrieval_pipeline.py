@@ -53,14 +53,24 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     t0 = time.time()
     # pseudo-relevance feedback: query vector = mean embedding of top-3 hits
     top3 = shortlist.orderBy(F.col("bm25").desc(), "doc_id").limit(3)
+    # collect_list's merge order across shuffle partitions is NOT the sort
+    # order — an orderBy before a global agg guarantees nothing. Sort the
+    # (index, value) structs INSIDE the aggregate (the repo convention) so
+    # the query vector's dimensions can never come out permuted.
     seed = (
         top3.join(emb, top3.doc_id == emb.vec_id)
         .select(F.posexplode("embedding").alias("i", "x"))
         .groupBy("i")
         .agg(F.avg("x").alias("x"))
-        .orderBy("i")
-        .agg(F.collect_list("x").alias("embedding"))
-        .select(F.lit(0).alias("query_id"), F.col("embedding").cast("array<float>").alias("embedding"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "x"))).alias("__pairs")
+        )
+        .select(
+            F.lit(0).alias("query_id"),
+            F.transform(F.col("__pairs"), lambda p: p["x"])
+            .cast("array<float>")
+            .alias("embedding"),
+        )
     )
     candidates = shortlist.join(emb, shortlist.doc_id == emb.vec_id).select(
         "vec_id", "embedding"

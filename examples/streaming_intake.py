@@ -127,7 +127,12 @@ def main(workdir: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise SystemExit(
+            "stream did not drain within 300 s (contended host?) — the "
+            "accounting below would read partial state"
+        )
     wall = time.time() - t0
 
     n_in = spark.read.parquet(f"{src}/b*").count()

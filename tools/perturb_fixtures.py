@@ -47,9 +47,17 @@ TABLES = [
 ]
 
 
+VALID_MODES = ("subset70", "subset30", "dup2", "ts_nanos")
+
+
 def perturb(src: str, out: str, mode: str = "subset70") -> None:
     import pyarrow.parquet as pq
 
+    # validate BEFORE writing anything: the old per-table check fired
+    # after the lookup tables landed, leaving a partial output directory
+    # on a typo'd mode
+    if mode not in VALID_MODES:
+        raise SystemExit(f"unknown mode {mode!r}; valid: {VALID_MODES}")
     os.makedirs(out, exist_ok=True)
     import pyarrow as pa
 

@@ -111,7 +111,17 @@ def plan_rotation() -> dict:
     # Unverified oracle queries compete for the window: judge-named priority
     # names first, the rest alphabetically; beyond 50 they queue. Held
     # names never enter the window; they append to the queue instead.
-    candidates = [p for p in PRIORITY if p in QUERIES and p not in verified]
+    # PRIORITY must respect the hold invariant and oracle-bearing-ness: a
+    # judge-named query that is also HELD (or rows-only) must not land in
+    # the window — and certainly not in two tiers at once
+    candidates = [
+        p
+        for p in PRIORITY
+        if p in QUERIES
+        and p not in verified
+        and p not in HOLD_QUEUED
+        and p not in rows_only
+    ]
     candidates += sorted(
         set(QUERIES) - verified - rows_only - set(candidates) - set(held)
     )

@@ -8,7 +8,7 @@ reports wall time and throughput, so scaling curves (rows vs time) land in
 BENCH_NOTES with measured numbers instead of assertions.
 
 Usage:
-    python tools/scale_probe.py                    # default ops, 3 sizes
+    python tools/scale_probe.py                    # default ops, default sizes
     python tools/scale_probe.py exact,gopher 100000,400000
 
 Run from a non-repo cwd (engine convention: warehouse dirs land under cwd).
@@ -156,6 +156,12 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     register_synthetic_source(spark)
     ops = _ops()
+    if names is not None:
+        unknown = sorted(set(names) - set(ops))
+        if unknown:
+            raise SystemExit(
+                f"unknown op(s) {unknown}; available: {sorted(ops)}"
+            )
     chosen = {k: v for k, v in ops.items() if names is None or k in names}
 
     print(f"{'op':<12} {'rows':>9} {'sec':>7} {'rows/s':>10}")
