@@ -4682,3 +4682,57 @@ class TestMixtureZeroTokenDomain:
             WHERE base.source = 'src0' AND thresh >= 65536
         """).fetchone()
         assert n == 2
+
+
+class TestAsofNullPayloadProperty:
+    def test_agrees_with_pandas_on_null_payloads(self, spark):
+        """Randomized pandas agreement WITH NULL payload values (round-5
+        review: the per-column ignorenulls carry skipped a true match's
+        NULL for a staler value). A never-null rid column identifies the
+        matched ROW, so a NULL v is distinguishable from 'no match'."""
+        import random
+
+        import pandas as pd
+
+        from data_etl_with_dbt_spark.operators.relational import asof_join
+
+        rng = random.Random(11)
+        lrows = sorted(
+            [(rng.randint(1, 3), TS(rng.randint(0, 59), rng.randint(0, 59)), i)
+             for i in range(60)],
+            key=lambda r: r[1],
+        )
+        rrows = []
+        seen = set()
+        for i in range(40):
+            k, t = rng.randint(1, 3), TS(rng.randint(0, 59), rng.randint(0, 59))
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            v = None if rng.random() < 0.4 else float(i)  # 40% NULL payloads
+            rrows.append((k, t, i, v))
+        rrows.sort(key=lambda r: r[1])
+        left = spark.createDataFrame(lrows, "k int, t timestamp, lid int")
+        right = spark.createDataFrame(rrows, "k int, t timestamp, rid int, v double")
+        lp = pd.DataFrame(lrows, columns=["k", "t", "lid"])
+        rp = pd.DataFrame(rrows, columns=["k", "t", "rid", "v"])
+        for direction in ("backward", "forward", "nearest"):
+            got = {
+                r.lid: (r.rid, r.v)
+                for r in asof_join(
+                    left, right, "k", "t", "t", ["rid", "v"],
+                    strict=False, direction=direction,
+                ).collect()
+            }
+            want_df = pd.merge_asof(
+                lp.sort_values("t"), rp.sort_values("t"),
+                on="t", by="k", direction=direction,
+            )
+            want = {
+                int(r.lid): (
+                    None if pd.isna(r.rid) else int(r.rid),
+                    None if pd.isna(r.v) else float(r.v),
+                )
+                for r in want_df.itertuples()
+            }
+            assert got == want, direction

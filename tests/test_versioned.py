@@ -352,3 +352,60 @@ class TestRound5ReviewFixes:
         rows = {r.id: r.v for r in read_version(spark, path).collect()}
         # the concurrently appended row 9 survived the merge overwrite
         assert rows == {1: "a", 2: "B", 9: "late"}
+
+
+class TestMergeCommitInterleavingModel:
+    def test_random_interleaved_appends_never_lost(self, spark, tmp_path):
+        """Randomized model property for the round-5 lost-update fix: a
+        random schedule of merge_commits, each racing 0-2 concurrent
+        appends between its snapshot read and publish, must end with
+        exactly the dict-model state — no appended row may vanish into a
+        merge overwrite."""
+        import random
+
+        import data_etl_with_dbt_spark.sources.versioned as V
+
+        rng = random.Random(29)
+        path = str(tmp_path / "model_tbl")
+        model: dict[int, str] = {}
+
+        def df_of(rows):
+            return spark.createDataFrame(rows, "id long, v string")
+
+        nxt = [1000]
+
+        def fresh_rows(n):
+            out = []
+            for _ in range(n):
+                nxt[0] += 1
+                out.append((nxt[0], f"a{nxt[0]}"))
+            return out
+
+        V.commit(df_of(fresh_rows(3)), path)
+        model.update({i: v for i, v in [(nxt[0] - 2, f"a{nxt[0]-2}"),
+                                        (nxt[0] - 1, f"a{nxt[0]-1}"),
+                                        (nxt[0], f"a{nxt[0]}")]})
+
+        real_commit = V.commit
+        for step in range(6):
+            keys = sorted(model)
+            ups = [(rng.choice(keys), f"m{step}")] + fresh_rows(1)
+            races = [fresh_rows(1) for _ in range(rng.randint(0, 2))]
+
+            def racing(df, p, mode="append", stats_columns=None,
+                       expected_base=None, _races=races):
+                if _races and mode == "overwrite":
+                    racer = _races.pop()
+                    real_commit(df_of(racer), p)
+                    model.update({i: v for i, v in racer})
+                return real_commit(df, p, mode, stats_columns, expected_base)
+
+            V.commit = racing
+            try:
+                V.merge_commit(df_of(ups), path, key="id")
+            finally:
+                V.commit = real_commit
+            model.update({i: v for i, v in ups})
+
+            got = {r.id: r.v for r in V.read_version(spark, path).collect()}
+            assert got == model, f"diverged at step {step}"
