@@ -134,3 +134,19 @@ def test_vacuous_green_rows_do_not_verify(tmp_path, monkeypatch):
     }))
     monkeypatch.setattr(rw, "REPO", str(tmp_path))
     assert rw.verified_from_correctness() == {"real_green", "prefixed_green"}
+
+
+def test_priority_respects_hold_and_rows_only(monkeypatch):
+    """Round-5 review: a judge-PRIORITY name that is also HELD (or
+    rows-only) must not enter the window — previously it was emitted in
+    BOTH tiers, breaking the hold invariant."""
+    import tools.rotate_window as RW
+
+    held_name = RW.HOLD_QUEUED[0]
+    monkeypatch.setattr(RW, "PRIORITY", [held_name, "dq_not_null_violations"])
+    plan = RW.plan_rotation()
+    assert held_name not in plan["window"]
+    assert held_name in plan["queued"]
+    # no name appears in two tiers
+    all_names = plan["window"] + plan["queued"] + plan["verified"] + plan["rows_only"]
+    assert len(all_names) == len(set(all_names))
