@@ -28,6 +28,11 @@ re-runs and engines agree on the bytes:
   (surrogate keys, row_number dedup, distinct counts) identically on both
   engines. KNOWN to red the key-contract class (see BENCH_NOTES session
   4): operators whose semantics assume the PK uniqueness TPC-H declares.
+* ``reverse``  — same rows, file order reversed: every aggregate is
+  identical, so any parity failure is an ORDER dependency — a
+  collect_list whose merge order leaks into output, a LIMIT without a
+  total order, a float fold whose accumulation order the query promised
+  not to expose (the round-5 PRF-vector bug class).
 * ``ts_nanos`` — rows unchanged, but events.ts re-typed TIMESTAMP(NANOS)
   (the round-1 fixture form; the driver has already changed this type
   between rounds once) — rehearses the sources/io nanos→µs normalization
@@ -47,7 +52,7 @@ TABLES = [
 ]
 
 
-VALID_MODES = ("subset70", "subset30", "dup2", "ts_nanos")
+VALID_MODES = ("subset70", "subset30", "dup2", "reverse", "ts_nanos")
 
 
 def perturb(src: str, out: str, mode: str = "subset70") -> None:
@@ -76,6 +81,8 @@ def perturb(src: str, out: str, mode: str = "subset70") -> None:
                 take = [i for i in range(tbl.num_rows) if i % 10 < 3]
             elif mode == "dup2":
                 take = [i // 2 for i in range(2 * tbl.num_rows)]
+            elif mode == "reverse":
+                take = list(range(tbl.num_rows - 1, -1, -1))
             else:
                 raise SystemExit(f"unknown mode {mode!r}")
             tbl = tbl.take(take)
