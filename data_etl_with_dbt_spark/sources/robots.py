@@ -1,0 +1,284 @@
+"""Crawl-governance metadata: robots.txt evaluation and sitemap parsing —
+the two site-side contracts a compliant crawl pipeline consumes before (or
+while auditing) a fetch. Dependency-free: stdlib ``urllib.robotparser``
+for the rule semantics (the reference implementation of the de-facto
+robots standard) and ``xml.etree`` for sitemaps.
+
+Why they belong in this engine even though fetching happens elsewhere:
+training-data pipelines AUDIT compliance after the fact — given a crawl's
+URL list and the robots.txt bodies the crawler archived, flag every
+fetched URL the host had disallowed (takedown/compliance reports), and
+given archived sitemap.xml payloads, extract the canonical URL + lastmod
+seed list that recrawl scheduling joins against.
+
+Scale posture mirrors sources/warc: robots bodies are KB-sized per host
+(the rules relation is host-cardinality — broadcastable at any corpus
+size), the URL side is corpus-sized and flows through ONE Arrow-batched
+``mapInPandas`` stage whose per-batch parser cache is keyed by host, so
+each host's rules parse once per batch, not once per URL. Sitemap blobs
+explode file-parallel like WARC records. This module ships by VALUE to
+executors (the repo's worker-closure convention).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ship_by_value() -> None:
+    import sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(sys.modules[__name__])
+
+
+# ---------------------------------------------------------------------------
+# robots.txt
+# ---------------------------------------------------------------------------
+
+
+def _robot_parser(robots_txt: str):
+    """Stdlib RobotFileParser over an in-memory body (no network)."""
+    from urllib.robotparser import RobotFileParser
+
+    rp = RobotFileParser()
+    rp.parse((robots_txt or "").splitlines())
+    return rp
+
+
+def robots_allows(robots_txt: str | None, url: str, agent: str = "*") -> bool:
+    """One-URL rule evaluation: a missing/empty robots.txt allows
+    everything (the web convention — absence of rules is not a
+    prohibition); otherwise stdlib ``can_fetch`` semantics (longest-match
+    per the de-facto standard as Python implements it)."""
+    if not robots_txt or not robots_txt.strip():
+        return True
+    return _robot_parser(robots_txt).can_fetch(agent, url)
+
+
+ROBOTS_AUDIT_SCHEMA_TAIL = [T.StructField("robots_allowed", T.BooleanType())]
+
+
+def audit_robots(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Annotate every URL row with ``robots_allowed`` — the compliance
+    audit relation: did the host's archived robots.txt permit this fetch?
+
+    ``robots`` is ``(host, robots_txt)``, host-cardinality (KBs per row):
+    it BROADCASTS onto the corpus-sized URL side, joined on the JVM-side
+    lowercased host (``functions.web.url_host`` — no Python touches the
+    join). URLs whose host has no archived robots.txt are allowed (the
+    absence convention). The only Python stage is one Arrow-batched
+    ``mapInPandas`` evaluating ``can_fetch`` with a per-batch parser
+    cache keyed by host — rules parse once per (batch, host), never per
+    URL."""
+    import pandas as pd
+
+    from data_etl_with_dbt_spark.functions.web import url_host
+
+    _ship_by_value()
+
+    joined = urls.withColumn("__host", url_host(F.col(url_col))).join(
+        F.broadcast(
+            robots.select(
+                F.lower(F.col(host_col)).alias("__host"),
+                F.col(txt_col).alias("__robots"),
+            )
+        ),
+        "__host",
+        "left",
+    )
+    out_schema = T.StructType(
+        list(joined.schema) + ROBOTS_AUDIT_SCHEMA_TAIL
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsers: dict = {}  # per-batch: one parse per host
+            allowed = []
+            for host, txt, url in zip(
+                pdf["__host"], pdf["__robots"], pdf[url_col]
+            ):
+                if txt is None or not str(txt).strip():
+                    allowed.append(True)
+                    continue
+                rp = parsers.get(host)
+                if rp is None:
+                    rp = parsers[host] = _robot_parser(str(txt))
+                allowed.append(bool(rp.can_fetch(agent, str(url))))
+            pdf = pdf.copy()
+            pdf["robots_allowed"] = allowed
+            yield pdf
+
+    return (
+        joined.mapInPandas(run, out_schema)
+        .drop("__host", "__robots")
+    )
+
+
+def filter_robots_allowed(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    agent: str = "*",
+    **kwargs,
+) -> DataFrame:
+    """Keep only URLs the archived robots.txt permits — the pre-ingest
+    gate form of :func:`audit_robots` (same plan + one filter)."""
+    return (
+        audit_robots(urls, robots, url_col=url_col, agent=agent, **kwargs)
+        .where(F.col("robots_allowed"))
+        .drop("robots_allowed")
+    )
+
+
+def robots_from_warc(
+    files: DataFrame, path_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """Extract archived robots.txt bodies from a crawl's WARC files:
+    2xx ``response`` records whose target path is ``/robots.txt`` land as
+    ``(host, robots_txt)`` — the rules relation :func:`audit_robots`
+    consumes, recovered from the same archive as the URLs it audits.
+    Duplicate captures of one host keep the LAST by record offset
+    (re-fetches supersede)."""
+    from urllib.parse import urlsplit
+
+    from data_etl_with_dbt_spark.sources import warc as W
+
+    _ship_by_value()
+    W._ship_by_value()  # the worker closure calls warc parsers by module
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("robots_txt", T.StringType()),
+            T.StructField("__off", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, texts, offs = [], [], []
+            for content in pdf[content_col]:
+                for rec in W.parse_warc(bytes(content)):
+                    if rec["headers"].get("warc-type") != "response":
+                        continue
+                    uri = rec["headers"].get("warc-target-uri") or ""
+                    try:
+                        parts = urlsplit(uri)
+                    except ValueError:
+                        continue
+                    if parts.path != "/robots.txt":
+                        continue
+                    http = W.parse_http_response(rec["block"])
+                    status = http["status"]
+                    if status is None or not (200 <= status <= 299):
+                        continue
+                    hosts.append(parts.netloc.lower())
+                    texts.append(
+                        W._decode_body(
+                            http["body"],
+                            http["headers"].get("content-type", ""),
+                        )
+                    )
+                    offs.append(rec["offset"])
+            yield pd.DataFrame(
+                {"host": hosts, "robots_txt": texts, "__off": offs}
+            )
+
+    raw = files.select(path_col, content_col).mapInPandas(run, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.desc("__off"))
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("host", "robots_txt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sitemap.xml
+# ---------------------------------------------------------------------------
+
+
+def parse_sitemap(xml_bytes: bytes) -> list[dict]:
+    """One sitemap document → entry dicts ``{"loc", "lastmod",
+    "is_index"}``. Handles both document kinds of the sitemaps.org
+    protocol: ``<urlset>`` (page entries) and ``<sitemapindex>`` (child
+    sitemap entries, flagged ``is_index=True`` so a driver loop can
+    resolve them from the archive). Namespace-tolerant (matches on the
+    local tag name) and triage-tolerant: malformed XML yields []."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError:
+        return []
+    is_index = local(root.tag) == "sitemapindex"
+    out = []
+    for entry in root:
+        if local(entry.tag) not in ("url", "sitemap"):
+            continue
+        loc, lastmod = None, None
+        for child in entry:
+            name = local(child.tag)
+            if name == "loc":
+                loc = (child.text or "").strip()
+            elif name == "lastmod":
+                lastmod = (child.text or "").strip()
+        if loc:
+            out.append({"loc": loc, "lastmod": lastmod, "is_index": is_index})
+    return out
+
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("sitemap_id", T.LongType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("is_index", T.BooleanType()),
+    ]
+)
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, id_col: str = "sitemap_id", content_col: str = "content"
+) -> DataFrame:
+    """Explode sitemap blobs (one row per archived sitemap document) into
+    the URL seed relation ``(sitemap_id, loc, lastmod, is_index)`` —
+    file-parallel ``mapInPandas`` like the WARC record walk; recrawl
+    scheduling joins ``lastmod`` against the crawl's ``fetched_at``."""
+    import pandas as pd
+
+    _ship_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in SITEMAP_SCHEMA}
+            for sid, content in zip(pdf[id_col], pdf[content_col]):
+                for e in parse_sitemap(bytes(content)):
+                    out["sitemap_id"].append(sid)
+                    out["loc"].append(e["loc"])
+                    out["lastmod"].append(e["lastmod"])
+                    out["is_index"].append(e["is_index"])
+            yield pd.DataFrame(out)
+
+    return sitemaps.select(id_col, content_col).mapInPandas(
+        run, SITEMAP_SCHEMA
+    )

@@ -1,0 +1,150 @@
+"""Crawl-governance operators (sources/robots): robots.txt audit/filter
+over a broadcast host-rules relation, robots extraction from WARC
+archives, and sitemap/sitemapindex parsing — stdlib semantics, fixtures
+written by the module's own counterparts (the codec convention)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_etl_with_dbt_spark.sources.robots import (
+    audit_robots,
+    filter_robots_allowed,
+    parse_sitemap,
+    robots_allows,
+    robots_from_warc,
+    sitemap_entries,
+)
+
+ROBOTS_A = """
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+
+User-agent: trainbot
+Disallow: /
+"""
+
+ROBOTS_B = """
+User-agent: *
+Allow: /
+"""
+
+
+class TestRobotsRules:
+    def test_single_url_semantics(self):
+        assert robots_allows(ROBOTS_A, "https://a.example.com/page")
+        assert not robots_allows(ROBOTS_A, "https://a.example.com/private/x")
+        # agent-specific block: trainbot is banned everywhere on A
+        assert not robots_allows(ROBOTS_A, "https://a.example.com/page", agent="trainbot")
+        # absence of rules is not a prohibition
+        assert robots_allows(None, "https://x/y")
+        assert robots_allows("   ", "https://x/y")
+
+    def test_audit_and_filter_over_spark(self, spark):
+        urls = spark.createDataFrame(
+            [
+                (1, "https://a.example.com/page"),
+                (2, "https://a.example.com/private/doc"),
+                (3, "https://b.example.com/anything"),
+                (4, "https://norules.example.com/x"),  # no robots row
+            ],
+            "id long, url string",
+        )
+        robots = spark.createDataFrame(
+            [("a.example.com", ROBOTS_A), ("b.example.com", ROBOTS_B)],
+            "host string, robots_txt string",
+        )
+        audited = {r.id: r.robots_allowed for r in audit_robots(urls, robots).collect()}
+        assert audited == {1: True, 2: False, 3: True, 4: True}
+        kept = sorted(
+            r.id for r in filter_robots_allowed(urls, robots).collect()
+        )
+        assert kept == [1, 3, 4]
+        # per-agent evaluation flows through
+        banned = {r.id: r.robots_allowed
+                  for r in audit_robots(urls, robots, agent="trainbot").collect()}
+        assert banned[1] is False and banned[3] is True
+
+    def test_robots_from_warc_keeps_last_capture(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.warc import encode_warc
+
+        def http(body: bytes, status=200):
+            return (
+                f"HTTP/1.1 {status} OK\r\nContent-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+            )
+
+        records = [
+            {"warc_type": "response", "uri": "https://a.example.com/robots.txt",
+             "content_type": "application/http;msgtype=response",
+             "block": http(b"User-agent: *\nDisallow: /old/\n")},
+            {"warc_type": "response", "uri": "https://a.example.com/page",
+             "content_type": "application/http;msgtype=response",
+             "block": http(b"<html>not robots</html>")},
+            # re-fetch of A's robots later in the archive supersedes
+            {"warc_type": "response", "uri": "https://a.example.com/robots.txt",
+             "content_type": "application/http;msgtype=response",
+             "block": http(ROBOTS_A.encode())},
+            {"warc_type": "response", "uri": "https://c.example.com/robots.txt",
+             "content_type": "application/http;msgtype=response",
+             "block": http(b"gone", status=404)},  # non-2xx: skipped
+        ]
+        p = tmp_path / "gov.warc.gz"
+        p.write_bytes(encode_warc(records, gzip_members=True))
+        files = spark.read.format("binaryFile").load(str(tmp_path))
+        got = {r.host: r.robots_txt for r in robots_from_warc(files).collect()}
+        assert set(got) == {"a.example.com"}
+        assert "Disallow: /private/" in got["a.example.com"]
+        assert "/old/" not in got["a.example.com"]  # superseded capture
+
+        # end-to-end: the recovered rules audit the same crawl's URLs
+        urls = spark.createDataFrame(
+            [(1, "https://a.example.com/private/x"),
+             (2, "https://a.example.com/ok")],
+            "id long, url string",
+        )
+        robots = robots_from_warc(files)
+        flags = {r.id: r.robots_allowed for r in audit_robots(urls, robots).collect()}
+        assert flags == {1: False, 2: True}
+
+
+SITEMAP = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.example.com/p1</loc><lastmod>2024-01-05</lastmod></url>
+  <url><loc>https://a.example.com/p2</loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+
+SITEMAP_INDEX = b"""<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://a.example.com/sitemap-1.xml</loc><lastmod>2024-02-01</lastmod></sitemap>
+  <sitemap><loc>https://a.example.com/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+class TestSitemaps:
+    def test_parse_urlset_and_index(self):
+        entries = parse_sitemap(SITEMAP)
+        assert [(e["loc"], e["lastmod"], e["is_index"]) for e in entries] == [
+            ("https://a.example.com/p1", "2024-01-05", False),
+            ("https://a.example.com/p2", None, False),
+        ]  # the loc-less <url> contributes nothing
+        idx = parse_sitemap(SITEMAP_INDEX)
+        assert all(e["is_index"] for e in idx) and len(idx) == 2
+        assert parse_sitemap(b"<not xml") == []  # triage, not fail
+
+    def test_entries_relation_over_spark(self, spark):
+        sitemaps = spark.createDataFrame(
+            [(1, bytearray(SITEMAP)), (2, bytearray(SITEMAP_INDEX)),
+             (3, bytearray(b"torn <xml"))],
+            "sitemap_id long, content binary",
+        )
+        rows = sitemap_entries(sitemaps).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.sitemap_id, []).append(r)
+        assert len(by_id[1]) == 2 and not any(r.is_index for r in by_id[1])
+        assert len(by_id[2]) == 2 and all(r.is_index for r in by_id[2])
+        assert 3 not in by_id  # malformed blob skipped, task alive
+        assert {r.lastmod for r in by_id[2]} == {"2024-02-01", None}
