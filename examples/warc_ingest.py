@@ -9,7 +9,11 @@ runs (examples/corpus_pipeline.py).
        FILE; a real crawl's thousands of ~1 GB files are the partitions
     3. ``warc_to_documents`` — 2xx text responses only, HTML reduced to
        visible text, deterministic xxhash64 doc ids
-    4. chain into text_stats (quality) + exact dedup, proving the landed
+    4. crawl governance: recover the archive's own robots.txt
+       (``robots_from_warc``) and drop the pages the host had disallowed
+       (``filter_robots_allowed``) — the compliance gate training
+       pipelines run before anything else touches the text
+    5. chain into text_stats (quality) + exact dedup, proving the landed
        relation is pipeline-ready
 
 Run:  python examples/warc_ingest.py [workdir]
@@ -25,6 +29,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 from data_etl_with_dbt_spark import get_spark
 from data_etl_with_dbt_spark.operators.dedup import exact_duplicate_groups
 from data_etl_with_dbt_spark.operators.textan import text_stats
+from data_etl_with_dbt_spark.sources.robots import (
+    filter_robots_allowed,
+    robots_from_warc,
+)
 from data_etl_with_dbt_spark.sources.warc import encode_warc, warc_to_documents
 
 
@@ -56,6 +64,18 @@ def main(workdir: str) -> None:
             }
             for i in range(4)
         ]
+        if f == 0:
+            # the crawler archived the host's robots.txt alongside the
+            # pages: path segment /2/ was disallowed at fetch time
+            records.insert(0, {
+                "warc_type": "response",
+                "uri": "https://example.com/robots.txt",
+                "date": "2024-03-01T00:00:00Z",
+                "content_type": "application/http;msgtype=response",
+                "block": _http(
+                    b"User-agent: *\nDisallow: /2/\n", ctype="text/plain"
+                ),
+            })
         with open(os.path.join(crawl, f"crawl-{f}.warc.gz"), "wb") as fh:
             fh.write(encode_warc(records, gzip_members=True))
 
@@ -65,7 +85,14 @@ def main(workdir: str) -> None:
         docs = warc_to_documents(files)
         n = docs.count()
         print(f"landed documents: {n}")
-        assert n == 12
+        assert n == 13  # 12 pages + the robots.txt body (text/plain)
+
+        # compliance gate: the archive's own rules drop the /2/ pages
+        rules = robots_from_warc(files)
+        docs = filter_robots_allowed(docs, rules, url_col="url")
+        n = docs.count()
+        print(f"after robots gate: {n}")
+        assert n == 9  # 4 disallowed /2/* pages removed
 
         stats = text_stats(docs, id_col="doc_id", text_col="text")
         ok = stats.where("n_tokens >= 5").count()
