@@ -419,13 +419,24 @@ def compact_files(
     # the whole dataset into one giant file
     total = 0
     partition_dirs = set()
+    # Partition detection must look only at directories STRICTLY BELOW the
+    # src root: when src itself IS one partition directory (table/dt=0 —
+    # the per-partition compaction this guard's error message prescribes),
+    # the file's parent name contains '=' but is not a partition layer
+    # under src, so it must not trip the guard.
+    src_uri_path = fs.makeQualified(path).toUri().getPath().rstrip("/")
     it = fs.listFiles(path, True)
     while it.hasNext():
         f = it.next()
         name = f.getPath().getName()
-        parent = f.getPath().getParent().getName()
-        if "=" in parent:
-            partition_dirs.add(parent.split("=", 1)[0])
+        parent_uri_path = f.getPath().getParent().toUri().getPath().rstrip("/")
+        if parent_uri_path != src_uri_path and parent_uri_path.startswith(
+            src_uri_path + "/"
+        ):
+            rel = parent_uri_path[len(src_uri_path) + 1 :]
+            for comp in rel.split("/"):
+                if "=" in comp:
+                    partition_dirs.add(comp.split("=", 1)[0])
         if f.isFile() and not name.startswith(("_", ".")):
             total += f.getLen()
     if partition_dirs:

@@ -150,8 +150,19 @@ def robots_from_warc(
     2xx ``response`` records whose target path is ``/robots.txt`` land as
     ``(host, robots_txt)`` — the rules relation :func:`audit_robots`
     consumes, recovered from the same archive as the URLs it audits.
-    Duplicate captures of one host keep the LAST by record offset
-    (re-fetches supersede)."""
+
+    Host semantics match the AUDIT side of the join exactly:
+    ``urlsplit().hostname`` (lowercased, port and userinfo stripped) —
+    the same value ``parse_url(..., 'HOST')`` produces in
+    ``functions.web.url_host``. Keying by ``netloc`` would keep
+    ``example.com:8080``, so a robots.txt captured from a non-default
+    port would never join and its host's URLs would silently pass the
+    compliance gate under the no-robots→allowed convention.
+
+    Duplicate captures of one host keep the LAST under a TOTAL order with
+    cross-file meaning — ``(warc-date, file path, record offset)`` desc —
+    record offsets alone only order within one WARC file, so a host
+    captured in two files would win arbitrarily (and flip between runs)."""
     from urllib.parse import urlsplit
 
     from data_etl_with_dbt_spark.sources import warc as W
@@ -164,44 +175,58 @@ def robots_from_warc(
         [
             T.StructField("host", T.StringType()),
             T.StructField("robots_txt", T.StringType()),
+            T.StructField("__date", T.StringType()),
+            T.StructField("__path", T.StringType()),
             T.StructField("__off", T.LongType()),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hosts, texts, offs = [], [], []
-            for content in pdf[content_col]:
+            hosts, texts, dates, paths, offs = [], [], [], [], []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
                 for rec in W.parse_warc(bytes(content)):
                     if rec["headers"].get("warc-type") != "response":
                         continue
                     uri = rec["headers"].get("warc-target-uri") or ""
                     try:
                         parts = urlsplit(uri)
+                        host = parts.hostname  # lowercased, no port/userinfo
                     except ValueError:
                         continue
-                    if parts.path != "/robots.txt":
+                    if host is None or parts.path != "/robots.txt":
                         continue
                     http = W.parse_http_response(rec["block"])
                     status = http["status"]
                     if status is None or not (200 <= status <= 299):
                         continue
-                    hosts.append(parts.netloc.lower())
+                    hosts.append(host)
                     texts.append(
                         W._decode_body(
                             http["body"],
                             http["headers"].get("content-type", ""),
                         )
                     )
+                    # ISO-8601 WARC dates sort correctly as strings
+                    dates.append(rec["headers"].get("warc-date") or "")
+                    paths.append(str(path))
                     offs.append(rec["offset"])
             yield pd.DataFrame(
-                {"host": hosts, "robots_txt": texts, "__off": offs}
+                {
+                    "host": hosts,
+                    "robots_txt": texts,
+                    "__date": dates,
+                    "__path": paths,
+                    "__off": offs,
+                }
             )
 
     raw = files.select(path_col, content_col).mapInPandas(run, schema)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("host").orderBy(F.desc("__off"))
+    w = Window.partitionBy("host").orderBy(
+        F.desc("__date"), F.desc("__path"), F.desc("__off")
+    )
     return (
         raw.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

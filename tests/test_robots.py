@@ -108,6 +108,74 @@ class TestRobotsRules:
         flags = {r.id: r.robots_allowed for r in audit_robots(urls, robots).collect()}
         assert flags == {1: False, 2: True}
 
+    def test_robots_from_nondefault_port_still_joins(self, spark, tmp_path):
+        """ADVICE r5: robots captured from a :8080 (or userinfo-bearing)
+        URI must key by hostname — netloc keeps the port, so the rules
+        never joined url_host's HOST value and the gate failed OPEN."""
+        from data_etl_with_dbt_spark.sources.warc import encode_warc
+
+        body = b"User-agent: *\nDisallow: /private/\n"
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        records = [
+            {"warc_type": "response",
+             "uri": "https://A.Example.com:8080/robots.txt",
+             "content_type": "application/http;msgtype=response",
+             "block": http},
+        ]
+        (tmp_path / "port.warc").write_bytes(encode_warc(records))
+        files = spark.read.format("binaryFile").load(str(tmp_path))
+        robots = robots_from_warc(files)
+        got = {r.host for r in robots.collect()}
+        assert got == {"a.example.com"}  # lowercased, port stripped
+        urls = spark.createDataFrame(
+            [(1, "https://a.example.com/private/x")], "id long, url string"
+        )
+        flags = {r.id: r.robots_allowed
+                 for r in audit_robots(urls, robots).collect()}
+        assert flags == {1: False}  # the gate no longer fails open
+
+    def test_robots_cross_file_dedup_is_by_warc_date(self, spark, tmp_path):
+        """ADVICE r5: duplicate captures across WARC FILES must resolve by
+        warc-date (offsets only order within one file). The newer-dated
+        capture wins even when it sits at a SMALLER offset in a file whose
+        path sorts lower."""
+        from data_etl_with_dbt_spark.sources.warc import encode_warc
+
+        def http(body: bytes) -> bytes:
+            return (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+            )
+
+        pad = {"warc_type": "response", "uri": "https://pad.example.com/x",
+               "content_type": "application/http;msgtype=response",
+               "date": "2024-01-01T00:00:00Z",
+               "block": http(b"<html>pad</html>" * 64)}
+        # file "a": the NEWER capture, first record (small offset)
+        (tmp_path / "a.warc").write_bytes(encode_warc([
+            {"warc_type": "response",
+             "uri": "https://dup.example.com/robots.txt",
+             "content_type": "application/http;msgtype=response",
+             "date": "2024-03-01T00:00:00Z",
+             "block": http(b"User-agent: *\nDisallow: /new/\n")},
+        ]))
+        # file "z": the OLDER capture, pushed to a LARGER offset
+        (tmp_path / "z.warc").write_bytes(encode_warc([
+            pad,
+            {"warc_type": "response",
+             "uri": "https://dup.example.com/robots.txt",
+             "content_type": "application/http;msgtype=response",
+             "date": "2024-01-15T00:00:00Z",
+             "block": http(b"User-agent: *\nDisallow: /old/\n")},
+        ]))
+        files = spark.read.format("binaryFile").load(str(tmp_path))
+        got = {r.host: r.robots_txt for r in robots_from_warc(files).collect()}
+        assert "/new/" in got["dup.example.com"]
+        assert "/old/" not in got["dup.example.com"]
+
 
 SITEMAP = b"""<?xml version="1.0" encoding="UTF-8"?>
 <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">

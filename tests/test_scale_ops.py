@@ -727,6 +727,25 @@ class TestIoReviewFixes:
         with pytest.raises(ValueError, match="Hive-partitioned"):
             compact_files(spark, src, str(tmp_path / "out"))
 
+    def test_compact_single_partition_dir_works(self, spark, tmp_path):
+        """ADVICE r5: compacting ONE partition directory (table/dt=0 —
+        the exact workaround the guard's error message prescribes) must
+        succeed: only '=' directories strictly BELOW src are partition
+        layers, not src itself."""
+        from data_etl_with_dbt_spark.sources.io import compact_files
+
+        src = str(tmp_path / "part_src")
+        df = spark.range(1000).select(
+            "id", (F.col("id") % 3).cast("string").alias("dt")
+        )
+        df.repartition(4).write.partitionBy("dt").parquet(src)
+        dst = str(tmp_path / "dt0_out")
+        n = compact_files(spark, src + "/dt=0", dst)
+        assert n >= 1
+        got = spark.read.parquet(dst).count()
+        want = df.where(F.col("dt") == "0").count()
+        assert got == want
+
     def test_zorder_survives_all_null_column_and_many_cols(self, spark, tmp_path):
         from data_etl_with_dbt_spark.sources.io import write_zordered
 
