@@ -42,17 +42,27 @@ def test_rotated_out_only_while_green():
     )
 
 
-def test_window_is_full_and_oracle_bearing():
+def test_window_is_full_and_mostly_oracle_bearing():
+    """The window is always exactly 50; at most ROWS_ONLY_SMOKE_SLOTS of
+    them may be rows-only smoke rotations (drained-queue backfill policy —
+    round-5 verdict items 1 and 5), the rest must carry oracles."""
+    from tools.rotate_window import ROWS_ONLY_SMOKE_SLOTS
+
     assert len(entry_mod.WINDOW) == 50
-    missing_oracle = [n for n in entry_mod.WINDOW if not QUERIES[n].oracle]
-    assert not missing_oracle, (
-        f"window slots wasted on rows-only entries: {missing_oracle}"
+    no_oracle = [n for n in entry_mod.WINDOW if not QUERIES[n].oracle]
+    assert len(no_oracle) <= ROWS_ONLY_SMOKE_SLOTS, (
+        f"too many window slots on rows-only entries: {no_oracle}"
     )
 
 
 def test_rows_only_tier_matches_registry():
+    """Every oracle-less query is either in the ZR tier or rotating through
+    the window as a smoke pick — and only oracle-less queries are in ZR."""
     expected = {n for n, q in QUERIES.items() if not q.oracle}
-    assert set(entry_mod.ZR_ROWS_ONLY) == expected
+    in_window_smokes = {n for n in entry_mod.WINDOW if not QUERIES[n].oracle}
+    assert set(entry_mod.ZR_ROWS_ONLY) | in_window_smokes == expected
+    assert set(entry_mod.ZR_ROWS_ONLY) <= expected
+    assert not (set(entry_mod.ZR_ROWS_ONLY) & in_window_smokes)
 
 
 def test_insertion_order_window_first():
@@ -77,8 +87,10 @@ def test_oracle_sql_keys_subset_of_queries():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # every window entry must carry an oracle — that's the whole point
-    assert all(n in o for n in list(q)[:50])
+    # every window entry except rows-only smoke rotations carries an oracle
+    for n in list(q)[:50]:
+        if QUERIES[n].oracle:
+            assert n in o
 
 
 def test_reimport_stable():
@@ -139,14 +151,62 @@ def test_vacuous_green_rows_do_not_verify(tmp_path, monkeypatch):
 def test_priority_respects_hold_and_rows_only(monkeypatch):
     """Round-5 review: a judge-PRIORITY name that is also HELD (or
     rows-only) must not enter the window — previously it was emitted in
-    BOTH tiers, breaking the hold invariant."""
+    BOTH tiers, breaking the hold invariant. HOLD_QUEUED is empty in
+    round 6 (freeze over), so the hold is synthesized: un-verify one
+    oracle-bearing name and hold it."""
     import tools.rotate_window as RW
 
-    held_name = RW.HOLD_QUEUED[0]
-    monkeypatch.setattr(RW, "PRIORITY", [held_name, "dq_not_null_violations"])
+    held_name = next(n for n in sorted(QUERIES) if QUERIES[n].oracle)
+    real_verified = RW.verified_from_correctness()
+    monkeypatch.setattr(
+        RW, "verified_from_correctness",
+        lambda: real_verified - {held_name},
+    )
+    monkeypatch.setattr(RW, "HOLD_QUEUED", [held_name])
+    monkeypatch.setattr(RW, "PRIORITY", [held_name])
     plan = RW.plan_rotation()
     assert held_name not in plan["window"]
     assert held_name in plan["queued"]
     # no name appears in two tiers
     all_names = plan["window"] + plan["queued"] + plan["verified"] + plan["rows_only"]
     assert len(all_names) == len(set(all_names))
+
+
+def test_drained_queue_backfills_window_to_50():
+    """Round-5 verdict item 1: with fewer than 50 unverified oracle
+    candidates (the state round 6 starts in), the window must still have
+    exactly 50 entries — unverified candidates first, then at most
+    ROWS_ONLY_SMOKE_SLOTS rows-only smoke rotations, then ZV
+    re-verifications stalest-green-first. Runs against the REAL
+    CORRECTNESS history, so this is live whenever the queue is drained."""
+    from tools.rotate_window import (
+        ROWS_ONLY_SMOKE_SLOTS,
+        last_green_round,
+        plan_rotation,
+        verified_from_correctness,
+    )
+
+    plan = plan_rotation()
+    assert len(plan["window"]) == 50
+    # partition + dedup across all four tiers still holds
+    all_names = (
+        plan["window"] + plan["queued"] + plan["verified"] + plan["rows_only"]
+    )
+    assert len(all_names) == len(set(all_names))
+    assert set(all_names) == set(QUERIES)
+    # backfill composition
+    assert len(plan["smokes"]) <= ROWS_ONLY_SMOKE_SLOTS
+    verified = verified_from_correctness()
+    n_unverified = len(plan["window"]) - len(plan["smokes"]) - len(plan["reverify"])
+    head = plan["window"][:n_unverified]
+    assert not (set(head) & verified), "unverified slots must come first"
+    assert all(not QUERIES[n].oracle for n in plan["smokes"])
+    # re-verification picks are stalest-green-first: no verified name left
+    # in the ZV tier may be staler than a picked one
+    if plan["reverify"]:
+        green = last_green_round()
+        picked_max = max(green.get(n, 0) for n in plan["reverify"])
+        left_min = min(
+            (green.get(n, 0) for n in plan["verified"]), default=picked_max
+        )
+        assert picked_max <= left_min

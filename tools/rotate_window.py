@@ -12,8 +12,12 @@ promote queued entries into the next window:
 
 Reads every CORRECTNESS_r*.json in the repo root; a query is "verified"
 once any round shows hash_match=true (oracle queries) — rows-only entries
-stay last by policy, since a rows-only driver row adds little over the
-in-repo pytest coverage.
+sort last by policy, since a rows-only driver row adds little over the
+in-repo pytest coverage. When unverified oracle candidates run short of
+the 50 slots, the window backfills: a few rows-only smoke rotations
+(never-smoked first), then ZV re-verifications stalest-green-first — the
+driver's 50 checks per round are free regression insurance, never wasted
+on a short window.
 
 Invariant (audited by tests/test_rotation.py): a query is only ever rotated
 OUT of the window while green — every ZV_VERIFIED name must have a
@@ -33,23 +37,25 @@ WINDOW_SIZE = 50
 
 # Queries the judge named in the current round's "Next round" list get
 # window priority; harmless once verified (they fold into ZV_VERIFIED like
-# everything else). Round 5: the recalibrated dq trio (VERDICT r4 #1 — the
-# reference's ONLY test surface, SURVEY §2.12, whose old driver greens were
-# vacuous 0=0 rows) must make the window.
-PRIORITY = [
-    "dq_not_null_violations", "dq_accepted_values_violations",
-    "dq_relationships_violations",
-]
+# everything else). Round 6: none — the r5 verdict's item-2 names are the
+# whole remaining unverified backlog, so they enter the window anyway.
+PRIORITY: list[str] = []
 
-# Unverified oracle queries held OUT of the window by a reviewed decision
-# (the round-5 registry freeze: companions added per VERDICT item 3 queue
-# behind the pre-freeze backlog). They stay in ZQ_QUEUED, never WINDOW,
-# until removed from this list — otherwise a routine --write would
-# silently promote them and revert the committed tier policy.
-HOLD_QUEUED = [
-    "pca_invariants", "topic_model_simplex", "learned_embedding_invariants",
-    "mp3_bitrate_histogram",
-]
+# Unverified oracle queries held OUT of the window by a reviewed decision.
+# Round 6: empty — the round-5 registry freeze is over (VERDICT r5 item 2:
+# promote all queued entries, drop the holds).
+HOLD_QUEUED: list[str] = []
+
+# When unverified oracle candidates can't fill the 50 window slots (the
+# drained-queue state round 6 starts in), spare slots are NOT wasted — the
+# driver gives 50 independent checks per round regardless:
+#   1. up to ROWS_ONLY_SMOKE_SLOTS rows-only entries rotate through for a
+#      driver rows>0 smoke (weak, but the only INDEPENDENT evidence the
+#      oracle-less family ever gets) — never-smoked names first, then
+#      stalest-smoked;
+#   2. the rest backfills with ZV re-verifications, stalest-green-first —
+#      free regression insurance against fixture regeneration.
+ROWS_ONLY_SMOKE_SLOTS = 5
 
 
 # Queries whose DEFINITION was recalibrated in round N: green rows from
@@ -70,6 +76,43 @@ RECALIBRATED_AFTER = {
 
 def strip_tier(name: str) -> str:
     return re.sub(r"^z[vqr]_", "", name)
+
+
+def _correctness_rows() -> list[tuple[int, str, dict]]:
+    """(round, bare_name, row) for every row in every CORRECTNESS file."""
+    out = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if isinstance(row, dict):
+                out.append((rnd, strip_tier(name), row))
+    return out
+
+
+def last_green_round() -> dict[str, int]:
+    """bare name → LATEST round with a non-vacuous green hash row (same
+    rules as :func:`verified_from_correctness`). Drives stalest-first
+    re-verification backfill."""
+    last: dict[str, int] = {}
+    for rnd, bare, row in _correctness_rows():
+        if rnd < RECALIBRATED_AFTER.get(bare, 0):
+            continue
+        if row.get("hash_match") is True and row.get("spark_rows", 0) > 0:
+            last[bare] = max(last.get(bare, 0), rnd)
+    return last
+
+
+def last_smoked_round() -> dict[str, int]:
+    """bare name → latest round with ANY driver row showing spark_rows>0
+    (hash outcome irrelevant) — the rows-only smoke record."""
+    last: dict[str, int] = {}
+    for rnd, bare, row in _correctness_rows():
+        if (row.get("spark_rows") or 0) > 0:
+            last[bare] = max(last.get(bare, 0), rnd)
+    return last
 
 
 def verified_from_correctness() -> set[str]:
@@ -125,11 +168,32 @@ def plan_rotation() -> dict:
     candidates += sorted(
         set(QUERIES) - verified - rows_only - set(candidates) - set(held)
     )
+    window = candidates[:WINDOW_SIZE]
+    smokes: list[str] = []
+    reverify: list[str] = []
+    if len(window) < WINDOW_SIZE:
+        # Drained-queue backfill (round-5 verdict item 1): never commit a
+        # short window — the driver's 50 checks per round are free.
+        smoked = last_smoked_round()
+        smoke_pool = sorted(
+            rows_only - set(held), key=lambda n: (smoked.get(n, 0), n)
+        )
+        take = min(ROWS_ONLY_SMOKE_SLOTS, WINDOW_SIZE - len(window))
+        smokes = smoke_pool[:take]
+        window += smokes
+    if len(window) < WINDOW_SIZE:
+        green = last_green_round()
+        reverify_pool = sorted(verified, key=lambda n: (green.get(n, 0), n))
+        reverify = reverify_pool[: WINDOW_SIZE - len(window)]
+        window += reverify
     return {
-        "window": candidates[:WINDOW_SIZE],
+        "window": window,
         "queued": candidates[WINDOW_SIZE:] + held,
-        "verified": sorted(verified),
-        "rows_only": sorted(rows_only),
+        "verified": sorted(verified - set(reverify)),
+        "rows_only": sorted(rows_only - set(smokes)),
+        # exposed for tests/reporting: which window slots are backfill
+        "smokes": smokes,
+        "reverify": reverify,
     }
 
 
