@@ -22,3 +22,4 @@ from data_etl_with_dbt_spark.suite import mixing  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import audit  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import privacy  # noqa: E402,F401
 from data_etl_with_dbt_spark.suite import experiment  # noqa: E402,F401
+from data_etl_with_dbt_spark.suite import crawl  # noqa: E402,F401

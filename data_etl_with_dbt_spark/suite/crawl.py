@@ -1,0 +1,283 @@
+"""Crawl-governance and WARC-ingestion suite queries — driver-protocol
+exposure for the round-5 operator family (sources/warc, sources/robots),
+previously pytest-only (round-5 verdict item 3).
+
+Fixture strategy (the pca_invariants pattern): the operators consume
+crawl-shaped inputs the TPC-H-ish fixtures don't ship, so each query
+DERIVES a deterministic crawl relation from a fixture table with pure
+column arithmetic both engines can spell — URLs and robots rules keyed by
+``doc_id`` residues, link edges keyed by event/user residues, WARC bytes
+synthesized by ``encode_warc`` (no uuids, no clock) from a DISTINCT,
+totally-ordered, capped doc_id sample. The DuckDB oracle re-derives the
+expected output from the same residues, so the hash compare independently
+verifies the Spark operator's parsing/evaluation/aggregation — not a
+copy of its output.
+
+Scale posture: the fixture-synthesis collect is capped (200 ids — a
+fixture-generation driver read, same class as vocab/probe collects); the
+operators under test keep their production shapes (robots rules broadcast
+onto the URL side, WARC parse file-parallel in one fused mapInPandas,
+host rollup pure Catalyst with one exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_with_dbt_spark.suite.registry import big, load, query
+
+# Residue-coded robots rules: h0 mixes Allow/Disallow so the longest-match
+# case is exercised (the Allow line is more specific AND first, so
+# first-match and longest-match semantics agree — the oracle must not
+# depend on which one the evaluator implements); h1 blocks everything;
+# h2 allows everything explicitly; h3 is an EMPTY body (the blank-robots
+# convention: absence of rules is not a prohibition); h4 has no robots
+# row at all (the no-capture convention — also allowed).
+_ROBOTS_BY_HOST = {
+    "h0.example.com": (
+        "User-agent: *\nAllow: /private/open\nDisallow: /private/\n"
+    ),
+    "h1.example.com": "User-agent: *\nDisallow: /\n",
+    "h2.example.com": "User-agent: *\nAllow: /\n",
+    "h3.example.com": "",
+}
+
+
+@query(
+    "robots_audit_documents",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+           CAST(CASE
+               WHEN doc_id % 5 = 1 THEN 0                       -- h1: all blocked
+               WHEN doc_id % 5 = 0 AND doc_id % 4 = 0 THEN 0    -- h0: /private/ blocked
+               ELSE 1                                           -- h0 /private/open,
+           END AS BIGINT) AS robots_allowed                     -- h2/h3/h4: allowed
+    FROM documents
+    """,
+    description=(
+        "Compliance audit over a residue-coded crawl: every document maps "
+        "to a URL on one of five hosts (path class by doc_id%4, host by "
+        "doc_id%5) with deterministic robots.txt rules — Allow-overrides-"
+        "Disallow, block-all, allow-all, empty-body, and missing-capture "
+        "cases all non-vacuous; the oracle re-derives the expected flag "
+        "from the residues, independently checking audit_robots' "
+        "broadcast join + rule evaluation"
+    ),
+)
+def robots_audit_documents(spark, sf_dir):
+    from data_etl_with_dbt_spark.sources.robots import audit_robots
+
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".example.com")
+    )
+    path = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/private/p"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("/private/open/p"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("/public/p"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/p"), F.col("doc_id").cast("string")))
+    )
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        list(_ROBOTS_BY_HOST.items()), "host string, robots_txt string"
+    )
+    return audit_robots(urls, robots).select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "host",
+        F.col("robots_allowed").cast("bigint").alias("robots_allowed"),
+    )
+
+
+@query(
+    "host_link_graph_events",
+    oracle="""
+    SELECT 'h' || CAST(user_id % 7 AS VARCHAR) || '.example.com' AS src_host,
+           'h' || CAST(event_id % 9 AS VARCHAR) || '.example.com' AS dst_host,
+           CAST(count(*) AS BIGINT) AS n_links
+    FROM events
+    WHERE (user_id % 7) != (event_id % 9)
+    GROUP BY 1, 2
+    """,
+    description=(
+        "Host-level link-graph rollup (warc.host_link_graph — the relation "
+        "domain-authority pagerank runs over) on a residue-coded edge list "
+        "derived from events: the oracle re-derives hosts from the residues, "
+        "independently checking the JVM-side parse_url host extraction, the "
+        "self-loop drop, and the pair aggregation"
+    ),
+)
+def host_link_graph_events(spark, sf_dir):
+    from data_etl_with_dbt_spark.sources.warc import host_link_graph
+
+    ev = load(spark, sf_dir, "events")
+    links = ev.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 7).cast("string"),
+            F.lit(".example.com/u/"), F.col("user_id").cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("https://h"), (F.col("event_id") % 9).cast("string"),
+            F.lit(".example.com/e/"), F.col("event_id").cast("string"),
+        ).alias("dst_url"),
+    )
+    return host_link_graph(links).select(
+        "src_host", "dst_host", big(F.col("n_links")).alias("n_links")
+    )
+
+
+def _sample_doc_ids(spark, sf_dir, cap: int = 200) -> list[int]:
+    """DISTINCT, totally-ordered, capped doc_id sample — the WARC fixture
+    seed. Distinct keeps the ORDER BY .. LIMIT total under the dup2
+    perturbation; the cap bounds the fixture-generation collect."""
+    docs = load(spark, sf_dir, "documents")
+    rows = (
+        docs.select("doc_id").distinct().orderBy("doc_id").limit(cap).collect()
+    )
+    return [int(r.doc_id) for r in rows]
+
+
+def _synth_warc_files(spark, ids: list[int]):
+    """Deterministic WARC bytes for the sampled ids, packed into (at most)
+    8 files: per id one 2xx text/html response whose body embeds the id;
+    ids%3==0 add a 404 response (status-skip path) and ids%5==0 add a 2xx
+    image/png response (mime-skip path); each file opens with a warcinfo
+    record (non-response path). encode_warc is clock-free, so both
+    engines' runs see identical bytes."""
+    from data_etl_with_dbt_spark.sources.warc import encode_warc
+
+    def http(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+        return (
+            f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+
+    n_files = min(8, max(1, len(ids)))
+    groups: list[list[dict]] = [
+        [{"warc_type": "warcinfo", "content_type": "application/warc-fields",
+          "block": b"software: fixture\r\n"}]
+        for _ in range(n_files)
+    ]
+    for i, did in enumerate(ids):
+        url = f"https://d{did}.example.com/page"
+        html = (
+            f"<html><head><title>t{did}</title></head><body>"
+            f"<p>doc {did} alpha beta</p><a href='/next'>n</a>"
+            f"</body></html>"
+        ).encode()
+        recs = groups[i % n_files]
+        recs.append(
+            {"warc_type": "response", "uri": url,
+             "content_type": "application/http;msgtype=response",
+             "block": http(html)}
+        )
+        if did % 3 == 0:
+            recs.append(
+                {"warc_type": "response", "uri": url,
+                 "content_type": "application/http;msgtype=response",
+                 "block": http(b"gone", status=404)}
+            )
+        if did % 5 == 0:
+            recs.append(
+                {"warc_type": "response",
+                 "uri": f"https://d{did}.example.com/img.png",
+                 "content_type": "application/http;msgtype=response",
+                 "block": http(b"\x89PNG fake", ctype="image/png")}
+            )
+    rows = [
+        (f"synth/{k}.warc.gz", bytearray(encode_warc(g, gzip_members=True)))
+        for k, g in enumerate(groups)
+    ]
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+@query(
+    "warc_documents_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS src_doc_id,
+           CAST(200 AS BIGINT) AS http_status,
+           'text/html' AS mime,
+           CAST(1 AS BIGINT) AS text_ok
+    FROM (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+    """,
+    description=(
+        "End-to-end WARC ingestion check: synthesized crawl archives "
+        "(2xx HTML + 404 + non-text records per sampled doc_id) through "
+        "warc_to_documents — record walk, gzip members, HTTP peel, "
+        "charset decode, HTML→text — must yield exactly one text document "
+        "per sampled id with the body text extracted (tags/attrs gone, "
+        "visible words kept); the oracle pins the accounting from the "
+        "same id sample"
+    ),
+)
+def warc_documents_roundtrip(spark, sf_dir):
+    from data_etl_with_dbt_spark.sources.warc import warc_to_documents
+
+    ids = _sample_doc_ids(spark, sf_dir)
+    files = _synth_warc_files(spark, ids)
+    docs = warc_to_documents(files)
+    src_id = F.regexp_extract("url", r"d(\d+)\.example", 1).cast("bigint")
+    text_ok = (
+        F.col("text").contains(
+            F.concat(F.lit("doc "), src_id.cast("string"), F.lit(" alpha beta"))
+        )
+        & ~F.col("text").contains(F.lit("<"))  # tags must be gone
+        & ~F.col("text").contains(F.lit("href"))  # attributes too
+    )
+    return docs.select(
+        src_id.alias("src_doc_id"),
+        big(F.col("http_status")).alias("http_status"),
+        "mime",
+        text_ok.cast("bigint").alias("text_ok"),
+    )
+
+
+@query(
+    "warc_ingest_accounting",
+    oracle="""
+    WITH s AS (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+    SELECT CAST(count(*)
+                + count(CASE WHEN doc_id % 3 = 0 THEN 1 END)
+                + count(CASE WHEN doc_id % 5 = 0 THEN 1 END)
+                + LEAST(8, count(*)) AS BIGINT) AS n_records,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(1 AS BIGINT) AS accounting_ok
+    FROM s
+    """,
+    description=(
+        "WARC row-accounting invariant (records in = 2xx-text docs + "
+        "status-skips + mime-skips + non-response records): the parser's "
+        "record count and the document pipeline's output count must both "
+        "match the residue-derived expectation the oracle computes from "
+        "the same id sample — a regression tripwire for silently dropped "
+        "or double-counted records"
+    ),
+)
+def warc_ingest_accounting(spark, sf_dir):
+    from data_etl_with_dbt_spark.sources.warc import (
+        warc_records,
+        warc_to_documents,
+    )
+
+    ids = _sample_doc_ids(spark, sf_dir)
+    files = _synth_warc_files(spark, ids)
+    n_records = warc_records(files).count()
+    n_docs = warc_to_documents(files).count()
+    expected_records = (
+        len(ids)
+        + sum(1 for i in ids if i % 3 == 0)
+        + sum(1 for i in ids if i % 5 == 0)
+        + min(8, max(1, len(ids)))
+    )
+    ok = int(n_records == expected_records and n_docs == len(ids))
+    return spark.createDataFrame(
+        [(n_records, n_docs, ok)],
+        "n_records bigint, n_docs bigint, accounting_ok bigint",
+    )

@@ -601,3 +601,99 @@ def cdc_debezium_apply_orders(spark, sf_dir):
         "o_orderkey: bigint, o_totalprice: double, o_orderstatus: string",
     )
     return apply_cdc(snap, parsed, "o_orderkey", "seq").orderBy("o_orderkey")
+
+
+@query(
+    "cdc_strict_seq_replication",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+        FROM orders
+    ),
+    ins AS (SELECT * FROM base WHERE k % 7 < 3),
+    upd AS (
+        SELECT k,
+               CASE WHEN k % 7 = 0 THEN CAST(0 AS DOUBLE) ELSE p END AS p,
+               s
+        FROM ins
+    )
+    SELECT k AS o_orderkey, CAST(p AS DOUBLE) AS o_totalprice,
+           s AS o_orderstatus
+    FROM upd WHERE k % 5 <> 0
+    ORDER BY o_orderkey
+    """,
+    description=(
+        "Streaming CDC replication under the strict LSN contract "
+        "(streaming/intake.cdc_replication_sink, strict_seq=True), driven "
+        "batch-equivalently: three Debezium envelope micro-batches "
+        "(inserts, updates, deletes — per-record strictly-increasing "
+        "ts_ms) replicate into a snapshot, with an at-least-once REPLAY "
+        "of the first batch injected mid-stream that the sequence "
+        "watermark must drop as a no-op; the oracle recomputes the net "
+        "state directly, so the hash match proves parse + apply + "
+        "replay-guard end to end"
+    ),
+)
+def cdc_strict_seq_replication(spark, sf_dir):
+    """foreachBatch sinks are plain (DataFrame, batch_id) callables — the
+    batch-equivalence property the streaming tests pin means driving one
+    with static frames exercises the exact code path a readStream feeds
+    (the driver protocol can't run a continuous query)."""
+    import tempfile
+
+    from data_etl_with_dbt_spark.streaming.intake import cdc_replication_sink
+
+    k = F.col("o_orderkey")
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .distinct()
+    )
+    row_struct = F.struct("o_orderkey", "o_totalprice", "o_orderstatus")
+    null_row = F.lit(None).cast(
+        "struct<o_orderkey: bigint, o_totalprice: double, o_orderstatus: string>"
+    )
+
+    def env(before, after, op, seq):
+        return F.to_json(
+            F.struct(
+                F.struct(
+                    before.alias("before"),
+                    after.alias("after"),
+                    F.lit(op).alias("op"),
+                    seq.cast("bigint").alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value")
+
+    # per-record strictly-increasing sequences: batch1 = k, batch2 = 1e7+k,
+    # batch3 = 2e7+k (orderkeys stay far below 1e7 at these scale factors)
+    inserts = base.where(k % 7 < 3).select(env(null_row, row_struct, "c", k))
+    updates = base.where(k % 7 == 0).select(
+        env(
+            row_struct,
+            F.struct(
+                k.alias("o_orderkey"),
+                F.lit(0.0).alias("o_totalprice"),
+                F.col("o_orderstatus"),
+            ),
+            "u",
+            k + 10_000_000,
+        )
+    )
+    deletes = base.where((k % 7 < 3) & (k % 5 == 0)).select(
+        env(row_struct, null_row, "d", k + 20_000_000)
+    )
+
+    snap = tempfile.mkdtemp(prefix="cdc_strict_seq_") + "/snapshot"
+    sink = cdc_replication_sink(
+        snap,
+        "o_orderkey: bigint, o_totalprice: double, o_orderstatus: string",
+        "o_orderkey",
+        strict_seq=True,
+    )
+    sink(inserts, 0)
+    sink(updates, 1)
+    sink(inserts, 0)  # at-least-once replay of an applied batch: must no-op
+    sink(deletes, 2)
+    return spark.read.parquet(snap).orderBy("o_orderkey")
