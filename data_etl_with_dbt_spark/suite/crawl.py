@@ -281,3 +281,74 @@ def warc_ingest_accounting(spark, sf_dir):
         [(n_records, n_docs, ok)],
         "n_records bigint, n_docs bigint, accounting_ok bigint",
     )
+
+
+@query(
+    "warc_ingest_pipeline",
+    oracle=None,  # corpus-scale throughput shape; the oracle-checked
+    # correctness twin is warc_documents_roundtrip / warc_ingest_accounting
+    bench=True,
+    description=(
+        "Corpus-scale WARC ingestion benchmark: documents amplified "
+        "deterministically (x8 copies, x8 body repeats — ~96 MiB of HTML "
+        "at sf0.1) are encoded into gzip-member WARC files in one "
+        "distributed mapInPandas stage and parsed straight back through "
+        "warc_to_documents (record walk, bounded-chunk gunzip, HTTP "
+        "peel, HTML->text) — the newest corpus-sized Python path, under "
+        "regression tracking; bytes never touch the driver"
+    ),
+)
+def warc_ingest_pipeline(spark, sf_dir):
+    """Encode and parse are BOTH file-parallel, zero shuffle after the one
+    amplification repartition; per-batch WARC files keep executor memory
+    bounded by the Arrow batch size, not the corpus."""
+    import pandas as pd
+
+    from data_etl_with_dbt_spark.sources import warc as W
+
+    W._ship_by_value()
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # x8 amplification (pure Catalyst explode) + a hash repartition: the
+    # single-row-group documents fixture is unsplittable, so the encode
+    # stage must be given its parallelism explicitly
+    amplified = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("copy"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id", "copy")
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for did, copy, text in zip(pdf["doc_id"], pdf["copy"], pdf["text"]):
+                body = (
+                    f"<html><head><title>d{did}</title></head><body>"
+                    f"<h1>doc {did} copy {copy}</h1>"
+                    + f"<p>{text}</p><a href='/d{did}/{copy}'>next</a>" * 8
+                    + "</body></html>"
+                ).encode()
+                http = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+                )
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "uri": f"https://d{did}.example.com/{copy}",
+                        "content_type": "application/http;msgtype=response",
+                        "block": http,
+                    }
+                )
+            name = f"w/{int(pdf['doc_id'].min())}-{int(pdf['copy'].min())}-{len(pdf)}.warc.gz"
+            yield pd.DataFrame(
+                {
+                    "path": [name],
+                    "content": [W.encode_warc(recs, gzip_members=True)],
+                }
+            )
+
+    files = amplified.mapInPandas(enc, "path string, content binary")
+    return W.warc_to_documents(files)
