@@ -307,3 +307,111 @@ def sitemap_entries(
     return sitemaps.select(id_col, content_col).mapInPandas(
         run, SITEMAP_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# recrawl scheduling
+# ---------------------------------------------------------------------------
+
+
+def recrawl_schedule(
+    seeds: DataFrame,
+    snapshot: DataFrame,
+    now: str,
+    ttl_days: int = 30,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    url_col: str = "url",
+    fetched_col: str = "fetched_at",
+) -> DataFrame:
+    """The daily crawl-scheduling relation: sitemap seeds
+    (:func:`sitemap_entries` output — ``loc`` + publisher-declared
+    ``lastmod``) full-outer-joined against the crawl's document snapshot
+    (``warc_to_documents`` / a ``sources.versioned`` replica — ``url`` +
+    ``fetched_at``), classified per URL:
+
+    * ``never_fetched`` (priority 3) — seeded, absent from the snapshot
+    * ``lastmod_newer`` (priority 2) — the publisher declared a change
+      after our fetch
+    * ``ttl_expired``   (priority 1) — no declared change, but the copy
+      is older than ``ttl_days`` (unlisted snapshot URLs age out this
+      way too — sitemaps are not exhaustive)
+    * ``fresh``         (priority 0) — nothing to do
+
+    ``staleness_seconds`` (whole seconds, integer arithmetic — no float
+    rounding in the ranking) orders work WITHIN a class: time since the
+    declared change for never_fetched/lastmod_newer, seconds past the
+    TTL for ttl_expired. ``now`` is an explicit pinnable literal (the
+    ``current_date`` convention — schedulers must be replayable).
+
+    Both inputs are deduped first (max lastmod per loc, latest fetch per
+    url): sitemaps repeat URLs across files and crawls re-fetch, and a
+    keyed max is one map-side-combined agg. Pure Catalyst throughout; at
+    100 TB both sides hash-shuffle once on the URL, and the seed side is
+    usually small enough that Spark broadcasts it outright."""
+    s = (
+        seeds.select(
+            F.col(loc_col).alias("url"),
+            F.to_timestamp(F.col(lastmod_col)).alias("__lastmod"),
+        )
+        .groupBy("url")
+        .agg(F.max("__lastmod").alias("__lastmod"))
+        .withColumn("__seeded", F.lit(True))
+    )
+    c = (
+        snapshot.select(
+            F.col(url_col).alias("url"),
+            F.col(fetched_col).cast("timestamp").alias("__fetched"),
+        )
+        .groupBy("url")
+        .agg(F.max("__fetched").alias("__fetched"))
+    )
+    j = s.join(c, "url", "full_outer")
+    now_ts = F.lit(now).cast("timestamp")
+    ttl_us = F.lit(int(ttl_days) * 86400 * 1_000_000)
+    age_us = F.unix_micros(now_ts) - F.unix_micros(F.col("__fetched"))
+    never = F.col("__fetched").isNull()
+    newer = F.col("__lastmod").isNotNull() & (
+        F.col("__lastmod") > F.col("__fetched")
+    )
+    expired = age_us > ttl_us
+    reason = (
+        F.when(never, F.lit("never_fetched"))
+        .when(newer, F.lit("lastmod_newer"))
+        .when(expired, F.lit("ttl_expired"))
+        .otherwise(F.lit("fresh"))
+    )
+    priority = (
+        F.when(never, F.lit(3))
+        .when(newer, F.lit(2))
+        .when(expired, F.lit(1))
+        .otherwise(F.lit(0))
+    ).cast("int")
+    # whole-second staleness, integer µs arithmetic end to end (DIV, not
+    # float division — engines disagree on double->int narrowing)
+    since_lastmod = F.expr(
+        "greatest(unix_micros(__now) - unix_micros(__lastmod), 0L) DIV 1000000"
+    )
+    since_change = F.expr(
+        "greatest(unix_micros(__lastmod) - unix_micros(__fetched), 0L) "
+        "DIV 1000000"
+    )
+    past_ttl = F.expr(
+        f"greatest(unix_micros(__now) - unix_micros(__fetched) "
+        f"- {int(ttl_days) * 86400}000000L, 0L) DIV 1000000"
+    )
+    staleness = (
+        F.when(never, F.coalesce(since_lastmod, F.lit(0)))
+        .when(newer, since_change)
+        .when(expired, past_ttl)
+        .otherwise(F.lit(0))
+    ).cast("bigint")
+    return (
+        j.withColumn("__now", now_ts)
+        .select(
+            "url",
+            reason.alias("reason"),
+            priority.alias("priority"),
+            staleness.alias("staleness_seconds"),
+        )
+    )

@@ -352,3 +352,109 @@ def warc_ingest_pipeline(spark, sf_dir):
 
     files = amplified.mapInPandas(enc, "path string, content binary")
     return W.warc_to_documents(files)
+
+
+@query(
+    "recrawl_schedule_events",
+    oracle="""
+    WITH snap AS (
+        SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example.com/e/'
+               || CAST(event_id AS VARCHAR) AS url,
+               max(ts) AS fetched
+        FROM events GROUP BY 1
+    ),
+    seed_listed AS (
+        SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example.com/e/'
+               || CAST(event_id AS VARCHAR) AS url,
+               CAST(strftime(CASE WHEN event_id % 2 = 0
+                                  THEN ts + INTERVAL 2 DAY
+                                  ELSE ts - INTERVAL 2 DAY END,
+                             '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS lastmod
+        FROM events WHERE event_id % 3 < 2
+    ),
+    seed_new AS (
+        SELECT 'https://new' || CAST(event_id AS VARCHAR) || '.example.com/'
+               AS url,
+               CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS lastmod
+        FROM events WHERE event_id % 5 = 0
+    ),
+    seeds AS (
+        SELECT url, max(lastmod) AS lastmod
+        FROM (SELECT * FROM seed_listed UNION ALL SELECT * FROM seed_new)
+        GROUP BY url
+    ),
+    j AS (
+        SELECT COALESCE(s.url, c.url) AS url, s.lastmod, c.fetched
+        FROM seeds s FULL OUTER JOIN snap c ON s.url = c.url
+    ),
+    cls AS (
+        SELECT url, lastmod, fetched,
+               CASE WHEN fetched IS NULL THEN 'never_fetched'
+                    WHEN lastmod IS NOT NULL AND lastmod > fetched
+                         THEN 'lastmod_newer'
+                    WHEN epoch_us(TIMESTAMP '2024-02-10 00:00:00')
+                         - epoch_us(fetched) > 2592000000000
+                         THEN 'ttl_expired'
+                    ELSE 'fresh' END AS reason
+        FROM j
+    )
+    SELECT url, reason,
+           CAST(CASE reason WHEN 'never_fetched' THEN 3
+                            WHEN 'lastmod_newer' THEN 2
+                            WHEN 'ttl_expired' THEN 1
+                            ELSE 0 END AS INT) AS priority,
+           CAST(CASE reason
+                WHEN 'never_fetched' THEN COALESCE(
+                    greatest(epoch_us(TIMESTAMP '2024-02-10 00:00:00')
+                             - epoch_us(lastmod), 0) // 1000000, 0)
+                WHEN 'lastmod_newer' THEN
+                    greatest(epoch_us(lastmod) - epoch_us(fetched), 0)
+                    // 1000000
+                WHEN 'ttl_expired' THEN
+                    greatest(epoch_us(TIMESTAMP '2024-02-10 00:00:00')
+                             - epoch_us(fetched) - 2592000000000, 0)
+                    // 1000000
+                ELSE 0 END AS BIGINT) AS staleness_seconds
+    FROM cls
+    """,
+    description=(
+        "Recrawl scheduling (sources/robots.recrawl_schedule — the daily "
+        "crawl-pipeline operator): residue-coded sitemap seeds with "
+        "publisher lastmod strings full-outer-joined against a fetch "
+        "snapshot derived from events; never_fetched / lastmod_newer / "
+        "ttl_expired / fresh classes all non-vacuous at every SF (events "
+        "span Jan 1-30, now pinned 2024-02-10, ttl 30 d), integer-second "
+        "staleness ranking; the oracle re-derives every class from the "
+        "same residues"
+    ),
+)
+def recrawl_schedule_events(spark, sf_dir):
+    from data_etl_with_dbt_spark.sources.robots import recrawl_schedule
+
+    ev = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://u"), F.col("user_id").cast("string"),
+        F.lit(".example.com/e/"), F.col("event_id").cast("string"),
+    )
+    snapshot = ev.select(url.alias("url"), F.col("ts").alias("fetched_at"))
+    lastmod_listed = F.date_format(
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.col("ts") + F.expr("INTERVAL 2 DAY"),
+        ).otherwise(F.col("ts") - F.expr("INTERVAL 2 DAY")),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    seed_listed = ev.where(F.col("event_id") % 3 < 2).select(
+        url.alias("loc"), lastmod_listed.alias("lastmod")
+    )
+    seed_new = ev.where(F.col("event_id") % 5 == 0).select(
+        F.concat(
+            F.lit("https://new"), F.col("event_id").cast("string"),
+            F.lit(".example.com/"),
+        ).alias("loc"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("lastmod"),
+    )
+    seeds = seed_listed.unionByName(seed_new)
+    return recrawl_schedule(
+        seeds, snapshot, now="2024-02-10 00:00:00", ttl_days=30
+    )

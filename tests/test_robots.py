@@ -216,3 +216,46 @@ class TestSitemaps:
         assert len(by_id[2]) == 2 and all(r.is_index for r in by_id[2])
         assert 3 not in by_id  # malformed blob skipped, task alive
         assert {r.lastmod for r in by_id[2]} == {"2024-02-01", None}
+
+
+class TestRecrawlSchedule:
+    def test_classes_dedup_and_date_only_lastmod(self, spark):
+        from data_etl_with_dbt_spark.sources.robots import recrawl_schedule
+
+        seeds = spark.createDataFrame(
+            [
+                # repeated seed: max lastmod wins (date-only string parses)
+                ("https://a/x", "2024-01-05"),
+                ("https://a/x", "2024-02-01"),
+                ("https://a/y", "2024-01-01"),        # older than fetch
+                ("https://a/new", None),              # never fetched, no lastmod
+                ("https://a/new2", "2024-01-20"),     # never fetched, lastmod
+            ],
+            "loc string, lastmod string",
+        )
+        snapshot = spark.createDataFrame(
+            [
+                # re-fetches: latest wins
+                ("https://a/x", "2024-01-10 00:00:00"),
+                ("https://a/x", "2024-01-15 00:00:00"),
+                ("https://a/y", "2024-01-25 00:00:00"),
+                ("https://a/old", "2023-12-01 00:00:00"),  # unlisted, aged out
+            ],
+            "url string, fetched_at string",
+        )
+        out = {
+            r.url: (r.reason, r.priority, r.staleness_seconds)
+            for r in recrawl_schedule(
+                seeds, snapshot, now="2024-02-10 00:00:00", ttl_days=30
+            ).collect()
+        }
+        # lastmod 2024-02-01 > latest fetch 2024-01-15 -> newer by 17 days
+        assert out["https://a/x"] == ("lastmod_newer", 2, 17 * 86400)
+        # lastmod older, fetched 16 days ago (< ttl) -> fresh
+        assert out["https://a/y"] == ("fresh", 0, 0)
+        assert out["https://a/new"] == ("never_fetched", 3, 0)
+        # never fetched with lastmod: staleness = now - lastmod = 21 days
+        assert out["https://a/new2"] == ("never_fetched", 3, 21 * 86400)
+        # unlisted snapshot URL past the ttl: 71 days old, 41 past ttl
+        assert out["https://a/old"] == ("ttl_expired", 1, 41 * 86400)
+        assert len(out) == 5
