@@ -67,7 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 WINDOW = [
     "cdc_strict_seq_replication", "host_link_graph_events",
     "learned_embedding_invariants", "mp3_bitrate_histogram",
-    "pca_invariants", "robots_audit_documents", "topic_model_simplex",
+    "pca_invariants", "recrawl_schedule_events", "robots_audit_documents",
+    "streaming_rollup_events", "topic_model_simplex",
     "warc_documents_roundtrip", "warc_ingest_accounting",
     "window_trailing_range", "winsorize_extendedprice",
     "zipf_exponent_vocab", "zorder_cluster_events", "ann_pq_rerank_topk",
@@ -82,7 +83,7 @@ WINDOW = [
     "chunk_documents", "cohort_retention", "core_transform_events",
     "corpus_mixture_sample", "cte_above_average_customers",
     "decontaminate_ngram_overlap", "dedup_cluster_assignment",
-    "dedup_exact_groups", "dedup_spans_keep_first", "doc_fingerprints",
+    "dedup_exact_groups",
 ]
 
 ZQ_QUEUED = [
@@ -98,8 +99,9 @@ ZV_VERIFIED = [
     "column_entropy_events", "concurrent_sessions_peak",
     "corpus_epoch_upsample", "corpus_quality_report",
     "curriculum_schedule_documents", "cusum_change_points",
-    "dedup_keep_longest", "dedup_soft_weights", "doc_oov_rate",
-    "domain_quota_cap", "dp_noisy_counts", "dq_accepted_values_violations",
+    "dedup_keep_longest", "dedup_soft_weights", "dedup_spans_keep_first",
+    "doc_fingerprints", "doc_oov_rate", "domain_quota_cap",
+    "dp_noisy_counts", "dq_accepted_values_violations",
     "dq_not_null_violations", "dq_positive_violations",
     "dq_quarantine_events", "dq_relationships_violations",
     "dq_threshold_violations", "dq_unique_violations",
@@ -164,7 +166,7 @@ ZR_ROWS_ONLY = [
     "hll_user_cardinality", "image_dhash_near_dup", "learned_embedding_ann",
     "pagerank_similarity_graph", "pca_embeddings",
     "semantic_dedup_clusters_lsh", "topic_model_documents",
-    "unigram_lm_vocab",
+    "unigram_lm_vocab", "warc_ingest_pipeline",
 ]
 
 _PREFIX = dict.fromkeys(WINDOW, "")

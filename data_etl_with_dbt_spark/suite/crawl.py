@@ -458,3 +458,52 @@ def recrawl_schedule_events(spark, sf_dir):
     return recrawl_schedule(
         seeds, snapshot, now="2024-02-10 00:00:00", ttl_days=30
     )
+
+
+@query(
+    "streaming_rollup_events",
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 10 AS BIGINT) AS user_mod,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description=(
+        "Streaming additive-rollup maintenance "
+        "(streaming/intake.additive_rollup_sink) driven batch-equivalently: "
+        "three residue-split event micro-batches merge into a persisted "
+        "rollup table whose final state must equal the one-shot GROUP BY "
+        "the oracle computes — the batch-equivalence contract the "
+        "streaming tests pin, now driver-hash-checked; decimal-grid sums "
+        "make the incremental merge order invisible cross-engine"
+    ),
+)
+def streaming_rollup_events(spark, sf_dir):
+    """State lives in the TABLE (no stream state, no watermark bound on
+    key cardinality); per-batch cost is the rollup size, never history."""
+    import tempfile
+
+    from data_etl_with_dbt_spark.streaming.intake import additive_rollup_sink
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).cast("bigint").alias("user_mod"),
+        F.col("value").cast("decimal(18,6)").alias("sum_value"),
+        F.lit(1).cast("bigint").alias("n_events"),
+        F.col("event_id").alias("__batch_key"),
+    )
+    path = tempfile.mkdtemp(prefix="stream_rollup_") + "/rollup"
+    sink = additive_rollup_sink(
+        path, keys=["event_type", "user_mod"], sum_cols=["sum_value", "n_events"]
+    )
+    for r in range(3):  # three deterministic micro-batches by residue
+        sink(ev.where(F.col("__batch_key") % 3 == r).drop("__batch_key"), r)
+    out = spark.read.parquet(path)
+    return out.select(
+        "event_type",
+        big(F.col("user_mod")).alias("user_mod"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        big(F.col("n_events")).alias("n_events"),
+    )

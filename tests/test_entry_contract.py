@@ -74,6 +74,8 @@ def test_rows_only_queries_are_the_approximate_family(entry_mod):
         "learned_embedding_ann",  # trained embeddings: neighbor-quality-tested
         "image_dhash_near_dup",  # decode+perceptual hash: ground truth by construction
         "audio_spectral_report",  # FFT features: ground truth by construction
+        "warc_ingest_pipeline",  # throughput bench; oracle-checked twins are
+        # warc_documents_roundtrip / warc_ingest_accounting
     }
 
 
