@@ -159,7 +159,11 @@ def _synth_warc_files(spark, ids: list[int]):
             f"Content-Length: {len(body)}\r\n\r\n".encode() + body
         )
 
-    n_files = min(8, max(1, len(ids)))
+    # 0 ids -> 0 files: the oracle's LEAST(8, count)-warcinfo accounting
+    # must hold on a (perturbed-to-)empty documents table too
+    n_files = min(8, len(ids))
+    if n_files == 0:
+        return spark.createDataFrame([], "path string, content binary")
     groups: list[list[dict]] = [
         [{"warc_type": "warcinfo", "content_type": "application/warc-fields",
           "block": b"software: fixture\r\n"}]
@@ -274,7 +278,7 @@ def warc_ingest_accounting(spark, sf_dir):
         len(ids)
         + sum(1 for i in ids if i % 3 == 0)
         + sum(1 for i in ids if i % 5 == 0)
-        + min(8, max(1, len(ids)))
+        + min(8, len(ids))
     )
     ok = int(n_records == expected_records and n_docs == len(ids))
     return spark.createDataFrame(
