@@ -65,25 +65,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # Regenerate the tiers after each round with: python tools/rotate_window.py
 
 WINDOW = [
-    "cdc_strict_seq_replication", "host_link_graph_events",
-    "learned_embedding_invariants", "mp3_bitrate_histogram",
-    "pca_invariants", "recrawl_schedule_events", "robots_audit_documents",
-    "streaming_rollup_events", "topic_model_simplex",
-    "warc_documents_roundtrip", "warc_ingest_accounting",
-    "window_trailing_range", "winsorize_extendedprice",
-    "zipf_exponent_vocab", "zorder_cluster_events", "ann_pq_rerank_topk",
-    "ann_pq_topk", "audio_spectral_report", "bpe_encode_documents",
-    "bpe_train_merges", "join_left_outer_summary", "join_semi_anti",
-    "json_props_aggregation", "json_schema_parse", "lang_id_heuristic",
-    "locf_imputation", "mad_outliers_by_type", "minmax_normalize_events",
-    "activity_streaks", "agg_cube", "agg_distinct", "agg_exact_percentiles",
-    "agg_grouping_sets", "agg_linear_regression", "agg_ordered_string",
-    "agg_rollup", "agg_statistics", "ann_cosine_topk", "asof_error_to_click",
+    "cdc_strict_seq_replication", "crawl_politeness_slots",
+    "host_link_graph_events", "learned_embedding_invariants",
+    "mp3_bitrate_histogram", "pca_invariants", "recrawl_schedule_events",
+    "robots_audit_documents", "streaming_rollup_events",
+    "topic_model_simplex", "warc_documents_roundtrip",
+    "warc_ingest_accounting", "window_trailing_range",
+    "winsorize_extendedprice", "zipf_exponent_vocab",
+    "zorder_cluster_events", "ann_pq_rerank_topk", "ann_pq_topk",
+    "audio_spectral_report", "bpe_encode_documents", "bpe_train_merges",
+    "join_left_outer_summary", "join_semi_anti", "json_props_aggregation",
+    "json_schema_parse", "lang_id_heuristic", "locf_imputation",
+    "mad_outliers_by_type", "minmax_normalize_events", "activity_streaks",
+    "agg_cube", "agg_distinct", "agg_exact_percentiles", "agg_grouping_sets",
+    "agg_linear_regression", "agg_ordered_string", "agg_rollup",
+    "agg_statistics", "ann_cosine_topk", "asof_error_to_click",
     "bpe_pair_merge_step", "calendar_spine_gap_fill", "cdc_apply_orders",
     "chunk_documents", "cohort_retention", "core_transform_events",
     "corpus_mixture_sample", "cte_above_average_customers",
     "decontaminate_ngram_overlap", "dedup_cluster_assignment",
-    "dedup_exact_groups",
 ]
 
 ZQ_QUEUED = [
@@ -99,9 +99,9 @@ ZV_VERIFIED = [
     "column_entropy_events", "concurrent_sessions_peak",
     "corpus_epoch_upsample", "corpus_quality_report",
     "curriculum_schedule_documents", "cusum_change_points",
-    "dedup_keep_longest", "dedup_soft_weights", "dedup_spans_keep_first",
-    "doc_fingerprints", "doc_oov_rate", "domain_quota_cap",
-    "dp_noisy_counts", "dq_accepted_values_violations",
+    "dedup_exact_groups", "dedup_keep_longest", "dedup_soft_weights",
+    "dedup_spans_keep_first", "doc_fingerprints", "doc_oov_rate",
+    "domain_quota_cap", "dp_noisy_counts", "dq_accepted_values_violations",
     "dq_not_null_violations", "dq_positive_violations",
     "dq_quarantine_events", "dq_relationships_violations",
     "dq_threshold_violations", "dq_unique_violations",

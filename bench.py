@@ -31,12 +31,25 @@ def run_query(spark, name, sf_dir):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _steal_jiffies() -> int | None:
+    """Hypervisor steal time from /proc/stat — the box shows minutes-scale
+    steal bursts that swing identical runs 2x (BENCH_NOTES round 5), so
+    every bench run samples steal around itself and reports it to STDERR
+    (the stdout JSON line is the driver's; its schema must not change)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    steal0 = _steal_jiffies()
     bench_queries = [name for name, q in sorted(QUERIES.items()) if q.bench]
     timings: dict[str, float] = {}
     for name in bench_queries:
@@ -55,6 +68,13 @@ def main():
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
+    steal1 = _steal_jiffies()
+    if steal0 is not None and steal1 is not None:
+        # USER_HZ is 100 on this platform; report CPU-seconds of steal
+        print(
+            f"bench steal_cpu_s={round((steal1 - steal0) / 100.0, 1)}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {

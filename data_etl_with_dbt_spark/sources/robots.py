@@ -415,3 +415,41 @@ def recrawl_schedule(
             staleness.alias("staleness_seconds"),
         )
     )
+
+
+def crawl_slots(
+    schedule: DataFrame,
+    per_host_delay_s: int = 5,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    staleness_col: str = "staleness_seconds",
+) -> DataFrame:
+    """Per-host politeness scheduling over a recrawl schedule
+    (:func:`recrawl_schedule` output or any ``(url, priority,
+    staleness)`` relation): within each host, URLs are ranked priority
+    desc → staleness desc → url (a TOTAL order, so slot assignment is
+    deterministic), and slot ``k`` fetches no earlier than
+    ``(k-1) * per_host_delay_s`` seconds into the crawl — the crawl-rate
+    contract every polite fetcher enforces per host.
+
+    One window over the host partitioning — the same exchange a
+    host-quota or host-stats pass would already pay; at 100 TB the
+    skewed-host tail (one giant host) is inherent to the politeness
+    contract itself (its slots MUST serialize), not a plan defect."""
+    from pyspark.sql import Window
+
+    from data_etl_with_dbt_spark.functions.web import url_host
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc(priority_col), F.desc(staleness_col), F.col(url_col)
+    )
+    return (
+        schedule.withColumn("host", url_host(F.col(url_col)))
+        .withColumn("slot", F.row_number().over(w))
+        .withColumn(
+            "scheduled_offset_seconds",
+            ((F.col("slot") - F.lit(1)) * F.lit(int(per_host_delay_s))).cast(
+                "bigint"
+            ),
+        )
+    )

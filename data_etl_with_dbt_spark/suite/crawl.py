@@ -511,3 +511,50 @@ def streaming_rollup_events(spark, sf_dir):
         F.col("sum_value").cast("double").alias("sum_value"),
         big(F.col("n_events")).alias("n_events"),
     )
+
+
+# the politeness query schedules the RECRAWL relation — reuse its oracle
+# as a CTE so the two stay definitionally in lockstep
+from data_etl_with_dbt_spark.suite.registry import QUERIES as _REGISTRY
+
+
+@query(
+    "crawl_politeness_slots",
+    oracle=f"""
+    WITH sched AS ({_REGISTRY["recrawl_schedule_events"].oracle}),
+    slotted AS (
+        SELECT url,
+               lower(regexp_extract(url, '^https://([^/]+)', 1)) AS host,
+               priority,
+               row_number() OVER (
+                   PARTITION BY lower(regexp_extract(url, '^https://([^/]+)', 1))
+                   ORDER BY priority DESC, staleness_seconds DESC, url
+               ) AS slot
+        FROM sched
+    )
+    SELECT url, host, CAST(priority AS INT) AS priority,
+           CAST(slot AS BIGINT) AS slot,
+           CAST((slot - 1) * 5 AS BIGINT) AS scheduled_offset_seconds
+    FROM slotted
+    """,
+    description=(
+        "Per-host politeness scheduling (sources/robots.crawl_slots) over "
+        "the recrawl relation: within each host URLs rank priority desc -> "
+        "staleness desc -> url (a total order) and slot k fetches no "
+        "earlier than (k-1)*5 s — the crawl-rate contract every polite "
+        "fetcher enforces; the oracle re-derives host and slot with its "
+        "own window over the same schedule CTE"
+    ),
+)
+def crawl_politeness_slots(spark, sf_dir):
+    from data_etl_with_dbt_spark.sources.robots import crawl_slots
+
+    sched = _REGISTRY["recrawl_schedule_events"].fn(spark, sf_dir)
+    out = crawl_slots(sched, per_host_delay_s=5)
+    return out.select(
+        "url",
+        "host",
+        F.col("priority").cast("int").alias("priority"),
+        big(F.col("slot")).alias("slot"),
+        big(F.col("scheduled_offset_seconds")).alias("scheduled_offset_seconds"),
+    )
