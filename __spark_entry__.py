@@ -68,9 +68,10 @@ WINDOW = [
     "cdc_strict_seq_replication", "crawl_politeness_slots",
     "host_link_graph_events", "learned_embedding_invariants",
     "mp3_bitrate_histogram", "pca_invariants", "recrawl_schedule_events",
-    "robots_audit_documents", "streaming_rollup_events",
-    "topic_model_simplex", "warc_documents_roundtrip",
-    "warc_ingest_accounting", "window_trailing_range",
+    "robots_audit_documents", "sitemap_entries_roundtrip",
+    "streaming_rollup_events", "topic_model_simplex",
+    "warc_documents_roundtrip", "warc_ingest_accounting",
+    "warc_links_roundtrip", "window_trailing_range",
     "winsorize_extendedprice", "zipf_exponent_vocab",
     "zorder_cluster_events", "ann_pq_rerank_topk", "ann_pq_topk",
     "audio_spectral_report", "bpe_encode_documents", "bpe_train_merges",
@@ -83,7 +84,6 @@ WINDOW = [
     "bpe_pair_merge_step", "calendar_spine_gap_fill", "cdc_apply_orders",
     "chunk_documents", "cohort_retention", "core_transform_events",
     "corpus_mixture_sample", "cte_above_average_customers",
-    "decontaminate_ngram_overlap", "dedup_cluster_assignment",
 ]
 
 ZQ_QUEUED = [
@@ -99,6 +99,7 @@ ZV_VERIFIED = [
     "column_entropy_events", "concurrent_sessions_peak",
     "corpus_epoch_upsample", "corpus_quality_report",
     "curriculum_schedule_documents", "cusum_change_points",
+    "decontaminate_ngram_overlap", "dedup_cluster_assignment",
     "dedup_exact_groups", "dedup_keep_longest", "dedup_soft_weights",
     "dedup_spans_keep_first", "doc_fingerprints", "doc_oov_rate",
     "domain_quota_cap", "dp_noisy_counts", "dq_accepted_values_violations",

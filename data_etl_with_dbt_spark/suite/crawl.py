@@ -558,3 +558,137 @@ def crawl_politeness_slots(spark, sf_dir):
         big(F.col("slot")).alias("slot"),
         big(F.col("scheduled_offset_seconds")).alias("scheduled_offset_seconds"),
     )
+
+
+@query(
+    "warc_links_roundtrip",
+    oracle="""
+    WITH s AS (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+    SELECT 'https://d' || CAST(doc_id AS VARCHAR) || '.example.com/page' AS src_url,
+           'https://d' || CAST(doc_id AS VARCHAR) || '.example.com/l'
+               || CAST(doc_id % 7 AS VARCHAR) AS dst_url
+    FROM s
+    UNION ALL
+    SELECT 'https://d' || CAST(doc_id AS VARCHAR) || '.example.com/page',
+           'https://x' || CAST(doc_id % 3 AS VARCHAR) || '.example.com/'
+    FROM s
+    """,
+    description=(
+        "Link EXTRACTION round trip (warc.warc_to_links — the edge-list "
+        "producer host_link_graph consumes): synthesized HTML pages with "
+        "one RELATIVE anchor (must resolve absolute against the page URL) "
+        "and one absolute anchor per sampled doc; the oracle re-derives "
+        "both resolved edges from the id residues"
+    ),
+)
+def warc_links_roundtrip(spark, sf_dir):
+    from data_etl_with_dbt_spark.sources import warc as W
+
+    import pandas as pd
+
+    W._ship_by_value()
+    ids = _sample_doc_ids(spark, sf_dir)
+    if not ids:
+        return spark.createDataFrame([], "src_url string, dst_url string")
+
+    def http(body: bytes) -> bytes:
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+
+    n_files = min(8, len(ids))
+    groups: list[list[dict]] = [[] for _ in range(n_files)]
+    for i, did in enumerate(ids):
+        html = (
+            f"<html><body><p>d{did}</p>"
+            f"<a href='/l{did % 7}'>rel</a>"
+            f"<a href='https://x{did % 3}.example.com/'>abs</a>"
+            f"</body></html>"
+        ).encode()
+        groups[i % n_files].append(
+            {"warc_type": "response",
+             "uri": f"https://d{did}.example.com/page",
+             "content_type": "application/http;msgtype=response",
+             "block": http(html)}
+        )
+    files = spark.createDataFrame(
+        [
+            (f"links/{k}.warc.gz", bytearray(W.encode_warc(g, gzip_members=True)))
+            for k, g in enumerate(groups)
+        ],
+        "path string, content binary",
+    )
+    return W.warc_to_links(files)
+
+
+@query(
+    "sitemap_entries_roundtrip",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) - 1 AS i
+        FROM (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+    )
+    SELECT CAST(i % 8 AS BIGINT) AS sitemap_id,
+           'https://s' || CAST(doc_id AS VARCHAR) || '.example.com/p' AS loc,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE '2024-01-' || CASE WHEN (doc_id % 28) + 1 < 10
+                                        THEN '0' ELSE '' END
+                     || CAST((doc_id % 28) + 1 AS VARCHAR) END AS lastmod,
+           CAST(0 AS BIGINT) AS is_index
+    FROM s
+    UNION ALL
+    SELECT CAST(8 AS BIGINT), 'https://a.example.com/sitemap-' ||
+           CAST(k AS VARCHAR) || '.xml', NULL, CAST(1 AS BIGINT)
+    FROM (SELECT 1 AS k UNION ALL SELECT 2) idx
+    """,
+    description=(
+        "Sitemap parse round trip (robots.sitemap_entries): urlset "
+        "documents synthesized from the id sample (lastmod omitted for "
+        "ids%4==0 — the optional-tag path) plus one sitemapindex document "
+        "whose children flag is_index; the oracle re-derives every entry "
+        "from the residues"
+    ),
+)
+def sitemap_entries_roundtrip(spark, sf_dir):
+    from data_etl_with_dbt_spark.sources.robots import sitemap_entries
+
+    ids = _sample_doc_ids(spark, sf_dir)
+    if not ids:
+        return spark.createDataFrame(
+            [], "sitemap_id bigint, loc string, lastmod string, is_index bigint"
+        )
+    n_docs = min(8, len(ids))
+    bodies: list[list[str]] = [[] for _ in range(n_docs)]
+    for i, did in enumerate(ids):
+        lastmod = (
+            ""
+            if did % 4 == 0
+            else f"<lastmod>2024-01-{(did % 28) + 1:02d}</lastmod>"
+        )
+        bodies[i % n_docs].append(
+            f"<url><loc>https://s{did}.example.com/p</loc>{lastmod}</url>"
+        )
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    rows = [
+        (k, bytearray(f'<?xml version="1.0"?><urlset {ns}>'
+                      f'{"".join(b)}</urlset>'.encode()))
+        for k, b in enumerate(bodies)
+    ]
+    rows.append(
+        (8, bytearray((
+            f'<?xml version="1.0"?><sitemapindex {ns}>'
+            '<sitemap><loc>https://a.example.com/sitemap-1.xml</loc></sitemap>'
+            '<sitemap><loc>https://a.example.com/sitemap-2.xml</loc></sitemap>'
+            '</sitemapindex>'
+        ).encode()))
+    )
+    sitemaps = spark.createDataFrame(rows, "sitemap_id long, content binary")
+    out = sitemap_entries(sitemaps)
+    return out.select(
+        big(F.col("sitemap_id")).alias("sitemap_id"),
+        "loc",
+        F.nullif(F.col("lastmod"), F.lit("")).alias("lastmod"),
+        F.col("is_index").cast("bigint").alias("is_index"),
+    )
