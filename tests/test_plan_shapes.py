@@ -361,6 +361,14 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # the zero-token bigram guard is size(array) > 0 — a derived
         # expression, nothing pushable (the embedding_int8_quantize class)
         "repetition_stats": {"unpushed-filter"},
+        # round-6 entries:
+        # the self-loop drop compares two DERIVED parse_url hosts — no raw
+        # column exists to push
+        "host_link_graph_events": {"unpushed-filter"},
+        # residue fixture-synthesis filters (event_id % 3 / % 5) — the
+        # cdc_debezium_apply_orders class; politeness chains the same plan
+        "recrawl_schedule_events": {"unpushed-filter"},
+        "crawl_politeness_slots": {"unpushed-filter"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):

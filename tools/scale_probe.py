@@ -58,7 +58,65 @@ def _ops():
         "zorder": _zorder,
         "weighted_sample": _weighted_sample,
         "bpe_encode": _bpe_encode,
+        "robots_audit": _robots_audit,
+        "recrawl": _recrawl,
+        "crawl_slots": _crawl_slots,
     }
+
+
+def _probe_url(host_mod: int = 1000):
+    # 1000 synthetic hosts: the rules side stays host-cardinality
+    # (broadcastable) while the URL side scales with the probe rows
+    return F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % host_mod).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _robots_audit(df):
+    from data_etl_with_dbt_spark.sources.robots import audit_robots
+
+    urls = df.select("doc_id", _probe_url().alias("url"))
+    rules = [
+        (f"h{i}.example.com", "User-agent: *\nDisallow: /private/\nAllow: /p/\n")
+        for i in range(1000)
+    ]
+    robots = df.sparkSession.createDataFrame(
+        rules, "host string, robots_txt string"
+    )
+    return audit_robots(urls, robots)
+
+
+def _recrawl(df):
+    from data_etl_with_dbt_spark.sources.robots import recrawl_schedule
+
+    fetched = F.timestamp_seconds(
+        F.lit(1704067200) + (F.col("doc_id") % 2_592_000)
+    )
+    snapshot = df.select(_probe_url().alias("url"), fetched.alias("fetched_at"))
+    seeds = df.where(F.col("doc_id") % 3 < 2).select(
+        _probe_url().alias("loc"),
+        F.date_format(
+            F.timestamp_seconds(
+                F.lit(1704067200 + 86400) + (F.col("doc_id") % 2_592_000)
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("lastmod"),
+    )
+    return recrawl_schedule(seeds, snapshot, now="2024-03-01 00:00:00")
+
+
+def _crawl_slots(df):
+    from data_etl_with_dbt_spark.sources.robots import crawl_slots
+
+    sched = df.select(
+        _probe_url().alias("url"),
+        (F.col("doc_id") % 4).cast("int").alias("priority"),
+        (F.col("doc_id") % 100_000).cast("bigint").alias("staleness_seconds"),
+    )
+    return crawl_slots(sched, per_host_delay_s=5)
 
 
 def _cms(df):
