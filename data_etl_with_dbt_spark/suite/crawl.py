@@ -584,8 +584,6 @@ def crawl_politeness_slots(spark, sf_dir):
 def warc_links_roundtrip(spark, sf_dir):
     from data_etl_with_dbt_spark.sources import warc as W
 
-    import pandas as pd
-
     W._ship_by_value()
     ids = _sample_doc_ids(spark, sf_dir)
     if not ids:
