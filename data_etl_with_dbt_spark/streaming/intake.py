@@ -108,40 +108,45 @@ def _filter_replayed(
             wm = max(r["wm"] for r in rows)
             boundary = {r["h"] for r in rows if r["wm"] == wm}
     if strict_seq:
-        # the two checks below plus the caller's post-filter checkpoint
+        # the checks below plus the caller's post-filter checkpoint
         # would each re-run the batch parse (parse_debezium + xxhash64);
         # materialize once so they read computed rows instead
         changes = changes.localCheckpoint(eager=True)
-        # one batch-sized agg: sequences carried by >1 distinct record
-        dup = (
+        # ONE batch-sized agg covers both contract checks (round-6: was
+        # two driver jobs per batch): sequences carried by >1 distinct
+        # record, and new content at the applied watermark sequence.
+        clash_cond = (
+            (F.col("seq") == F.lit(wm))
+            & ~F.col("__h").isin(*[int(h) for h in boundary])
+            if (wm is not None and boundary)
+            else F.lit(False)
+        )
+        bad = (
             changes.groupBy("seq")
-            .agg(F.count_distinct("__h").alias("n"))
-            .where(F.col("n") > 1)
+            .agg(
+                F.count_distinct("__h").alias("n"),
+                F.max(clash_cond.cast("int")).alias("clash"),
+            )
+            .where((F.col("n") > 1) | (F.col("clash") == 1))
             .orderBy("seq")
             .limit(5)
             .collect()
         )
+        # duplicate-sequence wins the error message when both kinds are
+        # among the first 5 offending sequences
+        dup = [r for r in bad if r["n"] > 1]
         if dup:
             raise ValueError(
                 "strict_seq: multiple distinct change records share "
                 f"sequence(s) {[r['seq'] for r in dup]} — the sequence "
                 "column is not a strictly-increasing LSN"
             )
-        if wm is not None and boundary:
-            clash = (
-                changes.where(
-                    (F.col("seq") == F.lit(wm))
-                    & ~F.col("__h").isin(*[int(h) for h in boundary])
-                )
-                .limit(1)
-                .collect()
+        if any(r["clash"] == 1 for r in bad):
+            raise ValueError(
+                f"strict_seq: a NEW change record arrived at the already-"
+                f"applied sequence {wm} — LSN reuse violates the "
+                "strictly-increasing contract"
             )
-            if clash:
-                raise ValueError(
-                    f"strict_seq: a NEW change record arrived at the already-"
-                    f"applied sequence {wm} — LSN reuse violates the "
-                    "strictly-increasing contract"
-                )
     if wm is not None:
         keep = F.col("seq") > F.lit(wm)
         if boundary and not strict_seq:
