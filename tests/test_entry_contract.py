@@ -90,10 +90,14 @@ def test_queries_survive_hostile_session_conf(spark, duck, entry_mod):
     try:
         spark.conf.set("spark.sql.ansi.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        name = entry_mod.exposed_name("core_transform_events")
-        got = entry_mod.queries()[name](spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")).toPandas()
-        want = duck.execute(entry_mod.oracle_sql()[name]).df()
-        assert_frames_match(got, want, name)
+        # core_transform: the reference's cast/epoch shape; recrawl: the
+        # most timezone-sensitive round-6 query (to_timestamp on lastmod
+        # strings + date_format + unix_micros + a pinned 'now' literal)
+        for bare in ("core_transform_events", "recrawl_schedule_events"):
+            name = entry_mod.exposed_name(bare)
+            got = entry_mod.queries()[name](spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")).toPandas()
+            want = duck.execute(entry_mod.oracle_sql()[name]).df()
+            assert_frames_match(got, want, name)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old_ansi)
         spark.conf.set("spark.sql.session.timeZone", old_tz)
