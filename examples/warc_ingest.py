@@ -15,6 +15,10 @@ runs (examples/corpus_pipeline.py).
        pipelines run before anything else touches the text
     5. chain into text_stats (quality) + exact dedup, proving the landed
        relation is pipeline-ready
+    6. close the crawl loop: parse the site's sitemap for lastmod seeds,
+       emit the recrawl priority relation (``recrawl_schedule`` — which
+       URLs to fetch next, and why), and assign per-host politeness slots
+       (``crawl_slots``) — tomorrow's fetch plan from today's archive
 
 Run:  python examples/warc_ingest.py [workdir]
 """
@@ -103,6 +107,55 @@ def main(workdir: str) -> None:
         print(f"distinct contents after exact dedup: {n_groups}")
         # _page repeats every 4 docs modulo the page number -> near-unique
         assert n_groups <= n
+
+        # tomorrow's fetch plan from today's archive: sitemap lastmod
+        # seeds vs the fetch snapshot -> recrawl classes -> politeness slots
+        from pyspark.sql import functions as F
+
+        from data_etl_with_dbt_spark.sources.robots import (
+            crawl_slots,
+            recrawl_schedule,
+            sitemap_entries,
+        )
+
+        sitemap_xml = (
+            '<?xml version="1.0"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            # /0/0 re-published AFTER the crawl fetched it -> lastmod_newer
+            "<url><loc>https://example.com/0/0</loc>"
+            "<lastmod>2024-03-05</lastmod></url>"
+            # /1/1 unchanged since before the fetch -> fresh (within ttl)
+            "<url><loc>https://example.com/1/1</loc>"
+            "<lastmod>2024-02-01</lastmod></url>"
+            # never crawled at all -> never_fetched
+            "<url><loc>https://example.com/brand-new</loc>"
+            "<lastmod>2024-03-04</lastmod></url>"
+            "</urlset>"
+        ).encode()
+        seeds = sitemap_entries(
+            spark.createDataFrame(
+                [(0, bytearray(sitemap_xml))], "sitemap_id long, content binary"
+            )
+        ).where(~F.col("is_index"))
+        snapshot = docs.select("url", "fetched_at")
+        plan = recrawl_schedule(
+            seeds, snapshot, now="2024-03-06 00:00:00", ttl_days=30
+        )
+        slotted = crawl_slots(plan, per_host_delay_s=2)
+        print("recrawl plan (priority desc):")
+        for r in slotted.orderBy(
+            F.desc("priority"), "scheduled_offset_seconds", "url"
+        ).collect()[:6]:
+            print(
+                f"  t+{r.scheduled_offset_seconds:>3}s p{r.priority} "
+                f"{r.reason:<14} {r.url}"
+            )
+        by_reason = {
+            r.reason: r["count"]
+            for r in plan.groupBy("reason").count().collect()
+        }
+        assert by_reason.get("never_fetched") == 1  # /brand-new
+        assert by_reason.get("lastmod_newer") == 1  # re-published /0/0
         print("warc ingest OK")
     finally:
         spark.stop()
