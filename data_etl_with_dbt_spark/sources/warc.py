@@ -39,6 +39,7 @@ the dedup stage's content digests downstream.
 from __future__ import annotations
 
 import io
+import re
 import zlib
 from collections.abc import Iterator
 from html.parser import HTMLParser
@@ -305,21 +306,51 @@ def html_to_text(html: str) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
-def _charset_of(content_type: str) -> str:
+def _charset_of(content_type: str) -> str | None:
+    """Charset declared in a Content-Type header, or None (the common
+    crawl case — servers often omit it and declare only in the HTML)."""
     for part in content_type.split(";"):
         part = part.strip()
         if part.lower().startswith("charset="):
-            return part[8:].strip().strip('"') or "utf-8"
-    return "utf-8"
+            return part[8:].strip().strip('"') or None
+    return None
+
+
+# the HTML5 prescan convention: sniff only the first 1 KiB for a meta
+# charset declaration (covers both <meta charset=x> and the legacy
+# <meta http-equiv=Content-Type content="...;charset=x"> spelling)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-]{1,40})",
+    re.IGNORECASE,
+)
+
+
+def _sniff_charset(body: bytes) -> str | None:
+    """Charset evidence from the BYTES when the header declares none:
+    a BOM (decisive), else an HTML5-prescan meta declaration in the
+    first 1 KiB. A windows-1252 or shift_jis page that declares itself
+    only in <meta> — the normal case on the real web — would otherwise
+    mojibake under the utf-8 default and be thrown away by quality
+    scoring downstream."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"  # decode strips the BOM character
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"  # stdlib honors the BOM for byte order
+    m = _META_CHARSET_RE.search(body[:1024])
+    if m:
+        return m.group(1).decode("ascii", "replace")
+    return None
 
 
 def _decode_body(body: bytes, content_type: str) -> str:
-    """Decode an HTTP body by its declared charset, lenient on both axes:
-    undecodable BYTES are replaced, an unknown declared CHARSET falls back
-    to utf-8 (crawl servers declare 'bogus-enc' often enough that one page
-    must never kill a task)."""
+    """Decode an HTTP body by its declared charset — header first, then
+    BOM / HTML5 meta prescan, then utf-8 — lenient on both axes:
+    undecodable BYTES are replaced, an unknown declared CHARSET falls
+    back to utf-8 (crawl servers declare 'bogus-enc' often enough that
+    one page must never kill a task)."""
+    charset = _charset_of(content_type) or _sniff_charset(body) or "utf-8"
     try:
-        return body.decode(_charset_of(content_type), errors="replace")
+        return body.decode(charset, errors="replace")
     except LookupError:
         return body.decode("utf-8", errors="replace")
 

@@ -423,3 +423,41 @@ class TestHttpRobustness:
         assert [(r.src_url, r.dst_url) for r in links] == [
             ("https://bogus.example.com/", "https://x.example.com/")
         ]
+
+    def test_meta_and_bom_charset_sniffing(self):
+        """Round-6: pages that declare their charset only in the HTML (the
+        normal case on the real web) must decode by the HTML5 prescan, not
+        mojibake under the utf-8 default; an explicit header charset still
+        wins; BOMs are decisive and stripped."""
+        from data_etl_with_dbt_spark.sources.warc import _decode_body
+
+        # windows-1252 'café' declared only via <meta charset=...>
+        body = (
+            b'<html><head><meta charset="windows-1252"></head>'
+            b"<body>caf\xe9</body></html>"
+        )
+        assert "café" in _decode_body(body, "text/html")
+        # legacy http-equiv spelling
+        legacy = (
+            b"<html><head><meta http-equiv=Content-Type "
+            b'content="text/html; charset=windows-1252"></head>'
+            b"<body>caf\xe9</body></html>"
+        )
+        assert "café" in _decode_body(legacy, "text/html")
+        # header charset beats a (wrong) meta declaration
+        both = (
+            b'<html><head><meta charset="utf-16"></head>'
+            b"<body>caf\xc3\xa9</body></html>"
+        )
+        assert "café" in _decode_body(both, "text/html; charset=utf-8")
+        # utf-8 BOM: decoded and stripped
+        assert _decode_body(b"\xef\xbb\xbfhi", "text/plain") == "hi"
+        # utf-16le BOM
+        assert _decode_body(
+            "hi".encode("utf-16"), "text/plain"
+        ) == "hi"
+        # bogus meta charset still falls back to utf-8, never raises
+        bogus = b'<meta charset="not-a-codec">caf\xc3\xa9'
+        assert "café" in _decode_body(bogus, "text/html")
+        # no declaration anywhere: utf-8 default unchanged
+        assert _decode_body(b"caf\xc3\xa9", "text/html") == "café"
