@@ -250,11 +250,24 @@ def parse_http_response(block: bytes) -> dict:
     # transfer-coding wraps content-coding on the wire: de-chunk first
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body) or body
-    if headers.get("content-encoding", "").lower() == "gzip":
+    coding = headers.get("content-encoding", "").lower().strip()
+    if coding in ("gzip", "x-gzip"):  # x-gzip: the HTTP/1.1 legacy alias
         try:
             body = _gunzip_members(body) or body
         except Exception:
             pass
+    elif coding == "deflate":
+        # servers ship BOTH meanings of 'deflate' (zlib-wrapped per the
+        # RFC, raw-deflate per the bug everyone copied) — try zlib first,
+        # fall back to raw; a torn stream keeps the inflated prefix
+        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+            try:
+                d = zlib.decompressobj(wbits=wbits)
+                out = d.decompress(body)
+                body = out or body
+                break
+            except zlib.error:
+                continue
     return {"status": status, "headers": headers, "body": body}
 
 
@@ -359,6 +372,10 @@ def _decode_body(body: bytes, content_type: str) -> str:
 # relation level
 # ---------------------------------------------------------------------------
 
+# mimes whose payload is an HTML document (visible-text extraction + link
+# walk apply): text/html plus the XHTML registration real servers use
+_HTML_MIMES = {"text/html", "application/xhtml+xml"}
+
 WARC_RECORD_SCHEMA = T.StructType(
     [
         T.StructField("warc_file", T.StringType()),
@@ -456,7 +473,10 @@ def warc_to_documents(
                         continue
                     ctype = http["headers"].get("content-type", "")
                     mime = ctype.split(";")[0].strip().lower()
-                    if not mime.startswith("text/"):
+                    # XHTML ships as application/xhtml+xml on the real
+                    # web — it is an HTML document, not a skip
+                    is_html = mime in _HTML_MIMES
+                    if not (mime.startswith("text/") or is_html):
                         continue
                     raw = _decode_body(http["body"], ctype)
                     out["doc_id"].append(0)
@@ -465,7 +485,7 @@ def warc_to_documents(
                     out["http_status"].append(status)
                     out["mime"].append(mime)
                     out["text"].append(
-                        html_to_text(raw) if mime == "text/html" else raw
+                        html_to_text(raw) if is_html else raw
                     )
                     files_.append(path)
                     offs.append(rec["offset"])
@@ -568,7 +588,7 @@ def warc_to_links(
                     if status is None or not (200 <= status <= 299):
                         continue
                     ctype = http["headers"].get("content-type", "")
-                    if ctype.split(";")[0].strip().lower() != "text/html":
+                    if ctype.split(";")[0].strip().lower() not in _HTML_MIMES:
                         continue
                     raw = _decode_body(http["body"], ctype)
                     for target in _extract_links(url, raw):

@@ -424,6 +424,63 @@ class TestHttpRobustness:
             ("https://bogus.example.com/", "https://x.example.com/")
         ]
 
+    def test_xgzip_and_deflate_content_encodings(self):
+        """Round-6: the HTTP/1.1 legacy 'x-gzip' alias and BOTH meanings
+        of 'deflate' (zlib-wrapped per RFC, raw-deflate per the bug every
+        server copied) must inflate; unknown codings still pass through."""
+        import zlib as _z
+
+        from data_etl_with_dbt_spark.sources.warc import parse_http_response
+
+        body = b"<p>hello deflate world</p>"
+
+        def block(payload: bytes, coding: str) -> bytes:
+            return (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Encoding: {coding}\r\n\r\n".encode() + payload
+            )
+
+        gz = io.BytesIO()
+        with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as f:
+            f.write(body)
+        assert parse_http_response(block(gz.getvalue(), "x-gzip"))["body"] == body
+        assert parse_http_response(block(_z.compress(body), "deflate"))["body"] == body
+        raw = _z.compressobj(wbits=-15)
+        raw_bytes = raw.compress(body) + raw.flush()
+        assert parse_http_response(block(raw_bytes, "deflate"))["body"] == body
+        # unknown coding: bytes pass through untouched (triage downstream)
+        assert parse_http_response(block(b"opaque", "br"))["body"] == b"opaque"
+
+    def test_xhtml_mime_is_a_document_and_has_links(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources.warc import (
+            warc_to_documents,
+            warc_to_links,
+        )
+
+        html = (
+            b'<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+            b'<p>xhtml text</p><a href="/next">n</a></body></html>'
+        )
+        records = [
+            {
+                "warc_type": "response",
+                "uri": "https://x.example.com/page",
+                "content_type": "application/http;msgtype=response",
+                "block": _http(html, ctype="application/xhtml+xml"),
+            }
+        ]
+        (tmp_path / "xhtml.warc").write_bytes(encode_warc(records))
+        files = spark.read.format("binaryFile").load(str(tmp_path))
+        docs = warc_to_documents(files).collect()
+        assert len(docs) == 1
+        assert docs[0].mime == "application/xhtml+xml"
+        # tags extracted, not skipped (<p> is a block element -> newline)
+        assert docs[0].text == "xhtml text\nn"
+        links = warc_to_links(files).collect()
+        assert [(r.src_url, r.dst_url) for r in links] == [
+            ("https://x.example.com/page", "https://x.example.com/next")
+        ]
+
     def test_meta_and_bom_charset_sniffing(self):
         """Round-6: pages that declare their charset only in the HTML (the
         normal case on the real web) must decode by the HTML5 prescan, not
