@@ -423,6 +423,8 @@ def crawl_slots(
     url_col: str = "url",
     priority_col: str = "priority",
     staleness_col: str = "staleness_seconds",
+    delays: DataFrame | None = None,
+    delay_col: str = "crawl_delay_s",
 ) -> DataFrame:
     """Per-host politeness scheduling over a recrawl schedule
     (:func:`recrawl_schedule` output or any ``(url, priority,
@@ -431,6 +433,11 @@ def crawl_slots(
     deterministic), and slot ``k`` fetches no earlier than
     ``(k-1) * per_host_delay_s`` seconds into the crawl — the crawl-rate
     contract every polite fetcher enforces per host.
+
+    ``delays`` (optional) is a host-keyed relation of per-host intervals
+    — :func:`robots_directives` output, so hosts honor their own declared
+    ``Crawl-delay`` — broadcast onto the URL side; hosts without a row
+    (or with a NULL delay) fall back to ``per_host_delay_s``.
 
     One window over the host partitioning — the same exchange a
     host-quota or host-stats pass would already pay; at 100 TB the
@@ -443,13 +450,69 @@ def crawl_slots(
     w = Window.partitionBy("host").orderBy(
         F.desc(priority_col), F.desc(staleness_col), F.col(url_col)
     )
+    out = schedule.withColumn("host", url_host(F.col(url_col)))
+    delay = F.lit(float(per_host_delay_s))
+    if delays is not None:
+        out = out.join(
+            F.broadcast(
+                delays.select(
+                    F.lower(F.col("host")).alias("host"),
+                    F.col(delay_col).alias("__delay"),
+                )
+            ),
+            "host",
+            "left",
+        )
+        delay = F.coalesce(F.col("__delay"), delay)
     return (
-        schedule.withColumn("host", url_host(F.col(url_col)))
-        .withColumn("slot", F.row_number().over(w))
+        out.withColumn("slot", F.row_number().over(w))
         .withColumn(
             "scheduled_offset_seconds",
-            ((F.col("slot") - F.lit(1)) * F.lit(int(per_host_delay_s))).cast(
-                "bigint"
-            ),
+            F.floor((F.col("slot") - F.lit(1)) * delay).cast("bigint"),
         )
+        .drop("__delay")
     )
+
+
+ROBOTS_DIRECTIVES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("crawl_delay_s", T.DoubleType()),
+        T.StructField("sitemap_urls", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def robots_directives(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host scheduler directives from the rules relation:
+    ``Crawl-delay`` (the per-host politeness interval — NULL when the
+    host declares none) and ``Sitemap:`` URLs (the seed-discovery hook:
+    these feed :func:`sitemap_entries`, whose lastmod seeds feed
+    :func:`recrawl_schedule`). Stdlib parser semantics, one Arrow batch
+    stage over the HOST-CARDINALITY rules relation — this never touches
+    corpus-sized data."""
+    import pandas as pd
+
+    _ship_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, delays, maps = [], [], []
+            for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                rp = _robot_parser(str(txt or ""))
+                d = rp.crawl_delay(agent)
+                hosts.append(host)
+                delays.append(float(d) if d is not None else None)
+                maps.append(list(rp.site_maps() or []))
+            yield pd.DataFrame(
+                {"host": hosts, "crawl_delay_s": delays, "sitemap_urls": maps}
+            )
+
+    return robots.select(
+        F.col(host_col).alias(host_col), F.col(txt_col).alias(txt_col)
+    ).mapInPandas(run, ROBOTS_DIRECTIVES_SCHEMA)

@@ -259,3 +259,46 @@ class TestRecrawlSchedule:
         # unlisted snapshot URL past the ttl: 71 days old, 41 past ttl
         assert out["https://a/old"] == ("ttl_expired", 1, 41 * 86400)
         assert len(out) == 5
+
+
+class TestRobotsDirectives:
+    def test_crawl_delay_sitemaps_and_slotting(self, spark):
+        from data_etl_with_dbt_spark.sources.robots import (
+            crawl_slots,
+            robots_directives,
+        )
+
+        robots = spark.createDataFrame(
+            [
+                ("slow.example.com",
+                 "User-agent: *\nCrawl-delay: 10\nDisallow: /x/\n"
+                 "Sitemap: https://slow.example.com/sitemap.xml\n"),
+                ("fast.example.com", "User-agent: *\nAllow: /\n"),
+            ],
+            "host string, robots_txt string",
+        )
+        d = {r.host: (r.crawl_delay_s, r.sitemap_urls)
+             for r in robots_directives(robots).collect()}
+        assert d["slow.example.com"] == (
+            10.0, ["https://slow.example.com/sitemap.xml"]
+        )
+        assert d["fast.example.com"][0] is None  # no declared delay
+        assert d["fast.example.com"][1] == []
+
+        # slots honor the per-host declared delay; undeclared hosts use
+        # the default
+        sched = spark.createDataFrame(
+            [(f"https://{h}/p{i}", 1, 0)
+             for h in ("slow.example.com", "fast.example.com")
+             for i in range(3)],
+            "url string, priority int, staleness_seconds long",
+        )
+        out = crawl_slots(
+            sched, per_host_delay_s=2, delays=robots_directives(robots)
+        )
+        offsets = {
+            (r.host, r.slot): r.scheduled_offset_seconds
+            for r in out.collect()
+        }
+        assert offsets[("slow.example.com", 3)] == 20  # 2 * 10 s declared
+        assert offsets[("fast.example.com", 3)] == 4   # 2 * 2 s default
