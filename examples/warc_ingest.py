@@ -115,6 +115,7 @@ def main(workdir: str) -> None:
         from data_etl_with_dbt_spark.sources.robots import (
             crawl_slots,
             recrawl_schedule,
+            robots_directives,
             sitemap_entries,
         )
 
@@ -141,7 +142,11 @@ def main(workdir: str) -> None:
         plan = recrawl_schedule(
             seeds, snapshot, now="2024-03-06 00:00:00", ttl_days=30
         )
-        slotted = crawl_slots(plan, per_host_delay_s=2)
+        # hosts honor their own declared Crawl-delay (none here -> the
+        # 2 s default), per-host via the archive's recovered robots.txt
+        slotted = crawl_slots(
+            plan, per_host_delay_s=2, delays=robots_directives(rules)
+        )
         print("recrawl plan (priority desc):")
         for r in slotted.orderBy(
             F.desc("priority"), "scheduled_offset_seconds", "url"
