@@ -68,22 +68,22 @@ WINDOW = [
     "cdc_strict_seq_replication", "crawl_politeness_slots",
     "host_link_graph_events", "learned_embedding_invariants",
     "mp3_bitrate_histogram", "pca_invariants", "recrawl_schedule_events",
-    "robots_audit_documents", "sitemap_entries_roundtrip",
-    "streaming_rollup_events", "topic_model_simplex",
-    "warc_documents_roundtrip", "warc_ingest_accounting",
-    "warc_links_roundtrip", "window_trailing_range",
-    "winsorize_extendedprice", "zipf_exponent_vocab",
-    "zorder_cluster_events", "ann_pq_rerank_topk", "ann_pq_topk",
-    "audio_spectral_report", "bpe_encode_documents", "bpe_train_merges",
-    "join_left_outer_summary", "join_semi_anti", "json_props_aggregation",
-    "json_schema_parse", "lang_id_heuristic", "locf_imputation",
-    "mad_outliers_by_type", "minmax_normalize_events", "activity_streaks",
-    "agg_cube", "agg_distinct", "agg_exact_percentiles", "agg_grouping_sets",
-    "agg_linear_regression", "agg_ordered_string", "agg_rollup",
-    "agg_statistics", "ann_cosine_topk", "asof_error_to_click",
+    "robots_audit_documents", "robots_directives_gallery",
+    "sitemap_entries_roundtrip", "streaming_rollup_events",
+    "topic_model_simplex", "warc_documents_roundtrip",
+    "warc_ingest_accounting", "warc_links_roundtrip",
+    "window_trailing_range", "winsorize_extendedprice",
+    "zipf_exponent_vocab", "zorder_cluster_events", "ann_pq_rerank_topk",
+    "ann_pq_topk", "audio_spectral_report", "bpe_encode_documents",
+    "bpe_train_merges", "join_left_outer_summary", "join_semi_anti",
+    "json_props_aggregation", "json_schema_parse", "lang_id_heuristic",
+    "locf_imputation", "mad_outliers_by_type", "minmax_normalize_events",
+    "activity_streaks", "agg_cube", "agg_distinct", "agg_exact_percentiles",
+    "agg_grouping_sets", "agg_linear_regression", "agg_ordered_string",
+    "agg_rollup", "agg_statistics", "ann_cosine_topk", "asof_error_to_click",
     "bpe_pair_merge_step", "calendar_spine_gap_fill", "cdc_apply_orders",
     "chunk_documents", "cohort_retention", "core_transform_events",
-    "corpus_mixture_sample", "cte_above_average_customers",
+    "corpus_mixture_sample",
 ]
 
 ZQ_QUEUED = [
@@ -98,46 +98,46 @@ ZV_VERIFIED = [
     "cascade_delete_impact", "cdc_debezium_apply_orders",
     "column_entropy_events", "concurrent_sessions_peak",
     "corpus_epoch_upsample", "corpus_quality_report",
-    "curriculum_schedule_documents", "cusum_change_points",
-    "decontaminate_ngram_overlap", "dedup_cluster_assignment",
-    "dedup_exact_groups", "dedup_keep_longest", "dedup_soft_weights",
-    "dedup_spans_keep_first", "doc_fingerprints", "doc_oov_rate",
-    "domain_quota_cap", "dp_noisy_counts", "dq_accepted_values_violations",
-    "dq_not_null_violations", "dq_positive_violations",
-    "dq_quarantine_events", "dq_relationships_violations",
-    "dq_threshold_violations", "dq_unique_violations",
-    "dsir_importance_weights", "duplicate_invoice_heuristic",
-    "embedding_centroid_outliers", "embedding_int8_quantize",
-    "embedding_norm_stats", "event_transition_matrix",
-    "event_type_lift_pairs", "ewma_daily_revenue", "explode_word_counts",
-    "frequent_event_trigrams", "functional_dependency_check",
-    "funnel_conversion_windows", "funnel_view_click_purchase",
-    "fuzzy_name_pairs", "global_row_index", "gopher_quality_flags",
-    "graph_clustering_coefficients", "growth_accounting_daily",
-    "half_life_decay_value", "hard_negative_mining", "hash_split_assignment",
-    "histogram_totalprice", "holt_linear_forecast",
-    "hourly_seasonality_profile", "inventory_running_balance",
-    "inverted_index_terms", "join_full_outer", "join_null_safe",
-    "kl_divergence_sources", "lateral_top_orders", "length_bucketed_batches",
-    "linear_interpolate_events", "majority_label_vote", "market_basket_lift",
-    "masked_customer_view", "mixture_temperature_sample",
-    "ml_feature_extraction", "mode_per_event_type",
-    "multimodal_byte_features", "mutual_information_events",
-    "negative_samples_documents", "ngram_containment_pairs",
-    "ngram_jaccard_pairs", "packed_token_windows", "pareto_customer_revenue",
-    "part_entity_clusters", "perplexity_proxy_score", "pivot_event_counts",
-    "profile_orders", "q10_returned_items", "q11_important_parts",
-    "q12_priority_counts", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_cardinality",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_discounted_revenue", "q1_pricing_summary", "q20_excess_supply",
-    "q21_suppliers_kept_waiting", "q22_inactive_customers",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "quantile_normalize_events",
-    "range_join_clicks_before_error", "reconcile_order_totals",
-    "recursive_capped_balance", "redact_entities", "repetition_stats",
-    "rfm_customer_segments", "robust_scale_events",
+    "cte_above_average_customers", "curriculum_schedule_documents",
+    "cusum_change_points", "decontaminate_ngram_overlap",
+    "dedup_cluster_assignment", "dedup_exact_groups", "dedup_keep_longest",
+    "dedup_soft_weights", "dedup_spans_keep_first", "doc_fingerprints",
+    "doc_oov_rate", "domain_quota_cap", "dp_noisy_counts",
+    "dq_accepted_values_violations", "dq_not_null_violations",
+    "dq_positive_violations", "dq_quarantine_events",
+    "dq_relationships_violations", "dq_threshold_violations",
+    "dq_unique_violations", "dsir_importance_weights",
+    "duplicate_invoice_heuristic", "embedding_centroid_outliers",
+    "embedding_int8_quantize", "embedding_norm_stats",
+    "event_transition_matrix", "event_type_lift_pairs", "ewma_daily_revenue",
+    "explode_word_counts", "frequent_event_trigrams",
+    "functional_dependency_check", "funnel_conversion_windows",
+    "funnel_view_click_purchase", "fuzzy_name_pairs", "global_row_index",
+    "gopher_quality_flags", "graph_clustering_coefficients",
+    "growth_accounting_daily", "half_life_decay_value",
+    "hard_negative_mining", "hash_split_assignment", "histogram_totalprice",
+    "holt_linear_forecast", "hourly_seasonality_profile",
+    "inventory_running_balance", "inverted_index_terms", "join_full_outer",
+    "join_null_safe", "kl_divergence_sources", "lateral_top_orders",
+    "length_bucketed_batches", "linear_interpolate_events",
+    "majority_label_vote", "market_basket_lift", "masked_customer_view",
+    "mixture_temperature_sample", "ml_feature_extraction",
+    "mode_per_event_type", "multimodal_byte_features",
+    "mutual_information_events", "negative_samples_documents",
+    "ngram_containment_pairs", "ngram_jaccard_pairs", "packed_token_windows",
+    "pareto_customer_revenue", "part_entity_clusters",
+    "perplexity_proxy_score", "pivot_event_counts", "profile_orders",
+    "q10_returned_items", "q11_important_parts", "q12_priority_counts",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cardinality", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q1_pricing_summary", "q20_excess_supply", "q21_suppliers_kept_waiting",
+    "q22_inactive_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "quantile_normalize_events", "range_join_clicks_before_error",
+    "reconcile_order_totals", "recursive_capped_balance", "redact_entities",
+    "repetition_stats", "rfm_customer_segments", "robust_scale_events",
     "sampled_quantiles_orders", "scalar_array_gallery",
     "scalar_bitwise_gallery", "scalar_collation_gallery",
     "scalar_conditional_gallery", "scalar_date_gallery",

@@ -690,3 +690,55 @@ def sitemap_entries_roundtrip(spark, sf_dir):
         F.nullif(F.col("lastmod"), F.lit("")).alias("lastmod"),
         F.col("is_index").cast("bigint").alias("is_index"),
     )
+
+
+@query(
+    "robots_directives_gallery",
+    oracle="""
+    WITH s AS (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+    SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST((doc_id % 7) + 1 AS DOUBLE) END AS crawl_delay_s,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS BIGINT)
+               AS n_sitemaps
+    FROM s
+    """,
+    description=(
+        "Scheduler-directive extraction (robots.robots_directives) over "
+        "residue-coded robots bodies: hosts declaring Crawl-delay + two "
+        "Sitemap lines, hosts with rules but no directives (NULL delay), "
+        "and hosts whose only group is another agent's (the '*' fallback "
+        "must NOT leak it); the oracle re-derives every value from the "
+        "id residues"
+    ),
+)
+def robots_directives_gallery(spark, sf_dir):
+    from data_etl_with_dbt_spark.sources.robots import robots_directives
+
+    ids = _sample_doc_ids(spark, sf_dir)
+    rows = []
+    for did in ids:
+        host = f"h{did}.example.com"
+        if did % 3 == 0:
+            body = (
+                f"User-agent: *\nCrawl-delay: {(did % 7) + 1}\n"
+                f"Disallow: /private/\n"
+                f"Sitemap: https://{host}/s1.xml\n"
+                f"Sitemap: https://{host}/s2.xml\n"
+            )
+        elif did % 3 == 1:
+            body = "User-agent: *\nDisallow: /x/\n"  # rules, no directives
+        else:
+            # only a foreign agent's group: '*' must see NO delay
+            body = "User-agent: specialbot\nCrawl-delay: 9\n"
+        rows.append((host, body))
+    if not rows:
+        return spark.createDataFrame(
+            [], "host string, crawl_delay_s double, n_sitemaps bigint"
+        )
+    robots = spark.createDataFrame(rows, "host string, robots_txt string")
+    return robots_directives(robots).select(
+        "host",
+        "crawl_delay_s",
+        F.size("sitemap_urls").cast("bigint").alias("n_sitemaps"),
+    )
