@@ -224,8 +224,15 @@ def robots_from_warc(
     raw = files.select(path_col, content_col).mapInPandas(run, schema)
     from pyspark.sql import Window
 
+    # WARC 1.1 allows sub-second timestamps, and mixed-precision ISO
+    # strings do NOT sort chronologically ('...00Z' string-sorts above
+    # '...00.900Z' because 'Z' > '.') — compare as timestamps, with the
+    # raw string as a tiebreak so unparseable dates still total-order.
     w = Window.partitionBy("host").orderBy(
-        F.desc("__date"), F.desc("__path"), F.desc("__off")
+        F.desc_nulls_last(F.to_timestamp("__date")),
+        F.desc("__date"),
+        F.desc("__path"),
+        F.desc("__off"),
     )
     return (
         raw.withColumn("__rn", F.row_number().over(w))
@@ -453,12 +460,16 @@ def crawl_slots(
     out = schedule.withColumn("host", url_host(F.col(url_col)))
     delay = F.lit(float(per_host_delay_s))
     if delays is not None:
+        # defensively collapse to ONE row per host before the broadcast
+        # join: a delays input with duplicate host rows (e.g. a rules
+        # relation that skipped robots_from_warc's per-host dedup) would
+        # fan out every URL row of that host and corrupt row_number slot
+        # assignment. max() keeps the most conservative declared interval.
         out = out.join(
             F.broadcast(
-                delays.select(
-                    F.lower(F.col("host")).alias("host"),
-                    F.col(delay_col).alias("__delay"),
-                )
+                delays.groupBy(
+                    F.lower(F.col("host")).alias("host")
+                ).agg(F.max(delay_col).alias("__delay"))
             ),
             "host",
             "left",

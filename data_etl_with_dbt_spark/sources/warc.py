@@ -64,8 +64,16 @@ def _ship_by_value() -> None:
 # byte level
 # ---------------------------------------------------------------------------
 
+# Total inflated-output cap per decompression walk (gzip member loop AND
+# the deflate content-coding path). Crawl data is adversarial: a 1 MiB
+# deflate bomb inflates ~1000:1 and would balloon one executor without a
+# bound. 64 MiB comfortably exceeds any real page body; a capped stream
+# keeps the inflated prefix (triage, not failure) — pinned by
+# tests/test_warc.py::test_inflate_output_is_bounded.
+_MAX_INFLATE_BYTES = 1 << 26
 
-def _gunzip_members(data: bytes) -> bytes:
+
+def _gunzip_members(data: bytes, max_out: int = _MAX_INFLATE_BYTES) -> bytes:
     """Concatenate every gzip member of ``data`` (WARC's per-record
     compression writes one member per record; stdlib gzip.decompress stops
     after the first on some malformed tails — loop explicitly). A torn
@@ -86,8 +94,13 @@ def _gunzip_members(data: bytes) -> bytes:
         mpos = pos
         try:
             while not d.eof and mpos < n:
+                budget = max_out - len(out)
+                if budget <= 0:
+                    return bytes(out)  # bomb guard: cap total output
                 fed = view[mpos : mpos + CHUNK]
-                out += d.decompress(fed)
+                out += d.decompress(fed, budget)
+                if d.unconsumed_tail:
+                    return bytes(out)  # cap reached mid-member
                 mpos += len(fed)
         except zlib.error:
             return bytes(out)  # corrupt member: keep the inflated prefix
@@ -95,6 +108,41 @@ def _gunzip_members(data: bytes) -> bytes:
             break  # truncated member: keep the prefix
         pos = mpos - len(d.unused_data)
     return bytes(out)
+
+
+def _inflate(data: bytes, wbits: int, max_out: int) -> tuple[bytes, bool, bool]:
+    """One bounded inflate attempt → ``(out, eof, error)``. Feeds bounded
+    chunks so a corrupt stream keeps the bytes inflated BEFORE the bad
+    code (a single ``decompress(body)`` discards them when it raises), and
+    caps total output at ``max_out`` (deflate bombs). ``eof`` means the
+    stream completed; ``error`` means zlib rejected the data mid-stream."""
+    d = zlib.decompressobj(wbits=wbits)
+    out = bytearray()
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    CHUNK = 1 << 18
+    error = False
+    capped = False
+    try:
+        while not d.eof and pos < n:
+            budget = max_out - len(out)
+            if budget <= 0:
+                capped = True  # bomb guard: cap total output
+                break
+            fed = view[pos : pos + CHUNK]
+            out += d.decompress(fed, budget)
+            if d.unconsumed_tail:
+                capped = True  # cap reached mid-chunk
+                break
+            pos += len(fed)
+        if not d.eof and not capped:
+            # truncated stream (input exhausted): flush what zlib still
+            # buffers. Never flush after a cap break — flush() processes
+            # ALL pending input with no length limit, defeating the cap.
+            out += d.flush()
+    except zlib.error:
+        error = True
+    return bytes(out[:max_out]), d.eof, error
 
 
 def _parse_header_block(block: bytes) -> dict[str, str]:
@@ -259,15 +307,26 @@ def parse_http_response(block: bytes) -> dict:
     elif coding == "deflate":
         # servers ship BOTH meanings of 'deflate' (zlib-wrapped per the
         # RFC, raw-deflate per the bug everyone copied) — try zlib first,
-        # fall back to raw; a torn stream keeps the inflated prefix
-        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
-            try:
-                d = zlib.decompressobj(wbits=wbits)
-                out = d.decompress(body)
-                body = out or body
-                break
-            except zlib.error:
-                continue
+        # fall back to raw. The zlib attempt wins only when its stream
+        # COMPLETED (eof) or inflated cleanly to end of input: a raw body
+        # whose first two bytes fake a zlib header must not 'succeed'
+        # with a garbage prefix. Output is capped at _MAX_INFLATE_BYTES
+        # (bomb guard); a torn or capped stream keeps the inflated
+        # prefix via the chunked _inflate walk.
+        zout, zeof, zerr = _inflate(body, zlib.MAX_WBITS, _MAX_INFLATE_BYTES)
+        if zeof and not zerr:
+            body = zout or body  # complete zlib stream: the RFC meaning
+        else:
+            rout, reof, rerr = _inflate(
+                body, -zlib.MAX_WBITS, _MAX_INFLATE_BYTES
+            )
+            if reof and not rerr:
+                body = rout or body  # complete raw stream beats a partial
+            elif zout and not zerr:
+                body = zout  # torn zlib stream: keep the inflated prefix
+            elif rout and not rerr:
+                body = rout  # torn raw stream: keep the inflated prefix
+            # both attempts rejected the data: pass the bytes through raw
     return {"status": status, "headers": headers, "body": body}
 
 
@@ -358,14 +417,24 @@ def _sniff_charset(body: bytes) -> str | None:
 def _decode_body(body: bytes, content_type: str) -> str:
     """Decode an HTTP body by its declared charset — header first, then
     BOM / HTML5 meta prescan, then utf-8 — lenient on both axes:
-    undecodable BYTES are replaced, an unknown declared CHARSET falls
-    back to utf-8 (crawl servers declare 'bogus-enc' often enough that
-    one page must never kill a task)."""
-    charset = _charset_of(content_type) or _sniff_charset(body) or "utf-8"
-    try:
-        return body.decode(charset, errors="replace")
-    except LookupError:
-        return body.decode("utf-8", errors="replace")
+    undecodable BYTES are replaced, and an UNKNOWN charset at any step
+    falls through to the next (a bogus header charset still consults the
+    page's own BOM/<meta> evidence before the utf-8 last resort; crawl
+    servers declare 'bogus-enc' often enough that one page must never
+    kill a task)."""
+    declared = _charset_of(content_type)
+    if declared:
+        try:
+            return body.decode(declared, errors="replace")
+        except LookupError:
+            pass  # bogus header charset: fall through to byte evidence
+    sniffed = _sniff_charset(body)
+    if sniffed:
+        try:
+            return body.decode(sniffed, errors="replace")
+        except LookupError:
+            pass  # bogus <meta charset> too: last resort below
+    return body.decode("utf-8", errors="replace")
 
 
 # ---------------------------------------------------------------------------

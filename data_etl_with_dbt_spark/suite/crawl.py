@@ -323,7 +323,10 @@ def warc_ingest_pipeline(spark, sf_dir):
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id", "copy")
 
     def enc(batches):
-        for pdf in batches:
+        # enumerate batches: a partition can arrive as several Arrow
+        # batches, and (min doc_id, min copy, len) alone can coincide —
+        # the counter guarantees unique warc_file paths per iterator
+        for bi, pdf in enumerate(batches):
             if len(pdf) == 0:
                 continue
             recs = []
@@ -346,7 +349,10 @@ def warc_ingest_pipeline(spark, sf_dir):
                         "block": http,
                     }
                 )
-            name = f"w/{int(pdf['doc_id'].min())}-{int(pdf['copy'].min())}-{len(pdf)}.warc.gz"
+            name = (
+                f"w/{int(pdf['doc_id'].min())}-{int(pdf['copy'].min())}"
+                f"-{len(pdf)}-b{bi}.warc.gz"
+            )
             yield pd.DataFrame(
                 {
                     "path": [name],

@@ -137,6 +137,39 @@ class TestRobotsRules:
                  for r in audit_robots(urls, robots).collect()}
         assert flags == {1: False}  # the gate no longer fails open
 
+    def test_robots_dedup_orders_mixed_precision_dates_chronologically(
+        self, spark, tmp_path
+    ):
+        """ADVICE r6: WARC 1.1 allows sub-second timestamps, and mixed-
+        precision ISO strings do not string-sort chronologically
+        ('...00Z' > '...00.900Z' because 'Z' > '.'). The dedup must
+        compare as TIMESTAMPS so the sub-second-dated NEWER capture wins
+        over a whole-second-dated older one within the same second."""
+        from data_etl_with_dbt_spark.sources.warc import encode_warc
+
+        def http(body: bytes) -> bytes:
+            return (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+            )
+
+        (tmp_path / "mixed.warc").write_bytes(encode_warc([
+            {"warc_type": "response",
+             "uri": "https://sub.example.com/robots.txt",
+             "content_type": "application/http;msgtype=response",
+             "date": "2024-03-01T00:00:00Z",  # string-sorts ABOVE .900Z
+             "block": http(b"User-agent: *\nDisallow: /old/\n")},
+            {"warc_type": "response",
+             "uri": "https://sub.example.com/robots.txt",
+             "content_type": "application/http;msgtype=response",
+             "date": "2024-03-01T00:00:00.900Z",  # chronologically newer
+             "block": http(b"User-agent: *\nDisallow: /new/\n")},
+        ]))
+        files = spark.read.format("binaryFile").load(str(tmp_path))
+        got = {r.host: r.robots_txt for r in robots_from_warc(files).collect()}
+        assert "/new/" in got["sub.example.com"]
+        assert "/old/" not in got["sub.example.com"]
+
     def test_robots_cross_file_dedup_is_by_warc_date(self, spark, tmp_path):
         """ADVICE r5: duplicate captures across WARC FILES must resolve by
         warc-date (offsets only order within one file). The newer-dated
@@ -302,3 +335,27 @@ class TestRobotsDirectives:
         }
         assert offsets[("slow.example.com", 3)] == 20  # 2 * 10 s declared
         assert offsets[("fast.example.com", 3)] == 4   # 2 * 2 s default
+
+    def test_crawl_slots_tolerates_duplicate_delay_rows(self, spark):
+        """ADVICE r6: a delays relation with two rows for one host (a
+        rules input that skipped per-host dedup) must NOT fan out that
+        host's URL rows — crawl_slots collapses delays to one row per
+        host (max = the most conservative interval) before the join."""
+        from data_etl_with_dbt_spark.sources.robots import crawl_slots
+
+        sched = spark.createDataFrame(
+            [(f"https://Dup.example.com/p{i}", 1, 0) for i in range(4)],
+            "url string, priority int, staleness_seconds long",
+        )
+        delays = spark.createDataFrame(
+            [("dup.example.com", 3.0),
+             ("DUP.example.com", 7.0),   # duplicate host, differing case
+             ("dup.example.com", None)],  # and a NULL-delay duplicate
+            "host string, crawl_delay_s double",
+        )
+        rows = crawl_slots(sched, per_host_delay_s=1, delays=delays).collect()
+        assert len(rows) == 4  # no fan-out
+        offsets = {r.slot: r.scheduled_offset_seconds for r in rows}
+        # slots stay a permutation of 1..4 and use the max (7 s) delay
+        assert sorted(r.slot for r in rows) == [1, 2, 3, 4]
+        assert offsets == {1: 0, 2: 7, 3: 14, 4: 21}

@@ -481,6 +481,89 @@ class TestHttpRobustness:
             ("https://x.example.com/page", "https://x.example.com/next")
         ]
 
+    def test_inflate_output_is_bounded(self):
+        """ADVICE r6 / verdict item 2: a crafted bomb (tiny compressed,
+        huge inflated) must not balloon one executor — both the gzip
+        member walk and the deflate content-coding cap total output at
+        _MAX_INFLATE_BYTES, keeping the inflated prefix (triage)."""
+        import zlib as _z
+
+        from data_etl_with_dbt_spark.sources import warc as W
+
+        bomb_plain = b"\x00" * (1 << 20)  # 1 MiB of zeros, ~1 KiB deflated
+        # gzip member walk honors an explicit cap exactly
+        gz = io.BytesIO()
+        with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as f:
+            f.write(bomb_plain)
+        capped = W._gunzip_members(gz.getvalue(), max_out=1000)
+        assert capped == bomb_plain[:1000]
+        # _inflate honors the cap for both deflate meanings
+        zbytes = _z.compress(bomb_plain)
+        out, eof, err = W._inflate(zbytes, _z.MAX_WBITS, 1000)
+        assert out == bomb_plain[:1000] and not err
+        # and parse_http_response wires the module cap into the body path
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Content-Encoding: deflate\r\n\r\n" + zbytes
+        )
+        old = W._MAX_INFLATE_BYTES
+        try:
+            W._MAX_INFLATE_BYTES = 2048
+            body = W.parse_http_response(block)["body"]
+            assert body == bomb_plain[:2048]
+        finally:
+            W._MAX_INFLATE_BYTES = old
+
+    def test_deflate_fake_zlib_header_falls_through_to_raw(self):
+        """ADVICE r6: a RAW-deflate body whose first two bytes form the
+        canonical zlib magic (0x789C — constructible because stored-block
+        padding bits are ignored) must not 'win' the zlib attempt with a
+        garbage prefix; the complete raw interpretation is preferred."""
+        body = b"A" * 156 + b"B" * 20
+        # stored non-final block, LEN=156 (low byte 0x9C), padding bits
+        # 0b01111 -> first byte 0x78: the stream opens with zlib magic
+        raw = bytes([0x78, 0x9C, 0x00, 0x63, 0xFF]) + body[:156]
+        tail = body[156:]
+        raw += bytes(
+            [0x01, len(tail) & 0xFF, len(tail) >> 8,
+             (~len(tail)) & 0xFF, ((~len(tail)) >> 8) & 0xFF]
+        ) + tail
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Content-Encoding: deflate\r\n\r\n" + raw
+        )
+        assert parse_http_response(block)["body"] == body
+
+    def test_torn_deflate_keeps_inflated_prefix(self):
+        """A truncated deflate body yields the bytes that inflated
+        (including zlib's buffered tail via flush) — never an exception,
+        never silent truncation of the flushable remainder."""
+        import zlib as _z
+
+        body = b"<p>torn deflate stream prefix survives</p>" * 400
+        comp = _z.compress(body)
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: deflate\r\n\r\n" + comp[: len(comp) // 2]
+        )
+        out = parse_http_response(block)["body"]
+        assert out and body.startswith(out)
+
+    def test_bogus_header_charset_still_consults_meta(self):
+        """ADVICE r6: an unknown charset in the Content-Type header must
+        fall through to the BOM/meta prescan, not jump straight to utf-8
+        — the page's own declaration is the whole point of the sniff."""
+        from data_etl_with_dbt_spark.sources.warc import _decode_body
+
+        page = (
+            b'<html><head><meta charset="windows-1252"></head>'
+            b"<body>caf\xe9</body></html>"
+        )
+        assert "café" in _decode_body(page, "text/html; charset=bogus-enc")
+        # bogus header AND bogus meta: utf-8 last resort, never raises
+        bogus2 = b'<meta charset="also-bogus">caf\xc3\xa9'
+        assert "café" in _decode_body(bogus2, "text/html; charset=bogus-enc")
+
     def test_meta_and_bom_charset_sniffing(self):
         """Round-6: pages that declare their charset only in the HTML (the
         normal case on the real web) must decode by the HTML5 prescan, not
