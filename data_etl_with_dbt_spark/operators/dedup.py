@@ -891,6 +891,92 @@ def span_dedup(
     )
 
 
+def exact_substring_regions(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """MAXIMAL exact-substring duplicate regions — the Lee-et-al. dedup
+    shape ("Deduplicating Training Data Makes Language Models Better",
+    arXiv 2107.06499: remove every substring of >= N tokens that occurs
+    twice in the corpus), computed the scalable way instead of via a
+    monolithic suffix array:
+
+    1. OVERLAPPING ``span_tokens``-token shingles, stride 1 — position
+       ``i`` covers tokens ``[i, i+span_tokens)``. (:func:`span_dedup`'s
+       stride-N spans can miss duplicates straddling span boundaries;
+       stride 1 is exactly the substring semantics.)
+    2. Global keep-first: the corpus-wide FIRST occurrence of each
+       shingle under the total order ``(id, position)`` stays; every
+       other occurrence is duplicate text (self-repetition within one
+       document included, as in the paper).
+    3. Gaps-and-islands: ADJACENT duplicate shingle starts merge into
+       maximal regions — a duplicated substring of ``L`` tokens covers
+       exactly ``L - span_tokens + 1`` consecutive duplicate starts, so
+       the merged region reproduces the suffix-array result for
+       block-copied text.
+
+    Returns one row per maximal duplicate region: ``(id, region_start,
+    region_end, region_tokens)`` — token offsets, ``region_end``
+    exclusive, ``region_tokens = region_end - region_start >=
+    span_tokens``. Documents with no duplicate substring emit nothing;
+    a downstream cut pass can slice texts by these offsets.
+
+    Plan: shingle hashes are computed INSIDE one projection
+    (``transform`` over the start indices + ``xxhash64``), so the
+    corpus-sized shuffle for the keep-first window carries ``(id, pos,
+    hash64)`` — constant bytes per position — instead of span text
+    (stride-1 span strings would be ``span_tokens``× corpus bytes).
+    ``hash_spans=False`` shuffles the span text instead: exact, for
+    collision-averse runs (64-bit collisions are ~1e4 expected at 1e12
+    shingles — negligible for curation, not for forensics). The island
+    merge reuses the window's ``id`` partitioning: the per-document
+    row_number and the ``(id, island)`` rollup both hash on a superset
+    of ``id``, so no third exchange.
+
+    Key contract: ``id_col`` unique per document (the dbt ``unique`` DQ
+    test upstream); duplicated ids make "first occurrence" ambiguous."""
+    k = int(span_tokens)
+    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    idx = F.sequence(F.lit(0), F.size("__t") - k)
+    span_of = lambda i: F.array_join(F.slice("__t", i + 1, k), " ")  # noqa: E731
+    key = (
+        F.transform(idx, lambda i: F.xxhash64(span_of(i)))
+        if hash_spans
+        else F.transform(idx, span_of)
+    )
+    pos = (
+        toks.where(F.size("__t") >= k)  # guard BEFORE sequence: k-1 tokens
+        # would make sequence(0, -1) count DOWN, not empty
+        .select(id_col, F.posexplode(key).alias("__i", "__key"))
+    )
+    w = Window.partitionBy("__key").orderBy(id_col, "__i")
+    dup = (
+        pos.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .drop("__rn", "__key")
+    )
+    wd = Window.partitionBy(id_col).orderBy("__i")
+    return (
+        dup.withColumn("__isl", F.col("__i") - F.row_number().over(wd))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("__i").cast("bigint").alias("region_start"),
+            (F.max("__i") + F.lit(k)).cast("bigint").alias("region_end"),
+        )
+        .select(
+            id_col,
+            "region_start",
+            "region_end",
+            (F.col("region_end") - F.col("region_start")).alias(
+                "region_tokens"
+            ),
+        )
+    )
+
+
 def ngram_df_prune(
     docs: DataFrame,
     id_col: str,

@@ -485,6 +485,70 @@ def crawl_slots(
     )
 
 
+def fetch_plan(
+    schedule: DataFrame,
+    budget: int,
+    per_host_quota: int,
+    per_host_delay_s: int = 5,
+    min_priority: int = 1,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    staleness_col: str = "staleness_seconds",
+    delays: DataFrame | None = None,
+    delay_col: str = "crawl_delay_s",
+) -> DataFrame:
+    """The day's fetch list — the relation a production crawler actually
+    executes: :func:`recrawl_schedule` output (or any ``(url, priority,
+    staleness)`` relation) reduced to at most ``budget`` URLs under
+    per-host quotas, then politeness-slotted.
+
+    Three stages, all under ONE deterministic total order (priority desc
+    → staleness desc → url asc; url is unique in a schedule, so ties
+    can't flip between runs or engines):
+
+    1. candidates — rows with ``priority >= min_priority`` (the default 1
+       drops ``fresh``: nothing to do);
+    2. per-host quota — ``operators.relational.per_key_cap`` keeps each
+       host's top ``per_host_quota`` rows (``quota_rank``), the C4-style
+       guard against one mega-host eating the whole budget;
+    3. global budget — priority-ordered truncation to ``budget`` rows,
+       then :func:`crawl_slots` assigns per-host politeness offsets over
+       the SURVIVORS (slots must not count URLs the budget dropped —
+       the fetcher never sees them).
+
+    Scale: stage 2's window shuffles once on host (the same exchange
+    stage 3 reuses — slots add no new exchange after the limit's); the
+    global sort in stage 3 ranks at most ``per_host_quota × n_hosts``
+    rows — the quota bounds the sort input, so a billion-page schedule
+    sorts its capped survivors, not itself. ``delays`` passes through to
+    :func:`crawl_slots` so hosts honor their declared Crawl-delay."""
+    from data_etl_with_dbt_spark.operators.relational import per_key_cap
+
+    order = [
+        F.desc(priority_col),
+        F.desc(staleness_col),
+        F.col(url_col).asc(),
+    ]
+    from data_etl_with_dbt_spark.functions.web import url_host
+
+    cand = schedule.where(
+        F.col(priority_col) >= F.lit(int(min_priority))
+    ).withColumn("host", url_host(F.col(url_col)))
+    capped = per_key_cap(
+        cand, ["host"], order, int(per_host_quota), rank_col="quota_rank"
+    )
+    budgeted = capped.orderBy(*order).limit(int(budget)).drop("host")
+    return crawl_slots(
+        budgeted,
+        per_host_delay_s=per_host_delay_s,
+        url_col=url_col,
+        priority_col=priority_col,
+        staleness_col=staleness_col,
+        delays=delays,
+        delay_col=delay_col,
+    )
+
+
 ROBOTS_DIRECTIVES_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),

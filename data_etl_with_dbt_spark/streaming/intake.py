@@ -451,6 +451,79 @@ def boilerplate_intake_sink(
     return process
 
 
+def recrawl_seed_sink(
+    seeds_path: str,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the recrawl SEED state — one row
+    per URL with the MAX publisher-declared lastmod seen so far — across
+    sitemap-delta micro-batches, on a :mod:`sources.versioned` table (the
+    daily incremental loop of ``sources.robots.recrawl_schedule``, built
+    like :func:`cdc_replication_sink`: state lives in the table, each
+    batch merges only state ∪ delta, and PAST deltas are never re-read).
+
+    Per batch: reduce the delta to per-URL max lastmod (map-side, batch-
+    sized), anti-compare against the current snapshot, and merge ONLY the
+    rows that change state — a brand-new URL, or a strictly newer lastmod
+    (NULL lastmod never beats a declared one; a URL first seen with NULL
+    keeps its row so never_fetched classification still fires). The merge
+    is one atomic ``merge_commit``, so a reader (the scheduler computing
+    ``recrawl_schedule(state, snapshot, now)``) sees whole batches or
+    nothing, the read side pins a manifest (retry recomputes can't see
+    later commits — the read-then-append lineage trap is structurally
+    absent), and the version history is the sitemap-ingest audit trail.
+
+    Equivalence contract (pinned in tests/test_streaming.py):
+    ``recrawl_schedule`` over the state after N delta batches equals the
+    one-shot schedule over all deltas unioned — max-lastmod is
+    associative, so batch boundaries are invisible. At 100 TB the state
+    is URL-cardinality (one row per known URL) and each batch costs
+    O(state + delta): the copy-on-write merge_commit becomes a
+    partition-scoped MERGE on a transactional table at warehouse scale."""
+    from ..sources import versioned as V
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = (
+            batch.select(
+                F.col(loc_col).alias("url"),
+                F.to_timestamp(F.col(lastmod_col)).alias("lastmod"),
+            )
+            .groupBy("url")
+            .agg(F.max("lastmod").alias("lastmod"))
+        )
+        versions = V.list_versions(seeds_path)
+        if versions:
+            cur = V.read_version(spark, seeds_path, versions[-1]).select(
+                "url",
+                F.col("lastmod").alias("__old"),
+                F.lit(True).alias("__has"),
+            )
+            joined = delta.join(cur, "url", "left")
+            upserts = joined.where(
+                F.col("__has").isNull()  # brand-new URL
+                | (
+                    F.col("lastmod").isNotNull()
+                    & (
+                        F.col("__old").isNull()
+                        | (F.col("lastmod") > F.col("__old"))
+                    )
+                )
+            ).select(
+                "url",
+                # greatest ignores NULLs: keeps the newer declared lastmod
+                F.greatest("lastmod", "__old").alias("lastmod"),
+            )
+        else:
+            upserts = delta
+        if versions and upserts.isEmpty():
+            return  # nothing changed state: keep the version history clean
+        V.merge_commit(upserts, seeds_path, key="url")
+
+    return process
+
+
 def versioned_sink(table_path: str) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink committing each micro-batch as one ATOMIC
     version of a :mod:`sources.versioned` table: a concurrent reader

@@ -386,6 +386,60 @@ def dedup_spans_keep_first(spark, sf_dir):
     )
 
 
+@query(
+    "exact_substring_regions",
+    oracle=r"""
+    WITH src AS (SELECT DISTINCT doc_id, text FROM documents),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM src
+    ),
+    pos AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(t, i + 1, i + 10), ' ') AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 10)) AS i
+              FROM toks WHERE len(t) >= 10) s
+    ),
+    ranked AS (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY shingle ORDER BY doc_id, i) AS rn
+        FROM pos
+    ),
+    dup AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        FROM ranked WHERE rn > 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(i) AS BIGINT) AS region_start,
+           CAST(max(i) + 10 AS BIGINT) AS region_end,
+           CAST(max(i) + 10 - min(i) AS BIGINT) AS region_tokens
+    FROM dup GROUP BY doc_id, isl
+    """,
+    description=(
+        "Maximal exact-substring duplicate regions (Lee-et-al. shape, "
+        "dedup.exact_substring_regions): stride-1 10-token shingles, "
+        "global keep-first by (doc, position), adjacent duplicate starts "
+        "merged gaps-and-islands into maximal [start, end) token regions "
+        "— 24 regions on the fixture with merges up to 95 tokens, so the "
+        "region merge itself is non-vacuous; input pre-deduped on "
+        "(doc_id, text) to honor the operator's unique-id contract under "
+        "the dup2 perturbation, oracle mirroring the same DISTINCT"
+    ),
+)
+def exact_substring_regions(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    return D.exact_substring_regions(
+        docs, "doc_id", "text", span_tokens=10
+    ).select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "region_start",
+        "region_end",
+        big(F.col("region_tokens")).alias("region_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token-budgeted mixture sampling. Budgets exercise every branch on the
 # fixture: src0 ~half-rate, src2 ~fifth-rate, src1's budget exceeds its
@@ -913,18 +967,19 @@ def cms_token_counts(spark, sf_dir):
 @query(
     "negative_samples_documents",
     oracle="""
-    WITH draws AS (
+    WITH du AS (SELECT DISTINCT doc_id FROM documents),
+    draws AS (
         SELECT d.doc_id,
                CAST(t.j AS BIGINT) AS neg_rank,
                CAST(CAST('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR)
                     || ':' || CAST(t.j AS VARCHAR)), 1, 6) AS BIGINT) % n.n AS BIGINT) AS neg_doc_id
-        FROM documents d
-        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) n
+        FROM du d
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM du) n
         CROSS JOIN range(4) t(j)
     )
     SELECT draws.doc_id, neg_rank, neg_doc_id
     FROM draws
-    JOIN documents neg ON neg.doc_id = draws.neg_doc_id
+    JOIN du neg ON neg.doc_id = draws.neg_doc_id
     WHERE draws.neg_doc_id <> draws.doc_id
     """,
     description=(
@@ -934,7 +989,9 @@ def cms_token_counts(spark, sf_dir):
     ),
 )
 def negative_samples_documents(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    # distinct doc_id universe: the modulus and the membership join must
+    # both see one row per document (dup2-tolerant, oracle mirrors)
+    docs = load(spark, sf_dir, "documents").select("doc_id").distinct()
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     draws = (
         docs.select("doc_id")
@@ -1206,9 +1263,11 @@ def zipf_exponent_vocab(spark, sf_dir):
 @query(
     "part_entity_clusters",
     oracle="""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pu AS (
+        SELECT DISTINCT p_partkey, p_name, p_brand FROM part
+    ), pairs AS (
         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
-        FROM part a JOIN part b
+        FROM pu a JOIN pu b
           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         WHERE levenshtein(a.p_name, b.p_name) <= 2
     ), sym AS (
@@ -1216,7 +1275,7 @@ def zipf_exponent_vocab(spark, sf_dir):
         UNION ALL
         SELECT id_b AS s, id_a AS d FROM pairs
     ), reach(id, r) AS (
-        SELECT p_partkey, p_partkey FROM part
+        SELECT p_partkey, p_partkey FROM pu
         UNION
         SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id
     ), clusters AS (
@@ -1229,7 +1288,7 @@ def zipf_exponent_vocab(spark, sf_dir):
     SELECT p.p_partkey, p.p_name, p.p_brand,
            c.cluster_id, s.cluster_size,
            (p.p_partkey = c.cluster_id) AS is_canonical
-    FROM part p
+    FROM pu p
     JOIN clusters c ON p.p_partkey = c.p_partkey
     JOIN sizes s ON c.cluster_id = s.c2
     """,
@@ -1242,7 +1301,12 @@ def zipf_exponent_vocab(spark, sf_dir):
 def part_entity_clusters(spark, sf_dir):
     from data_etl_with_dbt_spark.operators.relational import resolve_entities
 
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    # pre-dedup: entity ids must be unique for the component fixpoint
+    part = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_brand")
+        .distinct()
+    )
     resolved = resolve_entities(
         part, "p_brand", "p_partkey", "p_name", max_dist=2,
         shuffle_parallelism=spark.sparkContext.defaultParallelism,

@@ -441,32 +441,10 @@ def warc_ingest_pipeline(spark, sf_dir):
 def recrawl_schedule_events(spark, sf_dir):
     from data_etl_with_dbt_spark.sources.robots import recrawl_schedule
 
-    ev = load(spark, sf_dir, "events")
-    url = F.concat(
-        F.lit("https://u"), F.col("user_id").cast("string"),
-        F.lit(".example.com/e/"), F.col("event_id").cast("string"),
-    )
-    snapshot = ev.select(url.alias("url"), F.col("ts").alias("fetched_at"))
-    lastmod_listed = F.date_format(
-        F.when(
-            F.col("event_id") % 2 == 0,
-            F.col("ts") + F.expr("INTERVAL 2 DAY"),
-        ).otherwise(F.col("ts") - F.expr("INTERVAL 2 DAY")),
-        "yyyy-MM-dd HH:mm:ss",
-    )
-    seed_listed = ev.where(F.col("event_id") % 3 < 2).select(
-        url.alias("loc"), lastmod_listed.alias("lastmod")
-    )
-    seed_new = ev.where(F.col("event_id") % 5 == 0).select(
-        F.concat(
-            F.lit("https://new"), F.col("event_id").cast("string"),
-            F.lit(".example.com/"),
-        ).alias("loc"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("lastmod"),
-    )
-    seeds = seed_listed.unionByName(seed_new)
+    seeds, snapshot = _recrawl_inputs(spark, sf_dir)
     return recrawl_schedule(
-        seeds, snapshot, now="2024-02-10 00:00:00", ttl_days=30
+        seeds.drop("event_id"), snapshot,
+        now="2024-02-10 00:00:00", ttl_days=30,
     )
 
 
@@ -561,6 +539,127 @@ def crawl_politeness_slots(spark, sf_dir):
         "url",
         "host",
         F.col("priority").cast("int").alias("priority"),
+        big(F.col("slot")).alias("slot"),
+        big(F.col("scheduled_offset_seconds")).alias("scheduled_offset_seconds"),
+    )
+
+
+def _recrawl_inputs(spark, sf_dir):
+    """The residue-coded (seeds, snapshot) pair recrawl_schedule_events
+    derives from events — shared by the one-shot query and the streaming
+    maintenance twin so the two stay definitionally in lockstep. Seeds
+    carry ``event_id`` so the streaming twin can split deterministic
+    micro-batches by residue."""
+    ev = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://u"), F.col("user_id").cast("string"),
+        F.lit(".example.com/e/"), F.col("event_id").cast("string"),
+    )
+    snapshot = ev.select(url.alias("url"), F.col("ts").alias("fetched_at"))
+    lastmod_listed = F.date_format(
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.col("ts") + F.expr("INTERVAL 2 DAY"),
+        ).otherwise(F.col("ts") - F.expr("INTERVAL 2 DAY")),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    seed_listed = ev.where(F.col("event_id") % 3 < 2).select(
+        url.alias("loc"), lastmod_listed.alias("lastmod"), "event_id"
+    )
+    seed_new = ev.where(F.col("event_id") % 5 == 0).select(
+        F.concat(
+            F.lit("https://new"), F.col("event_id").cast("string"),
+            F.lit(".example.com/"),
+        ).alias("loc"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("lastmod"),
+        "event_id",
+    )
+    return seed_listed.unionByName(seed_new), snapshot
+
+
+@query(
+    "streaming_recrawl_maintenance",
+    oracle=f"""{_REGISTRY["recrawl_schedule_events"].oracle}""",
+    description=(
+        "Streaming recrawl maintenance (streaming/intake.recrawl_seed_sink "
+        "driven batch-equivalently): the residue-coded sitemap seeds land "
+        "as three deterministic micro-batch deltas on a VERSIONED per-URL "
+        "max-lastmod state table (each batch merges state ∪ delta only — "
+        "past deltas never re-read), then recrawl_schedule runs over the "
+        "final state; the oracle is the ONE-SHOT schedule, so the hash "
+        "match proves batch boundaries are invisible — the N-batch == "
+        "one-shot contract the streaming tests pin, driver-checked"
+    ),
+)
+def streaming_recrawl_maintenance(spark, sf_dir):
+    import tempfile
+
+    from data_etl_with_dbt_spark.sources import versioned as V
+    from data_etl_with_dbt_spark.sources.robots import recrawl_schedule
+    from data_etl_with_dbt_spark.streaming.intake import recrawl_seed_sink
+
+    seeds, snapshot = _recrawl_inputs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="recrawl_seeds_") + "/seeds"
+    sink = recrawl_seed_sink(path)
+    for r in range(3):  # deterministic micro-batches by event residue
+        sink(seeds.where(F.col("event_id") % 3 == r).drop("event_id"), r)
+    state = V.read_version(spark, path, V.list_versions(path)[-1])
+    return recrawl_schedule(
+        state, snapshot, now="2024-02-10 00:00:00", ttl_days=30,
+        lastmod_col="lastmod", loc_col="url",
+    )
+
+
+@query(
+    "crawl_fetch_plan",
+    oracle=f"""
+    WITH sched AS ({_REGISTRY["recrawl_schedule_events"].oracle}),
+    hosted AS (
+        SELECT url, lower(regexp_extract(url, '^https://([^/]+)', 1)) AS host,
+               priority, staleness_seconds
+        FROM sched WHERE priority >= 1
+    ),
+    quota AS (
+        SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, staleness_seconds DESC, url) AS quota_rank
+        FROM hosted
+    ),
+    budgeted AS (
+        SELECT * FROM quota WHERE quota_rank <= 20
+        ORDER BY priority DESC, staleness_seconds DESC, url LIMIT 400
+    ),
+    slotted AS (
+        SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, staleness_seconds DESC, url) AS slot
+        FROM budgeted
+    )
+    SELECT url, host, CAST(priority AS INT) AS priority,
+           CAST(quota_rank AS BIGINT) AS quota_rank,
+           CAST(slot AS BIGINT) AS slot,
+           CAST((slot - 1) * 5 AS BIGINT) AS scheduled_offset_seconds
+    FROM slotted
+    """,
+    description=(
+        "Budgeted daily fetch plan (robots.fetch_plan — recrawl_schedule "
+        "∘ per_key_cap ∘ crawl_slots): the recrawl relation reduced to a "
+        "global 400-URL budget under a 20-per-host quota (both truncation "
+        "stages non-vacuous at every SF: max host size 59/54, post-quota "
+        "candidates 500/5000), then politeness-slotted over the SURVIVORS "
+        "— one deterministic total order (priority desc, staleness desc, "
+        "url) drives quota, budget, and slots, so the oracle re-derives "
+        "all three with layered window CTEs"
+    ),
+)
+def crawl_fetch_plan(spark, sf_dir):
+    from data_etl_with_dbt_spark.sources.robots import fetch_plan
+
+    sched = _REGISTRY["recrawl_schedule_events"].fn(spark, sf_dir)
+    out = fetch_plan(sched, budget=400, per_host_quota=20, per_host_delay_s=5)
+    return out.select(
+        "url",
+        "host",
+        F.col("priority").cast("int").alias("priority"),
+        big(F.col("quota_rank")).alias("quota_rank"),
         big(F.col("slot")).alias("slot"),
         big(F.col("scheduled_offset_seconds")).alias("scheduled_offset_seconds"),
     )

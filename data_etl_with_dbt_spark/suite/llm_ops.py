@@ -51,7 +51,7 @@ WITH sh AS (
     FROM (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-        FROM documents
+        FROM (SELECT DISTINCT doc_id, text FROM documents)
     )
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -69,8 +69,11 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
     description="Exact bigram-Jaccard near-dup pairs (brute force baseline for the LSH path)",
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
+    # pre-dedup on (doc_id, text): pair semantics assume unique doc ids
+    # (identity on real fixtures; dup2-perturbation-tolerant, oracle mirrors)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
     pairs = D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.5,
+        docs, "doc_id", "text", n=2, threshold=0.5,
         shuffle_parallelism=spark.sparkContext.defaultParallelism,
     )
     return pairs.select(
@@ -92,7 +95,7 @@ WITH sh AS (
     FROM (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-        FROM documents
+        FROM (SELECT DISTINCT doc_id, text FROM documents)
     )
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -116,8 +119,10 @@ WHERE greatest(
     ),
 )
 def ngram_containment_pairs_q(spark, sf_dir):
+    # pre-dedup on (doc_id, text): same unique-id contract as the jaccard twin
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
     pairs = D.ngram_containment_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.8,
+        docs, "doc_id", "text", n=2, threshold=0.8,
         shuffle_parallelism=spark.sparkContext.defaultParallelism,
     )
     return pairs.select(
@@ -456,10 +461,12 @@ def ann_cosine_topk_arrow(spark, sf_dir):
 
 
 _CLUSTER_ORACLE = """
-WITH RECURSIVE toks AS (
+WITH RECURSIVE du AS (
+    SELECT DISTINCT doc_id, text FROM documents
+), toks AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-    FROM documents
+    FROM du
 ), sh AS (
     SELECT doc_id,
            list_distinct(
@@ -479,7 +486,7 @@ WITH RECURSIVE toks AS (
     UNION ALL
     SELECT id_b AS s, id_a AS d FROM pairs
 ), reach(id, r) AS (
-    SELECT doc_id, doc_id FROM documents
+    SELECT doc_id, doc_id FROM du
     UNION
     SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id
 )
@@ -494,7 +501,8 @@ FROM reach GROUP BY id
     description="Near-dup cluster assignment: connected components over the bigram-Jaccard>=0.5 graph (iterative min-label propagation vs recursive-CTE oracle) — the canonical-document step of a dedup pipeline",
 )
 def dedup_cluster_assignment(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    # pre-dedup: node ids must be unique for min-label components
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
     pairs = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.5,
         shuffle_parallelism=spark.sparkContext.defaultParallelism,
@@ -674,8 +682,10 @@ def embedding_int8_quantize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_ORACLE = """
-WITH RECURSIVE v AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+WITH RECURSIVE eu AS (
+    SELECT DISTINCT vec_id, embedding FROM embeddings
+), v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM eu
 ), pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -687,7 +697,7 @@ WITH RECURSIVE v AS (
     UNION ALL
     SELECT id_b AS s, id_a AS d FROM pairs
 ), reach(id, r) AS (
-    SELECT vec_id, vec_id FROM embeddings
+    SELECT vec_id, vec_id FROM eu
     UNION
     SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id
 )
@@ -708,7 +718,12 @@ FROM reach GROUP BY id
     ),
 )
 def semantic_dedup_clusters(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    # pre-dedup on (vec_id, embedding): unique node ids for components
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .distinct()
+    )
     pairs = S.exact_cosine_pairs(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.35
     )
@@ -753,15 +768,18 @@ def semantic_dedup_clusters_lsh(spark, sf_dir):
 @query(
     "embedding_centroid_outliers",
     oracle="""
-    WITH pos AS (
+    WITH eu AS (
+        SELECT DISTINCT vec_id, label, embedding FROM embeddings
+    ),
+    pos AS (
         SELECT vec_id, label,
                unnest(generate_series(1, len(embedding))) AS dim
-        FROM embeddings
+        FROM eu
     ),
     vals AS (
         SELECT p.vec_id, p.label, p.dim,
                CAST(e.embedding[p.dim] AS DOUBLE) AS x
-        FROM pos p JOIN embeddings e ON p.vec_id = e.vec_id
+        FROM pos p JOIN eu e ON p.vec_id = e.vec_id
     ),
     cent AS (
         SELECT label, dim,
@@ -783,9 +801,13 @@ def semantic_dedup_clusters_lsh(spark, sf_dir):
     ),
 )
 def embedding_centroid_outliers(spark, sf_dir):
-    out = S.centroid_outliers(
-        load(spark, sf_dir, "embeddings"), "vec_id", "label", "embedding"
+    # pre-dedup: duplicated vec rows would double-count dist2 terms
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .distinct()
     )
+    out = S.centroid_outliers(emb, "vec_id", "label", "embedding")
     return out.select(
         "vec_id", big(F.col("label")).alias("label"), "dist2"
     )
@@ -840,7 +862,8 @@ FROM clusters
     ),
 )
 def dedup_soft_weights(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    # pre-dedup: cluster sizes / weights assume one row per doc_id
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
     pairs = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.5,
         shuffle_parallelism=spark.sparkContext.defaultParallelism,

@@ -167,18 +167,19 @@ def agg_exact_percentiles(spark, sf_dir):
 @query(
     "cdc_apply_orders",
     oracle="""
-    WITH latest AS (
+    WITH ou AS (SELECT DISTINCT * FROM orders),
+    latest AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 2 = 1 THEN 'delete' ELSE 'update' END AS op,
                o_custkey, o_orderstatus,
                CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0.0 END
                    AS o_totalprice,
                o_orderdate, o_orderpriority
-        FROM orders WHERE o_orderkey < 100
+        FROM ou WHERE o_orderkey < 100
     )
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderdate, o_orderpriority
-    FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    FROM ou WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
     UNION ALL
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderdate, o_orderpriority
@@ -193,7 +194,9 @@ def agg_exact_percentiles(spark, sf_dir):
 def cdc_apply_orders(spark, sf_dir):
     from data_etl_with_dbt_spark.operators.relational import apply_cdc
 
-    orders = load(spark, sf_dir, "orders")
+    # apply_cdc's snapshot contract is one row per key: pre-dedup so a
+    # duplicated fixture degrades to the contract instead of diverging
+    orders = load(spark, sf_dir, "orders").distinct()
     sub = orders.where(F.col("o_orderkey") < 100)
     changes = (
         sub.withColumn("seq", F.lit(1))
@@ -520,7 +523,7 @@ def sampled_quantiles_orders(spark, sf_dir):
     "cdc_debezium_apply_orders",
     oracle="""
     WITH a AS (
-        SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+        SELECT DISTINCT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
         FROM orders
     ),
     kept AS (
@@ -549,8 +552,11 @@ def cdc_debezium_apply_orders(spark, sf_dir):
     )
 
     k = F.col("o_orderkey")
-    snap = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
+    # pre-dedup the projected snapshot (apply_cdc key contract, dup2-safe)
+    snap = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .distinct()
     )
     row_struct = F.struct("o_orderkey", "o_totalprice", "o_orderstatus")
     null_row = F.lit(None).cast(

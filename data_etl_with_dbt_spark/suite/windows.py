@@ -30,14 +30,17 @@ from data_etl_with_dbt_spark.suite.registry import big, dec6, dsum, load, query
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
             ) AS DOUBLE) AS running_spend
-        FROM orders
+        FROM (SELECT DISTINCT * FROM orders)
     ) WHERE rn <= 3
     """,
     description="row_number/rank/lag/lead + running frame sum, top-3 per customer",
     bench=True,
 )
 def window_customer_orders(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    # pre-dedup: the three windows' tie-breaks are total only under unique
+    # rows — duplicated rows would get INDEPENDENT arbitrary tie orders per
+    # window, making the joint (rn, running_spend) tuple nondeterministic
+    o = load(spark, sf_dir, "orders").distinct()
     by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     by_status = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

@@ -161,6 +161,29 @@ def main(workdir: str) -> None:
         }
         assert by_reason.get("never_fetched") == 1  # /brand-new
         assert by_reason.get("lastmod_newer") == 1  # re-published /0/0
+
+        # the day's executable fetch list: global budget + per-host quota
+        # over the recrawl relation, politeness-slotted — fetch_plan is
+        # recrawl_schedule ∘ per_key_cap ∘ crawl_slots in one call
+        from data_etl_with_dbt_spark.sources.robots import fetch_plan
+
+        day = fetch_plan(
+            plan,
+            budget=3,
+            per_host_quota=2,
+            per_host_delay_s=2,
+            delays=robots_directives(rules),
+        )
+        day_rows = day.orderBy(F.desc("priority"), "url").collect()
+        print(f"budgeted fetch list ({len(day_rows)} of "
+              f"{plan.where(F.col('priority') >= 1).count()} candidates):")
+        for r in day_rows:
+            print(f"  t+{r.scheduled_offset_seconds:>3}s p{r.priority} "
+                  f"q{r.quota_rank} {r.url}")
+        assert len(day_rows) <= 3  # global budget held
+        assert all(r.quota_rank <= 2 for r in day_rows)  # host quota held
+        # highest-priority work survives the truncation
+        assert any(r.url == "https://example.com/brand-new" for r in day_rows)
         print("warc ingest OK")
     finally:
         spark.stop()

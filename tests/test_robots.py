@@ -336,6 +336,45 @@ class TestRobotsDirectives:
         assert offsets[("slow.example.com", 3)] == 20  # 2 * 10 s declared
         assert offsets[("fast.example.com", 3)] == 4   # 2 * 2 s default
 
+    def test_fetch_plan_budget_quota_and_slots(self, spark):
+        """Budgeted daily fetch plan: priority-ordered global truncation,
+        per-host quota, fresh rows dropped, and politeness slots assigned
+        over the SURVIVORS (never counting budget-dropped URLs)."""
+        from data_etl_with_dbt_spark.sources.robots import fetch_plan
+
+        sched = spark.createDataFrame(
+            # big.example.com: 5 candidate URLs, staleness descending by i
+            [(f"https://big.example.com/p{i}", 2, 100 - i) for i in range(5)]
+            # small.example.com: one top-priority URL
+            + [("https://small.example.com/x", 3, 1)]
+            # fresh rows must not consume budget at all
+            + [(f"https://fresh.example.com/f{i}", 0, 0) for i in range(4)],
+            "url string, priority int, staleness_seconds long",
+        )
+        out = fetch_plan(
+            sched, budget=4, per_host_quota=3, per_host_delay_s=10
+        ).collect()
+        assert len(out) == 4  # global budget held (6 candidates post-quota)
+        by_url = {r.url: r for r in out}
+        # priority 3 beats every priority-2 row regardless of staleness
+        assert "https://small.example.com/x" in by_url
+        # big's quota keeps its top-3 by staleness (p0, p1, p2); the
+        # budget then keeps all of small + big's top 3
+        assert sorted(u for u in by_url if "big" in u) == [
+            "https://big.example.com/p0",
+            "https://big.example.com/p1",
+            "https://big.example.com/p2",
+        ]
+        assert not any("fresh" in u for u in by_url)
+        # slots count survivors only: big's 3 URLs get slots 1..3
+        big_slots = sorted(
+            (r.slot, r.scheduled_offset_seconds)
+            for r in out if "big" in r.url
+        )
+        assert big_slots == [(1, 0), (2, 10), (3, 20)]
+        assert by_url["https://small.example.com/x"].slot == 1
+        assert all(r.quota_rank <= 3 for r in out)
+
     def test_crawl_slots_tolerates_duplicate_delay_rows(self, spark):
         """ADVICE r6: a delays relation with two rows for one host (a
         rules input that skipped per-host dedup) must NOT fan out that

@@ -1496,3 +1496,75 @@ def test_event_surrogate_key_pg_concat_null_semantics(spark):
     assert (got[1], got[2], got[3]) == duck
     # and dedup keeps one row PER distinct key, not one row overall
     assert dedup_newest(keyed).count() == 3
+
+
+def test_recrawl_seed_sink_nbatch_equals_oneshot(spark, tmp_path):
+    """Streaming recrawl maintenance: recrawl_schedule over the seed state
+    after N sitemap-delta batches equals the one-shot schedule over all
+    deltas unioned (max-lastmod is associative — batch boundaries
+    invisible), and stale deltas never regress the state."""
+    from data_etl_with_dbt_spark.sources import versioned as V
+    from data_etl_with_dbt_spark.sources.robots import recrawl_schedule
+    from data_etl_with_dbt_spark.streaming.intake import recrawl_seed_sink
+
+    batches = [
+        # batch 0: first sighting, one NULL-lastmod URL
+        [("https://a/x", "2024-01-05"), ("https://a/nolm", None)],
+        # batch 1: newer lastmod for a/x, a brand-new URL
+        [("https://a/x", "2024-02-01"), ("https://a/y", "2024-01-10")],
+        # batch 2: STALE lastmod for a/x (must not regress), a late
+        # declared lastmod for the formerly-NULL URL, a repeat no-op row
+        [("https://a/x", "2024-01-20"), ("https://a/nolm", "2024-01-15"),
+         ("https://a/y", "2024-01-10")],
+    ]
+    path = str(tmp_path / "seeds")
+    sink = recrawl_seed_sink(path)
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, "loc string, lastmod string"), i)
+
+    state = V.read_version(spark, path, V.list_versions(path)[-1])
+    got_state = {r.url: (str(r.lastmod) if r.lastmod else None)
+                 for r in state.collect()}
+    assert got_state == {
+        "https://a/x": "2024-02-01 00:00:00",      # max across batches
+        "https://a/nolm": "2024-01-15 00:00:00",   # NULL upgraded later
+        "https://a/y": "2024-01-10 00:00:00",
+    }
+
+    snapshot = spark.createDataFrame(
+        [("https://a/x", "2024-01-15 00:00:00"),
+         ("https://a/old", "2023-11-01 00:00:00")],
+        "url string, fetched_at string",
+    )
+    incr = recrawl_schedule(
+        state, snapshot, now="2024-02-10 00:00:00", ttl_days=30,
+        loc_col="url", lastmod_col="lastmod",
+    )
+    oneshot_seeds = spark.createDataFrame(
+        [r for b in batches for r in b], "loc string, lastmod string"
+    )
+    oneshot = recrawl_schedule(
+        oneshot_seeds, snapshot, now="2024-02-10 00:00:00", ttl_days=30
+    )
+    key = lambda r: (r.url, r.reason, r.priority, r.staleness_seconds)  # noqa: E731
+    assert sorted(map(key, incr.collect())) == sorted(map(key, oneshot.collect()))
+    # the version history is one commit per state-changing batch
+    assert V.list_versions(path) == [1, 2, 3]
+
+
+def test_recrawl_seed_sink_noop_batch_commits_nothing(spark, tmp_path):
+    from data_etl_with_dbt_spark.sources import versioned as V
+    from data_etl_with_dbt_spark.streaming.intake import recrawl_seed_sink
+
+    path = str(tmp_path / "seeds")
+    sink = recrawl_seed_sink(path)
+    sink(spark.createDataFrame(
+        [("https://a/x", "2024-02-01")], "loc string, lastmod string"), 0)
+    v1 = V.list_versions(path)
+    # replay of the same delta (at-least-once delivery) changes no state
+    sink(spark.createDataFrame(
+        [("https://a/x", "2024-02-01")], "loc string, lastmod string"), 1)
+    # an older lastmod changes no state either
+    sink(spark.createDataFrame(
+        [("https://a/x", "2024-01-01")], "loc string, lastmod string"), 2)
+    assert V.list_versions(path) == v1  # version history stayed clean
