@@ -65,25 +65,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # Regenerate the tiers after each round with: python tools/rotate_window.py
 
 WINDOW = [
-    "cdc_strict_seq_replication", "crawl_politeness_slots",
-    "host_link_graph_events", "learned_embedding_invariants",
-    "mp3_bitrate_histogram", "pca_invariants", "recrawl_schedule_events",
-    "robots_audit_documents", "robots_directives_gallery",
-    "sitemap_entries_roundtrip", "streaming_rollup_events",
-    "topic_model_simplex", "warc_documents_roundtrip",
-    "warc_ingest_accounting", "warc_links_roundtrip",
-    "window_trailing_range", "winsorize_extendedprice",
-    "zipf_exponent_vocab", "zorder_cluster_events", "ann_pq_rerank_topk",
-    "ann_pq_topk", "audio_spectral_report", "bpe_encode_documents",
-    "bpe_train_merges", "join_left_outer_summary", "join_semi_anti",
-    "json_props_aggregation", "json_schema_parse", "lang_id_heuristic",
-    "locf_imputation", "mad_outliers_by_type", "minmax_normalize_events",
-    "activity_streaks", "agg_cube", "agg_distinct", "agg_exact_percentiles",
-    "agg_grouping_sets", "agg_linear_regression", "agg_ordered_string",
-    "agg_rollup", "agg_statistics", "ann_cosine_topk", "asof_error_to_click",
-    "bpe_pair_merge_step", "calendar_spine_gap_fill", "cdc_apply_orders",
-    "chunk_documents", "cohort_retention", "core_transform_events",
-    "corpus_mixture_sample",
+    "crawl_fetch_plan", "exact_substring_regions", "media_frame_sampling",
+    "streaming_recrawl_maintenance", "cms_token_counts",
+    "image_dhash_near_dup", "learned_embedding_ann",
+    "pagerank_similarity_graph", "pca_embeddings",
+    "cte_above_average_customers", "decontaminate_ngram_overlap",
+    "dedup_cluster_assignment", "dedup_exact_groups",
+    "dedup_spans_keep_first", "doc_fingerprints", "doc_oov_rate",
+    "domain_quota_cap", "dq_positive_violations", "dq_threshold_violations",
+    "dq_unique_violations", "embedding_centroid_outliers",
+    "embedding_int8_quantize", "explode_word_counts",
+    "funnel_view_click_purchase", "fuzzy_name_pairs", "global_row_index",
+    "hash_split_assignment", "histogram_totalprice", "join_full_outer",
+    "join_null_safe", "mixture_temperature_sample", "ml_feature_extraction",
+    "mode_per_event_type", "multimodal_byte_features", "ngram_jaccard_pairs",
+    "pivot_event_counts", "q10_returned_items", "q11_important_parts",
+    "q12_priority_counts", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q1_pricing_summary", "q20_excess_supply",
+    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority",
 ]
 
 ZQ_QUEUED = [
@@ -91,53 +92,50 @@ ZQ_QUEUED = [
 ]
 
 ZV_VERIFIED = [
-    "ab_test_summary", "acf_daily_values", "agg_bitwise", "agg_boolean",
-    "agg_correlation_matrix", "annotator_agreement",
+    "ab_test_summary", "acf_daily_values", "activity_streaks", "agg_bitwise",
+    "agg_boolean", "agg_correlation_matrix", "agg_cube", "agg_distinct",
+    "agg_exact_percentiles", "agg_grouping_sets", "agg_linear_regression",
+    "agg_ordered_string", "agg_rollup", "agg_statistics", "ann_cosine_topk",
+    "annotator_agreement", "asof_error_to_click",
     "asof_forward_error_to_click", "attribution_purchase_touchpoints",
     "benford_first_digit_orders", "bm25_top_docs", "boilerplate_ngram_prune",
-    "cascade_delete_impact", "cdc_debezium_apply_orders",
+    "bpe_pair_merge_step", "calendar_spine_gap_fill",
+    "cascade_delete_impact", "cdc_apply_orders", "cdc_debezium_apply_orders",
+    "cdc_strict_seq_replication", "chunk_documents", "cohort_retention",
     "column_entropy_events", "concurrent_sessions_peak",
-    "corpus_epoch_upsample", "corpus_quality_report",
-    "cte_above_average_customers", "curriculum_schedule_documents",
-    "cusum_change_points", "decontaminate_ngram_overlap",
-    "dedup_cluster_assignment", "dedup_exact_groups", "dedup_keep_longest",
-    "dedup_soft_weights", "dedup_spans_keep_first", "doc_fingerprints",
-    "doc_oov_rate", "domain_quota_cap", "dp_noisy_counts",
-    "dq_accepted_values_violations", "dq_not_null_violations",
-    "dq_positive_violations", "dq_quarantine_events",
-    "dq_relationships_violations", "dq_threshold_violations",
-    "dq_unique_violations", "dsir_importance_weights",
-    "duplicate_invoice_heuristic", "embedding_centroid_outliers",
-    "embedding_int8_quantize", "embedding_norm_stats",
+    "core_transform_events", "corpus_epoch_upsample",
+    "corpus_mixture_sample", "corpus_quality_report",
+    "crawl_politeness_slots", "curriculum_schedule_documents",
+    "cusum_change_points", "dedup_keep_longest", "dedup_soft_weights",
+    "dp_noisy_counts", "dq_accepted_values_violations",
+    "dq_not_null_violations", "dq_quarantine_events",
+    "dq_relationships_violations", "dsir_importance_weights",
+    "duplicate_invoice_heuristic", "embedding_norm_stats",
     "event_transition_matrix", "event_type_lift_pairs", "ewma_daily_revenue",
-    "explode_word_counts", "frequent_event_trigrams",
-    "functional_dependency_check", "funnel_conversion_windows",
-    "funnel_view_click_purchase", "fuzzy_name_pairs", "global_row_index",
-    "gopher_quality_flags", "graph_clustering_coefficients",
-    "growth_accounting_daily", "half_life_decay_value",
-    "hard_negative_mining", "hash_split_assignment", "histogram_totalprice",
-    "holt_linear_forecast", "hourly_seasonality_profile",
-    "inventory_running_balance", "inverted_index_terms", "join_full_outer",
-    "join_null_safe", "kl_divergence_sources", "lateral_top_orders",
+    "frequent_event_trigrams", "functional_dependency_check",
+    "funnel_conversion_windows", "gopher_quality_flags",
+    "graph_clustering_coefficients", "growth_accounting_daily",
+    "half_life_decay_value", "hard_negative_mining", "holt_linear_forecast",
+    "host_link_graph_events", "hourly_seasonality_profile",
+    "inventory_running_balance", "inverted_index_terms",
+    "join_left_outer_summary", "join_semi_anti", "json_props_aggregation",
+    "json_schema_parse", "kl_divergence_sources", "lang_id_heuristic",
+    "lateral_top_orders", "learned_embedding_invariants",
     "length_bucketed_batches", "linear_interpolate_events",
-    "majority_label_vote", "market_basket_lift", "masked_customer_view",
-    "mixture_temperature_sample", "ml_feature_extraction",
-    "mode_per_event_type", "multimodal_byte_features",
-    "mutual_information_events", "negative_samples_documents",
-    "ngram_containment_pairs", "ngram_jaccard_pairs", "packed_token_windows",
-    "pareto_customer_revenue", "part_entity_clusters",
-    "perplexity_proxy_score", "pivot_event_counts", "profile_orders",
-    "q10_returned_items", "q11_important_parts", "q12_priority_counts",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_cardinality", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_discounted_revenue",
-    "q1_pricing_summary", "q20_excess_supply", "q21_suppliers_kept_waiting",
-    "q22_inactive_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "quantile_normalize_events", "range_join_clicks_before_error",
-    "reconcile_order_totals", "recursive_capped_balance", "redact_entities",
-    "repetition_stats", "rfm_customer_segments", "robust_scale_events",
+    "locf_imputation", "mad_outliers_by_type", "majority_label_vote",
+    "market_basket_lift", "masked_customer_view", "minmax_normalize_events",
+    "mp3_bitrate_histogram", "mutual_information_events",
+    "negative_samples_documents", "ngram_containment_pairs",
+    "packed_token_windows", "pareto_customer_revenue",
+    "part_entity_clusters", "pca_invariants", "perplexity_proxy_score",
+    "profile_orders", "q16_supplier_cardinality", "q19_discounted_revenue",
+    "q22_inactive_customers", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "quantile_normalize_events",
+    "range_join_clicks_before_error", "reconcile_order_totals",
+    "recrawl_schedule_events", "recursive_capped_balance", "redact_entities",
+    "repetition_stats", "rfm_customer_segments", "robots_audit_documents",
+    "robots_directives_gallery", "robust_scale_events",
     "sampled_quantiles_orders", "scalar_array_gallery",
     "scalar_bitwise_gallery", "scalar_collation_gallery",
     "scalar_conditional_gallery", "scalar_date_gallery",
@@ -146,26 +144,30 @@ ZV_VERIFIED = [
     "scalar_url_gallery", "semantic_dedup_clusters", "sequence_packing",
     "session_entry_exit", "session_window_events", "sessionize_events",
     "set_except_all", "set_intersect_all", "set_operations",
-    "set_union_by_name", "skew_stats_orders", "sliding_window_events",
-    "stratified_sample_documents", "subquery_exists_gallery", "subquery_in",
+    "set_union_by_name", "sitemap_entries_roundtrip", "skew_stats_orders",
+    "sliding_window_events", "stratified_sample_documents",
+    "streaming_rollup_events", "subquery_exists_gallery", "subquery_in",
     "surrogate_keys_events", "survival_km_conversion",
     "table_diff_orders_rebuild", "text_quality_stats", "tfidf_top_terms",
     "theta_sketch_users", "time_weighted_average", "token_counting",
-    "tokenizer_fertility_stats", "topk_orders",
+    "tokenizer_fertility_stats", "topic_model_simplex", "topk_orders",
     "trailing_distinct_users_kmv", "trend_decompose_daily",
     "tumbling_window_events", "two_sample_drift_events",
     "unpivot_lineitem_measures", "url_dedup_documents", "user_gap_stats",
-    "variant_props_stats", "vocab_coverage_topk",
+    "variant_props_stats", "vocab_coverage_topk", "warc_documents_roundtrip",
+    "warc_ingest_accounting", "warc_links_roundtrip",
     "weighted_sample_documents", "window_analytics_extended",
-    "window_customer_orders",
+    "window_customer_orders", "window_trailing_range",
+    "winsorize_extendedprice", "zipf_exponent_vocab",
+    "zorder_cluster_events",
 ]
 
 ZR_ROWS_ONLY = [
     "ann_cosine_topk_arrow", "ann_ivf_topk", "ann_lsh_topk",
-    "approx_aggregates", "cms_token_counts", "dedup_incremental_minhash",
-    "dedup_minhash_lsh", "dedup_simhash_pairs", "embedding_near_dup",
-    "hll_user_cardinality", "image_dhash_near_dup", "learned_embedding_ann",
-    "pagerank_similarity_graph", "pca_embeddings",
+    "ann_pq_rerank_topk", "ann_pq_topk", "approx_aggregates",
+    "audio_spectral_report", "bpe_encode_documents", "bpe_train_merges",
+    "dedup_incremental_minhash", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "embedding_near_dup", "hll_user_cardinality",
     "semantic_dedup_clusters_lsh", "topic_model_documents",
     "unigram_lm_vocab", "warc_ingest_pipeline",
 ]

@@ -1958,6 +1958,67 @@ def synth_audio_media(
     return df.select(id_col, source_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_video_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size: int = 32,
+    fps: float = 10.0,
+) -> DataFrame:
+    """Deterministic synthetic VIDEO corpus with KNOWN frame-count ground
+    truth — the video twin of :func:`synth_image_media` (fixtures carry no
+    video bytes, so entries/tests generate payloads with the SAME encoders
+    the decode path reads): each id renders ``8 + (id % 5) * 4`` frames
+    (8..24) with a seeded base and a per-frame moving marker; EVEN ids
+    become MJPEG AVIs (noise base — JPEG handles full color), ODD ids
+    animated GIFs (a 5-color palette base — GIF fixtures cap at 256
+    colors). Frame counts and indices are residue-derivable, which is what
+    makes :func:`sample_media_frames` over this corpus oracle-checkable.
+    Arrow-batched mapInPandas; emits the standard media shape."""
+    _ship_codecs_by_value()
+
+    def render(i: int) -> tuple[bytes, str]:
+        import numpy as np
+
+        n_frames = 8 + (int(i) % 5) * 4
+        if int(i) % 2 == 0:
+            rng = np.random.RandomState(77 + int(i) % 11)
+            base = rng.randint(0, 256, (size, size, 3)).astype(np.uint8)
+            frames = []
+            for f in range(n_frames):
+                img = base.copy()
+                img[f % size, (3 * f) % size] = (255, 0, 0)
+                frames.append(img)
+            return encode_avi_mjpeg(frames, fps=fps), "video/avi"
+        pal = np.array(
+            [(0, 0, 0), (80, 80, 80), (160, 160, 160), (240, 240, 240)],
+            np.uint8,
+        )
+        rr, cc = np.meshgrid(range(size), range(size), indexing="ij")
+        base = pal[((rr + cc) + int(i)) % 4]
+        frames = []
+        for f in range(n_frames):
+            img = base.copy()
+            img[f % size, (3 * f) % size] = (255, 0, 0)
+            frames.append(img)
+        return encode_gif(frames, delays_cs=[10] * n_frames), "image/gif"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rendered = [render(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "content": [p for p, _ in rendered],
+                    "meta": [
+                        {"mime": m, "n_bytes": len(p), "source": "synth"}
+                        for p, m in rendered
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
 def spectral_decoder(content: bytes, mime: str) -> list[float]:
     """Media decoder emitting SPECTRAL features for audio payloads:
     [dominant_freq_hz, spectral_centroid_hz, spectral_rolloff85_hz] via

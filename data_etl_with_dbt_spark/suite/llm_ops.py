@@ -1094,6 +1094,61 @@ def audio_spectral_report(spark, sf_dir):
 
 
 @query(
+    "media_frame_sampling",
+    oracle="""
+    SELECT media_id, CAST(j * 4 AS BIGINT) AS frame_idx,
+           CAST(1 AS BIGINT) AS png_ok
+    FROM (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               unnest(generate_series(0, LEAST(2 + doc_id % 5, 4) - 1)) AS j
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 120)
+    )
+    """,
+    bench=True,
+    description=(
+        "Video frame sampling over a synthesized MJPEG-AVI + animated-GIF "
+        "corpus (multimodal.sample_media_frames, every_n=4 max_frames=4): "
+        "each id renders 8 + (id%5)*4 frames, so the sampled frame count "
+        "min(2 + id%5, 4) and indices 0,4,8,.. are residue-derivable — the "
+        "oracle re-derives both, checking the decode-bounded chunk walk "
+        "(AVI) and composition-bounded decode (GIF) end to end; png_ok "
+        "pins each emitted frame re-encoding as a real PNG. The 16th "
+        "bench headline: the codec mapInPandas path under per-round "
+        "regression tracking like the WARC path"
+    ),
+)
+def media_frame_sampling(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.multimodal import (
+        sample_media_frames,
+        synth_video_media,
+    )
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id")
+        .distinct()
+        # the single-row-group fixture is unsplittable and the tiny
+        # distinct output gets AQE-coalesced to ONE partition under a
+        # HASH repartition (advisory size swallows 240 ids) — round-robin
+        # repartition survives AQE and spreads the per-id encode+decode
+        # across cores (measured 13.5 s -> ~2 s at sf0.1)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    media = synth_video_media(ids, id_col="doc_id", size=24)
+    frames = sample_media_frames(media, every_n=4, max_frames=4)
+    png_ok = (
+        F.hex(F.expr("substring(frame_png, 1, 8)"))
+        == F.lit("89504E470D0A1A0A")
+    ).cast("bigint")
+    return frames.select(
+        big(F.col("media_id")).alias("media_id"),
+        big(F.col("frame_idx")).alias("frame_idx"),
+        png_ok.alias("png_ok"),
+    )
+
+
+@query(
     "pca_embeddings",
     oracle=None,  # eigendecomposition is driver-side numpy; rows-only
                   # (numpy full-data agreement + orthonormality in pytest)

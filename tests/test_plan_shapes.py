@@ -369,6 +369,14 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # cdc_debezium_apply_orders class; politeness chains the same plan
         "recrawl_schedule_events": {"unpushed-filter"},
         "crawl_politeness_slots": {"unpushed-filter"},
+        # round-7 entries:
+        # the candidate gate (priority >= min) filters a COMPUTED recrawl
+        # classification — no raw column exists to push (and the residue
+        # fixture-synthesis filters chain through, same as politeness)
+        "crawl_fetch_plan": {"unpushed-filter"},
+        # the sub-k-token guard is size(tokens(text)) >= k — a derived
+        # expression (the repetition_stats class)
+        "exact_substring_regions": {"unpushed-filter"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):
