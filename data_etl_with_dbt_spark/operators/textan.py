@@ -1367,3 +1367,54 @@ def unigram_encode(
     return stream.join(F.broadcast(word_ids), "word").select(
         id_col, "pos", "word", "ids", "logprob"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the C4-style pre-training redaction pass.
+# ---------------------------------------------------------------------------
+
+# Engine-portable patterns (no backrefs, no lookaround — Java regex and
+# RE2 agree on these, which is what makes the pass oracle-checkable):
+# kinds apply in THIS dict order, and order matters — an email's domain
+# must be masked as part of the email before the bare-hostname pass of a
+# custom kind could chew on it.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    kinds: dict[str, str] | None = None,
+) -> DataFrame:
+    """Structured PII redaction over a document relation — the pass C4 /
+    RefinedWeb-class pipelines run before anything else trains on crawl
+    text: per-kind occurrence counts plus the text with every match
+    replaced by a typed mask token (``<EMAIL>``, ``<PHONE>``, ``<IPV4>``).
+
+    Returns ``(id, n_<kind>... , scrubbed_text)``. Counts are taken on
+    the ORIGINAL text (a later kind's mask cannot hide an earlier kind's
+    evidence from the audit columns); masking applies the kinds in dict
+    order, sequentially, so the output is deterministic.
+
+    Scale: pure per-row JVM codegen (``regexp_count`` +
+    ``regexp_replace`` — no Python, no shuffle, no agg); the pass
+    pipelines into the same scan as quality scoring. Patterns stay in the
+    no-backref/no-lookaround subset where Java regex and RE2 agree —
+    cross-engine portability is a correctness feature here, not a
+    convenience (the driver oracle re-runs them under RE2)."""
+    kinds = PII_PATTERNS if kinds is None else kinds
+    out_cols = [F.col(id_col)]
+    scrubbed = F.col(text_col)
+    for kind, pat in kinds.items():
+        out_cols.append(
+            F.regexp_count(text_col, F.lit(pat)).cast("bigint").alias(
+                f"n_{kind}"
+            )
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return df.select(*out_cols, scrubbed.alias("scrubbed_text"))

@@ -163,3 +163,94 @@ def dp_noisy_counts(spark, sf_dir):
         "n_true",
         dec6(F.col("n_true").cast("double") - noise).alias("noisy_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured PII scrubbing (textan.scrub_pii): residue-coded PII injection
+# (the fixture text carries no emails/phones, so each doc gets synthetic
+# PII derived from its id) -> per-kind counts + masked-text digest. A
+# per-row pass with no key assumptions, so it is dup2-safe by construction.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b"
+_PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+@query(
+    "pii_scrub_documents",
+    oracle=rf"""
+    WITH injected AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' tel 555-010-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.1' ELSE '' END AS t
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{_PII_PHONE}', '<PHONE>', 'g'),
+                  '{_PII_IPV4}', '<IPV4>', 'g')) AS scrubbed_hash
+    FROM injected
+    """,
+    description=(
+        "Structured PII scrubbing (textan.scrub_pii — the C4-style "
+        "pre-training redaction pass): emails/phones/IPv4s injected into "
+        "each document by id residues, per-kind counts audited on the "
+        "original text, masks applied in kind order; patterns stay in the "
+        "Java-regex∩RE2 subset so the oracle re-runs them verbatim — "
+        "pure per-row JVM codegen, no shuffle, dup2-safe by construction"
+    ),
+)
+def pii_scrub_documents(spark, sf_dir):
+    from data_etl_with_dbt_spark.operators.textan import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"), did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" tel 555-010-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."), (did % 256).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_pii(injected, "doc_id", "text")
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("scrubbed_text").alias("scrubbed_hash"),
+    )

@@ -102,3 +102,43 @@ def test_hamming_near_pairs_pigeonhole_recall_matches_brute_force(spark):
         if bin(vals[a] ^ vals[b]).count("1") <= 4:
             expect.add((a, b))
     assert got == expect
+
+
+class TestScrubPii:
+    def test_counts_on_original_and_masks_in_order(self, spark):
+        """Counts audit the ORIGINAL text (a later kind's mask can't hide
+        an earlier kind's evidence); masks apply in kind order; rows
+        without PII pass through untouched."""
+        from data_etl_with_dbt_spark.operators.textan import scrub_pii
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@ex-ample.org and b@x.io, call 555-010-1234"),
+                (2, "server at 10.1.2.3 and 192.168.0.255 no mail"),
+                (3, "clean text with numbers 12345 and d.o.t.s"),
+                (4, "u4@example.com from 10.4.0.1 tel +555 0104 9999"),
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r for r in scrub_pii(docs, "id", "text").collect()}
+        assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (2, 1, 0)
+        assert out[1].scrubbed_text == "mail <EMAIL> and <EMAIL>, call <PHONE>"
+        assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 2)
+        assert out[2].scrubbed_text == "server at <IPV4> and <IPV4> no mail"
+        assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+        assert out[3].scrubbed_text == docs.collect()[2].text
+        # all three kinds in one row; '+' prefix phone form
+        assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (1, 1, 1)
+        assert out[4].scrubbed_text == "<EMAIL> from <IPV4> tel <PHONE>"
+
+    def test_custom_kinds_and_order(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import scrub_pii
+
+        docs = spark.createDataFrame(
+            [(1, "id ABC-123 then XYZ-999")], "id long, text string"
+        )
+        out = scrub_pii(
+            docs, "id", "text", kinds={"ticket": r"[A-Z]{3}-\d{3}"}
+        ).collect()[0]
+        assert out.n_ticket == 2
+        assert out.scrubbed_text == "id <TICKET> then <TICKET>"
