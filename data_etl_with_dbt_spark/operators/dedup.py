@@ -977,6 +977,92 @@ def exact_substring_regions(
     )
 
 
+def remove_duplicate_regions(
+    docs: DataFrame,
+    regions: DataFrame,
+    id_col: str,
+    text_col: str,
+    emit_text: bool = False,
+) -> DataFrame:
+    """Apply :func:`exact_substring_regions` output — the CUT pass that
+    completes the Lee-et-al. dedup: delete the tokens inside every
+    duplicate region from each document and reassemble. Returns one row
+    per input document: ``(id, n_tokens, n_tokens_removed, cleaned_hash
+    [, cleaned_text])`` — the md5 stands in for the (possibly large)
+    cleaned body per the suite's hash-not-payload convention;
+    ``emit_text=True`` adds the body for pipeline use.
+
+    Documents with no duplicate region pass through verbatim (left
+    join); fully-duplicate documents reassemble to the empty string
+    (md5('') — the span_dedup edge both engines must agree on).
+
+    Plan: regions are FEW per document (maximal per duplicate-start run;
+    two runs separated by a gap < span_tokens can OVERLAP positionally —
+    the cut removes the union), so they roll up to one small array per
+    id (hash agg)
+    and join back onto the token relation keyed on id — both exchanges
+    id-keyed and region-cardinality-bounded; the cut itself is one
+    projection whose per-token region test costs O(regions_per_doc)
+    (interpreted higher-order functions, but the region arrays are tiny
+    — never the corpus axis)."""
+    regs = regions.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("region_start"), F.col("region_end"))
+        ).alias("__regs")
+    )
+    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    no_regs = F.expr(
+        "CAST(array() AS array<struct<region_start:bigint,region_end:bigint>>)"
+    )
+    joined = toks.join(regs, id_col, "left").withColumn(
+        "__regs", F.coalesce(F.col("__regs"), no_regs)
+    )
+    kept = F.filter(
+        "__t",
+        lambda x, i: ~F.exists(
+            "__regs",
+            lambda r: (i >= r["region_start"]) & (i < r["region_end"]),
+        ),
+    )
+    # the removed count folds over the REGION array (O(regions)) instead
+    # of sizing a second evaluation of `kept` — Catalyst does not CSE
+    # higher-order functions, and the interpreted filter is the expensive
+    # subtree here. Regions are NOT disjoint (two duplicate-start runs
+    # separated by a gap < span_tokens overlap positionally), so this is
+    # the classic merged-interval length over the start-sorted array, not
+    # a plain length sum — a plain sum double-counts overlaps (caught by
+    # the brute-force property test).
+    sorted_regs = F.array_sort("__regs")
+    n_removed = F.aggregate(
+        sorted_regs,
+        F.struct(
+            F.lit(0).cast("bigint").alias("tot"),
+            F.lit(-1).cast("bigint").alias("end"),
+        ),
+        lambda acc, r: F.struct(
+            (
+                acc["tot"]
+                + F.greatest(
+                    r["region_end"]
+                    - F.greatest(acc["end"], r["region_start"]),
+                    F.lit(0).cast("bigint"),
+                )
+            ).alias("tot"),
+            F.greatest(acc["end"], r["region_end"]).alias("end"),
+        ),
+        lambda acc: acc["tot"],
+    )
+    cleaned = F.array_join(kept, " ")
+    out = joined.select(
+        id_col,
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        n_removed.alias("n_tokens_removed"),
+        F.md5(cleaned).alias("cleaned_hash"),
+        *([cleaned.alias("cleaned_text")] if emit_text else []),
+    )
+    return out
+
+
 def ngram_df_prune(
     docs: DataFrame,
     id_col: str,

@@ -446,6 +446,62 @@ def exact_substring_regions(spark, sf_dir):
 # tokens (min(1, rate) path), and the 17 unlisted domains keep all rows.
 # ---------------------------------------------------------------------------
 
+from data_etl_with_dbt_spark.suite.registry import QUERIES as _REGISTRY  # noqa: E402
+
+
+@query(
+    "exact_substring_dedup_cut",
+    oracle=f"""
+    WITH regions AS ({_REGISTRY["exact_substring_regions"].oracle}),
+    src AS (SELECT DISTINCT doc_id, text FROM documents),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+        FROM src
+    ),
+    tok_pos AS (
+        SELECT doc_id, i, t[i + 1] AS tok
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1)) AS i
+              FROM toks WHERE len(t) > 0)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM tok_pos tp
+        WHERE NOT EXISTS (SELECT 1 FROM regions r
+                          WHERE r.doc_id = tp.doc_id
+                            AND tp.i >= r.region_start
+                            AND tp.i < r.region_end)
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - count(k.i) AS BIGINT) AS n_tokens_removed,
+           md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')) AS cleaned_hash
+    FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, len(t.t)
+    """,
+    description=(
+        "The CUT pass completing Lee-et-al. exact-substring dedup "
+        "(dedup.remove_duplicate_regions over exact_substring_regions "
+        "output): duplicate-region tokens deleted, documents reassembled "
+        "(hash emitted), no-region docs verbatim, fully-duplicate docs to "
+        "md5(''). The hash compare is a double invariant: the oracle "
+        "counts removed tokens positionally while Spark folds a merged-"
+        "interval length over the region array — two independent spellings "
+        "of the union size"
+    ),
+)
+def exact_substring_dedup_cut(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    regions = D.exact_substring_regions(docs, "doc_id", "text", span_tokens=10)
+    out = D.remove_duplicate_regions(docs, regions, "doc_id", "text")
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_tokens",
+        "n_tokens_removed",
+        "cleaned_hash",
+    )
+
+
 @query(
     "corpus_mixture_sample",
     oracle=r"""

@@ -165,3 +165,71 @@ def test_exact_substring_regions_shapes(spark):
     # doc 5: "m m m" at starts 0..3; start 0 is the global first -> dup
     # starts 1..3 merge to [1, 6)
     assert got[5] == [(1, 6, 5)]
+
+
+def test_remove_duplicate_regions_matches_bruteforce(spark):
+    """The cut pass agrees with a positional brute-force reference for
+    every doc: kept tokens = all positions outside every region; removed
+    count = sum of region lengths (disjoint by construction)."""
+    import hashlib as _h
+    import re
+
+    from data_etl_with_dbt_spark.operators.dedup import (
+        exact_substring_regions,
+        remove_duplicate_regions,
+    )
+
+    for seed in (5, 23):
+        rows, docs = make_docs(spark, seed, 25)
+        for k in (2, 4):
+            regions = exact_substring_regions(docs, "id", "text", span_tokens=k)
+            got = {
+                r.id: r
+                for r in remove_duplicate_regions(
+                    docs, regions, "id", "text"
+                ).collect()
+            }
+            ref_regions = _ref_regions(rows, k)
+            by_doc: dict[int, list] = {}
+            for i, s, e, _n in ref_regions:
+                by_doc.setdefault(i, []).append((s, e))
+            for i, text in rows:
+                t = [x for x in re.split(r"\s+", text.lower()) if x]
+                drop = set()
+                for s, e in by_doc.get(i, []):
+                    drop.update(range(s, e))
+                kept = [x for p, x in enumerate(t) if p not in drop]
+                r = got[i]
+                assert r.n_tokens == len(t), (seed, k, i)
+                assert r.n_tokens_removed == len(drop), (seed, k, i)
+                expect = _h.md5(" ".join(kept).encode()).hexdigest()
+                assert r.cleaned_hash == expect, (seed, k, i)
+
+
+def test_remove_duplicate_regions_edges(spark):
+    """No-region docs pass through verbatim; an exact duplicate document
+    loses everything (md5('')); emit_text returns the cleaned body."""
+    import hashlib as _h
+
+    from data_etl_with_dbt_spark.operators.dedup import (
+        exact_substring_regions,
+        remove_duplicate_regions,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "u v w x y z")],
+        "id long, text string",
+    )
+    regions = exact_substring_regions(docs, "id", "text", span_tokens=3)
+    out = {
+        r.id: r
+        for r in remove_duplicate_regions(
+            docs, regions, "id", "text", emit_text=True
+        ).collect()
+    }
+    assert out[1].cleaned_text == "a b c d e f"  # the kept first copy
+    assert out[2].cleaned_text == ""             # exact dup: all cut
+    assert out[2].cleaned_hash == _h.md5(b"").hexdigest()
+    assert out[2].n_tokens_removed == 6
+    assert out[3].cleaned_text == "u v w x y z"  # unique: untouched
+    assert out[3].n_tokens_removed == 0
