@@ -8,10 +8,13 @@ would run them nightly over a crawl increment:
     3. exact dedup        content-digest keep-one
     4. boilerplate prune  n-gram document-frequency cut (RefinedWeb shape)
     5. span dedup         C4-style 10-token-span keep-first across corpus
+    5b. substring cut     Lee-et-al. exact-substring regions deleted from
+                          the surviving texts (cleaned body carried on)
     6. near dedup         MinHash + LSH banding, cluster to canonical docs
     7. decontaminate      trigram overlap vs a benchmark set (broadcast)
     8. domain quota       at most N docs per source (window group limit)
     9. mixture budget     per-domain token budgets (md5-hash sampling)
+    9b. PII scrub         typed mask tokens for emails/phones/IPv4s
    10. split              deterministic md5-bucket train/val/test
    11. pack + export      2048-token packing, global example ids, sharded
                           ordered write
@@ -136,6 +139,24 @@ def main(sf_dir: str, workdir: str) -> None:
         exact.join(spans.where(F.col("n_spans_kept") > 0).select("doc_id"), "doc_id"),
     )
 
+    # 5b. exact-substring CUT (Lee-et-al.): delete duplicated >=10-token
+    # regions from the surviving texts and carry the CLEANED body forward —
+    # the doc-granularity span filter above drops all-duplicate docs; this
+    # removes the duplicated passages inside the keepers.
+    t0 = time.time()
+    regions = D.exact_substring_regions(exact, "doc_id", "text", span_tokens=10)
+    cut = D.remove_duplicate_regions(
+        exact, regions, "doc_id", "text", emit_text=True
+    )
+    exact = mark(
+        "substring_cut", t0,
+        exact.drop("text").join(
+            cut.where(F.col("n_tokens_removed") < F.col("n_tokens"))
+            .select("doc_id", F.col("cleaned_text").alias("text")),
+            "doc_id",
+        ),
+    )
+
     # 6. near dedup: MinHash/LSH pairs -> connected components -> canonical.
     t0 = time.time()
     pairs = D.minhash_lsh_pairs(
@@ -171,6 +192,19 @@ def main(sf_dir: str, workdir: str) -> None:
     budgets = {"src0": 800, "src1": 800, "src2": 800}
     picked = TA.mixture_sample(capped, "doc_id", "source", "text", budgets)
     capped = mark("mixture_budget", t0, capped.join(picked.select("doc_id"), "doc_id"))
+
+    # 9b. PII scrub: typed mask tokens replace emails/phones/IPv4s in the
+    # text that ships (counts audited on the original; pure per-row JVM
+    # regex — pipelines into the same scan as the split below).
+    t0 = time.time()
+    pii = TA.scrub_pii(capped, "doc_id", "text")
+    capped = mark(
+        "pii_scrub", t0,
+        capped.drop("text").join(
+            pii.select("doc_id", F.col("scrubbed_text").alias("text")),
+            "doc_id",
+        ),
+    )
 
     # 10. deterministic split.
     t0 = time.time()

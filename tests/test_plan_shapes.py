@@ -377,6 +377,8 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # the sub-k-token guard is size(tokens(text)) >= k — a derived
         # expression (the repetition_stats class)
         "exact_substring_regions": {"unpushed-filter"},
+        # the cut pass chains the regions plan (same derived guard)
+        "exact_substring_dedup_cut": {"unpushed-filter"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):
