@@ -939,6 +939,27 @@ def exact_substring_regions(
     Key contract: ``id_col`` unique per document (the dbt ``unique`` DQ
     test upstream); duplicated ids make "first occurrence" ambiguous."""
     k = int(span_tokens)
+    pos = _shingle_positions(docs, id_col, text_col, k, hash_spans)
+    w = Window.partitionBy("__key").orderBy(id_col, "__i")
+    dup = (
+        pos.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .drop("__rn", "__key")
+    )
+    return _merge_islands(dup, id_col, k)
+
+
+def _shingle_positions(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """Shared front end of the batch and incremental exact-substring
+    forms: one ``(id, __i, __key)`` row per stride-1 shingle start (ONE
+    copy, the _span_stream convention — a drifted tokenize/hash would
+    silently split the two paths)."""
     toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
     idx = F.sequence(F.lit(0), F.size("__t") - k)
     span_of = lambda i: F.array_join(F.slice("__t", i + 1, k), " ")  # noqa: E731
@@ -947,17 +968,16 @@ def exact_substring_regions(
         if hash_spans
         else F.transform(idx, span_of)
     )
-    pos = (
+    return (
         toks.where(F.size("__t") >= k)  # guard BEFORE sequence: k-1 tokens
         # would make sequence(0, -1) count DOWN, not empty
         .select(id_col, F.posexplode(key).alias("__i", "__key"))
     )
-    w = Window.partitionBy("__key").orderBy(id_col, "__i")
-    dup = (
-        pos.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") > 1)
-        .drop("__rn", "__key")
-    )
+
+
+def _merge_islands(dup: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicate shingle starts → maximal
+    ``[region_start, region_end)`` token regions (shared back end)."""
     wd = Window.partitionBy(id_col).orderBy("__i")
     return (
         dup.withColumn("__isl", F.col("__i") - F.row_number().over(wd))
@@ -975,6 +995,61 @@ def exact_substring_regions(
             ),
         )
     )
+
+
+def incremental_exact_substring_regions(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+):
+    """Cross-batch exact-substring dedup — the continuous-intake form of
+    :func:`exact_substring_regions` (the incremental sibling of
+    ``incremental_minhash_dedup`` / ``incremental_ngram_df_prune``):
+    shingle hashes already seen persist in ``index`` (schema ``span_hash
+    bigint``, empty for the first batch), so a new crawl increment is
+    judged against the WHOLE accumulated corpus without re-reading it.
+
+    A position in the new batch is duplicate text when its shingle is in
+    the index (seen in an earlier batch) OR occurs earlier within this
+    batch (the batch-internal keep-first, same (id, pos) order as the
+    batch form). Returns ``(regions, new_hashes)``: ``regions`` in the
+    batch operator's exact shape, ``new_hashes`` the batch's first-seen
+    hashes for the caller to append to the store (``sources.versioned``
+    commits make the read-then-append cycle retry-safe — the
+    minhash_index_append convention).
+
+    As-of-arrival semantics: documents emitted in earlier batches are not
+    retroactively cut when a later batch repeats their text. When batches
+    arrive in ascending ``id`` order the union of per-batch regions
+    EQUALS the one-shot batch result (pinned in tests); under any other
+    arrival order the two differ exactly where keep-first ordering and
+    arrival order disagree — inherent to incremental ingestion, same as
+    the MinHash path.
+
+    Scale: the index is corpus-shingle cardinality — the join against it
+    is one hash-partitioned exchange per side keyed on the 8-byte hash
+    (never span text); at 100 TB front it with a Bloom filter of the
+    index to prune the probe side before the shuffle."""
+    k = int(span_tokens)
+    pos = _shingle_positions(new_docs, id_col, text_col, k)
+    w = Window.partitionBy("__key").orderBy(id_col, "__i")
+    ranked = pos.withColumn("__rn", F.row_number().over(w))
+    idx = index.select(
+        F.col("span_hash").alias("__key"), F.lit(True).alias("__seen")
+    ).dropDuplicates(["__key"])
+    marked = ranked.join(idx, "__key", "left")
+    dup = marked.where(
+        (F.col("__rn") > 1) | F.col("__seen").isNotNull()
+    ).select(id_col, "__i")
+    regions = _merge_islands(dup, id_col, k)
+    new_hashes = (
+        marked.where((F.col("__rn") == 1) & F.col("__seen").isNull())
+        .select(F.col("__key").alias("span_hash"))
+        .dropDuplicates(["span_hash"])
+    )
+    return regions, new_hashes
 
 
 def remove_duplicate_regions(

@@ -503,6 +503,44 @@ def exact_substring_dedup_cut(spark, sf_dir):
 
 
 @query(
+    "incremental_substring_regions",
+    oracle=f"""{_REGISTRY["exact_substring_regions"].oracle}""",
+    description=(
+        "Cross-batch exact-substring dedup "
+        "(dedup.incremental_exact_substring_regions) driven "
+        "batch-equivalently: three ascending-id document batches judged "
+        "against an accumulating shingle-hash index (earlier batches "
+        "never re-read); in arrival order the per-batch region union "
+        "EQUALS the one-shot result, so the oracle is the batch "
+        "operator's own — the N-batch == one-shot contract, "
+        "driver-hash-checked like streaming_recrawl_maintenance"
+    ),
+)
+def incremental_substring_regions(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    index = spark.createDataFrame([], "span_hash bigint")
+    outs = []
+    # ascending-id batches (doc_id spans 0..499 at every SF; thresholds
+    # keep each batch non-empty and the arrival order == keep-first order)
+    for lo, hi in ((0, 170), (170, 340), (340, 1 << 31)):
+        batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        regions, new_hashes = D.incremental_exact_substring_regions(
+            batch, index, "doc_id", "text", span_tokens=10
+        )
+        outs.append(regions)
+        index = index.unionByName(
+            new_hashes.select("span_hash")
+        ).localCheckpoint(eager=True)
+    merged = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return merged.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "region_start",
+        "region_end",
+        big(F.col("region_tokens")).alias("region_tokens"),
+    )
+
+
+@query(
     "corpus_mixture_sample",
     oracle=r"""
     WITH base AS (

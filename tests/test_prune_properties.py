@@ -9,6 +9,8 @@ from __future__ import annotations
 import hashlib
 import random
 
+from pyspark.sql import functions as F
+
 from data_etl_with_dbt_spark.operators.dedup import ngram_df_prune, span_dedup
 
 VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff"]
@@ -233,3 +235,71 @@ def test_remove_duplicate_regions_edges(spark):
     assert out[2].n_tokens_removed == 6
     assert out[3].cleaned_text == "u v w x y z"  # unique: untouched
     assert out[3].n_tokens_removed == 0
+
+
+def test_incremental_exact_substring_equals_oneshot_in_arrival_order(spark):
+    """Cross-batch regions: when batches arrive in ascending id order, the
+    union of per-batch regions (each judged against the accumulated hash
+    index + batch-internal keep-first) equals the one-shot batch result;
+    the index grows by exactly the first-seen hashes."""
+    from data_etl_with_dbt_spark.operators.dedup import (
+        exact_substring_regions,
+        incremental_exact_substring_regions,
+    )
+
+    for seed in (9, 31):
+        rows, docs = make_docs(spark, seed, 24)
+        k = 3
+        oneshot = sorted(
+            (r.id, r.region_start, r.region_end, r.region_tokens)
+            for r in exact_substring_regions(
+                docs, "id", "text", span_tokens=k
+            ).collect()
+        )
+        index = spark.createDataFrame([], "span_hash bigint")
+        got = []
+        for lo, hi in ((0, 8), (8, 16), (16, 24)):  # ascending id batches
+            batch = docs.where((F.col("id") >= lo) & (F.col("id") < hi))
+            regions, new_hashes = incremental_exact_substring_regions(
+                batch, index, "id", "text", span_tokens=k
+            )
+            got.extend(
+                (r.id, r.region_start, r.region_end, r.region_tokens)
+                for r in regions.collect()
+            )
+            index = index.unionByName(
+                new_hashes.select("span_hash")
+            ).localCheckpoint(eager=True)
+        assert sorted(got) == oneshot, seed
+        # the accumulated index equals the one-shot distinct shingle count
+        from data_etl_with_dbt_spark.operators.dedup import _shingle_positions
+
+        n_distinct = (
+            _shingle_positions(docs, "id", "text", k)
+            .select("__key").distinct().count()
+        )
+        assert index.count() == n_distinct, seed
+
+
+def test_incremental_exact_substring_cross_batch_hits(spark):
+    """A batch-2 document repeating batch-1 text is cut by the INDEX alone
+    (no batch-internal duplicate), and batch-1's copy is never touched —
+    the as-of-arrival contract."""
+    from data_etl_with_dbt_spark.operators.dedup import (
+        incremental_exact_substring_regions,
+    )
+
+    b1 = spark.createDataFrame([(1, "a b c d e f")], "id long, text string")
+    b2 = spark.createDataFrame(
+        [(2, "x y a b c d e f"), (3, "p q r")], "id long, text string"
+    )
+    index = spark.createDataFrame([], "span_hash bigint")
+    r1, h1 = incremental_exact_substring_regions(b1, index, "id", "text", 3)
+    assert r1.count() == 0  # nothing seen before batch 1
+    index = index.unionByName(h1.select("span_hash"))
+    r2, h2 = incremental_exact_substring_regions(b2, index, "id", "text", 3)
+    got = [(r.id, r.region_start, r.region_end) for r in r2.collect()]
+    assert got == [(2, 2, 8)]  # the copied block, via the index
+    # batch-2 first-seen hashes: doc 2's two x/y-prefixed shingles + doc
+    # 3's single short-doc shingle
+    assert h2.count() == 3
