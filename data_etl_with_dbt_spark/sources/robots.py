@@ -496,6 +496,7 @@ def fetch_plan(
     staleness_col: str = "staleness_seconds",
     delays: DataFrame | None = None,
     delay_col: str = "crawl_delay_s",
+    two_phase_quota: bool = False,
 ) -> DataFrame:
     """The day's fetch list — the relation a production crawler actually
     executes: :func:`recrawl_schedule` output (or any ``(url, priority,
@@ -521,7 +522,12 @@ def fetch_plan(
     global sort in stage 3 ranks at most ``per_host_quota × n_hosts``
     rows — the quota bounds the sort input, so a billion-page schedule
     sorts its capped survivors, not itself. ``delays`` passes through to
-    :func:`crawl_slots` so hosts honor their declared Crawl-delay."""
+    :func:`crawl_slots` so hosts honor their declared Crawl-delay.
+    ``two_phase_quota=True`` opts stage 2 into per_key_cap's salted
+    pre-cap for the mega-host case (window functions bypass AQE skew
+    splitting, so one billion-page host would land on one reducer —
+    the pre-cap sends at most quota × partitions rows per host into the
+    final window instead; exact, costs one extra skew-free exchange)."""
     from data_etl_with_dbt_spark.operators.relational import per_key_cap
 
     order = [
@@ -535,7 +541,12 @@ def fetch_plan(
         F.col(priority_col) >= F.lit(int(min_priority))
     ).withColumn("host", url_host(F.col(url_col)))
     capped = per_key_cap(
-        cand, ["host"], order, int(per_host_quota), rank_col="quota_rank"
+        cand,
+        ["host"],
+        order,
+        int(per_host_quota),
+        rank_col="quota_rank",
+        two_phase=two_phase_quota,
     )
     budgeted = capped.orderBy(*order).limit(int(budget)).drop("host")
     return crawl_slots(

@@ -374,6 +374,15 @@ class TestRobotsDirectives:
         assert big_slots == [(1, 0), (2, 10), (3, 20)]
         assert by_url["https://small.example.com/x"].slot == 1
         assert all(r.quota_rank <= 3 for r in out)
+        # the two-phase (salted pre-cap) quota path is EXACT: same plan
+        # output under mega-host skew handling
+        out2 = fetch_plan(
+            sched, budget=4, per_host_quota=3, per_host_delay_s=10,
+            two_phase_quota=True,
+        ).collect()
+        key = lambda r: (r.url, r.quota_rank, r.slot,  # noqa: E731
+                         r.scheduled_offset_seconds)
+        assert sorted(map(key, out2)) == sorted(map(key, out))
 
     def test_crawl_slots_tolerates_duplicate_delay_rows(self, spark):
         """ADVICE r6: a delays relation with two rows for one host (a
