@@ -601,3 +601,73 @@ class TestHttpRobustness:
         assert "café" in _decode_body(bogus, "text/html")
         # no declaration anywhere: utf-8 default unchanged
         assert _decode_body(b"caf\xc3\xa9", "text/html") == "café"
+
+
+class TestWarcTruncationFuzz:
+    """The codec-module truncation convention applied to the crawl byte
+    paths: EVERY prefix of a valid WARC blob (plain and gzip-member),
+    HTTP envelope (chunked + content-coded), robots/sitemap document
+    must parse to a clean prefix-shaped result — never an exception,
+    never a hang (these parsers are documented triage-not-fail)."""
+
+    def _blob(self, gz):
+        return encode_warc(_fixture_records(), gzip_members=gz)
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_parse_warc_every_prefix(self, gz):
+        blob = self._blob(gz)
+        full = parse_warc(blob)
+        for k in range(0, len(blob), 7):
+            recs = parse_warc(blob[:k])  # must not raise
+            # prefix parses are a PREFIX of the full parse (same offsets,
+            # possibly fewer records) for the uncompressed form; the gzip
+            # walk may surface a final torn record's prefix instead
+            assert len(recs) <= len(full)
+            if not gz:
+                for a, b in zip(recs, full):
+                    assert a["offset"] == b["offset"]
+                    assert a["headers"] == b["headers"]
+
+    def test_http_response_every_prefix(self):
+        import zlib as _z
+
+        body = b"<p>fuzz body</p>" * 40
+        comp = _z.compress(body)
+        chunked = b"".join(
+            f"{len(c):x}\r\n".encode() + c + b"\r\n"
+            for c in (comp[:50], comp[50:])
+        ) + b"0\r\n\r\n"
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: deflate\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+        )
+        full = parse_http_response(block)
+        assert full["body"] == body  # the un-truncated case round-trips
+        for k in range(0, len(block), 3):
+            out = parse_http_response(block[:k])  # must not raise
+            assert isinstance(out["body"], (bytes, bytearray))
+
+    def test_robots_and_sitemap_every_prefix(self):
+        from data_etl_with_dbt_spark.sources.robots import (
+            parse_sitemap,
+            robots_allows,
+        )
+
+        robots = (
+            "User-agent: *\nCrawl-delay: 7\nDisallow: /private/\n"
+            "Sitemap: https://h/s.xml\nUser-agent: bot\nDisallow: /\n"
+        )
+        for k in range(0, len(robots), 2):
+            robots_allows(robots[:k], "https://h/private/x")  # never raises
+        xml = (
+            '<?xml version="1.0"?><urlset '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://h/p1</loc><lastmod>2024-01-05</lastmod></url>"
+            "<url><loc>https://h/p2</loc></url></urlset>"
+        ).encode()
+        full = parse_sitemap(xml)
+        assert len(full) == 2
+        for k in range(0, len(xml), 3):
+            out = parse_sitemap(xml[:k])  # malformed XML -> [] (triage)
+            assert isinstance(out, list) and len(out) <= 2
