@@ -68,8 +68,8 @@ WINDOW = [
     "crawl_fetch_plan", "exact_substring_dedup_cut",
     "exact_substring_regions", "incremental_substring_regions",
     "media_frame_sampling", "pii_scrub_documents",
-    "streaming_recrawl_maintenance", "cms_token_counts",
-    "image_dhash_near_dup", "learned_embedding_ann",
+    "semantic_decontamination", "streaming_recrawl_maintenance",
+    "cms_token_counts", "image_dhash_near_dup", "learned_embedding_ann",
     "pagerank_similarity_graph", "pca_embeddings",
     "cte_above_average_customers", "decontaminate_ngram_overlap",
     "dedup_cluster_assignment", "dedup_exact_groups",
@@ -85,7 +85,6 @@ WINDOW = [
     "q12_priority_counts", "q13_customer_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_volume_customers", "q1_pricing_summary", "q20_excess_supply",
-    "q21_suppliers_kept_waiting",
 ]
 
 ZQ_QUEUED = [
@@ -130,13 +129,13 @@ ZV_VERIFIED = [
     "packed_token_windows", "pareto_customer_revenue",
     "part_entity_clusters", "pca_invariants", "perplexity_proxy_score",
     "profile_orders", "q16_supplier_cardinality", "q19_discounted_revenue",
-    "q22_inactive_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "quantile_normalize_events", "range_join_clicks_before_error",
-    "reconcile_order_totals", "recrawl_schedule_events",
-    "recursive_capped_balance", "redact_entities", "repetition_stats",
-    "rfm_customer_segments", "robots_audit_documents",
+    "q21_suppliers_kept_waiting", "q22_inactive_customers",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "quantile_normalize_events",
+    "range_join_clicks_before_error", "reconcile_order_totals",
+    "recrawl_schedule_events", "recursive_capped_balance", "redact_entities",
+    "repetition_stats", "rfm_customer_segments", "robots_audit_documents",
     "robots_directives_gallery", "robust_scale_events",
     "sampled_quantiles_orders", "scalar_array_gallery",
     "scalar_bitwise_gallery", "scalar_collation_gallery",

@@ -1102,3 +1102,60 @@ def ann_recall_report(
         F.lit("ALL").alias(query_id_col), F.avg("recall").alias("recall")
     )
     return per.unionByName(overall).orderBy(query_id_col)
+
+
+def semantic_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-space test-set DECONTAMINATION — the semantic twin of
+    ``dedup.benchmark_contamination`` (n-gram overlap catches verbatim
+    leakage; this catches paraphrased/near-duplicate leakage the token
+    route misses): flag every TRAIN vector whose cosine against ANY
+    benchmark vector reaches ``threshold``. Returns ``(id,
+    n_bench_hits, contaminated)`` — integers/booleans only, so the
+    output is engine-stable under a calibrated threshold (the
+    exact_cosine_pairs float note applies: keep the threshold away from
+    the corpus's cosine noise floor).
+
+    Scale posture: benchmark sets are BENCHMARK-sized (10^3-10^5 rows) —
+    the bench matrix collects to the driver (same accepted class as
+    vocab/codebook collects), row-normalizes once, and broadcasts into
+    ONE Arrow ``mapInPandas`` pass computing ``X_norm @ B_norm.T`` per
+    batch: no shuffle, no pair materialization, corpus touched once.
+    Zero-norm vectors on either side contribute cosine 0 (never NaN)."""
+    import numpy as np
+    import pandas as pd
+
+    b_rows = bench.select(vec_col).collect()
+    B = np.asarray([list(r[0]) for r in b_rows], dtype=np.float64)
+    if B.size:
+        bn = np.linalg.norm(B, axis=1, keepdims=True)
+        bn[bn == 0.0] = 1.0  # zero vectors: cosine 0 via zero dot
+        B = B / bn
+    thr = float(threshold)
+    id_type = train.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_bench_hits bigint, contaminated boolean"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or B.size == 0:
+                hits = np.zeros(len(pdf), dtype=np.int64)
+            else:
+                X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                xn = np.linalg.norm(X, axis=1, keepdims=True)
+                xn[xn == 0.0] = 1.0
+                S = (X / xn) @ B.T
+                hits = (S >= thr).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bench_hits": hits,
+                    "contaminated": hits > 0,
+                }
+            )
+
+    return train.select(id_col, vec_col).mapInPandas(run, schema)

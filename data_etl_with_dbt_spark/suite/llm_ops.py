@@ -814,6 +814,56 @@ def embedding_centroid_outliers(spark, sf_dir):
 
 
 @query(
+    "semantic_decontamination",
+    oracle="""
+    WITH u AS (SELECT DISTINCT vec_id, embedding FROM embeddings),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM u),
+    bench AS (SELECT * FROM v WHERE vec_id % 19 = 0),
+    train AS (SELECT * FROM v WHERE vec_id % 19 <> 0),
+    hits AS (
+        SELECT t.vec_id, count(*) AS n
+        FROM train t JOIN bench b
+          ON list_dot_product(t.e, b.e)
+             / (sqrt(list_dot_product(t.e, t.e))
+                * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+        GROUP BY t.vec_id
+    )
+    SELECT CAST(t.vec_id AS BIGINT) AS vec_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_hits,
+           COALESCE(h.n, 0) > 0 AS contaminated
+    FROM train t LEFT JOIN hits h ON t.vec_id = h.vec_id
+    """,
+    description=(
+        "Semantic test-set decontamination "
+        "(similarity.semantic_contamination — the embedding twin of the "
+        "n-gram decontamination pass; catches paraphrased leakage tokens "
+        "miss): residue-split bench vectors (vec_id%19, 27 rows) "
+        "broadcast as one normalized matrix into a single Arrow matmul "
+        "pass over the train side; integer hit counts + flag at the "
+        "fixture-calibrated 0.35 threshold (17/31 contaminated at "
+        "sf0.001/sf0.01 — non-vacuous both ways); inputs pre-deduped on "
+        "(vec_id, embedding), oracle mirrored"
+    ),
+)
+def semantic_decontamination(spark, sf_dir):
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .distinct()
+    )
+    bench = emb.where(F.col("vec_id") % 19 == 0)
+    train = emb.where(F.col("vec_id") % 19 != 0)
+    out = S.semantic_contamination(
+        train, bench, id_col="vec_id", vec_col="embedding", threshold=0.35
+    )
+    return out.select(
+        big(F.col("vec_id")).alias("vec_id"),
+        "n_bench_hits",
+        "contaminated",
+    )
+
+
+@query(
     "perplexity_proxy_score",
     oracle=r"""
     WITH postings AS (

@@ -379,6 +379,9 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         "exact_substring_regions": {"unpushed-filter"},
         # the cut pass chains the regions plan (same derived guard)
         "exact_substring_dedup_cut": {"unpushed-filter"},
+        # the bench/train residue split filters a post-DISTINCT relation
+        # (the cdc_debezium_apply_orders modulo class)
+        "semantic_decontamination": {"unpushed-filter"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):
