@@ -1406,11 +1406,21 @@ def scrub_pii(
     pipelines into the same scan as quality scoring. Patterns stay in the
     no-backref/no-lookaround subset where Java regex and RE2 agree —
     cross-engine portability is a correctness feature here, not a
-    convenience (the driver oracle re-runs them under RE2)."""
+    convenience (the driver oracle re-runs them under RE2).
+
+    Custom ``kinds`` names may not contain ``$`` or ``\\`` — Java regex
+    replacement strings treat those as group references/escapes, which
+    would silently corrupt the mask token (built-in kinds are safe)."""
     kinds = PII_PATTERNS if kinds is None else kinds
     out_cols = [F.col(id_col)]
     scrubbed = F.col(text_col)
     for kind, pat in kinds.items():
+        if "$" in kind or "\\" in kind:
+            raise ValueError(
+                f"PII kind name {kind!r} contains '$' or backslash, which "
+                "Java regex replacement would interpret as a group "
+                "reference/escape; rename the kind"
+            )
         out_cols.append(
             F.regexp_count(text_col, F.lit(pat)).cast("bigint").alias(
                 f"n_{kind}"

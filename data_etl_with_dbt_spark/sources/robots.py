@@ -228,6 +228,9 @@ def robots_from_warc(
     # strings do NOT sort chronologically ('...00Z' string-sorts above
     # '...00.900Z' because 'Z' > '.') — compare as timestamps, with the
     # raw string as a tiebreak so unparseable dates still total-order.
+    # Equal-INSTANT captures spelled at different precisions ('...00Z'
+    # vs '...00.000Z') resolve by raw-string order (whole-second wins) —
+    # an arbitrary but deterministic pick; only the total order matters.
     w = Window.partitionBy("host").orderBy(
         F.desc_nulls_last(F.to_timestamp("__date")),
         F.desc("__date"),

@@ -325,7 +325,14 @@ def warc_ingest_pipeline(spark, sf_dir):
     def enc(batches):
         # enumerate batches: a partition can arrive as several Arrow
         # batches, and (min doc_id, min copy, len) alone can coincide —
-        # the counter guarantees unique warc_file paths per iterator
+        # the counter disambiguates within one iterator, and the task's
+        # partitionId disambiguates ACROSS partitions (two partitions can
+        # share identical column mins + lengths with bi=0; column minima
+        # alone are not a global key)
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
         for bi, pdf in enumerate(batches):
             if len(pdf) == 0:
                 continue
@@ -350,8 +357,8 @@ def warc_ingest_pipeline(spark, sf_dir):
                     }
                 )
             name = (
-                f"w/{int(pdf['doc_id'].min())}-{int(pdf['copy'].min())}"
-                f"-{len(pdf)}-b{bi}.warc.gz"
+                f"w/p{pid}-{int(pdf['doc_id'].min())}"
+                f"-{int(pdf['copy'].min())}-{len(pdf)}-b{bi}.warc.gz"
             )
             yield pd.DataFrame(
                 {

@@ -142,3 +142,16 @@ class TestScrubPii:
         ).collect()[0]
         assert out.n_ticket == 2
         assert out.scrubbed_text == "id <TICKET> then <TICKET>"
+
+    def test_rejects_kind_names_with_replacement_metachars(self, spark):
+        """'$'/'\\' in a kind name would be read as group refs/escapes by
+        Java's regex replacement, silently corrupting the mask token
+        (ADVICE r7) — reject loudly instead."""
+        import pytest
+
+        from data_etl_with_dbt_spark.operators.textan import scrub_pii
+
+        docs = spark.createDataFrame([(1, "x")], "id long, text string")
+        for bad in ("usd$", "a\\b"):
+            with pytest.raises(ValueError, match="group"):
+                scrub_pii(docs, "id", "text", kinds={bad: r"\d+"})
