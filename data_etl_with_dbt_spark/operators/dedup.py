@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 # dedup spans/shingles tokenizing exactly like textan's stats — a local
 # copy here drifted-by-one-edit would silently break the oracle invariant
 # (round-5 review consolidated the former verbatim duplicate).
+from data_etl_with_dbt_spark.operators.textan import (
+    sentence_array_expr as _sentences,
+)
 from data_etl_with_dbt_spark.operators.textan import tokens_expr as _tokens
 
 
@@ -949,20 +952,80 @@ def exact_substring_regions(
     return _merge_islands(dup, id_col, k)
 
 
+def sentence_substring_regions(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_sentences: int = 3,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """Sentence-ALIGNED exact-substring duplicate regions — the form most
+    public C4-style pipelines deploy (C4 removes any three-sentence span
+    occurring more than once; Raffel et al., arXiv 1910.10683 §2.2):
+    :func:`exact_substring_regions` with the unit axis swapped from
+    tokens to sentences, so region boundaries always land on sentence
+    boundaries and a downstream cut never splits a sentence mid-word.
+
+    1. Segment with the engine's one sentence expression
+       (``textan.sentence_array_expr``: split on ``[.!?]+`` runs, trim,
+       drop empties) — compose, don't re-tokenize.
+    2. Stride-1 ``span_sentences``-sentence shingles, keyed by the
+       newline-joined span (sentences contain spaces but never newlines
+       post-split, so the join is injective); global keep-first under
+       ``(id, sentence_idx)``.
+    3. The same gaps-and-islands merge (:func:`_merge_islands`) —
+       adjacent duplicate starts collapse to maximal regions.
+
+    Returns ``(id, region_start, region_end, region_sentences)`` —
+    SENTENCE offsets (``region_end`` exclusive), aligned to
+    ``sentences_jvm``'s ``sentence_idx``; slice that relation by these
+    offsets (or pass ``unit='sentence'`` to
+    :func:`remove_duplicate_regions`) for the cut.
+
+    Plan shape is identical to the token form: span keys hash to one
+    long per position, the keep-first window carries ``(id, pos,
+    hash64)``, and the island merge reuses the window's ``id``
+    partitioning — two exchanges total, never span text. Sentence
+    positions are ~20× sparser than token positions, so this is the
+    CHEAPER pass at 100 TB; run it first and reserve the token form for
+    sub-sentence plagiarism. Same unique-``id_col`` contract."""
+    k = int(span_sentences)
+    pos = _shingle_positions(
+        docs, id_col, text_col, k, hash_spans,
+        unit_expr=_sentences, sep="\n",
+    )
+    w = Window.partitionBy("__key").orderBy(id_col, "__i")
+    dup = (
+        pos.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .drop("__rn", "__key")
+    )
+    return _merge_islands(dup, id_col, k).withColumnRenamed(
+        "region_tokens", "region_sentences"
+    )
+
+
 def _shingle_positions(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     k: int,
     hash_spans: bool = True,
+    unit_expr=None,
+    sep: str = " ",
 ) -> DataFrame:
     """Shared front end of the batch and incremental exact-substring
     forms: one ``(id, __i, __key)`` row per stride-1 shingle start (ONE
     copy, the _span_stream convention — a drifted tokenize/hash would
-    silently split the two paths)."""
-    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    silently split the two paths). ``unit_expr`` swaps the unit axis
+    (default: the engine tokenizer; the sentence family passes
+    ``textan.sentence_array_expr``); ``sep`` joins the units inside a
+    span key — sentence spans join with ``\\n`` since sentences contain
+    spaces but never newlines post-split."""
+    units = _tokens if unit_expr is None else unit_expr
+    toks = docs.select(F.col(id_col), units(F.col(text_col)).alias("__t"))
     idx = F.sequence(F.lit(0), F.size("__t") - k)
-    span_of = lambda i: F.array_join(F.slice("__t", i + 1, k), " ")  # noqa: E731
+    span_of = lambda i: F.array_join(F.slice("__t", i + 1, k), sep)  # noqa: E731
     key = (
         F.transform(idx, lambda i: F.xxhash64(span_of(i)))
         if hash_spans
@@ -1058,6 +1121,7 @@ def remove_duplicate_regions(
     id_col: str,
     text_col: str,
     emit_text: bool = False,
+    unit: str = "token",
 ) -> DataFrame:
     """Apply :func:`exact_substring_regions` output — the CUT pass that
     completes the Lee-et-al. dedup: delete the tokens inside every
@@ -1079,13 +1143,25 @@ def remove_duplicate_regions(
     id-keyed and region-cardinality-bounded; the cut itself is one
     projection whose per-token region test costs O(regions_per_doc)
     (interpreted higher-order functions, but the region arrays are tiny
-    — never the corpus axis)."""
+    — never the corpus axis).
+
+    ``unit='sentence'`` applies :func:`sentence_substring_regions` output
+    instead: offsets index sentences (``sentence_array_expr``), kept
+    sentences reassemble joined by ``'. '``, and the stat columns are
+    named ``n_sentences`` / ``n_sentences_removed``."""
+    if unit not in ("token", "sentence"):
+        raise ValueError(f"unit must be 'token' or 'sentence', got {unit!r}")
+    units, join_sep, stat = (
+        (_tokens, " ", "n_tokens")
+        if unit == "token"
+        else (_sentences, ". ", "n_sentences")
+    )
     regs = regions.groupBy(id_col).agg(
         F.collect_list(
             F.struct(F.col("region_start"), F.col("region_end"))
         ).alias("__regs")
     )
-    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    toks = docs.select(F.col(id_col), units(F.col(text_col)).alias("__t"))
     no_regs = F.expr(
         "CAST(array() AS array<struct<region_start:bigint,region_end:bigint>>)"
     )
@@ -1127,11 +1203,11 @@ def remove_duplicate_regions(
         ),
         lambda acc: acc["tot"],
     )
-    cleaned = F.array_join(kept, " ")
+    cleaned = F.array_join(kept, join_sep)
     out = joined.select(
         id_col,
-        F.size("__t").cast("bigint").alias("n_tokens"),
-        n_removed.alias("n_tokens_removed"),
+        F.size("__t").cast("bigint").alias(stat),
+        n_removed.alias(f"{stat}_removed"),
         F.md5(cleaned).alias("cleaned_hash"),
         *([cleaned.alias("cleaned_text")] if emit_text else []),
     )

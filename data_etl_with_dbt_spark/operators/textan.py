@@ -668,16 +668,23 @@ def temperature_mixture_sample(
     )
 
 
+def sentence_array_expr(col: Column) -> Column:
+    """Sentence ARRAY of a text column: split on [.!?]+ runs, trim, drop
+    empties — the one segmentation expression for the whole engine
+    (``sentences_jvm`` and the sentence-granularity dedup family both use
+    it; a drifted local copy would silently split the two paths, the
+    tokens_expr lesson)."""
+    return F.filter(
+        F.transform(F.split(col, r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
 def sentences_jvm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Sentence segmentation, JVM path: split on [.!?]+ runs and posexplode
     — whole-stage-codegen, no Python. The hot-path spelling; the UDTF below
     exists for logic a regex can't express."""
-    parts = F.filter(
-        F.transform(
-            F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)
-        ),
-        lambda s: s != "",
-    )
+    parts = sentence_array_expr(F.col(text_col))
     return df.select(
         F.col(id_col), F.posexplode(parts).alias("sentence_idx", "sentence")
     )

@@ -540,6 +540,153 @@ def incremental_substring_regions(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Sentence-granularity exact-substring dedup (C4-style: regions align to
+# sentence boundaries). The real documents fixture is single-sentence
+# (no [.!?] in the text — probed round 8), so the input is residue-coded
+# synthesis (the crawl-family pattern): a 240-doc multi-sentence corpus
+# derived ENTIRELY from distinct doc_ids — docs in the same %6 class
+# share "common" sentences at each index, broken by per-doc "unique"
+# sentences at j%5==2, so keep-first produces multiple regions per doc
+# AND multi-start island merges, identically at every SF.
+# ---------------------------------------------------------------------------
+
+_SENT_IDS_SQL = "SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 240"
+
+_SENT_SYNTH_SQL = f"""
+        SELECT doc_id, j,
+               CASE WHEN j % 5 = 2
+                    THEN 'unique d' || doc_id || ' j' || j
+                    ELSE 'common c' || (doc_id % 6) || ' j' || j END AS s
+        FROM (SELECT doc_id, unnest(generate_series(0, 5 + doc_id % 4 - 1)) AS j
+              FROM ({_SENT_IDS_SQL}))
+"""
+
+_SENT_REGIONS_SQL = f"""
+    WITH sent AS ({_SENT_SYNTH_SQL}),
+    spans AS (
+        SELECT a.doc_id, a.j AS i, a.s || chr(10) || b.s AS sh
+        FROM sent a JOIN sent b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+    ),
+    ranked AS (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+        FROM spans
+    ),
+    dup AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        FROM ranked WHERE rn > 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(i) AS BIGINT) AS region_start,
+           CAST(max(i) + 2 AS BIGINT) AS region_end,
+           CAST(max(i) + 2 - min(i) AS BIGINT) AS region_sentences
+    FROM dup GROUP BY doc_id, isl
+"""
+
+
+def _synth_sentence_docs(spark, sf_dir):
+    """The Spark twin of _SENT_SYNTH_SQL, assembled as TEXT so the
+    operator exercises its own segmentation end-to-end: sentences joined
+    with '. ' plus a trailing '.', which sentence_array_expr splits back
+    losslessly (synthetic sentences contain no [.!?])."""
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(240)
+    )
+    sent = lambda j: F.when(  # noqa: E731
+        j % 5 == F.lit(2),
+        F.format_string("unique d%d j%d", F.col("doc_id"), j),
+    ).otherwise(
+        F.format_string("common c%d j%d", F.col("doc_id") % 6, j)
+    )
+    n = F.lit(5) + F.col("doc_id") % 4
+    text = F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(0), n - 1), sent), ". "),
+        F.lit("."),
+    )
+    return ids.select("doc_id", text.alias("text"))
+
+
+@query(
+    "sentence_dedup_regions",
+    oracle=_SENT_REGIONS_SQL,
+    description=(
+        "Sentence-ALIGNED exact-substring duplicate regions "
+        "(dedup.sentence_substring_regions — the C4-style form: stride-1 "
+        "2-sentence spans over sentence_array_expr segmentation, global "
+        "keep-first, gaps-and-islands merge; offsets index sentences so "
+        "a cut never splits mid-word). Residue-coded 240-doc synthetic "
+        "corpus (%6 classes share sentences, %5==2 uniques break runs) — "
+        "multiple regions per doc and 3-start island merges, SF-invariant"
+    ),
+)
+def sentence_dedup_regions(spark, sf_dir):
+    docs = _synth_sentence_docs(spark, sf_dir)
+    out = D.sentence_substring_regions(
+        docs, "doc_id", "text", span_sentences=2
+    )
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "region_start",
+        "region_end",
+        big(F.col("region_sentences")).alias("region_sentences"),
+    )
+
+
+@query(
+    "sentence_dedup_cut",
+    oracle=f"""
+    WITH regions AS ({_SENT_REGIONS_SQL}),
+    sent AS ({_SENT_SYNTH_SQL}),
+    kept AS (
+        SELECT st.doc_id, st.j, st.s
+        FROM sent st
+        WHERE NOT EXISTS (SELECT 1 FROM regions r
+                          WHERE r.doc_id = st.doc_id
+                            AND st.j >= r.region_start
+                            AND st.j < r.region_end)
+    ),
+    n AS (SELECT doc_id, 5 + doc_id % 4 AS n
+          FROM ({_SENT_IDS_SQL}))
+    SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+           CAST(n.n AS BIGINT) AS n_sentences,
+           CAST(n.n - count(k.j) AS BIGINT) AS n_sentences_removed,
+           md5(coalesce(string_agg(k.s, '. ' ORDER BY k.j), ''))
+               AS cleaned_hash
+    FROM n LEFT JOIN kept k ON n.doc_id = k.doc_id
+    GROUP BY n.doc_id, n.n
+    """,
+    description=(
+        "The sentence-granularity CUT (dedup.remove_duplicate_regions "
+        "unit='sentence' over sentence_substring_regions output): "
+        "duplicate sentence runs deleted whole — never mid-word — and "
+        "survivors reassembled '. '-joined (hash emitted); no-region "
+        "docs verbatim, the oracle recounting removals positionally vs "
+        "Spark's merged-interval fold, same double invariant as the "
+        "token cut"
+    ),
+)
+def sentence_dedup_cut(spark, sf_dir):
+    docs = _synth_sentence_docs(spark, sf_dir)
+    regions = D.sentence_substring_regions(
+        docs, "doc_id", "text", span_sentences=2
+    )
+    out = D.remove_duplicate_regions(
+        docs, regions, "doc_id", "text", unit="sentence"
+    )
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_sentences",
+        "n_sentences_removed",
+        "cleaned_hash",
+    )
+
+
 @query(
     "corpus_mixture_sample",
     oracle=r"""
