@@ -1066,6 +1066,7 @@ def incremental_exact_substring_regions(
     id_col: str,
     text_col: str,
     span_tokens: int = 10,
+    unit: str = "token",
 ):
     """Cross-batch exact-substring dedup — the continuous-intake form of
     :func:`exact_substring_regions` (the incremental sibling of
@@ -1094,9 +1095,20 @@ def incremental_exact_substring_regions(
     Scale: the index is corpus-shingle cardinality — the join against it
     is one hash-partitioned exchange per side keyed on the 8-byte hash
     (never span text); at 100 TB front it with a Bloom filter of the
-    index to prune the probe side before the shuffle."""
+    index to prune the probe side before the shuffle.
+
+    ``unit='sentence'`` runs the sentence-granularity form
+    (:func:`sentence_substring_regions` semantics): spans are
+    ``span_tokens`` consecutive SENTENCES, offsets index sentences, the
+    region-size column is named ``region_sentences``. Sentence and token
+    indexes are incomparable — never share one store across units."""
+    if unit not in ("token", "sentence"):
+        raise ValueError(f"unit must be 'token' or 'sentence', got {unit!r}")
     k = int(span_tokens)
-    pos = _shingle_positions(new_docs, id_col, text_col, k)
+    unit_expr, sep = (None, " ") if unit == "token" else (_sentences, "\n")
+    pos = _shingle_positions(
+        new_docs, id_col, text_col, k, unit_expr=unit_expr, sep=sep
+    )
     w = Window.partitionBy("__key").orderBy(id_col, "__i")
     ranked = pos.withColumn("__rn", F.row_number().over(w))
     idx = index.select(
@@ -1107,6 +1119,10 @@ def incremental_exact_substring_regions(
         (F.col("__rn") > 1) | F.col("__seen").isNotNull()
     ).select(id_col, "__i")
     regions = _merge_islands(dup, id_col, k)
+    if unit == "sentence":
+        regions = regions.withColumnRenamed(
+            "region_tokens", "region_sentences"
+        )
     new_hashes = (
         marked.where((F.col("__rn") == 1) & F.col("__seen").isNull())
         .select(F.col("__key").alias("span_hash"))

@@ -451,6 +451,117 @@ def boilerplate_intake_sink(
     return process
 
 
+def substring_intake_sink(
+    index_path: str,
+    corpus_path: str,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    unit: str = "token",
+    regions_ledger_path: str | None = None,
+    emit_text: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink running the FULL Lee-et-al. exact-substring
+    dedup pipeline in continuous intake — the streaming composition of
+    :func:`~data_etl_with_dbt_spark.operators.dedup.
+    incremental_exact_substring_regions` (region extraction against the
+    accumulated shingle-hash index) and :func:`~data_etl_with_dbt_spark.
+    operators.dedup.remove_duplicate_regions` (the cut), the way
+    :func:`minhash_intake_sink` streams the MinHash family.
+
+    Per micro-batch: judge the batch's stride-1 shingles against the
+    versioned hash index at ``index_path`` (earlier batches never
+    re-read), CUT every duplicate region out of the batch's documents,
+    append the cleaned documents ``(id, n_*, n_*_removed, cleaned_hash
+    [, cleaned_text])`` to ``corpus_path``, optionally append the
+    regions (+ ``batch_id``) to ``regions_ledger_path``, and commit the
+    batch's first-seen hashes as one atomic version of the index.
+
+    State discipline: the index is a :mod:`sources.versioned` table —
+    the snapshot read pins a manifest's exact file list, so a task-retry
+    recompute of the cut plan can NOT see the hashes this same batch
+    appends (the read-then-append lineage trap is structurally absent;
+    no localCheckpoint guard needed on the index path). A sidecar recipe
+    marker (``span_tokens``, ``unit``) fails loudly when a sink with a
+    different recipe points at an existing index — hashes are
+    incomparable across recipes (the minhash_intake_sink convention).
+
+    Equivalence contract (pinned in tests): with batches arriving in
+    ascending ``id`` order, the unioned per-batch cut output EQUALS the
+    one-shot ``exact_substring_regions`` + ``remove_duplicate_regions``
+    over all batches together — regions for a doc are fully determined
+    in the doc's own batch, so batch boundaries are invisible. Under any
+    other arrival order, as-of-arrival semantics apply (earlier batches
+    are never retroactively cut — inherent to incremental ingestion).
+
+    Scale: per batch the work is the incremental operator's (constant-
+    width hash rows ride the shuffles, never span text) + one id-keyed
+    cut join; the index grows by first-seen shingle cardinality and the
+    commit appends only new hashes — at 100 TB front the index probe
+    with a Bloom filter and vacuum old versions on a schedule."""
+    from ..operators.dedup import (
+        incremental_exact_substring_regions,
+        remove_duplicate_regions,
+    )
+    from ..sources import versioned as V
+
+    if unit not in ("token", "sentence"):
+        raise ValueError(f"unit must be 'token' or 'sentence', got {unit!r}")
+    recipe_marker_path = index_path.rstrip("/") + "__sig"
+    _RECIPE_SCHEMA = T.StructType(
+        [
+            T.StructField("span_tokens", T.LongType()),
+            T.StructField("unit", T.StringType()),
+        ]
+    )
+    index_schema = T.StructType([T.StructField("span_hash", T.LongType())])
+
+    def _check_recipe(spark) -> None:
+        marker = _parquet_or_none(spark, recipe_marker_path, _RECIPE_SCHEMA)
+        if marker is None:
+            spark.createDataFrame(
+                [(int(span_tokens), unit)], _RECIPE_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(recipe_marker_path)
+            return
+        row = marker.first()
+        got = (int(row["span_tokens"]), row["unit"])
+        want = (int(span_tokens), unit)
+        if got != want:
+            raise ValueError(
+                f"substring index at {index_path} was built with "
+                f"(span_tokens, unit)={got} but this sink is configured "
+                f"with {want} — shingle hashes are incomparable across "
+                "recipes; rebuild the index or match the config"
+            )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        _check_recipe(spark)
+        versions = V.list_versions(index_path)
+        if versions:
+            index = V.read_version(spark, index_path, versions[-1])
+        else:
+            index = spark.createDataFrame([], index_schema)
+        regions, new_hashes = incremental_exact_substring_regions(
+            batch, index, id_col, text_col,
+            span_tokens=span_tokens, unit=unit,
+        )
+        cleaned = remove_duplicate_regions(
+            batch, regions, id_col, text_col,
+            emit_text=emit_text, unit=unit,
+        )
+        # corpus/ledger appends go to OTHER paths; the index read is
+        # manifest-pinned, so ordering here is retry-safe throughout
+        cleaned.write.mode("append").parquet(corpus_path)
+        if regions_ledger_path is not None:
+            regions.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(regions_ledger_path)
+        V.commit(new_hashes.select("span_hash"), index_path, mode="append")
+
+    return process
+
+
 def recrawl_seed_sink(
     seeds_path: str,
     loc_col: str = "loc",

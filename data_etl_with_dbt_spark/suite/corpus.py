@@ -540,6 +540,45 @@ def incremental_substring_regions(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_substring_cut",
+    oracle=f"""{_REGISTRY["exact_substring_dedup_cut"].oracle}""",
+    description=(
+        "The full Lee-et-al. pipeline in CONTINUOUS INTAKE "
+        "(streaming.intake.substring_intake_sink — "
+        "incremental_exact_substring_regions + remove_duplicate_regions "
+        "per micro-batch, first-seen hashes committed to a versioned "
+        "index): three ascending-id batches, earlier batches never "
+        "re-read; the accumulated corpus EQUALS the one-shot cut, so the "
+        "oracle is exact_substring_dedup_cut's own — the N-batch == "
+        "one-shot contract, driver-hash-checked like "
+        "streaming_recrawl_maintenance"
+    ),
+)
+def streaming_substring_cut(spark, sf_dir):
+    import tempfile
+
+    from data_etl_with_dbt_spark.streaming.intake import substring_intake_sink
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    base = tempfile.mkdtemp(prefix="substream_")
+    sink = substring_intake_sink(
+        base + "/index", base + "/corpus", "doc_id", "text",
+        span_tokens=10, emit_text=False,
+    )
+    # same ascending-id batches as incremental_substring_regions: arrival
+    # order == keep-first order, so the equivalence contract applies
+    for b, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 1 << 31))):
+        sink(docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), b)
+    out = spark.read.parquet(base + "/corpus")
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_tokens",
+        "n_tokens_removed",
+        "cleaned_hash",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sentence-granularity exact-substring dedup (C4-style: regions align to
 # sentence boundaries). The real documents fixture is single-sentence

@@ -1568,3 +1568,147 @@ def test_recrawl_seed_sink_noop_batch_commits_nothing(spark, tmp_path):
     sink(spark.createDataFrame(
         [("https://a/x", "2024-01-01")], "loc string, lastmod string"), 2)
     assert V.list_versions(path) == v1  # version history stayed clean
+
+
+class TestSubstringIntakeSink:
+    """substring_intake_sink: the Lee-et-al. pipeline in continuous intake
+    (round-8 verdict item 8) — N ascending-id batches == one-shot, the
+    versioned index accumulates only first-seen hashes, and the recipe
+    marker rejects an incompatible sink."""
+
+    def _mk_docs(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, text string")
+
+    def test_nbatch_equals_oneshot_token_unit(self, spark, tmp_path):
+        import random
+
+        from data_etl_with_dbt_spark.operators.dedup import (
+            exact_substring_regions,
+            remove_duplicate_regions,
+        )
+        from data_etl_with_dbt_spark.streaming.intake import (
+            substring_intake_sink,
+        )
+
+        rng = random.Random(77)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+            for i in range(30)
+        ]
+        docs = self._mk_docs(spark, rows)
+        k = 3
+        oneshot = remove_duplicate_regions(
+            docs,
+            exact_substring_regions(docs, "id", "text", span_tokens=k),
+            "id", "text", emit_text=True,
+        )
+        expect = sorted(tuple(r) for r in oneshot.collect())
+
+        base = str(tmp_path / "tok")
+        sink = substring_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            span_tokens=k, regions_ledger_path=base + "/regions",
+        )
+        for b, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 99))):
+            sink(docs.where((F.col("id") >= lo) & (F.col("id") < hi)), b)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(base + "/corpus")
+            .select("id", "n_tokens", "n_tokens_removed",
+                    "cleaned_hash", "cleaned_text")
+            .collect()
+        )
+        assert got == expect
+        # ledger regions union == one-shot regions
+        oneshot_regs = sorted(
+            (r.id, r.region_start, r.region_end)
+            for r in exact_substring_regions(
+                docs, "id", "text", span_tokens=k
+            ).collect()
+        )
+        ledger = sorted(
+            (r.id, r.region_start, r.region_end)
+            for r in spark.read.parquet(base + "/regions").collect()
+        )
+        assert ledger == oneshot_regs
+        # the index holds exactly the corpus's distinct shingle hashes,
+        # across 3 versions (one commit per batch)
+        from data_etl_with_dbt_spark.sources import versioned as V
+
+        versions = V.list_versions(base + "/index")
+        assert len(versions) == 3
+        n_idx = (
+            V.read_version(spark, base + "/index", versions[-1])
+            .distinct()
+            .count()
+        )
+        n_distinct_shingles = len(
+            {
+                " ".join(t[p : p + k])
+                for _, text in rows
+                for t in [text.split()]
+                for p in range(len(t) - k + 1)
+            }
+        )
+        assert n_idx == n_distinct_shingles
+
+    def test_nbatch_equals_oneshot_sentence_unit(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.operators.dedup import (
+            remove_duplicate_regions,
+            sentence_substring_regions,
+        )
+        from data_etl_with_dbt_spark.streaming.intake import (
+            substring_intake_sink,
+        )
+
+        rows = [
+            (1, "alpha one. beta two. gamma three. delta four."),
+            (2, "beta two. gamma three. epsilon five!"),
+            (3, "alpha one. beta two. gamma three? zeta six."),
+        ]
+        docs = self._mk_docs(spark, rows)
+        oneshot = remove_duplicate_regions(
+            docs,
+            sentence_substring_regions(docs, "id", "text", span_sentences=2),
+            "id", "text", unit="sentence", emit_text=True,
+        )
+        expect = sorted(tuple(r) for r in oneshot.collect())
+        base = str(tmp_path / "sent")
+        sink = substring_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            span_tokens=2, unit="sentence",
+        )
+        for b, (lo, hi) in enumerate(((0, 2), (2, 3), (3, 9))):
+            sink(docs.where((F.col("id") >= lo) & (F.col("id") < hi)), b)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(base + "/corpus")
+            .select("id", "n_sentences", "n_sentences_removed",
+                    "cleaned_hash", "cleaned_text")
+            .collect()
+        )
+        assert got == expect
+
+    def test_recipe_marker_rejects_incompatible_sink(self, spark, tmp_path):
+        import pytest
+
+        from data_etl_with_dbt_spark.streaming.intake import (
+            substring_intake_sink,
+        )
+
+        docs = self._mk_docs(spark, [(1, "a b c d e f g h i j")])
+        base = str(tmp_path / "guard")
+        sink = substring_intake_sink(
+            base + "/index", base + "/corpus", "id", "text", span_tokens=3
+        )
+        sink(docs, 0)
+        for bad in (
+            dict(span_tokens=5),
+            dict(span_tokens=3, unit="sentence"),
+        ):
+            other = substring_intake_sink(
+                base + "/index", base + "/corpus2", "id", "text", **bad
+            )
+            with pytest.raises(ValueError, match="incomparable"):
+                other(docs, 1)
