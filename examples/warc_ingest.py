@@ -83,6 +83,9 @@ def main(workdir: str) -> None:
         with open(os.path.join(crawl, f"crawl-{f}.warc.gz"), "wb") as fh:
             fh.write(encode_warc(records, gzip_members=True))
 
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("warc-ingest")
     try:
         files = spark.read.format("binaryFile").load(crawl)
@@ -184,9 +187,91 @@ def main(workdir: str) -> None:
         assert all(r.quota_rank <= 2 for r in day_rows)  # host quota held
         # highest-priority work survives the truncation
         assert any(r.url == "https://example.com/brand-new" for r in day_rows)
+
+        # 7. the CONTINUOUS daily cycle: sitemap DELTAS maintain a
+        #    versioned seed state (recrawl_seed_sink — earlier days never
+        #    re-read), and each day re-derives schedule → budgeted fetch
+        #    plan from the UPDATED state. The closing assert is the
+        #    N-day == one-shot contract: the final day's schedule equals
+        #    the schedule over all deltas unioned.
+        from data_etl_with_dbt_spark.sources import versioned as V
+        from data_etl_with_dbt_spark.streaming.intake import recrawl_seed_sink
+
+        seeds_path = os.path.join(workdir, "seed_state")
+        sink = recrawl_seed_sink(seeds_path, loc_col="loc",
+                                 lastmod_col="lastmod")
+        day_deltas = [
+            # day 0: today's full sitemap is the first delta
+            seeds.select("loc", "lastmod"),
+            # day 1: /1/1 re-published + a brand-new URL appears
+            spark.createDataFrame(
+                [("https://example.com/1/1", "2024-03-07"),
+                 ("https://example.com/two", "2024-03-07")],
+                "loc string, lastmod string",
+            ),
+            # day 2: stale lastmod for a known URL (must NOT regress the
+            # state — max-lastmod wins) + another new URL
+            spark.createDataFrame(
+                [("https://example.com/1/1", "2024-01-01"),
+                 ("https://example.com/three", "2024-03-08")],
+                "loc string, lastmod string",
+            ),
+        ]
+        print("daily crawl loop:")
+        for day, delta in enumerate(day_deltas):
+            sink(delta, day)
+            state = V.read_version(
+                spark, seeds_path, V.list_versions(seeds_path)[-1]
+            )
+            now = f"2024-03-0{6 + day} 00:00:00"
+            sched = recrawl_schedule(
+                state, snapshot, now=now, ttl_days=30,
+                loc_col="url", lastmod_col="lastmod",
+            )
+            todo = fetch_plan(
+                sched, budget=3, per_host_quota=3, per_host_delay_s=2,
+                delays=robots_directives(rules),
+            )
+            n_cand = sched.where(F.col("priority") >= 1).count()
+            urls = [r.url for r in todo.orderBy("scheduled_offset_seconds",
+                                                "url").collect()]
+            print(f"  day {day}: state={state.count()} urls, "
+                  f"{n_cand} candidates -> fetch {urls}")
+        # day 1's republish survives day 2's stale echo: max-lastmod state
+        # keeps 2024-03-07 for /1/1, so it still classifies lastmod_newer
+        # (day 2's three never_fetched p3 URLs rightfully win the budget)
+        final_11 = V.read_version(
+            spark, seeds_path, V.list_versions(seeds_path)[-1]
+        ).where(F.col("url") == "https://example.com/1/1").first()
+        assert str(final_11.lastmod).startswith("2024-03-07")
+        # N-day incremental == one-shot: the accumulated state's schedule
+        # equals the schedule over ALL deltas unioned (per-URL max lastmod)
+        oneshot_seeds = (
+            day_deltas[0]
+            .unionByName(day_deltas[1])
+            .unionByName(day_deltas[2])
+            .select(F.col("loc"), F.to_timestamp("lastmod").alias("lastmod"))
+            .groupBy("loc")
+            .agg(F.max("lastmod").alias("lastmod"))
+        )
+        oneshot = recrawl_schedule(
+            oneshot_seeds, snapshot, now="2024-03-08 00:00:00", ttl_days=30,
+        )
+        final_state = V.read_version(
+            spark, seeds_path, V.list_versions(seeds_path)[-1]
+        )
+        incremental = recrawl_schedule(
+            final_state, snapshot, now="2024-03-08 00:00:00", ttl_days=30,
+            loc_col="url", lastmod_col="lastmod",
+        )
+        a = sorted(tuple(r) for r in incremental.collect())
+        b = sorted(tuple(r) for r in oneshot.collect())
+        assert a == b, "N-day incremental state diverged from one-shot"
+        print(f"  N-day incremental == one-shot over {len(a)} URLs ✓")
         print("warc ingest OK")
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -407,3 +407,28 @@ class TestRobotsDirectives:
         # slots stay a permutation of 1..4 and use the max (7 s) delay
         assert sorted(r.slot for r in rows) == [1, 2, 3, 4]
         assert offsets == {1: 0, 2: 7, 3: 14, 4: 21}
+
+
+def test_warc_ingest_example_runs(spark, tmp_path, capsys):
+    """The crawl-loop example end to end (round-8 verdict item 4): WARC →
+    documents → robots gate → quality/dedup → recrawl schedule → budgeted
+    fetch plan → the CONTINUOUS daily cycle (sitemap deltas maintain the
+    versioned seed state via recrawl_seed_sink; each day re-plans from the
+    updated state), closing with the N-day == one-shot assert inside the
+    example."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "warc_ingest_example",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "warc_ingest.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(str(tmp_path / "wd"))  # asserts every stage internally
+    out = capsys.readouterr().out
+    assert "daily crawl loop:" in out
+    assert "N-day incremental == one-shot" in out
+    assert "warc ingest OK" in out
