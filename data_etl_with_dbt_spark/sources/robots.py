@@ -499,7 +499,8 @@ def fetch_plan(
     staleness_col: str = "staleness_seconds",
     delays: DataFrame | None = None,
     delay_col: str = "crawl_delay_s",
-    two_phase_quota: bool = False,
+    two_phase_quota: bool | str = "auto",
+    auto_row_floor: int = 100_000_000,
 ) -> DataFrame:
     """The day's fetch list — the relation a production crawler actually
     executes: :func:`recrawl_schedule` output (or any ``(url, priority,
@@ -530,8 +531,31 @@ def fetch_plan(
     pre-cap for the mega-host case (window functions bypass AQE skew
     splitting, so one billion-page host would land on one reducer —
     the pre-cap sends at most quota × partitions rows per host into the
-    final window instead; exact, costs one extra skew-free exchange)."""
-    from data_etl_with_dbt_spark.operators.relational import per_key_cap
+    final window instead; exact, costs one extra skew-free exchange).
+
+    The DEFAULT ``two_phase_quota='auto'`` decides from measurement, the
+    :func:`~data_etl_with_dbt_spark.operators.relational.advise_join`
+    convention: probe the candidates' host skew
+    (:func:`~data_etl_with_dbt_spark.operators.relational.skew_stats`,
+    one map-side-combined pass over the host column) and take the salted
+    pre-cap only when the heaviest host exceeds ``auto_row_floor`` ROWS
+    (absolute, not share). The floor is deliberately high because the
+    round-8 crossover probe found skew SHARE alone is the wrong trigger:
+    with Spark 3.5+'s ``WindowGroupLimit`` the mega-host reducer is a
+    bounded-heap linear scan, and on local[32] the plain window beat the
+    pre-cap at EVERY probe-able skew (50% of 3M rows on one host: 3.01 s
+    vs 3.41 s; 75% of 12M: 3.95 s vs 4.68 s — the extra skew-free
+    exchange of the full relation costs more than the imbalanced scan).
+    What the pre-cap actually fixes is single-reducer SHUFFLE-INGEST
+    volume — one reducer receiving the mega-host's rows over the network
+    while the rest of the cluster idles — a regime that starts around
+    10^8 rows (~5-10 GB into one task) and that a single-JVM probe
+    cannot reproduce. Both modes are result-identical (pinned in tests);
+    pass ``True``/``False`` to pin the choice and skip the probe."""
+    from data_etl_with_dbt_spark.operators.relational import (
+        per_key_cap,
+        skew_stats,
+    )
 
     order = [
         F.desc(priority_col),
@@ -543,13 +567,19 @@ def fetch_plan(
     cand = schedule.where(
         F.col(priority_col) >= F.lit(int(min_priority))
     ).withColumn("host", url_host(F.col(url_col)))
+    if two_phase_quota == "auto":
+        top = skew_stats(cand, ["host"], top_k=1).collect()
+        top_rows = int(top[0]["key_rows"]) if top else 0
+        two_phase = top_rows >= int(auto_row_floor)
+    else:
+        two_phase = bool(two_phase_quota)
     capped = per_key_cap(
         cand,
         ["host"],
         order,
         int(per_host_quota),
         rank_col="quota_rank",
-        two_phase=two_phase_quota,
+        two_phase=two_phase,
     )
     budgeted = capped.orderBy(*order).limit(int(budget)).drop("host")
     return crawl_slots(

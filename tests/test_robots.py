@@ -432,3 +432,48 @@ def test_warc_ingest_example_runs(spark, tmp_path, capsys):
     assert "daily crawl loop:" in out
     assert "N-day incremental == one-shot" in out
     assert "warc ingest OK" in out
+
+
+def test_fetch_plan_two_phase_modes_result_identical(spark):
+    """two_phase_quota False / True / 'auto' must return the SAME rows on
+    a skewed-host schedule (one host holds half the URLs) — the salted
+    pre-cap is exact (any global top-n row is in its salted group's
+    top-n), and auto only changes WHICH plan runs, never the result.
+    Round-8 crossover probe context lives in the fetch_plan docstring and
+    BENCH_NOTES: the pre-cap is a shuffle-ingest guard for 1e8+-row
+    hosts, not a local-mode win, hence the auto row floor."""
+    from pyspark.sql import functions as F
+
+    from data_etl_with_dbt_spark.sources.robots import fetch_plan
+
+    n = 4000
+    base = spark.range(n).withColumn(
+        "h",
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 37),
+    )
+    sched = base.select(
+        F.format_string("https://h%d.example.com/p%d", "h", "id").alias("url"),
+        (F.col("id") % 3 + 1).cast("int").alias("priority"),
+        (F.col("id") % 86400).cast("bigint").alias("staleness_seconds"),
+    ).repartition(8)
+    results = {}
+    for mode in (False, True, "auto"):
+        rows = sorted(
+            tuple(r)
+            for r in fetch_plan(
+                sched, budget=300, per_host_quota=20, two_phase_quota=mode
+            ).collect()
+        )
+        results[str(mode)] = rows
+    assert results["False"] == results["True"] == results["auto"]
+    assert len(results["False"]) == 300  # budget bound, non-vacuous
+    # a tiny auto_row_floor forces the pre-cap path through auto too —
+    # still identical
+    forced = sorted(
+        tuple(r)
+        for r in fetch_plan(
+            sched, budget=300, per_host_quota=20,
+            two_phase_quota="auto", auto_row_floor=1,
+        ).collect()
+    )
+    assert forced == results["False"]
