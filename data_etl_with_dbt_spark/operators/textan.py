@@ -118,6 +118,59 @@ def lang_id_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: Unicode script classes for :func:`script_mix_stats`. Values are JAVA
+#: script-property names (``\p{IsXxx}``); the RE2 engines the oracle runs
+#: under spell the same class ``\p{Xxx}`` — different spelling, same
+#: codepoint set (agreement pinned cross-engine in the suite oracle).
+#: Restricted to classes where Java and RE2 agree on membership.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "IsLatin",
+    "cyrillic": "IsCyrillic",
+    "han": "IsHan",
+    "arabic": "IsArabic",
+}
+
+
+def script_mix_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    scripts: dict[str, str] | None = None,
+) -> DataFrame:
+    """Unicode-SCRIPT composition of each document — the
+    RefinedWeb/CCNet-style gate that runs BEFORE token-level language ID
+    (stopword lang-ID assumes you already know the script; a
+    Cyrillic-majority page scored against English stopwords is noise,
+    and mixed-script text is the classic spam/SEO signal): per-script
+    codepoint counts, ASCII-digit count, and total codepoints.
+
+    Returns ``(id, n_<script>..., n_digit, n_chars)`` — integer counts
+    only, so the output is engine-stable (fractions are one division away
+    downstream; keeping them out of the relation keeps the hash path
+    float-free). ``scripts`` maps output names to Java script-property
+    names (default :data:`SCRIPT_CLASSES`).
+
+    Scale: pure per-row JVM codegen (``regexp_count`` — no Python, no
+    shuffle, no agg); pipelines into the same scan as quality scoring and
+    PII scrubbing. ``\\d`` is ASCII-only in BOTH Java and RE2, so the
+    digit count is portable too."""
+    scripts = SCRIPT_CLASSES if scripts is None else scripts
+    cols = [F.col(id_col)]
+    for name, cls in scripts.items():
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(f"\\p{{{cls}}}"))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+    cols.append(
+        F.regexp_count(F.col(text_col), F.lit(r"\d"))
+        .cast("bigint")
+        .alias("n_digit")
+    )
+    cols.append(F.length(F.col(text_col)).cast("bigint").alias("n_chars"))
+    return df.select(*cols)
+
+
 #: BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
 #: the shape GPT-2-style byte-pair pre-tokenization produces.
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"

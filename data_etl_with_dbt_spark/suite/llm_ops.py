@@ -365,6 +365,53 @@ def lang_id_heuristic(spark, sf_dir):
 
 
 @query(
+    "script_mix_documents",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || CASE doc_id % 5
+                   WHEN 1 THEN ' кот мир да'
+                   WHEN 2 THEN ' 你好世界'
+                   WHEN 3 THEN ' مرحبا بالعالم'
+                   WHEN 4 THEN ' café señor 42'
+                   ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+           CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+           CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+           CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+           CAST(len(regexp_extract_all(text, '\d')) AS BIGINT) AS n_digit,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM injected
+    """,
+    description=(
+        "Unicode-script composition (textan.script_mix_stats — the "
+        "RefinedWeb/CCNet-style pre-lang-ID gate): per-script codepoint "
+        "counts via Java \\p{IsXxx} vs the oracle's RE2 \\p{Xxx} — same "
+        "class, two engines' spellings, counts must agree exactly. The "
+        "ASCII fixture is residue-injected with Cyrillic/Han/Arabic/"
+        "accented-Latin suffixes by doc_id%5 so every script column is "
+        "non-vacuous; integer counts only (float-free hash path)"
+    ),
+)
+def script_mix_documents(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    inject = (
+        F.when(F.col("doc_id") % 5 == 1, F.lit(" кот мир да"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" 你好世界"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" مرحبا بالعالم"))
+        .when(F.col("doc_id") % 5 == 4, F.lit(" café señor 42"))
+        .otherwise(F.lit(""))
+    )
+    injected = docs.select(
+        "doc_id", F.concat(F.col("text"), inject).alias("text")
+    )
+    return TA.script_mix_stats(injected, "doc_id", "text")
+
+
+@query(
     "token_counting",
     oracle=r"""
     SELECT doc_id,

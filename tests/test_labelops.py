@@ -155,3 +155,35 @@ class TestScrubPii:
         for bad in ("usd$", "a\\b"):
             with pytest.raises(ValueError, match="group"):
                 scrub_pii(docs, "id", "text", kinds={bad: r"\d+"})
+
+
+class TestScriptMixStats:
+    def test_counts_per_script_and_digits(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import script_mix_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "héllo мир 你好 مرحبا 123"),
+                (2, "plain ascii only"),
+                (3, ""),
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r for r in script_mix_stats(docs, "id", "text").collect()}
+        assert (out[1].n_latin, out[1].n_cyrillic, out[1].n_han,
+                out[1].n_arabic, out[1].n_digit, out[1].n_chars) == (
+            5, 3, 2, 5, 3, 22)
+        assert out[2].n_latin == 14 and out[2].n_cyrillic == 0
+        assert out[3].n_chars == 0
+
+    def test_custom_script_classes(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import script_mix_stats
+
+        docs = spark.createDataFrame(
+            [(1, "αβγ abc")], "id long, text string"
+        )
+        out = script_mix_stats(
+            docs, "id", "text", scripts={"greek": "IsGreek"}
+        ).collect()[0]
+        assert out.n_greek == 3
+        assert out.n_chars == 7
