@@ -171,6 +171,91 @@ def script_mix_stats(
     return df.select(*cols)
 
 
+def c4_line_filters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    banned_doc_substrings: tuple[str, ...] = ("{", "lorem ipsum"),
+    emit_text: bool = False,
+) -> DataFrame:
+    """The C4 line/page cleaning recipe (Raffel et al., arXiv 1910.10683
+    §2.2 — the published rules, parameterized):
+
+    line rules (drop the line):
+      * does not END in terminal punctuation (``. ! ?`` or a closing
+        quote — the paper's "terminal punctuation mark" rule)
+      * fewer than ``min_words_per_line`` whitespace words
+      * contains any of ``banned_line_words`` (case-insensitive; the
+        paper drops lines with the word "javascript")
+
+    page rules (``doc_kept=false``):
+      * fewer than ``min_sentences`` sentences AFTER line filtering
+      * contains any of ``banned_doc_substrings`` in the ORIGINAL text
+        (the paper drops pages with ``{`` — code — and "lorem ipsum";
+        case-insensitive)
+
+    Returns one row per input document: ``(id, n_lines, n_lines_kept,
+    n_sentences_kept, doc_kept, cleaned_hash [, cleaned_text])`` —
+    cleaned text is the kept lines newline-joined (md5('') for docs
+    losing every line), ``doc_kept`` the page verdict; counts BIGINT.
+    The paper's bad-words list and its three-sentence span dedup are
+    separate passes (``banned_line_words``/``banned_doc_substrings``
+    take custom lists; :func:`~data_etl_with_dbt_spark.operators.dedup.
+    sentence_substring_regions` is the span dedup).
+
+    Scale: one projection of array expressions per document — split,
+    per-line filter, sentence count via the engine's one sentence
+    expression — no Python, no shuffle, no agg; pipelines into the same
+    scan as the other hygiene passes."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+    def line_ok(line: Column) -> Column:
+        ok = line.rlike(r"[.!?][\"')\]]*$|[\"”]$")
+        ok = ok & (
+            F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+            >= F.lit(int(min_words_per_line))
+        )
+        for word in banned_line_words:
+            ok = ok & ~F.contains(F.lower(line), F.lit(word.lower()))
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    cleaned = F.array_join(kept, "\n")
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        cleaned.alias("__cleaned"),
+    )
+    # sentence count + page verdict read the materialized __cleaned column
+    # (ONE evaluation of the interpreted line filter — Catalyst re-inlines
+    # withColumn-derived HOFs, the no-CSE rule)
+    n_sents = F.size(sentence_array_expr(F.col("__cleaned")))
+    doc_ok = n_sents >= F.lit(int(min_sentences))
+    for sub in banned_doc_substrings:
+        doc_ok = doc_ok & ~F.contains(
+            F.lower(F.col(text_col)), F.lit(sub.lower())
+        )
+    return staged.select(
+        F.col(id_col),
+        "n_lines",
+        "n_lines_kept",
+        F.greatest(n_sents, F.lit(0)).cast("bigint").alias(
+            "n_sentences_kept"
+        ),
+        doc_ok.alias("doc_kept"),
+        F.md5(F.col("__cleaned")).alias("cleaned_hash"),
+        *([F.col("__cleaned").alias("cleaned_text")] if emit_text else []),
+    )
+
+
 #: BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
 #: the shape GPT-2-style byte-pair pre-tokenization produces.
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"

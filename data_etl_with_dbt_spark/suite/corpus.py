@@ -726,6 +726,136 @@ def sentence_dedup_cut(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# C4 line/page cleaning (Raffel et al. §2.2, published rules). The fixture
+# text is single-line, so the input is residue-coded synthesis again: a
+# 240-doc multi-line corpus in which every rule fires — short lines
+# (j%7==3), javascript lines (j%7==5), missing terminal punctuation
+# ((d+j)%4==2), '{' pages (d%11==4), 'lorem ipsum' pages (d%13==6).
+# ---------------------------------------------------------------------------
+
+_C4_LINES_SQL = f"""
+        SELECT doc_id, j,
+               CASE WHEN j = 100 THEN '{{ code }}'
+                    WHEN j = 101 THEN 'Lorem ipsum dolor sit.'
+                    WHEN j % 7 = 3 THEN 'Hi.'
+                    WHEN j % 7 = 5 THEN 'Use javascript here now.'
+                    ELSE 'Alpha beta w' || (doc_id % 6) || ' j' || j ||
+                         CASE (doc_id + j) % 4 WHEN 0 THEN '.'
+                              WHEN 1 THEN '?' WHEN 2 THEN '' ELSE '!' END
+               END AS line
+        FROM (
+            SELECT doc_id, unnest(generate_series(0, 7 + doc_id % 3 - 1)) AS j
+            FROM ({_SENT_IDS_SQL})
+            UNION ALL
+            SELECT doc_id, 100 AS j FROM ({_SENT_IDS_SQL}) WHERE doc_id % 11 = 4
+            UNION ALL
+            SELECT doc_id, 101 AS j FROM ({_SENT_IDS_SQL}) WHERE doc_id % 13 = 6
+        )
+"""
+
+
+def _synth_c4_docs(spark, sf_dir):
+    """Spark twin of _C4_LINES_SQL, assembled as newline-joined TEXT so
+    the operator exercises its own line split end-to-end."""
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(240)
+    )
+    d = F.col("doc_id")
+
+    def line(j):
+        ending = (
+            F.when((d + j) % 4 == F.lit(0), F.lit("."))
+            .when((d + j) % 4 == F.lit(1), F.lit("?"))
+            .when((d + j) % 4 == F.lit(2), F.lit(""))
+            .otherwise(F.lit("!"))
+        )
+        return (
+            F.when(j % 7 == F.lit(3), F.lit("Hi."))
+            .when(j % 7 == F.lit(5), F.lit("Use javascript here now."))
+            .otherwise(
+                F.concat(
+                    F.format_string("Alpha beta w%d j%d", d % 6, j), ending
+                )
+            )
+        )
+
+    n = F.lit(7) + d % 3
+    arr = F.transform(F.sequence(F.lit(0), n - 1), line)
+    arr = F.when(
+        d % 11 == 4, F.concat(arr, F.array(F.lit("{ code }")))
+    ).otherwise(arr)
+    arr = F.when(
+        d % 13 == 6, F.concat(arr, F.array(F.lit("Lorem ipsum dolor sit.")))
+    ).otherwise(arr)
+    return ids.select("doc_id", F.array_join(arr, "\n").alias("text"))
+
+
+@query(
+    "c4_line_page_filters",
+    oracle=f"""
+    WITH lines AS ({_C4_LINES_SQL}),
+    judged AS (
+        SELECT doc_id, j, line,
+               regexp_matches(line, '[.!?]$')
+               AND len(list_filter(string_split_regex(line, '\\s+'),
+                                   x -> x <> '')) >= 3
+               AND NOT contains(lower(line), 'javascript') AS ok
+        FROM lines
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_lines,
+               count(*) FILTER (ok) AS n_lines_kept,
+               coalesce(string_agg(line, chr(10) ORDER BY j)
+                        FILTER (ok), '') AS cleaned,
+               string_agg(line, chr(10) ORDER BY j) AS full_text
+        FROM judged GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+           CAST(len(list_filter(list_transform(
+                    string_split_regex(cleaned, '[.!?]+'), s -> trim(s)),
+                    s -> s <> '')) AS BIGINT) AS n_sentences_kept,
+           len(list_filter(list_transform(
+                   string_split_regex(cleaned, '[.!?]+'), s -> trim(s)),
+                   s -> s <> '')) >= 3
+               AND NOT contains(lower(full_text), '{{')
+               AND NOT contains(lower(full_text), 'lorem ipsum') AS doc_kept,
+           md5(cleaned) AS cleaned_hash
+    FROM per_doc
+    """,
+    description=(
+        "C4 line/page cleaning (textan.c4_line_filters — Raffel et al. "
+        "arXiv 1910.10683 §2.2 published rules: lines must end in "
+        "terminal punctuation, have >=3 words, no 'javascript'; pages "
+        "need >=min sentences after filtering, no '{{', no 'lorem "
+        "ipsum'). Residue-coded 240-doc multi-line corpus fires every "
+        "rule (short/unterminated/javascript lines, brace and lorem "
+        "pages); min_sentences=3 calibrated so the page verdict is "
+        "non-vacuous both ways"
+    ),
+)
+def c4_line_page_filters(spark, sf_dir):
+    docs = _synth_c4_docs(spark, sf_dir)
+    out = TA.c4_line_filters(
+        docs, "doc_id", "text", min_sentences=3
+    )
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences_kept",
+        "doc_kept",
+        "cleaned_hash",
+    )
+
+
 @query(
     "corpus_mixture_sample",
     oracle=r"""

@@ -187,3 +187,65 @@ class TestScriptMixStats:
         ).collect()[0]
         assert out.n_greek == 3
         assert out.n_chars == 7
+
+
+class TestC4LineFilters:
+    def test_published_rules(self, spark):
+        """Raffel et al. §2.2: terminal-punct lines only, >=3 words, no
+        'javascript' lines; pages need >= min sentences after filtering,
+        no '{', no 'lorem ipsum' (case-insensitive, judged on the
+        ORIGINAL text)."""
+        import hashlib as _h
+
+        from data_etl_with_dbt_spark.operators.textan import c4_line_filters
+
+        docs = spark.createDataFrame(
+            [
+                # 3 good lines; one unterminated, one short, one js
+                (1, "Alpha beta gamma one.\nno terminal here\nHi.\n"
+                    "Use javascript now please.\nDelta epsilon zeta two!\n"
+                    'He said "stop right there."'),
+                # page banned by brace even though lines are clean
+                (2, "Alpha beta gamma one.\nfn() { return }\n"
+                    "Delta epsilon zeta two."),
+                # page banned by Lorem Ipsum (case-insensitive)
+                (3, "Lorem Ipsum dolor sit amet.\nAlpha beta gamma one."),
+                # everything dropped -> md5('')
+                (4, "short\nalso short\nnope"),
+            ],
+            "id long, text string",
+        )
+        out = {
+            r.id: r
+            for r in c4_line_filters(
+                docs, "id", "text", min_sentences=2, emit_text=True
+            ).collect()
+        }
+        assert out[1].n_lines == 6 and out[1].n_lines_kept == 3
+        assert out[1].cleaned_text == (
+            "Alpha beta gamma one.\nDelta epsilon zeta two!\n"
+            'He said "stop right there."'
+        )
+        # 4, not 3: the engine's sentence split ([.!?]+) leaves the
+        # closing quote after the final period as its own fragment —
+        # consistent with sentence_array_expr everywhere else
+        assert out[1].n_sentences_kept == 4 and out[1].doc_kept
+        assert not out[2].doc_kept          # '{' page rule
+        assert out[2].n_lines_kept == 2     # lines themselves were fine
+        assert not out[3].doc_kept          # lorem ipsum, case-insensitive
+        assert out[4].n_lines_kept == 0
+        assert out[4].cleaned_hash == _h.md5(b"").hexdigest()
+        assert not out[4].doc_kept
+
+    def test_custom_ban_lists(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import c4_line_filters
+
+        docs = spark.createDataFrame(
+            [(1, "Buy cheap pills online now.\nAlpha beta gamma delta.")],
+            "id long, text string",
+        )
+        out = c4_line_filters(
+            docs, "id", "text", min_sentences=1,
+            banned_line_words=("pills",), banned_doc_substrings=(),
+        ).collect()[0]
+        assert out.n_lines_kept == 1 and out.doc_kept
