@@ -93,3 +93,43 @@ def url_registered_domain(url: Column | str, levels: int = 2) -> Column:
     return F.when(n <= levels, host).otherwise(
         F.array_join(F.slice(parts, n - levels + 1, levels), ".")
     )
+
+
+def url_features(url: Column | str) -> list[Column]:
+    """URL-SHAPE features for crawl filtering — the Dolma/RefinedWeb-style
+    URL rules pipelines apply BEFORE fetching or scoring content (deep
+    machine-generated paths, parameter farms, raw-IP hosts, and
+    digit-heavy subdomains are the classic spam shapes): a list of named
+    Columns to splice next to the url in one projection.
+
+    * ``host`` — lowercased, port-less (:func:`url_host`)
+    * ``path_depth`` — non-empty path segments
+    * ``n_query_params`` — non-empty ``&``-separated params
+    * ``n_host_labels`` — dot-separated host labels (subdomain depth)
+    * ``n_host_digits`` — ASCII digits in the host
+    * ``url_len`` — raw string length
+    * ``is_ip_host`` — dotted-quad host
+    * ``has_port`` — explicit port in the authority
+
+    All ``parse_url`` + array expressions — JVM codegen beside the scan,
+    the canonicalize_url convention. Counts BIGINT, flags BOOLEAN, so a
+    downstream gate composes thresholds without float traffic."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = url_host(u)
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda p: p != "")
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    authority = F.coalesce(F.parse_url(u, F.lit("AUTHORITY")), F.lit(""))
+    return [
+        host.alias("host"),
+        F.size(segs).cast("bigint").alias("path_depth"),
+        F.size(params).cast("bigint").alias("n_query_params"),
+        F.size(F.split(host, r"\.")).cast("bigint").alias("n_host_labels"),
+        F.regexp_count(host, F.lit(r"\d")).cast("bigint").alias(
+            "n_host_digits"
+        ),
+        F.length(u).cast("bigint").alias("url_len"),
+        host.rlike(r"^(\d{1,3}\.){3}\d{1,3}$").alias("is_ip_host"),
+        authority.rlike(r":\d+$").alias("has_port"),
+    ]

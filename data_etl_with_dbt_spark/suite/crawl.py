@@ -854,3 +854,92 @@ def robots_directives_gallery(spark, sf_dir):
         "crawl_delay_s",
         F.size("sitemap_urls").cast("bigint").alias("n_sitemaps"),
     )
+
+
+@query(
+    "url_shape_features",
+    oracle=r"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 240),
+    u AS (
+        SELECT doc_id, CASE doc_id % 7
+            WHEN 0 THEN 'https://10.0.' || doc_id || '.1/p' || doc_id
+            WHEN 1 THEN 'https://shop' || doc_id ||
+                        '.example.com:8443/a/b/c/p' || doc_id || '?x=1&y=2'
+            WHEN 2 THEN 'https://www.blog' || doc_id ||
+                        '.example.co.uk/deep/a/b/c/d/e'
+            WHEN 3 THEN 'https://example.com/?q=' || doc_id || '&utm_source=x'
+            WHEN 4 THEN 'https://h' || doc_id || '.example.com/p' || doc_id
+            WHEN 5 THEN 'https://a' || doc_id || 'b' || doc_id ||
+                        'c.example.com/p?a=1&b=2&c=3'
+            ELSE 'https://example.com' END AS url
+        FROM ids
+    ),
+    parts AS (
+        SELECT doc_id, url,
+            lower(regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                                 ':[0-9]+$', '')) AS host,
+            regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path,
+            CASE WHEN contains(url, '?')
+                 THEN regexp_extract(url, '\?([^#]*)', 1) ELSE '' END AS query,
+            regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS authority
+        FROM u
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, url, host,
+        CAST(len(list_filter(string_split(path, '/'), p -> p <> ''))
+             AS BIGINT) AS path_depth,
+        CAST(len(list_filter(string_split(query, '&'), p -> p <> ''))
+             AS BIGINT) AS n_query_params,
+        CAST(len(string_split(host, '.')) AS BIGINT) AS n_host_labels,
+        CAST(len(regexp_extract_all(host, '\d')) AS BIGINT) AS n_host_digits,
+        CAST(length(url) AS BIGINT) AS url_len,
+        regexp_matches(host, '^(\d{1,3}\.){3}\d{1,3}$') AS is_ip_host,
+        regexp_matches(authority, ':[0-9]+$') AS has_port
+    FROM parts
+    """,
+    description=(
+        "URL-shape features (functions/web.url_features — the Dolma/"
+        "RefinedWeb-style URL filter signals applied before fetch or "
+        "content scoring): host, path depth, query-param count, host "
+        "label/digit counts, raw length, dotted-quad and explicit-port "
+        "flags, all parse_url + array expressions in one projection. "
+        "Residue-coded 240-URL corpus covers every shape (IP hosts, "
+        "ports, deep paths, param farms, digit-heavy subdomains, bare "
+        "hosts); oracle re-derives parse_url with RE2 regexps"
+    ),
+)
+def url_shape_features(spark, sf_dir):
+    from data_etl_with_dbt_spark.functions.web import url_features
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(240)
+    )
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 7 == 0, F.format_string("https://10.0.%d.1/p%d", d, d))
+        .when(
+            d % 7 == 1,
+            F.format_string(
+                "https://shop%d.example.com:8443/a/b/c/p%d?x=1&y=2", d, d
+            ),
+        )
+        .when(
+            d % 7 == 2,
+            F.format_string("https://www.blog%d.example.co.uk/deep/a/b/c/d/e", d),
+        )
+        .when(
+            d % 7 == 3,
+            F.format_string("https://example.com/?q=%d&utm_source=x", d),
+        )
+        .when(d % 7 == 4, F.format_string("https://h%d.example.com/p%d", d, d))
+        .when(
+            d % 7 == 5,
+            F.format_string("https://a%db%dc.example.com/p?a=1&b=2&c=3", d, d),
+        )
+        .otherwise(F.lit("https://example.com"))
+    )
+    urls = ids.select(big(d).alias("doc_id"), url.alias("url"))
+    return urls.select("doc_id", "url", *url_features("url"))

@@ -144,6 +144,34 @@ class TestWebFunctions:
         )
         assert (out[1].h, out[1].d) == ("a.com", "a.com")
 
+    def test_url_features_shapes(self, spark):
+        from data_etl_with_dbt_spark.functions.web import url_features
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://10.0.3.1/p9"),
+                (2, "https://shop.example.com:8443/a/b/c?x=1&y=2"),
+                (3, "https://example.com"),
+                (4, "https://a1b2c.www.example.co.uk/deep/a/b/c/d/e"),
+            ],
+            "id long, url string",
+        )
+        out = {
+            r.id: r for r in df.select("id", *url_features("url")).collect()
+        }
+        r = out[1]
+        assert (r.host, r.path_depth, r.n_query_params) == ("10.0.3.1", 1, 0)
+        assert r.is_ip_host and not r.has_port
+        assert r.n_host_digits == 5 and r.n_host_labels == 4
+        r = out[2]
+        assert (r.host, r.path_depth, r.n_query_params) == (
+            "shop.example.com", 3, 2)
+        assert r.has_port and not r.is_ip_host
+        r = out[3]
+        assert (r.path_depth, r.n_query_params, r.n_host_labels) == (0, 0, 2)
+        r = out[4]
+        assert (r.path_depth, r.n_host_labels, r.n_host_digits) == (6, 5, 2)
+
     def test_stays_jvm_side(self, spark):
         from data_etl_with_dbt_spark.functions.web import canonicalize_url
         from data_etl_with_dbt_spark.plans import lint
