@@ -113,7 +113,13 @@ def url_features(url: Column | str) -> list[Column]:
 
     All ``parse_url`` + array expressions — JVM codegen beside the scan,
     the canonicalize_url convention. Counts BIGINT, flags BOOLEAN, so a
-    downstream gate composes thresholds without float traffic."""
+    downstream gate composes thresholds without float traffic.
+
+    Unparseable-host URLs (Java's ``parse_url`` REJECTS e.g. a dotted
+    quad with an octet > 255, returning NULL where a regex would match)
+    yield NULL host and NULL host-derived counts/flags — never ``-1``
+    (``size(NULL)``'s legacy sentinel must not leak into a feature
+    column a threshold gate would compare against)."""
     u = F.col(url) if isinstance(url, str) else url
     host = url_host(u)
     path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
@@ -121,11 +127,14 @@ def url_features(url: Column | str) -> list[Column]:
     segs = F.filter(F.split(path, "/"), lambda p: p != "")
     params = F.filter(F.split(query, "&"), lambda p: p != "")
     authority = F.coalesce(F.parse_url(u, F.lit("AUTHORITY")), F.lit(""))
+    n_labels = F.when(
+        host.isNotNull(), F.size(F.split(host, r"\."))
+    )
     return [
         host.alias("host"),
         F.size(segs).cast("bigint").alias("path_depth"),
         F.size(params).cast("bigint").alias("n_query_params"),
-        F.size(F.split(host, r"\.")).cast("bigint").alias("n_host_labels"),
+        n_labels.cast("bigint").alias("n_host_labels"),
         F.regexp_count(host, F.lit(r"\d")).cast("bigint").alias(
             "n_host_digits"
         ),

@@ -862,7 +862,7 @@ def robots_directives_gallery(spark, sf_dir):
     WITH ids AS (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 240),
     u AS (
         SELECT doc_id, CASE doc_id % 7
-            WHEN 0 THEN 'https://10.0.' || doc_id || '.1/p' || doc_id
+            WHEN 0 THEN 'https://10.0.' || (doc_id % 200) || '.1/p' || doc_id
             WHEN 1 THEN 'https://shop' || doc_id ||
                         '.example.com:8443/a/b/c/p' || doc_id || '?x=1&y=2'
             WHEN 2 THEN 'https://www.blog' || doc_id ||
@@ -904,7 +904,9 @@ def robots_directives_gallery(spark, sf_dir):
         "flags, all parse_url + array expressions in one projection. "
         "Residue-coded 240-URL corpus covers every shape (IP hosts, "
         "ports, deep paths, param farms, digit-heavy subdomains, bare "
-        "hosts); oracle re-derives parse_url with RE2 regexps"
+        "hosts; IP octets clamped %200 — Java parse_url REJECTS octets "
+        ">255 where a regex matches, the subset70 lesson); oracle "
+        "re-derives parse_url with RE2 regexps"
     ),
 )
 def url_shape_features(spark, sf_dir):
@@ -919,7 +921,7 @@ def url_shape_features(spark, sf_dir):
     )
     d = F.col("doc_id")
     url = (
-        F.when(d % 7 == 0, F.format_string("https://10.0.%d.1/p%d", d, d))
+        F.when(d % 7 == 0, F.format_string("https://10.0.%d.1/p%d", d % 200, d))
         .when(
             d % 7 == 1,
             F.format_string(

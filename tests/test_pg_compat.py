@@ -172,6 +172,23 @@ class TestWebFunctions:
         r = out[4]
         assert (r.path_depth, r.n_host_labels, r.n_host_digits) == (6, 5, 2)
 
+    def test_url_features_unparseable_host_yields_nulls_not_sentinels(
+        self, spark
+    ):
+        """Java parse_url REJECTS a dotted quad with an octet > 255 (a
+        regex would match it) — host-derived features must come back
+        NULL, never size(NULL)'s -1 sentinel (subset70 regression)."""
+        from data_etl_with_dbt_spark.functions.web import url_features
+
+        df = spark.createDataFrame(
+            [(1, "https://10.0.273.1/p")], "id long, url string"
+        )
+        r = df.select("id", *url_features("url")).collect()[0]
+        assert r.host is None
+        assert r.n_host_labels is None and r.n_host_digits is None
+        assert r.is_ip_host is None
+        assert r.path_depth == 1 and r.url_len == 20
+
     def test_stays_jvm_side(self, spark):
         from data_etl_with_dbt_spark.functions.web import canonicalize_url
         from data_etl_with_dbt_spark.plans import lint
