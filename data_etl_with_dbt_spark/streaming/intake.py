@@ -498,7 +498,17 @@ def substring_intake_sink(
     width hash rows ride the shuffles, never span text) + one id-keyed
     cut join; the index grows by first-seen shingle cardinality and the
     commit appends only new hashes — at 100 TB front the index probe
-    with a Bloom filter and vacuum old versions on a schedule."""
+    with a Bloom filter and vacuum old versions on a schedule.
+
+    Replay (the standard foreachBatch at-least-once caveat, the
+    versioned_sink convention): a batch re-delivered after a crash
+    BETWEEN the corpus append and the index commit re-runs against the
+    pre-batch index (the commit never landed), producing the same
+    cleaned rows — duplicated in the corpus, dedupable downstream on
+    ``id``. The write ORDER is deliberate: committing the index first
+    would make the replay see the batch's own hashes and mis-cut its
+    text as duplicate — corpus-first turns the failure into harmless
+    duplication instead of corruption."""
     from ..operators.dedup import (
         incremental_exact_substring_regions,
         remove_duplicate_regions,
