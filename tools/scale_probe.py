@@ -61,6 +61,11 @@ def _ops():
         "robots_audit": _robots_audit,
         "recrawl": _recrawl,
         "crawl_slots": _crawl_slots,
+        "sentence_regions": _sentence_regions,
+        "sentence_cut": _sentence_cut,
+        "c4_lines": _c4_lines,
+        "script_mix": _script_mix,
+        "url_features": _url_features,
     }
 
 
@@ -196,6 +201,93 @@ def _bpe_encode(df):
     from data_etl_with_dbt_spark.operators import textan as TA
 
     return TA.bpe_encode(df, "doc_id", "text", _PROBE_MERGES)
+
+
+def _sentence_text(n_sents: int = 12, classes: int = 1000):
+    """Residue-coded multi-sentence text (the suite synthesis pattern at
+    probe scale): docs in the same %classes class share sentences, a
+    per-doc unique sentence every 5th position breaks runs — heavy
+    cross-doc duplication at any row count, pure codegen to build."""
+    d = F.col("doc_id")
+    sent = lambda j: F.when(  # noqa: E731
+        j % 5 == F.lit(2),
+        F.format_string("unique d%d j%d", d, j),
+    ).otherwise(
+        F.format_string("common c%d j%d", d % classes, j)
+    )
+    return F.concat(
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(n_sents - 1)), sent),
+            ". ",
+        ),
+        F.lit("."),
+    )
+
+
+def _sentence_regions(df):
+    from data_etl_with_dbt_spark.operators import dedup as D
+
+    docs = df.select("doc_id", _sentence_text().alias("text"))
+    return D.sentence_substring_regions(
+        docs, "doc_id", "text", span_sentences=3
+    )
+
+
+def _sentence_cut(df):
+    from data_etl_with_dbt_spark.operators import dedup as D
+
+    docs = df.select("doc_id", _sentence_text().alias("text"))
+    regions = D.sentence_substring_regions(
+        docs, "doc_id", "text", span_sentences=3
+    )
+    return D.remove_duplicate_regions(
+        docs, regions, "doc_id", "text", unit="sentence"
+    )
+
+
+def _c4_lines(df):
+    from data_etl_with_dbt_spark.operators import textan as TA
+
+    # newline-joined variant of the sentence synthesis: every C4 rule
+    # fires (no-terminal lines via the %4 ending, short 'Hi.' lines,
+    # javascript lines)
+    d = F.col("doc_id")
+    line = lambda j: F.when(j % 7 == F.lit(3), F.lit("Hi.")).when(  # noqa: E731
+        j % 7 == F.lit(5), F.lit("Use javascript here now.")
+    ).otherwise(
+        F.concat(
+            F.format_string("Alpha beta w%d j%d", d % 1000, j),
+            F.when((d + j) % 4 == F.lit(2), F.lit("")).otherwise(F.lit(".")),
+        )
+    )
+    docs = df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(11)), line), "\n"
+        ).alias("text"),
+    )
+    return TA.c4_line_filters(docs, "doc_id", "text", min_sentences=3)
+
+
+def _script_mix(df):
+    from data_etl_with_dbt_spark.operators import textan as TA
+
+    mixed = df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" кот мир"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" 你好世界"))
+            .otherwise(F.lit(" مرحبا")),
+        ).alias("text"),
+    )
+    return TA.script_mix_stats(mixed, "doc_id", "text")
+
+
+def _url_features(df):
+    from data_etl_with_dbt_spark.functions.web import url_features
+
+    return df.select("doc_id", *url_features(_probe_url()))
 
 
 def main() -> None:
