@@ -29,16 +29,27 @@ from data_etl_with_dbt_spark.operators.similarity import (  # noqa: F401
 )
 from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
     bm25_scores,
+    c4_line_filters,
     doc_fingerprint,
     bpe_segment,
     inverted_index,
     gopher_quality_flags,
     lang_id_scores,
     mixture_sample,
+    script_mix_stats,
+    scrub_pii,
+    sentence_array_expr,
+    sentences_jvm,
     text_stats,
     token_count_bpe_ish,
     train_bpe,
     unigram_logprob_score,
+)
+from data_etl_with_dbt_spark.operators.dedup import (  # noqa: F401
+    exact_substring_regions,
+    incremental_exact_substring_regions,
+    remove_duplicate_regions,
+    sentence_substring_regions,
 )
 from data_etl_with_dbt_spark.operators.sketch import (  # noqa: F401
     bloom_build,
