@@ -1712,3 +1712,80 @@ class TestSubstringIntakeSink:
             )
             with pytest.raises(ValueError, match="incomparable"):
                 other(docs, 1)
+
+
+def test_substring_intake_sink_through_real_stream(spark, tmp_path):
+    """Drive substring_intake_sink through an actual file-source stream
+    (maxFilesPerTrigger=1, availableNow) — the integration the direct
+    per-batch tests skip: checkpointed batch ids, mtime-ordered arrival,
+    versioned index commits one per micro-batch, cleaned docs accumulate
+    with regions judged against the PERSISTED index (batch-1 text never
+    re-read)."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.sources import versioned as V
+    from data_etl_with_dbt_spark.streaming.intake import substring_intake_sink
+
+    A = "a b c d e f g h"
+    src = tmp_path / "docs_src"
+    src.mkdir()
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1)
+
+    mk([(1, A)]).write.parquet(str(src / "f0"))
+    # doc 10 embeds doc 1's whole text after a 3-token prefix -> one
+    # maximal region [3, 11) found via the index, not a re-read
+    mk([(10, "x y z " + A)]).write.parquet(str(src / "f1"))
+    # unique content + an in-batch self-repetition of a 3-token block
+    mk([(20, "p q r s t u v"), (21, "m n o m n o m n o")]).write.parquet(
+        str(src / "f2")
+    )
+    now = _time.time()
+    for i, d in enumerate(("f0", "f1", "f2")):
+        for f in _glob.glob(str(src / d / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    sink = substring_intake_sink(
+        index_path=str(tmp_path / "index"),
+        corpus_path=str(tmp_path / "corpus"),
+        id_col="doc_id",
+        text_col="text",
+        span_tokens=3,
+        regions_ledger_path=str(tmp_path / "regions"),
+        emit_text=True,
+    )
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    corpus = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert sorted(corpus) == [1, 10, 20, 21]
+    assert corpus[1].n_tokens_removed == 0 and corpus[1].cleaned_text == A
+    assert corpus[10].n_tokens_removed == 8  # the embedded copy, via index
+    assert corpus[10].cleaned_text == "x y z"
+    assert corpus[20].n_tokens_removed == 0
+    # in-batch keep-first: positions 3.. duplicate the leading "m n o"
+    # run, merging to one region [3, 9)
+    assert corpus[21].n_tokens_removed == 6
+    regions = {
+        (r.doc_id, r.region_start, r.region_end, r.batch_id)
+        for r in spark.read.parquet(str(tmp_path / "regions")).collect()
+    }
+    assert regions == {(10, 3, 11, 1), (21, 3, 9, 2)}
+    # one atomic index version per micro-batch
+    assert len(V.list_versions(str(tmp_path / "index"))) == 3
