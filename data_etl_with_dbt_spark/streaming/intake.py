@@ -556,6 +556,9 @@ def substring_intake_sink(
             batch, index, id_col, text_col,
             span_tokens=span_tokens, unit=unit,
         )
+        # two consumers below (the cut join and the ledger append) and no
+        # cross-consumer CSE — materialize the shingle/window pass once
+        regions = regions.localCheckpoint(eager=False)
         cleaned = remove_duplicate_regions(
             batch, regions, id_col, text_col,
             emit_text=emit_text, unit=unit,
