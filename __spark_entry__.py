@@ -65,16 +65,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Regenerate the tiers after each round with: python tools/rotate_window.py
 
 WINDOW = [
-    "c4_line_page_filters", "script_mix_documents", "sentence_dedup_cut",
-    "sentence_dedup_regions", "streaming_substring_cut",
-    "url_shape_features", "semantic_dedup_clusters_lsh",
-    "topic_model_documents", "unigram_lm_vocab", "warc_ingest_pipeline",
-    "ann_cosine_topk_arrow", "q21_suppliers_kept_waiting",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
-    "q9_product_type_profit", "range_join_clicks_before_error",
-    "redact_entities", "repetition_stats", "scalar_date_gallery",
-    "scalar_regexp_gallery", "scalar_string_gallery",
+    "c4_line_page_filters", "redpajama_quality_signals",
+    "script_mix_documents", "sentence_dedup_cut", "sentence_dedup_regions",
+    "streaming_substring_cut", "url_shape_features",
+    "semantic_dedup_clusters_lsh", "topic_model_documents",
+    "unigram_lm_vocab", "warc_ingest_pipeline", "ann_cosine_topk_arrow",
+    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q9_product_type_profit",
+    "range_join_clicks_before_error", "redact_entities", "repetition_stats",
+    "scalar_date_gallery", "scalar_regexp_gallery", "scalar_string_gallery",
     "semantic_dedup_clusters", "sequence_packing", "session_window_events",
     "set_except_all", "set_operations", "skew_stats_orders",
     "sliding_window_events", "stratified_sample_documents", "subquery_in",
@@ -83,7 +83,7 @@ WINDOW = [
     "ab_test_summary", "acf_daily_values", "agg_bitwise", "agg_boolean",
     "agg_correlation_matrix", "annotator_agreement",
     "asof_forward_error_to_click", "attribution_purchase_touchpoints",
-    "benford_first_digit_orders", "bm25_top_docs",
+    "benford_first_digit_orders",
 ]
 
 ZQ_QUEUED = [
@@ -94,7 +94,7 @@ ZV_VERIFIED = [
     "activity_streaks", "agg_cube", "agg_distinct", "agg_exact_percentiles",
     "agg_grouping_sets", "agg_linear_regression", "agg_ordered_string",
     "agg_rollup", "agg_statistics", "ann_cosine_topk", "asof_error_to_click",
-    "boilerplate_ngram_prune", "bpe_pair_merge_step",
+    "bm25_top_docs", "boilerplate_ngram_prune", "bpe_pair_merge_step",
     "calendar_spine_gap_fill", "cascade_delete_impact", "cdc_apply_orders",
     "cdc_debezium_apply_orders", "cdc_strict_seq_replication",
     "chunk_documents", "cohort_retention", "column_entropy_events",

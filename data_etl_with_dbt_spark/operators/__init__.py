@@ -36,6 +36,7 @@ from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
     gopher_quality_flags,
     lang_id_scores,
     mixture_sample,
+    redpajama_quality_signals,
     script_mix_stats,
     scrub_pii,
     sentence_array_expr,

@@ -256,6 +256,59 @@ def c4_line_filters(
     )
 
 
+def redpajama_quality_signals(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """RedPajama-Data-v2-style quality signals (Together 2023; the
+    natural-language subset whose published form is a per-doc ratio) —
+    the third published-recipe gate next to Gopher flags and the C4 line
+    rules: ellipsis-terminated and bullet-led line counts, words with no
+    alphabetic character, unique-word count, and symbol occurrences
+    (``#``, ``...``, ``…``).
+
+    Everything is an exact INTEGER count (``n_*``); the published
+    fractions (frac_lines_end_with_ellipsis, frac_no_alph_words,
+    frac_unique_words, symbol_to_word_ratio) are each one division
+    downstream — keeping ratios out of the relation keeps the hash path
+    float-free (the engine's cross-engine determinism rule). Lines split
+    on newlines and trim like :func:`c4_line_filters`; words are the
+    engine tokenizer's.
+
+    Scale: one projection of array/regexp expressions per document — no
+    Python, no shuffle; pipelines into the same scan as the other
+    hygiene passes. (The set's perplexity/entropy signals live in
+    ``unigram_logprob_score`` — float folds need the quantized-oracle
+    treatment, not this integer relation.)"""
+    toks = tokens_expr(F.col(text_col))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_symbols = (
+        F.regexp_count(F.col(text_col), F.lit(r"#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+        + F.regexp_count(F.col(text_col), F.lit("…"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias(
+            "n_unique_words"
+        ),
+        F.size(
+            F.filter(toks, lambda t: ~t.rlike("[a-z]"))
+        ).cast("bigint").alias("n_no_alph_words"),
+        n_symbols.cast("bigint").alias("n_symbols"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        ).cast("bigint").alias("n_lines_end_ellipsis"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^[-*•‣▶◦·]"))
+        ).cast("bigint").alias("n_lines_start_bullet"),
+    )
+
+
 #: BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
 #: the shape GPT-2-style byte-pair pre-tokenization produces.
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"

@@ -412,6 +412,94 @@ def script_mix_documents(spark, sf_dir):
 
 
 @query(
+    "redpajama_quality_signals",
+    oracle=r"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 240),
+    lines AS (
+        SELECT doc_id, j,
+               CASE j % 5
+                   WHEN 0 THEN '- bullet item w' || (doc_id % 9) || ' j' || j
+                   WHEN 1 THEN 'to be continued j' || j || '...'
+                   WHEN 2 THEN '123 456 %% j' || j
+                   WHEN 3 THEN 'alpha beta alpha beta # j' || j
+                   ELSE 'gamma delta … j' || j END AS line
+        FROM (SELECT doc_id, unnest(generate_series(0, 5 + doc_id % 3 - 1)) AS j
+              FROM ids)
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY j) AS text,
+               count(*) AS n_lines,
+               count(*) FILTER (regexp_matches(line, '(\.\.\.|…)$'))
+                   AS n_lines_end_ellipsis,
+               count(*) FILTER (regexp_matches(line, '^[-*•‣▶◦·]'))
+                   AS n_lines_start_bullet
+        FROM lines GROUP BY doc_id
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS t,
+               text, n_lines, n_lines_end_ellipsis, n_lines_start_bullet
+        FROM per_doc
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_words,
+           CAST(len(list_filter(t, x -> NOT regexp_matches(x, '[a-z]')))
+                AS BIGINT) AS n_no_alph_words,
+           CAST(len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\.\.\.'))
+                + len(regexp_extract_all(text, '…')) AS BIGINT) AS n_symbols,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_lines_end_ellipsis AS BIGINT) AS n_lines_end_ellipsis,
+           CAST(n_lines_start_bullet AS BIGINT) AS n_lines_start_bullet
+    FROM toks
+    """,
+    description=(
+        "RedPajama-Data-v2-style quality signals "
+        "(textan.redpajama_quality_signals — the third published-recipe "
+        "gate next to Gopher and C4): bullet-led and ellipsis-terminated "
+        "line counts, no-alphabet words, unique words, symbol "
+        "occurrences (#/.../…) — all exact integer counts, the published "
+        "fractions one division downstream. Residue-coded 240-doc "
+        "multi-line corpus fires every signal each doc"
+    ),
+)
+def redpajama_quality_signals(spark, sf_dir):
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(240)
+    )
+    d = F.col("doc_id")
+    line = lambda j: (  # noqa: E731
+        F.when(
+            j % 5 == F.lit(0),
+            F.format_string("- bullet item w%d j%d", d % 9, j),
+        )
+        .when(j % 5 == F.lit(1), F.format_string("to be continued j%d...", j))
+        .when(j % 5 == F.lit(2), F.format_string("123 456 %%%% j%d", j))
+        .when(
+            j % 5 == F.lit(3),
+            F.format_string("alpha beta alpha beta # j%d", j),
+        )
+        .otherwise(F.format_string("gamma delta … j%d", j))
+    )
+    n = F.lit(5) + d % 3
+    docs = ids.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n - 1), line), "\n"
+        ).alias("text"),
+    )
+    out = TA.redpajama_quality_signals(docs, "doc_id", "text")
+    return out.select(big(F.col("doc_id")).alias("doc_id"), *out.columns[1:])
+
+
+@query(
     "token_counting",
     oracle=r"""
     SELECT doc_id,

@@ -249,3 +249,33 @@ class TestC4LineFilters:
             banned_line_words=("pills",), banned_doc_substrings=(),
         ).collect()[0]
         assert out.n_lines_kept == 1 and out.doc_kept
+
+
+class TestRedpajamaSignals:
+    def test_signal_counts(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import (
+            redpajama_quality_signals,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "- first bullet\nplain line here\nwait for it...\n"
+                    "count 123 %% symbols # and … done\nalpha alpha alpha"),
+                (2, ""),
+            ],
+            "id long, text string",
+        )
+        out = {
+            r.id: r
+            for r in redpajama_quality_signals(docs, "id", "text").collect()
+        }
+        r = out[1]
+        assert r.n_lines == 5
+        assert r.n_lines_start_bullet == 1
+        assert r.n_lines_end_ellipsis == 1
+        # no-alph words: '123', '%%', '#', '…' (plus '-' from the bullet)
+        assert r.n_no_alph_words == 5
+        assert r.n_symbols == 3  # '#', '...', '…'
+        assert r.n_words == 20 and r.n_unique_words == 18  # alpha x3 dedups
+        r = out[2]
+        assert (r.n_words, r.n_lines, r.n_symbols) == (0, 0, 0)

@@ -462,3 +462,52 @@ def test_no_forced_broadcast_of_scale_growing_tables():
             if banned.search(line):
                 hits.append(f"{path}:{i}: {line.strip()}")
     assert not hits, "forced broadcast of scale-growing frame:\n" + "\n".join(hits)
+
+
+def test_sentence_substring_regions_two_exchanges(spark):
+    """The sentence form must keep the token form's plan: exactly two
+    hash exchanges (keep-first window on the span key, island merge on
+    the id — the merge and the per-doc rollup REUSE the id partitioning),
+    and span TEXT never rides a shuffle (hash longs only)."""
+    import re
+
+    from data_etl_with_dbt_spark.operators.dedup import (
+        sentence_substring_regions,
+    )
+    from data_etl_with_dbt_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = (
+        sentence_substring_regions(docs, "doc_id", "text", span_sentences=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    keys = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert any("doc_id" in k for k in keys)
+    assert any("__key" in k for k in keys)
+
+
+def test_c4_and_script_gates_are_single_projection(spark):
+    """The hygiene gates must be scan-shaped: no exchange, no Python eval
+    — one projection over the documents scan."""
+    from data_etl_with_dbt_spark.operators.textan import (
+        c4_line_filters,
+        script_mix_stats,
+    )
+    from data_etl_with_dbt_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for df in (
+        c4_line_filters(docs, "doc_id", "text"),
+        script_mix_stats(docs, "doc_id", "text"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
