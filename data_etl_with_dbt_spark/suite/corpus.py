@@ -726,6 +726,51 @@ def sentence_dedup_cut(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_duplication_profile",
+    oracle=f"""
+    WITH cut AS ({_REGISTRY["exact_substring_dedup_cut"].oracle}),
+    src AS (SELECT DISTINCT doc_id, source FROM documents)
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (c.n_tokens_removed > 0) AS BIGINT)
+               AS n_docs_with_dups,
+           CAST(sum(c.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(c.n_tokens_removed) AS BIGINT) AS dup_tokens
+    FROM cut c JOIN src s ON c.doc_id = s.doc_id
+    GROUP BY s.source
+    """,
+    description=(
+        "Per-source corpus duplication profile — the report every "
+        "curation pipeline publishes before/after dedup: documents, "
+        "documents carrying duplicate regions, total vs duplicate-region "
+        "tokens per source (exact merged-interval union via "
+        "remove_duplicate_regions; the published dup fraction is one "
+        "division downstream). Source rollup rides the cut output — "
+        "corpus scanned once beyond the region pass itself"
+    ),
+)
+def corpus_duplication_profile(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).distinct()
+    body = docs.select("doc_id", "text")
+    regions = D.exact_substring_regions(body, "doc_id", "text", span_tokens=10)
+    cut = D.remove_duplicate_regions(body, regions, "doc_id", "text")
+    return (
+        cut.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            big(F.count(F.lit(1))).alias("n_docs"),
+            big(
+                F.count(F.when(F.col("n_tokens_removed") > 0, 1))
+            ).alias("n_docs_with_dups"),
+            big(F.sum("n_tokens")).alias("total_tokens"),
+            big(F.sum("n_tokens_removed")).alias("dup_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 line/page cleaning (Raffel et al. §2.2, published rules). The fixture
 # text is single-line, so the input is residue-coded synthesis again: a
