@@ -1774,3 +1774,93 @@ def part_entity_clusters(spark, sf_dir):
         "cluster_size",
         "is_canonical",
     )
+
+
+# ---------------------------------------------------------------------------
+# The composite curation decision — defined LAST because it interpolates
+# the gopher/decontamination/substring-cut oracles, which must already be
+# bound above.
+# ---------------------------------------------------------------------------
+
+
+def _on_distinct_docs(oracle_sql: str) -> str:
+    """Re-point a component oracle at the (doc_id, text)-deduped source —
+    the composite decision query pre-dedups its input on the contract key
+    (dup2 convention), so every component must read the SAME deduped
+    relation or row multiplicities diverge between engines."""
+    return oracle_sql.replace(
+        "FROM documents",
+        "FROM (SELECT DISTINCT doc_id, text FROM documents)",
+    )
+
+
+@query(
+    "curation_decisions",
+    oracle=f"""
+    WITH g AS ({_on_distinct_docs(_GOPHER_ORACLE)}),
+    c AS ({_on_distinct_docs(_DECONTAM_ORACLE)}),
+    cut AS ({_REGISTRY["exact_substring_dedup_cut"].oracle})
+    SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+           g.passes_gopher,
+           COALESCE(c.contaminated, FALSE) AS contaminated,
+           (g.doc_id % 97 = 0) AS is_benchmark,
+           (cut.n_tokens_removed * 2 > cut.n_tokens) AS mostly_dup,
+           (g.passes_gopher
+            AND NOT COALESCE(c.contaminated, FALSE)
+            AND NOT (g.doc_id % 97 = 0)
+            AND NOT (cut.n_tokens_removed * 2 > cut.n_tokens)) AS keep_doc
+    FROM g
+    JOIN cut ON g.doc_id = cut.doc_id
+    LEFT JOIN c ON g.doc_id = c.doc_id
+    """,
+    description=(
+        "ONE curation decision per document — the composite relation the "
+        "training-data pipeline actually materializes: Gopher quality "
+        "conjunction AND not n-gram-contaminated AND not a benchmark doc "
+        "AND not mostly duplicate text (merged-interval dup tokens > "
+        "half), each flag exposed for audit. Components reuse the "
+        "gopher/decontamination/substring-cut oracles verbatim over the "
+        "(doc_id, text)-deduped source; booleans only — float-free"
+    ),
+)
+def curation_decisions(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    g = TA.gopher_quality_flags(
+        docs, "doc_id", "text",
+        min_words=30, max_words=90,
+        min_mean_word_len=3.0, max_mean_word_len=4.5,
+        max_dup_token_frac=0.6, min_distinct_stopwords=2,
+    ).select("doc_id", "passes_gopher")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    cont = D.benchmark_contamination(
+        train, bench, "doc_id", "text", n=3, threshold=0.5,
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
+    ).select("doc_id", "contaminated")
+    regions = D.exact_substring_regions(docs, "doc_id", "text", span_tokens=10)
+    cut = D.remove_duplicate_regions(docs, regions, "doc_id", "text")
+    mostly = cut.select(
+        "doc_id",
+        (F.col("n_tokens_removed") * 2 > F.col("n_tokens")).alias(
+            "mostly_dup"
+        ),
+    )
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    is_bench = F.col("doc_id") % 97 == 0
+    return (
+        g.join(mostly, "doc_id")
+        .join(cont, "doc_id", "left")
+        .select(
+            big(F.col("doc_id")).alias("doc_id"),
+            "passes_gopher",
+            contaminated.alias("contaminated"),
+            is_bench.alias("is_benchmark"),
+            "mostly_dup",
+            (
+                F.col("passes_gopher")
+                & ~contaminated
+                & ~is_bench
+                & ~F.col("mostly_dup")
+            ).alias("keep_doc"),
+        )
+    )
