@@ -382,6 +382,11 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # the bench/train residue split filters a post-DISTINCT relation
         # (the cdc_debezium_apply_orders modulo class)
         "semantic_decontamination": {"unpushed-filter"},
+        # round-8 entries: both composites chain the substring-regions
+        # plan (derived size(tokens) >= k guard) and/or the %97 residue
+        # split over a post-DISTINCT relation — the two classes above
+        "corpus_duplication_profile": {"unpushed-filter"},
+        "curation_decisions": {"unpushed-filter"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):
