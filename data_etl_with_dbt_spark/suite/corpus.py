@@ -727,6 +727,42 @@ def sentence_dedup_cut(spark, sf_dir):
 
 
 @query(
+    "streaming_sentence_cut",
+    oracle=f"""{_REGISTRY["sentence_dedup_cut"].oracle}""",
+    description=(
+        "The sentence-granularity pipeline in CONTINUOUS INTAKE "
+        "(substring_intake_sink unit='sentence' — same sink, unit axis "
+        "swapped): three ascending-id batches of the residue-coded "
+        "sentence corpus against an accumulating sentence-span index; "
+        "the accumulated corpus EQUALS the one-shot sentence cut, so the "
+        "oracle is sentence_dedup_cut's own — driver evidence for the "
+        "streaming sentence path next to streaming_substring_cut's "
+        "token path"
+    ),
+)
+def streaming_sentence_cut(spark, sf_dir):
+    import tempfile
+
+    from data_etl_with_dbt_spark.streaming.intake import substring_intake_sink
+
+    docs = _synth_sentence_docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sentstream_")
+    sink = substring_intake_sink(
+        base + "/index", base + "/corpus", "doc_id", "text",
+        span_tokens=2, unit="sentence", emit_text=False,
+    )
+    for b, (lo, hi) in enumerate(((0, 80), (80, 160), (160, 1 << 31))):
+        sink(docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), b)
+    out = spark.read.parquet(base + "/corpus")
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_sentences",
+        "n_sentences_removed",
+        "cleaned_hash",
+    )
+
+
+@query(
     "corpus_duplication_profile",
     oracle=f"""
     WITH cut AS ({_REGISTRY["exact_substring_dedup_cut"].oracle}),
