@@ -169,6 +169,42 @@ def basket_work(sf: str) -> None:
     con.close()
 
 
+def curation_components(sf: str) -> None:
+    """Round-8 composite inputs: the Gopher bands (30-90 words etc.), the
+    0.5 n-gram contamination threshold, and the mostly-dup split
+    (dup tokens > half) must each split the corpus non-vacuously — the
+    curation_decisions oracle reuses all three verbatim."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from data_etl_with_dbt_spark.suite.registry import QUERIES
+
+    con = connect(sf)
+    g = con.execute(
+        f"""SELECT count(*) FILTER (passes_gopher),
+                   count(*) FILTER (NOT passes_gopher)
+            FROM ({QUERIES["gopher_quality_flags"].oracle})"""
+    ).fetchone()
+    row("gopher bands pass/fail", sf, f"{g[0]}/{g[1]}", g[0] > 0 and g[1] > 0)
+    c = con.execute(
+        f"""SELECT count(*) FILTER (contaminated), count(*)
+            FROM ({QUERIES["decontaminate_ngram_overlap"].oracle})"""
+    ).fetchone()
+    # contamination at 0.5 is allowed to be zero at one SF (it fires at
+    # sf0.001); report it, only fail if ALL rows contaminated
+    row(
+        "ngram contaminated@0.5", sf, f"{c[0]}/{c[1]}",
+        c[0] < c[1], "zero-ok (fires at sf0.001)",
+    )
+    d = con.execute(
+        f"""SELECT count(*) FILTER (n_tokens_removed * 2 > n_tokens),
+                   count(*)
+            FROM ({QUERIES["exact_substring_dedup_cut"].oracle})"""
+    ).fetchone()
+    row("mostly-dup docs (dup>half)", sf, f"{d[0]}/{d[1]}", 0 < d[0] < d[1])
+    con.close()
+
+
 def main() -> int:
     for sf in SFS:
         cosine_margins(sf)
@@ -177,6 +213,7 @@ def main() -> int:
         tpch_substitutions(sf)
         fetch_plan_truncation(sf)
         basket_work(sf)
+        curation_components(sf)
     print()
     if FAILURES:
         print("FAILED probes:")
