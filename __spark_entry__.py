@@ -66,7 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 WINDOW = [
     "c4_line_page_filters", "corpus_duplication_profile",
-    "curation_decisions", "redpajama_quality_signals",
+    "curation_decisions", "paragraph_dedup_cut", "redpajama_quality_signals",
     "script_mix_documents", "sentence_dedup_cut", "sentence_dedup_regions",
     "streaming_sentence_cut", "streaming_substring_cut",
     "url_shape_features", "semantic_dedup_clusters_lsh",
@@ -83,7 +83,7 @@ WINDOW = [
     "surrogate_keys_events", "text_quality_stats", "tfidf_top_terms",
     "time_weighted_average", "token_counting", "window_customer_orders",
     "ab_test_summary", "acf_daily_values", "agg_bitwise", "agg_boolean",
-    "agg_correlation_matrix", "annotator_agreement",
+    "agg_correlation_matrix",
 ]
 
 ZQ_QUEUED = [
@@ -93,28 +93,28 @@ ZQ_QUEUED = [
 ZV_VERIFIED = [
     "activity_streaks", "agg_cube", "agg_distinct", "agg_exact_percentiles",
     "agg_grouping_sets", "agg_linear_regression", "agg_ordered_string",
-    "agg_rollup", "agg_statistics", "ann_cosine_topk", "asof_error_to_click",
-    "asof_forward_error_to_click", "attribution_purchase_touchpoints",
-    "benford_first_digit_orders", "bm25_top_docs", "boilerplate_ngram_prune",
-    "bpe_pair_merge_step", "calendar_spine_gap_fill",
-    "cascade_delete_impact", "cdc_apply_orders", "cdc_debezium_apply_orders",
-    "cdc_strict_seq_replication", "chunk_documents", "cohort_retention",
-    "column_entropy_events", "concurrent_sessions_peak",
-    "core_transform_events", "corpus_epoch_upsample",
-    "corpus_mixture_sample", "corpus_quality_report", "crawl_fetch_plan",
-    "crawl_politeness_slots", "cte_above_average_customers",
-    "curriculum_schedule_documents", "cusum_change_points",
-    "decontaminate_ngram_overlap", "dedup_cluster_assignment",
-    "dedup_exact_groups", "dedup_keep_longest", "dedup_soft_weights",
-    "dedup_spans_keep_first", "doc_fingerprints", "doc_oov_rate",
-    "domain_quota_cap", "dp_noisy_counts", "dq_accepted_values_violations",
-    "dq_not_null_violations", "dq_positive_violations",
-    "dq_quarantine_events", "dq_relationships_violations",
-    "dq_threshold_violations", "dq_unique_violations",
-    "dsir_importance_weights", "duplicate_invoice_heuristic",
-    "embedding_centroid_outliers", "embedding_int8_quantize",
-    "embedding_norm_stats", "event_transition_matrix",
-    "event_type_lift_pairs", "ewma_daily_revenue",
+    "agg_rollup", "agg_statistics", "ann_cosine_topk", "annotator_agreement",
+    "asof_error_to_click", "asof_forward_error_to_click",
+    "attribution_purchase_touchpoints", "benford_first_digit_orders",
+    "bm25_top_docs", "boilerplate_ngram_prune", "bpe_pair_merge_step",
+    "calendar_spine_gap_fill", "cascade_delete_impact", "cdc_apply_orders",
+    "cdc_debezium_apply_orders", "cdc_strict_seq_replication",
+    "chunk_documents", "cohort_retention", "column_entropy_events",
+    "concurrent_sessions_peak", "core_transform_events",
+    "corpus_epoch_upsample", "corpus_mixture_sample",
+    "corpus_quality_report", "crawl_fetch_plan", "crawl_politeness_slots",
+    "cte_above_average_customers", "curriculum_schedule_documents",
+    "cusum_change_points", "decontaminate_ngram_overlap",
+    "dedup_cluster_assignment", "dedup_exact_groups", "dedup_keep_longest",
+    "dedup_soft_weights", "dedup_spans_keep_first", "doc_fingerprints",
+    "doc_oov_rate", "domain_quota_cap", "dp_noisy_counts",
+    "dq_accepted_values_violations", "dq_not_null_violations",
+    "dq_positive_violations", "dq_quarantine_events",
+    "dq_relationships_violations", "dq_threshold_violations",
+    "dq_unique_violations", "dsir_importance_weights",
+    "duplicate_invoice_heuristic", "embedding_centroid_outliers",
+    "embedding_int8_quantize", "embedding_norm_stats",
+    "event_transition_matrix", "event_type_lift_pairs", "ewma_daily_revenue",
     "exact_substring_dedup_cut", "exact_substring_regions",
     "explode_word_counts", "frequent_event_trigrams",
     "functional_dependency_check", "funnel_conversion_windows",

@@ -49,6 +49,7 @@ from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
 from data_etl_with_dbt_spark.operators.dedup import (  # noqa: F401
     exact_substring_regions,
     incremental_exact_substring_regions,
+    paragraph_substring_regions,
     remove_duplicate_regions,
     sentence_substring_regions,
 )

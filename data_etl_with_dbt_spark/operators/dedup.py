@@ -27,9 +27,32 @@ from pyspark.sql import functions as F
 # copy here drifted-by-one-edit would silently break the oracle invariant
 # (round-5 review consolidated the former verbatim duplicate).
 from data_etl_with_dbt_spark.operators.textan import (
+    paragraph_array_expr as _paragraphs,
+)
+from data_etl_with_dbt_spark.operators.textan import (
     sentence_array_expr as _sentences,
 )
 from data_etl_with_dbt_spark.operators.textan import tokens_expr as _tokens
+
+#: The substring-dedup unit axis: unit name → (array expression, span-key
+#: join separator, cut-reassembly separator, stat column stem). The key
+#: separator must be a string the unit can never contain (tokens have no
+#: spaces post-split, sentences no newlines, paragraphs no blank lines) —
+#: injectivity is what makes the hashed span key collision-equivalent to
+#: the span itself.
+_UNIT_AXES: dict[str, tuple] = {
+    "token": (None, " ", " ", "tokens"),
+    "sentence": (_sentences, "\n", ". ", "sentences"),
+    "paragraph": (_paragraphs, "\n\n", "\n\n", "paragraphs"),
+}
+
+
+def _unit_axis(unit: str) -> tuple:
+    if unit not in _UNIT_AXES:
+        raise ValueError(
+            f"unit must be one of {sorted(_UNIT_AXES)}, got {unit!r}"
+        )
+    return _UNIT_AXES[unit]
 
 
 def _shingles(tokens: Column, n: int) -> Column:
@@ -1005,6 +1028,46 @@ def sentence_substring_regions(
     )
 
 
+def paragraph_substring_regions(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_paragraphs: int = 1,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """Paragraph-ALIGNED exact-substring duplicate regions — the Dolma-
+    class granularity (Dolma's dedup marks DUPLICATE PARAGRAPHS against a
+    corpus-wide filter; Soldaini et al., arXiv 2402.00159): the third
+    point on the unit axis, between :func:`sentence_substring_regions`
+    and whole-document dedup. ``span_paragraphs=1`` IS the Dolma shape —
+    any paragraph seen before, anywhere, is duplicate text; larger spans
+    give the run-of-paragraphs form. Paragraphs split on blank-line runs
+    (``textan.paragraph_array_expr``); span keys join with ``\\n\\n``
+    (injective — a paragraph cannot contain the boundary).
+
+    Returns ``(id, region_start, region_end, region_paragraphs)`` —
+    PARAGRAPH offsets; ``unit='paragraph'`` on
+    :func:`remove_duplicate_regions` applies the cut. Same 2-exchange
+    hash-keyed plan as the token/sentence forms; paragraph positions are
+    the sparsest of the three, so this is the cheapest corpus-wide pass
+    — the Dolma recipe runs it first, then the finer passes on
+    survivors."""
+    k = int(span_paragraphs)
+    pos = _shingle_positions(
+        docs, id_col, text_col, k, hash_spans,
+        unit_expr=_paragraphs, sep="\n\n",
+    )
+    w = Window.partitionBy("__key").orderBy(id_col, "__i")
+    dup = (
+        pos.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .drop("__rn", "__key")
+    )
+    return _merge_islands(dup, id_col, k).withColumnRenamed(
+        "region_tokens", "region_paragraphs"
+    )
+
+
 def _shingle_positions(
     docs: DataFrame,
     id_col: str,
@@ -1097,15 +1160,14 @@ def incremental_exact_substring_regions(
     (never span text); at 100 TB front it with a Bloom filter of the
     index to prune the probe side before the shuffle.
 
-    ``unit='sentence'`` runs the sentence-granularity form
-    (:func:`sentence_substring_regions` semantics): spans are
-    ``span_tokens`` consecutive SENTENCES, offsets index sentences, the
-    region-size column is named ``region_sentences``. Sentence and token
-    indexes are incomparable — never share one store across units."""
-    if unit not in ("token", "sentence"):
-        raise ValueError(f"unit must be 'token' or 'sentence', got {unit!r}")
+    ``unit='sentence'`` / ``unit='paragraph'`` run the coarser
+    granularities (:func:`sentence_substring_regions` /
+    :func:`paragraph_substring_regions` semantics): spans are
+    ``span_tokens`` consecutive units, offsets index that unit, and the
+    region-size column is named accordingly. Indexes from different
+    units are incomparable — never share one store across units."""
+    unit_expr, sep, _, stem = _unit_axis(unit)
     k = int(span_tokens)
-    unit_expr, sep = (None, " ") if unit == "token" else (_sentences, "\n")
     pos = _shingle_positions(
         new_docs, id_col, text_col, k, unit_expr=unit_expr, sep=sep
     )
@@ -1119,9 +1181,9 @@ def incremental_exact_substring_regions(
         (F.col("__rn") > 1) | F.col("__seen").isNotNull()
     ).select(id_col, "__i")
     regions = _merge_islands(dup, id_col, k)
-    if unit == "sentence":
+    if unit != "token":
         regions = regions.withColumnRenamed(
-            "region_tokens", "region_sentences"
+            "region_tokens", f"region_{stem}"
         )
     new_hashes = (
         marked.where((F.col("__rn") == 1) & F.col("__seen").isNull())
@@ -1161,17 +1223,13 @@ def remove_duplicate_regions(
     (interpreted higher-order functions, but the region arrays are tiny
     — never the corpus axis).
 
-    ``unit='sentence'`` applies :func:`sentence_substring_regions` output
-    instead: offsets index sentences (``sentence_array_expr``), kept
-    sentences reassemble joined by ``'. '``, and the stat columns are
-    named ``n_sentences`` / ``n_sentences_removed``."""
-    if unit not in ("token", "sentence"):
-        raise ValueError(f"unit must be 'token' or 'sentence', got {unit!r}")
-    units, join_sep, stat = (
-        (_tokens, " ", "n_tokens")
-        if unit == "token"
-        else (_sentences, ". ", "n_sentences")
-    )
+    ``unit='sentence'`` / ``unit='paragraph'`` apply the coarser-unit
+    region output instead: offsets index that unit, kept units
+    reassemble joined by ``'. '`` / a blank line, and the stat columns
+    are named ``n_<unit>s`` / ``n_<unit>s_removed``."""
+    unit_expr, _, join_sep, stem = _unit_axis(unit)
+    units = _tokens if unit_expr is None else unit_expr
+    stat = f"n_{stem}"
     regs = regions.groupBy(id_col).agg(
         F.collect_list(
             F.struct(F.col("region_start"), F.col("region_end"))

@@ -871,6 +871,19 @@ def sentence_array_expr(col: Column) -> Column:
     )
 
 
+def paragraph_array_expr(col: Column) -> Column:
+    """Paragraph ARRAY of a text column: split on blank-line runs
+    (``\\n{2,}``), trim, drop empties — the unit Dolma-class pipelines
+    deduplicate at (between the sentence and document granularities).
+    A paragraph may contain single newlines; it can never contain the
+    blank-line boundary itself, so ``\\n\\n`` is an injective span-join
+    separator (the sentence family's newline argument, one level up)."""
+    return F.filter(
+        F.transform(F.split(col, r"\n{2,}"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
 def sentences_jvm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Sentence segmentation, JVM path: split on [.!?]+ runs and posexplode
     — whole-stage-codegen, no Python. The hot-path spelling; the UDTF below

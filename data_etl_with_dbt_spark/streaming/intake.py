@@ -515,8 +515,9 @@ def substring_intake_sink(
     )
     from ..sources import versioned as V
 
-    if unit not in ("token", "sentence"):
-        raise ValueError(f"unit must be 'token' or 'sentence', got {unit!r}")
+    from ..operators.dedup import _unit_axis
+
+    _unit_axis(unit)  # validate: token | sentence | paragraph
     recipe_marker_path = index_path.rstrip("/") + "__sig"
     _RECIPE_SCHEMA = T.StructType(
         [

@@ -726,6 +726,116 @@ def sentence_dedup_cut(spark, sf_dir):
     )
 
 
+_PARA_SYNTH_SQL = f"""
+        SELECT doc_id, j,
+               CASE WHEN j % 5 = 2
+                    THEN 'unique d' || doc_id || ' j' || j || ' alpha'
+                         || chr(10) ||
+                         'unique d' || doc_id || ' j' || j || ' beta'
+                    ELSE 'common p' || (doc_id % 6) || ' j' || j || ' alpha'
+                         || chr(10) ||
+                         'common p' || (doc_id % 6) || ' j' || j || ' beta'
+               END AS p
+        FROM (SELECT doc_id, unnest(generate_series(0, 5 + doc_id % 4 - 1)) AS j
+              FROM ({_SENT_IDS_SQL}))
+"""
+
+
+def _synth_paragraph_docs(spark, sf_dir):
+    """Residue-coded multi-PARAGRAPH corpus (two-line paragraphs,
+    blank-line joined): docs in the same %6 class share paragraphs,
+    per-doc uniques at j%5==2 break runs — the sentence synthesis one
+    granularity up, exercising inner newlines inside the unit."""
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(240)
+    )
+    d = F.col("doc_id")
+    para = lambda j: F.when(  # noqa: E731
+        j % 5 == F.lit(2),
+        F.format_string(
+            "unique d%d j%d alpha\nunique d%d j%d beta", d, j, d, j
+        ),
+    ).otherwise(
+        F.format_string(
+            "common p%d j%d alpha\ncommon p%d j%d beta", d % 6, j, d % 6, j
+        )
+    )
+    n = F.lit(5) + d % 4
+    return ids.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n - 1), para), "\n\n"
+        ).alias("text"),
+    )
+
+
+@query(
+    "paragraph_dedup_cut",
+    oracle=f"""
+    WITH para AS ({_PARA_SYNTH_SQL}),
+    ranked AS (
+        SELECT doc_id, j,
+               row_number() OVER (PARTITION BY p ORDER BY doc_id, j) AS rn
+        FROM para
+    ),
+    dup AS (
+        SELECT doc_id, j,
+               j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS isl
+        FROM ranked WHERE rn > 1
+    ),
+    regions AS (
+        SELECT doc_id, min(j) AS region_start, max(j) + 1 AS region_end
+        FROM dup GROUP BY doc_id, isl
+    ),
+    kept AS (
+        SELECT pa.doc_id, pa.j, pa.p
+        FROM para pa
+        WHERE NOT EXISTS (SELECT 1 FROM regions r
+                          WHERE r.doc_id = pa.doc_id
+                            AND pa.j >= r.region_start
+                            AND pa.j < r.region_end)
+    ),
+    n AS (SELECT doc_id, 5 + doc_id % 4 AS n FROM ({_SENT_IDS_SQL}))
+    SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+           CAST(n.n AS BIGINT) AS n_paragraphs,
+           CAST(n.n - count(k.j) AS BIGINT) AS n_paragraphs_removed,
+           md5(coalesce(string_agg(k.p, chr(10) || chr(10) ORDER BY k.j),
+                        '')) AS cleaned_hash
+    FROM n LEFT JOIN kept k ON n.doc_id = k.doc_id
+    GROUP BY n.doc_id, n.n
+    """,
+    description=(
+        "Paragraph-granularity dedup + cut at the DOLMA shape "
+        "(dedup.paragraph_substring_regions span_paragraphs=1 — any "
+        "paragraph seen before anywhere is duplicate text — then "
+        "remove_duplicate_regions unit='paragraph', blank-line "
+        "reassembly): the third point on the unit axis. Residue-coded "
+        "240-doc corpus of two-line paragraphs (%6 classes share, %5==2 "
+        "uniques break runs; inner newlines exercise the unit split), "
+        "oracle keyed on the paragraph STRING vs Spark's xxhash64 — "
+        "collision-equivalence is the hash contract"
+    ),
+)
+def paragraph_dedup_cut(spark, sf_dir):
+    docs = _synth_paragraph_docs(spark, sf_dir)
+    regions = D.paragraph_substring_regions(
+        docs, "doc_id", "text", span_paragraphs=1
+    )
+    out = D.remove_duplicate_regions(
+        docs, regions, "doc_id", "text", unit="paragraph"
+    )
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_paragraphs",
+        "n_paragraphs_removed",
+        "cleaned_hash",
+    )
+
+
 @query(
     "streaming_sentence_cut",
     oracle=f"""{_REGISTRY["sentence_dedup_cut"].oracle}""",

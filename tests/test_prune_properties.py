@@ -441,3 +441,58 @@ def test_remove_duplicate_regions_rejects_unknown_unit(spark):
     docs = spark.createDataFrame([(1, "a. b.")], "id long, text string")
     with pytest.raises(ValueError, match="unit"):
         remove_duplicate_regions(docs, docs, "id", "text", unit="line")
+
+
+def test_paragraph_substring_regions_and_cut(spark):
+    """The Dolma shape (span_paragraphs=1): any paragraph seen before,
+    anywhere, is duplicate text — keep-first under (id, pos); the cut
+    removes whole paragraphs and reassembles with blank lines. Inner
+    single newlines stay inside a unit; only blank-line runs split."""
+    import hashlib as _h
+
+    from data_etl_with_dbt_spark.operators.dedup import (
+        paragraph_substring_regions,
+        remove_duplicate_regions,
+    )
+
+    pa = "first para line one\nfirst para line two"
+    pb = "second para all alone"
+    pc = "third para line one\nthird para line two"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{pa}\n\n{pb}"),
+            # doc 2 repeats BOTH of doc 1's paragraphs adjacently (one
+            # merged region) then adds a fresh one
+            (2, f"{pa}\n\n{pb}\n\n{pc}"),
+            # doc 3 repeats its own first paragraph (self-repetition) and
+            # doc 2's fresh one — two separate regions split by a unique
+            (3, f"{pc}\n\nonly here\n\n{pc}"),
+        ],
+        "id long, text string",
+    )
+    regions = sorted(
+        (r.id, r.region_start, r.region_end, r.region_paragraphs)
+        for r in paragraph_substring_regions(
+            docs, "id", "text", span_paragraphs=1
+        ).collect()
+    )
+    assert regions == [(2, 0, 2, 2), (3, 0, 1, 1), (3, 2, 3, 1)]
+    # (3,0,1): pc was introduced by doc 2's position 2 (doc order), so
+    # doc 3's FIRST occurrence is already a duplicate; (3,2,3) is the
+    # self-repetition
+    out = {
+        r.id: r
+        for r in remove_duplicate_regions(
+            docs, regions=paragraph_substring_regions(
+                docs, "id", "text", span_paragraphs=1
+            ),
+            id_col="id", text_col="text", unit="paragraph", emit_text=True,
+        ).collect()
+    }
+    assert out[1].n_paragraphs == 2 and out[1].n_paragraphs_removed == 0
+    assert out[1].cleaned_text == f"{pa}\n\n{pb}"
+    assert out[2].n_paragraphs == 3 and out[2].n_paragraphs_removed == 2
+    assert out[2].cleaned_text == pc
+    assert out[3].n_paragraphs == 3 and out[3].n_paragraphs_removed == 2
+    assert out[3].cleaned_text == "only here"
+    assert out[3].cleaned_hash == _h.md5(b"only here").hexdigest()
