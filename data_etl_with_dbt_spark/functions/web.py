@@ -126,7 +126,12 @@ def url_features(url: Column | str) -> list[Column]:
     query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
     segs = F.filter(F.split(path, "/"), lambda p: p != "")
     params = F.filter(F.split(query, "&"), lambda p: p != "")
-    authority = F.coalesce(F.parse_url(u, F.lit("AUTHORITY")), F.lit(""))
+    # NO coalesce, and gated on host validity below: Java's parse_url
+    # returns an AUTHORITY even for URLs whose HOST it rejects (octet >
+    # 255 dotted quads), so an ungated rlike would claim "no port" about
+    # a URL the other host-derived flags (is_ip_host, n_host_labels)
+    # call unparseable — has_port must share their NULL failure mode
+    authority = F.parse_url(u, F.lit("AUTHORITY"))
     n_labels = F.when(
         host.isNotNull(), F.size(F.split(host, r"\."))
     )
@@ -140,5 +145,7 @@ def url_features(url: Column | str) -> list[Column]:
         ),
         F.length(u).cast("bigint").alias("url_len"),
         host.rlike(r"^(\d{1,3}\.){3}\d{1,3}$").alias("is_ip_host"),
-        authority.rlike(r":\d+$").alias("has_port"),
+        F.when(host.isNotNull(), authority.rlike(r":\d+$")).alias(
+            "has_port"
+        ),
     ]

@@ -30,6 +30,8 @@ from data_etl_with_dbt_spark.operators.similarity import (  # noqa: F401
 from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
     bm25_scores,
     c4_line_filters,
+    canonicalize_text,
+    canonicalize_text_expr,
     doc_fingerprint,
     bpe_segment,
     inverted_index,

@@ -551,7 +551,15 @@ def fetch_plan(
     while the rest of the cluster idles — a regime that starts around
     10^8 rows (~5-10 GB into one task) and that a single-JVM probe
     cannot reproduce. Both modes are result-identical (pinned in tests);
-    pass ``True``/``False`` to pin the choice and skip the probe."""
+    pass ``True``/``False`` to pin the choice and skip the probe.
+
+    Laziness: with ``'auto'``, a Catalyst plan-stats screen (driver-side,
+    no Spark job) first bounds the candidate size — relations smaller
+    than ``auto_row_floor`` bytes can't contain ``auto_row_floor`` rows,
+    so small inputs skip the probe and the call stays a pure plan
+    builder. Only inputs that pass the screen run the eager one-pass
+    ``skew_stats`` probe job at CALL time; per-batch loops that know
+    their scale should pin ``True``/``False``."""
     from data_etl_with_dbt_spark.operators.relational import (
         per_key_cap,
         skew_stats,
@@ -568,9 +576,31 @@ def fetch_plan(
         F.col(priority_col) >= F.lit(int(min_priority))
     ).withColumn("host", url_host(F.col(url_col)))
     if two_phase_quota == "auto":
-        top = skew_stats(cand, ["host"], top_k=1).collect()
-        top_rows = int(top[0]["key_rows"]) if top else 0
-        two_phase = top_rows >= int(auto_row_floor)
+        # Free (no Spark job) screen before the probe: Catalyst's plan
+        # stats give a sizeInBytes upper bound, and a relation smaller on
+        # disk than `auto_row_floor` BYTES cannot hold auto_row_floor rows
+        # on one host (a row costs >= 1 byte even RLE-compressed). Small
+        # candidate sets therefore skip the probe entirely and fetch_plan
+        # stays a LAZY plan builder — the daily-cycle per-batch case pays
+        # nothing at call time. Only plausibly-huge inputs run the
+        # one-pass skew_stats probe job eagerly (documented above).
+        try:
+            size_hint = int(
+                str(
+                    cand._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:  # stats unavailable → fall through to the probe
+            size_hint = int(auto_row_floor)
+        if size_hint < int(auto_row_floor):
+            two_phase = False
+        else:
+            top = skew_stats(cand, ["host"], top_k=1).collect()
+            top_rows = int(top[0]["key_rows"]) if top else 0
+            two_phase = top_rows >= int(auto_row_floor)
     else:
         two_phase = bool(two_phase_quota)
     capped = per_key_cap(

@@ -873,6 +873,42 @@ def streaming_sentence_cut(spark, sf_dir):
 
 
 @query(
+    "streaming_paragraph_cut",
+    oracle=f"""{_REGISTRY["paragraph_dedup_cut"].oracle}""",
+    description=(
+        "The paragraph-granularity (Dolma-shape) pipeline in CONTINUOUS "
+        "INTAKE (substring_intake_sink unit='paragraph' span=1 — same "
+        "sink, third point on the unit axis): three ascending-id batches "
+        "of the residue-coded two-line-paragraph corpus against an "
+        "accumulating paragraph-hash index; the accumulated corpus "
+        "EQUALS the one-shot paragraph cut, so the oracle is "
+        "paragraph_dedup_cut's own — driver evidence completing the "
+        "streaming unit axis (token r7, sentence r8, paragraph r9)"
+    ),
+)
+def streaming_paragraph_cut(spark, sf_dir):
+    import tempfile
+
+    from data_etl_with_dbt_spark.streaming.intake import substring_intake_sink
+
+    docs = _synth_paragraph_docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="parastream_")
+    sink = substring_intake_sink(
+        base + "/index", base + "/corpus", "doc_id", "text",
+        span_tokens=1, unit="paragraph", emit_text=False,
+    )
+    for b, (lo, hi) in enumerate(((0, 80), (80, 160), (160, 1 << 31))):
+        sink(docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), b)
+    out = spark.read.parquet(base + "/corpus")
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_paragraphs",
+        "n_paragraphs_removed",
+        "cleaned_hash",
+    )
+
+
+@query(
     "corpus_duplication_profile",
     oracle=f"""
     WITH cut AS ({_REGISTRY["exact_substring_dedup_cut"].oracle}),
@@ -900,7 +936,12 @@ def corpus_duplication_profile(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     ).distinct()
-    body = docs.select("doc_id", "text")
+    # body keyed on (doc_id, text) ALONE: if a doc_id ever mapped to two
+    # sources, a (doc_id, source, text)-distinct body would carry dup
+    # doc_id rows — violating exact_substring_regions' unique-id contract
+    # (nondeterministic keep-first) and double-counting vs the oracle's
+    # distinct (doc_id, text) cut
+    body = docs.select("doc_id", "text").distinct()
     regions = D.exact_substring_regions(body, "doc_id", "text", span_tokens=10)
     cut = D.remove_duplicate_regions(body, regions, "doc_id", "text")
     return (
@@ -1011,10 +1052,12 @@ def _synth_c4_docs(spark, sf_dir):
            CAST(n_lines AS BIGINT) AS n_lines,
            CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
            CAST(len(list_filter(list_transform(
-                    string_split_regex(cleaned, '[.!?]+'), s -> trim(s)),
+                    string_split_regex(cleaned, '[.!?]+'),
+                    s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))),
                     s -> s <> '')) AS BIGINT) AS n_sentences_kept,
            len(list_filter(list_transform(
-                   string_split_regex(cleaned, '[.!?]+'), s -> trim(s)),
+                   string_split_regex(cleaned, '[.!?]+'),
+                   s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))),
                    s -> s <> '')) >= 3
                AND NOT contains(lower(full_text), '{{')
                AND NOT contains(lower(full_text), 'lorem ipsum') AS doc_kept,

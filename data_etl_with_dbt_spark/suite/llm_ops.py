@@ -500,6 +500,121 @@ def redpajama_quality_signals(spark, sf_dir):
 
 
 @query(
+    "canonicalized_text",
+    oracle=r"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 240),
+    consts AS (
+        SELECT chr(160)||chr(5760)||chr(8192)||chr(8193)||chr(8194)||chr(8195)
+               ||chr(8196)||chr(8197)||chr(8198)||chr(8199)||chr(8200)
+               ||chr(8201)||chr(8202)||chr(8239)||chr(8287)||chr(12288)
+               ||chr(9) AS sp_from,
+               repeat(' ', 17) AS sp_to,
+               chr(8216)||chr(8217)||chr(8218)||chr(8219)||chr(8242)
+               ||chr(8220)||chr(8221)||chr(8222)||chr(8223)||chr(8243)
+               ||chr(8208)||chr(8209)||chr(8210)||chr(8211)||chr(8212)
+               ||chr(8213)||chr(8722) AS q_from,
+               repeat(chr(39), 5) || repeat('"', 5) || repeat('-', 7) AS q_to
+    ),
+    raw AS (
+        SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0
+                 THEN chr(8220) || 'Quote d' || doc_id || chr(8221)
+                      || chr(160) || 'tail' || chr(8203) || '.'
+                 ELSE chr(8216) || 'Quote d' || doc_id || chr(8217)
+                      || ' plain tail.' END
+            || CASE doc_id % 3 WHEN 0 THEN chr(13)||chr(10)
+                               WHEN 1 THEN chr(10) ELSE chr(13) END
+            || 'Body' || chr(9) || 'text ' || chr(8212) || ' with'
+            || repeat(' ', CAST(doc_id % 3 + 1 AS INT)) || 'gaps'
+            || CASE WHEN doc_id % 4 = 1 THEN chr(7) ELSE '' END || chr(8230)
+            || repeat(chr(10), CAST(doc_id % 4 + 2 AS INT))
+            || 'Para two d' || doc_id || '.'
+            || CASE WHEN doc_id % 6 = 0 THEN '  ' ELSE '' END AS text
+        FROM ids
+    ),
+    canon AS (
+        SELECT doc_id, length(text) AS raw_len,
+            trim(regexp_replace(regexp_replace(regexp_replace(
+                replace(translate(regexp_replace(regexp_replace(
+                    replace(replace(replace(replace(
+                        translate(text, sp_from, sp_to),
+                        chr(8203), ''), chr(8204), ''),
+                        chr(8205), ''), chr(65279), ''),
+                    '\r\n?', chr(10), 'g'),
+                    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'),
+                q_from, q_to), chr(8230), '...'),
+                '  +', ' ', 'g'),
+                ' ?\n ?', chr(10), 'g'),
+                '\n\n\n+', chr(10)||chr(10), 'g')) AS ctext
+        FROM raw, consts
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ctext AS text,
+           CAST(raw_len AS BIGINT) AS n_chars_raw,
+           CAST(length(ctext) AS BIGINT) AS n_chars
+    FROM canon
+    """,
+    description=(
+        "Text canonicalization (textan.canonicalize_text — the pre-gate "
+        "the published hygiene recipes assume: unicode-space/zero-width "
+        "cleanup, CRLF unification, control strip, curly-quote/dash/"
+        "ellipsis ASCII-folding, structure-preserving whitespace "
+        "collapse — all JVM translate/regexp_replace, NFKC documented "
+        "as the mapInPandas escape hatch). Residue-coded 240-doc messy "
+        "corpus fires every rule (smart quotes %2, CRLF/CR %3, BEL "
+        "control %4, gap runs %3, trailing spaces %6, 2-5 newline "
+        "runs); oracle re-derives the identical chain in RE2/DuckDB — "
+        "the canonical text itself is the compared value, not a hash"
+    ),
+)
+def canonicalized_text(spark, sf_dir):
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(240)
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    head = F.when(
+        d % 2 == F.lit(0),
+        F.concat(
+            F.lit("“Quote d"), ds, F.lit("”\u00a0tail\u200b."),
+        ),
+    ).otherwise(
+        F.concat(F.lit("‘Quote d"), ds, F.lit("’ plain tail."))
+    )
+    nl = (
+        F.when(d % 3 == F.lit(0), F.lit("\r\n"))
+        .when(d % 3 == F.lit(1), F.lit("\n"))
+        .otherwise(F.lit("\r"))
+    )
+    body = F.concat(
+        F.lit("Body\ttext — with"),
+        F.repeat(F.lit(" "), (d % 3 + 1).cast("int")),
+        F.lit("gaps"),
+        F.when(d % 4 == F.lit(1), F.lit("\u0007")).otherwise(F.lit("")),
+        F.lit("…"),
+        F.repeat(F.lit("\n"), (d % 4 + 2).cast("int")),
+    )
+    tail = F.concat(
+        F.lit("Para two d"), ds, F.lit("."),
+        F.when(d % 6 == F.lit(0), F.lit("  ")).otherwise(F.lit("")),
+    )
+    docs = ids.select(
+        "doc_id", F.concat(head, nl, body, tail).alias("text")
+    )
+    out = TA.canonicalize_text(docs, "doc_id", "text")
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "text",
+        "n_chars_raw",
+        "n_chars",
+    )
+
+
+@query(
     "token_counting",
     oracle=r"""
     SELECT doc_id,

@@ -237,6 +237,42 @@ class TestC4LineFilters:
         assert out[4].cleaned_hash == _h.md5(b"").hexdigest()
         assert not out[4].doc_kept
 
+    def test_null_text_is_empty_page_never_minus_one(self, spark):
+        """NULL text must count as an empty page — split(NULL) is NULL and
+        this engine pins size(NULL) = -1, so without the coalesce guard
+        the -1 sentinel leaks into n_lines / n_lines_kept (the ADVICE-r8
+        finding; same class as the url_features subset70 bug)."""
+        import hashlib as _h
+
+        from data_etl_with_dbt_spark.operators.textan import (
+            c4_line_filters,
+            redpajama_quality_signals,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, "Alpha beta gamma one. Delta epsilon zeta.")],
+            "id long, text string",
+        )
+        r = {
+            x.id: x
+            for x in c4_line_filters(
+                docs, "id", "text", min_sentences=1
+            ).collect()
+        }[1]
+        assert r.n_lines == 0 and r.n_lines_kept == 0
+        assert r.n_sentences_kept == 0
+        assert r.doc_kept is False
+        assert r.cleaned_hash == _h.md5(b"").hexdigest()
+        r = {
+            x.id: x
+            for x in redpajama_quality_signals(docs, "id", "text").collect()
+        }[1]
+        for f in (
+            "n_words", "n_unique_words", "n_no_alph_words", "n_symbols",
+            "n_lines", "n_lines_end_ellipsis", "n_lines_start_bullet",
+        ):
+            assert getattr(r, f) == 0, f
+
     def test_custom_ban_lists(self, spark):
         from data_etl_with_dbt_spark.operators.textan import c4_line_filters
 
@@ -249,6 +285,72 @@ class TestC4LineFilters:
             banned_line_words=("pills",), banned_doc_substrings=(),
         ).collect()[0]
         assert out.n_lines_kept == 1 and out.doc_kept
+
+
+class TestCanonicalizeText:
+    def test_rules(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import canonicalize_text
+
+        docs = spark.createDataFrame(
+            [
+                # smart quotes, NBSP, ZWSP, CRLF, tab, em-dash, BEL,
+                # ellipsis char, 4-newline run, trailing spaces
+                (1, "“Hi”\u00a0there\u200b.\r\nTab\there — "
+                    "x\u0007…\n\n\n\nPara.  "),
+                (2, None),
+                (3, "already clean.\n\nsecond para."),
+            ],
+            "id long, text string",
+        )
+        out = {
+            r.id: r for r in canonicalize_text(docs, "id", "text").collect()
+        }
+        assert out[1].text == (
+            '"Hi" there.\nTab here - x...\n\nPara.'
+        )
+        assert out[1].n_chars_raw > out[1].n_chars
+        assert out[2].text == "" and out[2].n_chars_raw == 0
+        assert out[3].text == "already clean.\n\nsecond para."
+        # structure preservation: the paragraph boundary survived, so the
+        # paragraph unit split downstream is unchanged
+        assert out[1].text.count("\n\n") == 1
+
+    def test_stays_jvm_side(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import canonicalize_text
+        from data_etl_with_dbt_spark.plans import lint
+
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        assert not any(
+            f.code == "python-eval"
+            for f in lint.lint_plan(canonicalize_text(df, "id", "text"))
+        )
+
+    def test_composes_with_c4_line_filters(self, spark):
+        """The intended pipeline position: canonicalize BEFORE the C4
+        rules. A page whose lines end in curly quotes / NBSP-padded
+        periods FAILS the terminal-punctuation rule raw, but passes once
+        canonicalized — the reason the pre-gate exists."""
+        from data_etl_with_dbt_spark.operators.textan import (
+            c4_line_filters,
+            canonicalize_text,
+        )
+
+        messy = (
+            "Alpha beta gamma one.\u00a0\r\n"        # NBSP after the period
+            "“Delta epsilon zeta two.”\r\n"  # curly-quote ending
+            "Eta theta iota three…"             # unicode ellipsis
+        )
+        docs = spark.createDataFrame([(1, messy)], "id long, text string")
+        raw = c4_line_filters(
+            docs, "id", "text", min_sentences=1
+        ).collect()[0]
+        # raw: NBSP-terminated line fails; ellipsis-char line fails
+        assert raw.n_lines_kept == 1
+        canon = canonicalize_text(docs, "id", "text")
+        cooked = c4_line_filters(
+            canon, "id", "text", min_sentences=1
+        ).collect()[0]
+        assert cooked.n_lines_kept == 3 and cooked.doc_kept
 
 
 class TestRedpajamaSignals:

@@ -187,6 +187,7 @@ class TestWebFunctions:
         assert r.host is None
         assert r.n_host_labels is None and r.n_host_digits is None
         assert r.is_ip_host is None
+        assert r.has_port is None  # same failure mode as the other flags
         assert r.path_depth == 1 and r.url_len == 20
 
     def test_stays_jvm_side(self, spark):

@@ -477,3 +477,30 @@ def test_fetch_plan_two_phase_modes_result_identical(spark):
         ).collect()
     )
     assert forced == results["False"]
+
+
+def test_fetch_plan_auto_stays_lazy_for_small_inputs(spark, monkeypatch):
+    """ADVICE-r8: two_phase_quota='auto' must NOT launch a Spark job at
+    call time for small candidate sets — the Catalyst plan-stats screen
+    (driver-side sizeInBytes bound, no job) decides two_phase=False
+    without ever invoking the skew_stats probe, keeping fetch_plan a
+    lazy plan builder in per-batch loops (the daily-cycle example)."""
+    from pyspark.sql import functions as F
+
+    from data_etl_with_dbt_spark.operators import relational
+    from data_etl_with_dbt_spark.sources.robots import fetch_plan
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError(
+            "skew_stats probe ran for a small candidate set"
+        )
+
+    monkeypatch.setattr(relational, "skew_stats", _boom)
+    sched = spark.range(200).select(
+        F.format_string("https://h%d.example.com/p%d", F.col("id") % 7,
+                        "id").alias("url"),
+        F.lit(2).alias("priority"),
+        F.col("id").cast("bigint").alias("staleness_seconds"),
+    )
+    plan = fetch_plan(sched, budget=50, per_host_quota=10)  # default auto
+    assert plan.count() == 50  # plan builds AND executes, probe never ran

@@ -1690,6 +1690,57 @@ class TestSubstringIntakeSink:
         )
         assert got == expect
 
+    def test_nbatch_equals_oneshot_paragraph_unit(self, spark, tmp_path):
+        """The third point on the streaming unit axis (Dolma shape:
+        span_paragraphs=1 — any paragraph seen before, anywhere, is
+        duplicate). Paragraphs carry INNER newlines (the unit split is on
+        blank-line runs, not lines), so the test also exercises the axis
+        where units legitimately contain the sentence family's separator."""
+        from data_etl_with_dbt_spark.operators.dedup import (
+            paragraph_substring_regions,
+            remove_duplicate_regions,
+        )
+        from data_etl_with_dbt_spark.streaming.intake import (
+            substring_intake_sink,
+        )
+
+        p1 = "alpha one\nline two"
+        p2 = "beta three"
+        p3 = "gamma four\nline five"
+        rows = [
+            (1, f"{p1}\n\n{p2}"),
+            (2, f"{p2}\n\n{p3}"),          # p2 dups against doc 1
+            (3, f"{p1}\n\n{p3}\n\nzeta"),  # p1, p3 dup -> two regions
+        ]
+        docs = self._mk_docs(spark, rows)
+        oneshot = remove_duplicate_regions(
+            docs,
+            paragraph_substring_regions(
+                docs, "id", "text", span_paragraphs=1
+            ),
+            "id", "text", unit="paragraph", emit_text=True,
+        )
+        expect = sorted(tuple(r) for r in oneshot.collect())
+        base = str(tmp_path / "para")
+        sink = substring_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            span_tokens=1, unit="paragraph",
+        )
+        for b, (lo, hi) in enumerate(((0, 2), (2, 3), (3, 9))):
+            sink(docs.where((F.col("id") >= lo) & (F.col("id") < hi)), b)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(base + "/corpus")
+            .select("id", "n_paragraphs", "n_paragraphs_removed",
+                    "cleaned_hash", "cleaned_text")
+            .collect()
+        )
+        assert got == expect
+        # non-vacuity: doc 2 lost p2, doc 3 lost p1 and p3 but kept zeta
+        by_id = {t[0]: t for t in got}
+        assert by_id[2][2] == 1 and by_id[2][4] == p3
+        assert by_id[3][2] == 2 and by_id[3][4] == "zeta"
+
     def test_recipe_marker_rejects_incompatible_sink(self, spark, tmp_path):
         import pytest
 
