@@ -1985,6 +1985,10 @@ def _on_distinct_docs(oracle_sql: str) -> str:
 
 @query(
     "curation_decisions",
+    bench=True,  # r9: 17th headline — the most expensive composite
+    # (Gopher + n-gram contamination + substring cut + id-keyed joins)
+    # so the substring/composite machinery gets round-over-round floor
+    # tracking (the r7 media_frame_sampling precedent)
     oracle=f"""
     WITH g AS ({_on_distinct_docs(_GOPHER_ORACLE)}),
     c AS ({_on_distinct_docs(_DECONTAM_ORACLE)}),

@@ -2,6 +2,12 @@
 workload, chaining the corpus operators the way a production data pipeline
 would run them nightly over a crawl increment:
 
+    0a. crawl shim        residue-coded crawl dressing around the fixture
+                          bodies (frontier URLs, unicode mess, junk lines,
+                          script mixing) so every hygiene gate fires
+    0b. hygiene gates     url_features shape gate -> canonicalize_text ->
+                          script_mix gate -> C4 line/page cleaning ->
+                          RedPajama signal gate, flags audited per source
     1. quality filter     text_stats + repetition filters (Gopher-style)
     2. model filter       hashed-feature logistic classifier, weak-labeled
                           from the heuristic score's extremes (CCNet recipe)
@@ -18,6 +24,8 @@ would run them nightly over a crawl increment:
    10. split              deterministic md5-bucket train/val/test
    11. pack + export      2048-token packing, global example ids, sharded
                           ordered write
+   12. closing audit      curation_decisions-shaped per-source funnel
+                          report (docs surviving each checkpoint)
 
 Run:  python examples/corpus_pipeline.py [sf_dir] [workdir]
 
@@ -42,6 +50,7 @@ from data_etl_with_dbt_spark import ml as ML
 from data_etl_with_dbt_spark.operators import dedup as D
 from data_etl_with_dbt_spark.operators import relational as R
 from data_etl_with_dbt_spark.operators import textan as TA
+from data_etl_with_dbt_spark.functions.web import url_features
 from data_etl_with_dbt_spark.sources.io import read_parquet, write_training_shards
 
 
@@ -60,8 +69,121 @@ def main(sf_dir: str, workdir: str) -> None:
         return df
 
     t0 = time.time()
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    mark("ingest", t0, docs)
+    raw = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    mark("ingest", t0, raw)
+
+    # 0a. crawl shim: the fixture ships clean single-line bodies, so the
+    # intake fabricates the crawl increment around them by doc_id residue
+    # (the residue-coded-synthesis pattern): a frontier URL per doc (IP
+    # hosts %7==0, param-farm digit hosts %7==5), smart-quote/NBSP nav
+    # chrome (%5==1), CRLF line endings (%5==3), javascript/short junk
+    # lines (%3), ellipsis teasers (%19==4), Cyrillic spam (%23==11), and
+    # brace pages (%41==6). Every hygiene gate below fires non-vacuously,
+    # and the body that emerges from cleaning is the fixture text again
+    # (plus its terminal period).
+    t0 = time.time()
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 7 == 0, F.format_string("https://10.0.%d.1/p%d", d % 200, d))
+        .when(
+            d % 7 == 5,
+            F.format_string("https://a%db%dc.example.com/p?a=1&b=2&c=3", d, d),
+        )
+        .otherwise(F.format_string("https://h%d.example.com/p%d", d % 97, d))
+    )
+    nav = F.when(
+        d % 5 == 1, F.lit("“Nav menu” home | about\n")
+    ).otherwise(F.lit(""))
+    junk = (
+        F.when(d % 3 == 0, F.lit("\nUse javascript here now."))
+        .when(d % 3 == 1, F.lit("\nHi."))
+        .otherwise(F.lit(""))
+    )
+    tease = F.when(d % 19 == 4, F.lit("\nto be continued j4...")).otherwise(
+        F.lit("")
+    )
+    spam = F.when(
+        d % 23 == 11, F.lit("\nкот мир да j11.")
+    ).otherwise(F.lit(""))
+    brace = F.when(d % 41 == 6, F.lit("\n{ code }")).otherwise(F.lit(""))
+    body = F.concat(nav, F.col("text"), F.lit("."), junk, tease, spam, brace)
+    body = F.when(d % 5 == 3, F.regexp_replace(body, "\n", "\r\n")).otherwise(
+        body
+    )
+    page = raw.select(
+        "doc_id", "source", "lang", url.alias("url"), body.alias("text")
+    )
+    page = mark("crawl_shim", t0, page)
+
+    # 0b. hygiene gates — the round-8 published-recipe family composed in
+    # production order: URL shape (pre-fetch), canonicalize, script mix
+    # (pre-lang-ID), C4 line/page cleaning, RedPajama signals on the
+    # cleaned text. Flags are computed as COLUMNS and audited per source
+    # in one relation before the conjunction filters; the C4 cleaned body
+    # is what survives downstream.
+    t0 = time.time()
+    uf = page.select("doc_id", *url_features("url"))
+    url_ok = (
+        ~F.col("is_ip_host")
+        & (F.col("n_query_params") <= 2)
+        & (F.col("n_host_digits") <= 4)
+    )
+    canon = TA.canonicalize_text(page, "doc_id", "text")
+    sm = TA.script_mix_stats(canon, "doc_id", "text")
+    c4 = TA.c4_line_filters(
+        canon, "doc_id", "text", min_sentences=1, emit_text=True
+    )
+    rp = TA.redpajama_quality_signals(
+        c4.select("doc_id", F.col("cleaned_text").alias("text")),
+        "doc_id",
+        "text",
+    )
+    flags = (
+        page.select("doc_id", "source", "lang")
+        .join(uf.select("doc_id", url_ok.alias("url_ok")), "doc_id")
+        .join(
+            sm.select("doc_id", (F.col("n_cyrillic") == 0).alias("script_ok")),
+            "doc_id",
+        )
+        .join(
+            c4.select(
+                "doc_id", F.col("doc_kept").alias("c4_ok"), "cleaned_text"
+            ),
+            "doc_id",
+        )
+        .join(
+            rp.select(
+                "doc_id",
+                (F.col("n_lines_end_ellipsis") == 0).alias("rp_ok"),
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    gate_cols = ["url_ok", "script_ok", "c4_ok", "rp_ok"]
+    audit = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.col(c).cast("bigint")).alias(f"n_{c}")
+            for c in gate_cols
+        ],
+    )
+    for r in audit.orderBy("source").collect():
+        print(
+            f"  gate audit {r.source}: {r.n_docs} docs, "
+            + ", ".join(f"{c}={r[f'n_{c}']}" for c in gate_cols)
+        )
+    gated = (
+        flags.where(F.col("url_ok") & F.col("script_ok") & F.col("c4_ok") & F.col("rp_ok"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("cleaned_text").alias("text"),
+        )
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    docs = mark("hygiene_gates", t0, gated)
 
     # 1. quality: Gopher-style rule flags (word-count / mean-word-length
     # bands, duplicate-token cap, stopword floor — bands calibrated to the
@@ -172,7 +294,9 @@ def main(sf_dir: str, workdir: str) -> None:
 
     # 7. decontaminate against a held-out benchmark slice.
     t0 = time.time()
-    bench = docs.where(F.col("doc_id") % 97 == 0)
+    # the benchmark slice comes from the RAW fixture (an eval set is
+    # external text, not something the hygiene gates curated)
+    bench = raw.where(F.col("doc_id") % 97 == 0)
     overlap = D.benchmark_contamination(near, bench, "doc_id", "text", n=3, threshold=0.5)
     clean = near.join(
         overlap.where(~F.col("contaminated")).select("doc_id"), "doc_id"
@@ -242,6 +366,42 @@ def main(sf_dir: str, workdir: str) -> None:
     stages.append(("pack_export", time.time() - t0, n))
     print(f"{'pack_export':<22} {stages[-1][1]:6.1f} s   {n:>8,} docs")
 
+    # 12. closing audit — the curation_decisions-shaped report: one row
+    # per source counting survivors at each funnel checkpoint (hygiene ->
+    # quality/model -> dedup'd -> decontaminated -> exported), derived by
+    # id-keyed left joins against the stage outputs already materialized
+    # above — no stage recomputes.
+    t0 = time.time()
+    checkpoints = [
+        ("hygiene", docs),
+        ("quality", quality),
+        ("deduped", near),
+        ("decontaminated", clean),
+        ("split_assigned", assigned),
+    ]
+    audit2 = raw.select("doc_id", "source")
+    for cname, df in checkpoints:
+        audit2 = audit2.join(
+            df.select("doc_id").withColumn(f"__{cname}", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+    report = audit2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.coalesce(F.col(f"__{c}"), F.lit(0))).alias(f"n_{c}")
+            for c, _ in checkpoints
+        ],
+    )
+    rows = report.orderBy("source").collect()
+    stages.append(("closing_audit", time.time() - t0, len(rows)))
+    print(f"{'closing_audit':<22} {stages[-1][1]:6.1f} s   {len(rows):>8,} srcs")
+    for r in rows:
+        print(
+            f"  funnel {r.source}: in={r.n_docs} "
+            + " -> ".join(f"{c}={r[f'n_{c}']}" for c, _ in checkpoints)
+        )
+        assert r.n_split_assigned >= 0  # all counts present
     total = sum(t for _, t, _ in stages)
     print(f"\nTOTAL {total:.1f} s over {len(stages)} stages")
 

@@ -82,7 +82,15 @@ def test_bench_queries_single_shuffle(spark):
     # TRACKING, not because they are single-shuffle): LSH is
     # sig->band->verify; bm25 re-keys postings->doc-lengths->per-doc sum;
     # basket lift re-keys (order,item)->pair->support joins.
-    multi_stage = {"dedup_minhash_lsh", "bm25_top_docs", "market_basket_lift"}
+    # curation_decisions (r9 headline) composes the substring keep-first
+    # window + contamination gram joins + gopher flags — tracked for the
+    # composite machinery's floor, inherently multi-exchange.
+    multi_stage = {
+        "dedup_minhash_lsh",
+        "bm25_top_docs",
+        "market_basket_lift",
+        "curation_decisions",
+    }
     for name, q in QUERIES.items():
         if not q.bench or name in multi_stage:
             continue
