@@ -213,12 +213,11 @@ def canonicalize_text_expr(col: Column) -> Column:
     every rule is an explicit codepoint list or an RE2∩Java regex, so
     the operator is oracle-checkable cross-engine.
 
-    NFKC boundary (documented, environment-blocked): full Unicode
-    normalization (ligatures, fullwidth forms, compatibility decomposi-
-    tions) has no JVM-exposed expression in Spark SQL — callers needing
-    true NFKC run a one-column ``mapInPandas`` with
-    ``unicodedata.normalize`` before this expression; the steps here are
-    the deterministic, engine-portable subset."""
+    NFKC boundary: full Unicode normalization (ligatures, fullwidth
+    forms, compatibility decompositions) has no JVM-exposed expression
+    in Spark SQL — :func:`nfkc_normalize` is the Arrow-batched
+    ``mapInPandas`` escape hatch to run BEFORE this expression; the
+    steps here are the deterministic, engine-portable subset."""
     c = F.translate(col, UNICODE_SPACES + "\t", " " * (len(UNICODE_SPACES) + 1))
     for z in ZERO_WIDTH:
         c = F.replace(c, F.lit(z), F.lit(""))
@@ -262,6 +261,38 @@ def canonicalize_text(
     return staged.withColumn(
         "n_chars", F.length(F.col(text_col)).cast("bigint")
     )
+
+
+def nfkc_normalize(
+    df: DataFrame, id_col: str, text_col: str, form: str = "NFKC"
+) -> DataFrame:
+    """TRUE Unicode normalization of ``text_col`` in place — the escape
+    hatch :func:`canonicalize_text_expr` documents: ligatures (ﬁ→fi),
+    fullwidth forms (Ａ→A), superscripts (²→2), and combining-sequence
+    composition have no JVM-exposed expression in Spark SQL, so this is
+    the engine's ONE sanctioned Python stage in the hygiene family —
+    Arrow-batched ``mapInPandas`` over ``unicodedata.normalize``
+    (stdlib; no external dependency), schema passthrough, run it BEFORE
+    the JVM canonicalize chain.
+
+    Scale: one Arrow round-trip per batch, no shuffle, pipelines into
+    the scan like the multimodal decoders; per-row cost is a C call.
+    The worker closure is self-contained (serialize-by-value — executors
+    don't have the repo on sys.path)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC|NFD|NFKC|NFKD, got {form!r}")
+    tcol, f_ = text_col, form
+
+    def _normalize(batches):
+        import unicodedata as _ud
+
+        for pdf in batches:
+            pdf[tcol] = pdf[tcol].map(
+                lambda s: _ud.normalize(f_, s) if s is not None else None
+            )
+            yield pdf
+
+    return df.mapInPandas(_normalize, df.schema)
 
 
 def c4_line_filters(

@@ -945,3 +945,103 @@ def url_shape_features(spark, sf_dir):
     )
     urls = ids.select(big(d).alias("doc_id"), url.alias("url"))
     return urls.select("doc_id", "url", *url_features("url"))
+
+
+# ---------------------------------------------------------------------------
+# Per-gate attrition report — the funnel table curation teams actually
+# publish next to a corpus release: for one document sample, how many docs
+# survive EACH published hygiene gate, per source. Components are the
+# registry's own oracle-verified gate queries interpolated verbatim (the
+# curation_decisions / corpus_duplication_profile convention), each applied
+# to its canonical residue-coded input; the rollup joins them on doc_id and
+# groups by the fixture's source. Defined here (crawl imports LAST) so the
+# f-string can see the corpus/llm_ops component oracles at import time.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_funnel_profile",
+    oracle=f"""
+    WITH u AS ({_REGISTRY["url_shape_features"].oracle}),
+    c AS ({_REGISTRY["c4_line_page_filters"].oracle}),
+    s AS ({_REGISTRY["script_mix_documents"].oracle}),
+    r AS ({_REGISTRY["redpajama_quality_signals"].oracle}),
+    g AS ({_REGISTRY["gopher_quality_flags"].oracle}),
+    src AS (SELECT DISTINCT doc_id, source FROM documents)
+    SELECT src.source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(*) FILTER (NOT u.is_ip_host AND u.n_query_params <= 2
+                              AND u.n_host_digits <= 4) AS BIGINT)
+            AS n_pass_url,
+        CAST(count(*) FILTER (c.doc_kept) AS BIGINT) AS n_pass_c4,
+        CAST(count(*) FILTER (s.n_cyrillic = 0) AS BIGINT) AS n_pass_script,
+        CAST(count(*) FILTER (r.n_no_alph_words * 4 <= r.n_words) AS BIGINT)
+            AS n_pass_redpajama,
+        CAST(count(*) FILTER (g.passes_gopher) AS BIGINT) AS n_pass_gopher
+    FROM u
+    JOIN c ON u.doc_id = c.doc_id
+    JOIN s ON u.doc_id = s.doc_id
+    JOIN r ON u.doc_id = r.doc_id
+    JOIN g ON u.doc_id = g.doc_id
+    JOIN src ON u.doc_id = src.doc_id
+    GROUP BY src.source
+    """,
+    description=(
+        "Per-source, per-gate attrition profile (the published-funnel "
+        "report): of the 240-doc sample, docs passing the URL-shape gate "
+        "(no IP host, <=2 params, <=4 host digits), the C4 page verdict, "
+        "the script-mix gate (no Cyrillic), a RedPajama signal band "
+        "(no-alphabet words <= 1/4 of words — splits the residue corpus "
+        "by line count), and the Gopher conjunction — component oracles "
+        "interpolated verbatim, one id-keyed join + rollup on top; "
+        "integer counts only"
+    ),
+)
+def corpus_funnel_profile(spark, sf_dir):
+    u = _REGISTRY["url_shape_features"].fn(spark, sf_dir).select(
+        "doc_id", "is_ip_host", "n_query_params", "n_host_digits"
+    )
+    c = _REGISTRY["c4_line_page_filters"].fn(spark, sf_dir).select(
+        "doc_id", "doc_kept"
+    )
+    s = _REGISTRY["script_mix_documents"].fn(spark, sf_dir).select(
+        "doc_id", "n_cyrillic"
+    )
+    r = _REGISTRY["redpajama_quality_signals"].fn(spark, sf_dir).select(
+        "doc_id", "n_no_alph_words", "n_words"
+    )
+    g = _REGISTRY["gopher_quality_flags"].fn(spark, sf_dir).select(
+        "doc_id", "passes_gopher"
+    )
+    src = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    flag = lambda cond, name: F.count(F.when(cond, 1)).cast("bigint").alias(  # noqa: E731
+        name
+    )
+    return (
+        u.join(c, "doc_id")
+        .join(s, "doc_id")
+        .join(r, "doc_id")
+        .join(g, "doc_id")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            flag(
+                ~F.col("is_ip_host")
+                & (F.col("n_query_params") <= 2)
+                & (F.col("n_host_digits") <= 4),
+                "n_pass_url",
+            ),
+            flag(F.col("doc_kept"), "n_pass_c4"),
+            flag(F.col("n_cyrillic") == 0, "n_pass_script"),
+            flag(
+                F.col("n_no_alph_words") * 4 <= F.col("n_words"),
+                "n_pass_redpajama",
+            ),
+            flag(F.col("passes_gopher"), "n_pass_gopher"),
+        )
+    )

@@ -615,6 +615,59 @@ def canonicalized_text(spark, sf_dir):
 
 
 @query(
+    "nfkc_normalized_text",
+    oracle=r"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 240)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CASE doc_id % 5
+            WHEN 0 THEN 'file flow office'
+            WHEN 1 THEN 'Abc 123 done'
+            WHEN 2 THEN 'x2 + y3 = z1'
+            WHEN 3 THEN '1' || chr(8260) || '2 cup No5'
+            ELSE 'plain ascii d' || doc_id || '.' END
+        || CASE WHEN doc_id % 3 = 0 THEN ' caf' || chr(233) ELSE '' END
+            AS text
+    FROM ids
+    """,
+    description=(
+        "True NFKC normalization (textan.nfkc_normalize — the hygiene "
+        "family's one sanctioned Python stage: Arrow mapInPandas over "
+        "stdlib unicodedata; ligatures fi/fl/ffi, fullwidth Abc/123, "
+        "super/subscripts, vulgar fractions, numero sign, combining-"
+        "acute composition). Residue-coded inputs; the oracle PINS the "
+        "expected normalized strings per residue class (NFKC of these "
+        "codepoints is stable across Unicode versions) — the synthesis "
+        "pattern for operators SQL cannot express"
+    ),
+)
+def nfkc_normalized_text(spark, sf_dir):
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(240)
+    )
+    d = F.col("doc_id")
+    base = (
+        F.when(d % 5 == F.lit(0), F.lit("ﬁle ﬂow oﬃce"))
+        .when(d % 5 == F.lit(1), F.lit("Ａｂｃ １２３ done"))
+        .when(d % 5 == F.lit(2), F.lit("x² + y³ = z₁"))
+        .when(d % 5 == F.lit(3), F.lit("½ cup №5"))
+        .otherwise(
+            F.concat(F.lit("plain ascii d"), d.cast("string"), F.lit("."))
+        )
+    )
+    # combining-sequence composition: 'e' + U+0301 must COMPOSE to é
+    suffix = F.when(
+        d % 3 == F.lit(0), F.lit(" café")
+    ).otherwise(F.lit(""))
+    docs = ids.select("doc_id", F.concat(base, suffix).alias("text"))
+    out = TA.nfkc_normalize(docs, "doc_id", "text")
+    return out.select(big(F.col("doc_id")).alias("doc_id"), "text")
+
+
+@query(
     "token_counting",
     oracle=r"""
     SELECT doc_id,

@@ -315,6 +315,31 @@ class TestCanonicalizeText:
         # paragraph unit split downstream is unchanged
         assert out[1].text.count("\n\n") == 1
 
+    def test_nfkc_normalize_escape_hatch(self, spark):
+        """The documented NFKC escape hatch: ligatures, fullwidth forms,
+        compatibility decompositions, and combining-sequence composition
+        — stdlib unicodedata through Arrow mapInPandas, schema
+        passthrough, NULL passthrough, bad form rejected."""
+        import pytest
+
+        from data_etl_with_dbt_spark.operators.textan import nfkc_normalize
+
+        docs = spark.createDataFrame(
+            [
+                (1, "ﬁle Ａｂｃ x² ½"),
+                (2, None),
+                (3, "café"),
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r for r in nfkc_normalize(docs, "id", "text").collect()}
+        assert out[1].text == "file Abc x2 1⁄2"
+        assert out[2].text is None
+        assert out[3].text == "caf\u00e9"  # combining acute COMPOSED
+        assert nfkc_normalize(docs, "id", "text").schema == docs.schema
+        with pytest.raises(ValueError, match="NFKC"):
+            nfkc_normalize(docs, "id", "text", form="NFX")
+
     def test_stays_jvm_side(self, spark):
         from data_etl_with_dbt_spark.operators.textan import canonicalize_text
         from data_etl_with_dbt_spark.plans import lint

@@ -395,6 +395,10 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # split over a post-DISTINCT relation — the two classes above
         "corpus_duplication_profile": {"unpushed-filter"},
         "curation_decisions": {"unpushed-filter"},
+        # round-9 entry: the funnel joins five FIXED-240-row component
+        # relations (each a LIMIT sample) — the single-partition exchange
+        # is metadata-sized by construction, the two_sample_drift class
+        "corpus_funnel_profile": {"single-partition"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):

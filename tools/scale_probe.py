@@ -66,6 +66,9 @@ def _ops():
         "c4_lines": _c4_lines,
         "script_mix": _script_mix,
         "url_features": _url_features,
+        "canonicalize": _canonicalize,
+        "nfkc": _nfkc,
+        "paragraph_cut": _paragraph_cut,
     }
 
 
@@ -288,6 +291,64 @@ def _url_features(df):
     from data_etl_with_dbt_spark.functions.web import url_features
 
     return df.select("doc_id", *url_features(_probe_url()))
+
+
+def _messy_text():
+    """Probe-scale crawl mess: smart quotes, NBSP/ZWSP, CRLF, tabs,
+    em-dashes, ellipsis chars, newline runs around the synthetic body —
+    every canonicalize rule fires on every row."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("“Title d"), d.cast("string"),
+        F.lit("” nav​\r\nBody\ttext — with"),
+        F.repeat(F.lit(" "), (d % 3 + 1).cast("int")),
+        F.lit("gaps…\n\n\n\nPara d"), d.cast("string"), F.lit(".  "),
+    )
+
+
+def _canonicalize(df):
+    from data_etl_with_dbt_spark.operators import textan as TA
+
+    docs = df.select("doc_id", _messy_text().alias("text"))
+    return TA.canonicalize_text(docs, "doc_id", "text")
+
+
+def _nfkc(df):
+    from data_etl_with_dbt_spark.operators import textan as TA
+
+    docs = df.select(
+        "doc_id",
+        F.concat(F.lit("\ufb01le \uff21\uff42\uff43 x\u00b2 "), F.col("text"))
+        .alias("text"),
+    )
+    return TA.nfkc_normalize(docs, "doc_id", "text")
+
+
+def _paragraph_text(classes: int = 1000):
+    """Blank-line-joined variant of the sentence synthesis (two-line
+    paragraphs so the unit split itself is exercised)."""
+    d = F.col("doc_id")
+    para = lambda j: F.when(  # noqa: E731
+        j % 5 == F.lit(2),
+        F.format_string("unique d%d j%d\nline two", d, j),
+    ).otherwise(
+        F.format_string("common c%d j%d\nline two", d % classes, j)
+    )
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(7)), para), "\n\n"
+    )
+
+
+def _paragraph_cut(df):
+    from data_etl_with_dbt_spark.operators import dedup as D
+
+    docs = df.select("doc_id", _paragraph_text().alias("text"))
+    regions = D.paragraph_substring_regions(
+        docs, "doc_id", "text", span_paragraphs=1
+    )
+    return D.remove_duplicate_regions(
+        docs, regions, "doc_id", "text", unit="paragraph"
+    )
 
 
 def main() -> None:
