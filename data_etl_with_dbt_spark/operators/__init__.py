@@ -36,6 +36,7 @@ from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
     bpe_segment,
     inverted_index,
     gopher_quality_flags,
+    gopher_repetition_signals,
     lang_id_scores,
     mixture_sample,
     redpajama_quality_signals,

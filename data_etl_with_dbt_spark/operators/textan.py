@@ -6,7 +6,7 @@ the caller aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -762,6 +762,185 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("bigint")
         .alias("top_bigram_cnt"),
         top_share.alias("top_bigram_share"),
+    )
+
+
+def gopher_repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+) -> DataFrame:
+    """The REST of the Gopher/MassiveText repetition filter set (Rae et
+    al. 2021 §A1.1 Table A1) — :func:`repetition_stats` covers the
+    duplicate-token fraction and top-bigram share; this adds the
+    line-level and n-gram-coverage signals the paper filters on:
+
+    * duplicate LINES: ``n_lines``, ``n_dup_lines`` (occurrences of any
+      line repeated within the doc), ``chars_dup_lines`` (their summed
+      characters) — the paper's duplicate line / duplicate line
+      character fractions are one division downstream.
+    * top n-gram coverage, ``n ∈ top_ns``: ``top{n}gram_chars`` = chars
+      covered by the most frequent n-gram (count × gram length; among
+      equally-frequent grams the largest coverage, which makes the
+      value deterministic under ties).
+    * duplicated n-gram coverage, ``n ∈ dup_ns``: ``dup{n}gram_tokens``
+      = tokens covered by the UNION of all occurrences of n-grams
+      appearing more than once in the doc — overlapping occurrences
+      count once (gaps-and-islands merge, the exact_substring_regions
+      machinery within one document). Documented deviation: the paper
+      counts characters; this counts TOKENS (token-aligned coverage —
+      the same signal, integer-exact, no char-offset bookkeeping).
+
+    Everything is an exact INTEGER count (the engine's float-free hash
+    path rule); the published fractions divide by ``n_tokens`` /
+    ``length(text)`` downstream.
+
+    Plan: one explode feeds ALL ``dup_ns`` at once (per-position structs
+    ``(n, i, xxhash64(gram))`` flattened before the explode), so the
+    dup-coverage pass costs ONE ``(id, n, key)``-keyed exchange + the
+    island merge's ``(id, n)`` rollup regardless of how many n's are
+    requested; top-gram counts are a two-level hash agg per n over the
+    same token arrays; the line signals are one explode + agg. All
+    joins back are id-keyed one-row-per-doc scalars."""
+    d = F.col(id_col)
+    # NULL text = empty document (the standing null-guard rule: no NULL/-1
+    # sentinel may leak into a signal column)
+    toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(d, toks.alias("__t")).localCheckpoint(eager=False)
+    n_tokens = base.select(
+        d, F.size("__t").cast("bigint").alias("n_tokens")
+    )
+
+    # -- duplicate lines
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    ln = df.select(d, F.explode(lines).alias("__l"))
+    line_stats = (
+        ln.groupBy(d, "__l")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(d)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_lines"),
+            F.sum(
+                F.when(
+                    F.col("__c") > 1, F.col("__c") * F.length("__l")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("chars_dup_lines"),
+        )
+    )
+
+    # -- top n-gram coverage (most frequent n-gram; coverage-max on ties)
+    def top_cov(n: int) -> DataFrame:
+        idx = F.sequence(F.lit(0), F.size("__t") - n)
+        gram = lambda i: F.array_join(  # noqa: E731
+            F.slice("__t", i + 1, n), " "
+        )
+        g = base.where(F.size("__t") >= n).select(
+            d, F.explode(F.transform(idx, gram)).alias("__g")
+        )
+        cnt = g.groupBy(d, "__g").agg(F.count(F.lit(1)).alias("__c"))
+        # struct-max = lexicographic (count, coverage): most frequent gram,
+        # largest coverage on ties — ONE two-level hash agg, no window
+        # (a max-count window here would add an id-keyed exchange per n)
+        return cnt.groupBy(d).agg(
+            F.max(
+                F.struct(
+                    F.col("__c").alias("c"),
+                    (F.col("__c") * F.length("__g")).alias("cov"),
+                )
+            )["cov"]
+            .cast("bigint")
+            .alias(f"top{n}gram_chars")
+        )
+
+    # -- duplicated n-gram coverage: one explode for every n in dup_ns
+    # NB: close over n via a factory, NOT a `n=n` default arg — PySpark's
+    # transform() dispatches on lambda ARITY, and a two-parameter lambda
+    # is called as (element, index), silently scrambling the struct
+    def _spans_of(n: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size("__t") - n),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                i.alias("i"),
+                F.xxhash64(F.array_join(F.slice("__t", i + 1, n), " ")).alias(
+                    "k"
+                ),
+            ),
+        )
+
+    span_arrays = [
+        F.when(F.size("__t") >= n, _spans_of(n)).otherwise(
+            F.array().cast("array<struct<n:int,i:int,k:bigint>>")
+        )
+        for n in dup_ns
+    ]
+    pos = base.select(
+        d, F.explode(F.flatten(F.array(*span_arrays))).alias("__s")
+    ).select(d, "__s.n", "__s.i", "__s.k")
+    wc = Window.partitionBy(id_col, "n", "k")
+    dup = pos.withColumn("__c", F.count(F.lit(1)).over(wc)).where(
+        F.col("__c") > 1
+    )
+    # TRUE interval-union merge, not adjacency islands: duplicate starts at
+    # i and i+2 with n=5 cover overlapping intervals [i,i+5) and [i+7)...
+    # — a consecutive-starts merge (the substring-regions spelling) would
+    # count the overlap twice. New island only when the next start clears
+    # the running max interval end; within an island coverage is then
+    # contiguous, so max(i)+n - min(i) is the union length.
+    wi = Window.partitionBy(id_col, "n").orderBy("i")
+    prev_end = F.max(F.col("i") + F.col("n")).over(
+        wi.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        dup.withColumn(
+            "__nw",
+            F.when(
+                prev_end.isNull() | (F.col("i") >= prev_end), 1
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__nw").over(wi))
+        .groupBy(d, "n", "__isl")
+        .agg((F.max(F.col("i") + F.col("n")) - F.min("i")).alias("__len"))
+        .groupBy(d)
+        .pivot("n", list(dup_ns))
+        .agg(F.sum("__len"))
+    )
+    cov = cov.select(
+        d,
+        *[
+            F.coalesce(F.col(str(n)), F.lit(0))
+            .cast("bigint")
+            .alias(f"dup{n}gram_tokens")
+            for n in dup_ns
+        ],
+    )
+
+    out = n_tokens.join(line_stats, id_col, "left")
+    for n in top_ns:
+        out = out.join(top_cov(n), id_col, "left")
+    out = out.join(cov, id_col, "left")
+    fill = [
+        c
+        for c in out.columns
+        if c != id_col and c != "n_tokens"
+    ]
+    return out.select(
+        d,
+        F.col("n_tokens"),
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in fill],
     )
 
 

@@ -959,6 +959,176 @@ def corpus_duplication_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. §A1.1 Table A1 — the line-level and
+# n-gram-coverage subset repetition_stats doesn't cover). Residue-coded
+# multi-line synthesis: even docs repeat line 1 at position 3 (duplicate
+# lines + in-line dup 5-grams), d%7==2 docs append two identical 11-token
+# tail lines (dup 10-grams), odd docs carry no repetition (both directions
+# non-vacuous).
+# ---------------------------------------------------------------------------
+
+_REP_LINES_SQL = f"""
+        SELECT doc_id, j,
+               CASE WHEN j >= 50
+                    THEN 'tail' || (doc_id % 6) ||
+                         ' t1 t2 t3 t4 t5 t6 t7 t8 t9 t10'
+                    ELSE 'w' || (doc_id % 6) || ' a' || jj || ' b' || jj ||
+                         ' c' || jj || ' d' || jj || ' e' || jj END AS line
+        FROM (SELECT doc_id, j,
+                     CASE WHEN j = 3 AND doc_id % 2 = 0 THEN 1 ELSE j END AS jj
+              FROM (SELECT doc_id,
+                           unnest(generate_series(0, 4 + doc_id % 3 - 1)) AS j
+                    FROM ({_SENT_IDS_SQL})
+                    UNION ALL
+                    SELECT doc_id, unnest([50, 51]) AS j
+                    FROM ({_SENT_IDS_SQL}) WHERE doc_id % 7 = 2))
+"""
+
+
+def _rep_topgram_sql(n: int) -> str:
+    return f"""
+    SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top{n}gram_chars
+    FROM (
+        SELECT doc_id, g, c, max(c) OVER (PARTITION BY doc_id) AS mc
+        FROM (SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, len(t) - {n} + 2),
+                               i -> array_to_string(t[i:i+{n - 1}], ' ')
+                           )) AS g
+                    FROM toks WHERE len(t) >= {n})
+              GROUP BY doc_id, g)
+    ) WHERE c = mc GROUP BY doc_id
+    """
+
+
+def _rep_dupcov_sql(n: int) -> str:
+    # interval-UNION merge, mirroring the operator: a new island only when
+    # the start clears the running max interval end (layered windows — the
+    # DuckDB no-nested-window rule)
+    return f"""
+    SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup{n}gram_tokens
+    FROM (
+        SELECT doc_id, isl, max(i) + {n} - min(i) AS len
+        FROM (
+            SELECT doc_id, i,
+                   sum(nw) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+            FROM (
+                SELECT doc_id, i,
+                       CASE WHEN i >= coalesce(
+                                max(i + {n}) OVER (
+                                    PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING),
+                                -1)
+                            THEN 1 ELSE 0 END AS nw
+                FROM (
+                    SELECT doc_id, i,
+                           count(*) OVER (PARTITION BY doc_id, g) AS c
+                    FROM (SELECT doc_id, i,
+                                 array_to_string(t[i:i+{n - 1}], ' ') AS g
+                          FROM (SELECT doc_id, t,
+                                       unnest(range(1, len(t) - {n} + 2))
+                                           AS i
+                                FROM toks WHERE len(t) >= {n}))
+                ) WHERE c > 1
+            )
+        ) GROUP BY doc_id, isl
+    ) GROUP BY doc_id
+    """
+
+
+@query(
+    "gopher_repetition_signals",
+    oracle=f"""
+    WITH lines AS ({_REP_LINES_SQL}),
+    doc AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY j) AS text
+            FROM lines GROUP BY doc_id),
+    toks AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '') AS t
+             FROM doc),
+    lstats AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_lines,
+               CAST(coalesce(sum(c) FILTER (c > 1), 0) AS BIGINT)
+                   AS n_dup_lines,
+               CAST(coalesce(sum(c * length(line)) FILTER (c > 1), 0)
+                    AS BIGINT) AS chars_dup_lines
+        FROM (SELECT doc_id, line, count(*) AS c
+              FROM lines GROUP BY doc_id, line)
+        GROUP BY doc_id
+    ),
+    t2 AS ({_rep_topgram_sql(2)}),
+    t3 AS ({_rep_topgram_sql(3)}),
+    t4 AS ({_rep_topgram_sql(4)}),
+    d5 AS ({_rep_dupcov_sql(5)}),
+    d10 AS ({_rep_dupcov_sql(10)})
+    SELECT CAST(toks.doc_id AS BIGINT) AS doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           lstats.n_lines, lstats.n_dup_lines, lstats.chars_dup_lines,
+           coalesce(t2.top2gram_chars, 0) AS top2gram_chars,
+           coalesce(t3.top3gram_chars, 0) AS top3gram_chars,
+           coalesce(t4.top4gram_chars, 0) AS top4gram_chars,
+           coalesce(d5.dup5gram_tokens, 0) AS dup5gram_tokens,
+           coalesce(d10.dup10gram_tokens, 0) AS dup10gram_tokens
+    FROM toks
+    JOIN lstats ON toks.doc_id = lstats.doc_id
+    LEFT JOIN t2 ON toks.doc_id = t2.doc_id
+    LEFT JOIN t3 ON toks.doc_id = t3.doc_id
+    LEFT JOIN t4 ON toks.doc_id = t4.doc_id
+    LEFT JOIN d5 ON toks.doc_id = d5.doc_id
+    LEFT JOIN d10 ON toks.doc_id = d10.doc_id
+    """,
+    description=(
+        "Gopher/MassiveText repetition signals, the §A1.1 Table A1 "
+        "subset beyond repetition_stats (textan."
+        "gopher_repetition_signals): duplicate-line occurrences and "
+        "their characters, most-frequent-{2,3,4}-gram character "
+        "coverage (count x gram length, coverage-max under ties), and "
+        "duplicated-{5,10}-gram TOKEN coverage as a merged-interval "
+        "union (overlaps count once — the exact_substring islands "
+        "machinery within one document; documented deviation: tokens, "
+        "not characters). Residue synthesis: even docs repeat a line, "
+        "d%7==2 docs carry an adjacent 11-token line twin (dup10 "
+        "fires), odd docs are repetition-free — both directions "
+        "non-vacuous; all-integer relation"
+    ),
+)
+def gopher_repetition_signals(spark, sf_dir):
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(240)
+    )
+    d = F.col("doc_id")
+
+    def line(j):
+        jj = F.when((j == F.lit(3)) & (d % 2 == F.lit(0)), F.lit(1)).otherwise(
+            j
+        )
+        return F.format_string(
+            "w%d a%d b%d c%d d%d e%d", d % 6, jj, jj, jj, jj, jj
+        )
+
+    n = F.lit(4) + d % 3
+    arr = F.transform(F.sequence(F.lit(0), n - 1), line)
+    tail = F.format_string(
+        "tail%d t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", d % 6
+    )
+    arr = F.when(
+        d % 7 == F.lit(2), F.concat(arr, F.array(tail, tail))
+    ).otherwise(arr)
+    docs = ids.select("doc_id", F.array_join(arr, "\n").alias("text"))
+    out = TA.gopher_repetition_signals(
+        docs, "doc_id", "text", top_ns=(2, 3, 4), dup_ns=(5, 10)
+    )
+    return out.select(big(F.col("doc_id")).alias("doc_id"), *out.columns[1:])
+
+
+# ---------------------------------------------------------------------------
 # C4 line/page cleaning (Raffel et al. §2.2, published rules). The fixture
 # text is single-line, so the input is residue-coded synthesis again: a
 # 240-doc multi-line corpus in which every rule fires — short lines

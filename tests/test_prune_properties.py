@@ -562,3 +562,78 @@ def test_paragraph_substring_regions_and_cut(spark):
     assert out[3].n_paragraphs == 3 and out[3].n_paragraphs_removed == 2
     assert out[3].cleaned_text == "only here"
     assert out[3].cleaned_hash == _h.md5(b"only here").hexdigest()
+
+
+def test_gopher_repetition_signals_match_bruteforce(spark):
+    """The §A1.1 repetition subset vs a single-process reference on random
+    multi-line docs over a tiny vocabulary: duplicate-line counts/chars,
+    most-frequent-n-gram coverage (count x length, coverage-max ties), and
+    duplicated-n-gram token coverage as a merged-interval union."""
+    import re
+
+    from data_etl_with_dbt_spark.operators.textan import (
+        gopher_repetition_signals,
+    )
+
+    def ref(text, top_ns=(2, 3, 4), dup_ns=(5, 10)):
+        lines = [l.strip() for l in (text or "").split("\n") if l.strip()]
+        from collections import Counter
+
+        lc = Counter(lines)
+        toks = [t for t in re.split(r"\s+", (text or "").lower()) if t]
+        out = {
+            "n_tokens": len(toks),
+            "n_lines": len(lines),
+            "n_dup_lines": sum(c for c in lc.values() if c > 1),
+            "chars_dup_lines": sum(
+                c * len(l) for l, c in lc.items() if c > 1
+            ),
+        }
+        for n in top_ns:
+            grams = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            cov = 0
+            if grams:
+                mc = max(grams.values())
+                cov = max(
+                    c * len(g) for g, c in grams.items() if c == mc
+                )
+            out[f"top{n}gram_chars"] = cov
+        for n in dup_ns:
+            grams = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            dup_pos = sorted(
+                i
+                for i in range(len(toks) - n + 1)
+                if grams[" ".join(toks[i : i + n])] > 1
+            )
+            covered = set()
+            for p in dup_pos:
+                covered.update(range(p, p + n))
+            out[f"dup{n}gram_tokens"] = len(covered)
+        return out
+
+    rng = random.Random(31)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for i in range(25):
+        n_lines = rng.randint(1, 6)
+        lines = []
+        for _ in range(n_lines):
+            lines.append(
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14)))
+            )
+        if rng.random() < 0.5 and lines:
+            lines.append(rng.choice(lines))  # planted duplicate line
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.asDict()
+        for r in gopher_repetition_signals(docs, "id", "text").collect()
+    }
+    for i, text in rows:
+        expect = ref(text)
+        actual = {k: v for k, v in got[i].items() if k != "id"}
+        assert actual == expect, (i, text, actual, expect)
