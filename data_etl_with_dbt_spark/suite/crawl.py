@@ -967,6 +967,7 @@ def url_shape_features(spark, sf_dir):
     s AS ({_REGISTRY["script_mix_documents"].oracle}),
     r AS ({_REGISTRY["redpajama_quality_signals"].oracle}),
     g AS ({_REGISTRY["gopher_quality_flags"].oracle}),
+    rep AS ({_REGISTRY["gopher_repetition_signals"].oracle}),
     src AS (SELECT DISTINCT doc_id, source FROM documents)
     SELECT src.source,
         CAST(count(*) AS BIGINT) AS n_docs,
@@ -977,12 +978,16 @@ def url_shape_features(spark, sf_dir):
         CAST(count(*) FILTER (s.n_cyrillic = 0) AS BIGINT) AS n_pass_script,
         CAST(count(*) FILTER (r.n_no_alph_words * 4 <= r.n_words) AS BIGINT)
             AS n_pass_redpajama,
-        CAST(count(*) FILTER (g.passes_gopher) AS BIGINT) AS n_pass_gopher
+        CAST(count(*) FILTER (g.passes_gopher) AS BIGINT) AS n_pass_gopher,
+        CAST(count(*) FILTER (rep.n_dup_lines = 0
+                              AND rep.dup5gram_tokens * 5 <= rep.n_tokens)
+             AS BIGINT) AS n_pass_repetition
     FROM u
     JOIN c ON u.doc_id = c.doc_id
     JOIN s ON u.doc_id = s.doc_id
     JOIN r ON u.doc_id = r.doc_id
     JOIN g ON u.doc_id = g.doc_id
+    JOIN rep ON u.doc_id = rep.doc_id
     JOIN src ON u.doc_id = src.doc_id
     GROUP BY src.source
     """,
@@ -1013,6 +1018,12 @@ def corpus_funnel_profile(spark, sf_dir):
     g = _REGISTRY["gopher_quality_flags"].fn(spark, sf_dir).select(
         "doc_id", "passes_gopher"
     )
+    rep = _REGISTRY["gopher_repetition_signals"].fn(spark, sf_dir).select(
+        "doc_id",
+        "n_dup_lines",
+        "dup5gram_tokens",
+        F.col("n_tokens").alias("rep_n_tokens"),
+    )
     src = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "source")
@@ -1026,6 +1037,7 @@ def corpus_funnel_profile(spark, sf_dir):
         .join(s, "doc_id")
         .join(r, "doc_id")
         .join(g, "doc_id")
+        .join(rep, "doc_id")
         .join(src, "doc_id")
         .groupBy("source")
         .agg(
@@ -1043,5 +1055,13 @@ def corpus_funnel_profile(spark, sf_dir):
                 "n_pass_redpajama",
             ),
             flag(F.col("passes_gopher"), "n_pass_gopher"),
+            flag(
+                (F.col("n_dup_lines") == 0)
+                & (
+                    F.col("dup5gram_tokens") * 5
+                    <= F.col("rep_n_tokens")
+                ),
+                "n_pass_repetition",
+            ),
         )
     )
