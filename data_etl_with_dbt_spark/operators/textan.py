@@ -803,7 +803,11 @@ def gopher_repetition_signals(
     island merge's ``(id, n)`` rollup regardless of how many n's are
     requested; top-gram counts are a two-level hash agg per n over the
     same token arrays; the line signals are one explode + agg. All
-    joins back are id-keyed one-row-per-doc scalars."""
+    joins back are id-keyed one-row-per-doc scalars. The token arrays
+    are lazily localCheckpoint'd: ``1 + len(top_ns) + 1`` consumers
+    would each re-tokenize otherwise (Catalyst does not CSE across
+    consumers — the engine's standing rule), and the checkpoint bounds
+    that to one tokenize pass at the cost of caching the arrays."""
     d = F.col(id_col)
     # NULL text = empty document (the standing null-guard rule: no NULL/-1
     # sentinel may leak into a signal column)
