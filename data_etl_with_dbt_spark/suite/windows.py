@@ -679,8 +679,8 @@ def sessionize_events(spark, sf_dir):
            CAST(count(gap_us) AS BIGINT) AS n_gaps,
            CAST(min(gap_us) AS DOUBLE) / 1e6 AS min_gap_s,
            CAST(max(gap_us) AS DOUBLE) / 1e6 AS max_gap_s,
-           CAST(CAST(CAST(SUM(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE) / 1e6
-                AS DECIMAL(38,6)) AS DOUBLE) AS mean_gap_s
+           CAST(SUM(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE) / 1e6
+               AS mean_gap_s
     FROM gaps
     WHERE gap_us IS NOT NULL
     GROUP BY user_id
@@ -701,8 +701,16 @@ def user_gap_stats(spark, sf_dir):
         big(F.count("gap_us")).alias("n_gaps"),
         (F.min("gap_us").cast("double") / F.lit(1e6)).alias("min_gap_s"),
         (F.max("gap_us").cast("double") / F.lit(1e6)).alias("max_gap_s"),
-        dec6(
-            F.sum("gap_us").cast("double") / F.count("gap_us").cast("double") / F.lit(1e6)
+        # RAW double, deliberately UNquantized: sum and count are exact
+        # integers, so the mirrored sum/count/1e6 double is bit-identical
+        # across engines — while a dec6 here is the documented µs-grid
+        # trap (Spark's double→decimal cast rounds the shortest repr,
+        # DuckDB rounds the binary value; the round-9 subset70 sweep
+        # caught a mean landing within an ulp of the .5e-6 boundary)
+        (
+            F.sum("gap_us").cast("double")
+            / F.count("gap_us").cast("double")
+            / F.lit(1e6)
         ).alias("mean_gap_s"),
     )
 
