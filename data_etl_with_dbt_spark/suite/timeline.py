@@ -419,14 +419,14 @@ def survival_km_conversion(spark, sf_dir):
     ),
     last AS (SELECT day, lvl, trend FROM r ORDER BY rn DESC LIMIT 1)
     SELECT day, rev,
-           CAST(CAST(lvl AS DECIMAL(38,6)) AS DOUBLE) AS level,
-           CAST(CAST(trend AS DECIMAL(38,6)) AS DOUBLE) AS trend,
+           lvl AS level,
+           trend,
            FALSE AS is_forecast
     FROM r
     UNION ALL
     SELECT day + CAST(h AS BIGINT) * INTERVAL 1 DAY, NULL,
-           CAST(CAST(lvl + CAST(h AS DOUBLE) * trend AS DECIMAL(38,6)) AS DOUBLE),
-           CAST(CAST(trend AS DECIMAL(38,6)) AS DOUBLE),
+           lvl + CAST(h AS DOUBLE) * trend,
+           trend,
            TRUE
     FROM last, unnest(range(1, 8)) AS t(h)
     """,
@@ -480,8 +480,13 @@ def holt_linear_forecast(spark, sf_dir):
     hist = folded.select(F.explode("series").alias("p")).select(
         F.col("p.day").alias("day"),
         F.col("p.rev").alias("rev"),
-        dec6(F.col("p.lvl")).alias("level"),
-        dec6(F.col("p.trend")).alias("trend"),
+        # RAW doubles, deliberately UNquantized: the recursion/fold pins
+        # the evaluation order so lvl/trend are bit-identical across
+        # engines, while a dec6 is the documented shortest-repr-vs-binary
+        # decimal-cast trap (the round-9 dup2 sweep caught a level within
+        # an ulp of the .5e-6 boundary)
+        F.col("p.lvl").alias("level"),
+        F.col("p.trend").alias("trend"),
         F.lit(False).alias("is_forecast"),
     )
     last = folded.select(F.element_at("series", -1).alias("p"))
@@ -490,10 +495,10 @@ def holt_linear_forecast(spark, sf_dir):
         .select(
             F.date_add(F.col("p.day"), F.col("h")).alias("day"),
             F.lit(None).cast("double").alias("rev"),
-            dec6(
+            (
                 F.col("p.lvl") + F.col("h").cast("double") * F.col("p.trend")
             ).alias("level"),
-            dec6(F.col("p.trend")).alias("trend"),
+            F.col("p.trend").alias("trend"),
             F.lit(True).alias("is_forecast"),
         )
     )
