@@ -69,6 +69,7 @@ def _ops():
         "canonicalize": _canonicalize,
         "nfkc": _nfkc,
         "paragraph_cut": _paragraph_cut,
+        "repetition": _repetition,
     }
 
 
@@ -336,6 +337,27 @@ def _paragraph_text(classes: int = 1000):
     )
     return F.array_join(
         F.transform(F.sequence(F.lit(0), F.lit(7)), para), "\n\n"
+    )
+
+
+def _repetition(df):
+    from data_etl_with_dbt_spark.operators import textan as TA
+
+    # multi-line synthesis with a repeated line (even ids) so the line,
+    # top-gram, and dup-coverage paths all do real work
+    d = F.col("doc_id")
+    line = lambda j: F.format_string(  # noqa: E731
+        "w%d a%d b%d c%d d%d e%d", d % 1000, j, j, j, j, j
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(5)),
+        lambda j: F.when(
+            (j == F.lit(3)) & (d % 2 == F.lit(0)), line(F.lit(1))
+        ).otherwise(line(j)),
+    )
+    docs = df.select("doc_id", F.array_join(arr, "\n").alias("text"))
+    return TA.gopher_repetition_signals(
+        docs, "doc_id", "text", top_ns=(2, 3, 4), dup_ns=(5, 10)
     )
 
 
