@@ -66,27 +66,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 WINDOW = [
     "canonicalized_text", "corpus_funnel_profile",
-    "gopher_repetition_signals", "nfkc_normalized_text",
-    "streaming_paragraph_cut", "ann_ivf_topk", "ann_lsh_topk",
-    "approx_aggregates", "dedup_incremental_minhash", "dedup_minhash_lsh",
-    "annotator_agreement", "asof_forward_error_to_click",
-    "attribution_purchase_touchpoints", "benford_first_digit_orders",
-    "bm25_top_docs", "boilerplate_ngram_prune", "cascade_delete_impact",
-    "cdc_debezium_apply_orders", "column_entropy_events",
-    "concurrent_sessions_peak", "corpus_epoch_upsample",
-    "corpus_quality_report", "curriculum_schedule_documents",
-    "cusum_change_points", "dedup_keep_longest", "dedup_soft_weights",
-    "dp_noisy_counts", "dsir_importance_weights",
-    "duplicate_invoice_heuristic", "embedding_norm_stats",
-    "event_transition_matrix", "event_type_lift_pairs", "ewma_daily_revenue",
-    "frequent_event_trigrams", "functional_dependency_check",
-    "funnel_conversion_windows", "gopher_quality_flags",
-    "graph_clustering_coefficients", "growth_accounting_daily",
-    "half_life_decay_value", "inverted_index_terms",
-    "perplexity_proxy_score", "q22_inactive_customers", "q8_market_share",
-    "recursive_capped_balance", "scalar_array_gallery",
-    "scalar_bitwise_gallery", "scalar_map_gallery", "scalar_try_gallery",
-    "sessionize_events",
+    "gopher_repetition_signals", "hygiene_signals_fused",
+    "nfkc_normalized_text", "streaming_paragraph_cut", "ann_ivf_topk",
+    "ann_lsh_topk", "approx_aggregates", "dedup_incremental_minhash",
+    "dedup_minhash_lsh", "annotator_agreement",
+    "asof_forward_error_to_click", "attribution_purchase_touchpoints",
+    "benford_first_digit_orders", "bm25_top_docs", "boilerplate_ngram_prune",
+    "cascade_delete_impact", "cdc_debezium_apply_orders",
+    "column_entropy_events", "concurrent_sessions_peak",
+    "corpus_epoch_upsample", "corpus_quality_report",
+    "curriculum_schedule_documents", "cusum_change_points",
+    "dedup_keep_longest", "dedup_soft_weights", "dp_noisy_counts",
+    "dsir_importance_weights", "duplicate_invoice_heuristic",
+    "embedding_norm_stats", "event_transition_matrix",
+    "event_type_lift_pairs", "ewma_daily_revenue", "frequent_event_trigrams",
+    "functional_dependency_check", "funnel_conversion_windows",
+    "gopher_quality_flags", "graph_clustering_coefficients",
+    "growth_accounting_daily", "half_life_decay_value",
+    "inverted_index_terms", "perplexity_proxy_score",
+    "q22_inactive_customers", "q8_market_share", "recursive_capped_balance",
+    "scalar_array_gallery", "scalar_bitwise_gallery", "scalar_map_gallery",
+    "scalar_try_gallery",
 ]
 
 ZQ_QUEUED = [
@@ -150,25 +150,26 @@ ZV_VERIFIED = [
     "script_mix_documents", "semantic_decontamination",
     "semantic_dedup_clusters", "sentence_dedup_cut",
     "sentence_dedup_regions", "sequence_packing", "session_entry_exit",
-    "session_window_events", "set_except_all", "set_intersect_all",
-    "set_operations", "set_union_by_name", "sitemap_entries_roundtrip",
-    "skew_stats_orders", "sliding_window_events",
-    "stratified_sample_documents", "streaming_recrawl_maintenance",
-    "streaming_rollup_events", "streaming_sentence_cut",
-    "streaming_substring_cut", "subquery_exists_gallery", "subquery_in",
-    "surrogate_keys_events", "survival_km_conversion",
-    "table_diff_orders_rebuild", "text_quality_stats", "tfidf_top_terms",
-    "theta_sketch_users", "time_weighted_average", "token_counting",
-    "tokenizer_fertility_stats", "topic_model_simplex", "topk_orders",
-    "trailing_distinct_users_kmv", "trend_decompose_daily",
-    "tumbling_window_events", "two_sample_drift_events",
-    "unpivot_lineitem_measures", "url_dedup_documents", "url_shape_features",
-    "user_gap_stats", "variant_props_stats", "vocab_coverage_topk",
-    "warc_documents_roundtrip", "warc_ingest_accounting",
-    "warc_links_roundtrip", "weighted_sample_documents",
-    "window_analytics_extended", "window_customer_orders",
-    "window_trailing_range", "winsorize_extendedprice",
-    "zipf_exponent_vocab", "zorder_cluster_events",
+    "session_window_events", "sessionize_events", "set_except_all",
+    "set_intersect_all", "set_operations", "set_union_by_name",
+    "sitemap_entries_roundtrip", "skew_stats_orders",
+    "sliding_window_events", "stratified_sample_documents",
+    "streaming_recrawl_maintenance", "streaming_rollup_events",
+    "streaming_sentence_cut", "streaming_substring_cut",
+    "subquery_exists_gallery", "subquery_in", "surrogate_keys_events",
+    "survival_km_conversion", "table_diff_orders_rebuild",
+    "text_quality_stats", "tfidf_top_terms", "theta_sketch_users",
+    "time_weighted_average", "token_counting", "tokenizer_fertility_stats",
+    "topic_model_simplex", "topk_orders", "trailing_distinct_users_kmv",
+    "trend_decompose_daily", "tumbling_window_events",
+    "two_sample_drift_events", "unpivot_lineitem_measures",
+    "url_dedup_documents", "url_shape_features", "user_gap_stats",
+    "variant_props_stats", "vocab_coverage_topk", "warc_documents_roundtrip",
+    "warc_ingest_accounting", "warc_links_roundtrip",
+    "weighted_sample_documents", "window_analytics_extended",
+    "window_customer_orders", "window_trailing_range",
+    "winsorize_extendedprice", "zipf_exponent_vocab",
+    "zorder_cluster_events",
 ]
 
 ZR_ROWS_ONLY = [

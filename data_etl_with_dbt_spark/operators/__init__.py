@@ -37,6 +37,7 @@ from data_etl_with_dbt_spark.operators.textan import (  # noqa: F401
     inverted_index,
     gopher_quality_flags,
     gopher_repetition_signals,
+    hygiene_signals,
     lang_id_scores,
     mixture_sample,
     redpajama_quality_signals,

@@ -153,21 +153,22 @@ def script_mix_stats(
     Scale: pure per-row JVM codegen (``regexp_count`` — no Python, no
     shuffle, no agg); pipelines into the same scan as quality scoring and
     PII scrubbing. ``\\d`` is ASCII-only in BOTH Java and RE2, so the
-    digit count is portable too."""
+    digit count is portable too. NULL text counts as an empty document
+    (all-zero counts — the hygiene family's convention, aligned with
+    c4_line_filters / redpajama_quality_signals / hygiene_signals)."""
     scripts = SCRIPT_CLASSES if scripts is None else scripts
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     cols = [F.col(id_col)]
     for name, cls in scripts.items():
         cols.append(
-            F.regexp_count(F.col(text_col), F.lit(f"\\p{{{cls}}}"))
+            F.regexp_count(txt, F.lit(f"\\p{{{cls}}}"))
             .cast("bigint")
             .alias(f"n_{name}")
         )
     cols.append(
-        F.regexp_count(F.col(text_col), F.lit(r"\d"))
-        .cast("bigint")
-        .alias("n_digit")
+        F.regexp_count(txt, F.lit(r"\d")).cast("bigint").alias("n_digit")
     )
-    cols.append(F.length(F.col(text_col)).cast("bigint").alias("n_chars"))
+    cols.append(F.length(txt).cast("bigint").alias("n_chars"))
     return df.select(*cols)
 
 
@@ -295,6 +296,36 @@ def nfkc_normalize(
     return df.mapInPandas(_normalize, df.schema)
 
 
+def lines_array_expr(txt: Column) -> Column:
+    """Line ARRAY of a text column: split on newlines, trim, drop empties
+    — the one line-segmentation expression for the hygiene family
+    (c4_line_filters, redpajama_quality_signals, gopher_repetition_signals
+    and the fused hygiene_signals all share it; a drifted local copy would
+    silently split the gates, the tokens_expr lesson)."""
+    return F.filter(
+        F.transform(F.split(txt, r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def _c4_line_ok(min_words_per_line: int, banned_line_words: tuple):
+    """The C4 per-line predicate as a lambda-factory (shared by
+    c4_line_filters and hygiene_signals — ONE spelling of the published
+    rule)."""
+
+    def line_ok(line: Column) -> Column:
+        ok = line.rlike(r"[.!?][\"')\]]*$|[\"”]$")
+        ok = ok & (
+            F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+            >= F.lit(int(min_words_per_line))
+        )
+        for word in banned_line_words:
+            ok = ok & ~F.contains(F.lower(line), F.lit(word.lower()))
+        return ok
+
+    return line_ok
+
+
 def c4_line_filters(
     df: DataFrame,
     id_col: str,
@@ -341,22 +372,10 @@ def c4_line_filters(
     text is coalesced to '' up front (the repo's standing
     size()-of-derived-array null-guard rule)."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(
-        F.transform(F.split(txt, r"\n"), lambda s: F.trim(s)),
-        lambda s: s != "",
+    lines = lines_array_expr(txt)
+    kept = F.filter(
+        lines, _c4_line_ok(min_words_per_line, banned_line_words)
     )
-
-    def line_ok(line: Column) -> Column:
-        ok = line.rlike(r"[.!?][\"')\]]*$|[\"”]$")
-        ok = ok & (
-            F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
-            >= F.lit(int(min_words_per_line))
-        )
-        for word in banned_line_words:
-            ok = ok & ~F.contains(F.lower(line), F.lit(word.lower()))
-        return ok
-
-    kept = F.filter(lines, line_ok)
     cleaned = F.array_join(kept, "\n")
     staged = df.select(
         F.col(id_col),
@@ -416,10 +435,7 @@ def redpajama_quality_signals(
     front (the standing size()-of-derived-array null-guard rule)."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens_expr(txt)
-    lines = F.filter(
-        F.transform(F.split(txt, r"\n"), lambda s: F.trim(s)),
-        lambda s: s != "",
-    )
+    lines = lines_array_expr(txt)
     n_symbols = (
         F.regexp_count(txt, F.lit(r"#"))
         + F.regexp_count(txt, F.lit(r"\.\.\."))
@@ -443,6 +459,125 @@ def redpajama_quality_signals(
             F.filter(lines, lambda l: l.rlike(r"^[-*•‣▶◦·]"))
         ).cast("bigint").alias("n_lines_start_bullet"),
     )
+
+
+def hygiene_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    url_col: str | None = None,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    banned_doc_substrings: tuple[str, ...] = ("{", "lorem ipsum"),
+    scripts: dict[str, str] | None = None,
+    emit_text: bool = False,
+) -> DataFrame:
+    """ONE-SCAN fusion of the hygiene gate family — the relation a 100 TB
+    intake pass actually materializes. Composing
+    :func:`c4_line_filters` + :func:`script_mix_stats` +
+    :func:`redpajama_quality_signals` (+ ``functions.web.url_features``)
+    as separate relations joined on id costs FOUR scans of the corpus
+    plus three id-keyed shuffles, because Catalyst neither merges
+    self-joins of a shared scan nor CSEs across consumers; this operator
+    emits every column in one projection chain — zero joins, zero
+    shuffles, one scan.
+
+    Output columns are named EXACTLY as the component relations emit
+    them (``n_lines``/``n_lines_kept``/``n_sentences_kept``/``doc_kept``/
+    ``cleaned_hash``; ``n_<script>``/``n_digit``/``n_chars``;
+    ``n_words``/``n_unique_words``/``n_no_alph_words``/``n_symbols``/
+    ``n_lines_end_ellipsis``/``n_lines_start_bullet``; the url_features
+    set when ``url_col`` is given), so gates written against the
+    components read the fused output unchanged — equivalence to the
+    joined composition is pinned in tests. ``n_lines`` is emitted once
+    (c4 and RedPajama share the engine's one line expression).
+
+    Plan: a four-stage projection chain that materializes ``__lines`` /
+    ``__toks`` / ``__kept`` / ``__cleaned`` each exactly once — every
+    one is referenced 2+ times downstream, and higher-order functions
+    are interpreted with no CSE, so the staging (which blocks project
+    collapse on multi-use non-cheap aliases) is what keeps the fused
+    form from paying the components' repeated split/tokenize work.
+    NULL text = empty page throughout (the standing null-guard rule)."""
+    scripts = SCRIPT_CLASSES if scripts is None else scripts
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    doc_sub_ok = F.lit(True)
+    for sub in banned_doc_substrings:
+        doc_sub_ok = doc_sub_ok & ~F.contains(
+            F.lower(txt), F.lit(sub.lower())
+        )
+
+    s0 = [F.col(id_col)]
+    if url_col is not None:
+        from data_etl_with_dbt_spark.functions.web import url_features
+
+        s0.extend(url_features(F.col(url_col)))
+    for name, cls in scripts.items():
+        s0.append(
+            F.regexp_count(txt, F.lit(f"\\p{{{cls}}}"))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+    s0.extend(
+        [
+            F.regexp_count(txt, F.lit(r"\d")).cast("bigint").alias("n_digit"),
+            F.length(txt).cast("bigint").alias("n_chars"),
+            (
+                F.regexp_count(txt, F.lit(r"#"))
+                + F.regexp_count(txt, F.lit(r"\.\.\."))
+                + F.regexp_count(txt, F.lit("…"))
+            )
+            .cast("bigint")
+            .alias("n_symbols"),
+            doc_sub_ok.alias("__doc_sub_ok"),
+            lines_array_expr(txt).alias("__lines"),
+            tokens_expr(txt).alias("__toks"),
+        ]
+    )
+    stage0 = df.select(*s0)
+
+    stage1 = stage0.select(
+        "*",
+        F.size("__toks").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("__toks")).cast("bigint").alias(
+            "n_unique_words"
+        ),
+        F.size(F.filter("__toks", lambda t: ~t.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("n_no_alph_words"),
+        F.size("__lines").cast("bigint").alias("n_lines"),
+        F.size(F.filter("__lines", lambda l: l.rlike(r"(\.\.\.|…)$")))
+        .cast("bigint")
+        .alias("n_lines_end_ellipsis"),
+        F.size(F.filter("__lines", lambda l: l.rlike(r"^[-*•‣▶◦·]")))
+        .cast("bigint")
+        .alias("n_lines_start_bullet"),
+        F.filter(
+            F.col("__lines"),
+            _c4_line_ok(min_words_per_line, banned_line_words),
+        ).alias("__kept"),
+    ).drop("__toks")
+
+    stage2 = stage1.select(
+        "*",
+        F.size("__kept").cast("bigint").alias("n_lines_kept"),
+        F.array_join("__kept", "\n").alias("__cleaned"),
+    ).drop("__lines", "__kept")
+
+    n_sents = F.size(sentence_array_expr(F.col("__cleaned")))
+    return stage2.select(
+        "*",
+        F.greatest(n_sents, F.lit(0))
+        .cast("bigint")
+        .alias("n_sentences_kept"),
+        (
+            (n_sents >= F.lit(int(min_sentences))) & F.col("__doc_sub_ok")
+        ).alias("doc_kept"),
+        F.md5(F.col("__cleaned")).alias("cleaned_hash"),
+        *([F.col("__cleaned").alias("cleaned_text")] if emit_text else []),
+    ).drop("__cleaned", "__doc_sub_ok")
 
 
 #: BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
@@ -818,13 +953,7 @@ def gopher_repetition_signals(
     )
 
     # -- duplicate lines
-    lines = F.filter(
-        F.transform(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
-            lambda s: F.trim(s),
-        ),
-        lambda s: s != "",
-    )
+    lines = lines_array_expr(F.coalesce(F.col(text_col), F.lit("")))
     ln = df.select(d, F.explode(lines).alias("__l"))
     line_stats = (
         ln.groupBy(d, "__l")

@@ -1260,6 +1260,129 @@ def c4_line_page_filters(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused hygiene signals: the ONE-SCAN relation (C4 + script mix + RedPajama
+# in one projection chain — zero joins; the component composition costs
+# four scans + three shuffles because Catalyst neither merges self-joins
+# nor CSEs across consumers). Input: the c4 synthesis corpus extended with
+# cyrillic (d%9==5), ellipsis-terminated (d%10==7) and bullet (d%6==1)
+# lines so every fused column family is non-vacuous.
+# ---------------------------------------------------------------------------
+
+_HYG_LINES_SQL = f"""
+        SELECT doc_id, j, line FROM ({_C4_LINES_SQL})
+        UNION ALL
+        SELECT doc_id, 102 AS j, 'кот мир да пример тест.' AS line
+        FROM ({_SENT_IDS_SQL}) WHERE doc_id % 9 = 5
+        UNION ALL
+        SELECT doc_id, 103 AS j, 'to be continued maybe...' AS line
+        FROM ({_SENT_IDS_SQL}) WHERE doc_id % 10 = 7
+        UNION ALL
+        SELECT doc_id, 104 AS j, '- bullet item alpha beta.' AS line
+        FROM ({_SENT_IDS_SQL}) WHERE doc_id % 6 = 1
+"""
+
+
+def _synth_hyg_docs(spark, sf_dir):
+    """_synth_c4_docs extended with the three extra line classes, appended
+    in the same j order the oracle's string_agg produces."""
+    docs = _synth_c4_docs(spark, sf_dir)
+    d = F.col("doc_id")
+    extra = F.concat(
+        F.when(d % 9 == F.lit(5), F.lit("\nкот мир да пример тест."))
+        .otherwise(F.lit("")),
+        F.when(d % 10 == F.lit(7), F.lit("\nto be continued maybe..."))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == F.lit(1), F.lit("\n- bullet item alpha beta."))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text")
+    )
+
+
+@query(
+    "hygiene_signals_fused",
+    oracle=f"""
+    WITH lines AS ({_HYG_LINES_SQL}),
+    doc AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY j) AS text
+            FROM lines GROUP BY doc_id),
+    judged AS (
+        SELECT doc_id, j, line,
+               regexp_matches(line, '[.!?]$')
+               AND len(list_filter(string_split_regex(line, '\\s+'),
+                                   x -> x <> '')) >= 3
+               AND NOT contains(lower(line), 'javascript') AS ok
+        FROM lines
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               count(*) AS n_lines,
+               count(*) FILTER (ok) AS n_lines_kept,
+               coalesce(string_agg(line, chr(10) ORDER BY j)
+                        FILTER (ok), '') AS cleaned,
+               count(*) FILTER (regexp_matches(line, '(\\.\\.\\.|…)$'))
+                   AS n_lines_end_ellipsis,
+               count(*) FILTER (regexp_matches(line, '^[-*•‣▶◦·]'))
+                   AS n_lines_start_bullet
+        FROM judged GROUP BY doc_id
+    ),
+    toks AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '') AS t,
+                    text
+             FROM doc)
+    SELECT CAST(toks.doc_id AS BIGINT) AS doc_id,
+        CAST(len(regexp_extract_all(text, '\\p{{Latin}}')) AS BIGINT)
+            AS n_latin,
+        CAST(len(regexp_extract_all(text, '\\p{{Cyrillic}}')) AS BIGINT)
+            AS n_cyrillic,
+        CAST(len(regexp_extract_all(text, '\\p{{Han}}')) AS BIGINT) AS n_han,
+        CAST(len(regexp_extract_all(text, '\\p{{Arabic}}')) AS BIGINT)
+            AS n_arabic,
+        CAST(len(regexp_extract_all(text, '\\d')) AS BIGINT) AS n_digit,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '\\.\\.\\.'))
+             + len(regexp_extract_all(text, '…')) AS BIGINT) AS n_symbols,
+        CAST(len(t) AS BIGINT) AS n_words,
+        CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_words,
+        CAST(len(list_filter(t, x -> NOT regexp_matches(x, '[a-z]')))
+             AS BIGINT) AS n_no_alph_words,
+        CAST(perdoc.n_lines AS BIGINT) AS n_lines,
+        CAST(perdoc.n_lines_end_ellipsis AS BIGINT) AS n_lines_end_ellipsis,
+        CAST(perdoc.n_lines_start_bullet AS BIGINT) AS n_lines_start_bullet,
+        CAST(perdoc.n_lines_kept AS BIGINT) AS n_lines_kept,
+        CAST(len(list_filter(list_transform(
+                 string_split_regex(cleaned, '[.!?]+'),
+                 s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))),
+                 s -> s <> '')) AS BIGINT) AS n_sentences_kept,
+        len(list_filter(list_transform(
+                string_split_regex(cleaned, '[.!?]+'),
+                s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))),
+                s -> s <> '')) >= 3
+            AND NOT contains(lower(text), '{{')
+            AND NOT contains(lower(text), 'lorem ipsum') AS doc_kept,
+        md5(cleaned) AS cleaned_hash
+    FROM toks JOIN perdoc ON toks.doc_id = perdoc.doc_id
+    """,
+    description=(
+        "ONE-SCAN fused hygiene relation (textan.hygiene_signals — C4 "
+        "line/page cleaning + Unicode-script mix + RedPajama signals in "
+        "one projection chain; the component composition costs four "
+        "scans + three id-joins since Catalyst neither merges self-joins "
+        "nor CSEs across consumers — equivalence to that composition is "
+        "pinned in tests, plan pinned one FileScan / zero exchanges). "
+        "The c4 residue corpus extended with cyrillic, ellipsis and "
+        "bullet lines so every column family is non-vacuous"
+    ),
+)
+def hygiene_signals_fused(spark, sf_dir):
+    docs = _synth_hyg_docs(spark, sf_dir)
+    out = TA.hygiene_signals(docs, "doc_id", "text", min_sentences=3)
+    return out.select(big(F.col("doc_id")).alias("doc_id"), *out.columns[1:])
+
+
 @query(
     "corpus_mixture_sample",
     oracle=r"""

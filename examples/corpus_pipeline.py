@@ -5,9 +5,9 @@ would run them nightly over a crawl increment:
     0a. crawl shim        residue-coded crawl dressing around the fixture
                           bodies (frontier URLs, unicode mess, junk lines,
                           script mixing) so every hygiene gate fires
-    0b. hygiene gates     url_features shape gate -> canonicalize_text ->
-                          script_mix gate -> C4 line/page cleaning ->
-                          RedPajama signal gate, flags audited per source
+    0b. hygiene gates     canonicalize_text -> FUSED hygiene_signals (URL
+                          shape + script mix + C4 cleaning + RedPajama in
+                          ONE scan), flags audited per source
     1. quality filter     text_stats + repetition filters (Gopher-style)
     2. model filter       hashed-feature logistic classifier, weak-labeled
                           from the heuristic score's extremes (CCNet recipe)
@@ -50,7 +50,6 @@ from data_etl_with_dbt_spark import ml as ML
 from data_etl_with_dbt_spark.operators import dedup as D
 from data_etl_with_dbt_spark.operators import relational as R
 from data_etl_with_dbt_spark.operators import textan as TA
-from data_etl_with_dbt_spark.functions.web import url_features
 from data_etl_with_dbt_spark.sources.io import read_parquet, write_training_shards
 
 
@@ -115,46 +114,42 @@ def main(sf_dir: str, workdir: str) -> None:
     )
     page = mark("crawl_shim", t0, page)
 
-    # 0b. hygiene gates — the round-8 published-recipe family composed in
-    # production order: URL shape (pre-fetch), canonicalize, script mix
-    # (pre-lang-ID), C4 line/page cleaning, RedPajama signals on the
-    # cleaned text. Flags are computed as COLUMNS and audited per source
-    # in one relation before the conjunction filters; the C4 cleaned body
-    # is what survives downstream.
+    # 0b. hygiene gates — the round-8 published-recipe family in
+    # production order: canonicalize, then the FUSED hygiene relation
+    # (URL shape + script mix + C4 line/page cleaning + RedPajama
+    # signals in ONE projection chain — zero joins, one scan; the
+    # component-relation composition this replaced cost four scans +
+    # three id-shuffles, see BENCH_NOTES). Flags are audited per source
+    # in one relation before the conjunction filters; the C4 cleaned
+    # body is what survives downstream.
     t0 = time.time()
-    uf = page.select("doc_id", *url_features("url"))
-    url_ok = (
-        ~F.col("is_ip_host")
-        & (F.col("n_query_params") <= 2)
-        & (F.col("n_host_digits") <= 4)
-    )
-    canon = TA.canonicalize_text(page, "doc_id", "text")
-    sm = TA.script_mix_stats(canon, "doc_id", "text")
-    c4 = TA.c4_line_filters(
-        canon, "doc_id", "text", min_sentences=1, emit_text=True
-    )
-    rp = TA.redpajama_quality_signals(
-        c4.select("doc_id", F.col("cleaned_text").alias("text")),
+    canon = page.select(
         "doc_id",
-        "text",
+        "url",
+        "source",
+        "lang",
+        TA.canonicalize_text_expr(
+            F.coalesce(F.col("text"), F.lit(""))
+        ).alias("text"),
+    )
+    hs = TA.hygiene_signals(
+        canon, "doc_id", "text", url_col="url",
+        min_sentences=1, emit_text=True,
     )
     flags = (
         page.select("doc_id", "source", "lang")
-        .join(uf.select("doc_id", url_ok.alias("url_ok")), "doc_id")
         .join(
-            sm.select("doc_id", (F.col("n_cyrillic") == 0).alias("script_ok")),
-            "doc_id",
-        )
-        .join(
-            c4.select(
-                "doc_id", F.col("doc_kept").alias("c4_ok"), "cleaned_text"
-            ),
-            "doc_id",
-        )
-        .join(
-            rp.select(
+            hs.select(
                 "doc_id",
+                (
+                    ~F.col("is_ip_host")
+                    & (F.col("n_query_params") <= 2)
+                    & (F.col("n_host_digits") <= 4)
+                ).alias("url_ok"),
+                (F.col("n_cyrillic") == 0).alias("script_ok"),
+                F.col("doc_kept").alias("c4_ok"),
                 (F.col("n_lines_end_ellipsis") == 0).alias("rp_ok"),
+                "cleaned_text",
             ),
             "doc_id",
         )

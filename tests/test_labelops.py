@@ -378,6 +378,93 @@ class TestCanonicalizeText:
         assert cooked.n_lines_kept == 3 and cooked.doc_kept
 
 
+class TestHygieneSignalsFused:
+    def test_equals_component_join(self, spark):
+        """The one-scan fusion must emit EXACTLY the rows the four
+        component relations joined on id produce — same column names,
+        same values — on messy multi-line docs covering every rule
+        (junk/short/js lines, brace and lorem pages, cyrillic, bullets,
+        ellipsis, NULL text, urls incl. an unparseable host)."""
+        import random
+
+        from data_etl_with_dbt_spark.functions.web import url_features
+        from data_etl_with_dbt_spark.operators.textan import (
+            c4_line_filters,
+            hygiene_signals,
+            redpajama_quality_signals,
+            script_mix_stats,
+        )
+
+        rng = random.Random(17)
+        pieces = [
+            "Alpha beta gamma one.",
+            "no terminal here",
+            "Hi.",
+            "Use javascript now please.",
+            "- bullet item alpha beta.",
+            "to be continued maybe...",
+            "кот мир да пример тест.",
+            "fn() { return }",
+            "Lorem Ipsum dolor sit amet.",
+            "123 456 %% tokens here.",
+        ]
+        rows = []
+        for i in range(30):
+            n = rng.randint(1, 7)
+            rows.append(
+                (
+                    i,
+                    "\n".join(rng.choice(pieces) for _ in range(n)),
+                    f"https://h{i}.example.com/p{i}?a=1"
+                    if i % 3
+                    else f"https://10.0.{270 + i}.1/p",  # unparseable host
+                )
+            )
+        rows.append((99, None, "https://ok.example.com/"))
+        docs = spark.createDataFrame(rows, "id long, text string, url string")
+
+        fused = hygiene_signals(
+            docs, "id", "text", url_col="url", min_sentences=2
+        )
+        c4 = c4_line_filters(docs, "id", "text", min_sentences=2)
+        sm = script_mix_stats(docs, "id", "text")
+        rp = redpajama_quality_signals(docs, "id", "text").drop("n_lines")
+        uf = docs.select("id", *url_features("url"))
+        joined = uf.join(sm, "id").join(rp, "id").join(c4, "id")
+
+        assert sorted(fused.columns) == sorted(joined.columns)
+        cols = sorted(fused.columns)
+        key = lambda t: tuple(  # noqa: E731 - None-safe total order
+            (v is None, str(v)) for v in t
+        )
+        got = sorted(
+            (tuple(r) for r in fused.select(*cols).collect()), key=key
+        )
+        exp = sorted(
+            (tuple(r) for r in joined.select(*cols).collect()), key=key
+        )
+        assert got == exp
+
+    def test_single_scan_no_joins(self, spark):
+        """The fusion's reason to exist: ONE scan, zero joins, zero
+        exchanges — vs the component composition's four scans + three
+        joins."""
+        from data_etl_with_dbt_spark.operators.textan import hygiene_signals
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        plan = (
+            hygiene_signals(df, "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("FileScan parquet") == 1
+        assert "Join" not in plan and "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 class TestRedpajamaSignals:
     def test_signal_counts(self, spark):
         from data_etl_with_dbt_spark.operators.textan import (

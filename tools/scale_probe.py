@@ -70,6 +70,8 @@ def _ops():
         "nfkc": _nfkc,
         "paragraph_cut": _paragraph_cut,
         "repetition": _repetition,
+        "hygiene_fused": _hygiene_fused,
+        "hygiene_joined": _hygiene_joined,
     }
 
 
@@ -359,6 +361,41 @@ def _repetition(df):
     return TA.gopher_repetition_signals(
         docs, "doc_id", "text", top_ns=(2, 3, 4), dup_ns=(5, 10)
     )
+
+
+def _hygiene_docs(df):
+    # multi-line page with a url column: every gate family does real work
+    d = F.col("doc_id")
+    line = lambda j: F.format_string(  # noqa: E731
+        "Alpha beta w%d j%d line text here.", d % 1000, j
+    )
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(7)), line), "\n"
+    )
+    return df.select("doc_id", _probe_url().alias("url"), text.alias("text"))
+
+
+def _hygiene_fused(df):
+    from data_etl_with_dbt_spark.operators import textan as TA
+
+    return TA.hygiene_signals(
+        _hygiene_docs(df), "doc_id", "text", url_col="url", min_sentences=3
+    )
+
+
+def _hygiene_joined(df):
+    """The component composition hygiene_signals replaces: four relations
+    over the same input joined on id — the probe pair quantifies the
+    fused form's scan/join savings."""
+    from data_etl_with_dbt_spark.functions.web import url_features
+    from data_etl_with_dbt_spark.operators import textan as TA
+
+    docs = _hygiene_docs(df)
+    uf = docs.select("doc_id", *url_features("url"))
+    sm = TA.script_mix_stats(docs, "doc_id", "text")
+    rp = TA.redpajama_quality_signals(docs, "doc_id", "text").drop("n_lines")
+    c4 = TA.c4_line_filters(docs, "doc_id", "text", min_sentences=3)
+    return uf.join(sm, "doc_id").join(rp, "doc_id").join(c4, "doc_id")
 
 
 def _paragraph_cut(df):
