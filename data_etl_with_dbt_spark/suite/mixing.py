@@ -152,8 +152,8 @@ def dsir_importance_weights(spark, sf_dir):
            CAST(SUM(chars) AS BIGINT) AS total_chars,
            CAST(SUM(ws) AS BIGINT) AS ws_tokens,
            CAST(SUM(bpe) AS BIGINT) AS bpe_ish_tokens,
-           CAST(CAST(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS chars_per_token,
-           CAST(CAST(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS fertility
+           CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) AS chars_per_token,
+           CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
     FROM per_doc
     GROUP BY lang
     """,
@@ -191,10 +191,13 @@ def tokenizer_fertility_stats(spark, sf_dir):
         big(F.sum("chars")).alias("total_chars"),
         big(F.sum("ws")).alias("ws_tokens"),
         big(F.sum("bpe")).alias("bpe_ish_tokens"),
-        dec6(F.sum("chars").cast("double") / F.sum("bpe").cast("double")).alias(
+        (F.sum("chars").cast("double") / F.sum("bpe").cast("double")).alias(
             "chars_per_token"
         ),
-        dec6(F.sum("bpe").cast("double") / F.sum("ws").cast("double")).alias("fertility"),
+        # RAW doubles: integer-exact sums divided once are bit-identical
+        # cross-engine; quantizing adds only the .5e-6 boundary failure
+        # mode (the round-9 user_gap_stats lesson)
+        (F.sum("bpe").cast("double") / F.sum("ws").cast("double")).alias("fertility"),
     )
 
 

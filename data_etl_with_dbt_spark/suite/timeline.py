@@ -121,13 +121,12 @@ def concurrent_sessions_peak(spark, sf_dir):
     )
     SELECT event_id, user_id,
            (v IS NULL) AS was_missing,
-           CAST(CAST(
-               CASE
-                   WHEN v IS NOT NULL THEN v
-                   WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
-                       THEN pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
-                   ELSE coalesce(pv, nv)
-               END AS DECIMAL(38,6)) AS DOUBLE) AS filled_value
+           CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                   THEN pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+               ELSE coalesce(pv, nv)
+           END AS filled_value
     FROM nb
     """,
     description=(
@@ -189,7 +188,10 @@ def linear_interpolate_events(spark, sf_dir):
         "event_id",
         "user_id",
         F.col("v").isNull().alias("was_missing"),
-        dec6(filled).alias("filled_value"),
+        # RAW double: pv/nv are fixture values passed through and the
+        # mirrored interpolation is one deterministic double chain —
+        # no summation-order noise to absorb, so no grid (round-9 rule)
+        filled.alias("filled_value"),
     )
 
 
@@ -214,7 +216,7 @@ def linear_interpolate_events(spark, sf_dir):
                CAST(0.3 AS DOUBLE) * d.rev + CAST(0.7 AS DOUBLE) * r.ewma
         FROM d JOIN r ON d.rn = r.rn + 1
     )
-    SELECT day, rev, CAST(CAST(ewma AS DECIMAL(38,6)) AS DOUBLE) AS ewma
+    SELECT day, rev, ewma
     FROM r
     """,
     description=(
@@ -265,7 +267,10 @@ def ewma_daily_revenue(spark, sf_dir):
     return e.select(
         F.col("p.day").alias("day"),
         F.col("p.rev").alias("rev"),
-        dec6(F.col("p.ewma")).alias("ewma"),
+        # RAW double: the fold/recursion order is pinned, so ewma is
+        # bit-identical cross-engine; quantizing only adds the .5e-6
+        # boundary failure mode (round-9 holt lesson)
+        F.col("p.ewma").alias("ewma"),
     )
 
 
