@@ -67,26 +67,26 @@ def entry(spark: SparkSession) -> DataFrame:
 WINDOW = [
     "canonicalized_text", "corpus_funnel_profile",
     "gopher_repetition_signals", "hygiene_signals_fused",
-    "nfkc_normalized_text", "streaming_paragraph_cut", "ann_ivf_topk",
-    "ann_lsh_topk", "approx_aggregates", "dedup_incremental_minhash",
-    "dedup_minhash_lsh", "annotator_agreement",
-    "asof_forward_error_to_click", "attribution_purchase_touchpoints",
-    "benford_first_digit_orders", "bm25_top_docs", "boilerplate_ngram_prune",
-    "cascade_delete_impact", "cdc_debezium_apply_orders",
-    "column_entropy_events", "concurrent_sessions_peak",
-    "corpus_epoch_upsample", "corpus_quality_report",
-    "curriculum_schedule_documents", "cusum_change_points",
-    "dedup_keep_longest", "dedup_soft_weights", "dp_noisy_counts",
-    "dsir_importance_weights", "duplicate_invoice_heuristic",
-    "embedding_norm_stats", "event_transition_matrix",
-    "event_type_lift_pairs", "ewma_daily_revenue", "frequent_event_trigrams",
-    "functional_dependency_check", "funnel_conversion_windows",
-    "gopher_quality_flags", "graph_clustering_coefficients",
-    "growth_accounting_daily", "half_life_decay_value",
-    "inverted_index_terms", "perplexity_proxy_score",
-    "q22_inactive_customers", "q8_market_share", "recursive_capped_balance",
-    "scalar_array_gallery", "scalar_bitwise_gallery", "scalar_map_gallery",
-    "scalar_try_gallery",
+    "nfkc_normalized_text", "streaming_hygiene_gate",
+    "streaming_paragraph_cut", "ann_ivf_topk", "ann_lsh_topk",
+    "approx_aggregates", "dedup_incremental_minhash", "dedup_minhash_lsh",
+    "annotator_agreement", "asof_forward_error_to_click",
+    "attribution_purchase_touchpoints", "benford_first_digit_orders",
+    "bm25_top_docs", "boilerplate_ngram_prune", "cascade_delete_impact",
+    "cdc_debezium_apply_orders", "column_entropy_events",
+    "concurrent_sessions_peak", "corpus_epoch_upsample",
+    "corpus_quality_report", "curriculum_schedule_documents",
+    "cusum_change_points", "dedup_keep_longest", "dedup_soft_weights",
+    "dp_noisy_counts", "dsir_importance_weights",
+    "duplicate_invoice_heuristic", "embedding_norm_stats",
+    "event_transition_matrix", "event_type_lift_pairs", "ewma_daily_revenue",
+    "frequent_event_trigrams", "functional_dependency_check",
+    "funnel_conversion_windows", "gopher_quality_flags",
+    "graph_clustering_coefficients", "growth_accounting_daily",
+    "half_life_decay_value", "inverted_index_terms",
+    "perplexity_proxy_score", "q22_inactive_customers", "q8_market_share",
+    "recursive_capped_balance", "scalar_array_gallery",
+    "scalar_bitwise_gallery", "scalar_map_gallery",
 ]
 
 ZQ_QUEUED = [
@@ -146,8 +146,8 @@ ZV_VERIFIED = [
     "robust_scale_events", "sampled_quantiles_orders",
     "scalar_collation_gallery", "scalar_conditional_gallery",
     "scalar_date_gallery", "scalar_distance_gallery", "scalar_math_gallery",
-    "scalar_regexp_gallery", "scalar_string_gallery", "scalar_url_gallery",
-    "script_mix_documents", "semantic_decontamination",
+    "scalar_regexp_gallery", "scalar_string_gallery", "scalar_try_gallery",
+    "scalar_url_gallery", "script_mix_documents", "semantic_decontamination",
     "semantic_dedup_clusters", "sentence_dedup_cut",
     "sentence_dedup_regions", "sequence_packing", "session_entry_exit",
     "session_window_events", "sessionize_events", "set_except_all",

@@ -451,6 +451,91 @@ def boilerplate_intake_sink(
     return process
 
 
+def hygiene_intake_sink(
+    corpus_path: str,
+    id_col: str,
+    text_col: str,
+    url_col: str | None = None,
+    gate: Callable | None = None,
+    canonicalize: bool = True,
+    nfkc: bool = False,
+    report_path: str | None = None,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    banned_doc_substrings: tuple[str, ...] = ("{", "lorem ipsum"),
+    scripts: dict[str, str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink running the FUSED hygiene gate at intake —
+    the point in a continuous pipeline where the published-recipe filters
+    actually run (before any index-building dedup stage touches the
+    text): optional NFKC (Arrow stage), canonicalize (JVM expression),
+    then :func:`~data_etl_with_dbt_spark.operators.textan.
+    hygiene_signals` in ONE scan of the batch; survivors are appended to
+    ``corpus_path`` with the C4-cleaned body replacing ``text_col`` and
+    every other input column preserved, and the full per-doc signal
+    relation (+ ``batch_id``) optionally appends to ``report_path`` —
+    the audit trail a curation team replays gate decisions from.
+
+    ``gate`` is a callable ``DataFrame -> Column`` evaluated against the
+    fused signal relation (so any combination of the C4 verdict, script
+    counts, RedPajama signals, and URL-shape columns gates intake);
+    default: ``F.col('doc_kept')`` — the C4 page rule.
+
+    STATELESS by design — unlike the minhash/substring/boilerplate
+    sinks there is no cross-batch index, so there is no read-then-append
+    lineage trap and no replay corruption mode: an at-least-once
+    re-delivery duplicates survivor rows at worst (dedupable downstream
+    on ``id_col``), and N batches == one shot unconditionally, not just
+    under ascending-id arrival. Per-batch cost is the fused relation's:
+    one scan, zero joins, zero exchanges."""
+    from ..operators.textan import (
+        canonicalize_text_expr,
+        hygiene_signals,
+        nfkc_normalize,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        work = batch
+        if nfkc:
+            work = nfkc_normalize(work, id_col, text_col)
+        if canonicalize:
+            work = work.withColumn(
+                text_col,
+                canonicalize_text_expr(
+                    F.coalesce(F.col(text_col), F.lit(""))
+                ),
+            )
+        hs = hygiene_signals(
+            work,
+            id_col,
+            text_col,
+            url_col=url_col,
+            min_words_per_line=min_words_per_line,
+            min_sentences=min_sentences,
+            banned_line_words=banned_line_words,
+            banned_doc_substrings=banned_doc_substrings,
+            scripts=scripts,
+            emit_text=True,
+        )
+        if report_path is not None:
+            # two actions consume hs (survivor append + report append) —
+            # materialize once so the fused projection runs once per batch
+            hs = hs.localCheckpoint(eager=True)
+        keep = F.col("doc_kept") if gate is None else gate(hs)
+        kept = hs.where(keep).select(id_col, "cleaned_text")
+        survivors = work.drop(text_col).join(kept, on=id_col).withColumnRenamed(
+            "cleaned_text", text_col
+        )
+        survivors.write.mode("append").parquet(corpus_path)
+        if report_path is not None:
+            hs.drop("cleaned_text").withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(report_path)
+
+    return process
+
+
 def substring_intake_sink(
     index_path: str,
     corpus_path: str,

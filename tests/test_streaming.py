@@ -1765,6 +1765,76 @@ class TestSubstringIntakeSink:
                 other(docs, 1)
 
 
+class TestHygieneIntakeSink:
+    """hygiene_intake_sink: stateless fused-gate intake — N batches ==
+    one shot unconditionally, survivors carry the C4-cleaned body with
+    every other column preserved, the report is the full signal
+    relation, and custom gates read any fused column."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "src0", "Alpha beta gamma one.\nno terminal\n"
+                "Delta epsilon zeta two."),
+            (2, "src1", "fn() { return }\nAlpha beta gamma one."),  # brace page
+            (3, "src0", "“Smart” quotes here one.\r\n"
+                "Eta theta iota three."),                    # needs canonicalize
+            (4, "src1", None),                               # NULL text
+            (5, "src0", "кот мир да пример тест.\n"
+                "Alpha beta gamma one."),                    # cyrillic
+        ]
+        return spark.createDataFrame(rows, "id long, source string, text string")
+
+    def test_nbatch_equals_oneshot_and_cleaned_body(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.streaming.intake import hygiene_intake_sink
+
+        docs = self._docs(spark)
+        a = str(tmp_path / "a")
+        sink = hygiene_intake_sink(
+            a + "/corpus", "id", "text", min_sentences=1,
+            report_path=a + "/report",
+        )
+        for b, (lo, hi) in enumerate(((0, 3), (3, 99))):
+            sink(docs.where((F.col("id") >= lo) & (F.col("id") < hi)), b)
+        got = {r.id: r for r in spark.read.parquet(a + "/corpus").collect()}
+        # brace page (2) and NULL page (4) dropped; others survive with the
+        # canonicalized + line-filtered body
+        assert sorted(got) == [1, 3, 5]
+        assert got[1].text == "Alpha beta gamma one.\nDelta epsilon zeta two."
+        assert got[3].text == '"Smart" quotes here one.\nEta theta iota three.'
+        assert got[1].source == "src0"  # non-text columns preserved
+        # one shot == the two batches
+        b2 = str(tmp_path / "b")
+        sink2 = hygiene_intake_sink(b2 + "/corpus", "id", "text", min_sentences=1)
+        sink2(docs, 0)
+        one = sorted(
+            tuple(r) for r in spark.read.parquet(b2 + "/corpus").collect()
+        )
+        two = sorted(
+            tuple(r) for r in spark.read.parquet(a + "/corpus").collect()
+        )
+        assert one == two
+        # report: full signal relation incl. dropped docs, batch-stamped
+        rep = spark.read.parquet(a + "/report")
+        assert rep.count() == 5
+        assert set(r.batch_id for r in rep.collect()) == {0, 1}
+        assert {r.id for r in rep.where(~F.col("doc_kept")).collect()} == {2, 4}
+
+    def test_custom_gate_reads_fused_columns(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.streaming.intake import hygiene_intake_sink
+
+        docs = self._docs(spark)
+        c = str(tmp_path / "c")
+        sink = hygiene_intake_sink(
+            c + "/corpus", "id", "text", min_sentences=1,
+            gate=lambda hs: F.col("doc_kept") & (F.col("n_cyrillic") == 0),
+        )
+        sink(docs, 0)
+        got = sorted(
+            r.id for r in spark.read.parquet(c + "/corpus").collect()
+        )
+        assert got == [1, 3]  # the cyrillic doc now gated out too
+
+
 def test_substring_intake_sink_through_real_stream(spark, tmp_path):
     """Drive substring_intake_sink through an actual file-source stream
     (maxFilesPerTrigger=1, availableNow) — the integration the direct
