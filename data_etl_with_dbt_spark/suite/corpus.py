@@ -1143,8 +1143,11 @@ _C4_LINES_SQL = f"""
                     WHEN j % 7 = 3 THEN 'Hi.'
                     WHEN j % 7 = 5 THEN 'Use javascript here now.'
                     ELSE 'Alpha beta w' || (doc_id % 6) || ' j' || j ||
-                         CASE (doc_id + j) % 4 WHEN 0 THEN '.'
-                              WHEN 1 THEN '?' WHEN 2 THEN '' ELSE '!' END
+                         CASE (doc_id + j) % 5 WHEN 0 THEN '.'
+                              WHEN 1 THEN '?' WHEN 2 THEN ''
+                              WHEN 3 THEN '!'
+                              ELSE CASE doc_id % 2 WHEN 0 THEN '."'
+                                   ELSE '.”' END END
                END AS line
         FROM (
             SELECT doc_id, unnest(generate_series(0, 7 + doc_id % 3 - 1)) AS j
@@ -1171,10 +1174,16 @@ def _synth_c4_docs(spark, sf_dir):
 
     def line(j):
         ending = (
-            F.when((d + j) % 4 == F.lit(0), F.lit("."))
-            .when((d + j) % 4 == F.lit(1), F.lit("?"))
-            .when((d + j) % 4 == F.lit(2), F.lit(""))
-            .otherwise(F.lit("!"))
+            F.when((d + j) % 5 == F.lit(0), F.lit("."))
+            .when((d + j) % 5 == F.lit(1), F.lit("?"))
+            .when((d + j) % 5 == F.lit(2), F.lit(""))
+            .when((d + j) % 5 == F.lit(3), F.lit("!"))
+            # quote endings: the line rule's second branch — ASCII
+            # close-quote after punctuation (even docs) and the bare
+            # curly close-quote (odd docs)
+            .otherwise(
+                F.when(d % 2 == F.lit(0), F.lit('."')).otherwise(F.lit(".”"))
+            )
         )
         return (
             F.when(j % 7 == F.lit(3), F.lit("Hi."))
@@ -1203,7 +1212,7 @@ def _synth_c4_docs(spark, sf_dir):
     WITH lines AS ({_C4_LINES_SQL}),
     judged AS (
         SELECT doc_id, j, line,
-               regexp_matches(line, '[.!?]$')
+               regexp_matches(line, '[.!?]["'')\]]*$|["”]$')
                AND len(list_filter(string_split_regex(line, '\\s+'),
                                    x -> x <> '')) >= 3
                AND NOT contains(lower(line), 'javascript') AS ok
@@ -1309,7 +1318,7 @@ def _synth_hyg_docs(spark, sf_dir):
             FROM lines GROUP BY doc_id),
     judged AS (
         SELECT doc_id, j, line,
-               regexp_matches(line, '[.!?]$')
+               regexp_matches(line, '[.!?]["'')\]]*$|["”]$')
                AND len(list_filter(string_split_regex(line, '\\s+'),
                                    x -> x <> '')) >= 3
                AND NOT contains(lower(line), 'javascript') AS ok
