@@ -1212,7 +1212,7 @@ def _synth_c4_docs(spark, sf_dir):
     WITH lines AS ({_C4_LINES_SQL}),
     judged AS (
         SELECT doc_id, j, line,
-               regexp_matches(line, '[.!?]["'')\]]*$|["”]$')
+               regexp_matches(line, '[.!?]["'')\\]]*$|["”]$')
                AND len(list_filter(string_split_regex(line, '\\s+'),
                                    x -> x <> '')) >= 3
                AND NOT contains(lower(line), 'javascript') AS ok
@@ -1318,7 +1318,7 @@ def _synth_hyg_docs(spark, sf_dir):
             FROM lines GROUP BY doc_id),
     judged AS (
         SELECT doc_id, j, line,
-               regexp_matches(line, '[.!?]["'')\]]*$|["”]$')
+               regexp_matches(line, '[.!?]["'')\\]]*$|["”]$')
                AND len(list_filter(string_split_regex(line, '\\s+'),
                                    x -> x <> '')) >= 3
                AND NOT contains(lower(line), 'javascript') AS ok
