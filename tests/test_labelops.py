@@ -315,6 +315,32 @@ class TestCanonicalizeText:
         # paragraph unit split downstream is unchanged
         assert out[1].text.count("\n\n") == 1
 
+    def test_idempotent(self, spark):
+        """canonicalize(canonicalize(x)) == canonicalize(x) — re-running a
+        nightly pipeline over already-cleaned text must be a no-op (every
+        rule's output is a fixed point: ASCII quotes/dashes, single
+        spaces, lone newlines, at most one blank line, trimmed edges)."""
+        import random
+
+        rng = random.Random(7)
+        alphabet = [
+            "a", "b", " ", "  ", "\t", "\n", "\n\n\n", "\r\n", "“", "”",
+            "‘", "’", "—", "–", "…", "\u00a0", "\u200b", "\u0007", ".",
+            "x y", "\u3000", "″",
+        ]
+        rows = [
+            (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+            for i in range(40)
+        ]
+        from data_etl_with_dbt_spark.operators.textan import canonicalize_text
+
+        docs = spark.createDataFrame(rows, "id long, text string")
+        once = canonicalize_text(docs, "id", "text").select("id", "text")
+        twice = canonicalize_text(once, "id", "text").select("id", "text")
+        a = {r.id: r.text for r in once.collect()}
+        b = {r.id: r.text for r in twice.collect()}
+        assert a == b
+
     def test_nfkc_normalize_escape_hatch(self, spark):
         """The documented NFKC escape hatch: ligatures, fullwidth forms,
         compatibility decompositions, and combining-sequence composition
