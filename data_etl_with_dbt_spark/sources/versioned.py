@@ -347,6 +347,49 @@ def vacuum(path: str, keep_versions: int = 1) -> dict:
     return {"files_deleted": deleted, "versions_dropped": dropped}
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    dedupe_cols: list[str] | None = None,
+    keep_versions: int = 1,
+    num_files: int = 1,
+) -> dict:
+    """Maintenance pass for an append-accumulating versioned table (the
+    streaming sinks' index shape: one small APPEND version per
+    micro-batch → long manifests, many tiny files): rewrite the latest
+    snapshot as ONE atomic overwrite commit (optionally deduplicated on
+    ``dedupe_cols`` and coalesced to ``num_files`` files), then vacuum
+    manifests/data outside ``keep_versions``.
+
+    Safe to run CONCURRENTLY with the sinks: the overwrite commit is
+    conflict-checked against the snapshot it compacted
+    (``expected_base``), so a batch append landing mid-compaction forces
+    a re-compact on top of it instead of silently dropping the batch's
+    rows (the lost-update race); the sinks' own snapshot reads pin
+    manifests, so a reader mid-batch never observes the rewrite.
+    Returns ``{version, files_deleted, versions_dropped}``."""
+    last_err: Exception | None = None
+    for _ in range(20):
+        versions = list_versions(path)
+        if not versions:
+            return {"version": 0, "files_deleted": 0, "versions_dropped": 0}
+        base = versions[-1]
+        df = read_version(spark, path, base)
+        if dedupe_cols:
+            df = df.dropDuplicates(dedupe_cols)
+        df = df.coalesce(int(num_files))
+        try:
+            v = commit(df, path, mode="overwrite", expected_base=base)
+            stats = vacuum(path, keep_versions=keep_versions)
+            return {"version": v, **stats}
+        except ConcurrentCommitError as e:  # an append beat us — re-compact
+            last_err = e
+            continue
+    raise ConcurrentCommitError(
+        f"compact on {path} lost the commit race 20 times"
+    ) from last_err
+
+
 def merge_commit(
     df: DataFrame,
     path: str,

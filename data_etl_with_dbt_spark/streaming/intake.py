@@ -583,7 +583,10 @@ def substring_intake_sink(
     width hash rows ride the shuffles, never span text) + one id-keyed
     cut join; the index grows by first-seen shingle cardinality and the
     commit appends only new hashes — at 100 TB front the index probe
-    with a Bloom filter and vacuum old versions on a schedule.
+    with a Bloom filter and run ``sources.versioned.compact`` on a
+    schedule (dedupe + single-version rewrite + vacuum; conflict-checked
+    against concurrent batch appends, and transparent to the sink —
+    pinned in tests/test_versioned.py).
 
     Replay (the standard foreachBatch at-least-once caveat, the
     versioned_sink convention): a batch re-delivered after a crash

@@ -409,3 +409,104 @@ class TestMergeCommitInterleavingModel:
 
             got = {r.id: r.v for r in V.read_version(spark, path).collect()}
             assert got == model, f"diverged at step {step}"
+
+
+class TestCompact:
+    def test_compact_dedup_and_vacuum(self, spark, tmp_path):
+        """Append-accumulated index compaction: content preserved (modulo
+        the requested dedupe), versions collapse to the retained window,
+        unreferenced data files are gone, and the table keeps accepting
+        appends afterwards."""
+        import glob as _glob
+
+        from data_etl_with_dbt_spark.sources import versioned as V
+
+        path = str(tmp_path / "idx")
+        for lo in (0, 5, 10):
+            V.commit(
+                spark.range(lo, lo + 8).select(  # overlapping ranges -> dups
+                    F.col("id").alias("span_hash")
+                ),
+                path,
+            )
+        assert len(V.list_versions(path)) == 3
+        before = {
+            r.span_hash
+            for r in V.read_version(
+                spark, path, V.list_versions(path)[-1]
+            ).collect()
+        }
+        out = V.compact(spark, path, dedupe_cols=["span_hash"])
+        versions = V.list_versions(path)
+        assert len(versions) == 1 and versions[0] == out["version"]
+        assert out["versions_dropped"] == 3
+        after_df = V.read_version(spark, path, versions[-1])
+        after = [r.span_hash for r in after_df.collect()]
+        assert sorted(set(after)) == sorted(before)
+        assert len(after) == len(set(after))  # dedup applied
+        # coalesced to one data file; stale files vacuumed
+        files = _glob.glob(str(tmp_path / "idx" / "data" / "*" / "*.parquet"))
+        assert len(files) == 1
+        # appends keep working on the compacted table
+        V.commit(
+            spark.range(100, 103).select(F.col("id").alias("span_hash")), path
+        )
+        final = V.read_version(spark, path, V.list_versions(path)[-1])
+        assert final.count() == len(set(after)) + 3
+
+    def test_compact_empty_table_noop(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources import versioned as V
+
+        out = V.compact(spark, str(tmp_path / "none"))
+        assert out == {
+            "version": 0, "files_deleted": 0, "versions_dropped": 0
+        }
+
+    def test_compact_is_transparent_to_the_substring_sink(self, spark, tmp_path):
+        """Compacting the hash index BETWEEN batches must not change the
+        sink's output: N batches with a mid-stream compact == one shot
+        (the index content is a hash SET — compaction only rewrites its
+        layout)."""
+        from data_etl_with_dbt_spark.operators.dedup import (
+            exact_substring_regions,
+            remove_duplicate_regions,
+        )
+        from data_etl_with_dbt_spark.sources import versioned as V
+        from data_etl_with_dbt_spark.streaming.intake import (
+            substring_intake_sink,
+        )
+
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e f g h"),      # embeds doc 1 -> cut via index
+            (3, "p q r s t u v w"),
+            (4, "a b c d e f g h tail bit"),  # embeds doc 1 again
+        ]
+        docs = spark.createDataFrame(rows, "id long, text string")
+        oneshot = sorted(
+            tuple(r)
+            for r in remove_duplicate_regions(
+                docs,
+                exact_substring_regions(docs, "id", "text", span_tokens=3),
+                "id", "text", emit_text=True,
+            ).collect()
+        )
+        base = str(tmp_path / "s")
+        sink = substring_intake_sink(
+            base + "/index", base + "/corpus", "id", "text", span_tokens=3
+        )
+        sink(docs.where(F.col("id") <= 2), 0)
+        # maintenance between batches: dedupe + single version
+        out = V.compact(
+            spark, base + "/index", dedupe_cols=["span_hash"]
+        )
+        assert len(V.list_versions(base + "/index")) == 1
+        sink(docs.where(F.col("id") > 2), 1)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(base + "/corpus")
+            .select("id", "n_tokens", "n_tokens_removed",
+                    "cleaned_hash", "cleaned_text")
+            .collect()
+        )
+        assert got == oneshot
