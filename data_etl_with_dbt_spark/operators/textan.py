@@ -906,6 +906,7 @@ def gopher_repetition_signals(
     text_col: str,
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 10),
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The REST of the Gopher/MassiveText repetition filter set (Rae et
     al. 2021 §A1.1 Table A1) — :func:`repetition_stats` covers the
@@ -938,16 +939,28 @@ def gopher_repetition_signals(
     island merge's ``(id, n)`` rollup regardless of how many n's are
     requested; top-gram counts are a two-level hash agg per n over the
     same token arrays; the line signals are one explode + agg. All
-    joins back are id-keyed one-row-per-doc scalars. The token arrays
-    are lazily localCheckpoint'd: ``1 + len(top_ns) + 1`` consumers
-    would each re-tokenize otherwise (Catalyst does not CSE across
-    consumers — the engine's standing rule), and the checkpoint bounds
-    that to one tokenize pass at the cost of caching the arrays."""
+    joins back are id-keyed one-row-per-doc scalars. With
+    ``checkpoint=True`` (default) the token arrays are lazily
+    localCheckpoint'd: ``1 + len(top_ns) + 1`` consumers would each
+    re-tokenize otherwise (Catalyst does not CSE across consumers —
+    the engine's standing rule), and the checkpoint bounds that to one
+    tokenize pass at the cost of caching the arrays.
+
+    Scale note (checkpoint SIDE EFFECTS — r9 ADVICE): the default pins
+    the ``(id, tokens)`` arrays in executor storage for the session's
+    lifetime with no unpersist path, and checkpointing TRUNCATES
+    lineage, so loss of a cached partition (executor death) fails the
+    job instead of recomputing. Callers composing this per-batch
+    (streaming foreachBatch) or managing materialization themselves
+    should pass ``checkpoint=False`` — the plan stays pure (re-tokenize
+    per consumer, no storage pinned, fault-tolerant recompute)."""
     d = F.col(id_col)
     # NULL text = empty document (the standing null-guard rule: no NULL/-1
     # sentinel may leak into a signal column)
     toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
-    base = df.select(d, toks.alias("__t")).localCheckpoint(eager=False)
+    base = df.select(d, toks.alias("__t"))
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
     n_tokens = base.select(
         d, F.size("__t").cast("bigint").alias("n_tokens")
     )

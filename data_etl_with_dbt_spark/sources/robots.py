@@ -554,12 +554,15 @@ def fetch_plan(
     pass ``True``/``False`` to pin the choice and skip the probe.
 
     Laziness: with ``'auto'``, a Catalyst plan-stats screen (driver-side,
-    no Spark job) first bounds the candidate size — relations smaller
-    than ``auto_row_floor`` bytes can't contain ``auto_row_floor`` rows,
-    so small inputs skip the probe and the call stays a pure plan
-    builder. Only inputs that pass the screen run the eager one-pass
-    ``skew_stats`` probe job at CALL time; per-batch loops that know
-    their scale should pin ``True``/``False``."""
+    no Spark job) first bounds the candidate size — a relation whose
+    sizeInBytes hint is under ``auto_row_floor/8`` bytes is trusted not
+    to contain ``auto_row_floor`` rows (the 8× margin because file-
+    relation hints are COMPRESSED on-disk sizes and dictionary/RLE can
+    pack multiple repetitive rows per byte), so small inputs skip the
+    probe and the call stays a pure plan builder. Only inputs that pass
+    the screen run the eager one-pass ``skew_stats`` probe job at CALL
+    time; per-batch loops that know their scale should pin
+    ``True``/``False``."""
     from data_etl_with_dbt_spark.operators.relational import (
         per_key_cap,
         skew_stats,
@@ -577,13 +580,19 @@ def fetch_plan(
     ).withColumn("host", url_host(F.col(url_col)))
     if two_phase_quota == "auto":
         # Free (no Spark job) screen before the probe: Catalyst's plan
-        # stats give a sizeInBytes upper bound, and a relation smaller on
-        # disk than `auto_row_floor` BYTES cannot hold auto_row_floor rows
-        # on one host (a row costs >= 1 byte even RLE-compressed). Small
-        # candidate sets therefore skip the probe entirely and fetch_plan
-        # stays a LAZY plan builder — the daily-cycle per-batch case pays
-        # nothing at call time. Only plausibly-huge inputs run the
-        # one-pass skew_stats probe job eagerly (documented above).
+        # stats give a sizeInBytes hint. For FILE relations that hint is
+        # the COMPRESSED on-disk size, and parquet dictionary/RLE coding
+        # of highly repetitive data — exactly the single-heavy-host skew
+        # regime the probe exists to detect — can pack several rows per
+        # byte, so "1 byte >= 1 row" is NOT a sound bound (r9 ADVICE).
+        # Skip the probe only with an 8x compression margin: a relation
+        # must be under auto_row_floor/8 bytes on disk before we trust
+        # that it cannot hold auto_row_floor rows. Small candidate sets
+        # still skip entirely and fetch_plan stays a LAZY plan builder —
+        # the daily-cycle per-batch case pays nothing at call time; only
+        # plausibly-huge inputs run the one-pass skew_stats probe job
+        # eagerly (documented above).
+        _rows_per_byte_margin = 8
         try:
             size_hint = int(
                 str(
@@ -595,7 +604,7 @@ def fetch_plan(
             )
         except Exception:  # stats unavailable → fall through to the probe
             size_hint = int(auto_row_floor)
-        if size_hint < int(auto_row_floor):
+        if size_hint * _rows_per_byte_margin < int(auto_row_floor):
             two_phase = False
         else:
             top = skew_stats(cand, ["host"], top_k=1).collect()

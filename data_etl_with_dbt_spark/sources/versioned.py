@@ -351,7 +351,7 @@ def compact(
     spark: SparkSession,
     path: str,
     dedupe_cols: list[str] | None = None,
-    keep_versions: int = 1,
+    keep_versions: int = 2,
     num_files: int = 1,
 ) -> dict:
     """Maintenance pass for an append-accumulating versioned table (the
@@ -361,12 +361,21 @@ def compact(
     ``dedupe_cols`` and coalesced to ``num_files`` files), then vacuum
     manifests/data outside ``keep_versions``.
 
-    Safe to run CONCURRENTLY with the sinks: the overwrite commit is
+    The COMMIT is safe concurrently with the sinks: it is
     conflict-checked against the snapshot it compacted
     (``expected_base``), so a batch append landing mid-compaction forces
     a re-compact on top of it instead of silently dropping the batch's
-    rows (the lost-update race); the sinks' own snapshot reads pin
-    manifests, so a reader mid-batch never observes the rewrite.
+    rows (the lost-update race). The VACUUM is where concurrent readers
+    need a retention window: manifest pinning protects a reader from
+    *observing* the rewrite, not from *file deletion* — a batch that
+    snapshot-read the pre-compact version and is still mid-scan hits
+    FileNotFoundException if that version's files are unlinked under it.
+    The default ``keep_versions=2`` therefore retains the compacted-over
+    snapshot's files, covering any reader that started before the
+    compact landed (a reader can only pin the latest version at its
+    start). ``keep_versions=1`` reclaims space fastest but is only safe
+    BETWEEN batches — schedule it in the stream's own foreachBatch
+    cadence, never against a live scan.
     Returns ``{version, files_deleted, versions_dropped}``."""
     last_err: Exception | None = None
     for _ in range(20):

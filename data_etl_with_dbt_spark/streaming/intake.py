@@ -487,45 +487,29 @@ def hygiene_intake_sink(
     lineage trap and no replay corruption mode: an at-least-once
     re-delivery duplicates survivor rows at worst (dedupable downstream
     on ``id_col``), and N batches == one shot unconditionally, not just
-    under ascending-id arrival. Per-batch cost is the fused relation's:
-    one scan, zero joins, zero exchanges."""
-    from ..operators.textan import (
-        canonicalize_text_expr,
-        hygiene_signals,
-        nfkc_normalize,
-    )
+    under ascending-id arrival. Per-batch cost is the fused relation's
+    ONE scan of the batch plus one id-keyed (batch-sized, AQE-
+    broadcastable) join reassembling survivors — and that join's left
+    side is the RAW batch, not the normalized plan: ``mapInPandas``
+    blocks column pruning, so joining against the NFKC'd lineage would
+    re-run the Arrow Python stage a second time per batch (see
+    :func:`hygiene_batch_relations`)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        work = batch
-        if nfkc:
-            work = nfkc_normalize(work, id_col, text_col)
-        if canonicalize:
-            work = work.withColumn(
-                text_col,
-                canonicalize_text_expr(
-                    F.coalesce(F.col(text_col), F.lit(""))
-                ),
-            )
-        hs = hygiene_signals(
-            work,
+        hs, survivors = hygiene_batch_relations(
+            batch,
             id_col,
             text_col,
             url_col=url_col,
+            gate=gate,
+            canonicalize=canonicalize,
+            nfkc=nfkc,
+            checkpoint_signals=report_path is not None,
             min_words_per_line=min_words_per_line,
             min_sentences=min_sentences,
             banned_line_words=banned_line_words,
             banned_doc_substrings=banned_doc_substrings,
             scripts=scripts,
-            emit_text=True,
-        )
-        if report_path is not None:
-            # two actions consume hs (survivor append + report append) —
-            # materialize once so the fused projection runs once per batch
-            hs = hs.localCheckpoint(eager=True)
-        keep = F.col("doc_kept") if gate is None else gate(hs)
-        kept = hs.where(keep).select(id_col, "cleaned_text")
-        survivors = work.drop(text_col).join(kept, on=id_col).withColumnRenamed(
-            "cleaned_text", text_col
         )
         survivors.write.mode("append").parquet(corpus_path)
         if report_path is not None:
@@ -534,6 +518,75 @@ def hygiene_intake_sink(
             ).write.mode("append").parquet(report_path)
 
     return process
+
+
+def hygiene_batch_relations(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    url_col: str | None = None,
+    gate: Callable | None = None,
+    canonicalize: bool = True,
+    nfkc: bool = False,
+    checkpoint_signals: bool = False,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    banned_doc_substrings: tuple[str, ...] = ("{", "lorem ipsum"),
+    scripts: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build one intake batch's ``(signals, survivors)`` relations —
+    the per-batch plan :func:`hygiene_intake_sink` writes from, exposed
+    so its shape can be plan-asserted outside a stream.
+
+    The survivor reassembly joins the gated ``(id, cleaned_text)`` rows
+    back against the RAW ``batch``'s non-text columns, NOT against the
+    normalized ``work`` lineage: normalization touches only
+    ``text_col`` (which the join side drops anyway), and ``work``'s
+    lineage contains the ``nfkc_normalize`` ``mapInPandas`` stage,
+    which Catalyst cannot prune columns through — joining against it
+    would execute the Arrow Python normalization TWICE per batch (once
+    for the signal relation, once for the survivor join's left side).
+    Pinned by ``tests/test_streaming.py::
+    test_hygiene_survivor_plan_runs_python_stage_once``.
+
+    ``checkpoint_signals=True`` eagerly materializes the signal
+    relation so two downstream actions (survivor append + report
+    append) run the fused projection once."""
+    from ..operators.textan import (
+        canonicalize_text_expr,
+        hygiene_signals,
+        nfkc_normalize,
+    )
+
+    work = batch
+    if nfkc:
+        work = nfkc_normalize(work, id_col, text_col)
+    if canonicalize:
+        work = work.withColumn(
+            text_col,
+            canonicalize_text_expr(F.coalesce(F.col(text_col), F.lit(""))),
+        )
+    hs = hygiene_signals(
+        work,
+        id_col,
+        text_col,
+        url_col=url_col,
+        min_words_per_line=min_words_per_line,
+        min_sentences=min_sentences,
+        banned_line_words=banned_line_words,
+        banned_doc_substrings=banned_doc_substrings,
+        scripts=scripts,
+        emit_text=True,
+    )
+    if checkpoint_signals:
+        hs = hs.localCheckpoint(eager=True)
+    keep = F.col("doc_kept") if gate is None else gate(hs)
+    kept = hs.where(keep).select(id_col, "cleaned_text")
+    survivors = batch.drop(text_col).join(kept, on=id_col).withColumnRenamed(
+        "cleaned_text", text_col
+    )
+    return hs, survivors
 
 
 def substring_intake_sink(

@@ -637,3 +637,14 @@ def test_gopher_repetition_signals_match_bruteforce(spark):
         expect = ref(text)
         actual = {k: v for k, v in got[i].items() if k != "id"}
         assert actual == expect, (i, text, actual, expect)
+    # checkpoint=False (the per-batch / self-managed-materialization
+    # escape hatch, r9 ADVICE): identical results from a PURE plan — no
+    # RDD checkpoint node, no executor storage pinned
+    pure = gopher_repetition_signals(docs, "id", "text", checkpoint=False)
+    plan = pure._jdf.queryExecution().executedPlan().toString()
+    # every RDD scan is the createDataFrame SOURCE (id, text) — no
+    # checkpointed (id, __t) token relation pinned in executor storage
+    rdd_scans = [l for l in plan.splitlines() if "Scan ExistingRDD" in l]
+    assert rdd_scans and all("text" in l for l in rdd_scans), plan
+    got_pure = {r.id: r.asDict() for r in pure.collect()}
+    assert got_pure == got

@@ -436,7 +436,9 @@ class TestCompact:
                 spark, path, V.list_versions(path)[-1]
             ).collect()
         }
-        out = V.compact(spark, path, dedupe_cols=["span_hash"])
+        out = V.compact(
+            spark, path, dedupe_cols=["span_hash"], keep_versions=1
+        )
         versions = V.list_versions(path)
         assert len(versions) == 1 and versions[0] == out["version"]
         assert out["versions_dropped"] == 3
@@ -453,6 +455,44 @@ class TestCompact:
         )
         final = V.read_version(spark, path, V.list_versions(path)[-1])
         assert final.count() == len(set(after)) + 3
+
+    def test_compact_default_retains_pre_compact_snapshot_files(
+        self, spark, tmp_path
+    ):
+        """r9 ADVICE: manifest pinning protects a concurrent reader from
+        observing the rewrite, not from FILE DELETION — a mid-scan reader
+        of the pre-compact snapshot dies if vacuum unlinks its files.
+        Default keep_versions=2 must retain the compacted-over version's
+        manifest AND every data file it references (append-accumulating
+        manifests reference all earlier appends, so this covers any
+        reader that pinned an older version too)."""
+        import os as _os
+
+        from data_etl_with_dbt_spark.sources import versioned as V
+
+        path = str(tmp_path / "ret")
+        for lo in (0, 5):
+            V.commit(
+                spark.range(lo, lo + 8).select(F.col("id").alias("span_hash")),
+                path,
+            )
+        base = V.list_versions(path)[-1]
+        pinned_files = [
+            f for f in V._read_manifest(path, base)["files"]
+        ]
+        out = V.compact(spark, path, dedupe_cols=["span_hash"])  # default
+        versions = V.list_versions(path)
+        assert versions == [base, out["version"]]
+        # every file the pre-compact snapshot references still exists —
+        # a reader mid-scan of `base` cannot hit FileNotFoundException
+        for f in pinned_files:
+            assert _os.path.exists(f), f
+        # the pre-compact snapshot still READS correctly post-compact
+        again = V.read_version(spark, path, base)
+        assert again.count() == 16
+        # a later keep_versions=1 vacuum (between batches) reclaims it
+        V.vacuum(path, keep_versions=1)
+        assert V.list_versions(path) == [out["version"]]
 
     def test_compact_empty_table_noop(self, spark, tmp_path):
         from data_etl_with_dbt_spark.sources import versioned as V
@@ -498,7 +538,7 @@ class TestCompact:
         sink(docs.where(F.col("id") <= 2), 0)
         # maintenance between batches: dedupe + single version
         out = V.compact(
-            spark, base + "/index", dedupe_cols=["span_hash"]
+            spark, base + "/index", dedupe_cols=["span_hash"], keep_versions=1
         )
         assert len(V.list_versions(base + "/index")) == 1
         sink(docs.where(F.col("id") > 2), 1)
