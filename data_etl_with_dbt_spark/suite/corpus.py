@@ -1439,6 +1439,135 @@ def streaming_hygiene_gate(spark, sf_dir):
 
 
 @query(
+    "streaming_curated_intake",
+    oracle=f"""
+    WITH lines AS ({_HYG_LINES_SQL}),
+    judged AS (
+        SELECT doc_id, j, line,
+               regexp_matches(line, '[.!?]["'')\\]]*$|["”]$')
+               AND len(list_filter(string_split_regex(line, '\\s+'),
+                                   x -> x <> '')) >= 3
+               AND NOT contains(lower(line), 'javascript') AS ok
+        FROM lines
+    ),
+    doc AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY j) AS fulltext
+            FROM lines GROUP BY doc_id),
+    perdoc AS (
+        SELECT doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY j) FILTER (ok), '')
+                   AS cleaned
+        FROM judged GROUP BY doc_id
+    ),
+    kept_docs AS (
+        SELECT p.doc_id, p.cleaned AS text
+        FROM perdoc p JOIN doc d ON p.doc_id = d.doc_id
+        WHERE len(list_filter(list_transform(
+                  string_split_regex(p.cleaned, '[.!?]+'),
+                  s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))),
+                  s -> s <> '')) >= 3
+          AND NOT contains(lower(d.fulltext), '{{')
+          AND NOT contains(lower(d.fulltext), 'lorem ipsum')
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM kept_docs
+    ),
+    pos AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(t, i + 1, i + 5), ' ') AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS i
+              FROM toks WHERE len(t) >= 5) s
+    ),
+    ranked AS (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY shingle ORDER BY doc_id, i) AS rn
+        FROM pos
+    ),
+    dup AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        FROM ranked WHERE rn > 1
+    ),
+    regions AS (
+        SELECT doc_id, min(i) AS region_start, max(i) + 5 AS region_end
+        FROM dup GROUP BY doc_id, isl
+    ),
+    tok_pos AS (
+        SELECT doc_id, i, t[i + 1] AS tok
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1)) AS i
+              FROM toks WHERE len(t) > 0)
+    ),
+    survivors AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM tok_pos tp
+        WHERE NOT EXISTS (SELECT 1 FROM regions r
+                          WHERE r.doc_id = tp.doc_id
+                            AND tp.i >= r.region_start
+                            AND tp.i < r.region_end)
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - count(k.i) AS BIGINT) AS n_tokens_removed,
+           md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.i), ''))
+               AS cleaned_hash
+    FROM toks t LEFT JOIN survivors k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, len(t.t)
+    """,
+    description=(
+        "TWO-STAGE continuous curation intake — the production ordering "
+        "(cheap stateless gate BEFORE any index touches text): stage 1 is "
+        "hygiene_intake_sink (one-scan fused C4/script/RedPajama gate, "
+        "survivors carry the cleaned body), stage 2 is "
+        "substring_intake_sink (Lee-et-al. exact-substring cut against "
+        "the accumulating versioned shingle index) consuming stage 1's "
+        "survivor corpus batch-by-batch. Three ascending-id batches; "
+        "both stages are deterministic and arrival order == keep-first "
+        "order, so N batches == one shot COMPOSED and the oracle is the "
+        "hygiene oracle's kept/cleaned docs piped through the one-shot "
+        "region+cut SQL (span 5; 184 regions over 177 of 201 survivors "
+        "on the fixture, island merges to 33 tokens — both stages "
+        "non-vacuous)"
+    ),
+)
+def streaming_curated_intake(spark, sf_dir):
+    import tempfile
+
+    from data_etl_with_dbt_spark.streaming.intake import (
+        hygiene_intake_sink,
+        substring_intake_sink,
+    )
+
+    docs = _synth_hyg_docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="curstream_")
+    gate = hygiene_intake_sink(
+        base + "/survivors", "doc_id", "text",
+        canonicalize=False,  # the synthesis is already canonical text
+        min_sentences=3,
+    )
+    cut = substring_intake_sink(
+        base + "/index", base + "/corpus", "doc_id", "text",
+        span_tokens=5, emit_text=False,
+    )
+    for b, (lo, hi) in enumerate(((0, 80), (80, 160), (160, 1 << 31))):
+        rng = (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        gate(docs.where(rng), b)
+        # stage 2 consumes stage 1's survivor corpus; the doc_id range
+        # filter makes the read recompute-safe by construction (a re-scan
+        # after a later gate append can only see out-of-range rows, which
+        # the predicate drops — no localCheckpoint guard needed)
+        cut(spark.read.parquet(base + "/survivors").where(rng), b)
+    out = spark.read.parquet(base + "/corpus")
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_tokens",
+        "n_tokens_removed",
+        "cleaned_hash",
+    )
+
+
+@query(
     "corpus_mixture_sample",
     oracle=r"""
     WITH base AS (

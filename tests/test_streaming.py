@@ -1939,3 +1939,138 @@ def test_substring_intake_sink_through_real_stream(spark, tmp_path):
     assert regions == {(10, 3, 11, 1), (21, 3, 9, 2)}
     # one atomic index version per micro-batch
     assert len(V.list_versions(str(tmp_path / "index"))) == 3
+
+
+def test_hygiene_then_substring_two_stage_real_stream(spark, tmp_path):
+    """The production curation ordering — cheap STATELESS hygiene gate
+    BEFORE any index touches text — driven through TWO real checkpointed
+    streams: stage 1 runs hygiene_intake_sink over a file source
+    (maxFilesPerTrigger=1), stage 2 runs substring_intake_sink over
+    stage 1's survivor directory. Pins (a) gate drops never reach the
+    index, (b) cross-batch duplicate regions are judged against the
+    PERSISTED index, and (c) the composed N-batch result equals the
+    one-shot composition (hygiene_batch_relations -> fresh substring
+    sink over all docs at once)."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_etl_with_dbt_spark.sources import versioned as V
+    from data_etl_with_dbt_spark.streaming.intake import (
+        hygiene_batch_relations,
+        hygiene_intake_sink,
+        substring_intake_sink,
+    )
+
+    A = "alpha beta gamma delta epsilon zeta."
+    src = tmp_path / "docs_src"
+    src.mkdir()
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1)
+
+    rows_by_batch = [
+        # doc 2: 'javascript' line killed -> 0 sentences -> gate drop
+        [(1, A), (2, "click here javascript")],
+        # doc 10 embeds doc 1's whole line after a 3-token first line;
+        # doc 11: banned doc substring -> gate drop before the index
+        [(10, "intro words here.\n" + A), (11, "lorem ipsum dolor sit.")],
+        [(20, "unique penguin words flying south tonight.")],
+    ]
+    for i, rows in enumerate(rows_by_batch):
+        mk(rows).write.parquet(str(src / f"f{i}"))
+    now = _time.time()
+    for i in range(len(rows_by_batch)):
+        for f in _glob.glob(str(src / f"f{i}" / "*.parquet")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    gate = hygiene_intake_sink(
+        str(tmp_path / "survivors"), "doc_id", "text", min_sentences=1
+    )
+    q1 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(180)
+
+    # order stage-2 arrival by stage-1 batch (ascending doc_id == the
+    # equivalence contract's arrival order)
+    surv_files = sorted(
+        _glob.glob(str(tmp_path / "survivors" / "*.parquet")),
+        key=_os.path.getmtime,
+    )
+    for i, f in enumerate(surv_files):
+        _os.utime(f, (now + 100 + 10 * i, now + 100 + 10 * i))
+
+    cut = substring_intake_sink(
+        index_path=str(tmp_path / "index"),
+        corpus_path=str(tmp_path / "corpus"),
+        id_col="doc_id",
+        text_col="text",
+        span_tokens=3,
+        emit_text=True,
+    )
+    q2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "survivors"))
+        .writeStream.foreachBatch(cut)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+
+    corpus = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    # (a) gate drops (2, 11) never reached stage 2
+    assert sorted(corpus) == [1, 10, 20]
+    assert corpus[1].n_tokens_removed == 0 and corpus[1].cleaned_text == A
+    # (b) doc 10's embedded copy of doc 1 was cut via the PERSISTED
+    # index (doc 1 arrived in an earlier stage-2 micro-batch)
+    assert corpus[10].n_tokens == 9 and corpus[10].n_tokens_removed == 6
+    assert corpus[10].cleaned_text == "intro words here."
+    assert corpus[20].n_tokens_removed == 0
+    # one atomic index version per stage-2 micro-batch (one per file)
+    assert len(V.list_versions(str(tmp_path / "index"))) == len(surv_files)
+
+    # (c) composed N-batch == one-shot composition
+    all_docs = mk([r for rows in rows_by_batch for r in rows])
+    _, survivors = hygiene_batch_relations(
+        all_docs, "doc_id", "text", min_sentences=1
+    )
+    oneshot = substring_intake_sink(
+        index_path=str(tmp_path / "index1"),
+        corpus_path=str(tmp_path / "corpus1"),
+        id_col="doc_id",
+        text_col="text",
+        span_tokens=3,
+        emit_text=True,
+    )
+    oneshot(survivors, 0)
+    expect = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "corpus1")).collect()
+    }
+    assert sorted(expect) == sorted(corpus)
+    for d in expect:
+        assert (
+            corpus[d].n_tokens,
+            corpus[d].n_tokens_removed,
+            corpus[d].cleaned_hash,
+            corpus[d].cleaned_text,
+        ) == (
+            expect[d].n_tokens,
+            expect[d].n_tokens_removed,
+            expect[d].cleaned_hash,
+            expect[d].cleaned_text,
+        )
