@@ -2534,3 +2534,208 @@ def curation_decisions(spark, sf_dir):
             ).alias("keep_doc"),
         )
     )
+
+
+@query(
+    "curation_decisions_full",
+    oracle=f"""
+    WITH lines AS ({_HYG_LINES_SQL}),
+    doc AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY j) AS text
+            FROM lines GROUP BY doc_id),
+    judged AS (
+        SELECT doc_id, j, line,
+               regexp_matches(line, '[.!?]["'')\\]]*$|["”]$')
+               AND len(list_filter(string_split_regex(line, '\\s+'),
+                                   x -> x <> '')) >= 3
+               AND NOT contains(lower(line), 'javascript') AS ok
+        FROM lines
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY j) FILTER (ok), '')
+                   AS cleaned,
+               count(*) FILTER (regexp_matches(line, '(\\.\\.\\.|…)$'))
+                   AS n_ell,
+               count(*) FILTER (regexp_matches(line, '^[-*•‣▶◦·]')) AS n_bul
+        FROM judged GROUP BY doc_id
+    ),
+    hyg AS (
+        SELECT d.doc_id,
+               len(list_filter(list_transform(
+                   string_split_regex(p.cleaned, '[.!?]+'),
+                   s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))),
+                   s -> s <> '')) >= 3
+                 AND NOT contains(lower(d.text), '{{')
+                 AND NOT contains(lower(d.text), 'lorem ipsum') AS c4_kept,
+               (len(regexp_extract_all(d.text, '\\p{{Cyrillic}}'))
+                + len(regexp_extract_all(d.text, '\\p{{Han}}'))
+                + len(regexp_extract_all(d.text, '\\p{{Arabic}}'))) = 0
+                   AS latin_only,
+               (p.n_ell = 0 AND p.n_bul = 0) AS rp_clean
+        FROM doc d JOIN perdoc p ON d.doc_id = p.doc_id
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM doc
+    ),
+    g AS (
+        SELECT doc_id,
+               (len(t) >= 25 AND len(t) <= 38)
+               AND (CAST(list_sum(list_transform(t, x -> length(x)))
+                         AS DOUBLE) / len(t) >= 3.0
+                    AND CAST(list_sum(list_transform(t, x -> length(x)))
+                             AS DOUBLE) / len(t) <= 3.85)
+               AND (1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                   <= 0.49 AS passes_gopher
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS gram
+        FROM toks
+    ),
+    bgrams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    cont AS (
+        SELECT gr.doc_id,
+               (CAST(count(b.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                   >= 0.6 AS contaminated
+        FROM grams gr LEFT JOIN bgrams b ON gr.gram = b.gram
+        WHERE gr.doc_id % 97 <> 0
+        GROUP BY gr.doc_id
+    ),
+    pos AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(t, i + 1, i + 10), ' ') AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 10)) AS i
+              FROM toks WHERE len(t) >= 10) s
+    ),
+    ranked AS (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY shingle ORDER BY doc_id, i) AS rn
+        FROM pos
+    ),
+    dup AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        FROM ranked WHERE rn > 1
+    ),
+    regions AS (
+        SELECT doc_id, min(i) AS rs, max(i) + 10 AS re
+        FROM dup GROUP BY doc_id, isl
+    ),
+    tok_pos AS (
+        SELECT doc_id, i
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1)) AS i
+              FROM toks WHERE len(t) > 0)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.i
+        FROM tok_pos tp
+        WHERE NOT EXISTS (SELECT 1 FROM regions r
+                          WHERE r.doc_id = tp.doc_id
+                            AND tp.i >= r.rs AND tp.i < r.re)
+    ),
+    cut AS (
+        SELECT t.doc_id,
+               (len(t.t) - count(k.i)) * 2 > len(t.t) AS mostly_dup
+        FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        GROUP BY t.doc_id, len(t.t)
+    )
+    SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+           h.c4_kept, h.latin_only, h.rp_clean,
+           g.passes_gopher,
+           COALESCE(cont.contaminated, FALSE) AS contaminated,
+           (h.doc_id % 97 = 0) AS is_benchmark,
+           cut.mostly_dup,
+           (h.c4_kept AND h.latin_only AND h.rp_clean AND g.passes_gopher
+            AND NOT COALESCE(cont.contaminated, FALSE)
+            AND NOT (h.doc_id % 97 = 0)
+            AND NOT cut.mostly_dup) AS keep_doc
+    FROM hyg h
+    JOIN g ON h.doc_id = g.doc_id
+    JOIN cut ON h.doc_id = cut.doc_id
+    LEFT JOIN cont ON h.doc_id = cont.doc_id
+    """,
+    description=(
+        "EVERY published gate in ONE per-doc keep/drop relation — "
+        "curation_decisions extended with the fused hygiene verdicts "
+        "(the r9 verdict's roadmap item): C4 page verdict + Unicode-"
+        "script band + RedPajama ellipsis/bullet band (all three from "
+        "ONE hygiene_signals scan) AND Gopher quality AND not n-gram-"
+        "contaminated AND not a benchmark doc AND not mostly duplicate "
+        "(span-10 merged regions > half), each flag exposed for audit. "
+        "Runs on the hygiene synthesis corpus (the real documents table "
+        "is single-line punctuation-free text, so line/script gates "
+        "would be vacuous there); every flag fixture-calibrated "
+        "non-vacuous both ways (c4 201/39, script 213/27, rp 184/56, "
+        "gopher 127/113, contaminated 21, benchmark 3, mostly_dup "
+        "210/30, keep_doc 6/234); booleans only — float-free"
+    ),
+)
+def curation_decisions_full(spark, sf_dir):
+    docs = _synth_hyg_docs(spark, sf_dir)
+    hs = TA.hygiene_signals(docs, "doc_id", "text", min_sentences=3)
+    hyg = hs.select(
+        "doc_id",
+        F.col("doc_kept").alias("c4_kept"),
+        (
+            (F.col("n_cyrillic") + F.col("n_han") + F.col("n_arabic")) == 0
+        ).alias("latin_only"),
+        (
+            (F.col("n_lines_end_ellipsis") == 0)
+            & (F.col("n_lines_start_bullet") == 0)
+        ).alias("rp_clean"),
+    )
+    g = TA.gopher_quality_flags(
+        docs, "doc_id", "text",
+        min_words=25, max_words=38,
+        min_mean_word_len=3.0, max_mean_word_len=3.85,
+        max_dup_token_frac=0.49,
+        # the synthesis corpus has at most one distinct stopword ('to',
+        # d%10==7 only) — the stopword rule is inherently degenerate
+        # here, so it is disabled rather than left vacuous-false
+        min_distinct_stopwords=0,
+    ).select("doc_id", "passes_gopher")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    cont = D.benchmark_contamination(
+        train, bench, "doc_id", "text", n=3, threshold=0.6,
+        shuffle_parallelism=spark.sparkContext.defaultParallelism,
+    ).select("doc_id", "contaminated")
+    regions = D.exact_substring_regions(docs, "doc_id", "text", span_tokens=10)
+    cut = D.remove_duplicate_regions(docs, regions, "doc_id", "text").select(
+        "doc_id",
+        (F.col("n_tokens_removed") * 2 > F.col("n_tokens")).alias(
+            "mostly_dup"
+        ),
+    )
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    is_bench = F.col("doc_id") % 97 == 0
+    return (
+        hyg.join(g, "doc_id")
+        .join(cut, "doc_id")
+        .join(cont, "doc_id", "left")
+        .select(
+            big(F.col("doc_id")).alias("doc_id"),
+            "c4_kept",
+            "latin_only",
+            "rp_clean",
+            "passes_gopher",
+            contaminated.alias("contaminated"),
+            is_bench.alias("is_benchmark"),
+            "mostly_dup",
+            (
+                F.col("c4_kept")
+                & F.col("latin_only")
+                & F.col("rp_clean")
+                & F.col("passes_gopher")
+                & ~contaminated
+                & ~is_bench
+                & ~F.col("mostly_dup")
+            ).alias("keep_doc"),
+        )
+    )
