@@ -252,11 +252,9 @@ def inventory_running_balance(spark, sf_dir):
         HAVING count(*) >= 3
     )
     SELECT pa, pb, n_both, ia.supp AS supp_a, ib.supp AS supp_b,
-           CAST(CAST(
-               (CAST(n_both AS DOUBLE) / CAST(n AS DOUBLE))
+           (CAST(n_both AS DOUBLE) / CAST(n AS DOUBLE))
                / ((CAST(ia.supp AS DOUBLE) / CAST(n AS DOUBLE))
-                  * (CAST(ib.supp AS DOUBLE) / CAST(n AS DOUBLE)))
-           AS DECIMAL(38,6)) AS DOUBLE) AS lift
+                  * (CAST(ib.supp AS DOUBLE) / CAST(n AS DOUBLE))) AS lift
     FROM pair
     JOIN item ia ON ia.l_partkey = pa
     JOIN item ib ON ib.l_partkey = pb
@@ -274,8 +272,10 @@ def market_basket_lift(spark, sf_dir):
     """The pair join is keyed on l_orderkey, so work is sum(basket^2) per
     order, not corpus^2; item supports broadcast back onto the surviving
     (>= min support) pairs. The lift ratio composes three exact-count
-    divisions; quantized once at emission (the division tree is identical
-    but deep enough to deserve the grid).
+    divisions over BIGINTs with the expression tree mirrored verbatim in
+    the oracle — deterministic-exact, so it emits the RAW double (the r9
+    quantization rule: a grid on a bit-identical value only adds a
+    .5e-6-boundary failure mode).
 
     Delegates pairing to ``operators.relational.basket_pair_counts``; the
     fixture's baskets are TPC-H-bounded (<= 7 line items) so the exact path
@@ -308,7 +308,7 @@ def market_basket_lift(spark, sf_dir):
         pair.join(item.withColumnRenamed("l_partkey", "pa").withColumnRenamed("supp", "supp_a"), "pa")
         .join(item.withColumnRenamed("l_partkey", "pb").withColumnRenamed("supp", "supp_b"), "pb")
         .crossJoin(F.broadcast(n_orders))
-        .select("pa", "pb", "n_both", "supp_a", "supp_b", dec6(lift).alias("lift"))
+        .select("pa", "pb", "n_both", "supp_a", "supp_b", lift.alias("lift"))
         .orderBy(F.col("lift").desc(), "pa", "pb")
         .limit(20)
     )

@@ -366,7 +366,7 @@ def subquery_in(spark, sf_dir):
     "topk_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_orderpriority,
-           CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS totalprice
+           o_totalprice AS totalprice
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20
@@ -384,7 +384,7 @@ def topk_orders(spark, sf_dir):
             "o_orderstatus",
             "o_orderdate",
             "o_orderpriority",
-            dec6(F.col("o_totalprice")).alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
         )
     )
 

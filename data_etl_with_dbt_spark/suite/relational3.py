@@ -218,7 +218,7 @@ def q9_product_type_profit(spark, sf_dir):
     SELECT
         c_custkey, c_name,
         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-        CAST(CAST(c_acctbal AS DECIMAL(38,6)) AS DOUBLE) AS c_acctbal,
+        c_acctbal,
         n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -253,7 +253,7 @@ def q10_returned_items(spark, sf_dir):
             "c_custkey",
             "c_name",
             "revenue",
-            dec6(F.col("c_acctbal")).alias("c_acctbal"),
+            "c_acctbal",
             "n_name",
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -458,7 +458,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     oracle="""
     SELECT
         c_name, c_custkey, o_orderkey, o_orderdate,
-        CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS o_totalprice,
+        o_totalprice,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -495,7 +495,7 @@ def q18_large_volume_customers(spark, sf_dir):
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
-            dec6(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_totalprice",
             "total_qty",
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))

@@ -21,7 +21,7 @@ from data_etl_with_dbt_spark.suite.registry import big, dec6, dsum, load, query
     SELECT * FROM (
         SELECT
             o_orderkey, o_custkey,
-            CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS totalprice,
+            o_totalprice AS totalprice,
             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
             CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS status_rank,
             lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
@@ -62,7 +62,7 @@ def window_customer_orders(spark, sf_dir):
         o.select(
             "o_orderkey",
             "o_custkey",
-            dec6(F.col("o_totalprice")).alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
             big(F.row_number().over(by_price)).alias("rn"),
             big(F.rank().over(by_status)).alias("status_rank"),
             F.lag("o_orderkey").over(by_date).alias("prev_order"),
