@@ -1137,6 +1137,10 @@ def incremental_exact_substring_regions(
     text_col: str,
     span_tokens: int = 10,
     unit: str = "token",
+    index_bloom: DataFrame | None = None,
+    bloom_bits: int | None = None,
+    bloom_hashes: int | None = None,
+    checkpoint: bool = False,
 ):
     """Cross-batch exact-substring dedup — the continuous-intake form of
     :func:`exact_substring_regions` (the incremental sibling of
@@ -1164,8 +1168,31 @@ def incremental_exact_substring_regions(
 
     Scale: the index is corpus-shingle cardinality — the join against it
     is one hash-partitioned exchange per side keyed on the 8-byte hash
-    (never span text); at 100 TB front it with a Bloom filter of the
-    index to prune the probe side before the shuffle.
+    (never span text). At 100 TB pass ``index_bloom`` (the
+    :func:`~data_etl_with_dbt_spark.operators.sketch.bloom_build` word
+    table of every hash EVER committed to ``index``, with its
+    ``bloom_bits``/``bloom_hashes``): the batch's distinct hashes probe
+    the broadcast bitmap first, and the index is semi-join-pruned to the
+    bloom's "maybe" candidates before the operator's join — so the
+    accumulated index is never shuffled, only scanned against a
+    broadcast candidate set. Correctness is one-directional by
+    construction: a bloom "no" is exact (the hash was never committed →
+    the index join could not have matched → identical result), a bloom
+    "maybe" only costs exact-join work — false positives never change
+    output, and a STALE bloom (extra bits from a replayed batch) is
+    equally harmless. The one invariant the CALLER must keep is that the
+    bloom is a SUPERSET of the index (commit bloom words before index
+    hashes; see ``substring_intake_sink``).
+
+    ``checkpoint=True`` lazily ``localCheckpoint``s the post-window
+    shingle relation: this plan feeds up to three consumers (regions,
+    ``new_hashes``, and the bloom probe's candidate set) and Catalyst
+    gives no cross-consumer CSE, so without it each action re-runs the
+    CPU-heavy shingle/window pass. Side effects per the engine's
+    checkpoint rule: executor storage pinned for the relation's lifetime
+    and lineage truncated (partition loss fails instead of recomputing)
+    — batch callers sizing the relation (constant-width hash rows, no
+    text) should opt in; pure-plan composition should not.
 
     ``unit='sentence'`` / ``unit='paragraph'`` run the coarser
     granularities (:func:`sentence_substring_regions` /
@@ -1180,9 +1207,36 @@ def incremental_exact_substring_regions(
     )
     w = Window.partitionBy("__key").orderBy(id_col, "__i")
     ranked = pos.withColumn("__rn", F.row_number().over(w))
+    if checkpoint:
+        ranked = ranked.localCheckpoint(eager=False)
     idx = index.select(
         F.col("span_hash").alias("__key"), F.lit(True).alias("__seen")
     ).dropDuplicates(["__key"])
+    if index_bloom is not None:
+        if bloom_bits is None or bloom_hashes is None:
+            raise ValueError(
+                "index_bloom requires bloom_bits and bloom_hashes — the "
+                "word table's bit positions are meaningless without the "
+                "(m, k) it was built with"
+            )
+        from .sketch import bloom_probe
+
+        cand = (
+            bloom_probe(
+                ranked.select("__key").dropDuplicates(["__key"]),
+                "__key",
+                index_bloom,
+                bloom_bits,
+                bloom_hashes,
+            )
+            .where(F.col("might_contain"))
+            .select("__key")
+        )
+        # bloom "no" = the hash was never committed, so those index rows
+        # could never match this batch — pruning to candidates preserves
+        # the join result exactly while keeping the accumulated index out
+        # of the shuffle (broadcast semi join: index scanned, not moved)
+        idx = idx.join(F.broadcast(cand), "__key", "left_semi")
     marked = ranked.join(idx, "__key", "left")
     dup = marked.where(
         (F.col("__rn") > 1) | F.col("__seen").isNotNull()

@@ -598,6 +598,8 @@ def substring_intake_sink(
     unit: str = "token",
     regions_ledger_path: str | None = None,
     emit_text: bool = True,
+    bloom_expected_keys: int | None = None,
+    bloom_fpp: float = 0.01,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink running the FULL Lee-et-al. exact-substring
     dedup pipeline in continuous intake — the streaming composition of
@@ -635,11 +637,30 @@ def substring_intake_sink(
     Scale: per batch the work is the incremental operator's (constant-
     width hash rows ride the shuffles, never span text) + one id-keyed
     cut join; the index grows by first-seen shingle cardinality and the
-    commit appends only new hashes — at 100 TB front the index probe
-    with a Bloom filter and run ``sources.versioned.compact`` on a
-    schedule (dedupe + single-version rewrite + vacuum; conflict-checked
-    against concurrent batch appends, and transparent to the sink —
-    pinned in tests/test_versioned.py).
+    commit appends only new hashes. At 100 TB set
+    ``bloom_expected_keys`` (projected corpus shingle cardinality): the
+    sink then maintains a Bloom word-table sidecar
+    (``<index_path>__bloom``, a :mod:`sources.versioned` table of
+    ``(word_index, bits)`` rows bounded by m/64 per commit) covering
+    every hash ever committed to the index, and each batch's distinct
+    hashes probe the BROADCAST bitmap first so the accumulated index is
+    pruned to the bloom's "maybe" candidates before the operator's join
+    — the index is scanned, never shuffled. The write order makes the
+    invariant one-directional: bloom words commit BEFORE index hashes,
+    so a crash between the two leaves the bloom a superset of the index
+    (false positives = wasted exact-join work, never a missed duplicate
+    — zero false negatives by construction, pinned in tests). A
+    coverage watermark in the bloom's own sidecar marker records the
+    index version the bloom covers; when it lags (the sink ran with the
+    bloom disabled, or a crash landed between the bloom and index
+    commits), the next bloom-enabled batch backfills the word table
+    from the full index snapshot before probing. A (num_bits,
+    num_hashes) mismatch against the marker raises — bit positions are
+    incomparable across sizings (the recipe-marker convention). Run
+    ``sources.versioned.compact`` on a schedule for both the index and
+    the bloom sidecar (dedupe + single-version rewrite + vacuum;
+    conflict-checked against concurrent batch appends, and transparent
+    to the sink — pinned in tests/test_versioned.py).
 
     Replay (the standard foreachBatch at-least-once caveat, the
     versioned_sink convention): a batch re-delivered after a crash
@@ -667,6 +688,73 @@ def substring_intake_sink(
         ]
     )
     index_schema = T.StructType([T.StructField("span_hash", T.LongType())])
+    bloom_path = index_path.rstrip("/") + "__bloom"
+    bloom_marker_path = index_path.rstrip("/") + "__bloomsig"
+    _BLOOM_SIG_SCHEMA = T.StructType(
+        [
+            T.StructField("num_bits", T.LongType()),
+            T.StructField("num_hashes", T.LongType()),
+            T.StructField("covered_version", T.LongType()),
+        ]
+    )
+    _BLOOM_SCHEMA = T.StructType(
+        [
+            T.StructField("word_index", T.LongType()),
+            T.StructField("bits", T.LongType()),
+        ]
+    )
+
+    def _write_bloom_sig(spark, m: int, k: int, covered: int) -> None:
+        # data originates as Python ints (no lineage to the marker path),
+        # so overwrite is recompute-safe without a checkpoint guard
+        spark.createDataFrame(
+            [(int(m), int(k), int(covered))], _BLOOM_SIG_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(bloom_marker_path)
+
+    def _bloom_setup(spark, index: DataFrame, latest_index_version: int):
+        """Resolve (word_table, m, k) for this batch, backfilling from the
+        index snapshot whenever the coverage watermark lags it."""
+        from ..operators.sketch import bloom_build, bloom_parameters
+
+        want_m, want_k = bloom_parameters(bloom_expected_keys, bloom_fpp)
+        sig = _parquet_or_none(spark, bloom_marker_path, _BLOOM_SIG_SCHEMA)
+        if sig is None:
+            m, k, covered = want_m, want_k, 0
+        else:
+            row = sig.first()
+            m, k = int(row["num_bits"]), int(row["num_hashes"])
+            covered = int(row["covered_version"])
+            if (m, k) != (want_m, want_k):
+                raise ValueError(
+                    f"bloom sidecar at {bloom_path} was sized "
+                    f"(num_bits, num_hashes)={(m, k)} but this sink's "
+                    f"(bloom_expected_keys, bloom_fpp) resolves to "
+                    f"{(want_m, want_k)} — bit positions are incomparable "
+                    "across sizings; delete the sidecar to re-bootstrap "
+                    "or match the config"
+                )
+        if latest_index_version > 0 and (
+            covered < latest_index_version
+            or not V.list_versions(bloom_path)
+        ):
+            # the index holds hashes the bloom never saw (sink ran with
+            # the bloom disabled, a crash landed between the bloom and
+            # index commits, or the sidecar was deleted under a stale
+            # marker) — probing now could false-negative, so backfill
+            # from the full snapshot first (extra duplicate bits from
+            # re-covered hashes are harmless: bit_or is idempotent)
+            V.commit(bloom_build(index, "span_hash", m, k),
+                     bloom_path, mode="append")
+        versions = V.list_versions(bloom_path)
+        if versions:
+            words = (
+                V.read_version(spark, bloom_path, versions[-1])
+                .groupBy("word_index")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+        else:
+            words = spark.createDataFrame([], _BLOOM_SCHEMA)
+        return words, m, k
 
     def _check_recipe(spark) -> None:
         marker = _parquet_or_none(spark, recipe_marker_path, _RECIPE_SCHEMA)
@@ -687,6 +775,8 @@ def substring_intake_sink(
             )
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.sketch import bloom_build
+
         spark = batch.sparkSession
         _check_recipe(spark)
         versions = V.list_versions(index_path)
@@ -694,12 +784,29 @@ def substring_intake_sink(
             index = V.read_version(spark, index_path, versions[-1])
         else:
             index = spark.createDataFrame([], index_schema)
-        regions, new_hashes = incremental_exact_substring_regions(
-            batch, index, id_col, text_col,
-            span_tokens=span_tokens, unit=unit,
-        )
+        if bloom_expected_keys is not None:
+            words, m, k = _bloom_setup(
+                spark, index, versions[-1] if versions else 0
+            )
+            regions, new_hashes = incremental_exact_substring_regions(
+                batch, index, id_col, text_col,
+                span_tokens=span_tokens, unit=unit,
+                index_bloom=words, bloom_bits=m, bloom_hashes=k,
+                # the shingle relation now has a third consumer (the
+                # bloom probe's candidate set) on top of regions and
+                # new_hashes — materialize it once
+                checkpoint=True,
+            )
+        else:
+            regions, new_hashes = incremental_exact_substring_regions(
+                batch, index, id_col, text_col,
+                span_tokens=span_tokens, unit=unit, checkpoint=True,
+            )
+        # the batch's first-seen hashes feed two commits (bloom + index)
+        # on top of the region consumers — pin them once
+        new_hashes = new_hashes.localCheckpoint(eager=False)
         # two consumers below (the cut join and the ledger append) and no
-        # cross-consumer CSE — materialize the shingle/window pass once
+        # cross-consumer CSE — materialize the merged regions once
         regions = regions.localCheckpoint(eager=False)
         cleaned = remove_duplicate_regions(
             batch, regions, id_col, text_col,
@@ -712,7 +819,20 @@ def substring_intake_sink(
             regions.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(regions_ledger_path)
-        V.commit(new_hashes.select("span_hash"), index_path, mode="append")
+        if bloom_expected_keys is not None:
+            # bloom BEFORE index: a crash between the two leaves the bloom
+            # a superset of the index (false positives only) — committing
+            # the index first could leave committed hashes the bloom never
+            # covers, i.e. false negatives on the next batch
+            V.commit(
+                bloom_build(new_hashes, "span_hash", m, k),
+                bloom_path, mode="append",
+            )
+        new_iv = V.commit(
+            new_hashes.select("span_hash"), index_path, mode="append"
+        )
+        if bloom_expected_keys is not None:
+            _write_bloom_sig(spark, m, k, new_iv)
 
     return process
 

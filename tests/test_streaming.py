@@ -2074,3 +2074,183 @@ def test_hygiene_then_substring_two_stage_real_stream(spark, tmp_path):
             expect[d].cleaned_hash,
             expect[d].cleaned_text,
         )
+
+
+class TestSubstringBloomFront:
+    """Bloom-fronted substring index probe (round-9 verdict stretch item):
+    the sink maintains a versioned Bloom word-table sidecar covering every
+    hash ever committed to the index; each batch's distinct hashes probe
+    the broadcast bitmap and the index is semi-join-pruned to the "maybe"
+    candidates. Results must be IDENTICAL to the unfronted path — a bloom
+    "no" is exact, a false positive only costs exact-join work — including
+    under a deliberately collision-heavy sizing and after enabling the
+    bloom on a pre-existing index (coverage-watermark backfill)."""
+
+    def _rows(self, seed=77, n=30):
+        import random
+
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        return [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+            for i in range(n)
+        ]
+
+    def test_operator_prune_zero_false_negatives(self, spark, tmp_path):
+        """Operator-level pin: with the bloom front (even an absurdly
+        small, FP-dense 64-bit bitmap) regions and new_hashes are
+        byte-identical to the unfronted run."""
+        from data_etl_with_dbt_spark.operators.dedup import (
+            incremental_exact_substring_regions,
+        )
+        from data_etl_with_dbt_spark.operators.sketch import bloom_build
+
+        docs = spark.createDataFrame(self._rows(), "id long, text string")
+        b1 = docs.where(F.col("id") < 15)
+        b2 = docs.where(F.col("id") >= 15)
+        empty = spark.createDataFrame([], "span_hash bigint")
+        _, h1 = incremental_exact_substring_regions(
+            b1, empty, "id", "text", span_tokens=3
+        )
+        index = h1.select("span_hash").localCheckpoint(eager=True)
+        r_plain, h_plain = incremental_exact_substring_regions(
+            b2, index, "id", "text", span_tokens=3
+        )
+        expect_r = sorted(tuple(r) for r in r_plain.collect())
+        expect_h = sorted(r.span_hash for r in h_plain.collect())
+        for m, k in ((4096, 3), (64, 1)):
+            words = bloom_build(index, "span_hash", m, k)
+            r_b, h_b = incremental_exact_substring_regions(
+                b2, index, "id", "text", span_tokens=3,
+                index_bloom=words, bloom_bits=m, bloom_hashes=k,
+                checkpoint=True,
+            )
+            assert sorted(tuple(r) for r in r_b.collect()) == expect_r, (m, k)
+            assert sorted(r.span_hash for r in h_b.collect()) == expect_h
+
+    def test_operator_bloom_requires_sizing(self, spark):
+        from data_etl_with_dbt_spark.operators.dedup import (
+            incremental_exact_substring_regions,
+        )
+
+        docs = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+        empty = spark.createDataFrame([], "span_hash bigint")
+        words = spark.createDataFrame([], "word_index long, bits long")
+        with pytest.raises(ValueError, match="bloom_bits"):
+            incremental_exact_substring_regions(
+                docs, empty, "id", "text", span_tokens=3, index_bloom=words
+            )
+
+    def test_sink_nbatch_equals_plain_sink(self, spark, tmp_path):
+        """The bloom-fronted sink's corpus, ledger, and index match the
+        unfronted sink's batch-for-batch; the sidecar commits one bloom
+        version per batch plus the coverage watermark."""
+        from data_etl_with_dbt_spark.sources import versioned as V
+        from data_etl_with_dbt_spark.streaming.intake import (
+            substring_intake_sink,
+        )
+
+        docs = spark.createDataFrame(self._rows(), "id long, text string")
+        plain_base = str(tmp_path / "plain")
+        bloom_base = str(tmp_path / "bloom")
+        plain = substring_intake_sink(
+            plain_base + "/index", plain_base + "/corpus", "id", "text",
+            span_tokens=3, regions_ledger_path=plain_base + "/regions",
+        )
+        fronted = substring_intake_sink(
+            bloom_base + "/index", bloom_base + "/corpus", "id", "text",
+            span_tokens=3, regions_ledger_path=bloom_base + "/regions",
+            bloom_expected_keys=1000,
+        )
+        for b, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 99))):
+            chunk = docs.where((F.col("id") >= lo) & (F.col("id") < hi))
+            plain(chunk, b)
+            fronted(chunk, b)
+        for rel in ("/corpus", "/regions"):
+            a = sorted(
+                tuple(r)
+                for r in spark.read.parquet(plain_base + rel).collect()
+            )
+            bvals = sorted(
+                tuple(r)
+                for r in spark.read.parquet(bloom_base + rel).collect()
+            )
+            assert a == bvals, rel
+        pv = V.list_versions(plain_base + "/index")
+        bv = V.list_versions(bloom_base + "/index")
+        assert len(pv) == len(bv) == 3
+        a = sorted(
+            r.span_hash
+            for r in V.read_version(
+                spark, plain_base + "/index", pv[-1]
+            ).collect()
+        )
+        b2 = sorted(
+            r.span_hash
+            for r in V.read_version(
+                spark, bloom_base + "/index", bv[-1]
+            ).collect()
+        )
+        assert a == b2
+        # one bloom commit per batch; watermark covers the latest version
+        assert len(V.list_versions(bloom_base + "/index__bloom")) == 3
+        sig = spark.read.parquet(bloom_base + "/index__bloomsig").first()
+        assert int(sig["covered_version"]) == bv[-1]
+
+    def test_backfill_covers_preexisting_index(self, spark, tmp_path):
+        """Enabling the bloom on an index built WITHOUT it must backfill
+        the word table before probing — the cross-batch duplicate is
+        still cut (zero false negatives), and the sidecar gains the
+        bootstrap version."""
+        from data_etl_with_dbt_spark.sources import versioned as V
+        from data_etl_with_dbt_spark.streaming.intake import (
+            substring_intake_sink,
+        )
+
+        A = "a b c d e f g h"
+        base = str(tmp_path / "mix")
+        plain = substring_intake_sink(
+            base + "/index", base + "/corpus", "id", "text", span_tokens=3,
+        )
+        plain(spark.createDataFrame([(1, A)], "id long, text string"), 0)
+        assert V.list_versions(base + "/index__bloom") == []
+        fronted = substring_intake_sink(
+            base + "/index", base + "/corpus", "id", "text", span_tokens=3,
+            bloom_expected_keys=1000,
+        )
+        fronted(
+            spark.createDataFrame(
+                [(10, "x y z " + A)], "id long, text string"
+            ),
+            1,
+        )
+        got = {
+            r.id: r for r in spark.read.parquet(base + "/corpus").collect()
+        }
+        assert got[10].n_tokens_removed == 8  # the embedded copy of doc 1
+        assert got[10].cleaned_text == "x y z"
+        # bootstrap backfill + the batch's own commit
+        assert len(V.list_versions(base + "/index__bloom")) == 2
+
+    def test_sizing_mismatch_raises(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.streaming.intake import (
+            substring_intake_sink,
+        )
+
+        base = str(tmp_path / "sz")
+        s1 = substring_intake_sink(
+            base + "/index", base + "/corpus", "id", "text", span_tokens=3,
+            bloom_expected_keys=500,
+        )
+        s1(spark.createDataFrame([(1, "a b c d e")], "id long, text string"), 0)
+        s2 = substring_intake_sink(
+            base + "/index", base + "/corpus", "id", "text", span_tokens=3,
+            bloom_expected_keys=50000,
+        )
+        with pytest.raises(ValueError, match="incomparable across sizings"):
+            s2(
+                spark.createDataFrame(
+                    [(2, "f g h i j")], "id long, text string"
+                ),
+                1,
+            )
