@@ -65,17 +65,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Regenerate the tiers after each round with: python tools/rotate_window.py
 
 WINDOW = [
-    "curation_decisions_full", "streaming_curated_intake",
-    "dedup_simhash_pairs", "embedding_near_dup", "hll_user_cardinality",
-    "ann_pq_rerank_topk", "ann_pq_topk", "scalar_try_gallery",
-    "sessionize_events", "topk_orders", "tumbling_window_events",
+    "curation_decisions_full", "market_basket_lift", "q10_returned_items",
+    "q18_large_volume_customers", "streaming_curated_intake", "topk_orders",
+    "window_customer_orders", "dedup_simhash_pairs", "embedding_near_dup",
+    "hll_user_cardinality", "ann_pq_rerank_topk", "ann_pq_topk",
+    "scalar_try_gallery", "sessionize_events", "tumbling_window_events",
     "unpivot_lineitem_measures", "url_dedup_documents",
     "dq_accepted_values_violations", "dq_not_null_violations",
     "dq_quarantine_events", "dq_relationships_violations",
     "hard_negative_mining", "holt_linear_forecast",
     "hourly_seasonality_profile", "inventory_running_balance",
     "kl_divergence_sources", "lateral_top_orders", "length_bucketed_batches",
-    "linear_interpolate_events", "majority_label_vote", "market_basket_lift",
+    "linear_interpolate_events", "majority_label_vote",
     "masked_customer_view", "mutual_information_events",
     "negative_samples_documents", "ngram_containment_pairs",
     "packed_token_windows", "pareto_customer_revenue",
@@ -84,8 +85,7 @@ WINDOW = [
     "reconcile_order_totals", "rfm_customer_segments", "robust_scale_events",
     "sampled_quantiles_orders", "scalar_collation_gallery",
     "scalar_conditional_gallery", "scalar_distance_gallery",
-    "scalar_math_gallery", "scalar_url_gallery", "session_entry_exit",
-    "set_intersect_all", "set_union_by_name",
+    "scalar_math_gallery", "scalar_url_gallery",
 ]
 
 ZQ_QUEUED = [
@@ -137,13 +137,13 @@ ZV_VERIFIED = [
     "multimodal_byte_features", "nfkc_normalized_text",
     "ngram_jaccard_pairs", "paragraph_dedup_cut", "pca_invariants",
     "perplexity_proxy_score", "pii_scrub_documents", "pivot_event_counts",
-    "q10_returned_items", "q11_important_parts", "q12_priority_counts",
+    "q11_important_parts", "q12_priority_counts",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q1_pricing_summary", "q20_excess_supply", "q21_suppliers_kept_waiting",
-    "q22_inactive_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "q17_small_quantity_revenue", "q1_pricing_summary", "q20_excess_supply",
+    "q21_suppliers_kept_waiting", "q22_inactive_customers",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit",
     "range_join_clicks_before_error", "recrawl_schedule_events",
     "recursive_capped_balance", "redact_entities",
     "redpajama_quality_signals", "repetition_stats",
@@ -152,8 +152,9 @@ ZV_VERIFIED = [
     "scalar_map_gallery", "scalar_regexp_gallery", "scalar_string_gallery",
     "script_mix_documents", "semantic_decontamination",
     "semantic_dedup_clusters", "sentence_dedup_cut",
-    "sentence_dedup_regions", "sequence_packing", "session_window_events",
-    "set_except_all", "set_operations", "sitemap_entries_roundtrip",
+    "sentence_dedup_regions", "sequence_packing", "session_entry_exit",
+    "session_window_events", "set_except_all", "set_intersect_all",
+    "set_operations", "set_union_by_name", "sitemap_entries_roundtrip",
     "skew_stats_orders", "sliding_window_events",
     "stratified_sample_documents", "streaming_hygiene_gate",
     "streaming_paragraph_cut", "streaming_recrawl_maintenance",
@@ -168,9 +169,8 @@ ZV_VERIFIED = [
     "variant_props_stats", "vocab_coverage_topk", "warc_documents_roundtrip",
     "warc_ingest_accounting", "warc_links_roundtrip",
     "weighted_sample_documents", "window_analytics_extended",
-    "window_customer_orders", "window_trailing_range",
-    "winsorize_extendedprice", "zipf_exponent_vocab",
-    "zorder_cluster_events",
+    "window_trailing_range", "winsorize_extendedprice",
+    "zipf_exponent_vocab", "zorder_cluster_events",
 ]
 
 ZR_ROWS_ONLY = [

@@ -71,6 +71,14 @@ RECALIBRATED_AFTER = {
     # was dead; round-5 recalibration changes their outputs
     "q19_discounted_revenue": 5,
     "q16_supplier_cardinality": 5,
+    # round-10 quantization audit: deterministic-exact values converted
+    # from the DECIMAL(38,6) grid to raw doubles — outputs changed, so
+    # pre-r10 greens certify the quantized form only
+    "window_customer_orders": 10,
+    "topk_orders": 10,
+    "q10_returned_items": 10,
+    "q18_large_volume_customers": 10,
+    "market_basket_lift": 10,
 }
 
 
