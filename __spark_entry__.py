@@ -66,10 +66,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 WINDOW = [
     "curation_decisions_full", "market_basket_lift", "q10_returned_items",
-    "q18_large_volume_customers", "streaming_curated_intake", "topk_orders",
-    "window_customer_orders", "dedup_simhash_pairs", "embedding_near_dup",
-    "hll_user_cardinality", "ann_pq_rerank_topk", "ann_pq_topk",
-    "scalar_try_gallery", "sessionize_events", "tumbling_window_events",
+    "q18_large_volume_customers", "streaming_curated_intake",
+    "streaming_substring_bloom_cut", "topk_orders", "window_customer_orders",
+    "dedup_simhash_pairs", "embedding_near_dup", "hll_user_cardinality",
+    "ann_pq_rerank_topk", "ann_pq_topk", "scalar_try_gallery",
+    "sessionize_events", "tumbling_window_events",
     "unpivot_lineitem_measures", "url_dedup_documents",
     "dq_accepted_values_violations", "dq_not_null_violations",
     "dq_quarantine_events", "dq_relationships_violations",
@@ -85,7 +86,7 @@ WINDOW = [
     "reconcile_order_totals", "rfm_customer_segments", "robust_scale_events",
     "sampled_quantiles_orders", "scalar_collation_gallery",
     "scalar_conditional_gallery", "scalar_distance_gallery",
-    "scalar_math_gallery", "scalar_url_gallery",
+    "scalar_math_gallery",
 ]
 
 ZQ_QUEUED = [
@@ -150,7 +151,7 @@ ZV_VERIFIED = [
     "robots_audit_documents", "robots_directives_gallery",
     "scalar_array_gallery", "scalar_bitwise_gallery", "scalar_date_gallery",
     "scalar_map_gallery", "scalar_regexp_gallery", "scalar_string_gallery",
-    "script_mix_documents", "semantic_decontamination",
+    "scalar_url_gallery", "script_mix_documents", "semantic_decontamination",
     "semantic_dedup_clusters", "sentence_dedup_cut",
     "sentence_dedup_regions", "sequence_packing", "session_entry_exit",
     "session_window_events", "set_except_all", "set_intersect_all",

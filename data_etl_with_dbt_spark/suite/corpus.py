@@ -579,6 +579,50 @@ def streaming_substring_cut(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_substring_bloom_cut",
+    oracle=f"""{_REGISTRY["exact_substring_dedup_cut"].oracle}""",
+    description=(
+        "streaming_substring_cut with the 100 TB index-probe path ON: "
+        "batch 0 runs the plain sink, batches 1-2 run with "
+        "bloom_expected_keys set, so the round exercises BOTH the "
+        "coverage-watermark backfill (the bloom bootstraps from the "
+        "pre-existing index before batch 1 probes) and the steady-state "
+        "bloom-front (batch hashes probe the broadcast bitmap, the index "
+        "is semi-join-pruned to the maybe candidates — scanned, never "
+        "shuffled). A bloom 'no' is exact, so the corpus is IDENTICAL to "
+        "the unfronted run and the oracle is exact_substring_dedup_cut's "
+        "own one-shot SQL"
+    ),
+)
+def streaming_substring_bloom_cut(spark, sf_dir):
+    import tempfile
+
+    from data_etl_with_dbt_spark.streaming.intake import substring_intake_sink
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    base = tempfile.mkdtemp(prefix="subbloom_")
+    plain = substring_intake_sink(
+        base + "/index", base + "/corpus", "doc_id", "text",
+        span_tokens=10, emit_text=False,
+    )
+    fronted = substring_intake_sink(
+        base + "/index", base + "/corpus", "doc_id", "text",
+        span_tokens=10, emit_text=False,
+        bloom_expected_keys=200_000,
+    )
+    for b, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 1 << 31))):
+        sink = plain if b == 0 else fronted
+        sink(docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), b)
+    out = spark.read.parquet(base + "/corpus")
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "n_tokens",
+        "n_tokens_removed",
+        "cleaned_hash",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sentence-granularity exact-substring dedup (C4-style: regions align to
 # sentence boundaries). The real documents fixture is single-sentence
