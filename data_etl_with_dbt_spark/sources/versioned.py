@@ -353,6 +353,8 @@ def compact(
     dedupe_cols: list[str] | None = None,
     keep_versions: int = 2,
     num_files: int = 1,
+    group_by: list[str] | None = None,
+    agg_exprs: list | None = None,
 ) -> dict:
     """Maintenance pass for an append-accumulating versioned table (the
     streaming sinks' index shape: one small APPEND version per
@@ -376,7 +378,19 @@ def compact(
     start). ``keep_versions=1`` reclaims space fastest but is only safe
     BETWEEN batches — schedule it in the stream's own foreachBatch
     cadence, never against a live scan.
+
+    ``group_by`` + ``agg_exprs`` compact by AGGREGATION instead of
+    row-dedup — for sidecars whose rows MERGE rather than repeat, e.g.
+    the substring sink's Bloom word table where per-batch ``(word_index,
+    bits)`` rows combine by ``bit_or`` (readers do the same fold, so the
+    aggregated rewrite is observation-equivalent while shrinking the
+    table to its bounded merged form). Mutually exclusive with
+    ``dedupe_cols``.
     Returns ``{version, files_deleted, versions_dropped}``."""
+    if group_by and dedupe_cols:
+        raise ValueError("compact: pass group_by+agg_exprs OR dedupe_cols")
+    if bool(group_by) != bool(agg_exprs):
+        raise ValueError("compact: group_by and agg_exprs go together")
     last_err: Exception | None = None
     for _ in range(20):
         versions = list_versions(path)
@@ -384,7 +398,9 @@ def compact(
             return {"version": 0, "files_deleted": 0, "versions_dropped": 0}
         base = versions[-1]
         df = read_version(spark, path, base)
-        if dedupe_cols:
+        if group_by:
+            df = df.groupBy(*group_by).agg(*agg_exprs)
+        elif dedupe_cols:
             df = df.dropDuplicates(dedupe_cols)
         df = df.coalesce(int(num_files))
         try:

@@ -2254,3 +2254,61 @@ class TestSubstringBloomFront:
                 ),
                 1,
             )
+
+    def test_bloom_sidecar_compaction_transparent(self, spark, tmp_path):
+        """versioned.compact with the bit_or aggregate merge shrinks the
+        sidecar to its bounded merged form; the sink keeps cutting
+        cross-batch duplicates afterwards (observation-equivalent)."""
+        from data_etl_with_dbt_spark.sources import versioned as V
+        from data_etl_with_dbt_spark.streaming.intake import (
+            substring_intake_sink,
+        )
+
+        A = "a b c d e f g h"
+        base = str(tmp_path / "cmp")
+        sink = substring_intake_sink(
+            base + "/index", base + "/corpus", "id", "text", span_tokens=3,
+            bloom_expected_keys=1000,
+        )
+        mk = lambda rows: spark.createDataFrame(rows, "id long, text string")
+        sink(mk([(1, A)]), 0)
+        sink(mk([(2, "p q r s t u v")]), 1)
+        bpath = base + "/index__bloom"
+        before = {
+            (r.word_index, r.bits)
+            for r in V.read_version(
+                spark, bpath, V.list_versions(bpath)[-1]
+            ).groupBy("word_index").agg(F.bit_or("bits").alias("bits"))
+            .collect()
+        }
+        out = V.compact(
+            spark, bpath,
+            group_by=["word_index"],
+            agg_exprs=[F.bit_or("bits").alias("bits")],
+        )
+        assert out["version"] > 0
+        vs = V.list_versions(bpath)
+        after_df = V.read_version(spark, bpath, vs[-1])
+        after = {(r.word_index, r.bits) for r in after_df.collect()}
+        assert after == before  # merged form identical to the readers' fold
+        # row count now bounded: one row per set word, no per-batch dups
+        assert after_df.count() == len(after)
+        # the sink still cuts a duplicate of batch-0 text via the index
+        sink(mk([(10, "x y z " + A)]), 2)
+        got = {
+            r.id: r for r in spark.read.parquet(base + "/corpus").collect()
+        }
+        assert got[10].n_tokens_removed == 8
+        assert got[10].cleaned_text == "x y z"
+
+    def test_compact_agg_args_validated(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources import versioned as V
+
+        with pytest.raises(ValueError, match="go together"):
+            V.compact(spark, str(tmp_path / "x"), group_by=["a"])
+        with pytest.raises(ValueError, match="OR dedupe_cols"):
+            V.compact(
+                spark, str(tmp_path / "x"),
+                dedupe_cols=["a"], group_by=["a"],
+                agg_exprs=[F.bit_or("a")],
+            )
