@@ -1815,6 +1815,77 @@ def packed_token_windows(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    stride: int = 384,
+    emit_text: bool = True,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / context-window prep
+    step :func:`packed_token_windows` deliberately is NOT: windows stay
+    INSIDE document boundaries and consecutive chunks overlap by
+    ``chunk_tokens - stride`` tokens so no retrieval context is split
+    mid-thought. Chunk ``i`` covers tokens ``[i*stride, i*stride +
+    chunk_tokens)``; the chunk count is ``1`` for documents up to
+    ``chunk_tokens`` tokens, else ``1 + ceil((n - chunk_tokens) /
+    stride)`` — the last chunk always reaches the document end and no
+    start position beyond it is emitted (a further start would yield a
+    pure suffix of the previous chunk). Tokens are whitespace-split with
+    case PRESERVED (chunks are payload, not match keys). Empty/whitespace
+    documents emit no chunks.
+
+    Returns one row per chunk: ``(id, chunk_id, n_chunks, chunk_start,
+    chunk_len[, chunk_text])``.
+
+    Scale: embarrassingly parallel — one projection chain (split →
+    sequence → transform/slice → posexplode), ZERO shuffles, no UDFs;
+    output rows ≈ corpus tokens / stride. The slice array is the single
+    consumer of the token array, so the interpreted HOF runs once per
+    document (the engine's no-CSE rule)."""
+    if stride < 1 or stride > chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens]: stride={stride} "
+            f"chunk_tokens={chunk_tokens} — stride above the chunk size "
+            "would silently skip tokens between consecutive chunks"
+        )
+    c, s = int(chunk_tokens), int(stride)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    work = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .withColumn("__n", F.size("__t").cast("bigint"))
+        .where(F.col("__n") > 0)
+        .withColumn(
+            "__nc",
+            F.expr(
+                f"CASE WHEN __n <= {c} THEN CAST(1 AS BIGINT) "
+                f"ELSE CAST(1 + ((__n - {c} + {s} - 1) DIV {s}) AS BIGINT) "
+                "END"
+            ),
+        )
+    )
+    chunks = work.select(
+        F.col(id_col),
+        F.col("__nc").alias("n_chunks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int")),
+                lambda i: F.slice("__t", i * s + 1, c),
+            )
+        ).alias("__cid", "__chunk"),
+    )
+    out = chunks.select(
+        F.col(id_col),
+        F.col("__cid").cast("bigint").alias("chunk_id"),
+        "n_chunks",
+        (F.col("__cid").cast("bigint") * s).alias("chunk_start"),
+        F.size("__chunk").cast("bigint").alias("chunk_len"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+    return out if emit_text else out.drop("chunk_text")
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM tokenizer (SentencePiece's second algorithm, Kudo 2018) —
 # completing the tokenizer-training family next to BPE: seed a large

@@ -2038,6 +2038,65 @@ def packed_token_windows(spark, sf_dir):
     )
 
 
+@query(
+    "chunked_documents_overlap",
+    oracle=r"""
+    WITH src AS (SELECT DISTINCT doc_id, text FROM documents),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM src
+    ),
+    nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    nc AS (
+        SELECT doc_id, t,
+               CASE WHEN n <= 30 THEN 1
+                    ELSE 1 + (n - 30 + 19) // 20 END AS n_chunks
+        FROM nn
+    ),
+    ch AS (
+        SELECT doc_id, n_chunks, t,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM nc
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(chunk_id * 20 AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(t, chunk_id * 20 + 1, chunk_id * 20 + 30))
+                AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+               list_slice(t, chunk_id * 20 + 1, chunk_id * 20 + 30), ' '))
+               AS chunk_hash
+    FROM ch
+    """,
+    description=(
+        "Overlapping token-window chunking (textan.chunk_documents — the "
+        "RAG/context-window prep packed_token_windows is not: windows "
+        "stay INSIDE document boundaries, consecutive chunks overlap by "
+        "chunk-stride tokens, the last chunk always reaches the doc end "
+        "and no redundant suffix chunk is emitted): chunk 30 / stride 20 "
+        "over the documents table, chunk body as md5 (hash-not-payload). "
+        "Integer chunk-count arithmetic spelled DIV/// on both sides "
+        "(the double-narrowing trap); one projection chain, zero "
+        "shuffles, no UDFs"
+    ),
+)
+def chunked_documents_overlap(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    out = TA.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=30, stride=20
+    )
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "chunk_id",
+        "n_chunks",
+        "chunk_start",
+        "chunk_len",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE corpus ENCODING — the deployment half of bpe_train_merges: apply the
 # learned merge table to every document and emit per-doc token statistics

@@ -4736,3 +4736,75 @@ class TestAsofNullPayloadProperty:
                 for r in want_df.itertuples()
             }
             assert got == want, direction
+
+
+class TestChunkDocuments:
+    """textan.chunk_documents: overlapping in-document token windows."""
+
+    def _chunks(self, spark, text, chunk=5, stride=3):
+        from data_etl_with_dbt_spark.operators.textan import chunk_documents
+
+        df = spark.createDataFrame([(1, text)], "id long, text string")
+        return sorted(
+            (r.chunk_id, r.chunk_start, r.chunk_len, r.chunk_text)
+            for r in chunk_documents(
+                df, "id", "text", chunk_tokens=chunk, stride=stride
+            ).collect()
+        )
+
+    def test_short_doc_single_chunk(self, spark):
+        assert self._chunks(spark, "a b c") == [(0, 0, 3, "a b c")]
+
+    def test_exact_boundary_single_chunk(self, spark):
+        assert self._chunks(spark, "a b c d e") == [(0, 0, 5, "a b c d e")]
+
+    def test_overlap_and_tail(self, spark):
+        # 8 tokens, chunk 5 stride 3 -> starts 0, 3: [0,5), [3,8)
+        got = self._chunks(spark, "a b c d e f g h")
+        assert got == [
+            (0, 0, 5, "a b c d e"),
+            (1, 3, 5, "d e f g h"),
+        ]
+
+    def test_last_chunk_reaches_end_no_suffix_chunks(self, spark):
+        # 9 tokens: starts 0, 3, 6 -> last covers [6, 9); start 9 is not
+        # emitted even though 9 < n + stride
+        got = self._chunks(spark, "a b c d e f g h i")
+        assert [g[0] for g in got] == [0, 1, 2]
+        assert got[-1] == (2, 6, 3, "g h i")
+        # every token is covered by at least one chunk
+        covered = set()
+        for _, s, ln, _t in got:
+            covered |= set(range(s, s + ln))
+        assert covered == set(range(9))
+
+    def test_case_preserved_empty_doc_dropped(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "Foo BAR"), (2, "   "), (3, None)], "id long, text string"
+        )
+        rows = chunk_documents(
+            df, "id", "text", chunk_tokens=5, stride=3
+        ).collect()
+        assert len(rows) == 1 and rows[0].chunk_text == "Foo BAR"
+
+    def test_stride_validation(self, spark):
+        import pytest as _pytest
+
+        from data_etl_with_dbt_spark.operators.textan import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "id long, text string")
+        with _pytest.raises(ValueError, match="stride"):
+            chunk_documents(df, "id", "text", chunk_tokens=5, stride=6)
+        with _pytest.raises(ValueError, match="stride"):
+            chunk_documents(df, "id", "text", chunk_tokens=5, stride=0)
+
+    def test_no_text_mode(self, spark):
+        from data_etl_with_dbt_spark.operators.textan import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        out = chunk_documents(
+            df, "id", "text", chunk_tokens=2, stride=1, emit_text=False
+        )
+        assert "chunk_text" not in out.columns and out.count() == 2

@@ -528,3 +528,15 @@ def test_c4_and_script_gates_are_single_projection(spark):
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_chunked_documents_zero_exchange(spark):
+    """chunk_documents is one projection chain — split/sequence/slice/
+    posexplode, no joins, no aggregation: the executed plan must carry
+    ZERO exchanges (embarrassingly parallel at any corpus size)."""
+    import re
+
+    plan = plan_of(spark, "chunked_documents_overlap")
+    n = len(re.findall(r"Exchange (hash|range)partitioning|Exchange SinglePartition", plan))
+    assert n <= 1, plan  # only the dup2-convention distinct's exchange
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
