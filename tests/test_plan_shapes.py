@@ -399,6 +399,14 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # relations (each a LIMIT sample) — the single-partition exchange
         # is metadata-sized by construction, the two_sample_drift class
         "corpus_funnel_profile": {"single-partition"},
+        # round-10 entries:
+        # the empty-doc guard is size(split(text)) > 0 — a derived
+        # expression, nothing pushable (the repetition_stats class)
+        "chunked_documents_overlap": {"unpushed-filter"},
+        # every gate runs on the 240-id LIMIT hygiene synthesis — the
+        # single-partition exchange is the sample's by construction
+        # (the corpus_funnel_profile class)
+        "curation_decisions_full": {"single-partition"},
     }
     unexpected = {}
     for name, q in sorted(QUERIES.items()):

@@ -50,6 +50,9 @@ def _ops():
             df, "doc_id", "text", ["the", "and", "of"], limit=100
         ),
         "invindex": lambda df: TA.inverted_index(df, "doc_id", "text"),
+        "chunking": lambda df: TA.chunk_documents(
+            df, "doc_id", "text", chunk_tokens=64, stride=48
+        ),
         "substr_inc": _substr_inc(bloom=False),
         "substr_inc_bloom": _substr_inc(bloom=True),
         "cms": _cms,
