@@ -65,19 +65,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Regenerate the tiers after each round with: python tools/rotate_window.py
 
 WINDOW = [
-    "chunked_documents_overlap", "curation_decisions_full",
-    "market_basket_lift", "q10_returned_items", "q18_large_volume_customers",
-    "streaming_curated_intake", "streaming_substring_bloom_cut",
-    "topk_orders", "window_customer_orders", "dedup_simhash_pairs",
-    "embedding_near_dup", "hll_user_cardinality", "ann_pq_rerank_topk",
-    "ann_pq_topk", "scalar_try_gallery", "sessionize_events",
-    "tumbling_window_events", "unpivot_lineitem_measures",
-    "url_dedup_documents", "dq_accepted_values_violations",
-    "dq_not_null_violations", "dq_quarantine_events",
-    "dq_relationships_violations", "hard_negative_mining",
-    "holt_linear_forecast", "hourly_seasonality_profile",
-    "inventory_running_balance", "kl_divergence_sources",
-    "lateral_top_orders", "length_bucketed_batches",
+    "chunk_dedup_stats", "chunked_documents_overlap",
+    "curation_decisions_full", "market_basket_lift", "q10_returned_items",
+    "q18_large_volume_customers", "streaming_curated_intake",
+    "streaming_substring_bloom_cut", "topk_orders", "window_customer_orders",
+    "dedup_simhash_pairs", "embedding_near_dup", "hll_user_cardinality",
+    "ann_pq_rerank_topk", "ann_pq_topk", "scalar_try_gallery",
+    "sessionize_events", "tumbling_window_events",
+    "unpivot_lineitem_measures", "url_dedup_documents",
+    "dq_accepted_values_violations", "dq_not_null_violations",
+    "dq_quarantine_events", "dq_relationships_violations",
+    "hard_negative_mining", "holt_linear_forecast",
+    "hourly_seasonality_profile", "inventory_running_balance",
+    "kl_divergence_sources", "lateral_top_orders", "length_bucketed_batches",
     "linear_interpolate_events", "majority_label_vote",
     "masked_customer_view", "mutual_information_events",
     "negative_samples_documents", "ngram_containment_pairs",
@@ -86,7 +86,7 @@ WINDOW = [
     "q19_discounted_revenue", "quantile_normalize_events",
     "reconcile_order_totals", "rfm_customer_segments", "robust_scale_events",
     "sampled_quantiles_orders", "scalar_collation_gallery",
-    "scalar_conditional_gallery", "scalar_distance_gallery",
+    "scalar_conditional_gallery",
 ]
 
 ZQ_QUEUED = [
@@ -150,29 +150,29 @@ ZV_VERIFIED = [
     "redpajama_quality_signals", "repetition_stats",
     "robots_audit_documents", "robots_directives_gallery",
     "scalar_array_gallery", "scalar_bitwise_gallery", "scalar_date_gallery",
-    "scalar_map_gallery", "scalar_math_gallery", "scalar_regexp_gallery",
-    "scalar_string_gallery", "scalar_url_gallery", "script_mix_documents",
-    "semantic_decontamination", "semantic_dedup_clusters",
-    "sentence_dedup_cut", "sentence_dedup_regions", "sequence_packing",
-    "session_entry_exit", "session_window_events", "set_except_all",
-    "set_intersect_all", "set_operations", "set_union_by_name",
-    "sitemap_entries_roundtrip", "skew_stats_orders",
-    "sliding_window_events", "stratified_sample_documents",
-    "streaming_hygiene_gate", "streaming_paragraph_cut",
-    "streaming_recrawl_maintenance", "streaming_rollup_events",
-    "streaming_sentence_cut", "streaming_substring_cut",
-    "subquery_exists_gallery", "subquery_in", "surrogate_keys_events",
-    "survival_km_conversion", "table_diff_orders_rebuild",
-    "text_quality_stats", "tfidf_top_terms", "theta_sketch_users",
-    "time_weighted_average", "token_counting", "tokenizer_fertility_stats",
-    "topic_model_simplex", "trailing_distinct_users_kmv",
-    "trend_decompose_daily", "two_sample_drift_events", "url_shape_features",
-    "user_gap_stats", "variant_props_stats", "vocab_coverage_topk",
-    "warc_documents_roundtrip", "warc_ingest_accounting",
-    "warc_links_roundtrip", "weighted_sample_documents",
-    "window_analytics_extended", "window_trailing_range",
-    "winsorize_extendedprice", "zipf_exponent_vocab",
-    "zorder_cluster_events",
+    "scalar_distance_gallery", "scalar_map_gallery", "scalar_math_gallery",
+    "scalar_regexp_gallery", "scalar_string_gallery", "scalar_url_gallery",
+    "script_mix_documents", "semantic_decontamination",
+    "semantic_dedup_clusters", "sentence_dedup_cut",
+    "sentence_dedup_regions", "sequence_packing", "session_entry_exit",
+    "session_window_events", "set_except_all", "set_intersect_all",
+    "set_operations", "set_union_by_name", "sitemap_entries_roundtrip",
+    "skew_stats_orders", "sliding_window_events",
+    "stratified_sample_documents", "streaming_hygiene_gate",
+    "streaming_paragraph_cut", "streaming_recrawl_maintenance",
+    "streaming_rollup_events", "streaming_sentence_cut",
+    "streaming_substring_cut", "subquery_exists_gallery", "subquery_in",
+    "surrogate_keys_events", "survival_km_conversion",
+    "table_diff_orders_rebuild", "text_quality_stats", "tfidf_top_terms",
+    "theta_sketch_users", "time_weighted_average", "token_counting",
+    "tokenizer_fertility_stats", "topic_model_simplex",
+    "trailing_distinct_users_kmv", "trend_decompose_daily",
+    "two_sample_drift_events", "url_shape_features", "user_gap_stats",
+    "variant_props_stats", "vocab_coverage_topk", "warc_documents_roundtrip",
+    "warc_ingest_accounting", "warc_links_roundtrip",
+    "weighted_sample_documents", "window_analytics_extended",
+    "window_trailing_range", "winsorize_extendedprice",
+    "zipf_exponent_vocab", "zorder_cluster_events",
 ]
 
 ZR_ROWS_ONLY = [

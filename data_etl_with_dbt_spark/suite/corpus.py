@@ -2097,6 +2097,74 @@ def chunked_documents_overlap(spark, sf_dir):
     )
 
 
+@query(
+    "chunk_dedup_stats",
+    oracle=r"""
+    WITH src AS (SELECT DISTINCT doc_id, text FROM documents),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM src
+    ),
+    nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    nc AS (
+        SELECT doc_id, t,
+               CASE WHEN n <= 30 THEN 1
+                    ELSE 1 + (n - 30 + 19) // 20 END AS n_chunks
+        FROM nn
+    ),
+    ch AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, n_chunks - 1)) AS i
+        FROM nc
+    ),
+    bodies AS (
+        SELECT doc_id, i,
+               md5(array_to_string(
+                   list_slice(t, i * 20 + 1, i * 20 + 30), ' ')) AS h
+        FROM ch
+    ),
+    ranked AS (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+        FROM bodies
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dup_chunks
+    FROM ranked GROUP BY doc_id
+    """,
+    description=(
+        "Chunk-level exact dedup accounting — the RAG preprocessing step "
+        "after chunk_documents (dedupe chunks by content BEFORE paying "
+        "embedding cost): global keep-first by (doc_id, chunk_id) over "
+        "md5(chunk body) — the HASH rides the exchange, never the chunk "
+        "text (the dedup family convention) — rolled up to per-doc total "
+        "and duplicate chunk counts. The fixture's planted duplicate "
+        "spans align on the stride grid often enough to be non-vacuous "
+        "(48 dup chunks at sf0.001, 41 at sf0.01 under chunk 30 / "
+        "stride 20)"
+    ),
+)
+def chunk_dedup_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    chunks = TA.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=30, stride=20
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy(
+        "doc_id", "chunk_id"
+    )
+    ranked = chunks.select(
+        "doc_id", "chunk_id", F.row_number().over(w).alias("__rn")
+    )
+    return ranked.groupBy("doc_id").agg(
+        big(F.count(F.lit(1))).alias("n_chunks"),
+        big(F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0))).alias(
+            "n_dup_chunks"
+        ),
+    ).select(big(F.col("doc_id")).alias("doc_id"), "n_chunks", "n_dup_chunks")
+
+
 # ---------------------------------------------------------------------------
 # BPE corpus ENCODING — the deployment half of bpe_train_merges: apply the
 # learned merge table to every document and emit per-doc token statistics

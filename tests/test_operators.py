@@ -4808,3 +4808,36 @@ class TestChunkDocuments:
             df, "id", "text", chunk_tokens=2, stride=1, emit_text=False
         )
         assert "chunk_text" not in out.columns and out.count() == 2
+
+    def test_randomized_against_reference(self, spark):
+        """Seeded brute-force twin: for random (n, chunk, stride) the
+        Spark output must equal the one-line Python reference — covering
+        start grid, tail shape, chunk count, and full token coverage."""
+        import random
+
+        from data_etl_with_dbt_spark.operators.textan import chunk_documents
+
+        rng = random.Random(4242)
+        cases = []
+        for did in range(40):
+            n = rng.randint(1, 60)
+            cases.append((did, " ".join(f"t{did}_{j}" for j in range(n))))
+        chunk = rng.randint(2, 12)
+        stride = rng.randint(1, chunk)
+        df = spark.createDataFrame(cases, "id long, text string")
+        got = {
+            (r.id, r.chunk_id): (r.n_chunks, r.chunk_start, r.chunk_len, r.chunk_text)
+            for r in chunk_documents(
+                df, "id", "text", chunk_tokens=chunk, stride=stride
+            ).collect()
+        }
+        expect = {}
+        for did, text in cases:
+            t = text.split()
+            n = len(t)
+            nc = 1 if n <= chunk else 1 + -((n - chunk) // -stride)
+            for i in range(nc):
+                s = i * stride
+                body = t[s : s + chunk]
+                expect[(did, i)] = (nc, s, len(body), " ".join(body))
+        assert got == expect

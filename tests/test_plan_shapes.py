@@ -403,6 +403,8 @@ def test_registry_wide_lint_sweep_matches_triage(spark):
         # the empty-doc guard is size(split(text)) > 0 — a derived
         # expression, nothing pushable (the repetition_stats class)
         "chunked_documents_overlap": {"unpushed-filter"},
+        # chains chunk_documents' derived guard (same class)
+        "chunk_dedup_stats": {"unpushed-filter"},
         # every gate runs on the 240-id LIMIT hygiene synthesis — the
         # single-partition exchange is the sample's by construction
         # (the corpus_funnel_profile class)
