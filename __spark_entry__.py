@@ -67,17 +67,18 @@ def entry(spark: SparkSession) -> DataFrame:
 WINDOW = [
     "chunk_dedup_stats", "chunked_documents_overlap",
     "curation_decisions_full", "market_basket_lift", "q10_returned_items",
-    "q18_large_volume_customers", "streaming_curated_intake",
-    "streaming_substring_bloom_cut", "topk_orders", "window_customer_orders",
-    "dedup_simhash_pairs", "embedding_near_dup", "hll_user_cardinality",
-    "ann_pq_rerank_topk", "ann_pq_topk", "scalar_try_gallery",
-    "sessionize_events", "tumbling_window_events",
-    "unpivot_lineitem_measures", "url_dedup_documents",
-    "dq_accepted_values_violations", "dq_not_null_violations",
-    "dq_quarantine_events", "dq_relationships_violations",
-    "hard_negative_mining", "holt_linear_forecast",
-    "hourly_seasonality_profile", "inventory_running_balance",
-    "kl_divergence_sources", "lateral_top_orders", "length_bucketed_batches",
+    "q18_large_volume_customers", "streaming_chunk_dedup",
+    "streaming_curated_intake", "streaming_substring_bloom_cut",
+    "topk_orders", "window_customer_orders", "dedup_simhash_pairs",
+    "embedding_near_dup", "hll_user_cardinality", "ann_pq_rerank_topk",
+    "ann_pq_topk", "scalar_try_gallery", "sessionize_events",
+    "tumbling_window_events", "unpivot_lineitem_measures",
+    "url_dedup_documents", "dq_accepted_values_violations",
+    "dq_not_null_violations", "dq_quarantine_events",
+    "dq_relationships_violations", "hard_negative_mining",
+    "holt_linear_forecast", "hourly_seasonality_profile",
+    "inventory_running_balance", "kl_divergence_sources",
+    "lateral_top_orders", "length_bucketed_batches",
     "linear_interpolate_events", "majority_label_vote",
     "masked_customer_view", "mutual_information_events",
     "negative_samples_documents", "ngram_containment_pairs",
@@ -86,7 +87,6 @@ WINDOW = [
     "q19_discounted_revenue", "quantile_normalize_events",
     "reconcile_order_totals", "rfm_customer_segments", "robust_scale_events",
     "sampled_quantiles_orders", "scalar_collation_gallery",
-    "scalar_conditional_gallery",
 ]
 
 ZQ_QUEUED = [
@@ -149,7 +149,8 @@ ZV_VERIFIED = [
     "recursive_capped_balance", "redact_entities",
     "redpajama_quality_signals", "repetition_stats",
     "robots_audit_documents", "robots_directives_gallery",
-    "scalar_array_gallery", "scalar_bitwise_gallery", "scalar_date_gallery",
+    "scalar_array_gallery", "scalar_bitwise_gallery",
+    "scalar_conditional_gallery", "scalar_date_gallery",
     "scalar_distance_gallery", "scalar_map_gallery", "scalar_math_gallery",
     "scalar_regexp_gallery", "scalar_string_gallery", "scalar_url_gallery",
     "script_mix_documents", "semantic_decontamination",

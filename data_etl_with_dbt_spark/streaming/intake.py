@@ -837,6 +837,125 @@ def substring_intake_sink(
     return process
 
 
+def chunk_intake_sink(
+    index_path: str,
+    corpus_path: str,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    stride: int = 384,
+    emit_text: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink running CHUNK-level exact dedup in continuous
+    intake — the chunk-granularity member of the Lee-pipeline sink family
+    (:func:`substring_intake_sink` cuts duplicate REGIONS out of
+    documents; this one drops whole duplicate CHUNKS before they reach
+    the embedding stage): each batch is chunked by
+    :func:`~data_etl_with_dbt_spark.operators.textan.chunk_documents`
+    (overlapping in-document windows), every chunk body is hashed, and a
+    chunk survives only if its hash is neither in the versioned
+    chunk-hash index (seen in an earlier batch) nor earlier within this
+    batch (keep-first by ``(id, chunk_id)``). Survivors append to
+    ``corpus_path`` with their placement columns (+ ``chunk_text`` when
+    ``emit_text``); the batch's first-seen hashes commit as one atomic
+    index version.
+
+    State discipline is the substring sink's: the index is a
+    :mod:`sources.versioned` table (snapshot reads pin a manifest — the
+    read-then-append lineage trap is structurally absent), a sidecar
+    recipe marker (``chunk_tokens``, ``stride``) fails loudly on a
+    mismatched sink, and with batches arriving in ascending ``id``
+    order the unioned survivor set EQUALS the one-shot global
+    keep-first over all batches (chunks never span documents, so batch
+    boundaries are invisible — pinned in tests). Replay caveat as ever:
+    corpus-first write order turns an at-least-once re-delivery into
+    harmless survivor duplication (dedupable on ``(id, chunk_id)``),
+    never a mis-drop.
+
+    Scale: chunking is a zero-shuffle projection; dedup exchanges carry
+    ``(id, chunk_id, hash)`` — the HASH rides the shuffle, never chunk
+    text (text rejoins by id-keyed join only for the survivor write);
+    the index grows by first-seen chunk cardinality and supports
+    ``sources.versioned.compact`` maintenance."""
+    from pyspark.sql import Window
+
+    from ..operators.textan import chunk_documents
+    from ..sources import versioned as V
+
+    if stride < 1 or stride > chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens]: stride={stride} "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    recipe_marker_path = index_path.rstrip("/") + "__sig"
+    _RECIPE_SCHEMA = T.StructType(
+        [
+            T.StructField("chunk_tokens", T.LongType()),
+            T.StructField("stride", T.LongType()),
+        ]
+    )
+    index_schema = T.StructType([T.StructField("chunk_hash", T.LongType())])
+
+    def _check_recipe(spark) -> None:
+        marker = _parquet_or_none(spark, recipe_marker_path, _RECIPE_SCHEMA)
+        if marker is None:
+            spark.createDataFrame(
+                [(int(chunk_tokens), int(stride))], _RECIPE_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(recipe_marker_path)
+            return
+        row = marker.first()
+        got = (int(row["chunk_tokens"]), int(row["stride"]))
+        want = (int(chunk_tokens), int(stride))
+        if got != want:
+            raise ValueError(
+                f"chunk index at {index_path} was built with "
+                f"(chunk_tokens, stride)={got} but this sink is configured "
+                f"with {want} — chunk hashes are incomparable across "
+                "recipes; rebuild the index or match the config"
+            )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        _check_recipe(spark)
+        versions = V.list_versions(index_path)
+        if versions:
+            index = V.read_version(spark, index_path, versions[-1])
+        else:
+            index = spark.createDataFrame([], index_schema)
+        chunks = chunk_documents(
+            batch, id_col, text_col,
+            chunk_tokens=chunk_tokens, stride=stride, emit_text=True,
+        )
+        hashed = chunks.withColumn(
+            "chunk_hash", F.xxhash64(F.col("chunk_text"))
+        )
+        w = Window.partitionBy("chunk_hash").orderBy(id_col, "chunk_id")
+        idx = index.select(
+            "chunk_hash", F.lit(True).alias("__seen")
+        ).dropDuplicates(["chunk_hash"])
+        marked = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .join(idx, "chunk_hash", "left")
+        )
+        # the survivor write and the index commit are two consumers of
+        # the chunk/window pass — materialize it once
+        marked = marked.localCheckpoint(eager=False)
+        survivors = marked.where(
+            (F.col("__rn") == 1) & F.col("__seen").isNull()
+        ).drop("__rn", "__seen")
+        if not emit_text:
+            survivors = survivors.drop("chunk_text")
+        survivors.write.mode("append").parquet(corpus_path)
+        new_hashes = (
+            marked.where((F.col("__rn") == 1) & F.col("__seen").isNull())
+            .select("chunk_hash")
+            .dropDuplicates(["chunk_hash"])
+        )
+        V.commit(new_hashes, index_path, mode="append")
+
+    return process
+
+
 def recrawl_seed_sink(
     seeds_path: str,
     loc_col: str = "loc",

@@ -2165,6 +2165,84 @@ def chunk_dedup_stats(spark, sf_dir):
     ).select(big(F.col("doc_id")).alias("doc_id"), "n_chunks", "n_dup_chunks")
 
 
+@query(
+    "streaming_chunk_dedup",
+    oracle=r"""
+    WITH src AS (SELECT DISTINCT doc_id, text FROM documents),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM src
+    ),
+    nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    nc AS (
+        SELECT doc_id, t,
+               CASE WHEN n <= 30 THEN 1
+                    ELSE 1 + (n - 30 + 19) // 20 END AS n_chunks
+        FROM nn
+    ),
+    ch AS (
+        SELECT doc_id, t, n_chunks,
+               unnest(generate_series(0, n_chunks - 1)) AS i
+        FROM nc
+    ),
+    bodies AS (
+        SELECT doc_id, i, n_chunks,
+               array_to_string(
+                   list_slice(t, i * 20 + 1, i * 20 + 30), ' ') AS body,
+               len(list_slice(t, i * 20 + 1, i * 20 + 30)) AS blen
+        FROM ch
+    ),
+    ranked AS (
+        SELECT doc_id, i, n_chunks, body, blen,
+               row_number() OVER (PARTITION BY body ORDER BY doc_id, i)
+                   AS rn
+        FROM bodies
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(i * 20 AS BIGINT) AS chunk_start,
+           CAST(blen AS BIGINT) AS chunk_len,
+           md5(body) AS chunk_hash
+    FROM ranked WHERE rn = 1
+    """,
+    description=(
+        "CHUNK-granularity dedup in CONTINUOUS INTAKE "
+        "(streaming.intake.chunk_intake_sink — chunk_documents per batch, "
+        "whole duplicate chunks dropped against the accumulating "
+        "versioned chunk-hash index, keep-first by (doc_id, chunk_id)): "
+        "three ascending-id batches; chunks never span documents, so "
+        "batch boundaries are invisible and the survivor corpus EQUALS "
+        "the one-shot global keep-first — the oracle is that one-shot "
+        "SQL. The chunk-level member of the Lee-pipeline sink family "
+        "(drop whole duplicate chunks before paying embedding cost)"
+    ),
+)
+def streaming_chunk_dedup(spark, sf_dir):
+    import tempfile
+
+    from data_etl_with_dbt_spark.streaming.intake import chunk_intake_sink
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    base = tempfile.mkdtemp(prefix="chunkstream_")
+    sink = chunk_intake_sink(
+        base + "/index", base + "/corpus", "doc_id", "text",
+        chunk_tokens=30, stride=20,
+    )
+    for b, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 1 << 31))):
+        sink(docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), b)
+    out = spark.read.parquet(base + "/corpus")
+    return out.select(
+        big(F.col("doc_id")).alias("doc_id"),
+        "chunk_id",
+        "n_chunks",
+        "chunk_start",
+        "chunk_len",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE corpus ENCODING — the deployment half of bpe_train_merges: apply the
 # learned merge table to every document and emit per-doc token statistics

@@ -2312,3 +2312,98 @@ class TestSubstringBloomFront:
                 dedupe_cols=["a"], group_by=["a"],
                 agg_exprs=[F.bit_or("a")],
             )
+
+
+class TestChunkIntakeSink:
+    """chunk_intake_sink: chunk-granularity exact dedup in continuous
+    intake — whole duplicate chunks dropped against the versioned
+    chunk-hash index, keep-first by (id, chunk_id)."""
+
+    def test_cross_batch_and_in_batch_keep_first(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources import versioned as V
+        from data_etl_with_dbt_spark.streaming.intake import chunk_intake_sink
+
+        A = "a b c"  # exactly one chunk at chunk_tokens=3
+        base = str(tmp_path / "ck")
+        sink = chunk_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            chunk_tokens=3, stride=3,
+        )
+        mk = lambda rows: spark.createDataFrame(rows, "id long, text string")
+        # batch 0: doc 1 owns chunk A; doc 2 repeats it in-batch (dropped)
+        sink(mk([(1, A), (2, A)]), 0)
+        # batch 1: doc 10 = A then unique tail -> its A-chunk is dropped
+        # via the PERSISTED index, the tail survives
+        sink(mk([(10, A + " x y z")]), 1)
+        got = sorted(
+            (r.id, r.chunk_id, r.chunk_text)
+            for r in spark.read.parquet(base + "/corpus").collect()
+        )
+        assert got == [(1, 0, "a b c"), (10, 1, "x y z")]
+        # one atomic index version per batch; hashes are first-seen only
+        vs = V.list_versions(base + "/index")
+        assert len(vs) == 2
+        n = V.read_version(spark, base + "/index", vs[-1]).distinct().count()
+        assert n == 2  # "a b c" and "x y z"
+
+    def test_nbatch_equals_oneshot(self, spark, tmp_path):
+        import random
+
+        from data_etl_with_dbt_spark.streaming.intake import chunk_intake_sink
+
+        rng = random.Random(99)
+        vocab = ["aa", "bb", "cc", "dd"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "id long, text string")
+        base = str(tmp_path / "nb")
+        batched = chunk_intake_sink(
+            base + "/bi", base + "/bc", "id", "text",
+            chunk_tokens=4, stride=2,
+        )
+        for b, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 99))):
+            batched(docs.where((F.col("id") >= lo) & (F.col("id") < hi)), b)
+        oneshot = chunk_intake_sink(
+            base + "/oi", base + "/oc", "id", "text",
+            chunk_tokens=4, stride=2,
+        )
+        oneshot(docs, 0)
+        a = sorted(
+            tuple(r) for r in spark.read.parquet(base + "/bc").collect()
+        )
+        b2 = sorted(
+            tuple(r) for r in spark.read.parquet(base + "/oc").collect()
+        )
+        assert a == b2 and len(a) > 0
+
+    def test_recipe_mismatch_raises(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.streaming.intake import chunk_intake_sink
+
+        base = str(tmp_path / "rc")
+        s1 = chunk_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            chunk_tokens=4, stride=2,
+        )
+        s1(spark.createDataFrame([(1, "a b c d e")], "id long, text string"), 0)
+        s2 = chunk_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            chunk_tokens=5, stride=2,
+        )
+        with pytest.raises(ValueError, match="incomparable across recipes"):
+            s2(
+                spark.createDataFrame(
+                    [(2, "f g h i j")], "id long, text string"
+                ),
+                1,
+            )
+
+    def test_stride_validated_at_construction(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.streaming.intake import chunk_intake_sink
+
+        with pytest.raises(ValueError, match="stride"):
+            chunk_intake_sink(
+                str(tmp_path / "i"), str(tmp_path / "c"), "id", "text",
+                chunk_tokens=3, stride=4,
+            )
