@@ -229,6 +229,20 @@ def _band_buckets(
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def band_bloom_keys(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """One ``band_key`` long per distinct LSH (band, bucket) pair of the
+    signature relation — the key domain the incremental minhash path's
+    Bloom front is built over (and probed with). Band and bucket fold to
+    one ``xxhash64(band, bucket)`` so the bitmap, the sink's sidecar,
+    and the operator's probe all share a single 8-byte key spelling."""
+    bb = _band_buckets(sigs, id_col, num_hashes, bands)
+    return bb.select(
+        F.xxhash64(F.col("band"), F.col("bucket")).alias("band_key")
+    ).dropDuplicates(["band_key"])
+
+
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
     """MinHash-estimated Jaccard: the fraction of agreeing signature
     components — an unbiased estimator with std ``sqrt(J(1-J)/k)`` for k
@@ -253,6 +267,9 @@ def incremental_minhash_dedup(
     threshold: float = 0.7,
     shuffle_parallelism: int | None = None,
     signature_impl: str = "jvm",
+    index_bloom: DataFrame | None = None,
+    bloom_bits: int | None = None,
+    bloom_hashes: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against a persisted signature ``index`` — the
     production shape at 100 TB: the existing corpus is never re-read or
@@ -287,6 +304,21 @@ def incremental_minhash_dedup(
     ``dup_source`` in {'index','batch'}. The signature column makes the
     index update a projection — :func:`minhash_index_append` — instead of a
     second signature pass over the batch.
+
+    ``index_bloom`` (+ its ``bloom_bits``/``bloom_hashes``) fronts the
+    batch-vs-index candidate join the way the substring path's bloom
+    fronts its hash probe: the bitmap is built over
+    :func:`band_bloom_keys` of every signature EVER in the index, the
+    batch's distinct band keys probe the broadcast bitmap, and the
+    banded index side is semi-join-pruned to the "maybe" keys — so the
+    index's band rows (``bands`` x corpus docs) never ride the candidate
+    shuffle. A bloom "no" is exact (the band key was never indexed → the
+    equi-join could not have matched), a false positive only costs
+    exact-join work, a stale SUPERSET bloom is harmless; the caller must
+    keep the bloom a superset of the index (commit bloom words before
+    index rows — see ``minhash_intake_sink``). The SCORING join against
+    the full ``(id, signature)`` store is unchanged (it keys on the
+    candidate ``dup_of`` ids, already candidate-bounded).
     """
     if shuffle_parallelism:
         new_docs = new_docs.repartition(shuffle_parallelism, F.col(id_col))
@@ -295,6 +327,36 @@ def incremental_minhash_dedup(
 
     nb = _band_buckets(new_sigs, id_col, num_hashes, bands)
     ib = _band_buckets(index, id_col, num_hashes, bands)
+    if index_bloom is not None:
+        if bloom_bits is None or bloom_hashes is None:
+            raise ValueError(
+                "index_bloom requires bloom_bits and bloom_hashes — the "
+                "word table's bit positions are meaningless without the "
+                "(m, k) it was built with"
+            )
+        from .sketch import bloom_probe
+
+        bk = F.xxhash64(F.col("band"), F.col("bucket"))
+        cand_keys = (
+            bloom_probe(
+                nb.select(bk.alias("__bk")).dropDuplicates(["__bk"]),
+                "__bk",
+                index_bloom,
+                bloom_bits,
+                bloom_hashes,
+            )
+            .where(F.col("might_contain"))
+            .select("__bk")
+        )
+        # bloom "no" = the band key was never indexed, so those index
+        # band rows could never match this batch — pruning to candidates
+        # preserves the join result exactly while keeping bands x corpus
+        # rows out of the candidate shuffle (broadcast semi join)
+        ib = (
+            ib.withColumn("__bk", bk)
+            .join(F.broadcast(cand_keys), "__bk", "left_semi")
+            .drop("__bk")
+        )
     # Batch-vs-index: every band collision is a candidate (no id ordering —
     # index docs always outrank batch docs). Batch-vs-batch: keep-first, so
     # only smaller-id partners count.

@@ -206,6 +206,8 @@ def minhash_intake_sink(
     quality_model=None,
     quality_threshold: float = 0.5,
     reject_ledger_path: str | None = None,
+    bloom_expected_keys: int | None = None,
+    bloom_fpp: float = 0.01,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function: per micro-batch, dedup against the
     signature index at ``index_path``, append surviving documents (full
@@ -238,6 +240,21 @@ def minhash_intake_sink(
     later sink configured differently fails loudly instead of silently
     finding zero cross-batch duplicates and polluting the store with
     incomparable signatures (round-5 review).
+
+    ``bloom_expected_keys`` (projected distinct LSH band-bucket
+    cardinality ≈ corpus docs x bands) turns on the 100 TB candidate-
+    probe path, the substring sink's sidecar pattern applied to the
+    banded join: a versioned Bloom word table at
+    ``<index_path>__bloom`` covers the band keys of every signature
+    ever appended, each batch's band keys probe the broadcast bitmap,
+    and the banded index is pruned to the "maybe" keys before the
+    candidate shuffle. Bloom words commit BEFORE the index append
+    (crash ⇒ superset ⇒ false positives only — never a missed
+    duplicate), and a coverage watermark (indexed ROW count — the plain-
+    parquet store's version axis) backfills the bitmap from the full
+    index whenever it lags (bloom enabled on a pre-existing index, or a
+    crash between the two writes). Sizing mismatches against the
+    sidecar marker raise.
     """
     sig_marker_path = index_path.rstrip("/") + "__sig"
     _SIG_SCHEMA = T.StructType(
@@ -265,6 +282,75 @@ def minhash_intake_sink(
                 f"configured with {want} — signatures are incomparable "
                 "across recipes; rebuild the index or match the config"
             )
+
+    bloom_path = index_path.rstrip("/") + "__bloom"
+    bloom_marker_path = index_path.rstrip("/") + "__bloomsig"
+    _BLOOM_SIG_SCHEMA = T.StructType(
+        [
+            T.StructField("num_bits", T.LongType()),
+            T.StructField("num_hashes", T.LongType()),
+            T.StructField("covered_rows", T.LongType()),
+        ]
+    )
+    _BLOOM_SCHEMA = T.StructType(
+        [
+            T.StructField("word_index", T.LongType()),
+            T.StructField("bits", T.LongType()),
+        ]
+    )
+
+    def _write_bloom_sig(spark, m: int, k: int, covered: int) -> None:
+        # Python-int origin, no lineage to the marker path — overwrite is
+        # recompute-safe without a checkpoint guard
+        spark.createDataFrame(
+            [(int(m), int(k), int(covered))], _BLOOM_SIG_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(bloom_marker_path)
+
+    def _bloom_setup(spark, index: DataFrame, n_index_rows: int):
+        from ..operators.dedup import band_bloom_keys
+        from ..operators.sketch import bloom_build, bloom_parameters
+        from ..sources import versioned as V
+
+        want_m, want_k = bloom_parameters(bloom_expected_keys, bloom_fpp)
+        sig = _parquet_or_none(spark, bloom_marker_path, _BLOOM_SIG_SCHEMA)
+        if sig is None:
+            m, k, covered = want_m, want_k, 0
+        else:
+            row = sig.first()
+            m, k = int(row["num_bits"]), int(row["num_hashes"])
+            covered = int(row["covered_rows"])
+            if (m, k) != (want_m, want_k):
+                raise ValueError(
+                    f"bloom sidecar at {bloom_path} was sized "
+                    f"(num_bits, num_hashes)={(m, k)} but this sink's "
+                    f"(bloom_expected_keys, bloom_fpp) resolves to "
+                    f"{(want_m, want_k)} — bit positions are incomparable "
+                    "across sizings; delete the sidecar to re-bootstrap "
+                    "or match the config"
+                )
+        if n_index_rows > 0 and (
+            covered < n_index_rows or not V.list_versions(bloom_path)
+        ):
+            # the index holds signatures the bloom never saw — probing
+            # now could false-negative, so backfill from the full store
+            # (duplicate bits are harmless: bit_or is idempotent)
+            V.commit(
+                bloom_build(
+                    band_bloom_keys(index, id_col, num_hashes, bands),
+                    "band_key", m, k,
+                ),
+                bloom_path, mode="append",
+            )
+        versions = V.list_versions(bloom_path)
+        if versions:
+            words = (
+                V.read_version(spark, bloom_path, versions[-1])
+                .groupBy("word_index")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+        else:
+            words = spark.createDataFrame([], _BLOOM_SCHEMA)
+        return words, m, k
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -296,6 +382,14 @@ def minhash_intake_sink(
         index = _read_index(spark, index_path, id_type).withColumnRenamed(
             "doc_id", id_col
         )
+        bloom_kwargs = {}
+        n_index_rows = 0
+        if bloom_expected_keys is not None:
+            n_index_rows = index.count()
+            words, m, k = _bloom_setup(spark, index, n_index_rows)
+            bloom_kwargs = dict(
+                index_bloom=words, bloom_bits=m, bloom_hashes=k
+            )
         verdicts = incremental_minhash_dedup(
             batch,
             index,
@@ -307,6 +401,7 @@ def minhash_intake_sink(
             threshold=threshold,
             shuffle_parallelism=shuffle_parallelism,
             signature_impl=signature_impl,
+            **bloom_kwargs,
         )
         # Cut the lineage BEFORE appending to the index directory: the plan
         # reads index_path, and ANY recompute after the append (task retry,
@@ -319,9 +414,29 @@ def minhash_intake_sink(
         batch.join(survivors.select(id_col), on=id_col, how="left_semi").write.mode(
             "append"
         ).parquet(corpus_path)
+        if bloom_expected_keys is not None:
+            from ..operators.dedup import band_bloom_keys
+            from ..operators.sketch import bloom_build
+            from ..sources import versioned as V
+
+            # bloom BEFORE the index append: a crash between the two
+            # leaves the bloom a superset (false positives only) — the
+            # reverse order could leave indexed signatures the bloom
+            # never covers, i.e. missed duplicates on the next batch
+            V.commit(
+                bloom_build(
+                    band_bloom_keys(survivors, id_col, num_hashes, bands),
+                    "band_key", m, k,
+                ),
+                bloom_path, mode="append",
+            )
         survivors.select(
             F.col(id_col).alias("doc_id"), F.col("signature")
         ).write.mode("append").parquet(index_path)
+        if bloom_expected_keys is not None:
+            _write_bloom_sig(
+                spark, m, k, n_index_rows + survivors.count()
+            )
         if dup_ledger_path is not None:
             verdicts.where(F.col("dup_of").isNotNull()).select(
                 F.col(id_col),

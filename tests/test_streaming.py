@@ -2407,3 +2407,147 @@ class TestChunkIntakeSink:
                 str(tmp_path / "i"), str(tmp_path / "c"), "id", "text",
                 chunk_tokens=3, stride=4,
             )
+
+
+class TestMinhashBloomFront:
+    """Bloom-fronted minhash candidate probe: the substring sidecar
+    pattern applied to the banded join — identical verdicts with and
+    without the front (bloom 'no' is exact on band keys), superset-safe
+    commit order, row-count coverage watermark backfill."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, text string")
+
+    A = " ".join(f"w{i}" for i in range(20))
+    B = " ".join(f"x{i}" for i in range(20))
+
+    def test_operator_verdicts_identical_with_front(self, spark):
+        from data_etl_with_dbt_spark.operators.dedup import (
+            band_bloom_keys,
+            incremental_minhash_dedup,
+            minhash_signatures,
+        )
+        from data_etl_with_dbt_spark.operators.sketch import bloom_build
+
+        b1 = self._docs(spark, [(1, self.A), (2, self.B)])
+        index = minhash_signatures(b1, "id", "text", 32, 3).localCheckpoint(
+            eager=True
+        )
+        b2 = self._docs(
+            spark,
+            [(10, self.A), (11, "totally different words here now"),
+             (20, self.B + " extra"), (21, self.B + " extra")],
+        )
+        plain = incremental_minhash_dedup(
+            b2, index, "id", "text", num_hashes=32, bands=8, shingle=3,
+        )
+        expect = sorted(
+            (r.id, r.dup_of, r.dup_source) for r in plain.collect()
+        )
+        for m, k in ((8192, 3), (64, 1)):
+            words = bloom_build(
+                band_bloom_keys(index, "id", 32, 8), "band_key", m, k
+            )
+            fronted = incremental_minhash_dedup(
+                b2, index, "id", "text", num_hashes=32, bands=8, shingle=3,
+                index_bloom=words, bloom_bits=m, bloom_hashes=k,
+            )
+            got = sorted(
+                (r.id, r.dup_of, r.dup_source) for r in fronted.collect()
+            )
+            assert got == expect, (m, k)
+        # the fixture must actually exercise both dup sources
+        srcs = {s for _, d, s in expect if d is not None}
+        assert srcs == {"index", "batch"}
+
+    def test_sink_fronted_equals_plain(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources import versioned as V
+        from data_etl_with_dbt_spark.streaming.intake import (
+            minhash_intake_sink,
+        )
+
+        batches = [
+            [(1, self.A), (2, self.B)],
+            [(10, self.A), (11, "unrelated prose of many novel words")],
+            [(20, self.B), (21, "another novel unique document body")],
+        ]
+        p_base, f_base = str(tmp_path / "p"), str(tmp_path / "f")
+        plain = minhash_intake_sink(
+            p_base + "/index", p_base + "/corpus", "id", "text",
+            dup_ledger_path=p_base + "/dups",
+        )
+        fronted = minhash_intake_sink(
+            f_base + "/index", f_base + "/corpus", "id", "text",
+            dup_ledger_path=f_base + "/dups",
+            bloom_expected_keys=10_000,
+        )
+        for b, rows in enumerate(batches):
+            plain(self._docs(spark, rows), b)
+            fronted(self._docs(spark, rows), b)
+        for rel in ("/corpus", "/dups"):
+            a = sorted(
+                tuple(r) for r in spark.read.parquet(p_base + rel).collect()
+            )
+            bb = sorted(
+                tuple(r) for r in spark.read.parquet(f_base + rel).collect()
+            )
+            assert a == bb, rel
+        a = sorted(
+            (r.doc_id, tuple(r.signature))
+            for r in spark.read.parquet(p_base + "/index").collect()
+        )
+        bb = sorted(
+            (r.doc_id, tuple(r.signature))
+            for r in spark.read.parquet(f_base + "/index").collect()
+        )
+        assert a == bb
+        # one bloom commit per batch; watermark covers the index rows
+        assert len(V.list_versions(f_base + "/index__bloom")) == 3
+        sig = spark.read.parquet(f_base + "/index__bloomsig").first()
+        assert int(sig["covered_rows"]) == len(a)
+
+    def test_backfill_on_preexisting_index(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.sources import versioned as V
+        from data_etl_with_dbt_spark.streaming.intake import (
+            minhash_intake_sink,
+        )
+
+        base = str(tmp_path / "mix")
+        plain = minhash_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+        )
+        plain(self._docs(spark, [(1, self.A)]), 0)
+        assert V.list_versions(base + "/index__bloom") == []
+        fronted = minhash_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            dup_ledger_path=base + "/dups",
+            bloom_expected_keys=10_000,
+        )
+        fronted(self._docs(spark, [(10, self.A)]), 1)
+        # the cross-batch duplicate was flagged via the BACKFILLED bloom
+        dups = spark.read.parquet(base + "/dups").collect()
+        assert [(r.id, r.dup_of, r.dup_source) for r in dups] == [
+            (10, 1, "index")
+        ]
+        # bootstrap backfill + the batch's own commit... the batch had no
+        # survivors, so its bloom commit covers zero new keys but still
+        # lands as a version
+        assert len(V.list_versions(base + "/index__bloom")) == 2
+
+    def test_sizing_mismatch_raises(self, spark, tmp_path):
+        from data_etl_with_dbt_spark.streaming.intake import (
+            minhash_intake_sink,
+        )
+
+        base = str(tmp_path / "sz")
+        s1 = minhash_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            bloom_expected_keys=500,
+        )
+        s1(self._docs(spark, [(1, self.A)]), 0)
+        s2 = minhash_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            bloom_expected_keys=50_000,
+        )
+        with pytest.raises(ValueError, match="incomparable across sizings"):
+            s2(self._docs(spark, [(2, self.B)]), 1)
