@@ -2551,3 +2551,111 @@ class TestMinhashBloomFront:
         )
         with pytest.raises(ValueError, match="incomparable across sizings"):
             s2(self._docs(spark, [(2, self.B)]), 1)
+
+
+def test_three_stage_curation_stream(spark, tmp_path):
+    """The FULL production curation ordering composed across three
+    checkpoint-able stages, cheapest state first: (1) stateless fused
+    hygiene gate, (2) MinHash near-dup suppression against the signature
+    index, (3) Lee-et-al. exact-substring cut against the shingle index
+    (bloom-fronted). Pins per stage: the hygiene drop never reaches
+    either index, the near-duplicate never reaches the substring index,
+    the embedded copy is cut via the persisted shingle index — and the
+    composed batch-wise result equals the one-shot composition."""
+    from data_etl_with_dbt_spark.streaming.intake import (
+        hygiene_batch_relations,
+        hygiene_intake_sink,
+        minhash_intake_sink,
+        substring_intake_sink,
+    )
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa."
+    base = str(tmp_path / "three")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    batches = [
+        # doc 1: clean survivor owning text A; doc 2: hygiene drop
+        [(1, A), (2, "click here javascript")],
+        # doc 10: exact duplicate of doc 1 -> passes hygiene, dropped
+        # by MINHASH against the signature index; doc 11: clean unique
+        [(10, A),
+         (11, "one two three four five six seven eight nine ten.")],
+        # doc 20: two unique lines + doc 1's whole line embedded — the
+        # unique prefix keeps shingle-jaccard vs doc 1 at ~0.3, far
+        # below the 0.7 minhash threshold (32-hash estimator std ~0.09),
+        # so it SURVIVES stage 2 and the embedded copy is cut by stage 3
+        [(20, "fresh unique opening words flowing calmly toward harbors tonight.\n"
+              "second filler line carries additional unrelated vocabulary onward happily.\n"
+              + A)],
+    ]
+    gate = hygiene_intake_sink(
+        base + "/clean", "doc_id", "text", min_sentences=1
+    )
+    near = minhash_intake_sink(
+        base + "/sig_index", base + "/nodup", "doc_id", "text",
+        num_hashes=32, bands=8, shingle=2, threshold=0.7,
+        dup_ledger_path=base + "/near_dups",
+    )
+    cut = substring_intake_sink(
+        base + "/shingle_index", base + "/corpus", "doc_id", "text",
+        span_tokens=3, emit_text=True, bloom_expected_keys=10_000,
+    )
+    for b, rows in enumerate(batches):
+        lo = min(r[0] for r in rows)
+        hi = max(r[0] for r in rows)
+        rng = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+        gate(mk(rows), b)
+        near(spark.read.parquet(base + "/clean").where(rng), b)
+        cut(spark.read.parquet(base + "/nodup").where(rng), b)
+
+    corpus = {
+        r.doc_id: r
+        for r in spark.read.parquet(base + "/corpus").collect()
+    }
+    # stage-1 drop (2) and stage-2 near-dup (10) never reached stage 3
+    assert sorted(corpus) == [1, 11, 20]
+    assert corpus[1].n_tokens_removed == 0
+    assert corpus[11].n_tokens_removed == 0
+    # stage 3 cut doc 20's embedded copy of doc 1 via the shingle index
+    assert corpus[20].n_tokens_removed == 10
+    assert corpus[20].cleaned_text == (
+        "fresh unique opening words flowing calmly toward harbors tonight. "
+        "second filler line carries additional unrelated vocabulary onward happily."
+    )
+    near_dups = spark.read.parquet(base + "/near_dups").collect()
+    assert [(r.doc_id, r.dup_of, r.dup_source) for r in near_dups] == [
+        (10, 1, "index")
+    ]
+
+    # composed batch-wise == one-shot composition over all docs at once
+    all_docs = mk([r for rows in batches for r in rows])
+    _, clean = hygiene_batch_relations(
+        all_docs, "doc_id", "text", min_sentences=1
+    )
+    near1 = minhash_intake_sink(
+        base + "/osig", base + "/onodup", "doc_id", "text",
+        num_hashes=32, bands=8, shingle=2, threshold=0.7,
+    )
+    near1(clean, 0)
+    cut1 = substring_intake_sink(
+        base + "/oshingle", base + "/ocorpus", "doc_id", "text",
+        span_tokens=3, emit_text=True,
+    )
+    cut1(spark.read.parquet(base + "/onodup"), 0)
+    expect = {
+        r.doc_id: r
+        for r in spark.read.parquet(base + "/ocorpus").collect()
+    }
+    assert sorted(expect) == sorted(corpus)
+    for d in expect:
+        assert (
+            corpus[d].n_tokens,
+            corpus[d].n_tokens_removed,
+            corpus[d].cleaned_hash,
+        ) == (
+            expect[d].n_tokens,
+            expect[d].n_tokens_removed,
+            expect[d].cleaned_hash,
+        )
