@@ -11,6 +11,24 @@ round 4 measured intermittent hypervisor CPU steal on this host; a third
 timed run hardens the per-query min against a steal burst landing on one
 of two). Results are materialized via ``df.write.format('noop')`` so
 the full plan executes without collecting to the driver.
+
+r11 measurement fixes (methodology, not speed — documented in
+OPTIMIZATION_r11.md with numbers under BOTH methodologies):
+
+* **Steal-aware artifact**: host steal arrives in minutes-scale bursts
+  (r10's artifact recorded 17.36 s at 87.6 CPU-s steal vs 14.85 s at 2.8
+  on the same tree). The suite now re-runs (up to ``BENCH_MAX_ATTEMPTS``)
+  while the measured steal of the attempt exceeds ``QUIET_STEAL_CPU_S``,
+  and the printed artifact is the attempt with the smallest total;
+  per-attempt steal goes to stderr. The stdout JSON schema is unchanged.
+* **Session cache cleared before every timed run**: operators that
+  ``persist()`` an intermediate (MinHash signatures) leave it in the
+  session's CacheManager, and a later run's identical plan substitutes
+  the cached relation — so timed runs 2-3 (and every run after the
+  warm-up) were measuring a pipeline whose signature stage never ran.
+  ``clearCache()`` before each timed run makes every timed run compute
+  from the parquet inputs; the persist itself (one materialization, many
+  consumers within the run) is still timed, as it should be.
 """
 
 from __future__ import annotations
@@ -43,24 +61,60 @@ def _steal_jiffies() -> int | None:
         return None
 
 
+# A burst-free window on this host measures ~0-3 CPU-s of steal across one
+# suite attempt; 15 is the contamination threshold the r10 verdict set
+# (artifact-vs-quiet divergence became material above it).
+QUIET_STEAL_CPU_S = 15.0
+BENCH_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+
+
+def run_suite(spark, bench_queries, sf_dir) -> dict[str, float]:
+    """One full suite attempt: per query, one warm-up + min of 3 timed runs.
+    The session cache is cleared before every timed run so persisted
+    intermediates (MinHash signatures) are recomputed inside the timing."""
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        spark.sparkContext.setJobDescription(f"bench: {name}")
+        run_query(spark, name, sf_dir)  # warm-up: codegen + file listing
+        best = float("inf")
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            run_query(spark, name, sf_dir)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        spark.sparkContext.setJobDescription(None)
+    return timings
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    steal0 = _steal_jiffies()
     bench_queries = [name for name, q in sorted(QUERIES.items()) if q.bench]
-    timings: dict[str, float] = {}
-    for name in bench_queries:
-        run_query(spark, name, sf_dir)  # warm-up: codegen + file listing
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run_query(spark, name, sf_dir)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+    best_timings: dict[str, float] | None = None
+    for attempt in range(1, BENCH_MAX_ATTEMPTS + 1):
+        steal0 = _steal_jiffies()
+        timings = run_suite(spark, bench_queries, sf_dir)
+        steal1 = _steal_jiffies()
+        steal = (
+            round((steal1 - steal0) / 100.0, 1)  # USER_HZ=100: CPU-seconds
+            if steal0 is not None and steal1 is not None
+            else None
+        )
+        total = round(sum(timings.values()), 4)
+        print(
+            f"bench attempt={attempt} total={total} steal_cpu_s={steal}",
+            file=sys.stderr,
+        )
+        if best_timings is None or total < sum(best_timings.values()):
+            best_timings = timings
+        if steal is not None and steal < QUIET_STEAL_CPU_S:
+            break  # quiet window: this attempt is trustworthy
 
+    timings = best_timings
     # tolerate non-"sf<N>" fixture dirs (e.g. a perturbed copy): the one
     # JSON output line must never be lost to a basename parse AFTER the
     # whole benchmark already ran
@@ -68,13 +122,6 @@ def main():
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
-    steal1 = _steal_jiffies()
-    if steal0 is not None and steal1 is not None:
-        # USER_HZ is 100 on this platform; report CPU-seconds of steal
-        print(
-            f"bench steal_cpu_s={round((steal1 - steal0) / 100.0, 1)}",
-            file=sys.stderr,
-        )
     print(
         json.dumps(
             {

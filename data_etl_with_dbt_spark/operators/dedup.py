@@ -483,13 +483,30 @@ def minhash_lsh_pairs(
         )
         .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
         .distinct()
+        # three consumers below (the id union + two verify joins) and no
+        # cross-consumer CSE — materialize the candidate pairs once
+        .localCheckpoint(eager=False)
     )
 
     # Verify on candidates only: join back to the corpus and recompute
     # shingle sets for candidate ids alone — cheaper than shuffling every
-    # document's shingle array through the band join.
-    sh = df.select(
-        F.col(id_col), _shingles(_tokens(F.col(text_col)), shingle).alias("sh")
+    # document's shingle array through the band join. The shingle relation
+    # is semi-join-pruned to ids that appear in ANY candidate pair and
+    # materialized ONCE (r11): the previous spelling referenced `sh` from
+    # both verify joins, and with no cross-consumer CSE each join re-scanned
+    # the corpus and re-shingled EVERY document — two full tokenize+shingle
+    # passes where one candidates-only pass suffices.
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col), _shingles(_tokens(F.col(text_col)), shingle).alias("sh")
+        )
+        .localCheckpoint(eager=False)
     )
     verified = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -558,7 +575,16 @@ def ngram_jaccard_pairs(
         _shingles(_tokens(F.col(text_col)), n).alias("grams"),
     ).select("id", "grams", F.size("grams").alias("sz"))
 
-    posts = sh.select("id", "sz", F.explode("grams").alias("g"))
+    # the postings feed BOTH sides of the gram self-join (plus the
+    # frequency/prefix consumers when prefix_filter is on) and Catalyst
+    # gives no cross-consumer CSE — without the checkpoint each side
+    # re-scanned the corpus and re-ran tokenize+shingle+explode (r11:
+    # 6.6 s -> 5.5 s at sf0.1, identical pairs). At 100 TB you'd
+    # checkpoint postings to a table between stages; localCheckpoint is
+    # the in-session equivalent (the minhash-signature precedent).
+    posts = sh.select("id", "sz", F.explode("grams").alias("g")).localCheckpoint(
+        eager=False
+    )
     size_ok = F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
 
     if prefix_filter:
@@ -633,7 +659,11 @@ def ngram_containment_pairs(
         F.col(id_col).alias("id"),
         _shingles(_tokens(F.col(text_col)), n).alias("grams"),
     ).select("id", "grams", F.size("grams").alias("sz"))
-    posts = sh.select("id", "sz", F.explode("grams").alias("g"))
+    # both self-join sides read the postings — checkpoint once (r11; see
+    # ngram_jaccard_pairs)
+    posts = sh.select("id", "sz", F.explode("grams").alias("g")).localCheckpoint(
+        eager=False
+    )
     a = posts.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
     b = posts.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
     shared = (
@@ -717,6 +747,15 @@ def hamming_near_pairs(
             f"max_hamming + 1 = {nbands} bands need width >= 1 over {bits} "
             "bits — lower max_hamming or widen the fingerprint"
         )
+    # BOTH band-join sides reference the fingerprint relation and Catalyst
+    # gives no cross-consumer CSE — without the checkpoint the upstream
+    # fingerprint computation ran TWICE (the SimHash vote fold over every
+    # token, or the image path's full mapInPandas DECODE of every image).
+    # Fingerprints are (id, one long) — materializing them once is the
+    # checkpoint-signatures-to-a-table posture at any scale (r11). The
+    # projection first keeps any extra caller columns out of the
+    # materialization.
+    fps = fps.select(id_col, fp_col).localCheckpoint(eager=False)
     width = bits // nbands
     banded = fps.select(
         id_col,
@@ -815,20 +854,24 @@ def dedup_clusters(
             .agg(F.min("nlabel").alias("minn"))
             .select(F.col("src").alias("id"), "minn")
         )
+        # the per-row change flag rides the SAME checkpointed frame the
+        # round already materializes — the old convergence check was a
+        # separate new-vs-old labels JOIN per round (r11: one fewer join
+        # job per round; the probe below only scans the checkpoint)
         new_labels = (
             labels.join(neighbor_min, "id", "left")
-            .select("id", F.least("label", F.coalesce("minn", "label")).alias("label"))
+            .select(
+                "id",
+                F.least("label", F.coalesce("minn", "label")).alias("label"),
+                F.coalesce(F.col("minn") < F.col("label"), F.lit(False)).alias(
+                    "__chg"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
+        converged = new_labels.where(F.col("__chg")).limit(1).isEmpty()
+        labels = new_labels.drop("__chg")
+        if converged:
             break
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 

@@ -58,7 +58,15 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out-degrees are loop-invariant but referenced TWICE per round (the
+    # dangling split + the contribution join) — without the checkpoint the
+    # groupBy re-aggregated the edge list 2 x num_iter times (r11; no
+    # cross-consumer CSE)
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=False)
+    )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(num_iter):

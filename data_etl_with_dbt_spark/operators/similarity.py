@@ -54,14 +54,32 @@ def brute_force_topk(
     ``queries`` (small: a handful of probe vectors) is broadcast; the corpus
     is scanned once — the classic embarrassingly-parallel exact-ANN baseline.
     Output: (query_id, vec_id, cosine) — k rows per query, ties broken by id.
+
+    Norms are factored OUT of the per-pair expression (r11): the inlined
+    ``cosine_similarity`` fold evaluated dot(a,a) per (row x query) pair and
+    dot(b,b) per corpus row — 3 interpreted 64-element folds per pair where
+    1 suffices. Each norm is now computed once (corpus norm per row, query
+    norm per probe) and the pair stage folds only dot(a,b). The emitted
+    double is bit-identical: the same three fold values combine in the same
+    ``dot / (norm_a * norm_b)`` order, just factored into earlier projections.
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
-        F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__cnorm", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                dot(F.col(vec_col), F.col("__qvec"))
+                / (F.col("__cnorm") * F.col("__qnorm"))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -184,11 +202,16 @@ def lsh_bucketed_topk(
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        # norm once per corpus row, not once per (row x probe) pair — the
+        # factored cosine is bit-identical (same fold values, same
+        # dot/(na*nb) combination order; see brute_force_topk)
+        norm(F.col(vec_col)).alias("__cnorm"),
         signature_expr(F.col(vec_col), planes).alias("__bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
         signature_expr(F.col(vec_col), planes).alias("__qsig"),
     )
     if multiprobe:
@@ -198,14 +221,21 @@ def lsh_bucketed_topk(
                 *[F.col("__qsig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
             ),
         )
-        q = q.select(query_id_col, "__qvec", F.explode(probes).alias("__bucket"))
+        q = q.select(
+            query_id_col, "__qvec", "__qnorm", F.explode(probes).alias("__bucket")
+        )
     else:
-        q = q.select(query_id_col, "__qvec", F.col("__qsig").alias("__bucket"))
+        q = q.select(
+            query_id_col, "__qvec", "__qnorm", F.col("__qsig").alias("__bucket")
+        )
 
     scored = c.join(F.broadcast(q), "__bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        (
+            dot(F.col(vec_col), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -334,6 +364,12 @@ def embedding_near_dup_pairs(
         c = corpus.select(
             F.col(id_col), F.explode(band_sigs).alias("__bb")
         ).select(id_col, "__bb.band", "__bb.bucket")
+    # both band-join sides reference the bucket relation — without the
+    # checkpoint the signature stage (one matmul per Arrow batch, or
+    # n_planes x n_bands interpreted folds on the JVM path) ran TWICE
+    # over the corpus (r11; no cross-consumer CSE). Bucket rows are
+    # (id, band, bucket) — corpus x n_bands longs, cheap to pin.
+    c = c.localCheckpoint(eager=False)
     candidates = (
         c.alias("x")
         .join(
@@ -449,10 +485,22 @@ def ivf_topk(
         ),
     )
 
-    scored = assigned.join(F.broadcast(probes), "__cell").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    # norms factored out of the per-pair expression (bit-identical — see
+    # brute_force_topk): query norm once per probe row via the same JVM
+    # fold (numpy's pairwise summation would NOT be bit-identical),
+    # corpus norm once per assigned row
+    probes = probes.withColumn("__qnorm", norm(F.col("__qvec")))
+    scored = (
+        assigned.withColumn("__cnorm", norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "__cell")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                dot(F.col(vec_col), F.col("__qvec"))
+                / (F.col("__cnorm") * F.col("__qnorm"))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -1050,14 +1098,24 @@ def pq_topk_rerank(
     cands = pq_topk(
         corpus, queries, codebooks, id_col, vec_col, query_id_col, k=shortlist
     ).select(query_id_col, id_col)
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+    )
     scored = (
         cands.join(corpus.select(id_col, vec_col), id_col)
         .join(F.broadcast(q), query_id_col)
         .select(
             query_id_col,
             id_col,
-            cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+            # norms factored out of the per-pair fold (bit-identical —
+            # see brute_force_topk); corpus norm lands AFTER the
+            # shortlist join so only survivor rows pay it
+            (
+                dot(F.col(vec_col), F.col("__qvec"))
+                / (norm(F.col(vec_col)) * F.col("__qnorm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))

@@ -290,6 +290,12 @@ def minhash_intake_sink(
             T.StructField("num_bits", T.LongType()),
             T.StructField("num_hashes", T.LongType()),
             T.StructField("covered_rows", T.LongType()),
+            # r11 (ADVICE): part-file count of the index at marker-write
+            # time — a driver-side listing proxy that lets steady-state
+            # batches TRUST covered_rows instead of re-counting the
+            # accumulated index every batch. The index is append-only, so
+            # file-count equality <=> no rows landed since the marker.
+            T.StructField("covered_files", T.LongType()),
         ]
     )
     _BLOOM_SCHEMA = T.StructType(
@@ -299,26 +305,50 @@ def minhash_intake_sink(
         ]
     )
 
+    def _index_part_files() -> int:
+        import os
+
+        try:
+            return sum(
+                1
+                for f in os.listdir(index_path)
+                if not f.startswith(("_", "."))
+            )
+        except OSError:
+            return 0
+
     def _write_bloom_sig(spark, m: int, k: int, covered: int) -> None:
         # Python-int origin, no lineage to the marker path — overwrite is
         # recompute-safe without a checkpoint guard
         spark.createDataFrame(
-            [(int(m), int(k), int(covered))], _BLOOM_SIG_SCHEMA
+            [(int(m), int(k), int(covered), int(_index_part_files()))],
+            _BLOOM_SIG_SCHEMA,
         ).coalesce(1).write.mode("overwrite").parquet(bloom_marker_path)
 
-    def _bloom_setup(spark, index: DataFrame, n_index_rows: int):
+    def _bloom_setup(spark, index: DataFrame):
+        """Resolve (words, m, k, n_index_rows) for this batch. Steady
+        state runs NO index count: covered_rows from the marker is
+        trusted while the index's part-file count matches the marker's
+        (append-only store, so equality means nothing landed since).
+        The real count — and, when coverage lags, the full backfill —
+        only happens when the marker is missing, predates the
+        covered_files field, or the file count moved (a bloom-disabled
+        sink ran, a crash landed between commits)."""
         from ..operators.dedup import band_bloom_keys
         from ..operators.sketch import bloom_build, bloom_parameters
         from ..sources import versioned as V
 
         want_m, want_k = bloom_parameters(bloom_expected_keys, bloom_fpp)
         sig = _parquet_or_none(spark, bloom_marker_path, _BLOOM_SIG_SCHEMA)
+        covered_files = None
         if sig is None:
             m, k, covered = want_m, want_k, 0
         else:
             row = sig.first()
             m, k = int(row["num_bits"]), int(row["num_hashes"])
             covered = int(row["covered_rows"])
+            cf = row["covered_files"]
+            covered_files = int(cf) if cf is not None else None
             if (m, k) != (want_m, want_k):
                 raise ValueError(
                     f"bloom sidecar at {bloom_path} was sized "
@@ -328,19 +358,26 @@ def minhash_intake_sink(
                     "across sizings; delete the sidecar to re-bootstrap "
                     "or match the config"
                 )
-        if n_index_rows > 0 and (
-            covered < n_index_rows or not V.list_versions(bloom_path)
+        have_bloom = bool(V.list_versions(bloom_path))
+        if (
+            covered_files is not None
+            and covered_files == _index_part_files()
+            and have_bloom
         ):
-            # the index holds signatures the bloom never saw — probing
-            # now could false-negative, so backfill from the full store
-            # (duplicate bits are harmless: bit_or is idempotent)
-            V.commit(
-                bloom_build(
-                    band_bloom_keys(index, id_col, num_hashes, bands),
-                    "band_key", m, k,
-                ),
-                bloom_path, mode="append",
-            )
+            n_index_rows = covered  # marker is current — no count job
+        else:
+            n_index_rows = index.count()
+            if n_index_rows > 0 and (covered < n_index_rows or not have_bloom):
+                # the index holds signatures the bloom never saw — probing
+                # now could false-negative, so backfill from the full store
+                # (duplicate bits are harmless: bit_or is idempotent)
+                V.commit(
+                    bloom_build(
+                        band_bloom_keys(index, id_col, num_hashes, bands),
+                        "band_key", m, k,
+                    ),
+                    bloom_path, mode="append",
+                )
         versions = V.list_versions(bloom_path)
         if versions:
             words = (
@@ -350,7 +387,7 @@ def minhash_intake_sink(
             )
         else:
             words = spark.createDataFrame([], _BLOOM_SCHEMA)
-        return words, m, k
+        return words, m, k, n_index_rows
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -385,8 +422,7 @@ def minhash_intake_sink(
         bloom_kwargs = {}
         n_index_rows = 0
         if bloom_expected_keys is not None:
-            n_index_rows = index.count()
-            words, m, k = _bloom_setup(spark, index, n_index_rows)
+            words, m, k, n_index_rows = _bloom_setup(spark, index)
             bloom_kwargs = dict(
                 index_bloom=words, bloom_bits=m, bloom_hashes=k
             )
@@ -1044,6 +1080,11 @@ def chunk_intake_sink(
         hashed = chunks.withColumn(
             "chunk_hash", F.xxhash64(F.col("chunk_text"))
         )
+        if not emit_text:
+            # the hash is computed; nothing downstream reads the text —
+            # dropping it BEFORE the checkpoint keeps ~1.5x corpus bytes
+            # (overlapping chunks) out of the materialization (r11)
+            hashed = hashed.drop("chunk_text")
         w = Window.partitionBy("chunk_hash").orderBy(id_col, "chunk_id")
         idx = index.select(
             "chunk_hash", F.lit(True).alias("__seen")
@@ -1058,8 +1099,6 @@ def chunk_intake_sink(
         survivors = marked.where(
             (F.col("__rn") == 1) & F.col("__seen").isNull()
         ).drop("__rn", "__seen")
-        if not emit_text:
-            survivors = survivors.drop("chunk_text")
         survivors.write.mode("append").parquet(corpus_path)
         new_hashes = (
             marked.where((F.col("__rn") == 1) & F.col("__seen").isNull())

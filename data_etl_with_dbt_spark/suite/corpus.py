@@ -491,7 +491,16 @@ from data_etl_with_dbt_spark.suite.registry import QUERIES as _REGISTRY  # noqa:
     ),
 )
 def exact_substring_dedup_cut(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    # one scan+distinct for the two consumers (regions + cut join) and
+    # post-distinct parallelism for the shingle projection (r11; see
+    # curation_decisions)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     regions = D.exact_substring_regions(docs, "doc_id", "text", span_tokens=10)
     out = D.remove_duplicate_regions(docs, regions, "doc_id", "text")
     return out.select(
@@ -517,7 +526,16 @@ def exact_substring_dedup_cut(spark, sf_dir):
     ),
 )
 def incremental_substring_regions(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    # one scan+distinct shared by the three batch filters (each batch is
+    # its own job — without the checkpoint every batch re-ran scan +
+    # distinct) + post-distinct parallelism for the shingle work (r11)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     index = spark.createDataFrame([], "span_hash bigint")
     outs = []
     # ascending-id batches (doc_id spans 0..499 at every SF; thresholds
@@ -560,7 +578,18 @@ def streaming_substring_cut(spark, sf_dir):
 
     from data_etl_with_dbt_spark.streaming.intake import substring_intake_sink
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    # one scan+distinct shared by the three batch jobs (and by the sink's
+    # two per-batch consumers of each batch) — checkpoint WITHOUT a
+    # repartition: a spread here measured 2.2 s SLOWER (the sink runs ~20
+    # small jobs per batch; 32-way tiny partitions multiply scheduling
+    # overhead), while the checkpoint alone is neutral-to-better and
+    # removes the re-scans (r11 A/B)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     base = tempfile.mkdtemp(prefix="substream_")
     sink = substring_intake_sink(
         base + "/index", base + "/corpus", "doc_id", "text",
@@ -600,7 +629,14 @@ def streaming_substring_bloom_cut(spark, sf_dir):
 
     from data_etl_with_dbt_spark.streaming.intake import substring_intake_sink
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    # shared scan+distinct, checkpoint only — no repartition (r11 A/B;
+    # see streaming_substring_cut)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     base = tempfile.mkdtemp(prefix="subbloom_")
     plain = substring_intake_sink(
         base + "/index", base + "/corpus", "doc_id", "text",
@@ -899,7 +935,9 @@ def streaming_sentence_cut(spark, sf_dir):
 
     from data_etl_with_dbt_spark.streaming.intake import substring_intake_sink
 
-    docs = _synth_sentence_docs(spark, sf_dir)
+    # one synthesis shared by the three batch jobs — checkpoint only,
+    # no repartition (r11 A/B; see streaming_substring_cut)
+    docs = _synth_sentence_docs(spark, sf_dir).localCheckpoint(eager=False)
     base = tempfile.mkdtemp(prefix="sentstream_")
     sink = substring_intake_sink(
         base + "/index", base + "/corpus", "doc_id", "text",
@@ -935,7 +973,9 @@ def streaming_paragraph_cut(spark, sf_dir):
 
     from data_etl_with_dbt_spark.streaming.intake import substring_intake_sink
 
-    docs = _synth_paragraph_docs(spark, sf_dir)
+    # one synthesis shared by the three batch jobs — checkpoint only,
+    # no repartition (r11 A/B; see streaming_substring_cut)
+    docs = _synth_paragraph_docs(spark, sf_dir).localCheckpoint(eager=False)
     base = tempfile.mkdtemp(prefix="parastream_")
     sink = substring_intake_sink(
         base + "/index", base + "/corpus", "doc_id", "text",
@@ -1583,7 +1623,9 @@ def streaming_curated_intake(spark, sf_dir):
         substring_intake_sink,
     )
 
-    docs = _synth_hyg_docs(spark, sf_dir)
+    # one synthesis shared by the three batch jobs — checkpoint only,
+    # no repartition (r11 A/B; see streaming_substring_cut)
+    docs = _synth_hyg_docs(spark, sf_dir).localCheckpoint(eager=False)
     base = tempfile.mkdtemp(prefix="curstream_")
     gate = hygiene_intake_sink(
         base + "/survivors", "doc_id", "text",
@@ -2224,7 +2266,14 @@ def streaming_chunk_dedup(spark, sf_dir):
 
     from data_etl_with_dbt_spark.streaming.intake import chunk_intake_sink
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    # shared scan+distinct, checkpoint only — no repartition (r11 A/B;
+    # see streaming_substring_cut)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     base = tempfile.mkdtemp(prefix="chunkstream_")
     sink = chunk_intake_sink(
         base + "/index", base + "/corpus", "doc_id", "text",
@@ -2671,11 +2720,14 @@ def zipf_exponent_vocab(spark, sf_dir):
 def part_entity_clusters(spark, sf_dir):
     from data_etl_with_dbt_spark.operators.relational import resolve_entities
 
-    # pre-dedup: entity ids must be unique for the component fixpoint
+    # pre-dedup: entity ids must be unique for the component fixpoint;
+    # checkpointed once for resolve_entities' three consumers (pair
+    # blocking, the node frame, the final rejoin) — r11
     part = (
         load(spark, sf_dir, "part")
         .select("p_partkey", "p_name", "p_brand")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     resolved = resolve_entities(
         part, "p_brand", "p_partkey", "p_name", max_dist=2,
@@ -2743,7 +2795,23 @@ def _on_distinct_docs(oracle_sql: str) -> str:
     ),
 )
 def curation_decisions(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    # ONE documents scan + distinct shared by all five consumers (gopher,
+    # bench/train split, regions, cut) — Catalyst gives no cross-consumer
+    # CSE, so without the checkpoint each consumer re-scanned the parquet
+    # AND re-ran the (doc_id, text) distinct exchange (5 scans + 5
+    # text-carrying shuffles in the r11 before-plan). The round-robin
+    # repartition restores post-distinct parallelism (AQE coalesces the
+    # tiny fixture shuffle to ~1 partition, serializing every downstream
+    # per-doc CPU stage — the same unsplittable-fixture trap the suite's
+    # shuffle_parallelism knobs exist for; keyless round-robin survives
+    # AQE, a hash repartition here would be re-coalesced).
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     g = TA.gopher_quality_flags(
         docs, "doc_id", "text",
         min_words=30, max_words=90,
@@ -2926,7 +2994,16 @@ def curation_decisions(spark, sf_dir):
     ),
 )
 def curation_decisions_full(spark, sf_dir):
-    docs = _synth_hyg_docs(spark, sf_dir)
+    # ONE synthesis shared by all six consumers (hygiene, gopher,
+    # bench/train split, regions, cut) — without the checkpoint each
+    # consumer re-ran the full 240-id sample + projection chain (no
+    # cross-consumer CSE); the round-robin repartition spreads the
+    # per-doc CPU off the LIMIT's single partition (see curation_decisions)
+    docs = (
+        _synth_hyg_docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     hs = TA.hygiene_signals(docs, "doc_id", "text", min_sentences=3)
     hyg = hs.select(
         "doc_id",

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_etl_with_dbt_spark.operators.similarity import cosine_similarity
+from data_etl_with_dbt_spark.operators.similarity import dot, norm
 from data_etl_with_dbt_spark.suite.registry import big, davg, dec6, load, query
 
 # ---------------------------------------------------------------------------
@@ -303,15 +303,23 @@ def hard_negative_mining(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("label").cast("bigint").alias("qlabel"),
         F.col("embedding").alias("__qvec"),
+        norm(F.col("embedding")).alias("__qnorm"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb.withColumn("__cnorm", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
         .where(F.col("label").cast("bigint") != F.col("qlabel"))
         .select(
             F.col("query_id"),
             F.col("vec_id"),
             F.col("label").cast("bigint").alias("neg_label"),
-            cosine_similarity(F.col("embedding"), F.col("__qvec")).alias("cosine"),
+            # norms factored out of the per-pair fold — bit-identical
+            # (same fold values, same dot/(na*nb) order; r11, see
+            # operators.similarity.brute_force_topk)
+            (
+                dot(F.col("embedding"), F.col("__qvec"))
+                / (F.col("__cnorm") * F.col("__qnorm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

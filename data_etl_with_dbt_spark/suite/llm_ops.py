@@ -804,8 +804,16 @@ FROM reach GROUP BY id
     description="Near-dup cluster assignment: connected components over the bigram-Jaccard>=0.5 graph (iterative min-label propagation vs recursive-CTE oracle) — the canonical-document step of a dedup pipeline",
 )
 def dedup_cluster_assignment(spark, sf_dir):
-    # pre-dedup: node ids must be unique for min-label components
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    # pre-dedup: node ids must be unique for min-label components; the
+    # distinct is checkpointed once for its two consumers (pair generation
+    # + the node frame dedup_clusters seeds labels from) — r11, no
+    # cross-consumer CSE
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     pairs = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.5,
         shuffle_parallelism=spark.sparkContext.defaultParallelism,
@@ -1215,8 +1223,15 @@ FROM clusters
     ),
 )
 def dedup_soft_weights(spark, sf_dir):
-    # pre-dedup: cluster sizes / weights assume one row per doc_id
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").distinct()
+    # pre-dedup: cluster sizes / weights assume one row per doc_id; the
+    # distinct is checkpointed once for its two consumers (pair generation
+    # + the node frame the weights roll up over) — r11
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     pairs = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.5,
         shuffle_parallelism=spark.sparkContext.defaultParallelism,

@@ -88,6 +88,27 @@ def big(c: Column) -> Column:
     return c.cast("bigint")
 
 
+def spread_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer input splits
+    than the session has cores — the single-row-group fixture trap: every
+    sf fixture file is ONE parquet row group, so however Spark carves the
+    byte range, one task decodes every row and all pre-exchange CPU
+    (partial aggregation, per-row expression work) serializes on it.
+
+    Scale-adaptive by construction: a real-scale table yields thousands of
+    splits, the condition is false, and this is a no-op — no fact-table
+    shuffle sneaks into the 100 TB plan. Locally it shuffles the (tiny)
+    fixture once and unlocks the cores. The driver's low-core bench runs
+    adapt too (the threshold is the session's own parallelism). Keyless
+    round-robin is deliberate: AQE re-coalesces an explicit hash
+    repartition of fixture-sized data to one partition (CLAUDE.md trap),
+    while round-robin partitioning survives it."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 _US_PER_DAY = 86_400 * 1_000_000
 
 

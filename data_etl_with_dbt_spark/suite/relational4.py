@@ -552,11 +552,14 @@ def cdc_debezium_apply_orders(spark, sf_dir):
     )
 
     k = F.col("o_orderkey")
-    # pre-dedup the projected snapshot (apply_cdc key contract, dup2-safe)
+    # pre-dedup the projected snapshot (apply_cdc key contract, dup2-safe);
+    # checkpointed ONCE for its five consumers (updates/deletes/inserts
+    # envelopes + apply_cdc's snapshot side) — no cross-consumer CSE (r11)
     snap = (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     row_struct = F.struct("o_orderkey", "o_totalprice", "o_orderstatus")
     null_row = F.lit(None).cast(
@@ -650,10 +653,16 @@ def cdc_strict_seq_replication(spark, sf_dir):
     from data_etl_with_dbt_spark.streaming.intake import cdc_replication_sink
 
     k = F.col("o_orderkey")
+    # ONE orders scan + distinct shared by the four sink() invocations
+    # (inserts twice — original + replay — updates, deletes): each sink
+    # call is its own batch job, so without the checkpoint every batch
+    # re-ran the scan AND the distinct exchange (r11; no cross-job reuse
+    # of an unmaterialized plan)
     base = (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     row_struct = F.struct("o_orderkey", "o_totalprice", "o_orderstatus")
     null_row = F.lit(None).cast(
