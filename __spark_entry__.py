@@ -65,28 +65,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # Regenerate the tiers after each round with: python tools/rotate_window.py
 
 WINDOW = [
-    "chunk_dedup_stats", "chunked_documents_overlap",
-    "curation_decisions_full", "market_basket_lift", "q10_returned_items",
-    "q18_large_volume_customers", "streaming_chunk_dedup",
-    "streaming_curated_intake", "streaming_substring_bloom_cut",
-    "topk_orders", "window_customer_orders", "dedup_simhash_pairs",
-    "embedding_near_dup", "hll_user_cardinality", "ann_pq_rerank_topk",
-    "ann_pq_topk", "scalar_try_gallery", "sessionize_events",
-    "tumbling_window_events", "unpivot_lineitem_measures",
-    "url_dedup_documents", "dq_accepted_values_violations",
-    "dq_not_null_violations", "dq_quarantine_events",
-    "dq_relationships_violations", "hard_negative_mining",
-    "holt_linear_forecast", "hourly_seasonality_profile",
-    "inventory_running_balance", "kl_divergence_sources",
-    "lateral_top_orders", "length_bucketed_batches",
-    "linear_interpolate_events", "majority_label_vote",
-    "masked_customer_view", "mutual_information_events",
-    "negative_samples_documents", "ngram_containment_pairs",
-    "packed_token_windows", "pareto_customer_revenue",
-    "part_entity_clusters", "profile_orders", "q16_supplier_cardinality",
-    "q19_discounted_revenue", "quantile_normalize_events",
-    "reconcile_order_totals", "rfm_customer_segments", "robust_scale_events",
-    "sampled_quantiles_orders", "scalar_collation_gallery",
+    "audio_spectral_report", "bpe_encode_documents", "bpe_train_merges",
+    "cms_token_counts", "image_dhash_near_dup", "scalar_conditional_gallery",
+    "scalar_distance_gallery", "scalar_math_gallery", "scalar_url_gallery",
+    "session_entry_exit", "set_intersect_all", "set_union_by_name",
+    "subquery_exists_gallery", "survival_km_conversion",
+    "table_diff_orders_rebuild", "theta_sketch_users",
+    "tokenizer_fertility_stats", "trailing_distinct_users_kmv",
+    "trend_decompose_daily", "two_sample_drift_events", "user_gap_stats",
+    "variant_props_stats", "vocab_coverage_topk",
+    "weighted_sample_documents", "window_analytics_extended",
+    "activity_streaks", "agg_cube", "agg_distinct", "agg_exact_percentiles",
+    "agg_grouping_sets", "agg_linear_regression", "agg_ordered_string",
+    "agg_rollup", "agg_statistics", "ann_cosine_topk", "asof_error_to_click",
+    "bpe_pair_merge_step", "calendar_spine_gap_fill", "cdc_apply_orders",
+    "cdc_strict_seq_replication", "chunk_documents", "cohort_retention",
+    "core_transform_events", "corpus_mixture_sample",
+    "crawl_politeness_slots", "host_link_graph_events",
+    "join_left_outer_summary", "join_semi_anti", "json_props_aggregation",
+    "json_schema_parse",
 ]
 
 ZQ_QUEUED = [
@@ -94,93 +91,96 @@ ZQ_QUEUED = [
 ]
 
 ZV_VERIFIED = [
-    "ab_test_summary", "acf_daily_values", "activity_streaks", "agg_bitwise",
-    "agg_boolean", "agg_correlation_matrix", "agg_cube", "agg_distinct",
-    "agg_exact_percentiles", "agg_grouping_sets", "agg_linear_regression",
-    "agg_ordered_string", "agg_rollup", "agg_statistics", "ann_cosine_topk",
-    "annotator_agreement", "asof_error_to_click",
+    "ab_test_summary", "acf_daily_values", "agg_bitwise", "agg_boolean",
+    "agg_correlation_matrix", "annotator_agreement",
     "asof_forward_error_to_click", "attribution_purchase_touchpoints",
     "benford_first_digit_orders", "bm25_top_docs", "boilerplate_ngram_prune",
-    "bpe_pair_merge_step", "c4_line_page_filters", "calendar_spine_gap_fill",
-    "canonicalized_text", "cascade_delete_impact", "cdc_apply_orders",
-    "cdc_debezium_apply_orders", "cdc_strict_seq_replication",
-    "chunk_documents", "cohort_retention", "column_entropy_events",
-    "concurrent_sessions_peak", "core_transform_events",
-    "corpus_duplication_profile", "corpus_epoch_upsample",
-    "corpus_funnel_profile", "corpus_mixture_sample",
-    "corpus_quality_report", "crawl_fetch_plan", "crawl_politeness_slots",
+    "c4_line_page_filters", "canonicalized_text", "cascade_delete_impact",
+    "cdc_debezium_apply_orders", "chunk_dedup_stats",
+    "chunked_documents_overlap", "column_entropy_events",
+    "concurrent_sessions_peak", "corpus_duplication_profile",
+    "corpus_epoch_upsample", "corpus_funnel_profile",
+    "corpus_quality_report", "crawl_fetch_plan",
     "cte_above_average_customers", "curation_decisions",
-    "curriculum_schedule_documents", "cusum_change_points",
-    "decontaminate_ngram_overlap", "dedup_cluster_assignment",
-    "dedup_exact_groups", "dedup_keep_longest", "dedup_soft_weights",
-    "dedup_spans_keep_first", "doc_fingerprints", "doc_oov_rate",
-    "domain_quota_cap", "dp_noisy_counts", "dq_positive_violations",
-    "dq_threshold_violations", "dq_unique_violations",
-    "dsir_importance_weights", "duplicate_invoice_heuristic",
-    "embedding_centroid_outliers", "embedding_int8_quantize",
-    "embedding_norm_stats", "event_transition_matrix",
-    "event_type_lift_pairs", "ewma_daily_revenue",
+    "curation_decisions_full", "curriculum_schedule_documents",
+    "cusum_change_points", "decontaminate_ngram_overlap",
+    "dedup_cluster_assignment", "dedup_exact_groups", "dedup_keep_longest",
+    "dedup_soft_weights", "dedup_spans_keep_first", "doc_fingerprints",
+    "doc_oov_rate", "domain_quota_cap", "dp_noisy_counts",
+    "dq_accepted_values_violations", "dq_not_null_violations",
+    "dq_positive_violations", "dq_quarantine_events",
+    "dq_relationships_violations", "dq_threshold_violations",
+    "dq_unique_violations", "dsir_importance_weights",
+    "duplicate_invoice_heuristic", "embedding_centroid_outliers",
+    "embedding_int8_quantize", "embedding_norm_stats",
+    "event_transition_matrix", "event_type_lift_pairs", "ewma_daily_revenue",
     "exact_substring_dedup_cut", "exact_substring_regions",
     "explode_word_counts", "frequent_event_trigrams",
     "functional_dependency_check", "funnel_conversion_windows",
     "funnel_view_click_purchase", "fuzzy_name_pairs", "global_row_index",
     "gopher_quality_flags", "gopher_repetition_signals",
     "graph_clustering_coefficients", "growth_accounting_daily",
-    "half_life_decay_value", "hash_split_assignment", "histogram_totalprice",
-    "host_link_graph_events", "hygiene_signals_fused",
-    "incremental_substring_regions", "inverted_index_terms",
-    "join_full_outer", "join_left_outer_summary", "join_null_safe",
-    "join_semi_anti", "json_props_aggregation", "json_schema_parse",
-    "lang_id_heuristic", "learned_embedding_invariants", "locf_imputation",
-    "mad_outliers_by_type", "media_frame_sampling",
-    "minmax_normalize_events", "mixture_temperature_sample",
-    "ml_feature_extraction", "mode_per_event_type", "mp3_bitrate_histogram",
-    "multimodal_byte_features", "nfkc_normalized_text",
-    "ngram_jaccard_pairs", "paragraph_dedup_cut", "pca_invariants",
-    "perplexity_proxy_score", "pii_scrub_documents", "pivot_event_counts",
+    "half_life_decay_value", "hard_negative_mining", "hash_split_assignment",
+    "histogram_totalprice", "holt_linear_forecast",
+    "hourly_seasonality_profile", "hygiene_signals_fused",
+    "incremental_substring_regions", "inventory_running_balance",
+    "inverted_index_terms", "join_full_outer", "join_null_safe",
+    "kl_divergence_sources", "lang_id_heuristic", "lateral_top_orders",
+    "learned_embedding_invariants", "length_bucketed_batches",
+    "linear_interpolate_events", "locf_imputation", "mad_outliers_by_type",
+    "majority_label_vote", "market_basket_lift", "masked_customer_view",
+    "media_frame_sampling", "minmax_normalize_events",
+    "mixture_temperature_sample", "ml_feature_extraction",
+    "mode_per_event_type", "mp3_bitrate_histogram",
+    "multimodal_byte_features", "mutual_information_events",
+    "negative_samples_documents", "nfkc_normalized_text",
+    "ngram_containment_pairs", "ngram_jaccard_pairs", "packed_token_windows",
+    "paragraph_dedup_cut", "pareto_customer_revenue", "part_entity_clusters",
+    "pca_invariants", "perplexity_proxy_score", "pii_scrub_documents",
+    "pivot_event_counts", "profile_orders", "q10_returned_items",
     "q11_important_parts", "q12_priority_counts",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q1_pricing_summary", "q20_excess_supply",
-    "q21_suppliers_kept_waiting", "q22_inactive_customers",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit",
-    "range_join_clicks_before_error", "recrawl_schedule_events",
+    "q16_supplier_cardinality", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q1_pricing_summary", "q20_excess_supply", "q21_suppliers_kept_waiting",
+    "q22_inactive_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "quantile_normalize_events", "range_join_clicks_before_error",
+    "reconcile_order_totals", "recrawl_schedule_events",
     "recursive_capped_balance", "redact_entities",
-    "redpajama_quality_signals", "repetition_stats",
+    "redpajama_quality_signals", "repetition_stats", "rfm_customer_segments",
     "robots_audit_documents", "robots_directives_gallery",
+    "robust_scale_events", "sampled_quantiles_orders",
     "scalar_array_gallery", "scalar_bitwise_gallery",
-    "scalar_conditional_gallery", "scalar_date_gallery",
-    "scalar_distance_gallery", "scalar_map_gallery", "scalar_math_gallery",
-    "scalar_regexp_gallery", "scalar_string_gallery", "scalar_url_gallery",
+    "scalar_collation_gallery", "scalar_date_gallery", "scalar_map_gallery",
+    "scalar_regexp_gallery", "scalar_string_gallery", "scalar_try_gallery",
     "script_mix_documents", "semantic_decontamination",
     "semantic_dedup_clusters", "sentence_dedup_cut",
-    "sentence_dedup_regions", "sequence_packing", "session_entry_exit",
-    "session_window_events", "set_except_all", "set_intersect_all",
-    "set_operations", "set_union_by_name", "sitemap_entries_roundtrip",
-    "skew_stats_orders", "sliding_window_events",
-    "stratified_sample_documents", "streaming_hygiene_gate",
-    "streaming_paragraph_cut", "streaming_recrawl_maintenance",
-    "streaming_rollup_events", "streaming_sentence_cut",
-    "streaming_substring_cut", "subquery_exists_gallery", "subquery_in",
-    "surrogate_keys_events", "survival_km_conversion",
-    "table_diff_orders_rebuild", "text_quality_stats", "tfidf_top_terms",
-    "theta_sketch_users", "time_weighted_average", "token_counting",
-    "tokenizer_fertility_stats", "topic_model_simplex",
-    "trailing_distinct_users_kmv", "trend_decompose_daily",
-    "two_sample_drift_events", "url_shape_features", "user_gap_stats",
-    "variant_props_stats", "vocab_coverage_topk", "warc_documents_roundtrip",
+    "sentence_dedup_regions", "sequence_packing", "session_window_events",
+    "sessionize_events", "set_except_all", "set_operations",
+    "sitemap_entries_roundtrip", "skew_stats_orders",
+    "sliding_window_events", "stratified_sample_documents",
+    "streaming_chunk_dedup", "streaming_curated_intake",
+    "streaming_hygiene_gate", "streaming_paragraph_cut",
+    "streaming_recrawl_maintenance", "streaming_rollup_events",
+    "streaming_sentence_cut", "streaming_substring_bloom_cut",
+    "streaming_substring_cut", "subquery_in", "surrogate_keys_events",
+    "text_quality_stats", "tfidf_top_terms", "time_weighted_average",
+    "token_counting", "topic_model_simplex", "topk_orders",
+    "tumbling_window_events", "unpivot_lineitem_measures",
+    "url_dedup_documents", "url_shape_features", "warc_documents_roundtrip",
     "warc_ingest_accounting", "warc_links_roundtrip",
-    "weighted_sample_documents", "window_analytics_extended",
-    "window_trailing_range", "winsorize_extendedprice",
-    "zipf_exponent_vocab", "zorder_cluster_events",
+    "window_customer_orders", "window_trailing_range",
+    "winsorize_extendedprice", "zipf_exponent_vocab",
+    "zorder_cluster_events",
 ]
 
 ZR_ROWS_ONLY = [
     "ann_cosine_topk_arrow", "ann_ivf_topk", "ann_lsh_topk",
-    "approx_aggregates", "audio_spectral_report", "bpe_encode_documents",
-    "bpe_train_merges", "cms_token_counts", "dedup_incremental_minhash",
-    "dedup_minhash_lsh", "image_dhash_near_dup", "learned_embedding_ann",
+    "ann_pq_rerank_topk", "ann_pq_topk", "approx_aggregates",
+    "dedup_incremental_minhash", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "embedding_near_dup", "hll_user_cardinality", "learned_embedding_ann",
     "pagerank_similarity_graph", "pca_embeddings",
     "semantic_dedup_clusters_lsh", "topic_model_documents",
     "unigram_lm_vocab", "warc_ingest_pipeline",

@@ -278,8 +278,8 @@ def incremental_minhash_dedup(
 
     ``index`` holds ``(id_col, signature)`` rows from prior batches (built
     with :func:`minhash_signatures` / returned by this function; typically a
-    persisted table — if computed inline, persist it: it is banded AND joined
-    for scoring, two consumers). Ids must be unique across index and batch.
+    persisted table — if computed inline, materialize it (localCheckpoint):
+    it is banded AND joined for scoring, two consumers). Ids must be unique across index and batch.
 
     CONTRACT: the index and the batch must use the SAME signature recipe —
     ``signature_impl`` (the jvm xxhash64 and arrow crc32 families produce
@@ -323,7 +323,16 @@ def incremental_minhash_dedup(
     if shuffle_parallelism:
         new_docs = new_docs.repartition(shuffle_parallelism, F.col(id_col))
     sig_fn = minhash_signatures_arrow if signature_impl == "arrow" else minhash_signatures
-    new_sigs = sig_fn(new_docs, id_col, text_col, num_hashes, shingle).persist()
+    # localCheckpoint, not persist (r11): the signature relation has FOUR
+    # consumers (banding, the all-signatures union, the scoring join, the
+    # final verdict join) and must be materialized once — but a persist()
+    # here registers a CacheManager entry the caller can never unpersist,
+    # so a long-running intake stream leaked one cached relation per
+    # micro-batch. A local checkpoint materializes the same way and its
+    # blocks are ContextCleaner-collected when the batch's frames drop.
+    new_sigs = sig_fn(new_docs, id_col, text_col, num_hashes, shingle).localCheckpoint(
+        eager=False
+    )
 
     nb = _band_buckets(new_sigs, id_col, num_hashes, bands)
     ib = _band_buckets(index, id_col, num_hashes, bands)
@@ -464,12 +473,17 @@ def minhash_lsh_pairs(
     """
     if shuffle_parallelism:
         df = df.repartition(shuffle_parallelism, F.col(id_col))
-    # Persist signatures: the banding stage references the signature 8x and
-    # projection collapse would otherwise inline (and re-run) the whole
-    # shingle fold per band. At production scale you'd checkpoint signatures
-    # to a table between stages; persist() is the in-session equivalent.
+    # Materialize signatures once: the banding stage references the
+    # signature 8x and projection collapse would otherwise inline (and
+    # re-run) the whole shingle fold per band. At production scale you'd
+    # checkpoint signatures to a table between stages; a local checkpoint
+    # is the in-session equivalent. (r11: was persist() — a CacheManager
+    # entry nothing ever unpersisted, so repeated calls in one session
+    # accumulated cached relations AND a later identical call silently
+    # reused the first call's materialized signatures, which let bench
+    # timings skip the signature stage entirely.)
     sig_fn = minhash_signatures_arrow if signature_impl == "arrow" else minhash_signatures
-    sigs = sig_fn(df, id_col, text_col, num_hashes, shingle).persist()
+    sigs = sig_fn(df, id_col, text_col, num_hashes, shingle).localCheckpoint(eager=False)
 
     banded = _band_buckets(sigs, id_col, num_hashes, bands)
 
