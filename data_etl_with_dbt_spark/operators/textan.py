@@ -869,8 +869,17 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # degenerate index [0] fabricated an empty-string "bigram" and the doc
     # reported top_bigram_share=1.0 with NULL dup_token_frac (round-5
     # review); it now reports all-zero stats through the left join.
-    idx = F.sequence(F.lit(0), F.greatest(F.size("t") - 2, F.lit(0)))
-    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(F.col("t"), i + 1, 2), " "))
+    # lambda-bind the token array: projection collapse re-inlines the
+    # tokenize expression into every "t" reference, and inside the
+    # per-position lambda that re-ran the regex split once PER POSITION
+    # (the _shingles lesson, r11) — the binding evaluates it once per row
+    def _bigrams(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - 2, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(t, i + 1, 2), " ")
+        )
+
+    bigrams = F.transform(F.array(F.col("t")), _bigrams)[0]
     bg = base.where(F.size("t") > 0).select(
         F.col(id_col), F.explode(bigrams).alias("g")
     )
@@ -1868,11 +1877,17 @@ def chunk_documents(
     chunks = work.select(
         F.col(id_col),
         F.col("__nc").alias("n_chunks"),
+        # __t is lambda-bound so the per-chunk slice reads one evaluated
+        # array — an unbound reference re-inlines the tokenize expression
+        # per chunk (the _shingles lesson, r11)
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int")),
-                lambda i: F.slice("__t", i * s + 1, c),
-            )
+                F.array(F.col("__t")),
+                lambda t: F.transform(
+                    F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int")),
+                    lambda i: F.slice(t, i * s + 1, c),
+                ),
+            )[0]
         ).alias("__cid", "__chunk"),
     )
     out = chunks.select(

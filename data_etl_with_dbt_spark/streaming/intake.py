@@ -265,12 +265,19 @@ def minhash_intake_sink(
         ]
     )
 
+    _recipe_ok = [False]  # memo: one sink closure = one fixed recipe, so
+    # the marker needs validating (or writing) exactly once — later batches
+    # in the same stream skipped 1 driver-side parquet read each (r11)
+
     def _check_signature_recipe(spark) -> None:
+        if _recipe_ok[0]:
+            return
         marker = _parquet_or_none(spark, sig_marker_path, _SIG_SCHEMA)
         if marker is None:
             spark.createDataFrame(
                 [(signature_impl, int(num_hashes), int(shingle))], _SIG_SCHEMA
             ).coalesce(1).write.mode("overwrite").parquet(sig_marker_path)
+            _recipe_ok[0] = True
             return
         row = marker.first()
         got = (row["signature_impl"], int(row["num_hashes"]), int(row["shingle"]))
@@ -282,6 +289,7 @@ def minhash_intake_sink(
                 f"configured with {want} — signatures are incomparable "
                 "across recipes; rebuild the index or match the config"
             )
+        _recipe_ok[0] = True
 
     bloom_path = index_path.rstrip("/") + "__bloom"
     bloom_marker_path = index_path.rstrip("/") + "__bloomsig"
@@ -907,12 +915,18 @@ def substring_intake_sink(
             words = spark.createDataFrame([], _BLOOM_SCHEMA)
         return words, m, k
 
+    _recipe_ok = [False]  # memo: one sink closure = one fixed recipe —
+    # validate (or write) the marker once, not one parquet read per batch
+
     def _check_recipe(spark) -> None:
+        if _recipe_ok[0]:
+            return
         marker = _parquet_or_none(spark, recipe_marker_path, _RECIPE_SCHEMA)
         if marker is None:
             spark.createDataFrame(
                 [(int(span_tokens), unit)], _RECIPE_SCHEMA
             ).coalesce(1).write.mode("overwrite").parquet(recipe_marker_path)
+            _recipe_ok[0] = True
             return
         row = marker.first()
         got = (int(row["span_tokens"]), row["unit"])
@@ -924,6 +938,7 @@ def substring_intake_sink(
                 f"with {want} — shingle hashes are incomparable across "
                 "recipes; rebuild the index or match the config"
             )
+        _recipe_ok[0] = True
 
     def process(batch: DataFrame, batch_id: int) -> None:
         from ..operators.sketch import bloom_build
@@ -1047,12 +1062,18 @@ def chunk_intake_sink(
     )
     index_schema = T.StructType([T.StructField("chunk_hash", T.LongType())])
 
+    _recipe_ok = [False]  # memo: one sink closure = one fixed recipe —
+    # validate (or write) the marker once, not one parquet read per batch
+
     def _check_recipe(spark) -> None:
+        if _recipe_ok[0]:
+            return
         marker = _parquet_or_none(spark, recipe_marker_path, _RECIPE_SCHEMA)
         if marker is None:
             spark.createDataFrame(
                 [(int(chunk_tokens), int(stride))], _RECIPE_SCHEMA
             ).coalesce(1).write.mode("overwrite").parquet(recipe_marker_path)
+            _recipe_ok[0] = True
             return
         row = marker.first()
         got = (int(row["chunk_tokens"]), int(row["stride"]))
@@ -1064,6 +1085,7 @@ def chunk_intake_sink(
                 f"with {want} — chunk hashes are incomparable across "
                 "recipes; rebuild the index or match the config"
             )
+        _recipe_ok[0] = True
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
