@@ -178,6 +178,35 @@ def _write_watermark(
     ).write.mode("overwrite").parquet(wm_path)
 
 
+def _part_file_count(spark, path: str) -> int | None:
+    """Data-file count of an append-only directory store, via the Hadoop
+    FileSystem API so it works on every filesystem Spark can read (HDFS,
+    object stores, local) — a driver-local ``os.listdir`` probe raises on
+    anything non-POSIX (r12, VERDICT/ADVICE fix).
+
+    Returns ``None`` when the listing is unavailable (path absent, FS
+    error). Callers MUST treat ``None`` as "the watermark cannot be
+    verified" and fall back to the real count — the old probe returned 0
+    on failure, which made a marker *written* under the same failure
+    (covered_files=0) spuriously equal the re-read (0 == 0), permanently
+    trusting stale coverage and silently skipping the bloom backfill
+    (missed duplicates). The error case must never convert the safety
+    guard into unconditional trust."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        return sum(
+            1
+            for st in fs.listStatus(jpath)
+            if not st.getPath().getName().startswith(("_", "."))
+        )
+    except Exception:
+        return None
+
+
 def _read_index(spark, index_path: str, id_type: T.DataType) -> DataFrame:
     """The signature store, or a typed empty frame before the first batch
     commits (a path-not-found miss, not an error, on a fresh checkpoint)."""
@@ -313,23 +342,14 @@ def minhash_intake_sink(
         ]
     )
 
-    def _index_part_files() -> int:
-        import os
-
-        try:
-            return sum(
-                1
-                for f in os.listdir(index_path)
-                if not f.startswith(("_", "."))
-            )
-        except OSError:
-            return 0
-
     def _write_bloom_sig(spark, m: int, k: int, covered: int) -> None:
         # Python-int origin, no lineage to the marker path — overwrite is
-        # recompute-safe without a checkpoint guard
+        # recompute-safe without a checkpoint guard. covered_files stays
+        # NULL when the listing is unavailable: the next batch must NOT
+        # find a trustable-looking watermark a failed probe produced.
+        pf = _part_file_count(spark, index_path)
         spark.createDataFrame(
-            [(int(m), int(k), int(covered), int(_index_part_files()))],
+            [(int(m), int(k), int(covered), None if pf is None else int(pf))],
             _BLOOM_SIG_SCHEMA,
         ).coalesce(1).write.mode("overwrite").parquet(bloom_marker_path)
 
@@ -339,9 +359,11 @@ def minhash_intake_sink(
         trusted while the index's part-file count matches the marker's
         (append-only store, so equality means nothing landed since).
         The real count — and, when coverage lags, the full backfill —
-        only happens when the marker is missing, predates the
-        covered_files field, or the file count moved (a bloom-disabled
-        sink ran, a crash landed between commits)."""
+        happens when the marker is missing, predates the covered_files
+        field, the file count moved (a bloom-disabled sink ran, a crash
+        landed between commits), or the listing is UNAVAILABLE (None):
+        an unverifiable watermark is a stale watermark, never a current
+        one."""
         from ..operators.dedup import band_bloom_keys
         from ..operators.sketch import bloom_build, bloom_parameters
         from ..sources import versioned as V
@@ -367,9 +389,11 @@ def minhash_intake_sink(
                     "or match the config"
                 )
         have_bloom = bool(V.list_versions(bloom_path))
+        part_files = _part_file_count(spark, index_path)
         if (
             covered_files is not None
-            and covered_files == _index_part_files()
+            and part_files is not None
+            and covered_files == part_files
             and have_bloom
         ):
             n_index_rows = covered  # marker is current — no count job

@@ -2534,6 +2534,60 @@ class TestMinhashBloomFront:
         # lands as a version
         assert len(V.list_versions(base + "/index__bloom")) == 2
 
+    def test_part_file_count_none_when_unlistable(self, spark, tmp_path):
+        """The watermark probe returns None (not 0) when the store cannot
+        be listed — 0 is a *trustable-looking* count that a marker written
+        under the same failure would spuriously equal (r12 fix)."""
+        from data_etl_with_dbt_spark.streaming import intake
+
+        assert intake._part_file_count(spark, str(tmp_path / "nope")) is None
+        d = tmp_path / "store"
+        d.mkdir()
+        (d / "_SUCCESS").write_text("")
+        (d / ".part-0.crc").write_text("")
+        (d / "part-00000.parquet").write_text("x")
+        (d / "part-00001.parquet").write_text("x")
+        assert intake._part_file_count(spark, str(d)) == 2
+
+    def test_unlistable_store_never_trusts_stale_watermark(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Listing unavailable ⇒ the count-and-backfill path fires every
+        batch. Old behavior (probe returned 0 on OSError): the marker
+        recorded covered_files=0, the re-probe read 0, and 0 == 0 trusted
+        a STALE covered_rows forever — bloom false negatives (missed
+        duplicates) after any bloom-off append."""
+        from data_etl_with_dbt_spark.streaming import intake
+
+        monkeypatch.setattr(
+            intake, "_part_file_count", lambda spark, path: None
+        )
+        base = str(tmp_path / "nl")
+        fronted = intake.minhash_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            dup_ledger_path=base + "/dups", bloom_expected_keys=10_000,
+        )
+        fronted(self._docs(spark, [(1, self.A)]), 0)
+        marker = spark.read.parquet(base + "/index__bloomsig").first()
+        assert marker["covered_files"] is None  # failed probe ⇒ NULL, not 0
+        # a bloom-OFF sink appends signatures the bloom never saw — the
+        # exact staleness the watermark exists to catch
+        plain = intake.minhash_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+        )
+        plain(self._docs(spark, [(2, self.B)]), 1)
+        # a near-dup of the bloom-blind doc: only the recount + backfill
+        # flags it (a trusted stale watermark would false-negative here)
+        fronted2 = intake.minhash_intake_sink(
+            base + "/index", base + "/corpus", "id", "text",
+            dup_ledger_path=base + "/dups", bloom_expected_keys=10_000,
+        )
+        fronted2(self._docs(spark, [(20, self.B)]), 2)
+        dups = spark.read.parquet(base + "/dups").collect()
+        assert [(r.id, r.dup_of, r.dup_source) for r in dups] == [
+            (20, 2, "index")
+        ]
+
     def test_sizing_mismatch_raises(self, spark, tmp_path):
         from data_etl_with_dbt_spark.streaming.intake import (
             minhash_intake_sink,
