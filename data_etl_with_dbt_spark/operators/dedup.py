@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 # ONE tokenizer for the whole engine: cross-engine hash parity depends on
 # dedup spans/shingles tokenizing exactly like textan's stats — a local
@@ -342,9 +343,7 @@ def incremental_minhash_dedup(
     # so a long-running intake stream leaked one cached relation per
     # micro-batch. A local checkpoint materializes the same way and its
     # blocks are ContextCleaner-collected when the batch's frames drop.
-    new_sigs = sig_fn(new_docs, id_col, text_col, num_hashes, shingle).localCheckpoint(
-        eager=False
-    )
+    new_sigs = sig_fn(new_docs, id_col, text_col, num_hashes, shingle).transform(materialize)
 
     nb = _band_buckets(new_sigs, id_col, num_hashes, bands)
     ib = _band_buckets(index, id_col, num_hashes, bands)
@@ -495,7 +494,7 @@ def minhash_lsh_pairs(
     # reused the first call's materialized signatures, which let bench
     # timings skip the signature stage entirely.)
     sig_fn = minhash_signatures_arrow if signature_impl == "arrow" else minhash_signatures
-    sigs = sig_fn(df, id_col, text_col, num_hashes, shingle).localCheckpoint(eager=False)
+    sigs = sig_fn(df, id_col, text_col, num_hashes, shingle).transform(materialize)
 
     banded = _band_buckets(sigs, id_col, num_hashes, bands)
 
@@ -511,7 +510,7 @@ def minhash_lsh_pairs(
         .distinct()
         # three consumers below (the id union + two verify joins) and no
         # cross-consumer CSE — materialize the candidate pairs once
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
     # Verify on candidates only: join back to the corpus and recompute
@@ -532,7 +531,7 @@ def minhash_lsh_pairs(
         .select(
             F.col(id_col), _shingles(_tokens(F.col(text_col)), shingle).alias("sh")
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     verified = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -608,9 +607,7 @@ def ngram_jaccard_pairs(
     # 6.6 s -> 5.5 s at sf0.1, identical pairs). At 100 TB you'd
     # checkpoint postings to a table between stages; localCheckpoint is
     # the in-session equivalent (the minhash-signature precedent).
-    posts = sh.select("id", "sz", F.explode("grams").alias("g")).localCheckpoint(
-        eager=False
-    )
+    posts = sh.select("id", "sz", F.explode("grams").alias("g")).transform(materialize)
     size_ok = F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
 
     if prefix_filter:
@@ -687,9 +684,7 @@ def ngram_containment_pairs(
     ).select("id", "grams", F.size("grams").alias("sz"))
     # both self-join sides read the postings — checkpoint once (r11; see
     # ngram_jaccard_pairs)
-    posts = sh.select("id", "sz", F.explode("grams").alias("g")).localCheckpoint(
-        eager=False
-    )
+    posts = sh.select("id", "sz", F.explode("grams").alias("g")).transform(materialize)
     a = posts.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
     b = posts.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
     shared = (
@@ -781,7 +776,7 @@ def hamming_near_pairs(
     # checkpoint-signatures-to-a-table posture at any scale (r11). The
     # projection first keeps any extra caller columns out of the
     # materialization.
-    fps = fps.select(id_col, fp_col).localCheckpoint(eager=False)
+    fps = fps.select(id_col, fp_col).transform(materialize)
     width = bits // nbands
     banded = fps.select(
         id_col,
@@ -870,7 +865,7 @@ def dedup_clusters(
     # stages that BENCH_NOTES prescribes.
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     labels = docs.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
 
     for _ in range(max_iter):
@@ -893,7 +888,7 @@ def dedup_clusters(
                     "__chg"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
         converged = new_labels.where(F.col("__chg")).limit(1).isEmpty()
         labels = new_labels.drop("__chg")
@@ -1348,7 +1343,7 @@ def incremental_exact_substring_regions(
     w = Window.partitionBy("__key").orderBy(id_col, "__i")
     ranked = pos.withColumn("__rn", F.row_number().over(w))
     if checkpoint:
-        ranked = ranked.localCheckpoint(eager=False)
+        ranked = ranked.transform(materialize)
     idx = index.select(
         F.col("span_hash").alias("__key"), F.lit(True).alias("__seen")
     ).dropDuplicates(["__key"])
@@ -1577,7 +1572,7 @@ def incremental_ngram_df_prune(
         .unionByName(batch_df)
         .groupBy("__span")
         .agg(F.sum("df").cast("bigint").alias("df"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     bp = updated.where(F.col("df") >= min_df).select(
         "__span", F.lit(True).alias("__bp")

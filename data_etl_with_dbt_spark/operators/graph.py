@@ -17,6 +17,7 @@ Driver-side state is two scalars (node count, dangling mass) per round.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 
 def pagerank(
@@ -47,13 +48,13 @@ def pagerank(
         e = e.unionByName(
             edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
         )
-    e = e.distinct().localCheckpoint(eager=True)
+    e = e.distinct().transform(materialize, eager=True)
 
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -65,7 +66,7 @@ def pagerank(
     out_deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("out_deg"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -100,7 +101,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
     return ranks
 
@@ -162,7 +163,7 @@ def clustering_coefficients(
     e = _canonical_edges(edges, src, dst)
     # e feeds both the degree count and the triangle enumeration — cut the
     # lineage once (no cross-consumer CSE in Catalyst)
-    e = e.localCheckpoint(eager=False)
+    e = e.transform(materialize)
     deg = (
         e.select(F.col("u").alias("id"))
         .unionAll(e.select(F.col("v").alias("id")))

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from data_etl_with_dbt_spark.materialize import materialize
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -369,7 +370,7 @@ def embedding_near_dup_pairs(
     # n_planes x n_bands interpreted folds on the JVM path) ran TWICE
     # over the corpus (r11; no cross-consumer CSE). Bucket rows are
     # (id, band, bucket) — corpus x n_bands longs, cheap to pin.
-    c = c.localCheckpoint(eager=False)
+    c = c.transform(materialize)
     candidates = (
         c.alias("x")
         .join(
@@ -855,7 +856,7 @@ def centroid_outliers(
     ).withColumn("x", F.col("x").cast("double"))
     cent = pos.groupBy(label_col, "dim").agg(
         F.avg("x").cast("decimal(38,6)").cast("double").alias("c")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     dev = pos.join(F.broadcast(cent), [label_col, "dim"])
     dist = dev.groupBy(id_col, label_col).agg(
         F.sum(
@@ -1155,7 +1156,7 @@ def ann_recall_report(
             ).alias("recall"),
         )
     )
-    per = per.localCheckpoint(eager=False)  # two consumers below
+    per = per.transform(materialize)  # two consumers below
     overall = per.agg(
         F.lit("ALL").alias(query_id_col), F.avg("recall").alias("recall")
     )

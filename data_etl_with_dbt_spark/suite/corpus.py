@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize, spread_small
 
 from data_etl_with_dbt_spark.operators import dedup as D
 from data_etl_with_dbt_spark.operators import relational as R
@@ -247,7 +248,7 @@ def vocab_coverage_topk(spark, sf_dir):
     terms = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     # top-k AND the scalar total both consume terms: checkpoint the
     # vocab-sized count table so the corpus explode+agg runs once
-    terms = terms.localCheckpoint(eager=False)
+    terms = terms.transform(materialize)
     top = terms.orderBy(F.col("c").desc(), F.col("term")).limit(100)
     tot = terms.agg(F.sum("c").alias("t"))
     order = [F.col("c").desc(), F.col("term")]
@@ -498,8 +499,8 @@ def exact_substring_dedup_cut(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .distinct()
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
+        .transform(spread_small)
+        .transform(materialize)
     )
     regions = D.exact_substring_regions(docs, "doc_id", "text", span_tokens=10)
     out = D.remove_duplicate_regions(docs, regions, "doc_id", "text")
@@ -533,8 +534,8 @@ def incremental_substring_regions(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .distinct()
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
+        .transform(spread_small)
+        .transform(materialize)
     )
     index = spark.createDataFrame([], "span_hash bigint")
     outs = []
@@ -548,7 +549,7 @@ def incremental_substring_regions(spark, sf_dir):
         outs.append(regions)
         index = index.unionByName(
             new_hashes.select("span_hash")
-        ).localCheckpoint(eager=True)
+        ).transform(materialize, eager=True)
     merged = outs[0].unionByName(outs[1]).unionByName(outs[2])
     return merged.select(
         big(F.col("doc_id")).alias("doc_id"),
@@ -588,7 +589,7 @@ def streaming_substring_cut(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     base = tempfile.mkdtemp(prefix="substream_")
     sink = substring_intake_sink(
@@ -635,7 +636,7 @@ def streaming_substring_bloom_cut(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     base = tempfile.mkdtemp(prefix="subbloom_")
     plain = substring_intake_sink(
@@ -937,7 +938,7 @@ def streaming_sentence_cut(spark, sf_dir):
 
     # one synthesis shared by the three batch jobs — checkpoint only,
     # no repartition (r11 A/B; see streaming_substring_cut)
-    docs = _synth_sentence_docs(spark, sf_dir).localCheckpoint(eager=False)
+    docs = _synth_sentence_docs(spark, sf_dir).transform(materialize)
     base = tempfile.mkdtemp(prefix="sentstream_")
     sink = substring_intake_sink(
         base + "/index", base + "/corpus", "doc_id", "text",
@@ -975,7 +976,7 @@ def streaming_paragraph_cut(spark, sf_dir):
 
     # one synthesis shared by the three batch jobs — checkpoint only,
     # no repartition (r11 A/B; see streaming_substring_cut)
-    docs = _synth_paragraph_docs(spark, sf_dir).localCheckpoint(eager=False)
+    docs = _synth_paragraph_docs(spark, sf_dir).transform(materialize)
     base = tempfile.mkdtemp(prefix="parastream_")
     sink = substring_intake_sink(
         base + "/index", base + "/corpus", "doc_id", "text",
@@ -1625,7 +1626,7 @@ def streaming_curated_intake(spark, sf_dir):
 
     # one synthesis shared by the three batch jobs — checkpoint only,
     # no repartition (r11 A/B; see streaming_substring_cut)
-    docs = _synth_hyg_docs(spark, sf_dir).localCheckpoint(eager=False)
+    docs = _synth_hyg_docs(spark, sf_dir).transform(materialize)
     base = tempfile.mkdtemp(prefix="curstream_")
     gate = hygiene_intake_sink(
         base + "/survivors", "doc_id", "text",
@@ -2272,7 +2273,7 @@ def streaming_chunk_dedup(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     base = tempfile.mkdtemp(prefix="chunkstream_")
     sink = chunk_intake_sink(
@@ -2361,7 +2362,7 @@ def cms_token_counts(spark, sf_dir):
     toks = (
         load(spark, sf_dir, "documents")
         .select(F.explode(TA.tokens_expr(F.col("text"))).alias("token"))
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
     cms = cms_build(toks, "token", depth=4, width=4096)
     distinct = toks.distinct()
@@ -2570,7 +2571,7 @@ def length_bucketed_batches(spark, sf_dir):
     # corpus-sized stage — would run twice without the cut
     toks = docs.select(
         "doc_id", F.size(TA.tokens_expr(F.col("text"))).cast("bigint").alias("n_tokens")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     cuts = toks.agg(
         *[
             F.expr(
@@ -2727,7 +2728,7 @@ def part_entity_clusters(spark, sf_dir):
         load(spark, sf_dir, "part")
         .select("p_partkey", "p_name", "p_brand")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     resolved = resolve_entities(
         part, "p_brand", "p_partkey", "p_name", max_dist=2,
@@ -2804,13 +2805,19 @@ def curation_decisions(spark, sf_dir):
     # tiny fixture shuffle to ~1 partition, serializing every downstream
     # per-doc CPU stage — the same unsplittable-fixture trap the suite's
     # shuffle_parallelism knobs exist for; keyless round-robin survives
-    # AQE, a hash repartition here would be re-coalesced).
+    # AQE, a hash repartition here would be re-coalesced). r12: the spread
+    # is CONDITIONAL (spread_small fires only when the relation is
+    # estimated fixture-small — at warehouse scale the distinct's own
+    # partitioning already spreads it and an extra corpus shuffle would be
+    # pure waste), and the materialization goes through the materialize()
+    # scale-seam (localCheckpoint here, versioned table beyond the size
+    # threshold).
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .distinct()
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
+        .transform(spread_small)
+        .transform(materialize)
     )
     g = TA.gopher_quality_flags(
         docs, "doc_id", "text",
@@ -3001,8 +3008,8 @@ def curation_decisions_full(spark, sf_dir):
     # per-doc CPU off the LIMIT's single partition (see curation_decisions)
     docs = (
         _synth_hyg_docs(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
+        .transform(spread_small)
+        .transform(materialize)
     )
     hs = TA.hygiene_signals(docs, "doc_id", "text", min_sentences=3)
     hyg = hs.select(

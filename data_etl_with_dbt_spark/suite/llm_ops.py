@@ -7,6 +7,7 @@ an exact oracle-checked baseline computing the same relation."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 from data_etl_with_dbt_spark.operators import dedup as D
 from data_etl_with_dbt_spark.operators import similarity as S
@@ -177,9 +178,7 @@ def dedup_incremental_minhash(spark, sf_dir):
     # scoring); a persist here was a CacheManager entry nothing ever
     # unpersisted — it accumulated across calls in one session and let
     # repeat runs silently reuse the first run's signatures
-    index = D.minhash_signatures(existing, "doc_id", "text", 32, 3).localCheckpoint(
-        eager=False
-    )
+    index = D.minhash_signatures(existing, "doc_id", "text", 32, 3).transform(materialize)
     verdicts = D.incremental_minhash_dedup(
         docs.where(is_batch), index, id_col="doc_id", text_col="text",
         num_hashes=32, bands=8, shingle=3, threshold=0.5,
@@ -831,7 +830,7 @@ def dedup_cluster_assignment(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     pairs = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.5,
@@ -1249,7 +1248,7 @@ def dedup_soft_weights(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     pairs = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.5,
@@ -1660,7 +1659,7 @@ def learned_embedding_ann(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     model = train_doc_embeddings(docs, dim=16, min_count=2, max_iter=2, seed=42)
-    emb = embed_documents(model, docs).localCheckpoint(eager=False)
+    emb = embed_documents(model, docs).transform(materialize)
     probes = emb.where(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), "embedding"
     )
@@ -1822,7 +1821,7 @@ def learned_embedding_invariants(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()
     model = train_doc_embeddings(docs, dim=16, min_count=2, max_iter=2, seed=42)
-    emb = embed_documents(model, docs).localCheckpoint(eager=False)
+    emb = embed_documents(model, docs).transform(materialize)
     dims_ok = int(emb.where(F.size("embedding") != 16).count() == 0)
     # zero-norm embeddings (docs with no in-vocab tokens) make cosine NaN,
     # and Spark orders NaN above every double — exclude them from corpus

@@ -17,6 +17,7 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 from data_etl_with_dbt_spark.suite.registry import big, dec6, dsum, load, query
 
@@ -559,7 +560,7 @@ def cdc_debezium_apply_orders(spark, sf_dir):
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     row_struct = F.struct("o_orderkey", "o_totalprice", "o_orderstatus")
     null_row = F.lit(None).cast(
@@ -662,7 +663,7 @@ def cdc_strict_seq_replication(spark, sf_dir):
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     row_struct = F.struct("o_orderkey", "o_totalprice", "o_orderstatus")
     null_row = F.lit(None).cast(
