@@ -19,7 +19,8 @@ OPTIMIZATION_r11.md with numbers under BOTH methodologies):
   (r10's artifact recorded 17.36 s at 87.6 CPU-s steal vs 14.85 s at 2.8
   on the same tree). The suite now re-runs (up to ``BENCH_MAX_ATTEMPTS``)
   while the measured steal of the attempt exceeds ``QUIET_STEAL_CPU_S``,
-  and the printed artifact is the attempt with the smallest total;
+  and the printed artifact merges attempts PER QUERY (min across
+  attempts — r12, matching the documented per-query-min methodology);
   per-attempt steal goes to stderr. The stdout JSON schema is unchanged.
 * **Session cache cleared before every timed run**: operators that
   ``persist()`` an intermediate (MinHash signatures) leave it in the
@@ -65,7 +66,10 @@ def _steal_jiffies() -> int | None:
 # suite attempt; 15 is the contamination threshold the r10 verdict set
 # (artifact-vs-quiet divergence became material above it).
 QUIET_STEAL_CPU_S = 15.0
-BENCH_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+# clamp: <=0 would run nothing and crash on best_timings=None (r12 ADVICE)
+BENCH_MAX_ATTEMPTS = max(
+    1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+)
 
 
 def run_suite(spark, bench_queries, sf_dir) -> dict[str, float]:
@@ -109,8 +113,16 @@ def main():
             f"bench attempt={attempt} total={total} steal_cpu_s={steal}",
             file=sys.stderr,
         )
-        if best_timings is None or total < sum(best_timings.values()):
+        # merge attempts PER QUERY (r12 ADVICE): keeping one attempt
+        # wholesale preserved steal-contaminated numbers for queries
+        # another attempt measured cleaner — the documented methodology
+        # is the per-query min ACROSS runs, which min-of-mins restores
+        if best_timings is None:
             best_timings = timings
+        else:
+            best_timings = {
+                q: min(best_timings[q], timings[q]) for q in timings
+            }
         if steal is not None and steal < QUIET_STEAL_CPU_S:
             break  # quiet window: this attempt is trustworthy
 
