@@ -40,7 +40,12 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     gopher_quality_flags pattern, SPARK-36718 keeps the non-cheap alias
     from re-inlining): interpreted higher-order expressions get no CSE, so
     embedding the tokenize in each of the six stats would re-split every
-    row that many times.
+    row that many times. The same rule applies ONE LEVEL UP (r12): the
+    expensive DERIVED scalars (the ``array_distinct``, the stopword
+    ``filter``, the length fold — each an O(tokens) interpreted eval) are
+    staged into their own projection, so the ratio/score columns reference
+    scalar columns instead of re-inlining the folds per output column
+    (before: array_distinct 3x, stopword filter 2x per row).
     """
     base = df.select(
         F.col(id_col),
@@ -48,23 +53,33 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         tokens_expr(F.col(text_col)).alias("__t"),
     )
     toks = F.col("__t")
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    n_chars = F.col("__chars")
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in QUALITY_STOPWORDS]))
+    scalars = base.select(
+        F.col(id_col),
+        F.col("__chars"),
+        F.size(toks).alias("__n"),
+        F.size(F.array_distinct(toks)).alias("__nd"),
+        F.size(
+            F.filter(
+                toks, lambda t: t.isin(*[F.lit(s) for s in QUALITY_STOPWORDS])
+            )
+        ).alias("__sh"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("__sumlen"),
     )
+    n_tokens = F.col("__n")
+    n_distinct = F.col("__nd")
+    n_chars = F.col("__chars")
+    stop_hits = F.col("__sh")
     stopword_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
     diversity = F.when(n_tokens > 0, n_distinct / n_tokens).otherwise(F.lit(0.0))
     len_ok = F.when((n_chars >= 30) & (n_chars <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
     stop_signal = F.least(stopword_ratio / F.lit(0.4), F.lit(1.0))
     quality = (len_ok + diversity + stop_signal) / F.lit(3.0)
     avg_token_len = F.when(
-        n_tokens > 0,
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-        / n_tokens,
+        n_tokens > 0, F.col("__sumlen") / n_tokens
     ).otherwise(F.lit(0.0))
-    return base.select(
+    return scalars.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -1439,27 +1454,40 @@ def gopher_quality_flags(
     sw = stopwords if stopwords is not None else QUALITY_STOPWORDS
     toks = tokens_expr(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("__t"))
-    n = F.size("__t")
-    n_distinct = F.size(F.array_distinct("__t"))
-    # one fold, not transform-then-sum: higher-order fns are interpreted
-    mean_len = F.when(
-        n > 0,
+    # r12: stage the derived SCALARS into their own projection —
+    # per-output-column re-inlining otherwise re-ran the length fold 3x,
+    # array_distinct 4x and the stopword filter 2x per row (interpreted
+    # O(tokens) evals; same rule as __t itself). array_distinct still
+    # runs twice here, deliberately: staging the distinct ARRAY as its
+    # own column measured 30% SLOWER (the extra projection boundary
+    # copies both token arrays through every row), while scalar-only
+    # staging keeps the row narrow.
+    scalars = base.select(
+        F.col(id_col),
+        F.size("__t").alias("__n"),
+        F.size(F.array_distinct("__t")).alias("__ndl"),
+        # one fold, not transform-then-sum: higher-order fns are interpreted
         F.aggregate(
             "__t", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-        ).cast("double")
-        / n.cast("double"),
+        ).alias("__sumlen"),
+        F.size(
+            F.filter(
+                F.array_distinct("__t"),
+                lambda t: t.isin(*[F.lit(s) for s in sw]),
+            )
+        ).alias("__nstop"),
+    )
+    n = F.col("__n")
+    n_distinct = F.col("__ndl")
+    mean_len = F.when(
+        n > 0, F.col("__sumlen").cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))
     dup_frac = F.when(
         n > 0,
         F.lit(1.0) - n_distinct.cast("double") / n.cast("double"),
     ).otherwise(F.lit(0.0))
-    n_stop = F.size(
-        F.filter(
-            F.array_distinct("__t"),
-            lambda t: t.isin(*[F.lit(s) for s in sw]),
-        )
-    )
-    out = base.select(
+    n_stop = F.col("__nstop")
+    out = scalars.select(
         F.col(id_col),
         n.cast("bigint").alias("n_words"),
         mean_len.alias("mean_word_len"),
