@@ -636,10 +636,32 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("shared"))
         )
     else:
-        a = posts.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
-        b = posts.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+        # r12: the self-join keys on xxhash64(gram) — an 8-byte long
+        # instead of the gram string — so the postings shuffle carries
+        # ~40% fewer bytes and the join compares longs. Exactness is kept
+        # by construction, not by hoping hashes don't collide: a collision
+        # can only MERGE distinct grams, so the hash-side shared count is
+        # >= the true count and hash-jaccard >= true jaccard (monotone in
+        # shared) — the hash-filtered pairs are a SUPERSET of the true
+        # pairs. A verify stage then re-counts shared grams on the
+        # STRINGS, restricted to candidates (the prefix_filter branch's
+        # verify shape), and the final threshold runs on the exact count.
+        ph = posts.select("id", "sz", F.xxhash64("g").alias("gh"))
+        a = ph.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "gh")
+        b = ph.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "gh")
+        jac_h = F.col("shared_h") / (F.col("sz_a") + F.col("sz_b") - F.col("shared_h"))
+        cand = (
+            a.join(b, (a.gh == b.gh) & (F.col("id_a") < F.col("id_b")) & size_ok)
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("shared_h"))
+            .where(jac_h >= threshold)
+            .select("id_a", "id_b", "sz_a", "sz_b")
+        )
+        va = posts.select(F.col("id").alias("id_a"), "g")
+        vb = posts.select(F.col("id").alias("id_b"), "g")
         shared = (
-            a.join(b, (a.g == b.g) & (F.col("id_a") < F.col("id_b")) & size_ok)
+            va.join(cand, "id_a")
+            .join(vb, ["id_b", "g"])
             .groupBy("id_a", "id_b", "sz_a", "sz_b")
             .agg(F.count(F.lit(1)).alias("shared"))
         )
@@ -685,10 +707,27 @@ def ngram_containment_pairs(
     # both self-join sides read the postings — checkpoint once (r11; see
     # ngram_jaccard_pairs)
     posts = sh.select("id", "sz", F.explode("grams").alias("g")).transform(materialize)
-    a = posts.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
-    b = posts.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+    # r12: hash-keyed self-join + exact string verify on the candidate
+    # pairs (see ngram_jaccard_pairs) — collisions only merge grams, so
+    # hash-side containment >= true containment and the candidate set is
+    # a superset; the exact recount keeps the emitted relation identical.
+    ph = posts.select("id", "sz", F.xxhash64("g").alias("gh"))
+    a = ph.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "gh")
+    b = ph.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "gh")
+    ch_a = F.col("shared_h") / F.col("sz_a")
+    ch_b = F.col("shared_h") / F.col("sz_b")
+    cand = (
+        a.join(b, (a.gh == b.gh) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("shared_h"))
+        .where(F.greatest(ch_a, ch_b) >= threshold)
+        .select("id_a", "id_b", "sz_a", "sz_b")
+    )
+    va = posts.select(F.col("id").alias("id_a"), "g")
+    vb = posts.select(F.col("id").alias("id_b"), "g")
     shared = (
-        a.join(b, (a.g == b.g) & (F.col("id_a") < F.col("id_b")))
+        va.join(cand, "id_a")
+        .join(vb, ["id_b", "g"])
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
