@@ -1713,11 +1713,14 @@ def save_merges(spark, merges: list[dict], path: str) -> None:
     ``step``) — the tokenizer-as-table convention: the artifact is engine
     data, loadable by any reader, diffable, and versionable alongside the
     corpus it was trained on (mirrors ml/pipeline's model artifacts)."""
-    df = spark.createDataFrame(
+    from data_etl_with_dbt_spark.sources.io import driver_rows_df
+
+    df = driver_rows_df(
+        spark,
         [(m["step"], m["left"], m["right"], m["merged"], int(m["cnt"])) for m in merges],
         "step bigint, left string, right string, merged string, cnt bigint",
     )
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").parquet(path)
 
 
 def load_merges(spark, path: str) -> list[dict]:

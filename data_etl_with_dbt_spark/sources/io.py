@@ -27,6 +27,24 @@ TESTDATA_TABLES = [
 ]
 
 
+def driver_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """A DataFrame from a small driver-local row list, in ONE partition.
+
+    ``spark.createDataFrame(list)`` parallelizes the list into
+    ``defaultParallelism`` slices, and each slice costs one Python-worker
+    round trip to evaluate. A single-task consumer — the ``coalesce(1)``
+    marker/watermark writes all the streaming sinks do per batch — then
+    pays those round trips SERIALLY: measured ~4 s per ONE-ROW marker
+    write at local[32] (~125 ms x 32 slices), and the cost grows with
+    the core count, which is exactly backwards. One slice makes it one
+    round trip (0.25 s measured), and metadata relations are tiny by
+    construction, so one partition is also the right output shape.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from pyspark.errors import AnalysisException
 
 from ..operators.dedup import incremental_minhash_dedup
+from ..sources.io import driver_rows_df
 
 
 def _parquet_or_none(spark, path: str, schema: T.StructType | None = None):
@@ -173,8 +174,8 @@ def _write_watermark(
     }
     if wm is not None and new_wm == wm:
         hashes |= boundary
-    spark.createDataFrame(
-        [(int(new_wm), int(h)) for h in sorted(hashes)], _WM_SCHEMA
+    driver_rows_df(
+        spark, [(int(new_wm), int(h)) for h in sorted(hashes)], _WM_SCHEMA
     ).write.mode("overwrite").parquet(wm_path)
 
 
@@ -303,9 +304,9 @@ def minhash_intake_sink(
             return
         marker = _parquet_or_none(spark, sig_marker_path, _SIG_SCHEMA)
         if marker is None:
-            spark.createDataFrame(
-                [(signature_impl, int(num_hashes), int(shingle))], _SIG_SCHEMA
-            ).coalesce(1).write.mode("overwrite").parquet(sig_marker_path)
+            driver_rows_df(
+                spark, [(signature_impl, int(num_hashes), int(shingle))], _SIG_SCHEMA
+            ).write.mode("overwrite").parquet(sig_marker_path)
             _recipe_ok[0] = True
             return
         row = marker.first()
@@ -348,10 +349,11 @@ def minhash_intake_sink(
         # NULL when the listing is unavailable: the next batch must NOT
         # find a trustable-looking watermark a failed probe produced.
         pf = _part_file_count(spark, index_path)
-        spark.createDataFrame(
+        driver_rows_df(
+            spark,
             [(int(m), int(k), int(covered), None if pf is None else int(pf))],
             _BLOOM_SIG_SCHEMA,
-        ).coalesce(1).write.mode("overwrite").parquet(bloom_marker_path)
+        ).write.mode("overwrite").parquet(bloom_marker_path)
 
     def _bloom_setup(spark, index: DataFrame):
         """Resolve (words, m, k, n_index_rows) for this batch. Steady
@@ -890,9 +892,9 @@ def substring_intake_sink(
     def _write_bloom_sig(spark, m: int, k: int, covered: int) -> None:
         # data originates as Python ints (no lineage to the marker path),
         # so overwrite is recompute-safe without a checkpoint guard
-        spark.createDataFrame(
-            [(int(m), int(k), int(covered))], _BLOOM_SIG_SCHEMA
-        ).coalesce(1).write.mode("overwrite").parquet(bloom_marker_path)
+        driver_rows_df(
+            spark, [(int(m), int(k), int(covered))], _BLOOM_SIG_SCHEMA
+        ).write.mode("overwrite").parquet(bloom_marker_path)
 
     def _bloom_setup(spark, index: DataFrame, latest_index_version: int):
         """Resolve (word_table, m, k) for this batch, backfilling from the
@@ -947,9 +949,9 @@ def substring_intake_sink(
             return
         marker = _parquet_or_none(spark, recipe_marker_path, _RECIPE_SCHEMA)
         if marker is None:
-            spark.createDataFrame(
-                [(int(span_tokens), unit)], _RECIPE_SCHEMA
-            ).coalesce(1).write.mode("overwrite").parquet(recipe_marker_path)
+            driver_rows_df(
+                spark, [(int(span_tokens), unit)], _RECIPE_SCHEMA
+            ).write.mode("overwrite").parquet(recipe_marker_path)
             _recipe_ok[0] = True
             return
         row = marker.first()
@@ -1094,9 +1096,9 @@ def chunk_intake_sink(
             return
         marker = _parquet_or_none(spark, recipe_marker_path, _RECIPE_SCHEMA)
         if marker is None:
-            spark.createDataFrame(
-                [(int(chunk_tokens), int(stride))], _RECIPE_SCHEMA
-            ).coalesce(1).write.mode("overwrite").parquet(recipe_marker_path)
+            driver_rows_df(
+                spark, [(int(chunk_tokens), int(stride))], _RECIPE_SCHEMA
+            ).write.mode("overwrite").parquet(recipe_marker_path)
             _recipe_ok[0] = True
             return
         row = marker.first()
@@ -1316,10 +1318,11 @@ def drift_monitor_sink(
             if n:
                 max_dev = max(max_dev, abs(o / n - p))
         alarm = bool(n >= n_bins and chi2 > chi2_alarm)
-        spark.createDataFrame(
+        driver_rows_df(
+            spark,
             [(int(batch_id), int(n), float(chi2), float(max_dev), alarm)],
             "batch_id long, n_rows long, chi_square double, max_bin_dev double, alarm boolean",
-        ).coalesce(1).write.mode("append").parquet(ledger_path)
+        ).write.mode("append").parquet(ledger_path)
 
     return process
 
