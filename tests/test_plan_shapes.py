@@ -17,12 +17,12 @@ def plan_of(spark, name: str) -> str:
 
 
 def _spread_scan_fires(spark, table: str) -> bool:
-    """The exact condition registry.spread_scan uses: fewer scan splits
-    than the session has cores."""
+    """The exact condition registry.spread_scan uses (same predicate)."""
     from data_etl_with_dbt_spark.sources.io import read_parquet
+    from data_etl_with_dbt_spark.suite.registry import spread_scan_fires
 
     df = read_parquet(spark, f"{SF_DIR}/{table}.parquet")
-    return df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    return spread_scan_fires(df, spark)
 
 
 def test_q1_partial_aggregation_and_pushdown(spark):
