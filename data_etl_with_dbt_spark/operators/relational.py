@@ -11,6 +11,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 
 def asof_join(
@@ -412,7 +413,7 @@ def global_row_index(
     # the per-bucket counts AND the final window both consume bucketed;
     # Catalyst won't CSE a shared subtree across two consumers, so without
     # a lineage cut the full input plan runs twice per action
-    bucketed = df.withColumn("__bucket", bucket).localCheckpoint(eager=False)
+    bucketed = df.withColumn("__bucket", bucket).transform(materialize)
 
     counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -455,7 +456,7 @@ def skew_stats(
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
     # top-k and the scalar total both consume counts: checkpoint so the
     # key agg runs once (no cross-consumer CSE)
-    counts = counts.localCheckpoint(eager=False)
+    counts = counts.transform(materialize)
     total = counts.agg(F.sum("key_rows").alias("__total"))
     top = counts.orderBy(F.col("key_rows").desc(), *key_cols).limit(top_k)
     share = F.col("key_rows").cast("double") / F.col("__total").cast("double")

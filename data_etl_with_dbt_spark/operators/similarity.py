@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from data_etl_with_dbt_spark.materialize import materialize
+from data_etl_with_dbt_spark.sources.io import driver_rows_df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -473,7 +474,11 @@ def ivf_topk(
         d = ((centroids - qv) ** 2).sum(axis=1)
         for cell in np.argsort(d, kind="stable")[:n_probe]:
             probe_rows.append((r[0], list(r[1]), int(cell)))
-    probes = spark.createDataFrame(
+    # one slice: the list is driver-local metadata feeding a broadcast
+    # build — default parallelize slices pay one Python-worker round trip
+    # each at collect time (sources.io.driver_rows_df, r12)
+    probes = driver_rows_df(
+        spark,
         probe_rows,
         T.StructType(
             [
@@ -583,7 +588,8 @@ def _codebook_df(spark, codebooks) -> DataFrame:
         for b, book in enumerate(codebooks)
         for c, centroid in enumerate(book)
     ]
-    return spark.createDataFrame(rows, "block int, code int, centroid array<double>")
+    # one slice — broadcast-side metadata (see ivf_topk's probes)
+    return driver_rows_df(spark, rows, "block int, code int, centroid array<double>")
 
 
 def pq_encode(
@@ -668,7 +674,9 @@ def pq_topk(
             d2 = ((books[b] - sub) ** 2).sum(axis=1)
             for c, dist in enumerate(d2):
                 table_rows.append((r[0], b, int(c), float(dist)))
-    tables = spark.createDataFrame(
+    # one slice — broadcast-side metadata (see ivf_topk's probes)
+    tables = driver_rows_df(
+        spark,
         table_rows,
         T.StructType(
             [

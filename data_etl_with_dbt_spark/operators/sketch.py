@@ -34,6 +34,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 
 def bloom_parameters(expected_keys: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -436,7 +437,7 @@ def kmv_intersect_estimate(
         .crossJoin(theta(b).withColumnRenamed("theta", "theta_b"))
         .select(F.least("theta", "theta_b").alias("theta"))
     )
-    th = th.localCheckpoint(eager=False)  # two consumers; no cross-consumer CSE
+    th = th.transform(materialize)  # two consumers; no cross-consumer CSE
     common = a.select("h").intersect(b.select("h"))
     cnt = (
         common.crossJoin(F.broadcast(th))

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 #: Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -693,7 +694,7 @@ def bm25_scores(
             for i, t in enumerate(query_terms)
         ],
     )
-    per_doc = per_doc.localCheckpoint(eager=True)
+    per_doc = per_doc.transform(materialize, eager=True)
     corpus = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
@@ -834,7 +835,7 @@ def tfidf_top_terms(
     tf = postings.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # dfreq and the ranked main path both consume tf: checkpoint so the
     # postings explode+agg runs once (no cross-consumer CSE)
-    tf = tf.localCheckpoint(eager=False)
+    tf = tf.transform(materialize)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
@@ -984,7 +985,7 @@ def gopher_repetition_signals(
     toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(d, toks.alias("__t"))
     if checkpoint:
-        base = base.localCheckpoint(eager=False)
+        base = base.transform(materialize)
     n_tokens = base.select(
         d, F.size("__t").cast("bigint").alias("n_tokens")
     )
@@ -1306,7 +1307,7 @@ def temperature_mixture_sample(
     # does not CSE shared subtrees across consumers, so without truncation
     # the corpus-sized token-count agg would execute twice. It's one row per
     # domain — checkpoint it (lazy: materializes on first use).
-    totals = totals.withColumn("__w", w).localCheckpoint(eager=False)
+    totals = totals.withColumn("__w", w).transform(materialize)
     # cross-row sum of doubles -> exact decimal accumulation (dsum rule)
     wsum = totals.agg(
         F.sum(F.col("__w").cast("decimal(18,6)")).cast("double").alias("__wsum")
@@ -1545,7 +1546,7 @@ def unigram_logprob_score(
     vocab = (
         postings.groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     total = vocab.agg(F.sum("__c").alias("__n"))
     logp = (
@@ -1640,7 +1641,7 @@ def train_bpe(
             "c",
             F.filter(F.split("word", ""), lambda ch: ch != "").alias("sym"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
     merges: list[dict] = []
     for step_i in range(num_merges):
@@ -1679,7 +1680,7 @@ def train_bpe(
         )
         words = words.withColumn(
             "sym", _merge_pair_expr(F.col("sym"), best.l, best.r)
-        ).localCheckpoint(eager=True)
+        ).transform(materialize, eager=True)
     return merges
 
 
@@ -1704,7 +1705,7 @@ def bpe_segment(
             "sym", _merge_pair_expr(F.col("sym"), m["left"], m["right"])
         )
         if i % checkpoint_every == 0:
-            out = out.localCheckpoint(eager=False)
+            out = out.transform(materialize)
     return out
 
 
@@ -1780,7 +1781,7 @@ def bpe_encode(
         F.col(id_col),
         F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "word"),
     ).where(F.length("word") >= min_word_len)
-    stream = stream.localCheckpoint(eager=True)
+    stream = stream.transform(materialize, eager=True)
     words = stream.select("word").distinct()
     segmented = bpe_segment(words, "word", merges)
     vocab = bpe_vocab(segmented)
@@ -2088,7 +2089,7 @@ def train_unigram_lm(
 
     if num_iters < 1:
         raise ValueError("num_iters must be >= 1 (the prune reads E-step counts)")
-    words = _word_table(df, text_col, min_word_len).localCheckpoint(eager=True)
+    words = _word_table(df, text_col, min_word_len).transform(materialize, eager=True)
     seeds = unigram_seed_pieces(words, max_piece_len, seed_size).collect()
     total_w = sum(r.w for r in seeds)
     logp = {r.piece: math.log(r.w / total_w) for r in seeds}
@@ -2149,7 +2150,7 @@ def unigram_encode(
         F.col(id_col),
         F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "word"),
     ).where(F.length("word") >= min_word_len)
-    stream = stream.localCheckpoint(eager=True)
+    stream = stream.transform(materialize, eager=True)
     segmented = unigram_segment(stream.select("word").distinct(), logp, max_len)
     # piece→id as a 1-row map_from_entries frame (bpe_encode's convention):
     # a map LITERAL of a 32k-piece vocab would be a 64k-argument expression

@@ -297,7 +297,11 @@ def minhash_intake_sink(
 
     _recipe_ok = [False]  # memo: one sink closure = one fixed recipe, so
     # the marker needs validating (or writing) exactly once — later batches
-    # in the same stream skipped 1 driver-side parquet read each (r11)
+    # in the same stream skipped 1 driver-side parquet read each (r11).
+    # Caveat (r12, ADVICE): the memo means a mid-stream index REBUILD
+    # (delete + recreate under a different recipe) is not re-detected by a
+    # live sink closure — rebuilding an index requires recreating the sink
+    # closures that append to it.
 
     def _check_signature_recipe(spark) -> None:
         if _recipe_ok[0]:
@@ -942,7 +946,9 @@ def substring_intake_sink(
         return words, m, k
 
     _recipe_ok = [False]  # memo: one sink closure = one fixed recipe —
-    # validate (or write) the marker once, not one parquet read per batch
+    # validate (or write) the marker once, not one parquet read per batch.
+    # Caveat (r12, ADVICE): a mid-stream index rebuild under a different
+    # recipe is not re-detected — recreate the sink closure with the index.
 
     def _check_recipe(spark) -> None:
         if _recipe_ok[0]:
@@ -1089,7 +1095,9 @@ def chunk_intake_sink(
     index_schema = T.StructType([T.StructField("chunk_hash", T.LongType())])
 
     _recipe_ok = [False]  # memo: one sink closure = one fixed recipe —
-    # validate (or write) the marker once, not one parquet read per batch
+    # validate (or write) the marker once, not one parquet read per batch.
+    # Caveat (r12, ADVICE): a mid-stream index rebuild under a different
+    # recipe is not re-detected — recreate the sink closure with the index.
 
     def _check_recipe(spark) -> None:
         if _recipe_ok[0]:

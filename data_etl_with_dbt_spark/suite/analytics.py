@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 from data_etl_with_dbt_spark.suite.registry import big, davg, dec6, dsum, load, query
 
@@ -254,7 +255,7 @@ def mad_outliers_by_type(spark, sf_dir):
         .select(
             "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     mad = dev.groupBy("event_type", "med").agg(
         dec6(F.expr("percentile(dev, 0.5)")).alias("mad")
@@ -343,7 +344,7 @@ def hll_user_cardinality(spark, sf_dir):
     )
     # one sketch per type (5 rows): checkpoint so the merged ALL row reuses
     # the per-type partials instead of re-aggregating the fact table
-    per_type = per_type.localCheckpoint(eager=False)
+    per_type = per_type.transform(materialize)
     typed = per_type.select(
         "event_type",
         F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
@@ -1096,7 +1097,7 @@ def mutual_information_events(spark, sf_dir):
     # cells feeds the two marginals, the total, and the scored join — one
     # lineage cut so the events pass runs once (no cross-consumer CSE)
     cells = (
-        binned.groupBy("t", "b").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
+        binned.groupBy("t", "b").agg(F.count(F.lit(1)).alias("c")).transform(materialize)
     )
     mt = cells.groupBy("t").agg(F.sum("c").alias("ct"))
     mb = cells.groupBy("b").agg(F.sum("c").alias("cb"))
@@ -1308,11 +1309,9 @@ def theta_sketch_users(spark, sf_dir):
     d = (
         ev.select("event_type", "user_id")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
-    sk = kmv_build(d, "user_id", k=k, group_cols=["event_type"]).localCheckpoint(
-        eager=False
-    )
+    sk = kmv_build(d, "user_id", k=k, group_cols=["event_type"]).transform(materialize)
     exact = d.groupBy("event_type").agg(
         big(F.count(F.lit(1))).alias("exact_users")
     )
@@ -1579,11 +1578,9 @@ def trailing_distinct_users_kmv(spark, sf_dir):
     d = (
         ev.select(F.col("ts").cast("date").alias("day"), "user_id")
         .distinct()
-        .localCheckpoint(eager=False)  # feeds sketches AND the exact side
+        .transform(materialize)  # feeds sketches AND the exact side
     )
-    sk = kmv_build(d, "user_id", k=k, group_cols=["day"]).localCheckpoint(
-        eager=False
-    )
+    sk = kmv_build(d, "user_id", k=k, group_cols=["day"]).transform(materialize)
     days = sk.select("day").distinct()
     win = (
         days.alias("d")
@@ -1767,7 +1764,7 @@ def growth_accounting_daily(spark, sf_dir):
     ud = (
         ev.select("user_id", F.col("ts").cast("date").alias("day"))
         .distinct()
-        .localCheckpoint(eager=False)  # windows + day spine both read it
+        .transform(materialize)  # windows + day spine both read it
     )
     wu = Window.partitionBy("user_id")
     wo = wu.orderBy("day")
@@ -1777,7 +1774,7 @@ def growth_accounting_daily(spark, sf_dir):
         F.min("day").over(wu).alias("first_day"),
         F.lag("day").over(wo).alias("prev_day"),
         F.lead("day").over(wo).alias("next_day"),
-    ).localCheckpoint(eager=False)  # feeds both act and churn
+    ).transform(materialize)  # feeds both act and churn
     act = marked.groupBy("day").agg(
         big(F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))).alias(
             "n_new"
@@ -1865,9 +1862,8 @@ def growth_accounting_daily(spark, sf_dir):
 )
 def event_type_lift_pairs(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(
-        eager=False  # three consumers: totals, per-type, pair join
-    )
+    # three consumers: totals, per-type, pair join
+    ut = ev.select("user_id", "event_type").distinct().transform(materialize)
     n = ut.select("user_id").distinct().agg(
         big(F.count(F.lit(1))).alias("n_users")
     )
@@ -2001,8 +1997,9 @@ def column_entropy_events(spark, sf_dir):
             )
         )
     )
-    vc = cols.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
-        eager=False  # feeds totals and the scored join
+    # feeds totals and the scored join
+    vc = cols.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c")).transform(
+        materialize
     )
     t = vc.groupBy("col").agg(F.sum("c").alias("n"))
     p = F.col("c").cast("double") / F.col("n").cast("double")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 from data_etl_with_dbt_spark.suite.registry import big, dec6, load, query
 
@@ -291,7 +292,7 @@ def market_basket_lift(spark, sf_dir):
     basket = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     n_orders = basket.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n")

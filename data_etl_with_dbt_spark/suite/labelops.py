@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 from data_etl_with_dbt_spark.operators.similarity import dot, norm
 from data_etl_with_dbt_spark.suite.registry import big, davg, dec6, load, query
@@ -150,7 +151,7 @@ def annotator_agreement(spark, sf_dir):
     counts = (
         votes.groupBy("item_id", "label")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     items = (
         counts.groupBy("item_id")
@@ -235,7 +236,7 @@ def kl_divergence_sources(spark, sf_dir):
     sw = (
         toks.groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     s = sw.groupBy("source").agg(F.sum("c").alias("n_s"))
     wt = sw.groupBy("w").agg(F.sum("c").alias("c_w"))

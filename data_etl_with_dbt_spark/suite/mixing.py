@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 from data_etl_with_dbt_spark.suite.registry import big, dec6, dsum, load, query
 
@@ -97,7 +98,7 @@ def dsir_importance_weights(spark, sf_dir):
     tf2 = (
         toks.groupBy("doc_id", "lang", "b")
         .agg(big(F.count(F.lit(1))).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     tf = tf2.select("doc_id", "b", "tf")
     dist = (
@@ -110,7 +111,7 @@ def dsir_importance_weights(spark, sf_dir):
                 )
             ).alias("c_t"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     totals = dist.agg(
         big(F.sum("c_r")).alias("t_r"), big(F.sum("c_t")).alias("t_t")

@@ -15,6 +15,7 @@ callers can't stumble into it silently."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 from data_etl_with_dbt_spark.suite.registry import big, dec6, load, query
 
@@ -77,12 +78,12 @@ def cascade_delete_impact(spark, sf_dir):
     # cuts the md5 gate over customer evaluates three times and the
     # subjects⋈orders join twice (no cross-consumer CSE)
     subjects = (
-        c.where(gate).select("c_custkey", "c_nationkey").localCheckpoint(eager=False)
+        c.where(gate).select("c_custkey", "c_nationkey").transform(materialize)
     )
     ords = (
         subjects.join(o, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_nationkey", "o_orderkey")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     subs_n = subjects.groupBy("c_nationkey").agg(
         big(F.count(F.lit(1))).alias("n_subjects")

@@ -13,6 +13,7 @@ Plan-shape notes (verified via .explain, see BENCH_NOTES.md):
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 from data_etl_with_dbt_spark.suite.registry import (
     big,
@@ -341,7 +342,7 @@ def cte_above_average_customers(spark, sf_dir):
         )
         # scalar-subquery consumer below: checkpoint so the orders agg runs
         # once (no cross-consumer CSE — measured on q11/q21)
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     # dec6 grid: the raw AVG of doubles is accumulation-order-dependent
     # across engines; the nearest rev sits >178 away, so quantizing the
     # threshold is provably output-preserving on the fixtures

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from data_etl_with_dbt_spark.materialize import materialize
 
 from data_etl_with_dbt_spark.suite.registry import big, davg, dec6, dsum, load, query
 
@@ -405,7 +406,7 @@ def q15_top_supplier(spark, sf_dir):
     supp = load(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
-    ).localCheckpoint(eager=False)  # max_rev + filter both read it: agg once
+    ).transform(materialize)  # max_rev + filter both read it: agg once
     max_rev = revenue.agg(F.max("total_revenue").alias("__max"))
     return (
         revenue.crossJoin(F.broadcast(max_rev))
@@ -893,7 +894,7 @@ def q11_important_parts(spark, sf_dir):
         li.join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     tot = vals.agg(
         dsum(F.col("part_value")).alias("total_value"),
         F.count(F.lit(1)).cast("double").alias("n_parts"),
